@@ -1,0 +1,346 @@
+"""Contribution synthesis — the window-function core of the engine.
+
+Re-expresses the reference's sequential converter
+(``ohsome-contributions/.../contrib/ContributionsAvroConverter.java:61-198``)
+as declarative Spark windows (SURVEY.md A1–A6, F3–F5, §2.5):
+
+- ``valid_to``        = lead(valid_from) else sentinel 2222-01-01 (A4)
+- ``status``          = deleted / invalid / history / latest (A5, F3)
+- ``osm_minor_version`` resets per major version (A1)
+- ``osm_edits``       = running contribution counter (A1)
+- ``tags_before`` / ``osm_last_edit`` = raw-predecessor lags (A3)
+- ``area_delta`` / ``length_delta``   = value − previous emitted value (A2)
+- ``contrib_type``    = CREATION/DELETION/TAG/GEOMETRY/TAG_GEOMETRY (A6)
+- same-changeset squash (F4): consecutive rows with equal
+  (osm_version, changeset) collapse to the last row of the run.
+
+Semantic subtleties faithfully reproduced from the reference:
+
+1. ``tags_before``, ``osm_last_edit`` and the CREATION test use the **raw**
+   predecessor (including squashed-away rows — the converter advances
+   ``contributionBefore`` inside its skip loop, lines 71-78).
+2. ``geometryBefore``, ``areaBefore``/``lengthBefore`` compare against the
+   previous **emitted** row (lines 159-164, 196).
+3. Deleted versions inherit the previous emitted geometry (line 110) and all
+   derived columns (bbox/centroid/xz/area/length) from it.
+4. A visible row whose geometry is empty gets status 'invalid' (line 154-156)
+   with xz level = -1 / code 0 and area = length = 0.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.xz import xz_code_expr, xz_level_expr
+from ..schemas import VALID_TO_SENTINEL
+
+EPOCH = dt.datetime(1970, 1, 1)
+
+# empty MAP<STRING,STRING> literal (PySpark has no zero-arg create_map)
+def _empty_tags():
+    return F.expr("cast(map() as map<string,string>)")
+
+# ---------------------------------------------------------------------------
+# vectorized point-WKB encoder (big-endian, JTS WKBWriter-compatible)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.BinaryType())
+def point_wkb(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    n = len(lon)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    out = np.empty((n, 21), dtype=np.uint8)
+    out[:, 0] = 0  # big-endian flag
+    out[:, 1:5] = np.array([0, 0, 0, 1], dtype=np.uint8)  # type code 1 = Point
+    lon_v = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+    lat_v = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+    out[:, 5:13] = lon_v.astype(">f8").view(np.uint8).reshape(n, 8)
+    out[:, 13:21] = lat_v.astype(">f8").view(np.uint8).reshape(n, 8)
+    buf = out.tobytes()
+    isnan = np.isnan(lon_v) | np.isnan(lat_v)
+    return pd.Series(
+        [None if isnan[i] else buf[i * 21 : (i + 1) * 21] for i in range(n)], dtype=object
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-stream builders
+# ---------------------------------------------------------------------------
+
+
+def node_contribution_events(nodes: DataFrame) -> DataFrame:
+    """Node history → contribution event stream with own-geometry bundle.
+
+    Validity rule per ``ContributionGeometry.invalid`` (lines 187-189):
+    coordinates outside [-180,180]×[-90,90] → empty geometry.
+    """
+    valid = (
+        F.col("lon").isNotNull()
+        & F.col("lat").isNotNull()
+        & (F.col("lon") >= -180.0)
+        & (F.col("lon") <= 180.0)
+        & (F.col("lat") >= -90.0)
+        & (F.col("lat") <= 90.0)
+    )
+    has_geom = F.col("visible") & valid
+    return (
+        nodes.withColumnRenamed("version", "osm_version")
+        .withColumn("osm_type", F.lit("node"))
+        .withColumn("geom_wkb", F.when(has_geom, point_wkb("lon", "lat")))
+        .withColumn("geom_type", F.when(has_geom, F.lit("Point")))
+        .withColumn(
+            "geom_bbox",
+            F.when(
+                has_geom,
+                F.struct(
+                    F.col("lon").alias("xmin"),
+                    F.col("lat").alias("ymin"),
+                    F.col("lon").alias("xmax"),
+                    F.col("lat").alias("ymax"),
+                ),
+            ),
+        )
+        .withColumn(
+            "geom_centroid",
+            F.when(has_geom, F.struct(F.col("lon").alias("x"), F.col("lat").alias("y"))),
+        )
+        .withColumn("geom_area", F.when(has_geom, F.lit(0.0)))
+        .withColumn("geom_length", F.when(has_geom, F.lit(0.0)))
+        .withColumn("refs", F.lit(None).cast("array<bigint>"))
+        .withColumn("refs_count", F.lit(None).cast("int"))
+        .withColumn(
+            "members",
+            F.lit(None).cast(
+                "array<struct<type:string,id:bigint,timestamp:timestamp,"
+                "role:string,geometry_type:string,geometry:binary>>"
+            ),
+        )
+        .withColumn("members_count", F.lit(None).cast("int"))
+        .drop("lon", "lat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# filters (SURVEY.md F1/F2)
+# ---------------------------------------------------------------------------
+
+
+def filter_tagged_histories(entities: DataFrame) -> DataFrame:
+    """F1 — drop an id's whole history if every version is untagged
+    (``util/Utils.java:21-23``). Window-max avoids a self-join shuffle."""
+    w = W.partitionBy("osm_id")
+    return (
+        entities.withColumn("_any_tags", F.max(F.size(F.coalesce("tags", _empty_tags()))).over(w))
+        .filter(F.col("_any_tags") > 0)
+        .drop("_any_tags")
+    )
+
+
+def filter_relation_tag_keys(relations: DataFrame, keys: list[str]) -> DataFrame:
+    """F2 — keep a relation history only if any version has any listed tag
+    key (``util/Utils.java:25-32``)."""
+    if not keys:
+        return relations
+    w = W.partitionBy("osm_id")
+    has_key = F.exists(
+        F.map_keys(F.coalesce("tags", _empty_tags())), lambda k: k.isin(*keys)
+    )
+    return (
+        relations.withColumn("_any_key", F.max(has_key.cast("int")).over(w))
+        .filter(F.col("_any_key") > 0)
+        .drop("_any_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# the synthesis windows
+# ---------------------------------------------------------------------------
+
+_GEOM_FIELDS = ("geom_wkb", "geom_type", "geom_bbox", "geom_centroid", "geom_area", "geom_length")
+
+
+def synthesize_contributions(events: DataFrame) -> DataFrame:
+    """Contribution event stream → contribution rows (pre-enrichment).
+
+    ``events`` must carry: osm_id, osm_type, osm_version, ts, changeset,
+    user_id, user_name, visible, tags, the ``geom_*`` bundle (null when the
+    row's own geometry is empty/invalid), refs/refs_count/members/
+    members_count.
+
+    One shuffle: everything partitions by (osm_type, osm_id) and orders by
+    (ts, osm_version, changeset) — all window specs share it, so Catalyst
+    plans a single exchange + sort.
+    """
+    part = ["osm_type", "osm_id"]
+    order = [F.col("ts"), F.col("osm_version"), F.col("changeset")]
+    w_raw = W.partitionBy(*part).orderBy(*order)
+
+    # (1) raw-predecessor lags — BEFORE the squash filter (subtlety #1).
+    df = (
+        events.withColumn("_prev_ts", F.lag("ts").over(w_raw))
+        .withColumn("_prev_tags", F.lag("tags").over(w_raw))
+        .withColumn("_prev_visible", F.lag("visible").over(w_raw))
+        .withColumn("_next_version", F.lead("osm_version").over(w_raw))
+        .withColumn("_next_changeset", F.lead("changeset").over(w_raw))
+    )
+
+    # (2) same-changeset squash (F4): keep only the LAST row of a
+    # (osm_version, changeset) run.
+    df = df.filter(
+        ~(
+            (F.col("_next_version") == F.col("osm_version"))
+            & (F.col("_next_changeset") == F.col("changeset"))
+        )
+        | F.col("_next_version").isNull()
+    ).drop("_next_version", "_next_changeset")
+
+    # (3) emitted-stream windows.
+    w = W.partitionBy(*part).orderBy(*order)
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_ver = W.partitionBy(*part, "osm_version").orderBy(*order)
+
+    own_bundle = F.struct(*[F.col(c).alias(c) for c in _GEOM_FIELDS])
+    df = (
+        df.withColumn("valid_to", F.lead("ts").over(w))
+        .withColumn("_has_next", F.lead("ts").over(w).isNotNull())
+        # geometry inheritance (subtlety #3): effective bundle = own when
+        # visible, else the last visible row's own bundle.
+        .withColumn("_own", F.when(F.col("visible"), own_bundle))
+        .withColumn("_eff", F.last("_own", ignorenulls=True).over(w_run))
+    )
+
+    has_geom = F.col("_eff.geom_wkb").isNotNull()
+    area = F.when(has_geom, F.col("_eff.geom_area")).otherwise(F.lit(0.0))
+    length = F.when(has_geom, F.col("_eff.geom_length")).otherwise(F.lit(0.0))
+
+    df = (
+        df.withColumn("_has_geom", has_geom)
+        .withColumn("area", area)
+        .withColumn("length", length)
+        .withColumn("_prev_wkb", F.lag("_eff.geom_wkb").over(w))
+        .withColumn("_prev_emitted", F.lag("ts").over(w).isNotNull())
+        .withColumn("area_delta", F.col("area") - F.lag("area", 1, 0.0).over(w))
+        .withColumn("length_delta", F.col("length") - F.lag("length", 1, 0.0).over(w))
+        .withColumn("osm_minor_version", (F.row_number().over(w_ver) - F.lit(1)).cast("int"))
+        .withColumn("osm_edits", F.row_number().over(w).cast("int"))
+    )
+
+    status = (
+        F.when(~F.col("visible"), F.lit("deleted"))
+        .when(~F.col("_has_geom"), F.lit("invalid"))
+        .when(F.col("_has_next"), F.lit("history"))
+        .otherwise(F.lit("latest"))
+    )
+
+    tags = F.coalesce("tags", _empty_tags())
+    tags_before = F.coalesce("_prev_tags", _empty_tags())
+    # MAP has no ordering in Spark; equality via sorted entry arrays
+    tags_changed = F.array_sort(F.map_entries(tags)) != F.array_sort(F.map_entries(tags_before))
+    geom_changed = ~F.col("_eff.geom_wkb").eqNullSafe(F.col("_prev_wkb"))
+    contrib_type = (
+        F.when(~F.col("visible"), F.lit("DELETION"))
+        .when(~F.coalesce("_prev_visible", F.lit(False)), F.lit("CREATION"))
+        .otherwise(
+            F.concat_ws(
+                "_",
+                F.when(tags_changed, F.lit("TAG")),
+                F.when(geom_changed, F.lit("GEOMETRY")),
+            )
+        )
+    )
+
+    xz_level = F.when(
+        F.col("_has_geom"),
+        xz_level_expr(
+            F.col("_eff.geom_bbox.xmin"),
+            F.col("_eff.geom_bbox.ymin"),
+            F.col("_eff.geom_bbox.xmax"),
+            F.col("_eff.geom_bbox.ymax"),
+        ),
+    ).otherwise(F.lit(-1))
+    xz_code = F.when(
+        F.col("_has_geom"),
+        xz_code_expr(
+            F.col("_eff.geom_bbox.xmin"),
+            F.col("_eff.geom_bbox.ymin"),
+            F.col("_eff.geom_bbox.xmax"),
+            F.col("_eff.geom_bbox.ymax"),
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+
+    return df.select(
+        status.alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce("valid_to", F.lit(VALID_TO_SENTINEL)).alias("valid_to"),
+        "osm_type",
+        "osm_id",
+        F.col("osm_version").cast("int").alias("osm_version"),
+        "osm_minor_version",
+        "osm_edits",
+        F.col("_prev_ts").alias("osm_last_edit"),
+        F.struct(
+            F.col("user_id").cast("int").alias("id"), F.col("user_name").alias("name")
+        ).alias("user"),
+        tags.alias("tags"),
+        tags_before.alias("tags_before"),
+        F.col("changeset").alias("changeset_id"),
+        F.when(F.col("_has_geom"), F.col("_eff.geom_bbox")).alias("bbox"),
+        F.when(F.col("_has_geom"), F.col("_eff.geom_centroid")).alias("centroid"),
+        F.struct(xz_level.alias("level"), xz_code.alias("code")).alias("xzcode"),
+        F.col("_eff.geom_type").alias("geometry_type"),
+        F.col("_eff.geom_wkb").alias("geometry"),
+        "area",
+        "area_delta",
+        "length",
+        "length_delta",
+        F.nullif(contrib_type, F.lit("")).alias("contrib_type"),
+        "refs_count",
+        "refs",
+        "members_count",
+        "members",
+        F.lit(0).cast("bigint").alias("build_time"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# changeset enrichment (J4) — broadcast equi-join with default fallback
+# ---------------------------------------------------------------------------
+
+
+def with_changesets(contribs: DataFrame, changesets: DataFrame) -> DataFrame:
+    """Join changeset metadata onto contributions (SURVEY.md J4).
+
+    Missing changeset ids fall back to the reference's default record —
+    created_at = epoch, empty tags/hashtags, null editor
+    (``util/Utils.java:50-66``). Editor = changeset tags['created_by'] (A11,
+    ``ChangesetDb.java:50``). The changesets side is broadcast: at planet
+    scale the slice of changesets referenced by one batch is dimension-sized.
+    """
+    cs = changesets.select(
+        F.col("id").alias("_cs_id"),
+        F.col("created_at").alias("_cs_created_at"),
+        F.col("closed_at").alias("_cs_closed_at"),
+        F.coalesce("tags", _empty_tags()).alias("_cs_tags"),
+        F.coalesce("hashtags", F.array().cast("array<string>")).alias("_cs_hashtags"),
+    )
+    joined = contribs.join(
+        F.broadcast(cs), contribs["changeset_id"] == cs["_cs_id"], "left"
+    )
+    changeset_struct = F.struct(
+        F.col("changeset_id").alias("id"),
+        F.coalesce("_cs_created_at", F.lit(EPOCH)).alias("created_at"),
+        F.col("_cs_closed_at").alias("closed_at"),
+        F.coalesce("_cs_tags", _empty_tags()).alias("tags"),
+        F.coalesce("_cs_hashtags", F.array().cast("array<string>")).alias("hashtags"),
+        F.col("_cs_tags").getItem("created_by").alias("editor"),
+    )
+    return joined.withColumn("changeset", changeset_struct).drop(
+        "_cs_id", "_cs_created_at", "_cs_closed_at", "_cs_tags", "_cs_hashtags", "changeset_id"
+    )

@@ -1,0 +1,67 @@
+"""Loader for the driver-generated benchmark tables (TESTDATA.md).
+
+The tables are written with nanosecond parquet timestamps, which Spark only
+reads via the legacy ``nanosAsLong`` flag. We detect ``timestamp[ns]``
+columns from the parquet footer (pyarrow, driver-side metadata read — no
+data scan) and rebuild proper TimestampType columns with integer
+nanos→micros truncation, matching how DuckDB coerces the same files. All of
+this stays a thin projection on top of the parquet scan, so column pruning
+and predicate pushdown still reach the files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _nanos_columns(path: str) -> list[str]:
+    schema = pq.read_schema(path)
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for col in _nanos_columns(path):
+        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str | None = None, register_views: bool = True
+) -> dict[str, DataFrame]:
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    out = {}
+    for name in TABLES:
+        if not os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            continue
+        df = load_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,195 @@
+"""Pure-math function tests: XZ curve, geodesic area/length, WKB codec."""
+
+import math
+
+import numpy as np
+import pytest
+
+from ohsome_planet_spark.functions import wkb
+from ohsome_planet_spark.functions.geodesic import (
+    EARTH_RADIUS_MEAN,
+    line_length,
+    polygon_area,
+    ring_area,
+)
+from ohsome_planet_spark.functions.xz import G_DEFAULT, _n_elem, xz_codes
+
+
+def xz_reference(xmin, ymin, xmax, ymax, g=16):
+    """Direct scalar port of the Böhm et al. algorithm (oracle for the
+    vectorized + closed-form implementations)."""
+    xmin = (180.0 + xmin) / 360.0
+    ymin = (90.0 + ymin) / 360.0
+    xmax = (180.0 + xmax) / 360.0
+    ymax = (90.0 + ymax) / 360.0
+    ext = max(xmax - xmin, ymax - ymin)
+    l1 = g if ext <= 0 else int(math.floor(math.log(ext) / math.log(0.5)))
+    length = g
+    if l1 < g:
+        length = l1 + 1
+        w2 = 0.5**length
+
+        def pred(mn, mx):
+            return mx <= (math.floor(mn / w2) * w2) + 2 * w2
+
+        if not (pred(xmin, xmax) and pred(ymin, ymax)):
+            length = l1
+    n_elem = _n_elem(g)
+    cs = 0
+    cur = [0.0, 1.0, 0.0, 1.0]
+    for i in range(length):
+        q = 0
+        xc = cur[0] + (cur[1] - cur[0]) / 2
+        if xmin >= xc:
+            q += 1
+            cur[0] = xc
+        else:
+            cur[1] = xc
+        yc = cur[2] + (cur[3] - cur[2]) / 2
+        if ymin >= yc:
+            q += 2
+            cur[2] = yc
+        else:
+            cur[3] = yc
+        cs += q * n_elem[i] + 1
+    return length, cs
+
+
+BOXES = [
+    (8.0, 49.0, 8.0, 49.0),  # point
+    (8.0, 49.0, 8.4, 49.2),
+    (-180.0, -90.0, 180.0, 90.0),  # world
+    (179.9, 89.9, 180.0, 90.0),  # corner cell (x -> 1.0 clamp path)
+    (-0.001, -0.001, 0.001, 0.001),
+    (13.3, 52.4, 13.6, 52.6),
+    (-122.52, 37.70, -122.35, 37.84),
+]
+
+
+def test_xz_vectorized_matches_scalar_walk():
+    xs = np.array([b[0] for b in BOXES])
+    ys = np.array([b[1] for b in BOXES])
+    xm = np.array([b[2] for b in BOXES])
+    ym = np.array([b[3] for b in BOXES])
+    levels, codes = xz_codes(xs, ys, xm, ym)
+    for i, b in enumerate(BOXES):
+        lvl, code = xz_reference(*b)
+        assert (levels[i], codes[i]) == (lvl, code), b
+
+
+def test_xz_spark_expr_matches_numpy(spark):
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.functions.xz import xz_code_expr, xz_level_expr
+
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(d)) for a, b, c, d in BOXES],
+        "xmin double, ymin double, xmax double, ymax double",
+    )
+    rows = df.select(
+        xz_level_expr(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")).alias("lvl"),
+        xz_code_expr(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")).alias("code"),
+    ).collect()
+    for row, b in zip(rows, BOXES):
+        lvl, code = xz_reference(*b)
+        assert (row.lvl, row.code) == (lvl, code), b
+
+
+def test_equator_degree_length():
+    # one degree of longitude at the equator ≈ 111.19 km (mean radius)
+    L = line_length(np.array([0.0, 1.0]), np.array([0.0, 0.0]))
+    assert L == pytest.approx(EARTH_RADIUS_MEAN * math.pi / 180, rel=1e-9)
+
+
+def test_small_square_area_roughly_correct():
+    # ~1km x 1km square near the equator
+    d = 0.009  # ≈ 1km
+    ring = (
+        np.array([0.0, d, d, 0.0, 0.0]),
+        np.array([0.0, 0.0, d, d, 0.0]),
+    )
+    area = abs(ring_area(*ring))
+    assert area == pytest.approx(1.0e6, rel=0.01)
+
+
+def test_polygon_area_with_hole_clamped():
+    outer = (np.array([0.0, 1.0, 1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0, 1.0, 0.0]))
+    inner = (
+        np.array([0.2, 0.8, 0.8, 0.2, 0.2]),
+        np.array([0.2, 0.2, 0.8, 0.8, 0.2]),
+    )
+    a_outer = polygon_area([outer])
+    a_with_hole = polygon_area([outer, inner])
+    assert 0 < a_with_hole < a_outer
+    # inner larger than outer -> clamped to 0
+    assert polygon_area([inner, outer]) == 0.0
+
+
+def test_wkb_roundtrip_all_types():
+    geoms = [
+        {"type": "Point", "coords": (8.0, 49.0)},
+        {"type": "LineString", "coords": [(0.0, 0.0), (1.0, 1.0), (2.0, 0.5)]},
+        {
+            "type": "Polygon",
+            "coords": [
+                [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+                [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)],
+            ],
+        },
+        {
+            "type": "MultiPolygon",
+            "coords": [
+                [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]],
+                [[(5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 5.0)]],
+            ],
+        },
+        {
+            "type": "GeometryCollection",
+            "coords": [
+                {"type": "Point", "coords": (1.0, 2.0)},
+                {"type": "LineString", "coords": [(0.0, 0.0), (1.0, 1.0)]},
+            ],
+        },
+    ]
+    for g in geoms:
+        buf = wkb.encode(g)
+        assert buf[0] == 0  # big-endian, JTS default
+        assert wkb.decode(buf) == g
+
+
+def test_centroid_semantics():
+    # point
+    assert wkb.centroid({"type": "Point", "coords": (3.0, 4.0)}) == (3.0, 4.0)
+    # line: length-weighted
+    cx, cy = wkb.centroid({"type": "LineString", "coords": [(0.0, 0.0), (2.0, 0.0)]})
+    assert (cx, cy) == (1.0, 0.0)
+    # square polygon centroid
+    cx, cy = wkb.centroid(
+        {"type": "Polygon", "coords": [[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]]}
+    )
+    assert (cx, cy) == pytest.approx((1.0, 1.0))
+    # polygon with hole: centroid shifts away from the hole
+    cx, _ = wkb.centroid(
+        {
+            "type": "Polygon",
+            "coords": [
+                [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+                [(2.5, 1.5), (3.5, 1.5), (3.5, 2.5), (2.5, 2.5), (2.5, 1.5)],
+            ],
+        }
+    )
+    assert cx < 2.0
+    # mixed collection: areal component wins
+    cx, cy = wkb.centroid(
+        {
+            "type": "GeometryCollection",
+            "coords": [
+                {"type": "Point", "coords": (100.0, 100.0)},
+                {
+                    "type": "Polygon",
+                    "coords": [[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]],
+                },
+            ],
+        }
+    )
+    assert (cx, cy) == pytest.approx((1.0, 1.0))
