@@ -16,6 +16,8 @@ These constants must match bit-for-bit for delta-column oracle parity.
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
 
 EARTH_RADIUS_MEAN = 6371000.0
 EARTH_RADIUS_EQUATOR = 6378137.0
@@ -78,3 +80,25 @@ def polygon_area(rings: list[tuple[np.ndarray, np.ndarray]]) -> float:
 
 def multipolygon_area(polys: list[list[tuple[np.ndarray, np.ndarray]]]) -> float:
     return sum(polygon_area(p) for p in polys)
+
+
+def segment_length_expr(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """Native Spark Column: geodesic length in meters of one segment — the
+    same formula as :func:`line_length`, usable with lag() to sum tracks
+    entirely inside whole-stage codegen.
+
+    DuckDB twin (for oracles)::
+
+        6371000.0 * sqrt(
+          pow((radians(lon2)-radians(lon1))
+              * cos((atan(SF*tan(radians(lat1))) + atan(SF*tan(radians(lat2))))/2), 2)
+          + pow(atan(SF*tan(radians(lat2))) - atan(SF*tan(radians(lat1))), 2))
+    """
+    sf = F.lit(SPHERE_FACT)
+    p_lat1 = F.atan(sf * F.tan(F.radians(lat1)))
+    p_lat2 = F.atan(sf * F.tan(F.radians(lat2)))
+    dlon = (F.radians(lon2) - F.radians(lon1)) * F.cos((p_lat1 + p_lat2) / F.lit(2.0))
+    dlat = p_lat2 - p_lat1
+    return F.sqrt(dlon * dlon + dlat * dlat) * F.lit(EARTH_RADIUS_MEAN)

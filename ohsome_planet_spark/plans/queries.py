@@ -1,0 +1,1072 @@
+"""Query registry: every operator from SURVEY.md §2 surfaced as a
+(spark, sf_dir) -> DataFrame callable plus an equivalent DuckDB oracle SQL.
+
+Each query exercises real engine code (operators/functions modules), not
+ad-hoc SQL: the point is that the driver's DuckDB comparison certifies the
+operator implementations. Column names are aligned between both sides;
+floating-point outputs are rounded on both sides so value hashes are stable.
+
+The OSM-domain operators run on histories DERIVED deterministically from the
+driver's ``events`` table (TESTDATA.md) — the derivation is part of each
+query and mirrored in its oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.geodesic import SPHERE_FACT, segment_length_expr
+from ..functions.hashtags import hashtags_expr
+from ..functions.text import (
+    FP_MOD,
+    fingerprint_expr,
+    hash60_expr,
+    hash60_sql,
+    lang_guess_expr,
+    mean_token_len_expr,
+    punct_ratio_expr,
+    quality_score_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+)
+from ..functions.xz import G_DEFAULT, _n_elem, xz_code_expr, xz_level_expr
+from ..operators.asof import asof_join
+from ..operators.contributions import (
+    node_contribution_events,
+    synthesize_contributions,
+)
+from ..operators.dedup import (
+    MINHASH_PRIME,
+    _perm_coeff,
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from ..operators.similarity import cosine_topk, lsh_bucket_topk
+from ..operators.spatial import join_countries, rect_feature
+from ..sources.testdata import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# relational surface (joins/aggregations/sorts — SURVEY.md §2.3/2.4/2.6)
+# ===========================================================================
+
+
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(avg(l_quantity), 6)                                       AS avg_qty,
+           round(avg(l_extendedprice), 6)                                  AS avg_price,
+           round(avg(l_discount), 6)                                       AS avg_disc,
+           CAST(count(*) AS BIGINT)                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-side filter + map-side-combinable aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "topk_order_revenue",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dimension filter pushed below a 3-way join, top-k.
+
+    customer is broadcast (dimension-sized); lineitem⨝orders shuffles on the
+    order key only."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "region_nation_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT)          AS n_orders
+    FROM region r
+      JOIN nation n   ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o   ON o.o_custkey  = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join; all dimensions broadcast, facts
+    shuffle once on the order key."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = F.broadcast(
+        c.join(n, c.c_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dim, o.o_custkey == dim.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@_register(
+    "order_priority_counts",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS = left-semi join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "sales_rollup",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           round(sum(o_totalprice), 2)      AS total,
+           CAST(count(*) AS BIGINT)         AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate (ROLLUP) — free in Spark, absent in the
+    reference engine (SURVEY.md §2.4 note)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "total",
+            "n",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# ===========================================================================
+# window surface (SURVEY.md §2.5 / A1-A6 analogs on the events stream)
+# ===========================================================================
+
+
+@_register(
+    "events_windows",
+    """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS BIGINT)                  AS seq,
+           round(value - coalesce(lag(value) OVER w, 0.0), 2)    AS delta,
+           coalesce(lead(ts) OVER w, TIMESTAMP '2222-01-01')     AS valid_to,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, seq
+    """,
+)
+def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/row_number/running-sum — the A1-A6 window family in one
+    pass; all four specs share one partitioning → single shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).cast("bigint").alias("seq"),
+            F.round(F.col("value") - F.lag("value", 1, 0.0).over(w), 2).alias("delta"),
+            F.coalesce(
+                F.lead("ts").over(w), F.lit("2222-01-01").cast("timestamp")
+            ).alias("valid_to"),
+            F.round(
+                F.sum("value").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+            ).alias("running_value"),
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
+@_register(
+    "user_sessions",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - coalesce(lag(ts) OVER w, ts - INTERVAL 9999 MINUTE)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min) via cumulative-sum-of-boundaries — the
+    batch equivalent of a session window."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    # first row of each user: lag null -> new session (oracle encodes the
+    # same via the sentinel interval)
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "latest_state",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           round(value, 2) AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 analog: latest-value-per-key state table (the Spark replacement of
+    the reference's replication RocksDB store)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "asof_purchase_view",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           v.ts AS view_ts, round(v.value, 2) AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J3's relational core): each purchase picks up the latest
+    preceding view per user. Union + last-value window — one shuffle, no
+    interval explosion (operators/asof.py)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.round("value", 2).alias("view_value"),
+        )
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        value_cols=["view_ts", "view_value"],
+    )
+    return out.select("event_id", "user_id", "ts", "view_ts", "view_value").orderBy("event_id")
+
+
+# ===========================================================================
+# OSM contribution pipeline on derived histories (flagship)
+# ===========================================================================
+
+_CONTRIB_ORACLE = """
+WITH base AS (
+  SELECT user_id AS osm_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+         event_type, value
+  FROM events
+), ent AS (
+  SELECT osm_id, ts,
+         CAST(((seq - 1) // 2) + 1 AS INT)            AS version,
+         CAST((((seq - 1) // 2) + 1) % 7 AS BIGINT)   AS changeset,
+         event_type <> 'error'                        AS visible,
+         event_type                                   AS tagv,
+         (value % 360.0) - 180.0                      AS lon,
+         ((value * 7.0) % 180.0) - 90.0               AS lat
+  FROM base
+), raw AS (
+  SELECT *,
+         lag(ts)       OVER w AS prev_ts,
+         lag(tagv)     OVER w AS prev_tagv,
+         lag(visible)  OVER w AS prev_visible,
+         lead(version)   OVER w AS next_version,
+         lead(changeset) OVER w AS next_changeset
+  FROM ent WINDOW w AS (PARTITION BY osm_id ORDER BY ts, version, changeset)
+), squashed AS (
+  SELECT * FROM raw
+  WHERE next_version IS NULL
+     OR NOT (next_version = version AND next_changeset = changeset)
+), emitted AS (
+  SELECT *,
+         lead(ts) OVER w AS next_ts,
+         last_value(CASE WHEN visible THEN struct_pack(lon := lon, lat := lat) END IGNORE NULLS)
+           OVER (PARTITION BY osm_id ORDER BY ts, version, changeset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)     AS eff,
+         CAST(row_number() OVER (PARTITION BY osm_id, version ORDER BY ts, changeset) - 1 AS INT) AS osm_minor_version,
+         CAST(row_number() OVER w AS INT) AS osm_edits
+  FROM squashed WINDOW w AS (PARTITION BY osm_id ORDER BY ts, version, changeset)
+), final AS (
+  SELECT *, lag(eff) OVER (PARTITION BY osm_id ORDER BY ts, version, changeset) AS prev_eff
+  FROM emitted
+)
+SELECT
+  CASE WHEN NOT visible THEN 'deleted'
+       WHEN eff IS NULL THEN 'invalid'
+       WHEN next_ts IS NOT NULL THEN 'history'
+       ELSE 'latest' END                                  AS status,
+  ts                                                      AS valid_from,
+  coalesce(next_ts, TIMESTAMP '2222-01-01')               AS valid_to,
+  osm_id, version AS osm_version, osm_minor_version, osm_edits,
+  prev_ts                                                 AS osm_last_edit,
+  CASE WHEN NOT visible THEN 'DELETION'
+       WHEN NOT coalesce(prev_visible, FALSE) THEN 'CREATION'
+       ELSE nullif(concat_ws('_',
+              CASE WHEN tagv IS DISTINCT FROM prev_tagv THEN 'TAG' END,
+              CASE WHEN (eff).lon IS DISTINCT FROM (prev_eff).lon
+                     OR (eff).lat IS DISTINCT FROM (prev_eff).lat THEN 'GEOMETRY' END), '')
+  END                                                     AS contrib_type,
+  round((eff).lon, 6)                                     AS cx,
+  round((eff).lat, 6)                                     AS cy
+FROM final
+ORDER BY osm_id, osm_edits
+"""
+
+
+def _derived_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic node-history derivation from the events table: two
+    events per version (so same-changeset squash triggers), 'error' events
+    are deletions."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = F.row_number().over(w)
+    version = (F.floor((seq - 1) / 2) + 1).cast("int")
+    return ev.select(
+        F.col("user_id").alias("osm_id"),
+        version.alias("version"),
+        "ts",
+        (version % 7).cast("bigint").alias("changeset"),
+        F.lit(0).alias("user_id"),
+        F.lit("u").alias("user_name"),
+        (F.col("event_type") != "error").alias("visible"),
+        F.create_map(F.lit("t"), F.col("event_type")).alias("tags"),
+        ((F.col("value") % 360.0) - 180.0).alias("lon"),
+        (((F.col("value") * 7.0) % 180.0) - 90.0).alias("lat"),
+    )
+
+
+@_register("contrib_nodes", _CONTRIB_ORACLE)
+def contrib_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full node contribution pipeline (A1-A6, F3, F4) on
+    derived histories, checked column-by-column against a window-SQL oracle."""
+    nodes = _derived_nodes(spark, sf_dir)
+    contribs = synthesize_contributions(node_contribution_events(nodes))
+    return contribs.select(
+        "status",
+        "valid_from",
+        "valid_to",
+        "osm_id",
+        "osm_version",
+        "osm_minor_version",
+        "osm_edits",
+        "osm_last_edit",
+        "contrib_type",
+        F.round("centroid.x", 6).alias("cx"),
+        F.round("centroid.y", 6).alias("cy"),
+    ).orderBy("osm_id", "osm_edits")
+
+
+# ===========================================================================
+# scalar function surface: hashtags, xz, geodesic (A8-A11)
+# ===========================================================================
+
+
+def _hashtags_oracle() -> str:
+    from ..functions.hashtags import HASHTAG_RE, URL_RE
+
+    # HASHTAG_RE is built from literal codepoints, so it is valid RE2 as-is;
+    # escape single quotes for the SQL literal
+    pat = HASHTAG_RE.replace("'", "''")
+    url = URL_RE
+    return f"""
+    WITH comments AS (
+      SELECT doc_id,
+             concat('Edit #', source, ' and #', lang, 'map see http://x.io/#ign ',
+                    '#', CAST(doc_id % 100 AS VARCHAR), ' #ok') AS comment
+      FROM documents
+    ), extracted AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_filter(
+               list_transform(
+                 regexp_extract_all(regexp_replace(comment, '{url}', '', 'g'),
+                   '{pat}'),
+                 t -> t[2:]),
+               t -> len(t) >= 2 AND NOT regexp_matches(t, '^[0-9]+$')))) AS hashtags
+      FROM comments
+    )
+    SELECT doc_id, hashtags FROM extracted ORDER BY doc_id
+    """
+
+
+@_register("changeset_hashtags", _hashtags_oracle())
+def changeset_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: hashtag derivation (URL stripping, ≥2 chars, non-numeric,
+    distinct+sorted) on synthesized comment strings."""
+    docs = _t(spark, sf_dir, "documents")
+    comment = F.concat(
+        F.lit("Edit #"),
+        F.col("source"),
+        F.lit(" and #"),
+        F.col("lang"),
+        F.lit("map see http://x.io/#ign "),
+        F.lit("#"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" #ok"),
+    )
+    return docs.select(
+        "doc_id", hashtags_expr(comment).alias("hashtags")
+    ).orderBy("doc_id")
+
+
+def _xz_oracle() -> str:
+    g = G_DEFAULT
+    n_elem = _n_elem(g)
+    terms = []
+    for i in range(g):
+        scale = float(2 ** (i + 1))
+        cap = 2 ** (i + 1) - 1
+        bx = f"(least(CAST(floor(nx * {scale}) AS BIGINT), {cap}) % 2)"
+        by = f"(least(CAST(floor(ny * {scale}) AS BIGINT), {cap}) % 2)"
+        terms.append(
+            f"CASE WHEN {i} < lvl THEN ({bx} + 2 * {by}) * {int(n_elem[i])} + 1 ELSE 0 END"
+        )
+    code_sum = " + ".join(terms)
+    return f"""
+    WITH boxes AS (
+      SELECT c_custkey,
+             CAST((c_custkey % 340) - 170 AS DOUBLE)      AS xmin,
+             CAST(((c_custkey * 3) % 160) - 80 AS DOUBLE) AS ymin,
+             CAST((c_custkey % 340) - 170 AS DOUBLE) + (abs(c_acctbal) % 10.0)      AS xmax,
+             CAST(((c_custkey * 3) % 160) - 80 AS DOUBLE) + ((abs(c_acctbal) * 2.0) % 8.0) AS ymax
+      FROM customer
+    ), norm AS (
+      SELECT c_custkey,
+             (180.0 + xmin) / 360.0 AS nx, (90.0 + ymin) / 360.0 AS ny,
+             (180.0 + xmax) / 360.0 AS nx2, (90.0 + ymax) / 360.0 AS ny2
+      FROM boxes
+    ), lvl1 AS (
+      SELECT *, greatest(nx2 - nx, ny2 - ny) AS ext FROM norm
+    ), lvl2 AS (
+      SELECT *,
+        CASE WHEN ext <= 0 THEN {g}
+             ELSE CAST(floor(ln(ext) / ln(0.5)) AS BIGINT) END AS l1
+      FROM lvl1
+    ), lvl3 AS (
+      SELECT *, power(0.5, l1 + 1) AS w2 FROM lvl2
+    ), leveled AS (
+      SELECT *,
+        CAST(CASE WHEN l1 >= {g} THEN {g}
+             WHEN (nx2 <= floor(nx / w2) * w2 + 2 * w2) AND (ny2 <= floor(ny / w2) * w2 + 2 * w2)
+               THEN l1 + 1 ELSE l1 END AS INT) AS lvl
+      FROM lvl3
+    )
+    SELECT c_custkey, lvl AS xz_level, CAST({code_sum} AS BIGINT) AS xz_code
+    FROM leveled ORDER BY c_custkey
+    """
+
+
+@_register("xz_codes", _xz_oracle())
+def xz_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: XZ-ordering codes as pure codegen expressions on derived bboxes."""
+    c = _t(spark, sf_dir, "customer")
+    xmin = ((F.col("c_custkey") % 340) - 170).cast("double")
+    ymin = (((F.col("c_custkey") * 3) % 160) - 80).cast("double")
+    xmax = xmin + (F.abs(F.col("c_acctbal")) % 10.0)
+    ymax = ymin + ((F.abs(F.col("c_acctbal")) * 2.0) % 8.0)
+    return c.select(
+        "c_custkey",
+        xz_level_expr(xmin, ymin, xmax, ymax).alias("xz_level"),
+        xz_code_expr(xmin, ymin, xmax, ymax).alias("xz_code"),
+    ).orderBy("c_custkey")
+
+
+@_register(
+    "geodesic_tracks",
+    f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             (value % 360.0) - 180.0        AS lon,
+             ((value * 7.0) % 180.0) - 90.0 AS lat
+      FROM events
+    ), segs AS (
+      SELECT user_id,
+             lag(lon) OVER w AS lon1, lag(lat) OVER w AS lat1, lon AS lon2, lat AS lat2
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           round(sum(
+             6371000.0 * sqrt(
+               pow((radians(lon2) - radians(lon1))
+                   * cos((atan({SPHERE_FACT!r} * tan(radians(lat1)))
+                        + atan({SPHERE_FACT!r} * tan(radians(lat2)))) / 2), 2)
+             + pow(atan({SPHERE_FACT!r} * tan(radians(lat2)))
+                 - atan({SPHERE_FACT!r} * tan(radians(lat1))), 2))
+           ) / 1000.0, 3) AS track_km,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM segs WHERE lon1 IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def geodesic_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: geodesic track length per user (WGS84-corrected spherical
+    formula as native expressions + lag window)."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("value") % 360.0) - 180.0).alias("lon"),
+        (((F.col("value") * 7.0) % 180.0) - 90.0).alias("lat"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    segs = pts.select(
+        "user_id",
+        F.lag("lon").over(w).alias("lon1"),
+        F.lag("lat").over(w).alias("lat1"),
+        F.col("lon").alias("lon2"),
+        F.col("lat").alias("lat2"),
+    ).filter(F.col("lon1").isNotNull())
+    seg_len = segment_length_expr(
+        F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
+    )
+    return (
+        segs.groupBy("user_id")
+        .agg(
+            F.round(F.sum(seg_len) / 1000.0, 3).alias("track_km"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ===========================================================================
+# spatial join (J5)
+# ===========================================================================
+
+_GRID_FEATURES = [
+    ("AAA", -170.0, -80.0, -50.0, 0.0),
+    ("BBB", -50.0, -80.0, 60.0, 0.0),
+    ("CCC", 60.0, -80.0, 170.0, 0.0),
+    ("DDD", -170.0, 0.0, -50.0, 80.0),
+    ("EEE", -50.0, 0.0, 60.0, 80.0),
+    ("FFF", 60.0, 0.0, 170.0, 80.0),
+]
+
+
+def _spatial_oracle() -> str:
+    cases = " || ".join(
+        f"CASE WHEN lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r} "
+        f"THEN ['{fid}'] ELSE [] END"
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    )
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey % 330) - 165.0 + 0.25        AS lon,
+             ((c_custkey * 7) % 158) - 79.0 + 0.25   AS lat
+      FROM customer
+    )
+    SELECT c_custkey, round(lon, 6) AS lon, round(lat, 6) AS lat,
+           list_sort({cases}) AS countries
+    FROM pts ORDER BY c_custkey
+    """
+
+
+@_register("spatial_join_countries", _spatial_oracle())
+def spatial_join_countries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: broadcast spatial join of derived points against rectangular
+    'countries' (shared borders → points on the border match both sides)."""
+    feats = [rect_feature(fid, x0, y0, x1, y1) for fid, x0, y0, x1, y1 in _GRID_FEATURES]
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 330) - 165.0 + 0.25).alias("lon"),
+        (((F.col("c_custkey") * 7) % 158) - 79.0 + 0.25).alias("lat"),
+    )
+    out = join_countries(pts, feats, "lon", "lat")
+    return out.select(
+        "c_custkey", F.round("lon", 6).alias("lon"), F.round("lat", 6).alias("lat"), "countries"
+    ).orderBy("c_custkey")
+
+
+# ===========================================================================
+# dedup family
+# ===========================================================================
+
+
+@_register(
+    "dedup_exact",
+    f"""
+    SELECT {hash60_sql('text')} AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS canonical_id
+    FROM documents GROUP BY 1 ORDER BY content_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "doc_id", "text").orderBy("content_hash")
+
+
+_SHINGLE_SQL = """
+  SELECT doc_id AS doc, shingle
+  FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(
+             range(1, greatest(len(toks) - {n} + 2, 2)),
+             i -> array_to_string(toks[i : i + {n} - 1], ' '))) AS grams
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+          FROM documents)
+  ), UNNEST(grams) AS t(shingle)
+  WHERE len(string_split(shingle, ' ')) = {n}
+"""
+
+
+def _jaccard_oracle(n: int = 3, threshold: float = 0.5, max_df: int = 64) -> str:
+    sh = _SHINGLE_SQL.format(n=n)
+    return f"""
+    WITH sh0 AS (
+      SELECT DISTINCT doc, {hash60_sql('shingle')} AS shingle_hash FROM ({sh})
+    ), sh AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY shingle_hash) AS _df FROM sh0
+      ) WHERE _df <= {max_df}
+    ), sizes AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc
+    ), inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold!r}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@_register("ngram_jaccard_dups", _jaccard_oracle(n=2, threshold=0.12, max_df=64))
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-2-gram Jaccard ≥ 0.12 over shingles with
+    document frequency ≤ 64 (stop-shingle cap keeps the inverted-index
+    self-join from exploding quadratically on hot shingles)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.12, max_df=64
+    ).orderBy("doc_a", "doc_b")
+
+
+def _minhash_oracle(num_perm: int = 16, n: int = 3) -> str:
+    sh = _SHINGLE_SQL.format(n=n)
+    mins = ",\n           ".join(
+        f"min(({_perm_coeff(i, 'a')} * (shingle_hash % {MINHASH_PRIME}) + {_perm_coeff(i, 'b')}) % {MINHASH_PRIME}) AS mh_{i}"
+        for i in range(num_perm)
+    )
+    sig = ", ".join(f"mh_{i}" for i in range(num_perm))
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc, {hash60_sql('shingle')} AS shingle_hash FROM ({sh})
+    )
+    SELECT doc, concat_ws(',', {sig}) AS signature
+    FROM (SELECT doc, {mins} FROM sh GROUP BY doc)
+    ORDER BY doc
+    """
+
+
+@_register("minhash_signatures", _minhash_oracle())
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 affine permutations mod 2^61-1 over md5
+    shingle hashes) — deterministic, so the SQL oracle reproduces it bit
+    for bit."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, num_perm=16)
+    return sig.select(
+        "doc", F.concat_ws(",", *[F.col("signature")[i] for i in range(16)]).alias("signature")
+    ).orderBy("doc")
+
+
+def _lsh_oracle(num_perm: int = 16, bands: int = 4, n: int = 3) -> str:
+    sh = _SHINGLE_SQL.format(n=n)
+    mins = ",\n           ".join(
+        f"min(({_perm_coeff(i, 'a')} * (shingle_hash % {MINHASH_PRIME}) + {_perm_coeff(i, 'b')}) % {MINHASH_PRIME}) AS mh_{i}"
+        for i in range(num_perm)
+    )
+    rows = num_perm // bands
+    band_rows = ", ".join(
+        "({b}, concat_ws(',', {cols}))".format(
+            b=b, cols=", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc, {hash60_sql('shingle')} AS shingle_hash FROM ({sh})
+    ), sig AS (
+      SELECT doc, {mins} FROM sh GROUP BY doc
+    ), banded AS (
+      SELECT doc, b.band, b.bucket
+      FROM sig, (VALUES {band_rows}) AS b(band, bucket)
+    )
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    ORDER BY doc_a, doc_b
+    """
+
+
+@_register("lsh_candidate_pairs", _lsh_oracle())
+def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding (16 perms, 4 bands × 4 rows): candidate pairs
+    share at least one band bucket."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, num_perm=16)
+    return lsh_candidate_pairs(sig, num_perm=16, bands=4).orderBy("doc_a", "doc_b")
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS doc,
+             list_transform(
+               list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> ''),
+               t -> {hash60_sql('t')}) AS th
+      FROM documents
+    )
+    SELECT doc, CAST({votes} AS BIGINT) AS simhash FROM tok ORDER BY doc
+    """
+
+
+@_register("simhash_signatures", _simhash_oracle())
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar SimHash (32-bit majority-vote signature), shuffle-free."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=32).orderBy("doc")
+
+
+# ===========================================================================
+# text analysis
+# ===========================================================================
+
+
+@_register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks,
+             length(text) AS n_chars_total,
+             length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nonpunct
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             (n_chars_total - n_nonpunct) / greatest(n_chars_total, 1) AS punct_ratio,
+             len(list_filter(toks, x -> list_contains(
+                ['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on'], x)))
+               / greatest(len(toks), 1) AS stop_ratio,
+             list_sum(list_transform(toks, t -> length(t))) / greatest(len(toks), 1) AS mtl
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stop_ratio, 6)  AS stopword_ratio,
+           round(mtl, 6)         AS mean_token_len,
+           round(
+             least(n_tokens / 64.0, 1.0) * 0.4
+             + least(stop_ratio * 4.0, 1.0) * 0.2
+             + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
+               * (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
+             + (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, punctuation ratio, stopword ratio,
+    mean token length, composite score — all codegen expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count_expr(t).alias("n_tokens"),
+        F.round(punct_ratio_expr(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio_expr(t), 6).alias("stopword_ratio"),
+        F.round(mean_token_len_expr(t), 6).alias("mean_token_len"),
+        quality_score_expr(t).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "lang_id",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang, greatest(len(toks), 1) AS n,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) / greatest(len(toks), 1) AS s_en,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))) / greatest(len(toks), 1) AS s_de,
+        len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','des','que','pas','pour'], x))) / greatest(len(toks), 1) AS s_fr,
+        len(list_filter(toks, x -> list_contains(['el','la','los','las','es','una','que','por','con','para'], x))) / greatest(len(toks), 1) AS s_es
+      FROM t
+    ), g AS (
+      SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+             greatest(s_en, s_de, s_fr, s_es) AS best
+      FROM s
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN best < 0.05 THEN 'und'
+                WHEN s_fr = best THEN 'fr'
+                WHEN s_es = best THEN 'es'
+                WHEN s_en = best THEN 'en'
+                ELSE 'de' END AS guessed_lang
+    FROM g ORDER BY doc_id
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-stopword ratios per language; ties
+    break toward the lexicographically-largest language code (array_max on
+    (score, lang) structs — mirrored in the oracle's CASE order)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_guess_expr(F.col("text")).alias("guessed_lang"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "doc_fingerprints",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, t -> {hash60_sql('t')} % {FP_MOD})),
+             (a, b) -> (a * 31 + b) % {FP_MOD}) AS fingerprint
+    FROM t ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint over token hashes."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint_expr(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# ===========================================================================
+# similarity search
+# ===========================================================================
+
+
+@_register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+    ), sims AS (
+      SELECT q.query_id, e.vec_id,
+             round(
+               list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+          FROM sims)
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 5 query vectors (broadcast query
+    side; JVM-side dot products via aggregate/zip_with)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+@_register("ann_lsh_topk")  # no SQL oracle: 8×64 hyperplane literals — rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: random-hyperplane LSH bucketing + exact re-rank
+    within bucket (the scale path; recall traded for a bucket equi-join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_bucket_topk(emb, queries, dim=64, k=5, nbits=8).orderBy("query_id", "rank")
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLES)

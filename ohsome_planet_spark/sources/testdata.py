@@ -48,7 +48,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for col in _nanos_columns(path):
-        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+        # integer division: truncation must match DuckDB's nanos->micros
+        # coercion exactly (float division would round the microsecond)
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 

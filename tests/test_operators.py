@@ -1,0 +1,94 @@
+"""Unit tests for the generic operators: as-of join, spatial join, dedup."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ohsome_planet_spark.operators.asof import asof_join
+from ohsome_planet_spark.operators.dedup import exact_dedup
+from ohsome_planet_spark.operators.spatial import (
+    join_countries,
+    points_in_feature,
+    polygon_feature,
+    rect_feature,
+)
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def test_backward_inclusive(self, spark):
+        left = spark.createDataFrame(
+            [(1, ts("2020-01-05T00:00:00")), (1, ts("2020-01-10T00:00:00")), (2, ts("2020-01-01T00:00:00"))],
+            "k int, t timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, ts("2020-01-05T00:00:00"), "a"),
+                (1, ts("2020-01-07T00:00:00"), "b"),
+                (2, ts("2020-01-02T00:00:00"), "c"),
+            ],
+            "k int, rt timestamp, v string",
+        )
+        out = {
+            (r.k, r.t): r.v
+            for r in asof_join(left, right, on="k", left_ts="t", right_ts="rt").collect()
+        }
+        # equal timestamps match (inclusive)
+        assert out[(1, ts("2020-01-05T00:00:00"))] == "a"
+        assert out[(1, ts("2020-01-10T00:00:00"))] == "b"
+        # no state before the probe -> null
+        assert out[(2, ts("2020-01-01T00:00:00"))] is None
+
+    def test_strict(self, spark):
+        left = spark.createDataFrame([(1, ts("2020-01-05T00:00:00"))], "k int, t timestamp")
+        right = spark.createDataFrame(
+            [(1, ts("2020-01-05T00:00:00"), "same"), (1, ts("2020-01-04T00:00:00"), "before")],
+            "k int, rt timestamp, v string",
+        )
+        out = asof_join(left, right, on="k", left_ts="t", right_ts="rt", strict=True).collect()
+        assert out[0].v == "before"
+
+
+class TestSpatial:
+    def test_point_inside_outside(self):
+        feat = rect_feature("X", 0.0, 0.0, 10.0, 10.0)
+        px = np.array([5.0, 15.0, -1.0])
+        py = np.array([5.0, 5.0, 5.0])
+        assert points_in_feature(px, py, feat).tolist() == [True, False, False]
+
+    def test_border_point_matches_both(self, spark):
+        """FIXTURES.md §4: a feature on a shared border reports both codes."""
+        feats = [rect_feature("AAA", 0.0, 0.0, 10.0, 10.0), rect_feature("BBB", 10.0, 0.0, 20.0, 10.0)]
+        df = spark.createDataFrame(
+            [(1, 10.0, 5.0), (2, 5.0, 5.0), (3, 25.0, 5.0)], "id int, lon double, lat double"
+        )
+        out = {r.id: r.countries for r in join_countries(df, feats).collect()}
+        assert out[1] == ["AAA", "BBB"]
+        assert out[2] == ["AAA"]
+        assert out[3] == []
+
+    def test_polygon_with_hole(self):
+        feat = polygon_feature(
+            "H",
+            [
+                [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)],
+                [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)],
+            ],
+        )
+        px = np.array([5.0, 1.0, 4.0])  # hole center, solid part, hole boundary
+        py = np.array([5.0, 1.0, 5.0])
+        assert points_in_feature(px, py, feat).tolist() == [False, True, True]
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_first(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "y")], "id int, t string"
+        )
+        kept = exact_dedup(df, ["t"], "id")
+        assert {r.id for r in kept.collect()} == {1, 3}
