@@ -1,0 +1,339 @@
+"""Way geometry construction (SURVEY.md §2.7 'Geometry construction').
+
+Ports the reference's rules (``ContributionGeometry.java:131-176``):
+
+- coordinates = as-of member states that exist, are visible, and have valid
+  coordinates, in ref order;
+- a way is an *area* iff tags['area'] != 'no', it has > 2 refs with
+  first == last, and any tag matches the polygon-feature rules;
+- area + closed valid ring (≥ 4 coords, first == last, simple) → Polygon,
+  else ≥ 2 coords → LineString, exactly 1 → Point, 0 → empty (invalid);
+- geodesic area for polygons, geodesic length for linestrings (polygons
+  have length 0 and linestrings area 0 — the reference's switch dispatch).
+
+Implemented as ONE Arrow-batched pandas UDF returning the full geometry
+bundle (wkb, type, bbox, centroid, area, length) so the per-way Python cost
+is paid once; everything downstream is native Spark.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import wkb as wkblib
+from .geodesic import line_length, polygon_area
+from .polygon_features import tags_have_polygon_feature
+
+GEOM_BUNDLE_TYPE = T.StructType(
+    [
+        T.StructField("geom_valid", T.BooleanType()),
+        T.StructField("geom_wkb", T.BinaryType()),
+        T.StructField("geom_type", T.StringType()),
+        T.StructField(
+            "geom_bbox",
+            T.StructType(
+                [
+                    T.StructField("xmin", T.DoubleType()),
+                    T.StructField("ymin", T.DoubleType()),
+                    T.StructField("xmax", T.DoubleType()),
+                    T.StructField("ymax", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "geom_centroid",
+            T.StructType(
+                [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+            ),
+        ),
+        T.StructField("geom_area", T.DoubleType()),
+        T.StructField("geom_length", T.DoubleType()),
+        # change-detection key: the FULL geometry (not the stored form) —
+        # for collections the stored WKB is only the envelope, but the
+        # reference's GEOMETRY contrib-type compares the real collection
+        # (ContributionsAvroConverter.java:176)
+        T.StructField("geom_key", T.BinaryType()),
+    ]
+)
+
+_NULL_BUNDLE = (False, None, None, None, None, None, None, None)
+_BUNDLE_COLS = [
+    "geom_valid",
+    "geom_wkb",
+    "geom_type",
+    "geom_bbox",
+    "geom_centroid",
+    "geom_area",
+    "geom_length",
+    "geom_key",
+]
+
+
+def _segments_intersect(p1, p2, p3, p4) -> bool:
+    """Proper or improper intersection of segments p1p2 and p3p4, excluding
+    shared endpoints."""
+
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    shared = p1 == p3 or p1 == p4 or p2 == p3 or p2 == p4
+    if shared:
+        return False
+    o1, o2 = orient(p1, p2, p3), orient(p1, p2, p4)
+    o3, o4 = orient(p3, p4, p1), orient(p3, p4, p2)
+    if o1 != o2 and o3 != o4:
+        return True
+
+    def on_seg(a, b, c):
+        return (
+            orient(a, b, c) == 0
+            and min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= c[1] <= max(a[1], b[1])
+        )
+
+    return on_seg(p1, p2, p3) or on_seg(p1, p2, p4) or on_seg(p3, p4, p1) or on_seg(p3, p4, p2)
+
+
+def ring_is_simple(coords: list[tuple[float, float]]) -> bool:
+    """JTS-validity approximation for a single closed ring: no repeated
+    consecutive points, no self-intersection between non-adjacent edges,
+    non-zero area."""
+    n = len(coords) - 1  # closed: last == first
+    if n < 3:
+        return False
+    for i in range(n):
+        if coords[i] == coords[i + 1]:
+            return False
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == i or abs(i - j) == 1 or (i == 0 and j == n - 1):
+                continue
+            if _segments_intersect(coords[i], coords[i + 1], coords[j], coords[j + 1]):
+                return False
+    ring = np.asarray(coords)
+    a2 = (
+        ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1]
+    ).sum()
+    return a2 != 0.0
+
+
+def build_way_geometry(
+    tags: dict | None,
+    refs: list | None,
+    states: list | None,
+) -> tuple:
+    """Pure-Python core: one way instant → geometry bundle tuple."""
+    # Arrow hands arrays as numpy ndarrays — no implicit truthiness
+    tags = tags if isinstance(tags, dict) else {}
+    refs = list(refs) if refs is not None else []
+    states = list(states) if states is not None else []
+
+    coords: list[tuple[float, float]] = []
+    for st in states:
+        if st is None:
+            continue
+        vis, lon, lat = st["visible"], st["lon"], st["lat"]
+        if not vis or lon is None or lat is None:
+            continue
+        if lon < -180.0 or lon > 180.0 or lat < -90.0 or lat > 90.0:
+            continue
+        coords.append((float(lon), float(lat)))
+
+    geom = None
+    area = 0.0
+    length = 0.0
+
+    is_area = (
+        str(tags.get("area", "")).lower() != "no"
+        and len(refs) > 2
+        and refs[0] == refs[-1]
+        and tags_have_polygon_feature(tags)
+    )
+    is_ring = len(coords) >= 4 and coords[0] == coords[-1]
+    if is_area and is_ring and ring_is_simple(coords):
+        geom = {"type": "Polygon", "coords": [coords]}
+        xs = np.array([c[0] for c in coords])
+        ys = np.array([c[1] for c in coords])
+        area = polygon_area([(xs, ys)])
+    elif len(coords) >= 2:
+        geom = {"type": "LineString", "coords": coords}
+        xs = np.array([c[0] for c in coords])
+        ys = np.array([c[1] for c in coords])
+        length = line_length(xs, ys)
+    elif len(coords) == 1:
+        geom = {"type": "Point", "coords": coords[0]}
+    else:
+        return _NULL_BUNDLE
+
+    buf = wkblib.encode(geom)
+    bb = wkblib.bbox(geom)
+    cen = wkblib.centroid(geom)
+    return (
+        True,
+        buf,
+        geom["type"],
+        {"xmin": bb[0], "ymin": bb[1], "xmax": bb[2], "ymax": bb[3]},
+        {"x": cen[0], "y": cen[1]},
+        float(area),
+        float(length),
+        buf,
+    )
+
+
+@F.pandas_udf(GEOM_BUNDLE_TYPE)
+def way_geom_bundle(
+    tags: pd.Series, refs: pd.Series, states: pd.Series
+) -> pd.DataFrame:
+    rows = [build_way_geometry(t, r, s) for t, r, s in zip(tags, refs, states)]
+    return pd.DataFrame(rows, columns=_BUNDLE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# relation geometry (ContributionGeometry.relGeometry*, lines 58-129 +
+# converter handling ContributionsAvroConverter.java:110-157)
+# ---------------------------------------------------------------------------
+
+_EMPTY_MP_WKB = b"\x00" + (6).to_bytes(4, "big") + (0).to_bytes(4, "big")
+
+
+def _flatten_coords(geom: dict) -> list[tuple[float, float]]:
+    """JTS Geometry.getCoordinates(): all coordinates in order (a Polygon
+    yields exterior then interior ring coords)."""
+    t, c = geom["type"], geom["coords"]
+    if t == "Point":
+        return [c]
+    if t == "LineString":
+        return list(c)
+    if t == "Polygon":
+        return [pt for ring in c for pt in ring]
+    if t == "MultiPolygon":
+        return [pt for poly in c for ring in poly for pt in ring]
+    if t == "GeometryCollection":
+        return [pt for g in c for pt in _flatten_coords(g)]
+    return []
+
+
+def build_relation_geometry(
+    tags: dict | None,
+    members: list | None,
+    is_latest: bool = True,
+    member_limit: int = 500,
+) -> tuple:
+    """One relation instant → geometry bundle.
+
+    members: list of dicts {mtype, mid, role, state{geom_wkb, geom_type,…}}.
+    type=multipolygon/boundary relations assemble member ways into a
+    MultiPolygon when under the member limit OR when this is the latest
+    contribution (``ContributionsAvroConverter.java:110-113``); everything
+    else (or failed assembly) follows the reference's GeometryCollection /
+    empty-multipolygon fallback paths.
+    """
+    from .geodesic import multipolygon_area
+    from .multipolygon import MultipolygonError, build_multipolygon
+
+    tags = tags if isinstance(tags, dict) else {}
+    members = list(members) if members is not None else []
+
+    def member_geoms():
+        out = []
+        for m in members:
+            st = m["state"] if isinstance(m, dict) else m
+            if st is None or st["geom_wkb"] is None:
+                continue
+            out.append(wkblib.decode(bytes(st["geom_wkb"])))
+        return out
+
+    rel_type = str(tags.get("type", "")).lower()
+    is_mp = rel_type in ("multipolygon", "boundary")
+
+    build_mp = member_limit != 0 and (bool(is_latest) or len(members) <= member_limit)
+    if is_mp and build_mp:
+        outer, inner = [], []
+        for m in members:
+            st = m["state"]
+            if m["mtype"] != "way" or st is None or st["geom_wkb"] is None:
+                continue
+            coords = _flatten_coords(wkblib.decode(bytes(st["geom_wkb"])))
+            role = (m["role"] or "").strip()
+            if role in ("outer", ""):
+                outer.append(coords)
+            elif role == "inner":
+                inner.append(coords)
+        try:
+            mp = build_multipolygon(outer, inner)
+        except MultipolygonError:
+            mp = {"type": "MultiPolygon", "coords": []}
+        if mp["coords"]:
+            buf = wkblib.encode(mp)
+            bb = wkblib.bbox(mp)
+            cen = wkblib.centroid(mp)
+            area = multipolygon_area(
+                [
+                    [(np.array([p[0] for p in ring]), np.array([p[1] for p in ring])) for ring in poly]
+                    for poly in mp["coords"]
+                ]
+            )
+            return (
+                True,
+                buf,
+                "MultiPolygon",
+                {"xmin": bb[0], "ymin": bb[1], "xmax": bb[2], "ymax": bb[3]},
+                {"x": cen[0], "y": cen[1]},
+                float(area),
+                0.0,
+                buf,
+            )
+        # empty multipolygon: invalid, but bbox/centroid derive from the
+        # member-geometry collection when present (converter lines 139-150)
+        geoms = member_geoms()
+        if geoms:
+            coll = {"type": "GeometryCollection", "coords": geoms}
+            bb = wkblib.bbox(coll)
+            cen = wkblib.centroid(coll)
+            return (
+                False,
+                _EMPTY_MP_WKB,
+                "MultiPolygon",
+                {"xmin": bb[0], "ymin": bb[1], "xmax": bb[2], "ymax": bb[3]},
+                {"x": cen[0], "y": cen[1]} if cen else None,
+                0.0,
+                0.0,
+                _EMPTY_MP_WKB,
+            )
+        return (False, _EMPTY_MP_WKB, "MultiPolygon", None, None, 0.0, 0.0, _EMPTY_MP_WKB)
+
+    # GeometryCollection path: stored geometry is the ENVELOPE polygon of
+    # the collection (converter lines 121-123), area/length 0
+    geoms = member_geoms()
+    if not geoms:
+        return _NULL_BUNDLE
+    coll = {"type": "GeometryCollection", "coords": geoms}
+    bb = wkblib.bbox(coll)
+    cen = wkblib.centroid(coll)
+    env = wkblib.envelope_polygon(bb)
+    return (
+        True,
+        wkblib.encode(env),
+        "GeometryCollection",
+        {"xmin": bb[0], "ymin": bb[1], "xmax": bb[2], "ymax": bb[3]},
+        {"x": cen[0], "y": cen[1]} if cen else None,
+        0.0,
+        0.0,
+        wkblib.encode(coll),
+    )
+
+
+def relation_geom_bundle(member_limit: int = 500):
+    @F.pandas_udf(GEOM_BUNDLE_TYPE)
+    def _udf(tags: pd.Series, members: pd.Series, is_latest: pd.Series) -> pd.DataFrame:
+        rows = [
+            build_relation_geometry(t, m, bool(il), member_limit)
+            for t, m, il in zip(tags, members, is_latest)
+        ]
+        return pd.DataFrame(rows, columns=_BUNDLE_COLS)
+
+    return _udf

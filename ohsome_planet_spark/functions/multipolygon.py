@@ -1,0 +1,395 @@
+"""Multipolygon assembly from member way geometries (SURVEY.md §2.7).
+
+Python port of the reference's ring-assembly pipeline
+(``osm-geometry/.../GeometryBuilder.java:17-284``, ``NodeSegments.java:11-135``,
+``Segment.java``), shapely/JTS-free:
+
+1. split member ways into 2-node segments, dropping duplicate ways (same
+   coordinate set) and self-loop segments;
+2. node→segments map; duplicate segments tracked; redundant duplicates
+   removed at odd-parity nodes (``filterOutRedundantSegments``);
+3. chains of degree-2 nodes joined into intermediate segments; closed
+   chains (> 3 coords) become rings (``joinItermediateSegments``);
+4. parity check: every node must touch an even number of segments, else
+   "Mismatched segments parity";
+5. remaining segments walked into rings (``buildRings`` tail loop);
+6. rings → polygons (validity-checked), sorted by area, nested by
+   containment: largest-first, each ring becomes a hole of the nearest
+   containing OUTER ring, holes-of-holes start new outers
+   (role tags are intentionally ignored — swapped inner/outer still builds,
+   osm-testdata case 720);
+7. shared-node touches are accepted; proper edge crossings raise.
+
+Divergence from the reference (documented): the reference REPAIRS
+overlapping/touching rings with JTS union/difference overlays
+(``GeometryBuilder.java:77-110,146-160``); without a polygon-clipping
+library we raise instead, which surfaces as an empty multipolygon → the
+same 'invalid'/collection fallback path the reference takes when repair
+fails. Affects only geometrically-degenerate relations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geometry import ring_is_simple
+from .wkb import _ring_moments
+
+Coord = tuple[float, float]
+
+
+class MultipolygonError(ValueError):
+    pass
+
+
+class _Segment:
+    __slots__ = ("coords", "way_id", "reversed")
+
+    def __init__(self, coords: list[Coord], way_id: int):
+        self.coords = list(coords)
+        self.way_id = way_id
+        self.reversed = False
+
+    def first(self) -> Coord:
+        return self.coords[-1] if self.reversed else self.coords[0]
+
+    def last(self) -> Coord:
+        return self.coords[0] if self.reversed else self.coords[-1]
+
+    def other(self, c: Coord) -> Coord:
+        return self.last() if self.first() == c else self.first()
+
+    def set_first(self, c: Coord) -> None:
+        if self.first() != c:
+            self.reversed = not self.reversed
+
+    def get_coords(self) -> list[Coord]:
+        return list(reversed(self.coords)) if self.reversed else list(self.coords)
+
+    def same(self, other: "_Segment") -> bool:
+        a, b = self.get_coords(), other.get_coords()
+        return len(a) == len(b) and (a == b or a == b[::-1])
+
+
+def _split_ways(ways: list[list[Coord]]) -> list[_Segment]:
+    segments: list[_Segment] = []
+    seen: set[frozenset[Coord]] = set()
+    way_id = 0
+    for way in ways:
+        if len(way) < 2:
+            continue
+        key = frozenset(way)
+        if key in seen:
+            continue
+        seen.add(key)
+        for i in range(1, len(way)):
+            segments.append(_Segment([way[i - 1], way[i]], way_id))
+        way_id += 1
+    return segments
+
+
+class _NodeSegments:
+    def __init__(self):
+        self.map: dict[Coord, list[_Segment]] = {}
+        self.dup: dict[Coord, list[_Segment]] = {}
+
+    def add(self, seg: _Segment) -> None:
+        a = self.map.setdefault(seg.first(), [])
+        b = self.map.setdefault(seg.last(), [])
+        in_a = any(s.same(seg) for s in a)
+        in_b = any(s.same(seg) for s in b)
+        if not in_a:
+            a.append(seg)
+        if not in_b:
+            b.append(seg)
+        if in_a and in_b:
+            self.dup.setdefault(seg.first(), []).append(seg)
+            self.dup.setdefault(seg.last(), []).append(seg)
+
+    def _remove_from(self, mp: dict, node: Coord, seg: _Segment) -> None:
+        segs = mp.get(node)
+        if segs is None:
+            return
+        for i, s in enumerate(segs):
+            if s is seg or s.same(seg):
+                del segs[i]
+                break
+        if not segs:
+            mp.pop(node, None)
+
+    def remove(self, seg: _Segment) -> None:
+        self._remove_from(self.map, seg.first(), seg)
+        self._remove_from(self.map, seg.last(), seg)
+
+    def is_valid(self) -> bool:
+        return all(len(s) % 2 == 0 for s in self.map.values())
+
+    def filter_redundant(self) -> None:
+        changed = True
+        while changed:
+            changed = False
+            for node in list(self.dup.keys()):
+                if node not in self.map or len(self.map[node]) % 2 == 0:
+                    continue
+                candidates = self.dup.get(node, [])
+                if not candidates:
+                    continue
+                seg = candidates[0]
+                for c in candidates:
+                    othe = c.other(node)
+                    if othe in self.map and len(self.map[othe]) % 2 == 1:
+                        seg = c
+                        break
+                self._remove_from(self.dup, seg.first(), seg)
+                self._remove_from(self.dup, seg.last(), seg)
+                self.remove(seg)
+                changed = True
+                break
+
+    def join_intermediate(self) -> list[list[_Segment]]:
+        """Chain degree-2 nodes into merged segments; closed chains become
+        rings. Faithful to ``NodeSegments.joinItermediateSegments``:
+        emptied node entries stay in the map during the walk (a dead-ended
+        chain is re-added under its endpoints, so the parity check still
+        sees the odd node)."""
+        rings: list[list[_Segment]] = []
+
+        def local_remove(node: Coord, seg: _Segment) -> None:
+            segs = self.map.get(node)
+            if segs is None:
+                return
+            for i, s in enumerate(segs):
+                if s is seg:
+                    del segs[i]
+                    return
+
+        for start in list(self.map.keys()):
+            if start not in self.map:
+                continue
+            for seg in list(self.map.get(start, [])):
+                if not any(s is seg for s in self.map.get(start, [])):
+                    continue  # consumed by an earlier chain
+                end = seg.last()
+                if end == start:
+                    continue  # reverse-oriented: walked from the other node
+                local_remove(start, seg)
+                local_remove(end, seg)
+                while end in self.map:
+                    if len(self.map[end]) != 1:
+                        self.map.setdefault(start, []).append(seg)
+                        self.map.setdefault(end, []).append(seg)
+                        break
+                    nxt = self.map.pop(end)[0]
+                    nxt.set_first(end)
+                    seg.coords = seg.get_coords() + nxt.get_coords()[1:]
+                    seg.reversed = False
+                    end = seg.last()
+                    local_remove(end, nxt)
+                    if end == start:
+                        if start in self.map and not self.map[start]:
+                            self.map.pop(start)
+                        if len(seg.coords) > 3:
+                            rings.append([seg])
+                        break
+        return rings
+
+    def purge_empty(self) -> None:
+        for node in [n for n, s in self.map.items() if not s]:
+            self.map.pop(node)
+
+    def remove_mismatched(self) -> bool:
+        mismatched: list[_Segment] = []
+        for segs in self.map.values():
+            if len(segs) % 2 == 0:
+                continue
+            ids: dict[int, _Segment] = {}
+            for seg in segs:
+                if any(seg is m for m in mismatched):
+                    continue
+                if seg.way_id in ids:
+                    ids.pop(seg.way_id)
+                else:
+                    ids[seg.way_id] = seg
+            if len(ids) == 1:
+                mismatched.append(next(iter(ids.values())))
+        if not mismatched:
+            return False
+        for seg in mismatched:
+            self.remove(seg)
+        return True
+
+
+def _merge_segments(segments: list[_Segment]) -> list[Coord]:
+    coords: list[Coord] = []
+    for seg in segments:
+        c = seg.get_coords()
+        coords.extend(c[:-1])
+    # remove backtracking (collinear overlapping) consecutive segments
+    def collinear_covers(p, q, r, s) -> bool:
+        # does segment pq cover rs or rs cover pq (collinear overlap)?
+        def cross(a, b, c):
+            return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+        if cross(p, q, r) != 0 or cross(p, q, s) != 0:
+            return False
+
+        def within(a, b, c):
+            return (
+                min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+                and min(a[1], b[1]) <= c[1] <= max(a[1], b[1])
+            )
+
+        return (within(p, q, r) and within(p, q, s)) or (within(r, s, p) and within(r, s, q))
+
+    i = 1
+    a = coords[-1]
+    b = coords[0]
+    while i < len(coords):
+        c = coords[i]
+        if collinear_covers(a, b, b, c):
+            coords.remove(b)
+            i -= 1
+        else:
+            a = b
+        b = c
+        i += 1
+    coords.append(coords[0])
+    return coords
+
+
+def _rings(ways: list[list[Coord]], legacy: bool = False) -> list[list[Coord]]:
+    ns = _NodeSegments()
+    for seg in _split_ways(ways):
+        if seg.first() == seg.last():
+            continue
+        ns.add(seg)
+    ns.filter_redundant()
+    ring_chains = ns.join_intermediate()
+
+    if not ns.is_valid():
+        if not legacy:
+            raise MultipolygonError("Mismatched segments parity")
+        if ns.remove_mismatched():
+            ring_chains.extend(ns.join_intermediate())
+
+    ns.purge_empty()
+    while ns.map:
+        seg = next(iter(ns.map.values()))[0]
+        start = seg.first()
+        nxt_node = seg.last()
+        nxt_segments = ns.map.get(nxt_node, [])
+        ns.remove(seg)
+        if not nxt_segments:
+            continue
+        chain = [seg]
+        ring_chains.append(chain)
+        found = None
+        for cand in list(nxt_segments):
+            if cand.other(nxt_node) == start:
+                found = cand
+                if seg.way_id == cand.way_id:
+                    break
+        if found is None:
+            raise MultipolygonError("Failed to find next segment")
+        found.set_first(nxt_node)
+        chain.append(found)
+        ns.remove(found)
+
+    return [_merge_segments(chain) for chain in ring_chains]
+
+
+def _ring_area_planar(ring: list[Coord]) -> float:
+    a2, _, _, _, _ = _ring_moments(ring)
+    return abs(a2) / 2.0
+
+
+def _point_in_ring(pt: Coord, ring: list[Coord]) -> int:
+    """1 = strictly inside, 0 = on boundary, -1 = outside."""
+    x, y = pt
+    arr = np.asarray(ring)
+    x1, y1 = arr[:-1, 0], arr[:-1, 1]
+    x2, y2 = arr[1:, 0], arr[1:, 1]
+    cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+    on = (
+        (cross == 0)
+        & (np.minimum(x1, x2) <= x)
+        & (x <= np.maximum(x1, x2))
+        & (np.minimum(y1, y2) <= y)
+        & (y <= np.maximum(y1, y2))
+    )
+    if on.any():
+        return 0
+    cond = (y1 > y) != (y2 > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+    inside = ((cond) & (x < xint)).sum() % 2 == 1
+    return 1 if inside else -1
+
+
+def _ring_contains_ring(outer: list[Coord], inner: list[Coord]) -> bool:
+    """JTS-contains approximation: every inner vertex inside-or-on, at
+    least one strictly inside."""
+    results = [_point_in_ring(p, outer) for p in inner[:-1]]
+    if any(r == -1 for r in results):
+        return False
+    return any(r == 1 for r in results)
+
+
+def _rings_properly_cross(a: list[Coord], b: list[Coord]) -> bool:
+    """True if rings share a non-point intersection that is not made of
+    common vertices (the reference's 'Overlapping' error conditions)."""
+    from .geometry import _segments_intersect
+
+    av = set(a)
+    bv = set(b)
+    for i in range(len(a) - 1):
+        for j in range(len(b) - 1):
+            p1, p2, p3, p4 = a[i], a[i + 1], b[j], b[j + 1]
+            if _segments_intersect(p1, p2, p3, p4):
+                return True
+    # collinear shared edges without shared vertices
+    return False
+
+
+def build_multipolygon(
+    outer_ways: list[list[Coord]], inner_ways: list[list[Coord]], legacy: bool = False
+) -> dict:
+    """outer/inner member-way coordinate lists → MultiPolygon geometry dict.
+
+    Raises :class:`MultipolygonError` for unbuildable inputs (parity
+    failures, overlapping rings, invalid polygons) — callers map that to the
+    reference's empty-multipolygon fallback.
+    """
+    merged = list(outer_ways) + list(inner_ways)
+    rings = _rings(merged, legacy=legacy)
+    for ring in rings:
+        if not ring_is_simple(ring):
+            raise MultipolygonError("Invalid polygon")
+
+    rings.sort(key=_ring_area_planar, reverse=True)
+    matched: list[tuple[list[Coord], list[list[Coord]]]] = []
+    is_inner = [False] * len(rings)
+    owner: list[int | None] = [None] * len(rings)
+    for i, ring in enumerate(rings):
+        for j in range(i - 1, -1, -1):
+            if _ring_contains_ring(rings[j], ring):
+                if not is_inner[j]:
+                    is_inner[i] = True
+                    owner[i] = j
+                break
+
+    # cross-checks: outer-outer and holes within one outer must not overlap
+    outers = [i for i in range(len(rings)) if not is_inner[i]]
+    for ai in range(len(outers)):
+        for bi in range(ai + 1, len(outers)):
+            if _rings_properly_cross(rings[outers[ai]], rings[outers[bi]]):
+                raise MultipolygonError("Overlapping outer rings")
+    polys = []
+    for oi in outers:
+        holes = [rings[i] for i in range(len(rings)) if is_inner[i] and owner[i] == oi]
+        for x in range(len(holes)):
+            for y in range(x + 1, len(holes)):
+                if _rings_properly_cross(holes[x], holes[y]):
+                    raise MultipolygonError("Overlapping inner rings (repair unsupported)")
+        polys.append([oi_ring for oi_ring in [rings[oi]] + holes])
+    return {"type": "MultiPolygon", "coords": polys}

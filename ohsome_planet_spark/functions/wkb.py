@@ -229,9 +229,16 @@ def centroid(geom: dict[str, Any] | None) -> tuple[float, float] | None:
             return
         seg = np.sqrt(((arr[1:] - arr[:-1]) ** 2).sum(axis=1))
         mid = (arr[1:] + arr[:-1]) / 2
-        L += float(seg.sum())
+        line_len = float(seg.sum())
+        L += line_len
         LX += float((seg * mid[:, 0]).sum())
         LY += float((seg * mid[:, 1]).sum())
+        if line_len == 0.0:
+            # JTS Centroid.addLineSegments: zero-length line falls back to
+            # its first point
+            NP += 1
+            PX += arr[0, 0]
+            PY += arr[0, 1]
 
     def walk(g):
         nonlocal NP, PX, PY

@@ -93,6 +93,7 @@ def node_contribution_events(nodes: DataFrame) -> DataFrame:
     return (
         nodes.withColumnRenamed("version", "osm_version")
         .withColumn("osm_type", F.lit("node"))
+        .withColumn("geom_valid", has_geom)
         .withColumn("geom_wkb", F.when(has_geom, point_wkb("lon", "lat")))
         .withColumn("geom_type", F.when(has_geom, F.lit("Point")))
         .withColumn(
@@ -113,6 +114,7 @@ def node_contribution_events(nodes: DataFrame) -> DataFrame:
         )
         .withColumn("geom_area", F.when(has_geom, F.lit(0.0)))
         .withColumn("geom_length", F.when(has_geom, F.lit(0.0)))
+        .withColumn("geom_key", F.col("geom_wkb"))
         .withColumn("refs", F.lit(None).cast("array<bigint>"))
         .withColumn("refs_count", F.lit(None).cast("int"))
         .withColumn(
@@ -124,6 +126,218 @@ def node_contribution_events(nodes: DataFrame) -> DataFrame:
         )
         .withColumn("members_count", F.lit(None).cast("int"))
         .drop("lon", "lat")
+    )
+
+
+def way_contribution_events(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Way history + node history → contribution event stream with geometry
+    bundles (SURVEY.md Phase 2): temporal member merge (J3) for minor
+    versions, then the way-geometry rules in one Arrow-batched UDF."""
+    from ..functions.geometry import way_geom_bundle
+    from .temporal_merge import way_contribution_instants
+
+    inst = way_contribution_instants(ways, nodes)
+    bundled = inst.withColumn(
+        "_bundle", way_geom_bundle(F.col("tags"), F.col("refs"), F.col("member_states"))
+    )
+    return bundled.select(
+        "osm_id",
+        F.lit("way").alias("osm_type"),
+        "osm_version",
+        "ts",
+        "changeset",
+        "user_id",
+        "user_name",
+        "visible",
+        "tags",
+        F.coalesce(F.col("_bundle.geom_valid"), F.lit(False)).alias("geom_valid"),
+        F.col("_bundle.geom_wkb").alias("geom_wkb"),
+        F.col("_bundle.geom_type").alias("geom_type"),
+        F.col("_bundle.geom_bbox").alias("geom_bbox"),
+        F.col("_bundle.geom_centroid").alias("geom_centroid"),
+        F.col("_bundle.geom_area").alias("geom_area"),
+        F.col("_bundle.geom_length").alias("geom_length"),
+        F.col("_bundle.geom_key").alias("geom_key"),
+        "refs",
+        F.when(F.col("refs").isNotNull(), F.size("refs")).alias("refs_count"),
+        F.lit(None)
+        .cast(
+            "array<struct<type:string,id:bigint,timestamp:timestamp,"
+            "role:string,geometry_type:string,geometry:binary>>"
+        )
+        .alias("members"),
+        F.lit(None).cast("int").alias("members_count"),
+    )
+
+
+def relation_contribution_events(
+    relations: DataFrame,
+    ways: DataFrame,
+    nodes: DataFrame,
+    member_limit: int = 500,
+) -> DataFrame:
+    """Relation history + way/node histories → contribution event stream
+    (SURVEY.md Phase 3 / J2+J3).
+
+    Member way streams are the ways' own CONTRIBUTION streams (with minor
+    versions) — a node move inside a member way propagates into a relation
+    minor version, exactly like the reference's nested Contributions
+    composition (``Contributions2Parquet.java:379-405``). Nested relation
+    members are carried in the member list but contribute no events
+    (ignored, ``:389-391``).
+
+    Scale note: only ways/nodes actually referenced are processed (semi-join
+    pruning), and member geometries are built ONCE in the way stage and
+    reused by reference — the relational analog of the reference's
+    per-contribution geometry memoization (``Contribution.java:26-28``).
+    """
+    from ..functions.geometry import relation_geom_bundle, way_geom_bundle
+    from .temporal_merge import (
+        merge_member_streams,
+        minor_relevant_node_versions,
+        way_contribution_instants,
+    )
+
+    majors = relations.select(
+        F.col("osm_id").alias("pid"),
+        F.col("version").alias("pv"),
+        F.col("ts").alias("pts"),
+        F.col("changeset").alias("pcs"),
+        F.col("user_id").alias("puid"),
+        F.col("user_name").alias("puname"),
+        F.col("visible").alias("rvis"),
+        F.col("tags").alias("rtags"),
+        F.col("members").alias("rmembers"),
+    )
+    slots = majors.select(
+        "pid", "pv", F.posexplode("rmembers").alias("pos", "m")
+    ).select(
+        "pid",
+        "pv",
+        "pos",
+        F.col("m.type").alias("mtype"),
+        F.col("m.id").alias("mid"),
+        F.col("m.role").alias("role"),
+    )
+
+    # prune member entity histories to what relations actually reference
+    way_ids = slots.filter(F.col("mtype") == "way").select(
+        F.col("mid").alias("osm_id")
+    ).distinct()
+    used_ways = ways.join(F.broadcast(way_ids), "osm_id", "left_semi")
+    node_ids_direct = slots.filter(F.col("mtype") == "node").select(
+        F.col("mid").alias("osm_id")
+    )
+    node_ids_via_ways = used_ways.select(F.explode("refs").alias("osm_id"))
+    used_nodes = nodes.join(
+        node_ids_direct.unionByName(node_ids_via_ways).distinct(), "osm_id", "left_semi"
+    )
+
+    # member way streams = way contribution instants + geometry (built once)
+    way_inst = way_contribution_instants(used_ways, used_nodes)
+    way_bundled = way_inst.withColumn(
+        "_b", way_geom_bundle(F.col("tags"), F.col("refs"), F.col("member_states"))
+    )
+    wseq = W.partitionBy("osm_id").orderBy("ts", "osm_version", "changeset")
+    way_events = way_bundled.select(
+        F.lit("way").alias("mtype"),
+        F.col("osm_id").alias("mid"),
+        F.row_number().over(wseq).alias("seq"),
+        "ts",
+        F.col("changeset").alias("cs"),
+        F.col("user_id").alias("uid"),
+        F.col("user_name").alias("uname"),
+        F.struct(
+            F.col("osm_version").cast("int").alias("version"),
+            F.col("ts"),
+            F.col("changeset"),
+            F.col("visible"),
+            F.col("_b.geom_wkb").alias("geom_wkb"),
+            F.col("_b.geom_type").alias("geom_type"),
+        ).alias("state"),
+    )
+    node_events = minor_relevant_node_versions(used_nodes).select(
+        F.lit("node").alias("mtype"),
+        F.col("osm_id").alias("mid"),
+        F.col("version").alias("seq"),
+        "ts",
+        F.col("changeset").alias("cs"),
+        F.col("user_id").alias("uid"),
+        F.col("user_name").alias("uname"),
+        F.struct(
+            F.col("version"),
+            F.col("ts"),
+            F.col("changeset"),
+            F.col("visible"),
+            F.when(
+                F.col("visible")
+                & F.col("lon").between(-180.0, 180.0)
+                & F.col("lat").between(-90.0, 90.0),
+                point_wkb("lon", "lat"),
+            ).alias("geom_wkb"),
+            F.when(
+                F.col("visible")
+                & F.col("lon").between(-180.0, 180.0)
+                & F.col("lat").between(-90.0, 90.0),
+                F.lit("Point"),
+            ).alias("geom_type"),
+        ).alias("state"),
+    )
+
+    merged = merge_member_streams(
+        majors.select("pid", "pv", "pts", "pcs", "puid", "puname"),
+        slots,
+        way_events.unionByName(node_events),
+    )
+
+    rw = W.partitionBy("pid").orderBy("inst_ts", "pv", "inst_cs")
+    bundled = (
+        merged.join(majors.select("pid", "pv", "rvis", "rtags", "rmembers"), ["pid", "pv"])
+        # "latest" proxy for the over-limit multipolygon exception
+        # (ContributionsAvroConverter.java:110-113): last instant + visible
+        .withColumn("_is_latest", F.lead("inst_ts").over(rw).isNull() & F.col("rvis"))
+        .withColumn(
+            "_bundle",
+            relation_geom_bundle(member_limit)(
+                F.col("rtags"), F.col("members"), F.col("_is_latest")
+            ),
+        )
+    )
+
+    contrib_member = F.transform(
+        F.col("members"),
+        lambda m: F.struct(
+            m["mtype"].alias("type"),
+            m["mid"].alias("id"),
+            F.coalesce(m["state"]["ts"], F.lit(EPOCH)).alias("timestamp"),
+            m["role"].alias("role"),
+            m["state"]["geom_type"].alias("geometry_type"),
+            m["state"]["geom_wkb"].alias("geometry"),
+        ),
+    )
+
+    return bundled.select(
+        F.col("pid").alias("osm_id"),
+        F.lit("relation").alias("osm_type"),
+        F.col("pv").alias("osm_version"),
+        F.col("inst_ts").alias("ts"),
+        F.col("inst_cs").alias("changeset"),
+        F.col("inst_uid").alias("user_id"),
+        F.col("inst_uname").alias("user_name"),
+        F.col("rvis").alias("visible"),
+        F.col("rtags").alias("tags"),
+        F.coalesce(F.col("_bundle.geom_valid"), F.lit(False)).alias("geom_valid"),
+        F.col("_bundle.geom_wkb").alias("geom_wkb"),
+        F.col("_bundle.geom_type").alias("geom_type"),
+        F.col("_bundle.geom_bbox").alias("geom_bbox"),
+        F.col("_bundle.geom_centroid").alias("geom_centroid"),
+        F.col("_bundle.geom_area").alias("geom_area"),
+        F.col("_bundle.geom_length").alias("geom_length"),
+        F.col("_bundle.geom_key").alias("geom_key"),
+        F.lit(None).cast("array<bigint>").alias("refs"),
+        F.lit(None).cast("int").alias("refs_count"),
+        contrib_member.alias("members"),
+        F.size("members").cast("int").alias("members_count"),
     )
 
 
@@ -163,7 +377,16 @@ def filter_relation_tag_keys(relations: DataFrame, keys: list[str]) -> DataFrame
 # the synthesis windows
 # ---------------------------------------------------------------------------
 
-_GEOM_FIELDS = ("geom_wkb", "geom_type", "geom_bbox", "geom_centroid", "geom_area", "geom_length")
+_GEOM_FIELDS = (
+    "geom_valid",
+    "geom_wkb",
+    "geom_type",
+    "geom_bbox",
+    "geom_centroid",
+    "geom_area",
+    "geom_length",
+    "geom_key",
+)
 
 
 def synthesize_contributions(events: DataFrame) -> DataFrame:
@@ -216,15 +439,15 @@ def synthesize_contributions(events: DataFrame) -> DataFrame:
         .withColumn("_eff", F.last("_own", ignorenulls=True).over(w_run))
     )
 
-    has_geom = F.col("_eff.geom_wkb").isNotNull()
-    area = F.when(has_geom, F.col("_eff.geom_area")).otherwise(F.lit(0.0))
-    length = F.when(has_geom, F.col("_eff.geom_length")).otherwise(F.lit(0.0))
+    has_geom = F.coalesce(F.col("_eff.geom_valid"), F.lit(False))
+    area = F.coalesce(F.col("_eff.geom_area"), F.lit(0.0))
+    length = F.coalesce(F.col("_eff.geom_length"), F.lit(0.0))
 
     df = (
         df.withColumn("_has_geom", has_geom)
         .withColumn("area", area)
         .withColumn("length", length)
-        .withColumn("_prev_wkb", F.lag("_eff.geom_wkb").over(w))
+        .withColumn("_prev_wkb", F.lag("_eff.geom_key").over(w))
         .withColumn("_prev_emitted", F.lag("ts").over(w).isNotNull())
         .withColumn("area_delta", F.col("area") - F.lag("area", 1, 0.0).over(w))
         .withColumn("length_delta", F.col("length") - F.lag("length", 1, 0.0).over(w))
@@ -243,7 +466,7 @@ def synthesize_contributions(events: DataFrame) -> DataFrame:
     tags_before = F.coalesce("_prev_tags", _empty_tags())
     # MAP has no ordering in Spark; equality via sorted entry arrays
     tags_changed = F.array_sort(F.map_entries(tags)) != F.array_sort(F.map_entries(tags_before))
-    geom_changed = ~F.col("_eff.geom_wkb").eqNullSafe(F.col("_prev_wkb"))
+    geom_changed = ~F.col("_eff.geom_key").eqNullSafe(F.col("_prev_wkb"))
     contrib_type = (
         F.when(~F.col("visible"), F.lit("DELETION"))
         .when(~F.coalesce("_prev_visible", F.lit(False)), F.lit("CREATION"))
@@ -256,8 +479,9 @@ def synthesize_contributions(events: DataFrame) -> DataFrame:
         )
     )
 
+    has_bbox = F.col("_eff.geom_bbox").isNotNull()
     xz_level = F.when(
-        F.col("_has_geom"),
+        has_bbox,
         xz_level_expr(
             F.col("_eff.geom_bbox.xmin"),
             F.col("_eff.geom_bbox.ymin"),
@@ -266,7 +490,7 @@ def synthesize_contributions(events: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.lit(-1))
     xz_code = F.when(
-        F.col("_has_geom"),
+        has_bbox,
         xz_code_expr(
             F.col("_eff.geom_bbox.xmin"),
             F.col("_eff.geom_bbox.ymin"),
@@ -291,8 +515,8 @@ def synthesize_contributions(events: DataFrame) -> DataFrame:
         tags.alias("tags"),
         tags_before.alias("tags_before"),
         F.col("changeset").alias("changeset_id"),
-        F.when(F.col("_has_geom"), F.col("_eff.geom_bbox")).alias("bbox"),
-        F.when(F.col("_has_geom"), F.col("_eff.geom_centroid")).alias("centroid"),
+        F.col("_eff.geom_bbox").alias("bbox"),
+        F.col("_eff.geom_centroid").alias("centroid"),
         F.struct(xz_level.alias("level"), xz_code.alias("code")).alias("xzcode"),
         F.col("_eff.geom_type").alias("geometry_type"),
         F.col("_eff.geom_wkb").alias("geometry"),

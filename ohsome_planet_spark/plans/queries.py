@@ -37,6 +37,7 @@ from ..operators.asof import asof_join
 from ..operators.contributions import (
     node_contribution_events,
     synthesize_contributions,
+    way_contribution_events,
 )
 from ..operators.dedup import (
     MINHASH_PRIME,
@@ -1062,6 +1063,211 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return lsh_bucket_topk(emb, queries, dim=64, k=5, nbits=8).orderBy("query_id", "rank")
+
+
+# ===========================================================================
+# way contribution pipeline: temporal member merge J3 (flagship #2)
+# ===========================================================================
+
+_EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
+
+_CONTRIB_WAYS_ORACLE = f"""
+WITH params AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u FROM events
+), nodes AS (
+  SELECT user_id AS nid,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS n_version,
+         ts AS nts,
+         CAST(event_id % 13 AS BIGINT) AS ncs,
+         (value % 360.0) - 180.0        AS lon,
+         ((value * 7.0) % 180.0) - 90.0 AS lat
+  FROM events
+), ways AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS wid, CAST(v AS INT) AS wv,
+         make_timestamp(({_EPOCH_2024} + v * 7 * 86400) * 1000000) AS wts,
+         CAST(1000 + n_nationkey * 10 + v AS BIGINT) AS wcs,
+         [CAST(n_nationkey % u AS BIGINT),
+          CAST((n_nationkey + 7) % u AS BIGINT),
+          CAST((n_nationkey + 13) % u AS BIGINT)] AS refs
+  FROM nation, params, (SELECT unnest(range(1, 4)) AS v)
+), majors AS (
+  SELECT *, lead(wts) OVER (PARTITION BY wid ORDER BY wts, wv) AS wts_end FROM ways
+), slots AS (
+  SELECT wid, wv, unnest(refs) AS nid, generate_subscripts(refs, 1) AS pos FROM majors
+), member_streams AS (
+  SELECT DISTINCT m.wid, m.wv, m.wts, m.wts_end, m.wcs, s.nid
+  FROM majors m JOIN slots s ON m.wid = s.wid AND m.wv = s.wv
+), ev AS (
+  -- node changesets < 13, way changesets >= 1000: the init changeset-fold
+  -- can never trigger, so init-consumed == (nts <= wts)
+  SELECT ms.*, n.n_version, n.nts, n.ncs, n.lon, n.lat,
+         n.nts <= ms.wts AS is_init,
+         n.nts > ms.wts AND (ms.wts_end IS NULL OR n.nts < ms.wts_end) AS is_minor
+  FROM member_streams ms JOIN nodes n USING (nid)
+), minor_ev AS (
+  SELECT *, sum(new_run) OVER (PARTITION BY wid, wv ORDER BY nts, ncs, nid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_idx
+  FROM (
+    SELECT *, CASE WHEN ncs IS DISTINCT FROM
+                 lag(ncs) OVER (PARTITION BY wid, wv ORDER BY nts, ncs, nid)
+               THEN 1 ELSE 0 END AS new_run
+    FROM ev WHERE is_minor
+  )
+), runs AS (
+  SELECT wid, wv, run_idx, max(nts) AS inst_ts, min(ncs) AS inst_cs
+  FROM minor_ev GROUP BY 1, 2, 3
+), instants AS (
+  SELECT wid, wv, CAST(0 AS BIGINT) AS run_idx, wts AS inst_ts, wcs AS inst_cs FROM majors
+  UNION ALL
+  SELECT wid, wv, run_idx, inst_ts, inst_cs FROM runs
+), states AS (
+  SELECT wid, wv, nid, CAST(0 AS BIGINT) AS k, 0 AS probe, n_version AS ord_v,
+         struct_pack(vlon := lon, vlat := lat) AS st, CAST(NULL AS BIGINT) AS pos,
+         CAST(NULL AS TIMESTAMP) AS inst_ts, CAST(NULL AS BIGINT) AS inst_cs
+  FROM ev WHERE is_init
+  UNION ALL
+  SELECT wid, wv, nid, run_idx AS k, 0 AS probe, n_version AS ord_v,
+         struct_pack(vlon := lon, vlat := lat) AS st, CAST(NULL AS BIGINT) AS pos,
+         CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT)
+  FROM minor_ev
+), probes AS (
+  SELECT i.wid, i.wv, s.nid, i.run_idx AS k, 1 AS probe, 2147483647 AS ord_v,
+         CAST(NULL AS STRUCT(vlon DOUBLE, vlat DOUBLE)) AS st, s.pos,
+         i.inst_ts, i.inst_cs
+  FROM instants i JOIN slots s ON i.wid = s.wid AND i.wv = s.wv
+), resolved AS (
+  SELECT *, last_value(st IGNORE NULLS) OVER (
+           PARTITION BY wid, wv, nid ORDER BY k, probe, ord_v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_st
+  FROM (SELECT * FROM states UNION ALL SELECT * FROM probes)
+), inst_members AS (
+  SELECT wid, wv, k, inst_ts, inst_cs,
+         list_transform(
+           list_sort(array_agg(struct_pack(pos := pos, st := asof_st))),
+           e -> e.st) AS sts
+  FROM resolved WHERE probe = 1
+  GROUP BY wid, wv, k, inst_ts, inst_cs
+), geoms AS (
+  SELECT wid, wv, k, inst_ts, inst_cs,
+         list_transform(list_filter(sts, s -> s IS NOT NULL), s -> s.vlon) AS xs,
+         list_transform(list_filter(sts, s -> s IS NOT NULL), s -> s.vlat) AS ys
+  FROM inst_members
+), measured AS (
+  SELECT *, len(xs) AS nc,
+    CASE WHEN len(xs) >= 2 THEN
+      list_sum(list_transform(range(1, len(xs)), i -> 6371000.0 * sqrt(
+        pow((radians(xs[i + 1]) - radians(xs[i]))
+            * cos((atan({SPHERE_FACT!r} * tan(radians(ys[i])))
+                 + atan({SPHERE_FACT!r} * tan(radians(ys[i + 1])))) / 2), 2)
+        + pow(atan({SPHERE_FACT!r} * tan(radians(ys[i + 1])))
+            - atan({SPHERE_FACT!r} * tan(radians(ys[i]))), 2))))
+    ELSE 0.0 END AS length_m,
+    CASE WHEN len(xs) >= 2 THEN
+      list_sum(list_transform(range(1, len(xs)), i ->
+        sqrt(pow(xs[i+1]-xs[i], 2) + pow(ys[i+1]-ys[i], 2)) * (xs[i]+xs[i+1])/2))
+      / list_sum(list_transform(range(1, len(xs)), i ->
+        sqrt(pow(xs[i+1]-xs[i], 2) + pow(ys[i+1]-ys[i], 2))))
+    WHEN len(xs) = 1 THEN xs[1] ELSE NULL END AS cx,
+    CASE WHEN len(xs) >= 2 THEN
+      list_sum(list_transform(range(1, len(xs)), i ->
+        sqrt(pow(xs[i+1]-xs[i], 2) + pow(ys[i+1]-ys[i], 2)) * (ys[i]+ys[i+1])/2))
+      / list_sum(list_transform(range(1, len(xs)), i ->
+        sqrt(pow(xs[i+1]-xs[i], 2) + pow(ys[i+1]-ys[i], 2))))
+    WHEN len(xs) = 1 THEN ys[1] ELSE NULL END AS cy
+  FROM geoms
+), contribs AS (
+  SELECT *,
+    lead(inst_ts) OVER w AS next_ts,
+    CAST(row_number() OVER (PARTITION BY wid, wv ORDER BY inst_ts, inst_cs) - 1 AS INT) AS osm_minor_version,
+    CAST(row_number() OVER w AS INT) AS osm_edits,
+    lag(xs) OVER w AS prev_xs, lag(ys) OVER w AS prev_ys,
+    row_number() OVER w = 1 AS is_first
+  FROM measured WINDOW w AS (PARTITION BY wid ORDER BY inst_ts, wv, inst_cs)
+)
+SELECT wid AS osm_id, wv AS osm_version, osm_minor_version, osm_edits,
+       inst_ts AS valid_from,
+       coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to,
+       CASE WHEN nc = 0 THEN 'invalid'
+            WHEN next_ts IS NOT NULL THEN 'history' ELSE 'latest' END AS status,
+       CASE WHEN is_first THEN 'CREATION'
+            ELSE nullif(concat_ws('_',
+              CASE WHEN xs IS DISTINCT FROM prev_xs OR ys IS DISTINCT FROM prev_ys
+                   THEN 'GEOMETRY' END), '') END AS contrib_type,
+       CASE WHEN nc >= 2 THEN 'LineString' WHEN nc = 1 THEN 'Point' ELSE NULL END AS geometry_type,
+       round(length_m, 2) AS length_m,
+       round(cx, 6) AS cx, round(cy, 6) AS cy,
+       3 AS refs_count
+FROM contribs
+ORDER BY osm_id, osm_edits
+"""
+
+
+def _derived_way_inputs(spark: SparkSession, sf_dir: str):
+    """Deterministic way/node histories: nodes from the events stream, one
+    3-version way per nation referencing 3 user-nodes. Node changesets
+    (< 13) are disjoint from way changesets (>= 1000), so the oracle can
+    skip the init changeset-fold branch (it provably never fires)."""
+    ev = _t(spark, sf_dir, "events")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nodes = ev.select(
+        F.col("user_id").alias("osm_id"),
+        F.row_number().over(wseq).cast("int").alias("version"),
+        "ts",
+        (F.col("event_id") % 13).cast("bigint").alias("changeset"),
+        F.lit(0).alias("user_id"),
+        F.lit("u").alias("user_name"),
+        F.lit(True).alias("visible"),
+        F.expr("cast(map() as map<string,string>)").alias("tags"),
+        ((F.col("value") % 360.0) - 180.0).alias("lon"),
+        (((F.col("value") * 7.0) % 180.0) - 90.0).alias("lat"),
+    )
+    u = ev.select(F.countDistinct("user_id")).first()[0]
+    nat = _t(spark, sf_dir, "nation")
+    ways = (
+        nat.select(F.col("n_nationkey").cast("bigint").alias("wid"))
+        .crossJoin(spark.range(1, 4).select(F.col("id").alias("v")))
+        .select(
+            F.col("wid").alias("osm_id"),
+            F.col("v").cast("int").alias("version"),
+            F.timestamp_seconds(F.lit(_EPOCH_2024) + F.col("v") * 7 * 86400).alias("ts"),
+            (F.lit(1000) + F.col("wid") * 10 + F.col("v")).cast("bigint").alias("changeset"),
+            F.lit(0).alias("user_id"),
+            F.lit("u").alias("user_name"),
+            F.lit(True).alias("visible"),
+            F.create_map(F.lit("name"), F.concat(F.lit("w"), F.col("wid"))).alias("tags"),
+            F.array(
+                (F.col("wid") % u).cast("bigint"),
+                ((F.col("wid") + 7) % u).cast("bigint"),
+                ((F.col("wid") + 13) % u).cast("bigint"),
+            ).alias("refs"),
+        )
+    )
+    return ways, nodes
+
+
+@_register("contrib_ways", _CONTRIB_WAYS_ORACLE)
+def contrib_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship #2: the temporal member merge (J3) + way geometry + full
+    contribution synthesis, oracle-checked stage by stage — minor-version
+    instants, as-of member states, geodesic lengths, lineal centroids,
+    counters and contrib types."""
+    ways, nodes = _derived_way_inputs(spark, sf_dir)
+    contribs = synthesize_contributions(way_contribution_events(ways, nodes))
+    return contribs.select(
+        "osm_id",
+        "osm_version",
+        "osm_minor_version",
+        "osm_edits",
+        "valid_from",
+        "valid_to",
+        "status",
+        "contrib_type",
+        "geometry_type",
+        F.round("length", 2).alias("length_m"),
+        F.round("centroid.x", 6).alias("cx"),
+        F.round("centroid.y", 6).alias("cy"),
+        "refs_count",
+    ).orderBy("osm_id", "osm_edits")
 
 
 def all_queries() -> dict[str, QueryFn]:

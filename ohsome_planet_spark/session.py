@@ -14,10 +14,42 @@ multi-executor cluster at ~100 TB scale:
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_PACKAGE_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``ohsome_planet_spark`` importable on executor workers.
+
+    Pandas-UDF closures reference this package by module name; workers only
+    resolve it if the package is on their python path. Zipping the package
+    and ``addPyFile``-ing it works identically on local mode and a real
+    cluster, regardless of the driver's cwd. Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PACKAGE_SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join("/tmp", f"ohsome_planet_spark_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "ohsome_planet_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _PACKAGE_SHIPPED.add(key)
 
 
 def get_spark(
@@ -57,4 +89,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark

@@ -44,6 +44,11 @@ def _nanos_columns(path: str) -> list[str]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver may hand us a session we didn't build (driver contract);
+    # make sure workers can import this package for pandas UDFs
+    from ..session import ship_package
+
+    ship_package(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
