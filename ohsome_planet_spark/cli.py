@@ -1,0 +1,207 @@
+"""Command-line surface mirroring the reference's picocli commands
+(``ohsome-planet-cli/.../OhsomePlanet.java:14-44``, ``docs/CLI.md``):
+
+    python -m ohsome_planet_spark.cli contributions --pbf in.osh.pbf --out dir
+        [--changesets changesets.parquet] [--country-file countries.csv]
+        [--filter-relation-tag-keys k1,k2] [--multipolygon-member-limit N]
+    python -m ohsome_planet_spark.cli changesets --input dump.osm.bz2 --out dir
+    python -m ohsome_planet_spark.cli fileinfo --pbf in.osh.pbf
+
+The bulk `contributions` run is the reference's 5-stage dataflow
+(SURVEY.md §3.1) as one Spark job: decode → nodes → ways → relations →
+GeoParquet, with changeset/country enrichment joined in.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def cmd_contributions(args) -> int:
+    from .operators.contributions import (
+        filter_relation_tag_keys,
+        filter_tagged_histories,
+        node_contribution_events,
+        relation_contribution_events,
+        synthesize_contributions,
+        way_contribution_events,
+        with_changesets,
+    )
+    from .session import get_spark
+    from .sources.geoparquet import write_contributions
+    from .sources.pbf import read_pbf
+
+    spark = get_spark(app_name="contributions")
+    entities = read_pbf(spark, args.pbf)
+    nodes = entities.filter("osm_type = 'node'").drop("refs", "members", "osm_type")
+    ways = entities.filter("osm_type = 'way'").drop("lon", "lat", "members", "osm_type")
+    rels = entities.filter("osm_type = 'relation'").drop("lon", "lat", "refs", "osm_type")
+    if args.filter_relation_tag_keys:
+        rels = filter_relation_tag_keys(rels, args.filter_relation_tag_keys.split(","))
+
+    streams = [
+        synthesize_contributions(node_contribution_events(filter_tagged_histories(nodes))),
+        synthesize_contributions(
+            way_contribution_events(filter_tagged_histories(ways), nodes)
+        ),
+        synthesize_contributions(
+            relation_contribution_events(
+                rels, ways, nodes, member_limit=args.multipolygon_member_limit
+            )
+        ),
+    ]
+    contribs = streams[0]
+    for s in streams[1:]:
+        contribs = contribs.unionByName(s)
+
+    if args.changesets:
+        changesets = spark.read.parquet(args.changesets)
+        contribs = with_changesets(contribs, changesets)
+    else:
+        contribs = with_changesets(
+            contribs, spark.createDataFrame([], _changeset_ddl())
+        )
+
+    if args.country_file:
+        from .operators.spatial import countries_udf, polygon_feature
+        from .functions.wkb import decode as wkb_decode  # noqa: F401
+
+        feats = _load_country_csv(args.country_file)
+        join = countries_udf(feats)
+        contribs = contribs.withColumn(
+            "countries",
+            F.when(
+                F.col("centroid").isNotNull(),
+                join(F.col("centroid.x"), F.col("centroid.y")),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    else:
+        contribs = contribs.withColumn("countries", F.array().cast("array<string>"))
+
+    write_contributions(
+        contribs.sortWithinPartitions("osm_id", "valid_from"),
+        args.out,
+        bloom_filter_columns=("osm_id",),
+    )
+    print(f"wrote contributions to {args.out}")
+    return 0
+
+
+def _changeset_ddl() -> str:
+    from .schemas import CHANGESET_SCHEMA
+
+    return CHANGESET_SCHEMA.simpleString()[7:-1].replace(":", " ")
+
+
+def _load_country_csv(path: str):
+    """--country-file CSV: id;wkt (``SpatialJoiner.readCSV``)."""
+    from .functions.wkb import decode  # noqa: F401
+    from .operators.spatial import Feature, polygon_feature
+
+    import numpy as np
+
+    feats = []
+    with open(path) as f:
+        for row in csv.reader(f, delimiter=";"):
+            if len(row) < 2 or row[0] == "id":
+                continue
+            fid, wkt = row[0], row[1]
+            feats.append(_wkt_to_feature(fid, wkt))
+    return feats
+
+
+def _wkt_to_feature(fid: str, wkt: str):
+    """Minimal WKT POLYGON/MULTIPOLYGON reader (country files only)."""
+    import re
+
+    import numpy as np
+
+    from .operators.spatial import Feature
+
+    def parse_ring(text: str) -> np.ndarray:
+        pts = []
+        for pair in text.split(","):
+            x, y = pair.strip().split()[:2]
+            pts.append((float(x), float(y)))
+        return np.asarray(pts, dtype=np.float64)
+
+    body = wkt.strip()
+    if body.upper().startswith("POLYGON"):
+        rings = re.findall(r"\(([^()]+)\)", body)
+        return Feature(fid, [[parse_ring(r) for r in rings]])
+    if body.upper().startswith("MULTIPOLYGON"):
+        parts = []
+        for poly_txt in re.findall(r"\(\(.*?\)\)", body, flags=re.S):
+            rings = re.findall(r"\(([^()]+)\)", poly_txt)
+            parts.append([parse_ring(r) for r in rings])
+        return Feature(fid, parts)
+    raise ValueError(f"unsupported WKT for {fid}")
+
+
+def cmd_changesets(args) -> int:
+    from .session import get_spark
+    from .sources.osmxml import read_changesets
+
+    spark = get_spark(app_name="changesets")
+    df = read_changesets(spark, args.input)
+    df.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {df.count()} changesets to {args.out}")
+    return 0
+
+
+def cmd_fileinfo(args) -> int:
+    """S17: osmium-fileinfo workalike (``FileInfo.java:19-60``)."""
+    from .sources.pbf import read_header, scan_blobs
+
+    hdr = read_header(args.pbf)
+    refs = scan_blobs(args.pbf)
+    data_blobs = [r for r in refs if r.header_type == "OSMData"]
+    print(json.dumps({
+        "file": args.pbf,
+        "bbox": hdr["bbox"],
+        "required_features": hdr["required_features"],
+        "optional_features": hdr["optional_features"],
+        "replication": {
+            "timestamp": hdr["replication_timestamp"],
+            "sequence": hdr["replication_sequence"],
+            "base_url": hdr["replication_base_url"],
+        },
+        "blocks": len(refs),
+        "data_blocks": len(data_blobs),
+    }, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="ohsome_planet_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("contributions", help="bulk PBF -> contributions GeoParquet")
+    c.add_argument("--pbf", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--changesets")
+    c.add_argument("--country-file")
+    c.add_argument("--filter-relation-tag-keys")
+    c.add_argument("--multipolygon-member-limit", type=int, default=500)
+    c.set_defaults(fn=cmd_contributions)
+
+    ch = sub.add_parser("changesets", help="changeset dump -> parquet table")
+    ch.add_argument("--input", required=True)
+    ch.add_argument("--out", required=True)
+    ch.set_defaults(fn=cmd_changesets)
+
+    fi = sub.add_parser("fileinfo", help="print PBF header/blob summary")
+    fi.add_argument("--pbf", required=True)
+    fi.set_defaults(fn=cmd_fileinfo)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,131 @@
+"""Multimodal column operators for training-data pipelines.
+
+Images/audio/video travel as opaque ``binary`` columns with typed metadata
+structs. The Spark-side plumbing — schemas, Arrow batch shapes, partition
+behavior, UDF signatures — is real and tested; the actual media DECODE is
+stubbed behind deterministic fakes (the container has no image/audio
+libraries), each clearly marked with the real-implementation seam.
+
+Operators:
+- :func:`with_media_meta`    — cheap native metadata (size, magic-sniffed kind);
+- :func:`decode_stub`        — per-item "decode" producing deterministic fake
+                               dimensions (md5-derived) via ``mapInPandas``;
+- :func:`resize_plan`        — resize plumbing: computes target dims JVM-side,
+                               delegates pixel work to the stubbed kernel;
+- :func:`frame_sample_plan`  — video frame sampling: explodes deterministic
+                               frame indices (native), one row per frame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60_expr
+
+MEDIA_SCHEMA = (
+    "media_id bigint, media binary, kind string, n_bytes int,"
+    " fake_width int, fake_height int"
+)
+
+
+def _decode_media_real(payload: bytes) -> tuple[int, int]:
+    """The real decode seam: swap in PIL/libav here when available."""
+    raise NotImplementedError(
+        "media decoding requires an image/audio library not present in this "
+        "environment; decode_stub provides the deterministic fake"
+    )
+
+
+def magic_kind_expr(media: Column) -> Column:
+    """Container sniffing from magic bytes — native expressions only."""
+    head = F.hex(F.substring(media, 1, 4))
+    return (
+        F.when(head.startswith("89504E47"), F.lit("png"))
+        .when(head.startswith("FFD8"), F.lit("jpeg"))
+        .when(head.startswith("47494638"), F.lit("gif"))
+        .when(head.startswith("52494646"), F.lit("riff"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def with_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Typed metadata columns, all JVM-side (no decode)."""
+    m = F.col(media_col)
+    return df.withColumn("n_bytes", F.length(m).cast("int")).withColumn(
+        "kind", magic_kind_expr(m)
+    )
+
+
+def fake_dims_expr(media: Column) -> tuple[Column, Column]:
+    """Deterministic fake dimensions from the content hash — stands in for
+    the decoded header until a real decoder is wired into
+    ``_decode_media_real``. Exactly reproducible in SQL (md5-based)."""
+    h = hash60_expr(F.hex(media))
+    # pure modular arithmetic: int64-exact in Spark, DuckDB and Python
+    # (integer division of a 60-bit hash through doubles loses precision)
+    return (
+        (F.pmod(h, F.lit(1920)) + 1).cast("int"),
+        (F.pmod(h, F.lit(1080)) + 1).cast("int"),
+    )
+
+
+def decode_stub(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """``mapInPandas`` decode plumbing: batches of binary payloads in, rows
+    with dimension metadata out. The per-item kernel is the deterministic
+    fake; the Arrow batch shape and schema are what a real decoder uses."""
+
+    cols = df.columns
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            widths, heights = [], []
+            for payload in pdf[media_col]:
+                if payload is None:
+                    widths.append(None)
+                    heights.append(None)
+                    continue
+                # real decoders plug in at _decode_media_real(payload)
+                # uppercase hex matches fake_dims_expr / F.hex exactly
+                h = int(
+                    hashlib.md5(bytes(payload).hex().upper().encode()).hexdigest()[:15], 16
+                )
+                widths.append(h % 1920 + 1)
+                heights.append(h % 1080 + 1)
+            out = pdf.copy()
+            out["fake_width"] = pd.array(widths, dtype="Int32")
+            out["fake_height"] = pd.array(heights, dtype="Int32")
+            yield out
+
+    schema = df.schema.simpleString()[7:-1] + ",fake_width int,fake_height int"
+    return df.mapInPandas(decode, schema)
+
+
+def resize_plan(
+    df: DataFrame, max_side: int = 512, media_col: str = "media"
+) -> DataFrame:
+    """Resize plumbing: target dimensions computed natively from the decoded
+    (fake) dims; the pixel kernel itself is the stub seam."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("fake_width"), F.col("fake_height")),
+    )
+    return df.withColumn(
+        "target_width", F.ceil(F.col("fake_width") * scale).cast("int")
+    ).withColumn("target_height", F.ceil(F.col("fake_height") * scale).cast("int"))
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 30, max_frames: int = 8) -> DataFrame:
+    """Video frame-sampling plumbing: fake frame count from content length,
+    deterministic sampled indices exploded into one row per frame — the
+    exact shape a real ffmpeg-backed sampler produces."""
+    n_frames = (F.length("media") % 900 + 30).cast("int")
+    idx = F.slice(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)), 1, max_frames)
+    return df.withColumn("n_frames", n_frames).withColumn(
+        "frame_idx", F.explode(idx)
+    )

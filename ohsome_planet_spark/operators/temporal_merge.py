@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 NODE_STATE_TYPE = T.StructType(
     [
@@ -94,6 +95,12 @@ def merge_member_streams(
     majors = majors.withColumn(
         "pts_end", F.lead("pts").over(W.partitionBy("pid").orderBy("pts", "pv"))
     )
+    # majors/slots/events feed 3-4 downstream branches each; without
+    # persistence Catalyst re-derives them per branch (measured: 32 source
+    # scans for the way pipeline). MEMORY_AND_DISK keeps the plan one-pass;
+    # at cluster scale the same role is played by a staged table.
+    majors = majors.persist(StorageLevel.MEMORY_AND_DISK)
+    slots = slots.persist(StorageLevel.MEMORY_AND_DISK)
 
     member_streams = (
         majors.select("pid", "pv", "pts", "pts_end", "pcs")
@@ -120,6 +127,7 @@ def merge_member_streams(
         .withColumn("_minor", is_minor)
         .filter(F.col("_init") | F.col("_minor"))
         .drop("_viol")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # --- run construction (rules 2-3) ------------------------------------
@@ -133,6 +141,7 @@ def merge_member_streams(
             "run_idx",
             F.sum("_new_run").over(rw.rowsBetween(W.unboundedPreceding, W.currentRow)),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     runs = minor_ev.groupBy("pid", "pv", "run_idx").agg(
         F.max("ts").alias("inst_ts"),

@@ -1270,6 +1270,71 @@ def contrib_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("osm_id", "osm_edits")
 
 
+# ===========================================================================
+# multimodal plumbing (binary media columns, deterministic fake decode)
+# ===========================================================================
+
+
+@_register(
+    "multimodal_decode",
+    f"""
+    WITH media AS (
+      SELECT doc_id, encode(text) AS payload FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(octet_length(payload) AS INT) AS n_bytes,
+             {hash60_sql('hex(payload)')} AS h
+      FROM media
+    )
+    SELECT doc_id, n_bytes,
+           CAST(h % 1920 + 1 AS INT) AS fake_width,
+           CAST(h % 1080 + 1 AS INT) AS fake_height
+    FROM hashed ORDER BY doc_id
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns: text bytes as an opaque binary media column with
+    metadata + deterministic fake decode dims (the stubbed decode seam —
+    real image/audio decoders slot into operators/multimodal.py)."""
+    from ..operators.multimodal import fake_dims_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("media")
+    )
+    w, h = fake_dims_expr(F.col("media"))
+    return media.select(
+        "doc_id",
+        F.length("media").cast("int").alias("n_bytes"),
+        w.alias("fake_width"),
+        h.alias("fake_height"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "event_time_windows",
+    """
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (the Structured-Streaming operator run
+    through the unified batch API — streaming/windows.py)."""
+    from ..streaming.windows import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        windowed_event_counts(ev)
+        .drop("window_end")
+        .orderBy("window_start", "event_type")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

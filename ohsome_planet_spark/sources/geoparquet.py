@@ -1,0 +1,122 @@
+"""GeoParquet sink (SURVEY.md S13/S14).
+
+Writes the contributions dataset the way the reference does
+(``ohsome-parquet/.../AvroGeoParquetWriter.java:92-134``, ``GeoParquet.java:40-116``,
+``ContribUtil.java:28-53``):
+
+- zstd compression, dictionary encoding disabled for ``osm_id``;
+- optional bloom filters (update files use refs/user.id/changeset.id —
+  ``ContributionStateManager.java:159-174``);
+- GeoParquet 1.1.0 ``geo`` file metadata with the dataset bbox accumulated
+  from the rows (computed here with one agg over the bbox struct instead of
+  per-row accumulation);
+- ``latest/`` vs ``history/`` layout split on whether the row is currently
+  valid (valid_to at the open-ended sentinel).
+
+The ``geo`` footer metadata is attached in a pyarrow post-pass per file; on
+a real cluster the same rewrite runs as a distributed ``mapInPandas`` over
+file paths (it only rewrites footers + re-encodes row groups it read).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import VALID_TO_SENTINEL
+
+GEO_VERSION = "1.1.0"
+
+
+def geo_metadata(bbox: tuple[float, float, float, float] | None) -> dict:
+    cov = {
+        "version": GEO_VERSION,
+        "primary_column": "geometry",
+        "columns": {
+            "geometry": {
+                "encoding": "WKB",
+                "geometry_types": [],
+                "crs": None,  # OGC:CRS84 per GeoParquet default
+            }
+        },
+    }
+    if bbox is not None:
+        cov["columns"]["geometry"]["bbox"] = list(bbox)
+    return cov
+
+
+def dataset_bbox(contribs: DataFrame) -> tuple[float, float, float, float] | None:
+    row = contribs.agg(
+        F.min("bbox.xmin").alias("xmin"),
+        F.min("bbox.ymin").alias("ymin"),
+        F.max("bbox.xmax").alias("xmax"),
+        F.max("bbox.ymax").alias("ymax"),
+    ).first()
+    if row is None or row.xmin is None:
+        return None
+    return (row.xmin, row.ymin, row.xmax, row.ymax)
+
+
+def write_contributions(
+    contribs: DataFrame,
+    path: str,
+    bloom_filter_columns: tuple[str, ...] = (),
+    split_latest: bool = True,
+) -> None:
+    bbox = dataset_bbox(contribs)
+
+    df = contribs
+    writer = df.write.mode("overwrite").option("compression", "zstd").option(
+        "parquet.enable.dictionary", "true"
+    ).option("parquet.enable.dictionary#osm_id", "false")
+    for col in bloom_filter_columns:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+
+    if split_latest:
+        df = df.withColumn(
+            "layer",
+            F.when(F.col("valid_to") == F.lit(VALID_TO_SENTINEL), F.lit("latest")).otherwise(
+                F.lit("history")
+            ),
+        )
+        writer = df.write.mode("overwrite").option("compression", "zstd").option(
+            "parquet.enable.dictionary#osm_id", "false"
+        )
+        for col in bloom_filter_columns:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        writer = writer.partitionBy("layer", "osm_type")
+    writer.parquet(path)
+
+    _attach_geo_metadata(path, bbox)
+
+
+def _attach_geo_metadata(path: str, bbox) -> None:
+    meta_json = json.dumps(geo_metadata(bbox))
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            full = os.path.join(root, fn)
+            # the rewrite invalidates Hadoop's .crc sidecars — drop them
+            if fn.endswith(".crc"):
+                os.remove(full)
+                continue
+            if not fn.endswith(".parquet"):
+                continue
+            table = pq.read_table(full)
+            existing = table.schema.metadata or {}
+            merged = dict(existing)
+            merged[b"geo"] = meta_json.encode()
+            pq.write_table(
+                table.replace_schema_metadata(merged),
+                full,
+                compression="zstd",
+            )
+
+
+def read_geo_metadata(file_path: str) -> dict | None:
+    md = pq.read_schema(file_path).metadata or {}
+    raw = md.get(b"geo")
+    return json.loads(raw) if raw else None

@@ -1,0 +1,200 @@
+"""Minutely-replication operators (SURVEY.md §2.8, R1-R4, J6-J7).
+
+The reference keeps RocksDB latest-state + back-reference stores and
+applies one ``.osc.gz`` per micro-batch
+(``ohsome-replication-update/.../ContributionUpdater.java``,
+``ContributionStateManager.java``). The Spark shape replaces every store
+with a table + join:
+
+- latest-state store  → a Parquet/Delta table keyed by (osm_type, osm_id),
+  updated by an anti-join + union merge (R4);
+- back-reference stores → derived on demand from the latest ways/relations
+  by exploding refs/members (J7) — no merge-operators, no state maintenance;
+- diff application   → equi-join of the batch against the before-state with
+  the reference's filter semantics (J6): drop versions ≤ stored version and
+  deletes that have no before-state (``ContributionUpdater.java:338-369``);
+- incremental rebuild → rerun the (deterministic) contribution synthesis on
+  the affected ids only (R3); counters continue because the full history of
+  an affected id participates in the windows.
+
+Each batch touches |diff| + |affected parents| rows, never the planet.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def latest_state(entities: DataFrame) -> DataFrame:
+    """R4: latest version per (osm_type, osm_id); invisible latests are kept
+    as tombstones (callers filter ``visible`` when resolving geometry)."""
+    w = W.partitionBy("osm_type", "osm_id").orderBy(
+        F.desc("version"), F.desc("ts")
+    )
+    return (
+        entities.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def filter_diff_against_state(diff: DataFrame, state: DataFrame) -> DataFrame:
+    """J6: keep only genuinely-new versions.
+
+    - versions ≤ the stored latest version are replays → dropped;
+    - a delete with no before-state is a no-op → dropped
+      (``ContributionUpdater.java:338-369``).
+    """
+    before = state.select(
+        "osm_type",
+        "osm_id",
+        F.col("version").alias("_before_version"),
+    )
+    joined = diff.join(before, ["osm_type", "osm_id"], "left")
+    keep = (
+        F.col("_before_version").isNull()
+        & F.col("visible")  # create/modify without before-state is fine
+    ) | (F.col("_before_version").isNotNull() & (F.col("version") > F.col("_before_version")))
+    return joined.filter(keep).drop("_before_version")
+
+
+def merge_latest_state(state: DataFrame, new_versions: DataFrame) -> DataFrame:
+    """R4 merge: newest version per id wins; expressed as union + window so
+    it works on plain Parquet (a Delta MERGE would be the managed-table
+    form)."""
+    return latest_state(state.unionByName(new_versions))
+
+
+def node_way_backrefs(latest_ways: DataFrame) -> DataFrame:
+    """J7 table: node id → referencing way ids, derived (not maintained)."""
+    return (
+        latest_ways.filter(F.col("visible"))
+        .select(F.col("osm_id").alias("way_id"), F.explode("refs").alias("node_id"))
+        .distinct()
+    )
+
+
+def member_relation_backrefs(latest_relations: DataFrame) -> DataFrame:
+    """J7 table: (member type, id) → referencing relation ids."""
+    return (
+        latest_relations.filter(F.col("visible"))
+        .select(F.col("osm_id").alias("relation_id"), F.explode("members").alias("m"))
+        .select(
+            "relation_id",
+            F.col("m.type").alias("member_type"),
+            F.col("m.id").alias("member_id"),
+        )
+        .distinct()
+    )
+
+
+def dirty_parents(
+    changed_nodes: DataFrame,
+    changed_ways: DataFrame,
+    latest_ways: DataFrame,
+    latest_relations: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """J7: propagate changed node ids to parent ways, then changed/dirty
+    ways and changed nodes to parent relations. Returns (dirty_way_ids,
+    dirty_relation_ids), excluding ids already in the change set."""
+    nw = node_way_backrefs(latest_ways)
+    dirty_ways = (
+        nw.join(changed_nodes.select(F.col("osm_id").alias("node_id")), "node_id")
+        .select(F.col("way_id").alias("osm_id"))
+        .distinct()
+        .join(changed_ways.select("osm_id"), "osm_id", "left_anti")
+    )
+    mr = member_relation_backrefs(latest_relations)
+    touched_ways = changed_ways.select("osm_id").unionByName(dirty_ways).distinct()
+    dirty_rels_via_ways = mr.filter(F.col("member_type") == "way").join(
+        touched_ways.select(F.col("osm_id").alias("member_id")), "member_id"
+    )
+    dirty_rels_via_nodes = mr.filter(F.col("member_type") == "node").join(
+        changed_nodes.select(F.col("osm_id").alias("member_id")), "member_id"
+    )
+    dirty_rels = (
+        dirty_rels_via_ways.select(F.col("relation_id").alias("osm_id"))
+        .unionByName(dirty_rels_via_nodes.select(F.col("relation_id").alias("osm_id")))
+        .distinct()
+    )
+    return dirty_ways, dirty_rels
+
+
+def rebuild_affected_nodes(
+    node_history: DataFrame, affected_ids: DataFrame
+) -> DataFrame:
+    """R3 for nodes: rerun the full synthesis on affected ids only. The
+    deterministic windows reproduce minor/edits counters exactly, so no
+    explicit counter continuation state is needed."""
+    from ..operators.contributions import (
+        node_contribution_events,
+        synthesize_contributions,
+    )
+
+    affected = node_history.join(affected_ids.select("osm_id"), "osm_id", "left_semi")
+    return synthesize_contributions(node_contribution_events(affected))
+
+
+def rebuild_affected_ways(
+    way_history: DataFrame, node_history: DataFrame, affected_ids: DataFrame
+) -> DataFrame:
+    from ..operators.contributions import (
+        synthesize_contributions,
+        way_contribution_events,
+    )
+
+    affected = way_history.join(affected_ids.select("osm_id"), "osm_id", "left_semi")
+    return synthesize_contributions(way_contribution_events(affected, node_history))
+
+
+# --- replication state protocol (R1 / S12) -----------------------------------
+
+
+@dataclass
+class ReplicationState:
+    sequence: int
+    timestamp: str  # ISO-8601
+
+    @classmethod
+    def parse(cls, text: str) -> "ReplicationState":
+        """Parse an osmosis state.txt (``ReplicationState.java:40-118``)."""
+        seq = None
+        ts = None
+        for line in text.splitlines():
+            line = line.strip()
+            if line.startswith("#") or "=" not in line:
+                continue
+            key, val = line.split("=", 1)
+            if key == "sequenceNumber":
+                seq = int(val)
+            elif key == "timestamp":
+                ts = val.replace("\\:", ":")
+        if seq is None:
+            raise ValueError("state.txt missing sequenceNumber")
+        return cls(seq, ts or "")
+
+    def format(self) -> str:
+        ts = self.timestamp.replace(":", "\\:")
+        return f"sequenceNumber={self.sequence}\ntimestamp={ts}\n"
+
+
+def sequence_path(sequence: int) -> str:
+    """NNN/NNN/NNN path for a replication sequence (``Server.java``)."""
+    s = f"{sequence:09d}"
+    return f"{s[0:3]}/{s[3:6]}/{s[6:9]}"
+
+
+def bisect_sequence(get_timestamp, lo: int, hi: int, target) -> int:
+    """Timestamp → sequence bisection (the pyosmium algorithm the reference
+    ports in ``Server.java:111-275``): greatest sequence whose timestamp is
+    ≤ target. ``get_timestamp(seq)`` is injected (network-free testing)."""
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if get_timestamp(mid) <= target:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo

@@ -1,0 +1,88 @@
+"""GeoParquet sink + multimodal plumbing tests."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ohsome_planet_spark.operators.contributions import (
+    node_contribution_events,
+    synthesize_contributions,
+)
+from ohsome_planet_spark.operators.multimodal import (
+    decode_stub,
+    frame_sample_plan,
+    resize_plan,
+    with_media_meta,
+)
+from ohsome_planet_spark.schemas import NODE_SCHEMA
+from ohsome_planet_spark.sources.geoparquet import (
+    read_geo_metadata,
+    write_contributions,
+)
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_geoparquet_roundtrip(spark, tmp_path):
+    nodes = spark.createDataFrame(
+        [
+            (1, 1, ts("2020-01-01T00:00:00"), 10, 1, "u", True, {"a": "b"}, 8.0, 49.0),
+            (1, 2, ts("2020-06-01T00:00:00"), 11, 1, "u", True, {"a": "b"}, 8.5, 49.5),
+            (2, 1, ts("2020-01-01T00:00:00"), 10, 1, "u", True, {"x": "y"}, -120.0, 30.0),
+        ],
+        NODE_SCHEMA,
+    )
+    contribs = synthesize_contributions(node_contribution_events(nodes))
+    out = str(tmp_path / "contribs")
+    write_contributions(contribs, out, bloom_filter_columns=("osm_id",))
+
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    layers = {r.layer for r in back.select("layer").distinct().collect()}
+    assert layers == {"latest", "history"}
+
+    import glob
+
+    f = glob.glob(out + "/**/*.parquet", recursive=True)[0]
+    geo = read_geo_metadata(f)
+    assert geo["version"] == "1.1.0"
+    assert geo["primary_column"] == "geometry"
+    bbox = geo["columns"]["geometry"]["bbox"]
+    assert bbox[0] == -120.0 and bbox[3] == 49.5
+    # reread through spark still fine after footer rewrite
+    assert spark.read.parquet(out).filter("status = 'latest'").count() == 2
+
+
+def test_multimodal_pipeline(spark):
+    df = spark.createDataFrame(
+        [
+            (1, b"\x89PNG\r\n" + b"x" * 100),
+            (2, b"\xff\xd8\xff\xe0" + b"y" * 50),
+            (3, b"plain"),
+        ],
+        "media_id bigint, media binary",
+    )
+    meta = with_media_meta(df)
+    kinds = {r.media_id: r.kind for r in meta.collect()}
+    assert kinds == {1: "png", 2: "jpeg", 3: "unknown"}
+
+    decoded = decode_stub(meta)
+    rows = {r.media_id: r for r in decoded.collect()}
+    assert all(1 <= rows[i].fake_width <= 1920 for i in rows)
+    # determinism
+    again = {r.media_id: r for r in decode_stub(meta).collect()}
+    assert all(again[i].fake_width == rows[i].fake_width for i in rows)
+
+    resized = resize_plan(decoded, max_side=256)
+    for r in resized.collect():
+        assert max(r.target_width, r.target_height) <= 256
+        assert r.target_width >= 1 and r.target_height >= 1
+
+    frames = frame_sample_plan(df, every_n=10, max_frames=4)
+    per_media = (
+        frames.groupBy("media_id").agg(F.count("frame_idx").alias("n")).collect()
+    )
+    assert all(1 <= r.n <= 4 for r in per_media)
