@@ -36,6 +36,7 @@ from ..functions.xz import G_DEFAULT, _n_elem, xz_code_expr, xz_level_expr
 from ..operators.asof import asof_join
 from ..operators.contributions import (
     node_contribution_events,
+    relation_contribution_events,
     synthesize_contributions,
     way_contribution_events,
 )
@@ -1054,15 +1055,54 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@_register("ann_lsh_topk")  # no SQL oracle: 8×64 hyperplane literals — rows-only check
+def _ann_lsh_oracle(dim: int = 64, nbits: int = 8, k: int = 5) -> str:
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, nbits)
+    # signature: explicit left-assoc dot sums so the fp evaluation order
+    # matches Spark's aggregate fold exactly
+    bit_terms = []
+    for b, plane in enumerate(planes):
+        dot = " + ".join(
+            f"(embedding[{d + 1}]::DOUBLE * {plane[d]!r})" for d in range(dim)
+        )
+        bit_terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << b} ELSE 0 END)")
+    sig = " + ".join(bit_terms)
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding, CAST({sig} AS BIGINT) AS sig FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, sig AS qsig
+      FROM sigs WHERE vec_id < 5
+    ), cand AS (
+      SELECT q.query_id, s.vec_id,
+             round(
+               list_dot_product(s.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+      FROM sigs s JOIN q ON s.sig = q.qsig AND s.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+          FROM cand)
+    WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+@_register("ann_lsh_topk", _ann_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: random-hyperplane LSH bucketing + exact re-rank
-    within bucket (the scale path; recall traded for a bucket equi-join)."""
+    within bucket (the scale path; recall traded for a bucket equi-join).
+    The 8×64 hyperplane weights are deterministic md5-derived literals, so
+    the oracle reproduces the signatures bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_bucket_topk(emb, queries, dim=64, k=5, nbits=8).orderBy("query_id", "rank")
+    out = lsh_bucket_topk(emb, queries, dim=64, k=5, nbits=8)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
+    ).orderBy("query_id", "rank")
 
 
 # ===========================================================================
@@ -1071,7 +1111,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
 
-_CONTRIB_WAYS_ORACLE = f"""
+_WAY_INSTANT_CTES = f"""
 WITH params AS (
   SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u FROM events
 ), nodes AS (
@@ -1152,7 +1192,13 @@ WITH params AS (
          list_transform(list_filter(sts, s -> s IS NOT NULL), s -> s.vlon) AS xs,
          list_transform(list_filter(sts, s -> s IS NOT NULL), s -> s.vlat) AS ys
   FROM inst_members
-), measured AS (
+)"""
+
+
+_CONTRIB_WAYS_ORACLE = (
+    _WAY_INSTANT_CTES
+    + f"""
+, measured AS (
   SELECT *, len(xs) AS nc,
     CASE WHEN len(xs) >= 2 THEN
       list_sum(list_transform(range(1, len(xs)), i -> 6371000.0 * sqrt(
@@ -1200,6 +1246,7 @@ SELECT wid AS osm_id, wv AS osm_version, osm_minor_version, osm_edits,
 FROM contribs
 ORDER BY osm_id, osm_edits
 """
+)
 
 
 def _derived_way_inputs(spark: SparkSession, sf_dir: str):
@@ -1268,6 +1315,242 @@ def contrib_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("centroid.y", 6).alias("cy"),
         "refs_count",
     ).orderBy("osm_id", "osm_edits")
+
+
+# ===========================================================================
+# relation contribution pipeline (flagship #3): nested member streams
+# ===========================================================================
+
+_CONTRIB_RELS_ORACLE = (
+    _WAY_INSTANT_CTES
+    + f"""
+, way_events AS (
+  -- member way streams = the ways' own contribution instants (with minors)
+  SELECT wid, inst_ts AS wets, inst_cs AS wecs, xs, ys,
+         CAST(row_number() OVER (PARTITION BY wid ORDER BY inst_ts, wv, inst_cs) AS INT) AS seq
+  FROM geoms
+), rels AS (
+  SELECT CAST(n.n_regionkey AS BIGINT) AS rid,
+         make_timestamp(CAST({_EPOCH_2024} + 8 * 86400 + 3600 AS BIGINT) * 1000000) AS rts,
+         CAST(5000 + n.n_regionkey AS BIGINT) AS rcs,
+         list_sort(array_agg(CAST(n.n_nationkey AS BIGINT))) AS member_ids
+  FROM nation n GROUP BY n.n_regionkey
+), rel_ev AS (
+  -- relation cs (>= 5000) disjoint from every member cs -> no init fold
+  SELECT r.rid, r.rts, r.rcs, e.wid, e.wets, e.wecs, e.xs, e.ys, e.seq,
+         e.wets <= r.rts AS is_init
+  FROM rels r, UNNEST(r.member_ids) AS t(mw)
+  JOIN way_events e ON e.wid = t.mw
+), rminor AS (
+  SELECT *, sum(new_run) OVER (PARTITION BY rid ORDER BY wets, wecs, wid, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_idx
+  FROM (
+    SELECT *, CASE WHEN wecs IS DISTINCT FROM
+                 lag(wecs) OVER (PARTITION BY rid ORDER BY wets, wecs, wid, seq)
+               THEN 1 ELSE 0 END AS new_run
+    FROM rel_ev WHERE NOT is_init
+  )
+), rruns AS (
+  SELECT rid, run_idx, max(wets) AS inst_ts, min(wecs) AS inst_cs
+  FROM rminor GROUP BY 1, 2
+), rinstants AS (
+  SELECT rid, CAST(0 AS BIGINT) AS run_idx, rts AS inst_ts, rcs AS inst_cs FROM rels
+  UNION ALL SELECT rid, run_idx, inst_ts, inst_cs FROM rruns
+), rstates AS (
+  SELECT rid, wid, CAST(0 AS BIGINT) AS k, 0 AS probe, seq AS ord_s,
+         struct_pack(sxs := xs, sys := ys) AS st
+  FROM rel_ev WHERE is_init
+  UNION ALL
+  SELECT rid, wid, run_idx AS k, 0 AS probe, seq AS ord_s,
+         struct_pack(sxs := xs, sys := ys) AS st
+  FROM rminor
+), rprobes AS (
+  SELECT i.rid, t.mw AS wid, i.run_idx AS k, 1 AS probe, 2147483647 AS ord_s,
+         CAST(NULL AS STRUCT(sxs DOUBLE[], sys DOUBLE[])) AS st
+  FROM rinstants i JOIN rels r ON r.rid = i.rid, UNNEST(r.member_ids) AS t(mw)
+), rresolved AS (
+  SELECT *, last_value(st IGNORE NULLS) OVER (
+           PARTITION BY rid, wid ORDER BY k, probe, ord_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_st
+  FROM (SELECT * FROM rstates UNION ALL SELECT * FROM rprobes)
+), rmembers AS (
+  SELECT rid, k,
+         CAST(count(*) AS INT) AS members_count,
+         CAST(count(CASE WHEN asof_st IS NOT NULL AND len((asof_st).sxs) > 0 THEN 1 END) AS INT) AS n_geoms,
+         min(list_min((asof_st).sxs)) AS bxmin,
+         min(list_min((asof_st).sys)) AS bymin,
+         max(list_max((asof_st).sxs)) AS bxmax,
+         max(list_max((asof_st).sys)) AS bymax
+  FROM rresolved WHERE probe = 1
+  GROUP BY rid, k
+), rcontribs AS (
+  SELECT i.rid, i.inst_ts, i.inst_cs, m.members_count, m.n_geoms,
+         m.bxmin, m.bymin, m.bxmax, m.bymax,
+         lead(i.inst_ts) OVER w AS next_ts,
+         CAST(row_number() OVER (PARTITION BY i.rid ORDER BY i.inst_ts, i.inst_cs) - 1 AS INT) AS osm_minor_version,
+         CAST(row_number() OVER w AS INT) AS osm_edits
+  FROM rinstants i JOIN rmembers m ON m.rid = i.rid AND m.k = i.run_idx
+  WINDOW w AS (PARTITION BY i.rid ORDER BY i.inst_ts, i.inst_cs)
+)
+SELECT rid AS osm_id, 1 AS osm_version, osm_minor_version, osm_edits,
+       inst_ts AS valid_from,
+       coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to,
+       CASE WHEN n_geoms = 0 THEN 'invalid'
+            WHEN next_ts IS NOT NULL THEN 'history' ELSE 'latest' END AS status,
+       members_count, n_geoms,
+       round(bxmin, 6) AS bxmin, round(bymin, 6) AS bymin,
+       round(bxmax, 6) AS bxmax, round(bymax, 6) AS bymax
+FROM rcontribs
+ORDER BY osm_id, osm_edits
+"""
+)
+
+
+@_register("contrib_relations", _CONTRIB_RELS_ORACLE)
+def contrib_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship #3: the NESTED temporal merge — relations whose member way
+    streams carry their own minor versions, collection bbox/validity and
+    counters oracle-checked stage by stage."""
+    ways, nodes = _derived_way_inputs(spark, sf_dir)
+    nat = _t(spark, sf_dir, "nation")
+    member_struct = F.transform(
+        F.col("member_ids"),
+        lambda i: F.struct(
+            F.lit("way").alias("type"), i.alias("id"), F.lit("").alias("role")
+        ),
+    )
+    rels = (
+        nat.groupBy(F.col("n_regionkey").cast("bigint").alias("osm_id"))
+        .agg(F.sort_array(F.collect_list(F.col("n_nationkey").cast("bigint"))).alias("member_ids"))
+        .select(
+            "osm_id",
+            F.lit(1).cast("int").alias("version"),
+            F.timestamp_seconds(F.lit(_EPOCH_2024 + 8 * 86400 + 3600)).alias("ts"),
+            (F.lit(5000) + F.col("osm_id")).cast("bigint").alias("changeset"),
+            F.lit(0).alias("user_id"),
+            F.lit("u").alias("user_name"),
+            F.lit(True).alias("visible"),
+            F.expr("map('type','route')").alias("tags"),
+            member_struct.alias("members"),
+        )
+    )
+    contribs = synthesize_contributions(relation_contribution_events(rels, ways, nodes))
+    n_geoms = F.size(F.filter(F.col("members"), lambda m: m["geometry"].isNotNull()))
+    return contribs.select(
+        "osm_id",
+        "osm_version",
+        "osm_minor_version",
+        "osm_edits",
+        "valid_from",
+        "valid_to",
+        "status",
+        "members_count",
+        n_geoms.cast("int").alias("n_geoms"),
+        F.round("bbox.xmin", 6).alias("bxmin"),
+        F.round("bbox.ymin", 6).alias("bymin"),
+        F.round("bbox.xmax", 6).alias("bxmax"),
+        F.round("bbox.ymax", 6).alias("bymax"),
+    ).orderBy("osm_id", "osm_edits")
+
+
+# ===========================================================================
+# the queryability contract: temporal snapshot over contributions
+# (docs/useful_queries.md:7-19 — "elements visible on a date")
+# ===========================================================================
+
+_SNAPSHOT_ORACLE = (
+    "WITH contribs AS (" + _CONTRIB_ORACLE.replace("ORDER BY osm_id, osm_edits", "") + ")"
+    + """
+    SELECT osm_id, osm_version, osm_minor_version, contrib_type, cx, cy
+    FROM contribs
+    WHERE valid_from <= TIMESTAMP '2024-01-15'
+      AND TIMESTAMP '2024-01-15' < valid_to
+      AND status <> 'deleted'
+    ORDER BY osm_id
+    """
+)
+
+
+@_register("snapshot_at_date", _SNAPSHOT_ORACLE)
+def snapshot_at_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The output dataset's temporal-snapshot contract: one row per element
+    VISIBLE at the snapshot instant (validity interval covers it, not
+    deleted). This is the reference's canonical downstream query."""
+    nodes = _derived_nodes(spark, sf_dir)
+    contribs = synthesize_contributions(node_contribution_events(nodes))
+    t = F.lit("2024-01-15").cast("timestamp")
+    return (
+        contribs.filter(
+            (F.col("valid_from") <= t)
+            & (t < F.col("valid_to"))
+            & (F.col("status") != "deleted")
+        )
+        .select(
+            "osm_id",
+            "osm_version",
+            "osm_minor_version",
+            "contrib_type",
+            F.round("centroid.x", 6).alias("cx"),
+            F.round("centroid.y", 6).alias("cy"),
+        )
+        .orderBy("osm_id")
+    )
+
+
+# ===========================================================================
+# embedding near-duplicate pairs (label-bucketed cosine)
+# ===========================================================================
+
+
+@_register(
+    "embedding_near_dups",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round(
+             list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(
+             list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, label-bucketed: the equi-join on
+    the cluster label prunes the candidate space (the IVF idea — at scale
+    the label comes from a coarse quantizer), exact cosine inside buckets."""
+    from ..operators.similarity import dot_expr, norm_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # precompute norms ONCE per vector before the pair join — recomputing
+    # them inside the pair-level cosine tripled the per-pair work
+    normed = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", norm_expr(F.col("v")))
+    a = normed.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.3)
+        .select("vec_a", "vec_b", "label", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 # ===========================================================================

@@ -1,0 +1,117 @@
+"""Cross-validation of the two temporal-merge strategies: the relational
+(windows + as-of) path vs the verbatim sequential port. Agreement on
+randomized histories pins the relational form's semantics far beyond the
+hand-written reference fixtures."""
+
+import datetime as dt
+import random
+
+from ohsome_planet_spark.operators.temporal_merge import way_contribution_instants
+from ohsome_planet_spark.operators.temporal_merge_exact import (
+    way_contribution_instants_exact,
+)
+from ohsome_planet_spark.schemas import NODE_SCHEMA, WAY_SCHEMA
+
+
+def ts(sec):
+    return dt.datetime.fromtimestamp(sec, dt.timezone.utc).replace(tzinfo=None)
+
+
+def relational_key(rows):
+    out = set()
+    for r in rows:
+        states = tuple(
+            s["version"] if s is not None else None for s in r.member_states
+        )
+        out.add((r.osm_id, r.osm_version, r.ts, r.changeset, states))
+    return out
+
+
+def exact_key(rows):
+    out = set()
+    for r in rows:
+        out.add(
+            (
+                r.osm_id,
+                r.osm_version,
+                r.ts,
+                r.changeset,
+                tuple(r.member_versions),
+            )
+        )
+    return out
+
+
+def compare(spark, node_rows, way_rows):
+    ndf = spark.createDataFrame(node_rows, NODE_SCHEMA)
+    wdf = spark.createDataFrame(way_rows, WAY_SCHEMA)
+    rel = relational_key(way_contribution_instants(wdf, ndf).collect())
+    exact = exact_key(way_contribution_instants_exact(wdf, ndf).collect())
+    assert rel == exact, (
+        f"paths diverge:\nrelational-only: {sorted(rel - exact)[:5]}"
+        f"\nexact-only: {sorted(exact - rel)[:5]}"
+    )
+    return rel
+
+
+def random_history(seed: int):
+    """Random node/way histories exercising folds, same-ts ties, run
+    grouping, multi-major boundaries, and members created late."""
+    rng = random.Random(seed)
+    n_nodes = rng.randint(2, 5)
+    node_rows = []
+    for nid in range(1, n_nodes + 1):
+        t = rng.randint(0, 4)
+        for version in range(1, rng.randint(2, 6)):
+            node_rows.append(
+                (
+                    nid,
+                    version,
+                    ts(t),
+                    rng.randint(1, 6),  # small changeset space → collisions
+                    rng.randint(1, 3),
+                    "u",
+                    True,
+                    {},
+                    float(version),  # always a location change
+                    0.0,
+                )
+            )
+            t += rng.randint(1, 5)
+    way_rows = []
+    t = rng.randint(1, 8)
+    for version in range(1, rng.randint(2, 4)):
+        refs = rng.sample(range(1, n_nodes + 1), rng.randint(1, n_nodes))
+        way_rows.append(
+            (10, version, ts(t), rng.randint(1, 6), 1, "u", True, {"h": "x"}, refs)
+        )
+        t += rng.randint(3, 12)
+    return node_rows, way_rows
+
+
+def test_cross_validation_reference_fixtures(spark):
+    # the trickiest hand case: changeset fold at init + late node
+    compare(
+        spark,
+        [(1, 1, ts(2), 1, 1, "u", True, {}, 1.0, 0.0)],
+        [(10, 1, ts(1), 1, 1, "u", True, {"h": "x"}, [1])],
+    )
+    compare(
+        spark,
+        [
+            (1, 1, ts(0), 1, 1, "u", True, {}, 1.0, 0.0),
+            (1, 2, ts(1), 2, 1, "u", True, {}, 2.0, 0.0),
+            (1, 3, ts(5), 5, 1, "u", True, {}, 3.0, 0.0),
+            (1, 4, ts(6), 6, 1, "u", True, {}, 4.0, 0.0),
+        ],
+        [
+            (10, 1, ts(2), 1, 1, "u", True, {"h": "x"}, [1]),
+            (10, 2, ts(7), 1, 1, "u", True, {"h": "x"}, [1]),
+        ],
+    )
+
+
+def test_cross_validation_randomized(spark):
+    for seed in range(25):
+        node_rows, way_rows = random_history(seed)
+        compare(spark, node_rows, way_rows)
