@@ -17,7 +17,6 @@ from __future__ import annotations
 import argparse
 import csv
 import json
-import sys
 
 from pyspark.sql import functions as F
 
@@ -68,8 +67,7 @@ def cmd_contributions(args) -> int:
         )
 
     if args.country_file:
-        from .operators.spatial import countries_udf, polygon_feature
-        from .functions.wkb import decode as wkb_decode  # noqa: F401
+        from .operators.spatial import countries_udf
 
         feats = _load_country_csv(args.country_file)
         join = countries_udf(feats)
@@ -100,11 +98,6 @@ def _changeset_ddl() -> str:
 
 def _load_country_csv(path: str):
     """--country-file CSV: id;wkt (``SpatialJoiner.readCSV``)."""
-    from .functions.wkb import decode  # noqa: F401
-    from .operators.spatial import Feature, polygon_feature
-
-    import numpy as np
-
     feats = []
     with open(path) as f:
         for row in csv.reader(f, delimiter=";"):

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 

@@ -33,8 +33,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import MEMBER_SCHEMA  # noqa: F401  (documentation link)
-
 # --- protobuf wire primitives ------------------------------------------------
 
 

@@ -187,6 +187,39 @@ def sequence_path(sequence: int) -> str:
     return f"{s[0:3]}/{s[3:6]}/{s[6:9]}"
 
 
+ACCEPTABLE_CHANGESET_LAG_S = 180.0
+
+
+def process_until(
+    contribution_remote_ts,
+    changeset_local_ts,
+    acceptable_lag_s: float = ACCEPTABLE_CHANGESET_LAG_S,
+):
+    """R2 — changeset-lag holdback ("watermark" across the two replication
+    streams): contributions may only be processed up to the changeset
+    stream's local timestamp, unless the changeset stream lags by more than
+    the acceptable delay (``ReplicationManager.java:24,57-75``,
+    ``ContributionStateManager.java:121-131``).
+
+    Returns the timestamp up to which contribution sequences may be
+    applied. Timestamps are comparable datetimes.
+    """
+    lag = (contribution_remote_ts - changeset_local_ts).total_seconds()
+    if lag <= acceptable_lag_s:
+        return contribution_remote_ts
+    return changeset_local_ts
+
+
+def select_target_state(states, until_ts):
+    """Walk candidate remote states backwards to the newest one whose
+    timestamp respects the holdback (``updateToRemoteState``): returns the
+    latest ReplicationState with ts <= until_ts, or None."""
+    eligible = [s for s in states if s[1] <= until_ts]
+    if not eligible:
+        return None
+    return max(eligible, key=lambda s: s[0])
+
+
 def bisect_sequence(get_timestamp, lo: int, hi: int, target) -> int:
     """Timestamp → sequence bisection (the pyosmium algorithm the reference
     ports in ``Server.java:111-275``): greatest sequence whose timestamp is

@@ -193,3 +193,39 @@ def test_centroid_semantics():
         }
     )
     assert (cx, cy) == pytest.approx((1.0, 1.0))
+
+
+def test_xz_property_random_boxes():
+    """Property test: vectorized implementation == scalar Böhm walk on
+    randomized bboxes (including degenerate points and world-spanning)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    coord = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)
+    lat = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+
+    @settings(max_examples=200, deadline=None)
+    @given(x1=coord, x2=coord, y1=lat, y2=lat)
+    def check(x1, x2, y1, y2):
+        xmin, xmax = min(x1, x2), max(x1, x2)
+        ymin, ymax = min(y1, y2), max(y1, y2)
+        levels, codes = xz_codes(
+            np.array([xmin]), np.array([ymin]), np.array([xmax]), np.array([ymax])
+        )
+        lvl, code = xz_reference(xmin, ymin, xmax, ymax)
+        assert (levels[0], codes[0]) == (lvl, code)
+        assert 0 <= levels[0] <= G_DEFAULT
+
+    check()
+
+
+def test_geodesic_properties():
+    """Symmetry + triangle-ish sanity for the segment formula."""
+    import itertools
+
+    pts = [(0.0, 0.0), (10.0, 20.0), (-120.0, 45.0), (179.0, -60.0)]
+    for (x1, y1), (x2, y2) in itertools.combinations(pts, 2):
+        d_ab = line_length(np.array([x1, x2]), np.array([y1, y2]))
+        d_ba = line_length(np.array([x2, x1]), np.array([y2, y1]))
+        assert d_ab == pytest.approx(d_ba, rel=1e-12)
+        assert d_ab > 0

@@ -192,3 +192,21 @@ def test_bisection():
     assert bisect_sequence(get, 0, 100, 555) == 55
     assert bisect_sequence(get, 0, 100, 9999) == 100
     assert bisect_sequence(get, 0, 100, 0) == 0
+
+
+def test_changeset_lag_holdback():
+    """R2: contributions gated by the changeset stream unless lag > 180 s."""
+    from ohsome_planet_spark.streaming.replication import (
+        process_until,
+        select_target_state,
+    )
+
+    contrib_ts = ts(10_000)
+    # changeset stream close behind (lag 60 s) -> process to contrib ts
+    assert process_until(contrib_ts, ts(9_940)) == contrib_ts
+    # changeset stream far behind (lag 300 s) -> hold back to changeset ts
+    assert process_until(contrib_ts, ts(9_700)) == ts(9_700)
+
+    states = [(100, ts(9_000)), (101, ts(9_600)), (102, ts(10_000))]
+    assert select_target_state(states, ts(9_700)) == (101, ts(9_600))
+    assert select_target_state(states, ts(8_000)) is None
