@@ -67,16 +67,13 @@ def cmd_contributions(args) -> int:
         )
 
     if args.country_file:
-        from .operators.spatial import countries_udf
+        from .operators.spatial import geometry_countries_udf
 
         feats = _load_country_csv(args.country_file)
-        join = countries_udf(feats)
+        # full-geometry intersects like the reference (a way crossing a
+        # border belongs to both countries even with no vertex inside)
         contribs = contribs.withColumn(
-            "countries",
-            F.when(
-                F.col("centroid").isNotNull(),
-                join(F.col("centroid.x"), F.col("centroid.y")),
-            ).otherwise(F.array().cast("array<string>")),
+            "countries", geometry_countries_udf(feats)(F.col("geometry"))
         )
     else:
         contribs = contribs.withColumn("countries", F.array().cast("array<string>"))

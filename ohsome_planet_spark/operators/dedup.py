@@ -220,6 +220,57 @@ def lsh_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 
+def simhash_near_dup_pairs(
+    signatures: DataFrame, bits: int = 32, bands: int = 4, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs: by the pigeonhole principle a pair within
+    ``max_hamming`` bits differs in at most ``bands``-1 of its bands when
+    max_hamming < bands, so candidates sharing ANY band bucket cover all
+    near pairs (for larger radii this is the standard recall-tradeoff
+    banding). Candidates re-ranked by exact Hamming distance — all native
+    expressions (``bit_count(a XOR b)``).
+
+    Input: (doc, simhash). Output: (doc_a, doc_b, hamming).
+    """
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = signatures.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("simhash"), b * band_bits)
+                            % F.lit(mask + 1)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Charikar SimHash over token hash60s: bit b of the signature is 1 iff
     the majority of tokens have bit b set.

@@ -126,3 +126,121 @@ def join_countries(
     lon = F.col(lon) if isinstance(lon, str) else lon
     lat = F.col(lat) if isinstance(lat, str) else lat
     return df.withColumn("countries", countries_udf(features)(lon, lat))
+
+
+# --- full-geometry intersects (reference SpatialJoiner.join(Geometry)) -------
+
+
+def _segments_cross_ring(gx: "np.ndarray", gy: "np.ndarray", ring: "np.ndarray") -> bool:
+    """Any geometry edge properly crossing any ring edge (vectorized over
+    ring edges per geometry edge)."""
+    rx1, ry1 = ring[:-1, 0], ring[:-1, 1]
+    rx2, ry2 = ring[1:, 0], ring[1:, 1]
+    for i in range(len(gx) - 1):
+        p1 = (gx[i], gy[i])
+        p2 = (gx[i + 1], gy[i + 1])
+        d1 = (rx2 - rx1) * (p1[1] - ry1) - (ry2 - ry1) * (p1[0] - rx1)
+        d2 = (rx2 - rx1) * (p2[1] - ry1) - (ry2 - ry1) * (p2[0] - rx1)
+        d3 = (p2[0] - p1[0]) * (ry1 - p1[1]) - (p2[1] - p1[1]) * (rx1 - p1[0])
+        d4 = (p2[0] - p1[0]) * (ry2 - p1[1]) - (p2[1] - p1[1]) * (rx2 - p1[0])
+        if (((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))).any():
+            return True
+        # touching (collinear endpoints) counts as intersecting too
+        if ((d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0)).any():
+            # cheap bbox confirmation to avoid false hits from collinear
+            # but-disjoint edges
+            minx, maxx = min(p1[0], p2[0]), max(p1[0], p2[0])
+            miny, maxy = min(p1[1], p2[1]), max(p1[1], p2[1])
+            touch = (
+                (np.minimum(rx1, rx2) <= maxx)
+                & (np.maximum(rx1, rx2) >= minx)
+                & (np.minimum(ry1, ry2) <= maxy)
+                & (np.maximum(ry1, ry2) >= miny)
+                & ((d1 == 0) | (d2 == 0))
+            )
+            if touch.any():
+                return True
+    return False
+
+
+def _polygon_rings_of(geom: dict) -> list["np.ndarray"]:
+    """Exterior rings of any polygonal parts of a geometry dict."""
+    t, c = geom["type"], geom["coords"]
+    if t == "Polygon":
+        return [np.asarray(c[0], dtype=np.float64)] if c else []
+    if t == "MultiPolygon":
+        return [np.asarray(poly[0], dtype=np.float64) for poly in c if poly]
+    if t == "GeometryCollection":
+        out = []
+        for sub in c:
+            out.extend(_polygon_rings_of(sub))
+        return out
+    return []
+
+
+def geometry_intersects_feature(
+    coords_xy: "np.ndarray", feat: Feature, geom: dict | None = None
+) -> bool:
+    """JTS-intersects approximation for an arbitrary geometry: any geometry
+    vertex inside/on the feature, any proper/touching edge crossing, or —
+    for polygonal geometries — any feature vertex inside the geometry
+    (covers geometry-contains-feature)."""
+    px, py = coords_xy[:, 0], coords_xy[:, 1]
+    if points_in_feature(px, py, feat).any():
+        return True
+    for part in feat.parts:
+        for ring in part[:1]:  # exterior ring crossing suffices
+            if _segments_cross_ring(px, py, ring):
+                return True
+    if geom is not None:
+        for gring in _polygon_rings_of(geom):
+            for part in feat.parts:
+                if not part:
+                    continue
+                fx, fy = part[0][:, 0], part[0][:, 1]
+                inside, on_edge = _ring_test(fx, fy, gring)
+                if (inside | on_edge).any():
+                    return True
+    return False
+
+
+def geometry_countries_udf(features: list[Feature]):
+    """pandas UDF over WKB geometries → sorted array<string> of feature ids
+    whose polygons intersect the geometry (the reference joins the FULL
+    geometry, ``ContributionsAvroConverter.java:130``)."""
+    from ..functions import wkb as wkblib
+    from ..functions.wkb import _all_coords
+
+    bboxes = [(f.feature_id, f.bbox, f) for f in features]
+
+    @F.pandas_udf("array<string>")
+    def _join(wkb_col: pd.Series) -> pd.Series:
+        out = []
+        for buf in wkb_col:
+            if buf is None:
+                out.append([])
+                continue
+            geom = wkblib.decode(bytes(buf))
+            xs, ys = _all_coords(geom)
+            if xs.size == 0:
+                out.append([])
+                continue
+            coords = np.column_stack([xs, ys])
+            gx0, gy0, gx1, gy1 = xs.min(), ys.min(), xs.max(), ys.max()
+            hits = []
+            for fid, (bx0, by0, bx1, by1), feat in bboxes:
+                if gx1 < bx0 or gx0 > bx1 or gy1 < by0 or gy0 > by1:
+                    continue
+                if geometry_intersects_feature(coords, feat, geom):
+                    hits.append(fid)
+            out.append(sorted(hits))
+        return pd.Series(out)
+
+    return _join
+
+
+def join_countries_geometry(
+    df: DataFrame, features: list[Feature], wkb_col: Column | str = "geometry"
+) -> DataFrame:
+    wkb_col = F.col(wkb_col) if isinstance(wkb_col, str) else wkb_col
+    return df.withColumn("countries", geometry_countries_udf(features)(wkb_col))

@@ -902,6 +902,43 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, "doc_id", "text", bits=32).orderBy("doc")
 
 
+def _simhash_pairs_oracle(bits: int = 32, bands: int = 4, max_hamming: int = 3) -> str:
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sig_cte = _simhash_oracle(bits).replace("ORDER BY doc", "").strip()
+    band_rows = ", ".join(
+        f"({b}, (simhash >> {b * band_bits}) % {mask + 1})" for b in range(bands)
+    )
+    return f"""
+    WITH sigs AS ({sig_cte}
+    ), banded AS (
+      SELECT doc, simhash, b.band, b.bucket
+      FROM sigs, (VALUES {band_rows}) AS b(band, bucket)
+    )
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@_register("simhash_near_dups", _simhash_pairs_oracle())
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band-bucket candidates + exact Hamming
+    re-rank (bit_count(xor)), everything native."""
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = simhash(docs, "doc_id", "text", bits=32)
+    return (
+        simhash_near_dup_pairs(sigs, bits=32, bands=4, max_hamming=3)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ===========================================================================
 # text analysis
 # ===========================================================================

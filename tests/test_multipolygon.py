@@ -103,3 +103,24 @@ def test_self_intersecting_ring_invalid():
 def test_centroid_of_result():
     g = build_multipolygon([SQ_OUTER], [])
     assert centroid(g) == pytest.approx((5.0, 5.0))
+
+
+def test_legacy_mode_salvages_dangling_way():
+    """LEGACY mode (GeometryBuilder.java:12-15,177-183): a dangling extra
+    way creates odd parity; DEFAULT raises, LEGACY removes the mismatched
+    segments and still builds the closed ring."""
+    dangling = [(0.0, 0.0), (-5.0, -5.0)]  # open spur off a ring vertex
+    with pytest.raises(MultipolygonError, match="parity"):
+        build_multipolygon([SQ_OUTER, dangling], [])
+    g = build_multipolygon([SQ_OUTER, dangling], [], legacy=True)
+    assert g["type"] == "MultiPolygon"
+    assert len(g["coords"]) == 1
+    assert ring_set(g["coords"][0][0]) == ring_set(SQ_OUTER)
+
+
+def test_legacy_mode_duplicate_segment():
+    """Duplicate segments at an odd node get filtered before ring joining."""
+    # ring where one edge is traced twice via an extra 2-node way
+    dup_edge = [(0.0, 0.0), (10.0, 0.0)]
+    g = build_multipolygon([SQ_OUTER, dup_edge], [], legacy=True)
+    assert len(g["coords"]) == 1

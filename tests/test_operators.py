@@ -92,3 +92,46 @@ class TestDedup:
         )
         kept = exact_dedup(df, ["t"], "id")
         assert {r.id for r in kept.collect()} == {1, 3}
+
+
+class TestGeometrySpatialJoin:
+    def test_linestring_crossing_feature(self, spark):
+        """A line that crosses a country without any vertex inside still
+        intersects (the full-geometry join, not just vertices)."""
+        from ohsome_planet_spark.functions import wkb as wkblib
+        from ohsome_planet_spark.operators.spatial import join_countries_geometry
+
+        feats = [rect_feature("AAA", 0.0, 0.0, 10.0, 10.0)]
+        crossing = wkblib.encode(
+            {"type": "LineString", "coords": [(-5.0, 5.0), (15.0, 5.0)]}
+        )
+        inside = wkblib.encode({"type": "Point", "coords": (5.0, 5.0)})
+        outside = wkblib.encode(
+            {"type": "LineString", "coords": [(20.0, 20.0), (30.0, 30.0)]}
+        )
+        df = spark.createDataFrame(
+            [(1, crossing), (2, inside), (3, outside)], "id int, geometry binary"
+        )
+        out = {r.id: r.countries for r in join_countries_geometry(df, feats).collect()}
+        assert out[1] == ["AAA"]
+        assert out[2] == ["AAA"]
+        assert out[3] == []
+
+    def test_polygon_containing_feature(self, spark):
+        """A polygon fully containing a small country intersects it even
+        though no polygon vertex lies inside the country."""
+        from ohsome_planet_spark.functions import wkb as wkblib
+        from ohsome_planet_spark.operators.spatial import join_countries_geometry
+
+        feats = [rect_feature("TINY", 4.0, 4.0, 6.0, 6.0)]
+        big = wkblib.encode(
+            {
+                "type": "Polygon",
+                "coords": [
+                    [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+                ],
+            }
+        )
+        df = spark.createDataFrame([(1, big)], "id int, geometry binary")
+        out = join_countries_geometry(df, feats).collect()[0].countries
+        assert out == ["TINY"]
