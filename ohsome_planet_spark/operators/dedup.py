@@ -201,6 +201,10 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # both self-join sides consume the minhash computation; persist once
+    from pyspark.storagelevel import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -252,6 +256,11 @@ def simhash_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # both sides of the self-join consume the (expensive) signature fold;
+    # persist so it computes once
+    from pyspark.storagelevel import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
