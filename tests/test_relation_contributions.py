@@ -196,3 +196,77 @@ def test_nested_relation_member_ignored_but_listed(spark):
     assert sub["geometry"] is None
     assert sub["timestamp"] == dt.datetime(1970, 1, 1)
     assert r.geometry_type == "MultiPolygon"
+
+
+# --- ports of ContributionsRelationTest.java (the relation merge spec) ------
+
+NODE_A = [node(1, 1, 1, 1, 0.0, 0.0), node(1, 2, 2, 2, 1.0, 0.0)]
+NODE_B = [node(2, 1, 1, 1, 0.0, 0.5), node(2, 2, 2, 2, 0.0, 1.0)]
+NODE_C = [node(3, 1, 1, 1, 0.0, 2.0)]
+WAY_AB = [way(12, 1, 1, 1, [1, 2])]
+WAY_BC = [way(23, 1, 1, 1, [2, 3])]
+WAY_CA = [way(31, 1, 2, 2, [3, 1]), way(31, 2, 3, 3, [3, 1])]
+
+
+def instants(rows):
+    # pre-enrichment rows carry the raw changeset id as changeset_id
+    return [(r.valid_from, r.changeset_id, r.osm_version, r.osm_minor_version, r.members_count)
+            for r in rows]
+
+
+def test_single_node_relation(spark):
+    """testSingleNodeRelation: node member edit → relation minor."""
+    rows = run(spark, NODE_A, [], [rel(1, 1, 1, 1, [("node", 1, "busstop")])])
+    assert instants(rows) == [(ts(1), 1, 1, 0, 1), (ts(2), 2, 1, 1, 1)]
+
+
+def test_two_nodes_relation_no_minor(spark):
+    """testTwoNodesRelation: member edits at/before the relation ts fold
+    into the major — single contribution."""
+    rows = run(spark, NODE_B + NODE_C, [], [rel(23, 1, 2, 2, [("node", 2, "busstop"), ("node", 3, "busstop")])])
+    assert instants(rows) == [(ts(2), 2, 1, 0, 2)]
+
+
+def test_two_ways_relation_single_minor(spark):
+    """testTwoWaysRelation: both member ways get minors in the SAME
+    changeset at ts=2 → ONE relation minor (run grouping across members)."""
+    rows = run(
+        spark,
+        NODE_A + NODE_B + NODE_C,
+        WAY_AB + WAY_BC,
+        [rel(123, 1, 1, 1, [("way", 12, "busline"), ("way", 23, "busline")])],
+    )
+    assert instants(rows) == [(ts(1), 1, 1, 0, 2), (ts(2), 2, 1, 1, 2)]
+
+
+def test_minor_versions_from_nodes_and_ways(spark):
+    """testMinorVersions: minor 1 from node edits (cs2, incl. way CA's
+    creation), minor 2 from way CA's next major (cs3)."""
+    rows = run(
+        spark,
+        NODE_A + NODE_B + NODE_C,
+        WAY_AB + WAY_BC + WAY_CA,
+        [rel(123, 1, 1, 1,
+             [("way", 12, "busline"), ("way", 23, "busline"), ("way", 31, "busline")])],
+    )
+    assert instants(rows) == [
+        (ts(1), 1, 1, 0, 3),
+        (ts(2), 2, 1, 1, 3),
+        (ts(3), 3, 1, 2, 3),
+    ]
+
+
+def test_major_versions_with_different_members(spark):
+    """testMajorVersionsWithDifferentMembers: v2 drops a member; way CA's
+    cs3 event at the v2 instant folds into the major."""
+    rows = run(
+        spark,
+        NODE_A + NODE_B + NODE_C,
+        WAY_AB + WAY_BC + WAY_CA,
+        [
+            rel(123, 1, 2, 2,
+                [("way", 12, "busline"), ("way", 23, "busline"), ("way", 31, "busline")]),
+            rel(123, 2, 3, 3, [("way", 12, "busline"), ("way", 23, "busline")]),
+        ],
+    )
+    assert instants(rows) == [(ts(2), 2, 1, 0, 3), (ts(3), 3, 2, 0, 2)]
