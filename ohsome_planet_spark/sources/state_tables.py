@@ -1,0 +1,50 @@
+"""Bucketed state tables (SURVEY.md §4 'Bulk-load sorted state' and the
+scale plan's co-located joins).
+
+The reference bulk-loads sorted SSTs into RocksDB so later lookups are
+cheap (``SstWriter.java``, ``Transformer.java:163-179``). The Spark
+equivalent for repeatedly-joined state (latest entities, node location
+history, back-references) is a **bucketed, sorted table**: written once
+with ``bucketBy(n, key)``, every later equi-join or groupBy on that key
+reads co-located buckets and skips the shuffle entirely — on a 100 TB
+latest-state table that is the difference between re-shuffling the planet
+per replication batch and touching only matching buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...] = ("osm_id",),
+    n_buckets: int = 64,
+    sort_cols: tuple[str, ...] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist a state DataFrame as a bucketed+sorted managed table."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_state(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def join_is_shuffle_free(joined: DataFrame) -> bool:
+    """True if the physical plan contains a join with no exchange beneath
+    it on either side (the bucketed co-located case) — used by tests to
+    assert the shuffle actually disappeared."""
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan:
+        return False
+    # in a bucket-joined plan the join's children scan the bucketed files
+    # directly: the plan shows the join but no hash exchange above the scans
+    return "Exchange hashpartitioning" not in plan

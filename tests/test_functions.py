@@ -229,3 +229,15 @@ def test_geodesic_properties():
         d_ba = line_length(np.array([x2, x1]), np.array([y2, y1]))
         assert d_ab == pytest.approx(d_ba, rel=1e-12)
         assert d_ab > 0
+
+
+def test_polygon_feature_rules():
+    """Port of ConributionGeometryTest.testPolygonFeatureLoading."""
+    from ohsome_planet_spark.functions.polygon_features import test_polygon_feature
+
+    assert test_polygon_feature("building", "yes")
+    assert test_polygon_feature("natural", "meadow")
+    assert test_polygon_feature("waterway", "dock")
+    assert not test_polygon_feature("surface", "asphalt")
+    assert not test_polygon_feature("highway", "primary")
+    assert not test_polygon_feature("natural", "coastline")
