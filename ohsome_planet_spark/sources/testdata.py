@@ -51,6 +51,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ship_package(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp literals in queries must resolve in UTC to match the
+    # DuckDB oracles' naive timestamps, whatever session the driver built
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for col in _nanos_columns(path):
         # integer division: truncation must match DuckDB's nanos->micros

@@ -66,6 +66,11 @@ def main() -> int:
 
     spark = get_spark(app_name="check_correctness")
 
+    # t1-style smoke: entry() must run and return a stable schema
+    edf = entry_mod.entry(spark)
+    n_entry = edf.count()
+    print(f"entry(): {n_entry} rows, {len(edf.schema)} columns")
+
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
