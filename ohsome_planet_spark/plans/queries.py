@@ -543,7 +543,8 @@ def _hashtags_oracle() -> str:
                t -> len(t) >= 2 AND NOT regexp_matches(t, '^[0-9]+$')))) AS hashtags
       FROM comments
     )
-    SELECT doc_id, hashtags FROM extracted ORDER BY doc_id
+    SELECT doc_id, array_to_string(hashtags, ',') AS hashtags
+    FROM extracted ORDER BY doc_id
     """
 
 
@@ -562,8 +563,11 @@ def changeset_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 100).cast("string"),
         F.lit(" #ok"),
     )
+    # The driver's canonicalizer sorts the result frame and cannot hash
+    # array cells, so emit the hashtag list as a canonical comma-joined
+    # string on both engines.
     return docs.select(
-        "doc_id", hashtags_expr(comment).alias("hashtags")
+        "doc_id", F.concat_ws(",", hashtags_expr(comment)).alias("hashtags")
     ).orderBy("doc_id")
 
 
@@ -716,7 +720,7 @@ def _spatial_oracle() -> str:
       FROM customer
     )
     SELECT c_custkey, round(lon, 6) AS lon, round(lat, 6) AS lat,
-           list_sort({cases}) AS countries
+           array_to_string(list_sort({cases}), ',') AS countries
     FROM pts ORDER BY c_custkey
     """
 
@@ -733,8 +737,12 @@ def spatial_join_countries(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("c_custkey") * 7) % 158) - 79.0 + 0.25).alias("lat"),
     )
     out = join_countries(pts, feats, "lon", "lat")
+    # Array columns break the driver-side canonicalizer: join to a string.
     return out.select(
-        "c_custkey", F.round("lon", 6).alias("lon"), F.round("lat", 6).alias("lat"), "countries"
+        "c_custkey",
+        F.round("lon", 6).alias("lon"),
+        F.round("lat", 6).alias("lat"),
+        F.concat_ws(",", "countries").alias("countries"),
     ).orderBy("c_custkey")
 
 

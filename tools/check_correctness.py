@@ -45,6 +45,12 @@ def normalize_cell(v):
 def frame_hash(df: pd.DataFrame) -> tuple[int, list[str], str]:
     cols = sorted(df.columns)
     df = df[cols]
+    # Mirror the driver's canonicalizer, which sort_values-es the frame by
+    # every column and therefore raises TypeError on array-typed cells.
+    # Keeping this un-caught makes array-column outputs fail LOCALLY the
+    # same way they fail at the gate (round-1 lesson: the old stringifying
+    # hash hid two red rows).
+    df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
     rows = ["\x1f".join(normalize_cell(v) for v in row) for row in df.itertuples(index=False)]
     rows.sort()
     h = hashlib.md5("\n".join(rows).encode()).hexdigest()
