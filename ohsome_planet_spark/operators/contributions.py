@@ -538,14 +538,23 @@ def synthesize_contributions(events: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def with_changesets(contribs: DataFrame, changesets: DataFrame) -> DataFrame:
+def with_changesets(
+    contribs: DataFrame, changesets: DataFrame, prune: bool = True
+) -> DataFrame:
     """Join changeset metadata onto contributions (SURVEY.md J4).
 
     Missing changeset ids fall back to the reference's default record —
     created_at = epoch, empty tags/hashtags, null editor
     (``util/Utils.java:50-66``). Editor = changeset tags['created_by'] (A11,
-    ``ChangesetDb.java:50``). The changesets side is broadcast: at planet
-    scale the slice of changesets referenced by one batch is dimension-sized.
+    ``ChangesetDb.java:50``).
+
+    Scale shape: the planet changesets table is ~150 M rows — never
+    unconditionally broadcast. With ``prune`` (the incremental/batch
+    regime), the changesets side is first semi-joined down to the ids the
+    batch actually references; AQE then sees a dimension-sized build side
+    at runtime and picks a broadcast-hash join on its own. For full-history
+    runs pass ``prune=False`` and the enrichment is a plain sort-merge
+    equi-join on changeset_id.
     """
     cs = changesets.select(
         F.col("id").alias("_cs_id"),
@@ -554,9 +563,12 @@ def with_changesets(contribs: DataFrame, changesets: DataFrame) -> DataFrame:
         F.coalesce("tags", _empty_tags()).alias("_cs_tags"),
         F.coalesce("hashtags", F.array().cast("array<string>")).alias("_cs_hashtags"),
     )
-    joined = contribs.join(
-        F.broadcast(cs), contribs["changeset_id"] == cs["_cs_id"], "left"
-    )
+    if prune:
+        referenced = contribs.select(
+            F.col("changeset_id").alias("_cs_id")
+        ).distinct()
+        cs = cs.join(referenced, "_cs_id", "left_semi")
+    joined = contribs.join(cs, contribs["changeset_id"] == cs["_cs_id"], "left")
     changeset_struct = F.struct(
         F.col("changeset_id").alias("id"),
         F.coalesce("_cs_created_at", F.lit(EPOCH)).alias("created_at"),

@@ -15,6 +15,18 @@ The executable spec is ``ContributionsWayTest.java``; rules reproduced:
    ts <= parent_ts, PLUS any *consecutive head* events sharing the parent's
    changeset even when later (``initMembers`` lines 86-92; pinned by
    testWayExistsBeforeNode / testReferencedNodeHasOlderTimestamp).
+   The member stream POSITION persists across majors
+   (``ContributionsEntity`` keeps one iterator per member): an event
+   head-folded by major k is already consumed when major k+1 initialises,
+   even if its timestamp is later than major k+1 — it is part of k+1's
+   init state, never a minor, and never blocks k+1's own head-fold.
+   Relationally this is a per-(parent, member) cumulative max of
+   fold-consumed stream positions over majors in (ts, version) order;
+   because a fold can be *enabled* by an earlier fold (the blocking event
+   was already consumed), the classification is a fixpoint — iterated
+   ``FOLD_FIXPOINT_ITERS`` times, which resolves consumption chains
+   through that depth (a depth-d chain needs d+1 majors; real OSM chains
+   beyond depth 1 are vanishingly rare).
 2. remaining member events, sorted by (ts, changeset), group into maximal
    consecutive same-changeset runs; each run before the next major becomes
    ONE minor version timestamped at the run's LAST event (drain loop
@@ -36,6 +48,13 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
+
+# Head-folds enabled by earlier head-folds form consumption chains; each
+# classification pass resolves one chain level. A depth-d chain needs d+1
+# parent majors with interleaved out-of-order member edits — depth > 1 is
+# essentially absent from real OSM history, 3 covers the differential
+# test's deepest constructible case (4 majors).
+FOLD_FIXPOINT_ITERS = 3
 
 NODE_STATE_TYPE = T.StructType(
     [
@@ -114,19 +133,57 @@ def merge_member_streams(
         .orderBy("seq")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # stream-pointer window: ONE member's events across ALL majors of one
+    # parent, majors in (pts, pv) order. The cumulative max of
+    # fold-consumed seq is the reference's persistent per-member stream
+    # position. Both this and mw cluster on a superset of the join keys
+    # (mtype, mid), so neither adds an exchange — only a sort.
+    cw = (
+        W.partitionBy("pid", "mtype", "mid")
+        .orderBy("pts", "pv", "seq")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     after_t = F.col("ts") > F.col("pts")
-    violation = (after_t & (F.col("cs") != F.col("pcs"))).cast("int")
-    ev = ev.withColumn("_viol", F.max(violation).over(mw))
-    fold = after_t & (F.col("cs") == F.col("pcs")) & (F.col("_viol") == 0)
-    init_consumed = (~after_t) | fold
+    ev = ev.withColumn("_prior", F.lit(False))
+    for _ in range(FOLD_FIXPOINT_ITERS):
+        # an event already consumed by an earlier major's head-fold cannot
+        # block this major's head-fold (the reference iterator is past it)
+        violation = (
+            after_t & (F.col("cs") != F.col("pcs")) & ~F.col("_prior")
+        ).cast("int")
+        ev = (
+            ev.withColumn("_viol", F.max(violation).over(mw))
+            .withColumn(
+                "_fold",
+                after_t & (F.col("cs") == F.col("pcs")) & (F.col("_viol") == 0),
+            )
+            .withColumn(
+                "_fmax", F.max(F.when(F.col("_fold"), F.col("seq"))).over(cw)
+            )
+            # same-pv rows in the cummax are harmless: an earlier fold in
+            # this pv has a smaller seq, and the current row is excluded
+            # via ~_fold — only folds from earlier (pts, pv) can reach
+            # this seq.
+            .withColumn(
+                "_prior",
+                after_t
+                & ~F.col("_fold")
+                & (F.col("seq") <= F.coalesce("_fmax", F.lit(-(2**62)))),
+            )
+        )
+    fold = F.col("_fold")
+    init_consumed = (~after_t) | fold | F.col("_prior")
     is_minor = (
-        after_t & ~fold & (F.col("pts_end").isNull() | (F.col("ts") < F.col("pts_end")))
+        after_t
+        & ~fold
+        & ~F.col("_prior")
+        & (F.col("pts_end").isNull() | (F.col("ts") < F.col("pts_end")))
     )
     ev = (
         ev.withColumn("_init", init_consumed)
         .withColumn("_minor", is_minor)
         .filter(F.col("_init") | F.col("_minor"))
-        .drop("_viol")
+        .drop("_viol", "_fold", "_fmax", "_prior")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 

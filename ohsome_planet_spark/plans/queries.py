@@ -515,6 +515,71 @@ def contrib_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("osm_id", "osm_edits")
 
 
+_CONTRIB_CHANGESETS_ORACLE = """
+WITH contribs AS (
+  SELECT o_orderkey AS contrib_id, CAST(o_custkey AS BIGINT) AS changeset_id
+  FROM orders
+), cs AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         TIMESTAMP '2020-01-01' + INTERVAL 1 MINUTE * c_custkey AS created_at,
+         TIMESTAMP '2020-01-01' + INTERVAL 1 MINUTE * (c_custkey + 120) AS closed_at,
+         c_mktsegment AS editor,
+         concat('h', CAST(c_custkey % 10 AS VARCHAR), ',',
+                lower(c_mktsegment))                         AS hashtags
+  FROM customer WHERE c_custkey % 3 <> 0
+)
+SELECT contrib_id,
+       changeset_id,
+       coalesce(cs.created_at, TIMESTAMP '1970-01-01')       AS cs_created_at,
+       cs.closed_at                                          AS cs_closed_at,
+       cs.editor                                             AS editor,
+       coalesce(cs.hashtags, '')                             AS hashtags
+FROM contribs LEFT JOIN cs ON contribs.changeset_id = cs.id
+ORDER BY contrib_id
+"""
+
+
+@_register("contrib_changesets", _CONTRIB_CHANGESETS_ORACLE)
+def contrib_changesets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 changeset enrichment: left join with the reference's default
+    record for missing ids (``util/Utils.java:50-66``), editor from
+    tags['created_by'] (A11, ``ChangesetDb.java:50``). Every third
+    changeset id is withheld so the default-record path is exercised.
+    Scale shape: semi-join-pruned build side, AQE-picked broadcast
+    (see ``with_changesets``)."""
+    from ..operators.contributions import with_changesets
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    contribs = orders.select(
+        F.col("o_orderkey").alias("contrib_id"),
+        F.col("o_custkey").cast("bigint").alias("changeset_id"),
+    )
+    changesets = customer.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").cast("bigint").alias("id"),
+        F.expr(
+            "timestamp'2020-01-01' + make_interval(0,0,0,0,0, c_custkey, 0)"
+        ).alias("created_at"),
+        F.expr(
+            "timestamp'2020-01-01' + make_interval(0,0,0,0,0, c_custkey + 120, 0)"
+        ).alias("closed_at"),
+        F.create_map(F.lit("created_by"), F.col("c_mktsegment")).alias("tags"),
+        F.array(
+            F.concat(F.lit("h"), (F.col("c_custkey") % 10).cast("string")),
+            F.lower("c_mktsegment"),
+        ).alias("hashtags"),
+    )
+    out = with_changesets(contribs, changesets)
+    return out.select(
+        "contrib_id",
+        F.col("changeset.id").alias("changeset_id"),
+        F.col("changeset.created_at").alias("cs_created_at"),
+        F.col("changeset.closed_at").alias("cs_closed_at"),
+        F.col("changeset.editor").alias("editor"),
+        F.concat_ws(",", "changeset.hashtags").alias("hashtags"),
+    ).orderBy("contrib_id")
+
+
 # ===========================================================================
 # scalar function surface: hashtags, xz, geodesic (A8-A11)
 # ===========================================================================

@@ -111,6 +111,54 @@ def test_cross_validation_reference_fixtures(spark):
     )
 
 
+def test_cross_major_fold_consumption(spark):
+    """A member event head-folded by major k must be init-consumed by major
+    k+1 (the reference's stream position persists across majors), not
+    become a spurious minor: node v2 (ts10, cs1) folds into way v1
+    (ts1, cs1) and is way v2's (ts5, cs2) init state."""
+    rel = compare(
+        spark,
+        [
+            (1, 1, ts(0), 9, 1, "u", True, {}, 1.0, 0.0),
+            (1, 2, ts(10), 1, 1, "u", True, {}, 2.0, 0.0),
+        ],
+        [
+            (10, 1, ts(1), 1, 1, "u", True, {"h": "x"}, [1]),
+            (10, 2, ts(5), 2, 1, "u", True, {"h": "x"}, [1]),
+        ],
+    )
+    # exactly the two major instants, v2 seeing the folded node v2 state
+    assert rel == {
+        (10, 1, ts(1), 1, (2,)),
+        (10, 2, ts(5), 2, (2,)),
+    }
+
+
+def test_chained_cross_major_folds(spark):
+    """Depth-3 consumption chain: each major's head-fold is only legal
+    because the previous major's fold already consumed the would-be
+    blocking event. Requires the fixpoint to iterate."""
+    rel = compare(
+        spark,
+        [
+            (1, 1, ts(0), 9, 1, "u", True, {}, 1.0, 0.0),
+            (1, 2, ts(10), 1, 1, "u", True, {}, 2.0, 0.0),
+            (1, 3, ts(11), 2, 1, "u", True, {}, 3.0, 0.0),
+            (1, 4, ts(12), 3, 1, "u", True, {}, 4.0, 0.0),
+        ],
+        [
+            (10, 1, ts(1), 1, 1, "u", True, {"h": "x"}, [1]),
+            (10, 2, ts(5), 2, 1, "u", True, {"h": "x"}, [1]),
+            (10, 3, ts(8), 3, 1, "u", True, {"h": "x"}, [1]),
+        ],
+    )
+    assert rel == {
+        (10, 1, ts(1), 1, (2,)),
+        (10, 2, ts(5), 2, (3,)),
+        (10, 3, ts(8), 3, (4,)),
+    }
+
+
 def test_cross_validation_randomized(spark):
     for seed in range(25):
         node_rows, way_rows = random_history(seed)
