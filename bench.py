@@ -17,7 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ohsome_planet_spark.plans.queries import all_queries  # noqa: E402
-from ohsome_planet_spark.session import get_spark  # noqa: E402
+from ohsome_planet_spark.session import get_spark, release_cached  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -35,6 +35,9 @@ def main() -> None:
         df = queries[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # release operator-persisted intermediates so a 32-query session's
+        # storage memory stays flat (each query re-derives its own)
+        release_cached()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -84,6 +84,9 @@ def cmd_contributions(args) -> int:
         bloom_filter_columns=("osm_id",),
     )
     print(f"wrote contributions to {args.out}")
+    from .session import release_cached
+
+    release_cached()
     return 0
 
 

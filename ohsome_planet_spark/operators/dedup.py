@@ -204,7 +204,9 @@ def lsh_candidate_pairs(
     # both self-join sides consume the minhash computation; persist once
     from pyspark.storagelevel import StorageLevel
 
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    from ..session import register_cached
+
+    banded = register_cached(banded.persist(StorageLevel.MEMORY_AND_DISK))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -260,7 +262,9 @@ def simhash_near_dup_pairs(
     # persist so it computes once
     from pyspark.storagelevel import StorageLevel
 
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    from ..session import register_cached
+
+    banded = register_cached(banded.persist(StorageLevel.MEMORY_AND_DISK))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

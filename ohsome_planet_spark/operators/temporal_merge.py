@@ -49,6 +49,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
+from ..session import register_cached
+
 # Head-folds enabled by earlier head-folds form consumption chains; each
 # classification pass resolves one chain level. A depth-d chain needs d+1
 # parent majors with interleaved out-of-order member edits — depth > 1 is
@@ -118,8 +120,8 @@ def merge_member_streams(
     # persistence Catalyst re-derives them per branch (measured: 32 source
     # scans for the way pipeline). MEMORY_AND_DISK keeps the plan one-pass;
     # at cluster scale the same role is played by a staged table.
-    majors = majors.persist(StorageLevel.MEMORY_AND_DISK)
-    slots = slots.persist(StorageLevel.MEMORY_AND_DISK)
+    majors = register_cached(majors.persist(StorageLevel.MEMORY_AND_DISK))
+    slots = register_cached(slots.persist(StorageLevel.MEMORY_AND_DISK))
 
     member_streams = (
         majors.select("pid", "pv", "pts", "pts_end", "pcs")
@@ -184,8 +186,8 @@ def merge_member_streams(
         .withColumn("_minor", is_minor)
         .filter(F.col("_init") | F.col("_minor"))
         .drop("_viol", "_fold", "_fmax", "_prior")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    ev = register_cached(ev.persist(StorageLevel.MEMORY_AND_DISK))
 
     # --- run construction (rules 2-3) ------------------------------------
     rw = W.partitionBy("pid", "pv").orderBy("ts", "cs", "mtype", "mid", "seq")
@@ -198,8 +200,8 @@ def merge_member_streams(
             "run_idx",
             F.sum("_new_run").over(rw.rowsBetween(W.unboundedPreceding, W.currentRow)),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    minor_ev = register_cached(minor_ev.persist(StorageLevel.MEMORY_AND_DISK))
     runs = minor_ev.groupBy("pid", "pv", "run_idx").agg(
         F.max("ts").alias("inst_ts"),
         F.first("cs").alias("inst_cs"),

@@ -54,21 +54,51 @@ def compare(spark, node_rows, way_rows):
     return rel
 
 
-def random_history(seed: int):
+def random_history(seed: int, way_id: int = 10, node_base: int = 0):
     """Random node/way histories exercising folds, same-ts ties, run
-    grouping, multi-major boundaries, and members created late."""
+    grouping, multi-major boundaries, and members created late.
+
+    Node/way ids are namespaced by (way_id, node_base) so hundreds of
+    independent histories can be unioned into ONE DataFrame pair and
+    cross-validated in a single Spark job (per-seed jobs would take hours).
+    """
     rng = random.Random(seed)
     n_nodes = rng.randint(2, 5)
+    nids = [node_base + i for i in range(1, n_nodes + 1)]
+
+    way_rows = []
+    t = rng.randint(1, 8)
+    for version in range(1, rng.randint(2, 5)):
+        refs = rng.sample(nids, rng.randint(1, n_nodes))
+        way_rows.append(
+            (way_id, version, ts(t), rng.randint(1, 6), 1, "u", True, {"h": "x"}, refs)
+        )
+        t += rng.randint(3, 12)
+    way_cs = [w[3] for w in way_rows]
+    way_ts = [w[2] for w in way_rows]
+
     node_rows = []
-    for nid in range(1, n_nodes + 1):
+    for nid in nids:
         t = rng.randint(0, 4)
         for version in range(1, rng.randint(2, 6)):
+            cs = rng.randint(1, 6)
+            tt = ts(t)
+            # bias ~1 in 4 events toward the cross-major fold interleaving
+            # the builder flagged as analytically-covered-only: changeset of
+            # an EARLIER way major, timestamp leapfrogging a LATER one
+            if rng.random() < 0.25 and len(way_rows) > 1:
+                k = rng.randrange(len(way_rows) - 1)
+                cs = way_cs[k]
+                leap = way_ts[rng.randrange(k + 1, len(way_rows))]
+                # clamp so per-node timestamps stay monotone in version order
+                t = max(t, int(leap.replace(tzinfo=dt.timezone.utc).timestamp()) + rng.randint(0, 6))
+                tt = ts(t)
             node_rows.append(
                 (
                     nid,
                     version,
-                    ts(t),
-                    rng.randint(1, 6),  # small changeset space → collisions
+                    tt,
+                    cs,  # small changeset space → collisions
                     rng.randint(1, 3),
                     "u",
                     True,
@@ -78,14 +108,6 @@ def random_history(seed: int):
                 )
             )
             t += rng.randint(1, 5)
-    way_rows = []
-    t = rng.randint(1, 8)
-    for version in range(1, rng.randint(2, 4)):
-        refs = rng.sample(range(1, n_nodes + 1), rng.randint(1, n_nodes))
-        way_rows.append(
-            (10, version, ts(t), rng.randint(1, 6), 1, "u", True, {"h": "x"}, refs)
-        )
-        t += rng.randint(3, 12)
     return node_rows, way_rows
 
 
@@ -163,3 +185,16 @@ def test_cross_validation_randomized(spark):
     for seed in range(25):
         node_rows, way_rows = random_history(seed)
         compare(spark, node_rows, way_rows)
+
+
+def test_cross_validation_randomized_bulk(spark):
+    """500 independent random histories, unioned into one DataFrame pair and
+    cross-validated in a single Spark job pair. The generator biases toward
+    cross-major fold interleavings (events sharing an earlier major's
+    changeset but leapfrogging a later major's timestamp)."""
+    node_rows, way_rows = [], []
+    for seed in range(500):
+        nr, wr = random_history(seed, way_id=10_000 + seed, node_base=seed * 100)
+        node_rows.extend(nr)
+        way_rows.extend(wr)
+    compare(spark, node_rows, way_rows)

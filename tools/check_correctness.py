@@ -85,6 +85,8 @@ def main() -> int:
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
+    from ohsome_planet_spark.session import release_cached
+
     n_fail = 0
     for name in names:
         t0 = time.time()
@@ -94,6 +96,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            release_cached()
         if name not in oracles:
             print(f"OK*   {name}: rows={len(sdf)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
             continue
