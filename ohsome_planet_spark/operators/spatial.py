@@ -204,43 +204,372 @@ def geometry_intersects_feature(
     return False
 
 
-def geometry_countries_udf(features: list[Feature]):
+def _part_polylines(geom: dict) -> list["np.ndarray"]:
+    """Per-part vertex chains: each polygon ring (exterior AND holes), each
+    linestring, each point becomes its own (N,2) array. Edges never span
+    part boundaries — a MultiLineString's gap is not an edge."""
+    t, c = geom["type"], geom["coords"]
+    if t == "Point":
+        return [np.asarray([c], dtype=np.float64)]
+    if t == "LineString":
+        return [np.asarray(c, dtype=np.float64)] if len(c) else []
+    if t == "Polygon":
+        return [np.asarray(r, dtype=np.float64) for r in c if len(r)]
+    if t == "MultiPoint":
+        return [np.asarray([p], dtype=np.float64) for p in c]
+    if t == "MultiLineString":
+        return [np.asarray(ln, dtype=np.float64) for ln in c if len(ln)]
+    if t == "MultiPolygon":
+        return [np.asarray(r, dtype=np.float64) for poly in c for r in poly if len(r)]
+    if t == "GeometryCollection":
+        out: list[np.ndarray] = []
+        for sub in c:
+            out.extend(_part_polylines(sub))
+        return out
+    return []
+
+
+class FeatureGrid:
+    """Covered-cell fast path (reference ``SpatialGridJoiner.java:18-98``):
+    a regular lon/lat grid where every cell NOT crossed by any feature
+    boundary has one uniform membership, resolved once from the cell
+    center. A geometry whose bbox fits inside one uncrossed cell gets its
+    countries by dict lookup, skipping every geometry test. Built once on
+    the driver and shipped in the UDF closure (the Spark equivalent of the
+    reference's broadcast grid index)."""
+
+    # BOUNDARY / EMPTY are codes in the dense membership raster; codes >= 0
+    # index ``memb_sets`` (interned uniform feature-index sets)
+    BOUNDARY = -1
+    EMPTY = -2
+
+    def __init__(self, features: list[Feature], cell_deg: float = 0.1):
+        self.cell = float(cell_deg)
+        self.fids = np.array([f.feature_id for f in features])
+        eps = 1e-9  # grid-aligned boundary edges mark BOTH adjacent cells
+
+        boundary: set[tuple[int, int]] = set()
+        for f in features:
+            for part in f.parts:
+                for ring in part:
+                    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+                    x2, y2 = ring[1:, 0], ring[1:, 1]
+                    ix0 = np.floor((np.minimum(x1, x2) - eps) / self.cell).astype(np.int64)
+                    ix1 = np.floor((np.maximum(x1, x2) + eps) / self.cell).astype(np.int64)
+                    iy0 = np.floor((np.minimum(y1, y2) - eps) / self.cell).astype(np.int64)
+                    iy1 = np.floor((np.maximum(y1, y2) + eps) / self.cell).astype(np.int64)
+                    # dense rings: most edges stay inside one cell — mark
+                    # those in one vectorized unique; loop only spanners
+                    single = (ix0 == ix1) & (iy0 == iy1)
+                    if single.any():
+                        boundary.update(
+                            zip(ix0[single].tolist(), iy0[single].tolist())
+                        )
+                    for a0, a1, b0, b1 in zip(
+                        ix0[~single], ix1[~single], iy0[~single], iy1[~single]
+                    ):
+                        for ix in range(a0, a1 + 1):
+                            for iy in range(b0, b1 + 1):
+                                boundary.add((ix, iy))
+
+        # dense raster over the union extent of all features (+1 cell halo);
+        # anything outside the extent is EMPTY by construction
+        if features:
+            bbs = np.array([f.bbox for f in features])
+            self.gx0 = int(np.floor(bbs[:, 0].min() / self.cell)) - 1
+            self.gy0 = int(np.floor(bbs[:, 1].min() / self.cell)) - 1
+            nx = int(np.floor(bbs[:, 2].max() / self.cell)) + 2 - self.gx0
+            ny = int(np.floor(bbs[:, 3].max() / self.cell)) + 2 - self.gy0
+        else:
+            self.gx0 = self.gy0 = 0
+            nx = ny = 1
+        memb = np.full((nx, ny), self.EMPTY, dtype=np.int32)
+        for ix, iy in boundary:
+            if self.gx0 <= ix < self.gx0 + nx and self.gy0 <= iy < self.gy0 + ny:
+                memb[ix - self.gx0, iy - self.gy0] = self.BOUNDARY
+
+        # uniform membership of every uncrossed cell, by scanline
+        # rasterization: per cell row, ring crossings of the horizontal
+        # line through the centers → sorted x crossings → parity via
+        # searchsorted. O(rows × edges) instead of O(cells × edges), which
+        # keeps fine grids buildable (0.1° world grid in ~1 s, not minutes).
+        cell_fidx: dict[tuple[int, int], list[int]] = {}
+        for j, f in enumerate(features):
+            bx0, by0, bx1, by1 = f.bbox
+            ix_lo, ix_hi = int(np.floor(bx0 / self.cell)), int(np.floor(bx1 / self.cell))
+            iy_lo, iy_hi = int(np.floor(by0 / self.cell)), int(np.floor(by1 / self.cell))
+            centers_x = (np.arange(ix_lo, ix_hi + 1) + 0.5) * self.cell
+            for iy in range(iy_lo, iy_hi + 1):
+                cy = (iy + 0.5) * self.cell
+                inside_union = np.zeros(len(centers_x), dtype=bool)
+                for part in f.parts:
+                    xs = []
+                    for ring in part:  # even-odd over exterior + holes
+                        y1, y2 = ring[:-1, 1], ring[1:, 1]
+                        c = (y1 > cy) != (y2 > cy)
+                        if c.any():
+                            x1, x2 = ring[:-1, 0], ring[1:, 0]
+                            xs.append(
+                                x1[c] + (cy - y1[c]) * (x2[c] - x1[c]) / (y2[c] - y1[c])
+                            )
+                    if xs:
+                        xcr = np.sort(np.concatenate(xs))
+                        inside_union |= (np.searchsorted(xcr, centers_x) % 2) == 1
+                for k in np.nonzero(inside_union)[0]:
+                    key = (ix_lo + int(k), iy)
+                    if key not in boundary:
+                        cell_fidx.setdefault(key, []).append(j)
+
+        # intern distinct membership sets → small ids
+        sets: dict[tuple[int, ...], int] = {}
+        self.memb_sets: list[np.ndarray] = []
+        for (ix, iy), idxs in cell_fidx.items():
+            key = tuple(idxs)
+            sid = sets.get(key)
+            if sid is None:
+                sid = len(self.memb_sets)
+                sets[key] = sid
+                self.memb_sets.append(np.asarray(idxs, dtype=np.int64))
+            memb[ix - self.gx0, iy - self.gy0] = sid
+        self.memb = memb
+
+    def codes_at(self, ix: "np.ndarray", iy: "np.ndarray") -> "np.ndarray":
+        """Vectorized raster lookup of cell codes (EMPTY outside extent)."""
+        out = np.full(ix.shape, self.EMPTY, dtype=np.int32)
+        nx, ny = self.memb.shape
+        inb = (
+            (ix >= self.gx0)
+            & (ix < self.gx0 + nx)
+            & (iy >= self.gy0)
+            & (iy < self.gy0 + ny)
+        )
+        out[inb] = self.memb[ix[inb] - self.gx0, iy[inb] - self.gy0]
+        return out
+
+    def lookup(self, gx0: float, gy0: float, gx1: float, gy1: float):
+        """Uniform membership (tuple of feature ids) if the bbox fits in
+        one uncrossed cell, else None (→ caller runs geometry tests)."""
+        ix, iy = int(np.floor(gx0 / self.cell)), int(np.floor(gy0 / self.cell))
+        if int(np.floor(gx1 / self.cell)) != ix or int(np.floor(gy1 / self.cell)) != iy:
+            return None
+        code = self.codes_at(np.array([ix]), np.array([iy]))[0]
+        if code == self.BOUNDARY:
+            return None
+        if code == self.EMPTY:
+            return ()
+        return tuple(sorted(self.fids[self.memb_sets[code]].tolist()))
+
+
+def _edges_cross_ring_batch(
+    ex1: "np.ndarray",
+    ey1: "np.ndarray",
+    ex2: "np.ndarray",
+    ey2: "np.ndarray",
+    ring: "np.ndarray",
+    chunk: int = 2048,
+) -> "np.ndarray":
+    """Per-edge boolean: geometry edge properly crosses or touches any ring
+    edge. Same orientation/bbox semantics as ``_segments_cross_ring``, but
+    vectorized over (edges × ring edges) in bounded-memory chunks."""
+    rx1, ry1 = ring[:-1, 0], ring[:-1, 1]
+    rx2, ry2 = ring[1:, 0], ring[1:, 1]
+    rminx, rmaxx = np.minimum(rx1, rx2), np.maximum(rx1, rx2)
+    rminy, rmaxy = np.minimum(ry1, ry2), np.maximum(ry1, ry2)
+    out = np.zeros(ex1.shape, dtype=bool)
+    for s in range(0, len(ex1), chunk):
+        e = slice(s, s + chunk)
+        a1x, a1y = ex1[e][:, None], ey1[e][:, None]
+        a2x, a2y = ex2[e][:, None], ey2[e][:, None]
+        d1 = (rx2 - rx1) * (a1y - ry1) - (ry2 - ry1) * (a1x - rx1)
+        d2 = (rx2 - rx1) * (a2y - ry1) - (ry2 - ry1) * (a2x - rx1)
+        d3 = (a2x - a1x) * (ry1 - a1y) - (a2y - a1y) * (rx1 - a1x)
+        d4 = (a2x - a1x) * (ry2 - a1y) - (a2y - a1y) * (rx2 - a1x)
+        proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        overlap = (
+            (rminx <= np.maximum(a1x, a2x))
+            & (rmaxx >= np.minimum(a1x, a2x))
+            & (rminy <= np.maximum(a1y, a2y))
+            & (rmaxy >= np.minimum(a1y, a2y))
+        )
+        touch = overlap & ((d1 == 0) | (d2 == 0))
+        out[e] = (proper | touch).any(axis=1)
+    return out
+
+
+def geometry_countries_udf(features: list[Feature], grid: FeatureGrid | None = None):
     """pandas UDF over WKB geometries → sorted array<string> of feature ids
     whose polygons intersect the geometry (the reference joins the FULL
-    geometry, ``ContributionsAvroConverter.java:130``)."""
+    geometry, ``ContributionsAvroConverter.java:130``).
+
+    Scale shape: per Arrow batch, geometries decode ONCE into flat vertex/
+    edge arrays; each feature then tests the whole batch vectorized
+    (vertex-in-polygon over all candidate vertices, edge-crossing over all
+    candidate edges) — no per-row Python in the hot path. Rows whose bbox
+    fits inside an uncrossed ``FeatureGrid`` cell skip the tests entirely
+    via dict lookup, mirroring the reference's covered-cell grid."""
     from ..functions import wkb as wkblib
-    from ..functions.wkb import _all_coords
 
     bboxes = [(f.feature_id, f.bbox, f) for f in features]
+    grid = FeatureGrid(features) if grid is None else grid
 
     @F.pandas_udf("array<string>")
     def _join(wkb_col: pd.Series) -> pd.Series:
-        out = []
-        for buf in wkb_col:
+        n = len(wkb_col)
+        result: list = [None] * n
+        slow_rows: list[int] = []
+        slow_parts: list[list[np.ndarray]] = []
+        slow_geoms: list[dict] = []
+        row_bbox: list[tuple[float, float, float, float]] = []
+
+        # --- decode once + grid fast path --------------------------------
+        for i, buf in enumerate(wkb_col):
             if buf is None:
-                out.append([])
+                result[i] = []
                 continue
             geom = wkblib.decode(bytes(buf))
-            xs, ys = _all_coords(geom)
-            if xs.size == 0:
-                out.append([])
+            parts = _part_polylines(geom) if geom is not None else []
+            if not parts:
+                result[i] = []
                 continue
-            coords = np.column_stack([xs, ys])
-            gx0, gy0, gx1, gy1 = xs.min(), ys.min(), xs.max(), ys.max()
-            hits = []
-            for fid, (bx0, by0, bx1, by1), feat in bboxes:
-                if gx1 < bx0 or gx0 > bx1 or gy1 < by0 or gy0 > by1:
+            allv = np.vstack(parts)
+            gx0, gy0 = float(allv[:, 0].min()), float(allv[:, 1].min())
+            gx1, gy1 = float(allv[:, 0].max()), float(allv[:, 1].max())
+            fast = grid.lookup(gx0, gy0, gx1, gy1)
+            if fast is not None:
+                result[i] = list(fast)
+                continue
+            slow_rows.append(i)
+            slow_parts.append(parts)
+            slow_geoms.append(geom)
+            row_bbox.append((gx0, gy0, gx1, gy1))
+
+        if slow_rows:
+            m = len(slow_rows)
+            rb = np.asarray(row_bbox, dtype=np.float64)
+            # flat batch arrays: vertices + within-part edges, each tagged
+            # with its slow-row index
+            vxl, vyl, vrl = [], [], []
+            e1xl, e1yl, e2xl, e2yl, erl = [], [], [], [], []
+            for r, parts in enumerate(slow_parts):
+                for p in parts:
+                    vxl.append(p[:, 0])
+                    vyl.append(p[:, 1])
+                    vrl.append(np.full(len(p), r, dtype=np.int64))
+                    if len(p) > 1:
+                        e1xl.append(p[:-1, 0])
+                        e1yl.append(p[:-1, 1])
+                        e2xl.append(p[1:, 0])
+                        e2yl.append(p[1:, 1])
+                        erl.append(np.full(len(p) - 1, r, dtype=np.int64))
+            vx, vy = np.concatenate(vxl), np.concatenate(vyl)
+            vrow = np.concatenate(vrl)
+            if e1xl:
+                ex1, ey1 = np.concatenate(e1xl), np.concatenate(e1yl)
+                ex2, ey2 = np.concatenate(e2xl), np.concatenate(e2yl)
+                erow = np.concatenate(erl)
+            else:
+                ex1 = ey1 = ex2 = ey2 = np.empty(0)
+                erow = np.empty(0, dtype=np.int64)
+
+            # --- grid classification: a vertex in an uncrossed cell gets
+            # that cell's uniform membership with NO ring test; only
+            # boundary-cell vertices need point-in-polygon. Same for edges:
+            # a crossing's intersection point always lies in a
+            # boundary-marked cell, so single-cell edges in uncrossed cells
+            # can't cross anything.
+            hitmat = np.zeros((m, len(bboxes)), dtype=bool)
+            ncode = max(1, len(grid.memb_sets))
+            vcode = grid.codes_at(
+                np.floor(vx / grid.cell).astype(np.int64),
+                np.floor(vy / grid.cell).astype(np.int64),
+            )
+            pos = vcode >= 0
+            if pos.any():
+                for key in np.unique(
+                    vrow[pos].astype(np.int64) * ncode + vcode[pos]
+                ):
+                    r, sid = divmod(int(key), ncode)
+                    hitmat[r, grid.memb_sets[sid]] = True
+            vbound = vcode == FeatureGrid.BOUNDARY
+            if len(ex1):
+                eix0 = np.floor(np.minimum(ex1, ex2) / grid.cell).astype(np.int64)
+                eix1 = np.floor(np.maximum(ex1, ex2) / grid.cell).astype(np.int64)
+                eiy0 = np.floor(np.minimum(ey1, ey2) / grid.cell).astype(np.int64)
+                eiy1 = np.floor(np.maximum(ey1, ey2) / grid.cell).astype(np.int64)
+                esingle = (eix0 == eix1) & (eiy0 == eiy1)
+                enear = np.ones(len(ex1), dtype=bool)
+                enear[esingle] = (
+                    grid.codes_at(eix0[esingle], eiy0[esingle])
+                    == FeatureGrid.BOUNDARY
+                )
+            else:
+                enear = np.empty(0, dtype=bool)
+
+            for j, (_fid, (bx0, by0, bx1, by1), feat) in enumerate(bboxes):
+                cand = (
+                    (rb[:, 0] <= bx1)
+                    & (rb[:, 2] >= bx0)
+                    & (rb[:, 1] <= by1)
+                    & (rb[:, 3] >= by0)
+                )
+                if not cand.any():
                     continue
-                if geometry_intersects_feature(coords, feat, geom):
-                    hits.append(fid)
-            out.append(sorted(hits))
-        return pd.Series(out)
+                # stage A: boundary-cell vertices inside/on the feature
+                vsel = (
+                    vbound & cand[vrow]
+                    & (vx >= bx0) & (vx <= bx1) & (vy >= by0) & (vy <= by1)
+                )
+                if vsel.any():
+                    idx = np.nonzero(vsel)[0]
+                    mk = points_in_feature(vx[idx], vy[idx], feat)
+                    hitmat[vrow[idx[mk]], j] = True
+                # stage B: near-boundary geometry edges crossing/touching an
+                # exterior ring (exterior crossing suffices, as before)
+                pend = cand & ~hitmat[:, j]
+                if pend.any() and len(ex1):
+                    esel = pend[erow] & enear
+                    if esel.any():
+                        eidx = np.nonzero(esel)[0]
+                        for part in feat.parts:
+                            if not part:
+                                continue
+                            cr = _edges_cross_ring_batch(
+                                ex1[eidx], ey1[eidx], ex2[eidx], ey2[eidx], part[0]
+                            )
+                            hitmat[erow[eidx[cr]], j] = True
+                # stage C (rare): polygonal geometry fully containing the
+                # feature — test feature vertices against geometry rings
+                pend = np.nonzero(cand & ~hitmat[:, j])[0]
+                for r in pend:
+                    done = False
+                    for gring in _polygon_rings_of(slow_geoms[r]):
+                        for part in feat.parts:
+                            if not part:
+                                continue
+                            fx, fy = part[0][:, 0], part[0][:, 1]
+                            inside, on_edge = _ring_test(fx, fy, gring)
+                            if (inside | on_edge).any():
+                                hitmat[r, j] = True
+                                done = True
+                                break
+                        if done:
+                            break
+
+            fids = np.array([fid for fid, _b, _f in bboxes])
+            for r, i in enumerate(slow_rows):
+                result[i] = sorted(fids[hitmat[r]].tolist())
+
+        return pd.Series(result)
 
     return _join
 
 
 def join_countries_geometry(
-    df: DataFrame, features: list[Feature], wkb_col: Column | str = "geometry"
+    df: DataFrame,
+    features: list[Feature],
+    wkb_col: Column | str = "geometry",
+    grid_cell_deg: float = 0.1,
 ) -> DataFrame:
     wkb_col = F.col(wkb_col) if isinstance(wkb_col, str) else wkb_col
-    return df.withColumn("countries", geometry_countries_udf(features)(wkb_col))
+    grid = FeatureGrid(features, grid_cell_deg)
+    return df.withColumn("countries", geometry_countries_udf(features, grid)(wkb_col))
