@@ -20,12 +20,18 @@ Python port of the reference's ring-assembly pipeline
    osm-testdata case 720);
 7. shared-node touches are accepted; proper edge crossings raise.
 
-Divergence from the reference (documented): the reference REPAIRS
-overlapping/touching rings with JTS union/difference overlays
-(``GeometryBuilder.java:77-110,146-160``); without a polygon-clipping
-library we raise instead, which surfaces as an empty multipolygon → the
-same 'invalid'/collection fallback path the reference takes when repair
-fails. Affects only geometrically-degenerate relations.
+Degenerate relations are REPAIRED the way the reference repairs them
+(``GeometryBuilder.java:53-110`` main flow,
+``handleIntersectingAndTouchingPolygons:113-159``): outers that overlap
+through common nodes are replaced by their mutual differences, inners
+touching at points mark the outer for an n-ary difference (enclosed
+areas become holes or split the outer), line-touching inners are merged
+(unioned) among themselves or subtracted from the outer when they touch
+its boundary in a line — all on the pure-Python arrangement overlay in
+:mod:`.overlay` instead of JTS. Unrepairable inputs raise
+:class:`MultipolygonError` with the reference's error conditions
+("Touching polygons without common node", "Overlapping polygons",
+"Overlapping outer rings").
 """
 
 from __future__ import annotations
@@ -33,6 +39,14 @@ from __future__ import annotations
 import numpy as np
 
 from .geometry import ring_is_simple
+from .overlay import (
+    OverlayError,
+    _dedup_key,
+    boundary_intersection,
+    polygon_difference,
+    polygon_union,
+    interiors_overlap,
+)
 from .wkb import _ring_moments
 
 Coord = tuple[float, float]
@@ -241,18 +255,22 @@ def _merge_segments(segments: list[_Segment]) -> list[Coord]:
 
         return (within(p, q, r) and within(p, q, s)) or (within(r, s, p) and within(r, s, q))
 
-    i = 1
-    a = coords[-1]
-    b = coords[0]
-    while i < len(coords):
-        c = coords[i]
-        if collinear_covers(a, b, b, c):
-            coords.remove(b)
-            i -= 1
-        else:
-            a = b
-        b = c
-        i += 1
+    # The reference's single pass starts from HashMap-order-dependent chain
+    # starts, so whether a seam spike is caught depends on where the ring
+    # happened to begin (743_mod only builds for lucky starts). Scanning the
+    # triple window CYCLICALLY until stable removes every backtracking
+    # spike regardless of start vertex — the behavior the golden fix WKT
+    # pins down.
+    changed = True
+    while changed and len(coords) >= 3:
+        changed = False
+        n = len(coords)
+        for i in range(n):
+            a, b, c = coords[i - 2], coords[i - 1], coords[i % n]
+            if collinear_covers(a, b, b, c):
+                coords.remove(b)
+                changed = True
+                break
     coords.append(coords[0])
     return coords
 
@@ -335,20 +353,131 @@ def _ring_contains_ring(outer: list[Coord], inner: list[Coord]) -> bool:
     return any(r == 1 for r in results)
 
 
-def _rings_properly_cross(a: list[Coord], b: list[Coord]) -> bool:
-    """True if rings share a non-point intersection that is not made of
-    common vertices (the reference's 'Overlapping' error conditions)."""
-    from .geometry import _segments_intersect
+# polygon = (shell, [holes...]) throughout the repair stage
+_Poly = tuple[list[Coord], list[list[Coord]]]
 
-    av = set(a)
-    bv = set(b)
-    for i in range(len(a) - 1):
-        for j in range(len(b) - 1):
-            p1, p2, p3, p4 = a[i], a[i + 1], b[j], b[j + 1]
-            if _segments_intersect(p1, p2, p3, p4):
-                return True
-    # collinear shared edges without shared vertices
-    return False
+
+def _ring_bbox(ring: list[Coord]) -> tuple[float, float, float, float]:
+    arr = np.asarray(ring)
+    return arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max()
+
+
+def _bboxes_disjoint(a: list[Coord], b: list[Coord]) -> bool:
+    ax0, ay0, ax1, ay1 = _ring_bbox(a)
+    bx0, by0, bx1, by1 = _ring_bbox(b)
+    return ax0 > bx1 or bx0 > ax1 or ay0 > by1 or by0 > ay1
+
+
+def _envelope_may_touch(inner: list[Coord], outer: list[Coord]) -> bool:
+    """Conservative stand-in for JTS ``inner.getEnvelope().intersects(outer)``
+    — true iff any outer edge's bbox overlaps the inner ring's bbox (no
+    false negatives; the exact test follows only when this passes)."""
+    ix0, iy0, ix1, iy1 = _ring_bbox(inner)
+    arr = np.asarray(outer)
+    x1, y1 = arr[:-1, 0], arr[:-1, 1]
+    x2, y2 = arr[1:, 0], arr[1:, 1]
+    hit = (
+        (np.minimum(x1, x2) <= ix1)
+        & (np.maximum(x1, x2) >= ix0)
+        & (np.minimum(y1, y2) <= iy1)
+        & (np.maximum(y1, y2) >= iy0)
+    )
+    return bool(hit.any())
+
+
+def _poly_verts(poly: _Poly) -> set:
+    return {_dedup_key(p) for ring in [poly[0]] + list(poly[1]) for p in ring}
+
+
+def _poly_contains(outer: _Poly, inner: _Poly) -> bool:
+    """JTS ``Polygon.contains`` approximation on the repair polygons."""
+    if not _ring_contains_ring(outer[0], _closed_ring(inner[0])):
+        return False
+    probe = inner[0][0]
+    for hole in outer[1]:
+        if _point_in_ring(probe, _closed_ring(hole)) > 0:
+            return False
+    return True
+
+
+def _closed_ring(ring: list[Coord]) -> list[Coord]:
+    return ring if ring[0] == ring[-1] else list(ring) + [ring[0]]
+
+
+def _difference(a: _Poly, bs: list[_Poly]) -> list[_Poly]:
+    try:
+        return polygon_difference(a, bs)
+    except OverlayError as exc:
+        raise MultipolygonError(f"multipolygon difference failed: {exc}") from exc
+
+
+def _handle_intersecting(polys: list[_Poly], merge_touching: bool) -> bool:
+    """Port of ``handleIntersectingAndTouchingPolygons`` (GeometryBuilder.java
+    :113-159): pairwise boundary classification of exterior rings —
+
+    - intersection coordinates not all common nodes → "Touching polygons
+      without common node" (single point) / "Overlapping polygons" (points);
+    - point touches mark enclosed areas (caller switches to n-ary
+      difference);
+    - multi-point touches with interior overlap → both replaced by their
+      mutual differences (each must stay a single polygon);
+    - line touches → union (inner rings, ``mergeTouching``) or
+      "Overlapping outer rings" (outer rings).
+
+    Mutates ``polys`` in place like the Java list; returns
+    ``formsEnclosedAreas``.
+    """
+    forms_enclosed = False
+    i = 0
+    while i < len(polys):
+        j = i + 1
+        while j < len(polys):
+            pa, pb = polys[i], polys[j]
+            ra, rb = _closed_ring(pa[0]), _closed_ring(pb[0])
+            if _bboxes_disjoint(ra, rb):
+                j += 1
+                continue
+            pts, chains, all_coords = boundary_intersection(ra, rb)
+            if not pts and not chains:
+                j += 1
+                continue
+            single_point = len(pts) == 1 and not chains
+            multi_point = len(pts) > 1 and not chains
+            va, vb = _poly_verts(pa), _poly_verts(pb)
+            if any(_dedup_key(c) not in va or _dedup_key(c) not in vb for c in all_coords):
+                if single_point:
+                    raise MultipolygonError("Touching polygons without common node")
+                if multi_point:
+                    raise MultipolygonError("Overlapping polygons")
+            if single_point:
+                forms_enclosed = True
+            elif multi_point:
+                forms_enclosed = True
+                if interiors_overlap(pa, pb):
+                    da = _difference(pa, [pb])
+                    db = _difference(pb, [pa])
+                    if len(da) != 1 or len(db) != 1:
+                        raise MultipolygonError(
+                            "Unexpected result of multipolygon subtraction"
+                        )
+                    polys[i], polys[j] = da[0], db[0]
+            elif not pts:
+                # pure line intersection; mixed point+line (JTS
+                # GeometryCollection) matches no branch and is left alone
+                if merge_touching:
+                    try:
+                        u = polygon_union(pa, pb)
+                    except OverlayError as exc:
+                        raise MultipolygonError(f"union failed: {exc}") from exc
+                    if len(u) != 1:
+                        raise MultipolygonError("Unexpected union result")
+                    polys[i] = u[0]
+                    del polys[j]
+                    continue  # re-examine the element shifted into j
+                raise MultipolygonError("Overlapping outer rings")
+            j += 1
+        i += 1
+    return forms_enclosed
 
 
 def build_multipolygon(
@@ -356,9 +485,11 @@ def build_multipolygon(
 ) -> dict:
     """outer/inner member-way coordinate lists → MultiPolygon geometry dict.
 
-    Raises :class:`MultipolygonError` for unbuildable inputs (parity
-    failures, overlapping rings, invalid polygons) — callers map that to the
-    reference's empty-multipolygon fallback.
+    Mirrors ``GeometryBuilder.buildMultiPolygon`` (GeometryBuilder.java
+    :25-111) including the repair paths. Raises :class:`MultipolygonError`
+    for unbuildable inputs (parity failures, overlapping rings without
+    common nodes, invalid polygons) — callers map that to the reference's
+    empty-multipolygon fallback.
     """
     merged = list(outer_ways) + list(inner_ways)
     rings = _rings(merged, legacy=legacy)
@@ -366,8 +497,8 @@ def build_multipolygon(
         if not ring_is_simple(ring):
             raise MultipolygonError("Invalid polygon")
 
+    # nest by containment, largest-first (roles intentionally ignored)
     rings.sort(key=_ring_area_planar, reverse=True)
-    matched: list[tuple[list[Coord], list[list[Coord]]]] = []
     is_inner = [False] * len(rings)
     owner: list[int | None] = [None] * len(rings)
     for i, ring in enumerate(rings):
@@ -378,18 +509,71 @@ def build_multipolygon(
                     owner[i] = j
                 break
 
-    # cross-checks: outer-outer and holes within one outer must not overlap
-    outers = [i for i in range(len(rings)) if not is_inner[i]]
-    for ai in range(len(outers)):
-        for bi in range(ai + 1, len(outers)):
-            if _rings_properly_cross(rings[outers[ai]], rings[outers[bi]]):
-                raise MultipolygonError("Overlapping outer rings")
-    polys = []
-    for oi in outers:
-        holes = [rings[i] for i in range(len(rings)) if is_inner[i] and owner[i] == oi]
-        for x in range(len(holes)):
-            for y in range(x + 1, len(holes)):
-                if _rings_properly_cross(holes[x], holes[y]):
-                    raise MultipolygonError("Overlapping inner rings (repair unsupported)")
-        polys.append([oi_ring for oi_ring in [rings[oi]] + holes])
-    return {"type": "MultiPolygon", "coords": polys}
+    outer_idx = [i for i in range(len(rings)) if not is_inner[i]]
+    outer_polys: list[_Poly] = [(rings[i], []) for i in outer_idx]
+    inners_of: list[list[_Poly]] = [
+        [(rings[k], []) for k in range(len(rings)) if is_inner[k] and owner[k] == oi]
+        for oi in outer_idx
+    ]
+
+    # repair overlapping outers (GeometryBuilder.java:53-68)
+    originals = list(outer_polys)
+    if _handle_intersecting(outer_polys, merge_touching=False):
+        for k in range(len(originals)):
+            if outer_polys[k] is originals[k]:
+                continue
+            for inner in inners_of[k]:
+                if not _poly_contains(outer_polys[k], inner):
+                    raise MultipolygonError(
+                        "Overlapping outer rings with an inner ring at intersection"
+                    )
+
+    # main loop (GeometryBuilder.java:70-109), worklist instead of map
+    work: list[tuple[_Poly, list[_Poly]]] = list(zip(outer_polys, inners_of))
+    result: list[_Poly] = []
+    while work:
+        outer, inners = work.pop(0)
+        if _handle_intersecting(inners, merge_touching=True):
+            # point-touching inners enclose areas: subtract them all at once
+            result.extend(_difference(outer, inners))
+            continue
+        hole_rings = list(outer[1])
+        restart = False
+        i = 0
+        while i < len(inners):
+            inner = inners[i]
+            ir, orr = _closed_ring(inner[0]), _closed_ring(outer[0])
+            pts: list[Coord] = []
+            chains: list = []
+            if _envelope_may_touch(ir, orr):
+                pts, chains, _ = boundary_intersection(ir, orr)
+            if (pts or chains) and not (len(pts) == 1 and not chains):
+                # inner touches the outer boundary in more than a point:
+                # subtract it; extra pieces become new outers that steal
+                # the inners they contain, piece 0 keeps the rest
+                del inners[i]
+                pieces = _difference(outer, [inner])
+                if not pieces:
+                    raise MultipolygonError("inner ring consumed the outer")
+                for piece in pieces[1:]:
+                    stolen: list[_Poly] = []
+                    k = 0
+                    while k < len(inners):
+                        if _poly_contains(piece, inners[k]):
+                            stolen.append(inners.pop(k))
+                        else:
+                            k += 1
+                    work.append((piece, stolen))
+                work.append((pieces[0], inners))
+                restart = True
+                break
+            hole_rings.append(inner[0])
+            i += 1
+        if restart:
+            continue
+        result.append((outer[0], hole_rings))
+
+    return {
+        "type": "MultiPolygon",
+        "coords": [[shell] + list(holes) for shell, holes in result],
+    }
