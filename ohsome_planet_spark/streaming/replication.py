@@ -231,3 +231,91 @@ def bisect_sequence(get_timestamp, lo: int, hi: int, target) -> int:
         else:
             hi = mid - 1
     return lo
+
+
+# --- incremental update loop (S12 end-to-end; ContributionUpdater.java) ------
+
+
+class IncrementalUpdater:
+    """Applies ``.osc`` micro-batches to node/way history tables and
+    re-synthesizes contributions for the affected ids only
+    (``ContributionUpdater.java:86-170``, ``ContributionUpdaterTest``).
+
+    The reference keeps a RocksDB latest-state store and continues
+    minor/edit counters from stored values; here the *full history* of an
+    affected id is kept (a partitioned table at planet scale) and the
+    deterministic window synthesis reproduces the continued counters —
+    no counter state to maintain or corrupt. Each batch's cost is
+    |diff| + |histories of affected ids|, never the planet.
+    """
+
+    def __init__(self, spark, node_history: DataFrame, way_history: DataFrame):
+        self.spark = spark
+        self.node_history = node_history
+        self.way_history = way_history
+
+    def _typed(self, batch: DataFrame, osm_type: str, cols) -> DataFrame:
+        return (
+            batch.filter(F.col("osm_type") == osm_type)
+            .select("osm_type", *cols)
+        )
+
+    def apply_batch(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """One osmChange batch → (node_contribs, way_contribs) for the
+        affected ids; histories advance in place. The J6 filter drops
+        replayed versions so re-applying a batch is idempotent."""
+        node_cols = [f.name for f in self.node_history.schema.fields if f.name != "osm_type"]
+        way_cols = [f.name for f in self.way_history.schema.fields if f.name != "osm_type"]
+        nodes = self._typed(batch, "node", node_cols)
+        ways = self._typed(batch, "way", way_cols)
+
+        node_state = latest_state(self.node_history)
+        way_state = latest_state(self.way_history)
+        new_nodes = filter_diff_against_state(nodes, node_state).persist()
+        new_ways = filter_diff_against_state(ways, way_state).persist()
+
+        self.node_history = self.node_history.unionByName(new_nodes)
+        self.way_history = self.way_history.unionByName(new_ways)
+
+        changed_node_ids = new_nodes.select("osm_id").distinct()
+        changed_way_ids = new_ways.select("osm_id").distinct()
+        empty_rels = self.spark.createDataFrame(
+            [],
+            "osm_id bigint, visible boolean,"
+            " members array<struct<type:string,id:bigint,role:string>>",
+        )
+        dirty_ways, _ = dirty_parents(
+            changed_node_ids, changed_way_ids, latest_state(self.way_history), empty_rels
+        )
+        affected_ways = changed_way_ids.unionByName(dirty_ways).distinct()
+
+        node_contribs = rebuild_affected_nodes(self.node_history, changed_node_ids)
+        way_contribs = rebuild_affected_ways(
+            self.way_history, self.node_history, affected_ways
+        )
+        return node_contribs, way_contribs
+
+    def apply_sequences(self, server, sequences) -> list[tuple[DataFrame, DataFrame]]:
+        """Fetch + parse + apply each replication sequence in order via an
+        (injectable-transport) :class:`.server.Server`."""
+        import pandas as pd
+
+        from ..sources.osmxml import parse_osc_bytes
+        from ..sources.pbf import ENTITY_ROW_SCHEMA
+
+        out = []
+        for seq in sequences:
+            rows = parse_osc_bytes(server.get_replication_file(seq))
+            cols = [
+                "osm_type", "osm_id", "version", "ts", "changeset", "user_id",
+                "user_name", "visible", "tags", "lon", "lat", "refs", "members",
+            ]
+            pdf = pd.DataFrame(rows, columns=cols)
+            batch = self.spark.createDataFrame(pdf, ENTITY_ROW_SCHEMA)
+            out.append(self.apply_batch(batch))
+            # truncate lineage so the per-batch plan stays O(1) deep — the
+            # production loop gets this for free by writing the history
+            # table back to storage between batches
+            self.node_history = self.node_history.localCheckpoint(eager=False)
+            self.way_history = self.way_history.localCheckpoint(eager=False)
+        return out
