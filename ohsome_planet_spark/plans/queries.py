@@ -1728,6 +1728,213 @@ def event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# replication surface (R5 upsert-merge + J6/J7/R3/R4 batch application)
+# ===========================================================================
+
+_CHANGESET_UPSERT_ORACLE = """
+WITH state AS (
+  SELECT CAST(c_custkey AS BIGINT)                                  AS id,
+         TIMESTAMP '2020-01-01' + INTERVAL 1 MINUTE * c_custkey     AS created_at,
+         (c_custkey % 3 = 0)                                        AS open,
+         c_mktsegment                                               AS user_name
+  FROM customer
+), batch AS (
+  SELECT CAST(o_custkey + CASE WHEN o_orderkey % 10 = 0 THEN 2000 ELSE 0 END
+              AS BIGINT)                                            AS id,
+         o_orderkey                                                 AS pos,
+         TIMESTAMP '2021-01-01' + INTERVAL 1 MINUTE * o_orderkey    AS created_at,
+         (o_orderstatus <> 'F')                                     AS open,
+         o_orderpriority                                            AS user_name
+  FROM orders
+), winner AS (
+  -- sequential ON CONFLICT application: first closing row freezes the id,
+  -- otherwise the last row wins
+  SELECT id, created_at, open, user_name FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY id
+      ORDER BY open, CASE WHEN open THEN -pos ELSE pos END
+    ) AS rn FROM batch
+  ) WHERE rn = 1
+)
+SELECT coalesce(s.id, w.id) AS id,
+       CASE WHEN s.id IS NOT NULL AND NOT s.open THEN s.created_at
+            WHEN w.id IS NOT NULL THEN w.created_at
+            ELSE s.created_at END                                   AS created_at,
+       CASE WHEN s.id IS NOT NULL AND NOT s.open THEN s.open
+            WHEN w.id IS NOT NULL THEN w.open
+            ELSE s.open END                                         AS open,
+       CASE WHEN s.id IS NOT NULL AND NOT s.open THEN s.user_name
+            WHEN w.id IS NOT NULL THEN w.user_name
+            ELSE s.user_name END                                    AS user_name
+FROM state s FULL OUTER JOIN winner w ON s.id = w.id
+ORDER BY id
+"""
+
+
+@_register("changeset_upsert", _CHANGESET_UPSERT_ORACLE)
+def changeset_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: the ``ON CONFLICT (id) DO UPDATE … WHERE changesets.open`` merge
+    (``ChangesetDB.java:131-160``) on derived tables — customers are the
+    stored changesets (every third one still open), orders are a
+    replication batch with ~10 rows per id (so the within-batch
+    first-close-wins path is exercised) and 10 % brand-new ids (the insert
+    path). Checked against a window+full-outer-join DuckDB replay."""
+    from ..streaming.changesets import upsert_changesets
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    state = customer.select(
+        F.col("c_custkey").cast("bigint").alias("id"),
+        F.expr(
+            "timestamp'2020-01-01' + make_interval(0,0,0,0,0, c_custkey, 0)"
+        ).alias("created_at"),
+        (F.col("c_custkey") % 3 == 0).alias("open"),
+        F.col("c_mktsegment").alias("user_name"),
+    )
+    batch = orders.select(
+        (
+            F.col("o_custkey")
+            + F.when(F.col("o_orderkey") % 10 == 0, 2000).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("id"),
+        F.col("o_orderkey").alias("_pos"),
+        F.expr(
+            "timestamp'2021-01-01' + make_interval(0,0,0,0,0, o_orderkey, 0)"
+        ).alias("created_at"),
+        (F.col("o_orderstatus") != "F").alias("open"),
+        F.col("o_orderpriority").alias("user_name"),
+    )
+    return upsert_changesets(state, batch).orderBy("id")
+
+
+_REPLICATION_BATCH_ORACLE = """
+WITH hist AS (
+  SELECT CAST(event_id % 500 AS BIGINT) AS osm_id,
+         CAST(row_number() OVER (PARTITION BY event_id % 500
+                                 ORDER BY ts, event_id) AS INT) AS version,
+         ts,
+         (event_type <> 'error') AS visible
+  FROM events
+), state AS (
+  SELECT osm_id, version, ts, visible FROM (
+    SELECT *, row_number() OVER (PARTITION BY osm_id
+                                 ORDER BY version DESC, ts DESC) AS rn
+    FROM hist WHERE version <= 2
+  ) WHERE rn = 1
+), diff AS (
+  SELECT osm_id, version, ts, visible FROM hist WHERE version BETWEEN 2 AND 4
+  UNION ALL
+  SELECT osm_id + 1000, 1, ts, visible FROM hist WHERE version = 1
+), kept AS (
+  -- J6: replays (version <= stored) and deletes without before-state drop
+  SELECT d.osm_id, d.version, d.ts, d.visible
+  FROM diff d LEFT JOIN state s ON d.osm_id = s.osm_id
+  WHERE (s.osm_id IS NULL AND d.visible)
+     OR (s.osm_id IS NOT NULL AND d.version > s.version)
+), merged AS (
+  -- R4: newest version per id wins
+  SELECT osm_id, version, visible FROM (
+    SELECT *, row_number() OVER (PARTITION BY osm_id
+                                 ORDER BY version DESC, ts DESC) AS rn
+    FROM (SELECT * FROM state UNION ALL SELECT * FROM kept)
+  ) WHERE rn = 1
+), ways AS (
+  SELECT CAST(o_orderkey % 300 AS BIGINT) AS way_id,
+         CAST(o_custkey % 500 AS BIGINT) AS r1,
+         CAST((o_custkey + 7) % 500 AS BIGINT) AS r2
+  FROM orders
+), changed AS (
+  SELECT DISTINCT osm_id FROM kept
+), dirty_ways AS (
+  -- J7: changed node ids propagate to referencing ways
+  SELECT DISTINCT way_id FROM ways
+  WHERE r1 IN (SELECT osm_id FROM changed)
+     OR r2 IN (SELECT osm_id FROM changed)
+)
+SELECT 'node' AS kind, osm_id AS id, version, visible FROM merged
+UNION ALL
+SELECT 'way', way_id, CAST(NULL AS INT), CAST(NULL AS BOOLEAN) FROM dirty_ways
+ORDER BY kind, id
+"""
+
+
+@_register("replication_batch", _REPLICATION_BATCH_ORACLE)
+def replication_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One replication micro-batch end-to-end (J6 diff filter → R4 state
+    merge → J7 dirty propagation) on derived histories: the diff carries
+    replayed versions, genuine new versions, tombstone deletes, creates of
+    unknown ids, and deletes of unknown ids — every branch of
+    ``filter_diff_against_state``. Ways derived from orders pick up dirt
+    from the changed node ids (``streaming/replication.py:44-123``)."""
+    from ..streaming.replication import (
+        dirty_parents,
+        filter_diff_against_state,
+        latest_state,
+        merge_latest_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    base = ev.select(
+        (F.col("event_id") % 500).cast("bigint").alias("osm_id"),
+        "ts",
+        "event_id",
+        (F.col("event_type") != "error").alias("visible"),
+    )
+    w = W.partitionBy("osm_id").orderBy("ts", "event_id")
+    hist = base.select(
+        "osm_id",
+        F.row_number().over(w).cast("int").alias("version"),
+        "ts",
+        "visible",
+    ).withColumn("osm_type", F.lit("node"))
+
+    state = latest_state(hist.filter(F.col("version") <= 2))
+    extra = hist.filter(F.col("version") == 1).select(
+        (F.col("osm_id") + 1000).alias("osm_id"),
+        F.lit(1).cast("int").alias("version"),
+        "ts",
+        "visible",
+        "osm_type",
+    )
+    diff = hist.filter(F.col("version").between(2, 4)).unionByName(extra)
+    kept = filter_diff_against_state(diff, state)
+    merged = merge_latest_state(state, kept)
+
+    ways = orders.select(
+        (F.col("o_orderkey") % 300).cast("bigint").alias("osm_id"),
+        F.lit(True).alias("visible"),
+        F.array(
+            (F.col("o_custkey") % 500).cast("bigint"),
+            ((F.col("o_custkey") + 7) % 500).cast("bigint"),
+        ).alias("refs"),
+    )
+    changed = kept.select("osm_id").distinct()
+    no_changed_ways = spark.createDataFrame([], "osm_id bigint")
+    no_relations = spark.createDataFrame(
+        [],
+        "osm_id bigint, visible boolean,"
+        " members array<struct<type:string,id:bigint,role:string>>",
+    )
+    dirty_ways, _ = dirty_parents(changed, no_changed_ways, ways, no_relations)
+
+    nodes_out = merged.select(
+        F.lit("node").alias("kind"),
+        F.col("osm_id").alias("id"),
+        "version",
+        "visible",
+    )
+    ways_out = dirty_ways.select(
+        F.lit("way").alias("kind"),
+        F.col("osm_id").alias("id"),
+        F.lit(None).cast("int").alias("version"),
+        F.lit(None).cast("boolean").alias("visible"),
+    )
+    return nodes_out.unionByName(ways_out).orderBy("kind", "id")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
