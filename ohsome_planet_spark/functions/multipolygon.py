@@ -32,6 +32,16 @@ its boundary in a line — all on the pure-Python arrangement overlay in
 :class:`MultipolygonError` with the reference's error conditions
 ("Touching polygons without common node", "Overlapping polygons",
 "Overlapping outer rings").
+
+Intentional divergence from the reference: when a repair difference
+produces pieces that already carry holes and a piece re-enters the
+worklist, those holes are KEPT as hole candidates
+(``GeometryBuilder.java:74,109`` takes only ``getExteriorRing()`` plus
+matched inners, silently dropping difference-created holes). Keeping them
+preserves area correctness for doubly-degenerate relations; every golden
+``mod/`` corpus case still matches the reference byte-for-byte because the
+divergent path only triggers where the reference would drop real interior
+area.
 """
 
 from __future__ import annotations
@@ -268,7 +278,10 @@ def _merge_segments(segments: list[_Segment]) -> list[Coord]:
         for i in range(n):
             a, b, c = coords[i - 2], coords[i - 1], coords[i % n]
             if collinear_covers(a, b, b, c):
-                coords.remove(b)
+                # delete by index: value-based remove() would strike the
+                # FIRST occurrence, corrupting rings with repeated
+                # (pinch-point) vertices
+                del coords[(i - 1) % n]
                 changed = True
                 break
     coords.append(coords[0])

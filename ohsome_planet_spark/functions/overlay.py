@@ -332,16 +332,26 @@ def _classify_edge(p: Coord, q: Coord, inside) -> str | None:
     base = max(length * 1e-7, 1e-12)
     for t in (0.5, 0.3179, 0.6827):
         mx, my = p[0] + t * dx, p[1] + t * dy
-        for eps in (base, base * 10.0, base * 100.0, base * 0.1):
+        for scale in (1.0, 10.0, 100.0):  # outward retries for boundary hits
+            eps = base * scale
             try:
                 li = inside((mx + eps * nx, my + eps * ny))
                 ri = inside((mx - eps * nx, my - eps * ny))
             except OnBoundary:
                 continue
-            if li and not ri:
-                return "left"
-            if ri and not li:
-                return "right"
+            if li != ri:
+                return "left" if li else "right"
+            # both sides agree: the region may simply be thinner than eps —
+            # retry inward with shrinking offsets before concluding None
+            for shrink in (0.1, 0.01, 0.001):
+                s_eps = base * shrink
+                try:
+                    li = inside((mx + s_eps * nx, my + s_eps * ny))
+                    ri = inside((mx - s_eps * nx, my - s_eps * ny))
+                except OnBoundary:
+                    break
+                if li != ri:
+                    return "left" if li else "right"
             return None
     raise OverlayError("cannot classify edge side")
 

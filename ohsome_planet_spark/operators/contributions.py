@@ -564,6 +564,17 @@ def with_changesets(
         F.coalesce("hashtags", F.array().cast("array<string>")).alias("_cs_hashtags"),
     )
     if prune:
+        # the contribs plan feeds both the semi-join build side and the
+        # probe side of the enrichment join — persist so the (potentially
+        # expensive) upstream pipeline is computed once, not twice
+        from pyspark.storagelevel import StorageLevel
+
+        from ..session import register_cached
+
+        if contribs.storageLevel == StorageLevel.NONE:
+            contribs = register_cached(
+                contribs.persist(StorageLevel.MEMORY_AND_DISK)
+            )
         referenced = contribs.select(
             F.col("changeset_id").alias("_cs_id")
         ).distinct()

@@ -96,8 +96,15 @@ def minor_relevant_node_versions(nodes: DataFrame) -> DataFrame:
     return nodes.withColumn("_keep", changed).filter("_keep").drop("_keep")
 
 
+class FoldConvergenceError(RuntimeError):
+    """The head-fold fixpoint needed more passes than FOLD_FIXPOINT_ITERS —
+    the classification would silently diverge from the reference for this
+    history. Rerun with ``temporal_merge_exact``."""
+
+
 def merge_member_streams(
-    majors: DataFrame, slots: DataFrame, events: DataFrame
+    majors: DataFrame, slots: DataFrame, events: DataFrame,
+    assert_convergence: bool = False,
 ) -> DataFrame:
     """Generic temporal member merge.
 
@@ -146,15 +153,15 @@ def merge_member_streams(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     after_t = F.col("ts") > F.col("pts")
-    ev = ev.withColumn("_prior", F.lit(False))
-    for _ in range(FOLD_FIXPOINT_ITERS):
+
+    def _classification_pass(df: DataFrame) -> DataFrame:
         # an event already consumed by an earlier major's head-fold cannot
         # block this major's head-fold (the reference iterator is past it)
         violation = (
             after_t & (F.col("cs") != F.col("pcs")) & ~F.col("_prior")
         ).cast("int")
-        ev = (
-            ev.withColumn("_viol", F.max(violation).over(mw))
+        return (
+            df.withColumn("_viol", F.max(violation).over(mw))
             .withColumn(
                 "_fold",
                 after_t & (F.col("cs") == F.col("pcs")) & (F.col("_viol") == 0),
@@ -173,6 +180,31 @@ def merge_member_streams(
                 & (F.col("seq") <= F.coalesce("_fmax", F.lit(-(2**62)))),
             )
         )
+
+    ev = ev.withColumn("_prior", F.lit(False))
+    for _ in range(FOLD_FIXPOINT_ITERS):
+        ev = _classification_pass(ev)
+    if assert_convergence:
+        # one probe pass: any row whose fold/prior classification would
+        # still change means a consumption chain deeper than the fixed
+        # iteration count — fail loudly instead of silently diverging
+        # (callers fall back to temporal_merge_exact for such histories)
+        probe = _classification_pass(
+            ev.withColumnRenamed("_fold", "_fold0").withColumnRenamed(
+                "_prior", "_prior0"
+            ).withColumn("_prior", F.col("_prior0"))
+        )
+        n = probe.filter(
+            (F.col("_fold") != F.col("_fold0"))
+            | (F.col("_prior") != F.col("_prior0"))
+        ).count()
+        if n:
+            raise FoldConvergenceError(
+                f"head-fold classification did not converge after "
+                f"{FOLD_FIXPOINT_ITERS} passes ({n} rows still changing): "
+                "consumption chain deeper than the fixpoint bound — use "
+                "temporal_merge_exact for this history"
+            )
     fold = F.col("_fold")
     init_consumed = (~after_t) | fold | F.col("_prior")
     is_minor = (
@@ -292,7 +324,9 @@ def merge_member_streams(
 # ---------------------------------------------------------------------------
 
 
-def way_contribution_instants(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+def way_contribution_instants(
+    ways: DataFrame, nodes: DataFrame, assert_convergence: bool = False
+) -> DataFrame:
     """Way history + node history → contribution instants with as-of member
     states (see module docstring)."""
     majors = ways.select(
@@ -329,7 +363,10 @@ def way_contribution_instants(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         ).alias("state"),
     )
     merged = merge_member_streams(
-        majors.select("pid", "pv", "pts", "pcs", "puid", "puname"), slots, node_events
+        majors.select("pid", "pv", "pts", "pcs", "puid", "puname"),
+        slots,
+        node_events,
+        assert_convergence=assert_convergence,
     )
     return merged.join(
         majors.select("pid", "pv", "wvis", "wtags", "wrefs"), ["pid", "pv"]

@@ -32,21 +32,29 @@ from ..schemas import VALID_TO_SENTINEL
 GEO_VERSION = "1.1.0"
 
 
-def geo_metadata(bbox: tuple[float, float, float, float] | None) -> dict:
-    cov = {
-        "version": GEO_VERSION,
-        "primary_column": "geometry",
-        "columns": {
-            "geometry": {
-                "encoding": "WKB",
-                "geometry_types": [],
-                "crs": None,  # OGC:CRS84 per GeoParquet default
-            }
-        },
+def geo_metadata(
+    bbox: tuple[float, float, float, float] | None,
+    geometry_types: tuple[str, ...] = (),
+    covering: bool = False,
+) -> dict:
+    col = {
+        "encoding": "WKB",
+        "geometry_types": sorted(geometry_types),
+        "crs": None,  # OGC:CRS84 per GeoParquet default
     }
     if bbox is not None:
-        cov["columns"]["geometry"]["bbox"] = list(bbox)
-    return cov
+        col["bbox"] = list(bbox)
+    if covering:
+        # GeoParquet 1.1 bbox covering: points readers at the per-row bbox
+        # struct (GeoParquet.java:65-70 coveringString)
+        col["covering"] = {
+            "bbox": {k: ["bbox", k] for k in ("xmin", "ymin", "xmax", "ymax")}
+        }
+    return {
+        "version": GEO_VERSION,
+        "primary_column": "geometry",
+        "columns": {"geometry": col},
+    }
 
 
 def dataset_bbox(contribs: DataFrame) -> tuple[float, float, float, float] | None:
@@ -67,8 +75,6 @@ def write_contributions(
     bloom_filter_columns: tuple[str, ...] = (),
     split_latest: bool = True,
 ) -> None:
-    bbox = dataset_bbox(contribs)
-
     df = contribs
     writer = df.write.mode("overwrite").option("compression", "zstd").option(
         "parquet.enable.dictionary", "true"
@@ -91,11 +97,39 @@ def write_contributions(
         writer = writer.partitionBy("layer", "osm_type")
     writer.parquet(path)
 
-    _attach_geo_metadata(path, bbox)
+    _attach_geo_metadata(path)
 
 
-def _attach_geo_metadata(path: str, bbox) -> None:
-    meta_json = json.dumps(geo_metadata(bbox))
+def _file_geo_metadata(table) -> dict:
+    """Per-file ``geo`` metadata — bbox and geometry_types accumulated from
+    this file's own rows, exactly like the reference's per-writer Envelope
+    (``AvroGeoParquetWriter.java:122-133``: ``columnBBox`` lives on the
+    writer, so every output file carries its own extent)."""
+    import pyarrow.compute as pc
+
+    bbox = None
+    has_bbox_col = "bbox" in table.column_names
+    if has_bbox_col and len(table):
+        b = table.column("bbox").combine_chunks()
+        vals = [
+            pc.min(b.field("xmin")).as_py(),
+            pc.min(b.field("ymin")).as_py(),
+            pc.max(b.field("xmax")).as_py(),
+            pc.max(b.field("ymax")).as_py(),
+        ]
+        if all(v is not None for v in vals):
+            bbox = tuple(vals)
+    gtypes: tuple[str, ...] = ()
+    if "geometry_type" in table.column_names:
+        gtypes = tuple(
+            v
+            for v in pc.unique(table.column("geometry_type")).to_pylist()
+            if v
+        )
+    return geo_metadata(bbox, gtypes, covering=has_bbox_col)
+
+
+def _attach_geo_metadata(path: str) -> None:
     for root, _dirs, files in os.walk(path):
         for fn in files:
             full = os.path.join(root, fn)
@@ -108,7 +142,7 @@ def _attach_geo_metadata(path: str, bbox) -> None:
             table = pq.read_table(full)
             existing = table.schema.metadata or {}
             merged = dict(existing)
-            merged[b"geo"] = meta_json.encode()
+            merged[b"geo"] = json.dumps(_file_geo_metadata(table)).encode()
             pq.write_table(
                 table.replace_schema_metadata(merged),
                 full,

@@ -181,6 +181,43 @@ def test_chained_cross_major_folds(spark):
     }
 
 
+def test_fold_convergence_guard_depth4(spark):
+    """A depth-4 consumption chain (5 majors, each fold enabled by the
+    previous one) exceeds FOLD_FIXPOINT_ITERS=3: with the guard on, the
+    relational path fails loudly instead of silently misclassifying, and
+    the exact twin still handles the history."""
+    import pytest
+
+    from ohsome_planet_spark.operators.temporal_merge import FoldConvergenceError
+
+    nodes = [
+        (1, 1, ts(0), 9, 1, "u", True, {}, 1.0, 0.0),
+        (1, 2, ts(10), 1, 1, "u", True, {}, 2.0, 0.0),
+        (1, 3, ts(11), 2, 1, "u", True, {}, 3.0, 0.0),
+        (1, 4, ts(12), 3, 1, "u", True, {}, 4.0, 0.0),
+        (1, 5, ts(13), 4, 1, "u", True, {}, 5.0, 0.0),
+    ]
+    ways = [
+        (10, 1, ts(1), 1, 1, "u", True, {"h": "x"}, [1]),
+        (10, 2, ts(5), 2, 1, "u", True, {"h": "x"}, [1]),
+        (10, 3, ts(8), 3, 1, "u", True, {"h": "x"}, [1]),
+        (10, 4, ts(9), 4, 1, "u", True, {"h": "x"}, [1]),
+    ]
+    ndf = spark.createDataFrame(nodes, NODE_SCHEMA)
+    wdf = spark.createDataFrame(ways, WAY_SCHEMA)
+    with pytest.raises(FoldConvergenceError):
+        way_contribution_instants(wdf, ndf, assert_convergence=True).collect()
+
+    # fallback path: the sequential twin resolves the full chain
+    exact = exact_key(way_contribution_instants_exact(wdf, ndf).collect())
+    assert (10, 4, ts(9), 4, (5,)) in exact
+
+    # benign depth-3 history passes the guard without raising
+    way_contribution_instants(
+        wdf.limit(3), ndf.filter("version <= 4"), assert_convergence=True
+    ).collect()
+
+
 def test_cross_validation_randomized(spark):
     for seed in range(25):
         node_rows, way_rows = random_history(seed)

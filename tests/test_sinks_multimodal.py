@@ -46,12 +46,35 @@ def test_geoparquet_roundtrip(spark, tmp_path):
 
     import glob
 
-    f = glob.glob(out + "/**/*.parquet", recursive=True)[0]
-    geo = read_geo_metadata(f)
-    assert geo["version"] == "1.1.0"
-    assert geo["primary_column"] == "geometry"
-    bbox = geo["columns"]["geometry"]["bbox"]
-    assert bbox[0] == -120.0 and bbox[3] == 49.5
+    import pyarrow.parquet as pq
+
+    # every output file carries its OWN bbox/geometry_types (per-writer
+    # Envelope semantics, AvroGeoParquetWriter.java:122-133), not the
+    # dataset-level extent
+    seen_bboxes = set()
+    for f in glob.glob(out + "/**/*.parquet", recursive=True):
+        geo = read_geo_metadata(f)
+        assert geo["version"] == "1.1.0"
+        assert geo["primary_column"] == "geometry"
+        col = geo["columns"]["geometry"]
+        t = pq.read_table(f, columns=["bbox", "geometry_type"])
+        if len(t) == 0:
+            assert "bbox" not in col
+            continue
+        b = t.column("bbox").combine_chunks()
+        expect = [
+            min(b.field("xmin").to_pylist()),
+            min(b.field("ymin").to_pylist()),
+            max(b.field("xmax").to_pylist()),
+            max(b.field("ymax").to_pylist()),
+        ]
+        assert col["bbox"] == expect
+        assert set(col["geometry_types"]) == {
+            v for v in t.column("geometry_type").to_pylist() if v
+        }
+        assert col["covering"]["bbox"]["xmin"] == ["bbox", "xmin"]
+        seen_bboxes.add(tuple(col["bbox"]))
+    assert len(seen_bboxes) > 1  # files genuinely differ in extent
     # reread through spark still fine after footer rewrite
     assert spark.read.parquet(out).filter("status = 'latest'").count() == 2
 
