@@ -143,6 +143,15 @@ def cmd_changesets(args) -> int:
     spark = get_spark(app_name="changesets")
     df = read_changesets(spark, args.input)
     df.write.mode("overwrite").parquet(args.out)
+    if getattr(args, "jdbc", None):
+        # S16 drop-in: mirror the table into PostgreSQL with the
+        # reference's conflict semantics (ChangesetDB.java:127-186)
+        from .sources.jdbc import ChangesetJdbcSink
+
+        sink = ChangesetJdbcSink(url=args.jdbc, table=args.jdbc_table)
+        sink.ensure_tables()
+        sink.upsert(spark.read.parquet(args.out))
+        print(f"upserted into {args.jdbc_table} via {args.jdbc}")
     print(f"wrote {df.count()} changesets to {args.out}")
     return 0
 
@@ -186,6 +195,8 @@ def main(argv=None) -> int:
     ch = sub.add_parser("changesets", help="changeset dump -> parquet table")
     ch.add_argument("--input", required=True)
     ch.add_argument("--out", required=True)
+    ch.add_argument("--jdbc", help="optional PostgreSQL JDBC url to mirror into (S16)")
+    ch.add_argument("--jdbc-table", default="changesets")
     ch.set_defaults(fn=cmd_changesets)
 
     fi = sub.add_parser("fileinfo", help="print PBF header/blob summary")

@@ -133,6 +133,351 @@ def _decode_at(mv: memoryview, off: int):
     return {"type": t, "coords": [g["coords"] for g in parts]}, off
 
 
+# --- batched flat decode (Arrow-batch scale path) ----------------------------
+
+# part kinds in FlatGeomBatch.part_kind
+PART_LINEAL = 0  # point / linestring vertex chain
+PART_POLY_EXT = 1  # polygon exterior ring
+PART_POLY_HOLE = 2  # polygon hole ring
+
+
+class FlatGeomBatch:
+    """Column-oriented decode of a batch of WKB buffers.
+
+    All vertex chains ("parts": each polygon ring, each linestring, each
+    point) of every row live in two flat float64 arrays plus part-level
+    bookkeeping — the layout consumed by the vectorized spatial join
+    (``operators/spatial.py``). No per-row Python objects are built.
+
+    Attributes
+    ----------
+    n         : number of input rows
+    vx, vy    : (V,) all vertices, part-contiguous
+    part_off  : (P+1,) vertex offsets; part p = slice(part_off[p], part_off[p+1])
+    part_row  : (P,) input-row index of each part
+    part_kind : (P,) PART_LINEAL / PART_POLY_EXT / PART_POLY_HOLE
+    empty     : (n,) bool — row was NULL or had no coordinates
+    row_bbox  : (n, 4) xmin/ymin/xmax/ymax per row (NaN where empty)
+    """
+
+    __slots__ = ("n", "vx", "vy", "part_off", "part_row", "part_kind", "empty", "row_bbox")
+
+    def __init__(self, n, vx, vy, part_off, part_row, part_kind, empty, row_bbox):
+        self.n = n
+        self.vx = vx
+        self.vy = vy
+        self.part_off = part_off
+        self.part_row = part_row
+        self.part_kind = part_kind
+        self.empty = empty
+        self.row_bbox = row_bbox
+
+    def vrow(self) -> np.ndarray:
+        """(V,) row index per vertex."""
+        return np.repeat(self.part_row, np.diff(self.part_off))
+
+    def edges(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Within-part edges as flat arrays (ex1, ey1, ex2, ey2, erow) —
+        consecutive vertex pairs that do not span a part boundary."""
+        V = len(self.vx)
+        if V == 0:
+            z = np.empty(0, dtype=np.float64)
+            return z, z, z, z, np.empty(0, dtype=np.int64)
+        first = np.ones(V, dtype=bool)  # True where edge (i, i+1) is valid
+        first[self.part_off[1:] - 1] = False  # last vertex of each part
+        first = first[:-1] if V else first
+        i1 = np.nonzero(first)[0]
+        return (
+            self.vx[i1],
+            self.vy[i1],
+            self.vx[i1 + 1],
+            self.vy[i1 + 1],
+            self.vrow()[i1],
+        )
+
+    def parts_of_row(self, row: int, kind: int | None = None) -> list[np.ndarray]:
+        """(N,2) arrays of the row's parts (optionally one kind) — rare-path
+        helper; do not call per row in hot loops."""
+        sel = self.part_row == row
+        if kind is not None:
+            sel &= self.part_kind == kind
+        out = []
+        for p in np.nonzero(sel)[0]:
+            s, e = self.part_off[p], self.part_off[p + 1]
+            out.append(np.column_stack([self.vx[s:e], self.vy[s:e]]))
+        return out
+
+
+def _geom_polylines(geom: dict | None) -> list[tuple[int, np.ndarray]]:
+    """Per-part vertex chains of a geometry dict as (kind, (N,2)) pairs —
+    the row-at-a-time twin of the flat batch layout, used as the
+    GeometryCollection fallback."""
+    out: list[tuple[int, np.ndarray]] = []
+    if geom is None:
+        return out
+    t, c = geom["type"], geom["coords"]
+    if t == "Point":
+        out.append((PART_LINEAL, np.asarray([c], dtype=np.float64)))
+    elif t == "LineString":
+        if len(c):
+            out.append((PART_LINEAL, np.asarray(c, dtype=np.float64)))
+    elif t == "MultiPoint":
+        for p in c:
+            out.append((PART_LINEAL, np.asarray([p], dtype=np.float64)))
+    elif t == "MultiLineString":
+        for ln in c:
+            if len(ln):
+                out.append((PART_LINEAL, np.asarray(ln, dtype=np.float64)))
+    elif t == "Polygon":
+        for k, r in enumerate(c):
+            if len(r):
+                out.append(
+                    (PART_POLY_EXT if k == 0 else PART_POLY_HOLE, np.asarray(r, dtype=np.float64))
+                )
+    elif t == "MultiPolygon":
+        for poly in c:
+            for k, r in enumerate(poly):
+                if len(r):
+                    out.append(
+                        (
+                            PART_POLY_EXT if k == 0 else PART_POLY_HOLE,
+                            np.asarray(r, dtype=np.float64),
+                        )
+                    )
+    elif t == "GeometryCollection":
+        for sub in c:
+            out.extend(_geom_polylines(sub))
+    return out
+
+
+def _u32_at(big: np.ndarray, offs: np.ndarray, be: bool) -> np.ndarray:
+    """Vectorized uint32 reads at arbitrary byte offsets."""
+    b = big[offs[:, None] + np.arange(4)]
+    return (
+        b.reshape(-1, 4).view(">u4" if be else "<u4").ravel().astype(np.int64)
+    )
+
+
+def _ragged_gather(big: np.ndarray, starts: np.ndarray, nbytes: np.ndarray) -> np.ndarray:
+    """Concatenated bytes of [starts[i], starts[i]+nbytes[i]) slices."""
+    total = int(nbytes.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint8)
+    shift = np.concatenate([[0], np.cumsum(nbytes)[:-1]])
+    idx = np.repeat(starts - shift, nbytes) + np.arange(total)
+    return big[idx]
+
+
+def decode_flat_batch(bufs) -> FlatGeomBatch:
+    """Batch WKB decode straight into flat numpy arrays.
+
+    The per-row scalar work is limited to building the concatenated byte
+    buffer; everything else — type dispatch, ring counts, coordinate
+    extraction — runs vectorized over all rows of a type at once, with
+    Python loops only over NESTING DEPTH (ring index within polygons, part
+    index within multis), never over rows. GeometryCollections (rare in
+    OSM-shaped data) fall back to the recursive decoder row-at-a-time.
+
+    Both WKB byte orders are accepted (rows may mix); Z/M dimensions are
+    not (matching ``decode``'s 2D-only contract).
+    """
+    n = len(bufs)
+    empty = np.zeros(n, dtype=bool)
+    chunks: list[bytes] = []
+    rows: list[int] = []
+    lens = np.zeros(n, dtype=np.int64)
+    for i, b in enumerate(bufs):
+        if b is None or len(b) == 0:
+            empty[i] = True
+            continue
+        chunks.append(bytes(b))
+        rows.append(i)
+        lens[i] = len(b)
+    row_idx = np.asarray(rows, dtype=np.int64)
+
+    # accumulators: (coords_f64 flat xy, npts_per_part, row_per_part, kind)
+    acc_coords: list[np.ndarray] = []
+    acc_npts: list[np.ndarray] = []
+    acc_prow: list[np.ndarray] = []
+    acc_kind: list[np.ndarray] = []
+
+    def emit(coords: np.ndarray, npts: np.ndarray, prow: np.ndarray, kind: int):
+        keep = npts > 0
+        if not keep.all():
+            # zero-length parts contribute zero coord floats, so dropping
+            # their bookkeeping keeps offsets aligned
+            npts, prow = npts[keep], prow[keep]
+        if len(npts) == 0:
+            return
+        acc_coords.append(coords)
+        acc_npts.append(npts)
+        acc_prow.append(prow)
+        acc_kind.append(np.full(len(npts), kind, dtype=np.int8))
+
+    if len(row_idx):
+        big = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+        off = np.concatenate([[0], np.cumsum(lens[row_idx])[:-1]])
+
+        bo_le = big[off] == 1
+        for be in (True, False):
+            bsel = ~bo_le if be else bo_le
+            if not bsel.any():
+                continue
+            boff = off[bsel]
+            brow = row_idx[bsel]
+            code = _u32_at(big, boff + 1, be) & 0xFF
+            fdt = ">f8" if be else "<f8"
+
+            def f8(u8: np.ndarray) -> np.ndarray:
+                return u8.view(fdt).astype(np.float64)
+
+            # ---- Point: fixed 16-byte payload at off+5 ------------------
+            sel = code == WKB_POINT
+            if sel.any():
+                s = boff[sel] + 5
+                u8 = big[s[:, None] + np.arange(16)].reshape(-1)
+                emit(f8(u8), np.ones(int(sel.sum()), dtype=np.int64), brow[sel], PART_LINEAL)
+            # ---- LineString: count at off+5, coords at off+9 ------------
+            sel = code == WKB_LINESTRING
+            if sel.any():
+                s = boff[sel]
+                npts = _u32_at(big, s + 5, be)
+                emit(f8(_ragged_gather(big, s + 9, 16 * npts)), npts, brow[sel], PART_LINEAL)
+            # ---- Polygon: ring loop, vectorized over rows ---------------
+            sel = code == WKB_POLYGON
+            if sel.any():
+                s = boff[sel]
+                nr = _u32_at(big, s + 5, be)
+                cur = s + 9
+                prow = brow[sel]
+                k = 0
+                while (nr > k).any():
+                    act = nr > k
+                    npts = _u32_at(big, cur[act], be)
+                    emit(
+                        f8(_ragged_gather(big, cur[act] + 4, 16 * npts)),
+                        npts,
+                        prow[act],
+                        PART_POLY_EXT if k == 0 else PART_POLY_HOLE,
+                    )
+                    cur[act] += 4 + 16 * npts
+                    k += 1
+            # ---- MultiPoint: fixed 21-byte sub-geoms --------------------
+            sel = code == WKB_MULTIPOINT
+            if sel.any():
+                s = boff[sel]
+                cnt = _u32_at(big, s + 5, be)
+                k = 0
+                while (cnt > k).any():
+                    act = cnt > k
+                    sub = s[act] + 9 + 21 * k + 5  # skip sub header
+                    u8 = big[sub[:, None] + np.arange(16)].reshape(-1)
+                    emit(
+                        f8(u8), np.ones(int(act.sum()), dtype=np.int64), brow[sel][act], PART_LINEAL
+                    )
+                    k += 1
+            # ---- MultiLineString: sub loop ------------------------------
+            sel = code == WKB_MULTILINESTRING
+            if sel.any():
+                s = boff[sel]
+                cnt = _u32_at(big, s + 5, be)
+                cur = s + 9
+                prow = brow[sel]
+                k = 0
+                while (cnt > k).any():
+                    act = cnt > k
+                    npts = _u32_at(big, cur[act] + 5, be)
+                    emit(
+                        f8(_ragged_gather(big, cur[act] + 9, 16 * npts)),
+                        npts,
+                        prow[act],
+                        PART_LINEAL,
+                    )
+                    cur[act] += 9 + 16 * npts
+                    k += 1
+            # ---- MultiPolygon: poly loop × ring loop --------------------
+            sel = code == WKB_MULTIPOLYGON
+            if sel.any():
+                s = boff[sel]
+                cnt = _u32_at(big, s + 5, be)
+                cur = s + 9
+                prow = brow[sel]
+                p = 0
+                while (cnt > p).any():
+                    pact = cnt > p
+                    nr = _u32_at(big, cur[pact] + 5, be)
+                    rcur = cur[pact] + 9
+                    rrow = prow[pact]
+                    k = 0
+                    while (nr > k).any():
+                        act = nr > k
+                        npts = _u32_at(big, rcur[act], be)
+                        emit(
+                            f8(_ragged_gather(big, rcur[act] + 4, 16 * npts)),
+                            npts,
+                            rrow[act],
+                            PART_POLY_EXT if k == 0 else PART_POLY_HOLE,
+                        )
+                        rcur[act] += 4 + 16 * npts
+                        k += 1
+                    cur[pact] = rcur  # past this sub-polygon
+                    p += 1
+            # ---- GeometryCollection: rare, recursive fallback -----------
+            sel = code == WKB_GEOMETRYCOLLECTION
+            if sel.any():
+                for s, r in zip(boff[sel], brow[sel]):
+                    geom, _ = _decode_at(memoryview(big[int(s):].tobytes()), 0)
+                    for kind, arr in _geom_polylines(geom):
+                        emit(
+                            arr.reshape(-1).astype(np.float64),
+                            np.array([len(arr)], dtype=np.int64),
+                            np.array([int(r)], dtype=np.int64),
+                            kind,
+                        )
+
+    if acc_npts:
+        npts = np.concatenate(acc_npts)
+        part_row = np.concatenate(acc_prow)
+        part_kind = np.concatenate(acc_kind)
+        xy = np.concatenate(acc_coords).reshape(-1, 2)
+        vx, vy = np.ascontiguousarray(xy[:, 0]), np.ascontiguousarray(xy[:, 1])
+        part_off = np.concatenate([[0], np.cumsum(npts)])
+    else:
+        vx = vy = np.empty(0, dtype=np.float64)
+        part_row = np.empty(0, dtype=np.int64)
+        part_kind = np.empty(0, dtype=np.int8)
+        part_off = np.zeros(1, dtype=np.int64)
+
+    # rows that decoded to no coordinates are empty too
+    has_part = np.zeros(n, dtype=bool)
+    has_part[part_row] = True
+    empty |= ~has_part
+
+    row_bbox = np.full((n, 4), np.nan)
+    if len(part_row):
+        # per-part extrema via contiguous reduceat, then scatter per row
+        # over P parts (≪ V vertices — ufunc.at is the slow path)
+        seg = part_off[:-1]
+        pmnx = np.minimum.reduceat(vx, seg)
+        pmny = np.minimum.reduceat(vy, seg)
+        pmxx = np.maximum.reduceat(vx, seg)
+        pmxy = np.maximum.reduceat(vy, seg)
+        mnx = np.full(n, np.inf)
+        mny = np.full(n, np.inf)
+        mxx = np.full(n, -np.inf)
+        mxy = np.full(n, -np.inf)
+        np.minimum.at(mnx, part_row, pmnx)
+        np.minimum.at(mny, part_row, pmny)
+        np.maximum.at(mxx, part_row, pmxx)
+        np.maximum.at(mxy, part_row, pmxy)
+        row_bbox[has_part, 0] = mnx[has_part]
+        row_bbox[has_part, 1] = mny[has_part]
+        row_bbox[has_part, 2] = mxx[has_part]
+        row_bbox[has_part, 3] = mxy[has_part]
+
+    return FlatGeomBatch(n, vx, vy, part_off, part_row, part_kind, empty, row_bbox)
+
+
 # --- analytic helpers (planar, JTS semantics) --------------------------------
 
 

@@ -414,62 +414,58 @@ def geometry_countries_udf(features: list[Feature], grid: FeatureGrid | None = N
 
     @F.pandas_udf("array<string>")
     def _join(wkb_col: pd.Series) -> pd.Series:
-        n = len(wkb_col)
+        # --- decode the whole Arrow batch into flat arrays (no per-row
+        # Python — see wkb.decode_flat_batch) -----------------------------
+        batch = wkblib.decode_flat_batch(wkb_col.tolist())
+        n = batch.n
         result: list = [None] * n
-        slow_rows: list[int] = []
-        slow_parts: list[list[np.ndarray]] = []
-        slow_geoms: list[dict] = []
-        row_bbox: list[tuple[float, float, float, float]] = []
+        for i in np.nonzero(batch.empty)[0]:
+            result[i] = []
 
-        # --- decode once + grid fast path --------------------------------
-        for i, buf in enumerate(wkb_col):
-            if buf is None:
-                result[i] = []
-                continue
-            geom = wkblib.decode(bytes(buf))
-            parts = _part_polylines(geom) if geom is not None else []
-            if not parts:
-                result[i] = []
-                continue
-            allv = np.vstack(parts)
-            gx0, gy0 = float(allv[:, 0].min()), float(allv[:, 1].min())
-            gx1, gy1 = float(allv[:, 0].max()), float(allv[:, 1].max())
-            fast = grid.lookup(gx0, gy0, gx1, gy1)
-            if fast is not None:
-                result[i] = list(fast)
-                continue
-            slow_rows.append(i)
-            slow_parts.append(parts)
-            slow_geoms.append(geom)
-            row_bbox.append((gx0, gy0, gx1, gy1))
+        # --- vectorized grid fast path: bbox fits in one uncrossed cell --
+        bb = batch.row_bbox
+        live = ~batch.empty
+        ix0 = np.zeros(n, dtype=np.int64)
+        iy0 = np.zeros(n, dtype=np.int64)
+        single = np.zeros(n, dtype=bool)
+        if live.any():
+            ix0[live] = np.floor(bb[live, 0] / grid.cell).astype(np.int64)
+            iy0[live] = np.floor(bb[live, 1] / grid.cell).astype(np.int64)
+            single[live] = (
+                (np.floor(bb[live, 2] / grid.cell).astype(np.int64) == ix0[live])
+                & (np.floor(bb[live, 3] / grid.cell).astype(np.int64) == iy0[live])
+            )
+        codes = np.full(n, FeatureGrid.BOUNDARY, dtype=np.int32)
+        codes[single] = grid.codes_at(ix0[single], iy0[single])
+        fast = single & (codes != FeatureGrid.BOUNDARY)
+        for i in np.nonzero(fast & (codes == FeatureGrid.EMPTY))[0]:
+            result[i] = []
+        pos_fast = fast & (codes >= 0)
+        if pos_fast.any():
+            for sid in np.unique(codes[pos_fast]):
+                memb = sorted(grid.fids[grid.memb_sets[sid]].tolist())
+                for i in np.nonzero(pos_fast & (codes == sid))[0]:
+                    result[i] = list(memb)
 
-        if slow_rows:
+        slow_mask = live & ~fast
+        slow_rows = np.nonzero(slow_mask)[0]
+        if len(slow_rows):
             m = len(slow_rows)
-            rb = np.asarray(row_bbox, dtype=np.float64)
-            # flat batch arrays: vertices + within-part edges, each tagged
-            # with its slow-row index
-            vxl, vyl, vrl = [], [], []
-            e1xl, e1yl, e2xl, e2yl, erl = [], [], [], [], []
-            for r, parts in enumerate(slow_parts):
-                for p in parts:
-                    vxl.append(p[:, 0])
-                    vyl.append(p[:, 1])
-                    vrl.append(np.full(len(p), r, dtype=np.int64))
-                    if len(p) > 1:
-                        e1xl.append(p[:-1, 0])
-                        e1yl.append(p[:-1, 1])
-                        e2xl.append(p[1:, 0])
-                        e2yl.append(p[1:, 1])
-                        erl.append(np.full(len(p) - 1, r, dtype=np.int64))
-            vx, vy = np.concatenate(vxl), np.concatenate(vyl)
-            vrow = np.concatenate(vrl)
-            if e1xl:
-                ex1, ey1 = np.concatenate(e1xl), np.concatenate(e1yl)
-                ex2, ey2 = np.concatenate(e2xl), np.concatenate(e2yl)
-                erow = np.concatenate(erl)
-            else:
-                ex1 = ey1 = ex2 = ey2 = np.empty(0)
-                erow = np.empty(0, dtype=np.int64)
+            rb = bb[slow_rows]
+            # remap original row ids → dense slow indices for the flat
+            # vertex/edge arrays
+            slow_of = np.full(n, -1, dtype=np.int64)
+            slow_of[slow_rows] = np.arange(m)
+            all_vrow = batch.vrow()
+            vsel_rows = slow_of[all_vrow] >= 0
+            vx = batch.vx[vsel_rows]
+            vy = batch.vy[vsel_rows]
+            vrow = slow_of[all_vrow[vsel_rows]]
+            aex1, aey1, aex2, aey2, aerow = batch.edges()
+            esel_rows = slow_of[aerow] >= 0
+            ex1, ey1 = aex1[esel_rows], aey1[esel_rows]
+            ex2, ey2 = aex2[esel_rows], aey2[esel_rows]
+            erow = slow_of[aerow[esel_rows]]
 
             # --- grid classification: a vertex in an uncrossed cell gets
             # that cell's uniform membership with NO ring test; only
@@ -542,7 +538,9 @@ def geometry_countries_udf(features: list[Feature], grid: FeatureGrid | None = N
                 pend = np.nonzero(cand & ~hitmat[:, j])[0]
                 for r in pend:
                     done = False
-                    for gring in _polygon_rings_of(slow_geoms[r]):
+                    for gring in batch.parts_of_row(
+                        int(slow_rows[r]), wkblib.PART_POLY_EXT
+                    ):
                         for part in feat.parts:
                             if not part:
                                 continue

@@ -181,6 +181,9 @@ class ChangesetStateManager:
     batch_size: int = 500
     api_batch_size: int = 100
     closed_ids: set[int] = field(default_factory=set)
+    # optional S16 drop-in: every upserted batch is mirrored into
+    # PostgreSQL (sources.jdbc.ChangesetJdbcSink or compatible)
+    jdbc_sink: object | None = None
 
     # -- state bootstrap (ChangesetStateManager.java:44-57) ----------------
 
@@ -225,7 +228,10 @@ class ChangesetStateManager:
         for row in rows:
             if not row["open"]:
                 self.closed_ids.add(row["id"])
-        state = upsert_changesets(state, _rows_to_df(self.spark, rows))
+        batch_df = _rows_to_df(self.spark, rows)
+        state = upsert_changesets(state, batch_df)
+        if self.jdbc_sink is not None:
+            self.jdbc_sink.upsert(batch_winner(batch_df))
         self.local_state = self.server.get_remote_state(batch[-1])
         return state
 
@@ -250,7 +256,10 @@ class ChangesetStateManager:
             chunk = ids[i : i + self.api_batch_size]
             rows.extend(parse_changesets_bytes(api_fetch(chunk)))
         if rows:
-            state = upsert_changesets(state, _rows_to_df(self.spark, rows))
+            batch_df = _rows_to_df(self.spark, rows)
+            state = upsert_changesets(state, batch_df)
+            if self.jdbc_sink is not None:
+                self.jdbc_sink.upsert(batch_winner(batch_df))
         return state
 
     def _osm_api_fetch(self, ids: Iterable[int]) -> bytes:

@@ -326,3 +326,70 @@ def test_initialize_requires_bulk_load_first(spark):
     mgr = ChangesetStateManager(srv, spark)
     with pytest.raises(ValueError, match="changeset command"):
         mgr.initialize_local_state(None)
+
+
+# --- S16 JDBC drop-in (sources/jdbc.py) --------------------------------------
+
+
+def test_jdbc_merge_sql_matches_reference_semantics():
+    """The merge statement carries the reference's exact conflict clause
+    (ChangesetDB.java:131-149): update only while the stored row is open."""
+    from ohsome_planet_spark.sources.jdbc import changeset_merge_sql
+
+    sql = changeset_merge_sql("changesets", "changesets_staging")
+    assert "ON CONFLICT (id) DO UPDATE SET" in sql
+    assert sql.strip().endswith("WHERE changesets.open")
+    assert "open = EXCLUDED.open" in sql
+    assert "id = EXCLUDED.id" not in sql  # key never updated
+
+
+def test_jdbc_sink_upsert_stages_then_merges(spark):
+    """upsert = distributed staging append, one merge, one truncate —
+    verified through the injectable seams (no pg driver in the container)."""
+    from ohsome_planet_spark.sources.jdbc import ChangesetJdbcSink
+
+    appended = []
+
+    def fake_append(df, url, table, options):
+        appended.append((df.columns, url, table, dict(options), df.count()))
+
+    sink = ChangesetJdbcSink(
+        url="jdbc:postgresql://h/db",
+        append=fake_append,
+        execute=lambda sql: None,
+    )
+    sink.ensure_tables()
+    batch = _df(spark, [_row(1, True), _row(2, False)])
+    sink.upsert(batch)
+
+    cols, url, table, options, cnt = appended[0]
+    assert table == "changesets_staging" and url == "jdbc:postgresql://h/db"
+    assert cnt == 2 and "tags" in cols and options["batchsize"] == "10000"
+    # tags crossed the boundary as JSON text, not a Spark map
+    tagged = batch.select("tags").schema[0].dataType.typeName()
+    assert tagged == "map"  # store side stays a map
+    assert [s.split("\n")[0] for s in sink.statements[2:]] == [
+        "INSERT INTO changesets (id, user_id, created_at, closed_at, open,"
+        " user_name, tags, hashtags, min_lon, min_lat, max_lon, max_lat)",
+        "TRUNCATE changesets_staging",
+    ]
+
+
+def test_manager_mirrors_batches_into_jdbc_sink(spark):
+    """With a jdbc_sink attached, every replication batch and every
+    reconciliation reply is winner-resolved and mirrored."""
+    from ohsome_planet_spark.sources.jdbc import ChangesetJdbcSink
+
+    upserts = []
+
+    class _Spy(ChangesetJdbcSink):
+        def upsert(self, batch):
+            upserts.append({r.id: r.open for r in batch.collect()})
+
+    mgr, _ = _manager_fixture(spark, n_seqs=3, batch_size=2)
+    mgr.jdbc_sink = _Spy(url="jdbc:postgresql://h/db", execute=lambda s: None)
+    state = _df(spark, [])
+    state = mgr.update_to_remote_state(state, mgr.server.get_remote_state(3))
+    assert len(upserts) == 2  # two catch-up batches (2 seqs + 1 seq)
+    # seq 2's file closes changeset 101 -> winner for 101 in batch 1 is closed
+    assert upserts[0][101] is False and upserts[0][102] is True

@@ -241,3 +241,77 @@ def test_polygon_feature_rules():
     assert not test_polygon_feature("surface", "asphalt")
     assert not test_polygon_feature("highway", "primary")
     assert not test_polygon_feature("natural", "coastline")
+
+
+def test_decode_flat_batch_matches_rowwise():
+    """Differential: the Arrow-batch flat WKB decoder must produce the same
+    parts (kind + coords), bboxes, and edge counts as the recursive per-row
+    decoder, over every geometry type incl. nulls and empties."""
+    import random
+
+    random.seed(11)
+    rng = np.random.default_rng(11)
+
+    def ring(npts=None):
+        npts = npts or random.randint(3, 8)
+        pts = [(float(x), float(y)) for x, y in rng.uniform(-85, 85, (npts, 2))]
+        return pts + [pts[0]]
+
+    def rnd(depth=0):
+        kinds = ["Point", "LineString", "Polygon", "MultiPoint", "MultiLineString", "MultiPolygon"]
+        if depth == 0:
+            kinds.append("GeometryCollection")
+        t = random.choice(kinds)
+        if t == "Point":
+            return {"type": t, "coords": (float(rng.uniform(-180, 180)), float(rng.uniform(-85, 85)))}
+        if t == "LineString":
+            return {"type": t, "coords": [(float(x), float(y)) for x, y in rng.uniform(-90, 90, (random.randint(2, 6), 2))]}
+        if t == "Polygon":
+            return {"type": t, "coords": [ring() for _ in range(random.randint(1, 3))]}
+        if t == "MultiPoint":
+            return {"type": t, "coords": [(float(x), float(y)) for x, y in rng.uniform(-90, 90, (random.randint(1, 4), 2))]}
+        if t == "MultiLineString":
+            return {"type": t, "coords": [[(float(x), float(y)) for x, y in rng.uniform(-90, 90, (random.randint(2, 5), 2))] for _ in range(random.randint(1, 3))]}
+        if t == "MultiPolygon":
+            return {"type": t, "coords": [[ring() for _ in range(random.randint(1, 2))] for _ in range(random.randint(1, 3))]}
+        return {"type": t, "coords": [rnd(1) for _ in range(random.randint(1, 3))]}
+
+    geoms = [rnd() for _ in range(200)]
+    bufs = [wkb.encode(g) for g in geoms]
+    bufs[3], geoms[3] = None, None
+    bufs[9], geoms[9] = b"", None
+
+    batch = wkb.decode_flat_batch(bufs)
+    assert batch.n == len(bufs)
+    for i, g in enumerate(geoms):
+        ref = sorted((k, a.tobytes()) for k, a in wkb._geom_polylines(g))
+        got = []
+        for p in np.nonzero(batch.part_row == i)[0]:
+            s, e = batch.part_off[p], batch.part_off[p + 1]
+            got.append((int(batch.part_kind[p]), np.column_stack([batch.vx[s:e], batch.vy[s:e]]).tobytes()))
+        assert sorted(got) == ref, f"row {i}"
+        if g is None:
+            assert batch.empty[i] and np.isnan(batch.row_bbox[i]).all()
+        else:
+            xs, ys = wkb._all_coords(g)
+            assert np.allclose(batch.row_bbox[i], [xs.min(), ys.min(), xs.max(), ys.max()])
+
+    ex1, _, _, _, erow = batch.edges()
+    want = int(sum(max(0, int(batch.part_off[p + 1] - batch.part_off[p]) - 1) for p in range(len(batch.part_row))))
+    assert len(ex1) == want and len(erow) == want
+
+
+def test_decode_flat_batch_little_endian():
+    """Mixed byte orders in one batch decode correctly."""
+    import struct
+
+    le_pt = b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", 3.5, -7.25)
+    le_ls = (
+        b"\x01" + struct.pack("<I", 2) + struct.pack("<I", 2) + struct.pack("<dddd", 0.0, 1.0, 2.0, 3.0)
+    )
+    be_pt = wkb.encode({"type": "Point", "coords": (1.0, 2.0)})
+    batch = wkb.decode_flat_batch([le_pt, be_pt, le_ls])
+    assert not batch.empty.any()
+    assert np.allclose(batch.row_bbox[0], [3.5, -7.25, 3.5, -7.25])
+    assert np.allclose(batch.row_bbox[1], [1.0, 2.0, 1.0, 2.0])
+    assert np.allclose(batch.row_bbox[2], [0.0, 1.0, 2.0, 3.0])
