@@ -320,3 +320,113 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         lambda acc, x: acc + x,
     )
     return df.select(F.col(id_col).alias("doc"), sig.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components of the near-dup candidate graph via alternating
+    large-star / small-star rounds (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14 — the O(log n)-round algorithm, so a
+    planet-scale dup graph converges in ~a dozen shuffles instead of
+    O(diameter) label-propagation passes).
+
+    - large-star(u): every neighbor v > u re-attaches to
+      m(u) = min(N(u) ∪ {u});
+    - small-star(u): every neighbor v ≤ u (plus u itself) attaches to m(u).
+
+    Both rounds are a groupBy-min plus an equi-join on the node id — no
+    driver-side graph state; the driver only checks convergence (count +
+    hash checksum, one agg job per round). Returns (node, component) where
+    component is the minimum id in the node's component; singleton nodes
+    (absent from ``pairs``) are the caller's concern (left-join + coalesce).
+
+    Each round ends in ``localCheckpoint(eager=True)``: without it the
+    logical plan doubles every iteration (each round references the prior
+    round's frame twice) and Catalyst analysis itself blows up after ~10
+    rounds. On a real cluster with a checkpoint dir, swap for reliable
+    ``checkpoint()`` to survive executor loss mid-iteration.
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # -- large-star -----------------------------------------------------
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = m.select("u", F.least("_mn", F.col("u")).alias("m"))
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star -----------------------------------------------------
+        d = (
+            large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        m2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            d.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # convergence: edge multiset unchanged (count + order-independent
+        # checksum — the rounds are monotone, so a matched checksum on a
+        # matched count is a fixpoint, not a collision gamble)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.hash("u", "v")).alias("h")
+        ).collect()[0]
+        sig = (row.n, row.h)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at the fixpoint every edge points node -> component root
+    labels = e.groupBy("u").agg(F.min("v").alias("component")).union(
+        e.select(F.col("v").alias("u"), F.col("v").alias("component")).distinct()
+    )
+    return labels.groupBy(F.col("u").alias("node")).agg(
+        F.min("component").alias("component")
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Every document with its duplicate-cluster id (min doc id in its
+    component; itself when it has no near-dups), cluster size, and the
+    canonical flag a filtering pipeline keeps."""
+    cc = connected_components(pairs)
+    joined = docs.select(F.col(id_col)).join(
+        cc.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    labeled = joined.select(
+        id_col, F.coalesce("component", F.col(id_col)).alias("cluster_id")
+    )
+    w = W.partitionBy("cluster_id")
+    return labeled.select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_docs"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )

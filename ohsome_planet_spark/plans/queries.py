@@ -1012,6 +1012,47 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clusters_oracle() -> str:
+    pairs_sql = _simhash_pairs_oracle().replace("ORDER BY doc_a, doc_b", "").strip()
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({pairs_sql})
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (
+      SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+    ), labeled AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs,
+           doc_id = cluster_id AS is_canonical
+    FROM labeled ORDER BY doc_id
+    """
+
+
+@_register("dedup_clusters", _dedup_clusters_oracle())
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: SimHash near-dup pairs → alternating
+    large-star/small-star connected components (O(log n) shuffle rounds)
+    → per-document cluster id, size, and canonical flag. The oracle
+    replays the grouping with a recursive transitive-closure CTE — fine
+    at oracle scale, quadratic in component size at planet scale, which
+    is exactly why the Spark side uses the star algorithm instead."""
+    from ..operators.dedup import dedup_clusters, simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = simhash(docs, "doc_id", "text", bits=32)
+    pairs = simhash_near_dup_pairs(sigs, bits=32, bands=4, max_hamming=3)
+    return dedup_clusters(docs, pairs, id_col="doc_id").orderBy("doc_id")
+
+
 # ===========================================================================
 # text analysis
 # ===========================================================================

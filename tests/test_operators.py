@@ -93,6 +93,63 @@ class TestDedup:
         kept = exact_dedup(df, ["t"], "id")
         assert {r.id for r in kept.collect()} == {1, 3}
 
+    def test_connected_components_vs_union_find(self, spark):
+        import random
+
+        from ohsome_planet_spark.operators.dedup import connected_components
+
+        def uf(edges, nodes):
+            parent = {n: n for n in nodes}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for u, v in edges:
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+            return {n: find(n) for n in nodes}
+
+        rng = random.Random(11)
+        edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(90)]
+        edges = [e for e in edges if e[0] != e[1]]
+        nodes = sorted({x for e in edges for x in e})
+        expected = uf(edges, nodes)
+        df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {r.node: r.component for r in connected_components(df).collect()}
+        assert got == expected
+
+    def test_connected_components_chain(self, spark):
+        """A path graph is the worst case for naive label propagation
+        (O(diameter) rounds); the star algorithm must still converge
+        within max_iter and label every node with the chain minimum."""
+        from ohsome_planet_spark.operators.dedup import connected_components
+
+        chain = [(i, i + 1) for i in range(120)]
+        df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+        got = {r.node: r.component for r in connected_components(df).collect()}
+        assert len(got) == 121 and set(got.values()) == {0}
+
+    def test_dedup_clusters_singletons_and_canonical(self, spark):
+        from ohsome_planet_spark.operators.dedup import dedup_clusters
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(6)], "doc_id bigint"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 3), (3, 5)], "doc_a bigint, doc_b bigint"
+        )
+        rows = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
+        assert {d: r.cluster_id for d, r in rows.items()} == {
+            0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1,
+        }
+        assert rows[1].n_docs == 3 and rows[1].is_canonical
+        assert rows[3].n_docs == 3 and not rows[3].is_canonical
+        assert rows[0].n_docs == 1 and rows[0].is_canonical
+
 
 class TestGeometrySpatialJoin:
     def test_linestring_crossing_feature(self, spark):
