@@ -1,19 +1,23 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, as a large-scale pipeline needs both:
+Three paths, as a large-scale pipeline needs all of them:
 
 - :func:`cosine_topk` — exact brute-force top-k, the correctness baseline.
   The dot product/norms are native ``aggregate``/``zip_with`` expressions
   (JVM, codegen); the query side is broadcast, so the big side streams
   without a shuffle; top-k is a per-query window.
-- :func:`lsh_bucket_topk` — the scale path: random-hyperplane (sign) LSH.
-  Each vector gets a ``nbits``-bit signature; candidates come from an
-  equi-join on (or near) the signature, then exact re-ranking. Hyperplane
-  weights derive deterministically from md5 so results are reproducible.
+- :func:`lsh_bucket_topk` — random-hyperplane (sign) LSH. Each vector gets
+  a ``nbits``-bit signature; candidates come from an equi-join on the
+  signature, then exact re-ranking. Hyperplane weights derive
+  deterministically from md5 so results are reproducible.
+- :func:`ivf_topk` — IVF-flat: vectors bucketed into inverted lists by
+  nearest centroid; queries probe their ``nprobe`` nearest lists only.
+  Recall/latency tunable per query set, the FAISS-style scale path.
 
-At 100 TB the brute-force path is O(N·Q); the LSH path turns it into an
-equi-join on signature buckets — the shuffle is by bucket key and AQE
-handles skewed buckets.
+At 100 TB the brute-force path is O(N·Q); LSH and IVF turn it into an
+equi-join on bucket/list keys — the shuffle is by that key and AQE handles
+skewed buckets. Both approximate paths degrade to exact search as their
+knobs widen (nbits→0, nprobe→#lists).
 """
 
 from __future__ import annotations
@@ -89,6 +93,116 @@ def signature_expr(vec: Column, planes: list[list[float]]) -> Column:
         )
         sig = sig + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint")
     return sig
+
+
+def _centroid_argmax_expr(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """list id of the nearest centroid by cosine (6-dp rounded, ties to the
+    smallest centroid id) — one codegen expression, no join, no shuffle.
+
+    Struct comparison does the argmax: ``array_max`` over
+    ``struct(cosine, -centroid_id)`` picks the highest cosine and, on a
+    rounded tie, the smallest id. Fine for centroid counts in the
+    hundreds (the broadcast-dim regime); for 10k+ lists switch to a
+    Pandas-UDF matmul against a broadcast centroid matrix.
+    """
+    dvec = vec.cast("array<double>")
+    entries = []
+    for cid, cvec in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        cos = F.round(dot_expr(dvec, carr) / (norm_expr(dvec) * norm_expr(carr)), 6)
+        entries.append(F.struct(cos.alias("c"), F.lit(-cid).cast("bigint").alias("nid")))
+    best = F.array_max(F.array(*entries))
+    return (-best["nid"]).cast("bigint")
+
+
+def _probe_lists_expr(
+    vec: Column, centroids: list[tuple[int, list[float]]], nprobe: int
+) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids for a query vector
+    (cosine desc, id asc) — ``array_sort`` over structs, still codegen."""
+    dvec = vec.cast("array<double>")
+    entries = []
+    for cid, cvec in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        cos = F.round(dot_expr(dvec, carr) / (norm_expr(dvec) * norm_expr(carr)), 6)
+        entries.append(
+            F.struct((-cos).alias("nc"), F.lit(cid).cast("bigint").alias("cid"))
+        )
+    ordered = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cid"])
+
+
+def seed_centroids(
+    vectors: DataFrame,
+    every: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic data-sampled centroids: every ``every``-th vector by id.
+
+    A deliberate small driver collect — IVF training (k-means on a sample)
+    is driver-side in every real system; here the sampling rule doubles as
+    the reproducible "training" so the DuckDB oracle can rebuild the same
+    lists. Swap in k-means centroids without touching the search path.
+    """
+    rows = (
+        vectors.filter((F.col(id_col) % every) == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-flat ANN: vectors are bucketed by nearest centroid ("inverted
+    lists"); each query probes its ``nprobe`` nearest lists and exact
+    cosine re-ranks only the vectors in those lists.
+
+    Scale shape: list assignment is a codegen expression over the streamed
+    vector table (no shuffle); the query×probe side is tiny and broadcast,
+    so candidate generation is a broadcast equi-join on ``list_id`` — the
+    big side never shuffles. Only the per-query top-k window moves
+    candidate rows. Recall is tunable via ``nprobe`` (= brute force when
+    nprobe ≥ #lists).
+    """
+    v = vectors.withColumn("_list", _centroid_argmax_expr(F.col(vec_col), centroids))
+    probes = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(
+            _probe_lists_expr(F.col(query_vec_col), centroids, nprobe)
+        ).alias("_list"),
+    )
+    joined = v.join(
+        F.broadcast(probes),
+        (v["_list"] == probes["_list"]) & (v[id_col] != probes[query_id_col]),
+    )
+    sim = F.round(
+        cosine_expr(
+            F.col(vec_col).cast("array<double>"),
+            F.col(query_vec_col).cast("array<double>"),
+        ),
+        6,
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        joined.select(F.col(query_id_col), v[id_col].alias(id_col), sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def lsh_bucket_topk(

@@ -1256,6 +1256,67 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _ann_ivf_oracle(every: int = 25, nprobe: int = 4, k: int = 5) -> str:
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % {every} = 0
+    ), assigned AS (
+      SELECT vec_id, embedding, cid AS list_id FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a="e.embedding::DOUBLE[]", b="c.cv")} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+    ), probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {cos.format(a="q.qv", b="c.cv")} DESC, c.cid
+               ) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= {nprobe}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id,
+             {cos.format(a="a.embedding::DOUBLE[]", b="p.qv")} AS cosine
+      FROM probes p JOIN assigned a
+        ON a.list_id = p.cid AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+          FROM cand)
+    WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+@_register("ann_ivf_topk", _ann_ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic data-sampled centroids (every 25th
+    vector — the reproducible stand-in for k-means training), codegen
+    nearest-list assignment, nprobe=4 probing, exact re-rank inside the
+    probed lists. The big side streams shuffle-free; only candidates hit
+    the per-query top-k window."""
+    from ..operators.similarity import ivf_topk, seed_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, every=25)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(emb, queries, cents, k=5, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
 # ===========================================================================
 # way contribution pipeline: temporal member merge J3 (flagship #2)
 # ===========================================================================

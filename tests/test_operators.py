@@ -151,6 +151,60 @@ class TestDedup:
         assert rows[0].n_docs == 1 and rows[0].is_canonical
 
 
+class TestIvf:
+    def _vectors(self, spark, n=60, dim=8, seed=3):
+        rng = np.random.default_rng(seed)
+        rows = [
+            (i, [float(x) for x in rng.standard_normal(dim)]) for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def test_ivf_full_probe_equals_brute_force(self, spark):
+        """With nprobe >= #lists, IVF search must reproduce exact top-k."""
+        from ohsome_planet_spark.operators.similarity import (
+            cosine_topk,
+            ivf_topk,
+            seed_centroids,
+        )
+
+        vecs = self._vectors(spark)
+        cents = seed_centroids(vecs, every=10)  # 6 lists
+        queries = vecs.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        exact = {
+            (r.query_id, r.rank): r.vec_id
+            for r in cosine_topk(vecs, queries, k=3).collect()
+        }
+        ivf = {
+            (r.query_id, r.rank): r.vec_id
+            for r in ivf_topk(vecs, queries, cents, k=3, nprobe=6).collect()
+        }
+        assert ivf == exact
+
+    def test_ivf_narrow_probe_subset(self, spark):
+        """nprobe=1 results are a subset of the probed list's members and
+        ranks stay dense per query."""
+        from ohsome_planet_spark.operators.similarity import (
+            ivf_topk,
+            seed_centroids,
+        )
+
+        vecs = self._vectors(spark)
+        cents = seed_centroids(vecs, every=10)
+        queries = vecs.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        out = ivf_topk(vecs, queries, cents, k=5, nprobe=1).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r.rank)
+        for ranks in by_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 class TestGeometrySpatialJoin:
     def test_linestring_crossing_feature(self, spark):
         """A line that crosses a country without any vertex inside still
