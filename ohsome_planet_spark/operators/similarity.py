@@ -95,45 +95,6 @@ def signature_expr(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
-def _centroid_argmax_expr(
-    vec: Column, centroids: list[tuple[int, list[float]]]
-) -> Column:
-    """list id of the nearest centroid by cosine (6-dp rounded, ties to the
-    smallest centroid id) — one codegen expression, no join, no shuffle.
-
-    Struct comparison does the argmax: ``array_max`` over
-    ``struct(cosine, -centroid_id)`` picks the highest cosine and, on a
-    rounded tie, the smallest id. Fine for centroid counts in the
-    hundreds (the broadcast-dim regime); for 10k+ lists switch to a
-    Pandas-UDF matmul against a broadcast centroid matrix.
-    """
-    dvec = vec.cast("array<double>")
-    entries = []
-    for cid, cvec in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in cvec])
-        cos = F.round(dot_expr(dvec, carr) / (norm_expr(dvec) * norm_expr(carr)), 6)
-        entries.append(F.struct(cos.alias("c"), F.lit(-cid).cast("bigint").alias("nid")))
-    best = F.array_max(F.array(*entries))
-    return (-best["nid"]).cast("bigint")
-
-
-def _probe_lists_expr(
-    vec: Column, centroids: list[tuple[int, list[float]]], nprobe: int
-) -> Column:
-    """Array of the ``nprobe`` nearest centroid ids for a query vector
-    (cosine desc, id asc) — ``array_sort`` over structs, still codegen."""
-    dvec = vec.cast("array<double>")
-    entries = []
-    for cid, cvec in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in cvec])
-        cos = F.round(dot_expr(dvec, carr) / (norm_expr(dvec) * norm_expr(carr)), 6)
-        entries.append(
-            F.struct((-cos).alias("nc"), F.lit(cid).cast("bigint").alias("cid"))
-        )
-    ordered = F.array_sort(F.array(*entries))
-    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cid"])
-
-
 def seed_centroids(
     vectors: DataFrame,
     every: int,
@@ -156,10 +117,26 @@ def seed_centroids(
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
+def centroids_df(
+    vectors: DataFrame,
+    every: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed twin of :func:`seed_centroids`: the same every-``every``-th
+    sampling rule as a (cid, cv) DataFrame — no driver collect, so
+    "training" stays on the cluster and the centroid count can grow with
+    the data."""
+    return vectors.filter((F.col(id_col) % every) == 0).select(
+        F.col(id_col).cast("bigint").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: DataFrame | list[tuple[int, list[float]]],
     k: int = 5,
     nprobe: int = 4,
     id_col: str = "vec_id",
@@ -171,24 +148,70 @@ def ivf_topk(
     lists"); each query probes its ``nprobe`` nearest lists and exact
     cosine re-ranks only the vectors in those lists.
 
-    Scale shape: list assignment is a codegen expression over the streamed
-    vector table (no shuffle); the query×probe side is tiny and broadcast,
-    so candidate generation is a broadcast equi-join on ``list_id`` — the
-    big side never shuffles. Only the per-query top-k window moves
-    candidate rows. Recall is tunable via ``nprobe`` (= brute force when
-    nprobe ≥ #lists).
+    ``centroids`` is a (cid, cv) DataFrame (see :func:`centroids_df`) or a
+    ``seed_centroids``-style list. The centroid table is broadcast to both
+    sides: list assignment is a broadcast nested-loop over the streamed
+    vector table followed by a map-side-combinable ``max_by`` groupBy — the
+    per-(vector, centroid) scores never shuffle, only one assignment row
+    per vector does. (An earlier version inlined every centroid as a
+    literal sub-expression; at 80 centroids the Catalyst tree alone took
+    ~16 s to analyze — the join formulation is O(1) in plan size.)
+    Candidate generation is a broadcast equi-join on the list id; only
+    candidates hit the per-query top-k window. Recall is tunable via
+    ``nprobe`` (= brute force when nprobe ≥ #lists).
     """
-    v = vectors.withColumn("_list", _centroid_argmax_expr(F.col(vec_col), centroids))
-    probes = queries.select(
-        query_id_col,
-        query_vec_col,
-        F.explode(
-            _probe_lists_expr(F.col(query_vec_col), centroids, nprobe)
+    if isinstance(centroids, list):
+        cents = vectors.sparkSession.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in centroids],
+            schema="cid bigint, cv array<double>",
+        )
+    else:
+        cents = centroids.select(
+            F.col("cid").cast("bigint").alias("cid"),
+            F.col("cv").cast("array<double>").alias("cv"),
+        )
+
+    def _cos_to_centroid(vec: Column) -> Column:
+        dvec = vec.cast("array<double>")
+        return F.round(
+            dot_expr(dvec, F.col("cv")) / (norm_expr(dvec) * norm_expr(F.col("cv"))),
+            6,
+        )
+
+    # nearest list per vector: highest rounded cosine, ties to smallest cid
+    # (struct max compares cosine first, then -cid)
+    scored = (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(id_col, vec_col, "cid", _cos_to_centroid(F.col(vec_col)).alias("_c"))
+    )
+    assigned = scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.max_by(
+            "cid", F.struct(F.col("_c").alias("c"), (-F.col("cid")).alias("t"))
         ).alias("_list"),
     )
-    joined = v.join(
+
+    qscored = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            query_id_col,
+            query_vec_col,
+            "cid",
+            _cos_to_centroid(F.col(query_vec_col)).alias("_qc"),
+        )
+    )
+    qw = W.partitionBy(query_id_col).orderBy(F.desc("_qc"), F.col("cid"))
+    probes = (
+        qscored.withColumn("_rn", F.row_number().over(qw))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, query_vec_col, F.col("cid").alias("_list"))
+    )
+
+    joined = assigned.join(
         F.broadcast(probes),
-        (v["_list"] == probes["_list"]) & (v[id_col] != probes[query_id_col]),
+        (assigned["_list"] == probes["_list"])
+        & (assigned[id_col] != probes[query_id_col]),
     )
     sim = F.round(
         cosine_expr(
@@ -199,7 +222,9 @@ def ivf_topk(
     )
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
-        joined.select(F.col(query_id_col), v[id_col].alias(id_col), sim.alias("cosine"))
+        joined.select(
+            F.col(query_id_col), assigned[id_col].alias(id_col), sim.alias("cosine")
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -1300,14 +1300,14 @@ def _ann_ivf_oracle(every: int = 25, nprobe: int = 4, k: int = 5) -> str:
 @_register("ann_ivf_topk", _ann_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: deterministic data-sampled centroids (every 25th
-    vector — the reproducible stand-in for k-means training), codegen
-    nearest-list assignment, nprobe=4 probing, exact re-rank inside the
-    probed lists. The big side streams shuffle-free; only candidates hit
-    the per-query top-k window."""
-    from ..operators.similarity import ivf_topk, seed_centroids
+    vector — the reproducible stand-in for k-means training) as a broadcast
+    centroid table, map-side-combinable argmax list assignment, nprobe=4
+    probing, exact re-rank inside the probed lists. Only candidates hit
+    the per-query top-k window; no driver collect anywhere."""
+    from ..operators.similarity import centroids_df, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = seed_centroids(emb, every=25)
+    cents = centroids_df(emb, every=25)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
