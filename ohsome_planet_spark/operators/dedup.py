@@ -367,12 +367,14 @@ def connected_components(
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = sym.groupBy("u").agg(F.min("v").alias("_mn"))
         m = m.select("u", F.least("_mn", F.col("u")).alias("m"))
+        # duplicate edges are harmless through the min-aggregations below
+        # (min is duplicate-insensitive) — only the round-final edge set is
+        # distinct'd, which keeps two shuffle stages out of every round
         large = (
             sym.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # -- small-star -----------------------------------------------------
         d = (
@@ -380,7 +382,6 @@ def connected_components(
                 F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
             )
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         m2 = d.groupBy("u").agg(F.min("v").alias("m"))
         e = (
