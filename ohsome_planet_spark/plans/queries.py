@@ -34,6 +34,7 @@ from ..functions.text import (
 )
 from ..functions.xz import G_DEFAULT, _n_elem, xz_code_expr, xz_level_expr
 from ..operators.asof import asof_join
+from ..session import fan_out
 from ..operators.contributions import (
     node_contribution_events,
     relation_contribution_events,
@@ -876,7 +877,7 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-2-gram Jaccard ≥ 0.12 over shingles with
     document frequency ≤ 64 (stop-shingle cap keeps the inverted-index
     self-join from exploding quadratically on hot shingles)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", n=2, threshold=0.12, max_df=64
     ).orderBy("doc_a", "doc_b")
@@ -901,10 +902,11 @@ def _minhash_oracle(num_perm: int = 16, n: int = 3) -> str:
 
 @_register("minhash_signatures", _minhash_oracle())
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (16 affine permutations mod 2^61-1 over md5
+    """MinHash signatures (16 affine permutations mod 2^31-1 over md5
     shingle hashes) — deterministic, so the SQL oracle reproduces it bit
-    for bit."""
-    docs = _t(spark, sf_dir, "documents")
+    for bit. The scan fans out first: a single small parquet file reads
+    as one task, and the shingle construction is the CPU-heavy part."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     sh = shingles(docs, "doc_id", "text", n=3)
     sig = minhash_signatures(sh, num_perm=16)
     return sig.select(
@@ -945,7 +947,7 @@ def _lsh_oracle(num_perm: int = 16, bands: int = 4, n: int = 3) -> str:
 def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding (16 perms, 4 bands × 4 rows): candidate pairs
     share at least one band bucket."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     sh = shingles(docs, "doc_id", "text", n=3)
     sig = minhash_signatures(sh, num_perm=16)
     return lsh_candidate_pairs(sig, num_perm=16, bands=4).orderBy("doc_a", "doc_b")
@@ -971,7 +973,7 @@ def _simhash_oracle(bits: int = 32) -> str:
 @_register("simhash_signatures", _simhash_oracle())
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charikar SimHash (32-bit majority-vote signature), shuffle-free."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return simhash(docs, "doc_id", "text", bits=32).orderBy("doc")
 
 
@@ -1003,7 +1005,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank (bit_count(xor)), everything native."""
     from ..operators.dedup import simhash_near_dup_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     sigs = simhash(docs, "doc_id", "text", bits=32)
     return (
         simhash_near_dup_pairs(sigs, bits=32, bands=4, max_hamming=3)
@@ -1047,7 +1049,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly why the Spark side uses the star algorithm instead."""
     from ..operators.dedup import dedup_clusters, simhash_near_dup_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     sigs = simhash(docs, "doc_id", "text", bits=32)
     pairs = simhash_near_dup_pairs(sigs, bits=32, bands=4, max_hamming=3)
     return dedup_clusters(docs, pairs, id_col="doc_id").orderBy("doc_id")
@@ -1093,7 +1095,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token count, punctuation ratio, stopword ratio,
     mean token length, composite score — all codegen expressions."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -1137,7 +1139,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-stopword ratios per language; ties
     break toward the lexicographically-largest language code (array_max on
     (score, lang) structs — mirrored in the oracle's CASE order)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -1163,7 +1165,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint over token hashes."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", fingerprint_expr(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")

@@ -55,6 +55,22 @@ def release_cached(blocking: bool = False) -> int:
     return n
 
 
+def fan_out(df, min_parallelism: int | None = None):
+    """Repartition a narrow scan to cluster width before CPU-heavy
+    derivation (shingling, hashing, geometry decode).
+
+    No-op when the input already has at least ``min_parallelism``
+    partitions — the 100 TB case, where the scan has thousands of splits
+    and a repartition would shuffle the whole table for nothing. Only
+    narrow inputs (e.g. one small parquet file, which Spark reads as a
+    single task) pay the tiny exchange so the heavy map work actually
+    uses the cluster."""
+    target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make ``ohsome_planet_spark`` importable on executor workers.
 
