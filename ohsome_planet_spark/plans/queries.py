@@ -1198,7 +1198,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for 5 query vectors (broadcast query
     side; JVM-side dot products via aggregate/zip_with)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1248,7 +1248,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     within bucket (the scale path; recall traded for a bucket equi-join).
     The 8×64 hyperplane weights are deterministic md5-derived literals, so
     the oracle reproduces the signatures bit-for-bit."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1308,7 +1308,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-query top-k window; no driver collect anywhere."""
     from ..operators.similarity import centroids_df, ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
     cents = centroids_df(emb, every=25)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -1737,7 +1737,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the label comes from a coarse quantizer), exact cosine inside buckets."""
     from ..operators.similarity import dot_expr, norm_expr
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
     # precompute norms ONCE per vector before the pair join — recomputing
     # them inside the pair-level cosine tripled the per-pair work
     normed = emb.select(
