@@ -1482,10 +1482,14 @@ def _derived_way_inputs(spark: SparkSession, sf_dir: str):
         ((F.col("value") % 360.0) - 180.0).alias("lon"),
         (((F.col("value") * 7.0) % 180.0) - 90.0).alias("lat"),
     )
-    u = ev.select(F.countDistinct("user_id")).first()[0]
+    # the user count enters as a broadcast 1-row scalar instead of an eager
+    # .first() — no blocking driver job, and the events scan it needs runs
+    # inside the query's own DAG
+    ucnt = ev.select(F.countDistinct("user_id").alias("_u"))
     nat = _t(spark, sf_dir, "nation")
     ways = (
         nat.select(F.col("n_nationkey").cast("bigint").alias("wid"))
+        .crossJoin(F.broadcast(ucnt))
         .crossJoin(spark.range(1, 4).select(F.col("id").alias("v")))
         .select(
             F.col("wid").alias("osm_id"),
@@ -1497,9 +1501,9 @@ def _derived_way_inputs(spark: SparkSession, sf_dir: str):
             F.lit(True).alias("visible"),
             F.create_map(F.lit("name"), F.concat(F.lit("w"), F.col("wid"))).alias("tags"),
             F.array(
-                (F.col("wid") % u).cast("bigint"),
-                ((F.col("wid") + 7) % u).cast("bigint"),
-                ((F.col("wid") + 13) % u).cast("bigint"),
+                (F.col("wid") % F.col("_u")).cast("bigint"),
+                ((F.col("wid") + 7) % F.col("_u")).cast("bigint"),
+                ((F.col("wid") + 13) % F.col("_u")).cast("bigint"),
             ).alias("refs"),
         )
     )
