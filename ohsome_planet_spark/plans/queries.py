@@ -1998,8 +1998,16 @@ def replication_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "visible",
     ).withColumn("osm_type", F.lit("node"))
+    # hist feeds three branches (state / extra / diff), state and kept two
+    # consumers each — persist so the events window computes once
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import register_cached
+
+    hist = register_cached(hist.persist(StorageLevel.MEMORY_AND_DISK))
 
     state = latest_state(hist.filter(F.col("version") <= 2))
+    state = register_cached(state.persist(StorageLevel.MEMORY_AND_DISK))
     extra = hist.filter(F.col("version") == 1).select(
         (F.col("osm_id") + 1000).alias("osm_id"),
         F.lit(1).cast("int").alias("version"),
@@ -2008,7 +2016,9 @@ def replication_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "osm_type",
     )
     diff = hist.filter(F.col("version").between(2, 4)).unionByName(extra)
-    kept = filter_diff_against_state(diff, state)
+    kept = register_cached(
+        filter_diff_against_state(diff, state).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     merged = merge_latest_state(state, kept)
 
     ways = orders.select(
