@@ -1107,6 +1107,44 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# the BPE-ish pre-tokenizer: letter runs, single digits, single punctuation
+# marks — the piece boundaries every byte-pair encoder starts from. Plain
+# POSIX classes so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+_BPE_PIECE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@_register(
+    "token_counts",
+    f"""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+             AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_PIECE_RE}')) AS n_bpe_pieces,
+           round(strlen(text)
+                 / greatest(len(regexp_extract_all(text, '{_BPE_PIECE_RE}')), 1), 6)
+             AS bytes_per_piece
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace tokens and
+    BPE-ish pre-tokenizer pieces per document, plus bytes-per-piece (the
+    compression-ratio proxy used to spot boilerplate/binary junk). All
+    codegen regexp expressions, no UDFs."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    t = F.col("text")
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
+    pieces = F.size(F.regexp_extract_all(t, F.lit(_BPE_PIECE_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.cast("bigint").alias("n_ws_tokens"),
+        pieces.cast("bigint").alias("n_bpe_pieces"),
+        F.round(
+            F.octet_length(t) / F.greatest(pieces, F.lit(1)), 6
+        ).alias("bytes_per_piece"),
+    ).orderBy("doc_id")
+
+
 @_register(
     "lang_id",
     """
