@@ -393,3 +393,37 @@ def test_manager_mirrors_batches_into_jdbc_sink(spark):
     assert len(upserts) == 2  # two catch-up batches (2 seqs + 1 seq)
     # seq 2's file closes changeset 101 -> winner for 101 in batch 1 is closed
     assert upserts[0][101] is False and upserts[0][102] is True
+
+
+def test_upsert_differential_500_random_scenarios(spark):
+    """Differential check of the one-shuffle merge against a literal
+    sequential replay of ``INSERT … ON CONFLICT (id) DO UPDATE … WHERE
+    changesets.open`` (ChangesetDB.java:131-160): 500 independent ids with
+    random prior-state presence/openness and 0-4 batch rows each, all
+    packed into one DataFrame pair so the whole sweep is a single job."""
+    import random
+
+    rng = random.Random(42)
+    state_rows, batch_rows, expected = [], [], {}
+    for cid in range(500):
+        stored = None
+        if rng.random() < 0.7:
+            stored = _row(cid, rng.random() < 0.5, minute=cid % 60, user=f"s{cid}")
+            state_rows.append(stored)
+        seq = [
+            _row(cid, rng.random() < 0.6, minute=cid % 60, user=f"b{cid}_{k}", pos=cid * 10 + k)
+            for k in range(rng.randint(0, 4))
+        ]
+        batch_rows.extend(seq)
+        cur = stored
+        for row in seq:  # executeBatch applies rows in order
+            if cur is None or cur["open"]:
+                cur = row
+        if cur is not None:
+            expected[cid] = (cur["open"], cur["user_name"])
+
+    out = upsert_changesets(
+        _df(spark, state_rows), _df(spark, batch_rows, with_pos=True)
+    )
+    got = {r.id: (r.open, r.user_name) for r in out.collect()}
+    assert got == expected
