@@ -284,10 +284,20 @@ def relation_contribution_events(
         ).alias("state"),
     )
 
+    # Truncate lineage at the member-event stream: everything above this
+    # point is the complete WAY pipeline (its own merge + geometry UDF),
+    # and carrying it as lineage into the relation merge doubles every
+    # downstream task binary and AQE re-plan. On a cluster this is the
+    # staged-intermediate pattern (write members to a stage table, read
+    # back); localCheckpoint is the single-process analog. eager=False so
+    # the materialization happens inside the consuming job, not as an
+    # extra blocking action here.
+    member_events = way_events.unionByName(node_events).localCheckpoint(eager=False)
+
     merged = merge_member_streams(
         majors.select("pid", "pv", "pts", "pcs", "puid", "puname"),
         slots,
-        way_events.unionByName(node_events),
+        member_events,
     )
 
     rw = W.partitionBy("pid").orderBy("inst_ts", "pv", "inst_cs")
