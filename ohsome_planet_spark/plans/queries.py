@@ -31,6 +31,7 @@ from ..functions.text import (
     quality_score_expr,
     stopword_ratio_expr,
     token_count_expr,
+    tokens_expr,
 )
 from ..functions.xz import G_DEFAULT, _n_elem, xz_code_expr, xz_level_expr
 from ..operators.asof import asof_join
@@ -1662,12 +1663,9 @@ ORDER BY osm_id, osm_edits
 )
 
 
-@_register("contrib_relations", _CONTRIB_RELS_ORACLE)
-def contrib_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship #3: the NESTED temporal merge — relations whose member way
-    streams carry their own minor versions, collection bbox/validity and
-    counters oracle-checked stage by stage."""
-    ways, nodes = _derived_way_inputs(spark, sf_dir)
+def _derived_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One route-relation per region, its member ways the nations of that
+    region (relation changesets >= 5000, disjoint from member ranges)."""
     nat = _t(spark, sf_dir, "nation")
     member_struct = F.transform(
         F.col("member_ids"),
@@ -1675,7 +1673,7 @@ def contrib_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("way").alias("type"), i.alias("id"), F.lit("").alias("role")
         ),
     )
-    rels = (
+    return (
         nat.groupBy(F.col("n_regionkey").cast("bigint").alias("osm_id"))
         .agg(F.sort_array(F.collect_list(F.col("n_nationkey").cast("bigint"))).alias("member_ids"))
         .select(
@@ -1690,6 +1688,15 @@ def contrib_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
             member_struct.alias("members"),
         )
     )
+
+
+@_register("contrib_relations", _CONTRIB_RELS_ORACLE)
+def contrib_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship #3: the NESTED temporal merge — relations whose member way
+    streams carry their own minor versions, collection bbox/validity and
+    counters oracle-checked stage by stage."""
+    ways, nodes = _derived_way_inputs(spark, sf_dir)
+    rels = _derived_relations(spark, sf_dir)
     contribs = synthesize_contributions(relation_contribution_events(rels, ways, nodes))
     n_geoms = F.size(F.filter(F.col("members"), lambda m: m["geometry"].isNotNull()))
     return contribs.select(
@@ -2089,6 +2096,306 @@ def replication_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("boolean").alias("visible"),
     )
     return nodes_out.unionByName(ways_out).orderBy("kind", "id")
+
+
+# ===========================================================================
+# queryability contract #2: relation member unnesting
+# (docs/useful_queries.md:21-33 — "Extract relation member geometries")
+# ===========================================================================
+
+
+def _members_unnest_oracle() -> str:
+    # Reuse the relation-pipeline CTE stack but carry the member-instant
+    # timestamp in the as-of state struct, pick the latest instant per
+    # relation, and emit one row per (relation, member).
+    base = (
+        _CONTRIB_RELS_ORACLE.replace(
+            "struct_pack(sxs := xs, sys := ys)",
+            "struct_pack(sxs := xs, sys := ys, sts := wets)",
+        ).replace(
+            "CAST(NULL AS STRUCT(sxs DOUBLE[], sys DOUBLE[]))",
+            "CAST(NULL AS STRUCT(sxs DOUBLE[], sys DOUBLE[], sts TIMESTAMP))",
+        )
+    )
+    cut = base.index("SELECT rid AS osm_id, 1 AS osm_version")
+    return (
+        base[:cut]
+        + """
+, latest AS (
+  SELECT rid, run_idx FROM (
+    SELECT rid, run_idx,
+           row_number() OVER (PARTITION BY rid
+             ORDER BY inst_ts DESC, inst_cs DESC, run_idx DESC) AS rn
+    FROM rinstants) WHERE rn = 1
+)
+SELECT r.rid AS osm_id,
+       'way/' || CAST(r.wid AS VARCHAR) AS member_key,
+       '' AS role,
+       coalesce((r.asof_st).sts, TIMESTAMP '1970-01-01') AS member_ts,
+       coalesce((r.asof_st).sxs IS NOT NULL AND len((r.asof_st).sxs) > 0,
+                FALSE) AS has_geom
+FROM rresolved r JOIN latest l ON l.rid = r.rid AND l.run_idx = r.k
+WHERE r.probe = 1
+ORDER BY osm_id, member_key
+"""
+    )
+
+
+@_register("relation_members_unnest", _members_unnest_oracle())
+def relation_members_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's second canonical downstream query
+    (``docs/useful_queries.md:21-33``): filter latest relation
+    contributions by tag, unnest the members array into one row per
+    member with its ``type/id`` key, role, as-of member timestamp and
+    geometry presence. Exercises the nested-merge member states end to
+    end through the user-facing contract."""
+    from ..schemas import VALID_TO_SENTINEL
+
+    ways, nodes = _derived_way_inputs(spark, sf_dir)
+    rels = _derived_relations(spark, sf_dir)
+    contribs = synthesize_contributions(relation_contribution_events(rels, ways, nodes))
+    return (
+        contribs.filter(F.col("tags")["type"] == "route")
+        .filter(F.col("valid_to") == F.lit(VALID_TO_SENTINEL))
+        .select("osm_id", F.explode("members").alias("m"))
+        .select(
+            "osm_id",
+            F.concat(F.col("m.type"), F.lit("/"), F.col("m.id").cast("string")).alias(
+                "member_key"
+            ),
+            F.col("m.role").alias("role"),
+            F.col("m.timestamp").alias("member_ts"),
+            F.col("m.geometry").isNotNull().alias("has_geom"),
+        )
+        .orderBy("osm_id", "member_key")
+    )
+
+
+# ===========================================================================
+# ohsome-style spatio-temporal aggregation: contributions per country/month
+# ===========================================================================
+
+
+def _country_month_oracle() -> str:
+    cases = " || ".join(
+        f"CASE WHEN lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r} "
+        f"THEN ['{fid}'] ELSE [] END"
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    )
+    return f"""
+    WITH pts AS (
+      SELECT user_id, ts, value,
+             (value % 360.0) - 180.0        AS lon,
+             ((value * 7.0) % 180.0) - 90.0 AS lat
+      FROM events
+    ), tagged AS (
+      SELECT user_id, date_trunc('month', ts) AS month, value,
+             unnest({cases}) AS country
+      FROM pts
+    )
+    SELECT country, month,
+           CAST(count(*) AS BIGINT)               AS n_points,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM tagged GROUP BY country, month
+    ORDER BY country, month
+    """
+
+
+@_register("country_month_stats", _country_month_oracle())
+def country_month_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic ohsome dashboard aggregation: events become points,
+    broadcast-spatial-joined to countries, then count + distinct-user per
+    (country, month). Scale shape: map-side country tagging (broadcast
+    grid), one shuffle on the (country, month) agg keys; the distinct
+    count is a two-phase partial aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    feats = [rect_feature(fid, x0, y0, x1, y1) for fid, x0, y0, x1, y1 in _GRID_FEATURES]
+    pts = ev.select(
+        "user_id",
+        "ts",
+        ((F.col("value") % 360.0) - 180.0).alias("lon"),
+        (((F.col("value") * 7.0) % 180.0) - 90.0).alias("lat"),
+    )
+    tagged = join_countries(pts, feats, "lon", "lat").select(
+        "user_id",
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        F.explode("countries").alias("country"),
+    )
+    return (
+        tagged.groupBy("country", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("country", "month")
+    )
+
+
+# ===========================================================================
+# training-data pipeline: sampling, vocabulary, end-to-end quality filter
+# ===========================================================================
+
+# per-language keep rates (percent); unknown languages keep everything
+_SAMPLE_RATES = (("en", 50), ("de", 30), ("fr", 20), ("es", 10))
+
+
+def _stratified_oracle() -> str:
+    h = hash60_sql("CAST(doc_id AS VARCHAR)")
+    case = " ".join(f"WHEN '{lang}' THEN {rate}" for lang, rate in _SAMPLE_RATES)
+    return f"""
+    SELECT doc_id, lang, {h} % 100 AS bucket
+    FROM documents
+    WHERE {h} % 100 < CASE lang {case} ELSE 100 END
+    ORDER BY doc_id
+    """
+
+
+@_register("stratified_sample", _stratified_oracle())
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the reproducible alternative to
+    ``df.sample()`` for training-data curation: a 60-bit content hash of
+    the stable id buckets every row into [0,100), and each stratum keeps
+    a configured share. Pure map-side filter: no shuffle, no RNG state,
+    re-runs produce the identical sample at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(hash60_expr(F.col("doc_id").cast("string")), F.lit(100))
+    rate = F.lit(100)
+    for lang, r in reversed(_SAMPLE_RATES):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "vocab_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT)            AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tok GROUP BY token
+    ORDER BY df DESC, tf DESC, token
+    LIMIT 100
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (the first step of building a BPE/
+    unigram tokenizer): term frequency + document frequency per token,
+    top-100 by df. The 100 TB shape is the canonical word-count — map-side
+    partial counts per token, one shuffle on the token key, and a
+    distinct-doc count that Spark plans as a two-phase aggregate."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), "token")
+        .limit(100)
+    )
+
+
+def _quality_pipeline_oracle() -> str:
+    stop20 = "['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on']"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks,
+             length(text) AS nct,
+             length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS npn
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang, text,
+             CAST(len(toks) AS INT) AS n_tokens,
+             (nct - npn) / greatest(nct, 1) AS punct_ratio,
+             len(list_filter(toks, x -> list_contains({stop20}, x)))
+               / greatest(len(toks), 1) AS stop_ratio,
+             list_sum(list_transform(toks, t -> length(t)))
+               / greatest(len(toks), 1) AS mtl,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) / greatest(len(toks), 1) AS s_en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))) / greatest(len(toks), 1) AS s_de,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','des','que','pas','pour'], x))) / greatest(len(toks), 1) AS s_fr,
+             len(list_filter(toks, x -> list_contains(['el','la','los','las','es','una','que','por','con','para'], x))) / greatest(len(toks), 1) AS s_es
+      FROM t
+    ), q AS (
+      SELECT *,
+             round(
+               least(n_tokens / 64.0, 1.0) * 0.4
+               + least(stop_ratio * 4.0, 1.0) * 0.2
+               + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
+                 * (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
+               + (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+             6) AS quality,
+             greatest(s_en, s_de, s_fr, s_es) AS best
+      FROM m
+    ), g AS (
+      SELECT *,
+             CASE WHEN best < 0.05 THEN 'und'
+                  WHEN s_fr = best THEN 'fr'
+                  WHEN s_es = best THEN 'es'
+                  WHEN s_en = best THEN 'en'
+                  ELSE 'de' END AS guessed_lang,
+             row_number() OVER (PARTITION BY {hash60_sql('text')} ORDER BY doc_id) AS rn
+      FROM q
+    )
+    SELECT doc_id, lang, guessed_lang, n_tokens,
+           round(punct_ratio, 6) AS punct_ratio, quality
+    FROM g
+    WHERE rn = 1 AND quality >= 0.4 AND n_tokens BETWEEN 10 AND 5000
+      AND punct_ratio < 0.25 AND guessed_lang <> 'und'
+    ORDER BY doc_id
+    """
+
+
+@_register("quality_filter_pipeline", _quality_pipeline_oracle())
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end C4-style cleaning pipeline in one plan: exact dedup
+    (first doc per content hash), quality-score floor, token-count band,
+    punctuation ceiling, and language-ID gate. Everything is codegen
+    expressions over one scan plus a single hash-partition window for the
+    dedup — the shape a 100 TB curation run wants."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        token_count_expr(t).alias("n_tokens"),
+        punct_ratio_expr(t).alias("_punct"),
+        quality_score_expr(t).alias("quality"),
+        lang_guess_expr(t).alias("guessed_lang"),
+        hash60_expr(t).alias("_h"),
+    )
+    wdup = W.partitionBy("_h").orderBy("doc_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(wdup))
+        .filter(
+            (F.col("_rn") == 1)
+            & (F.col("quality") >= 0.4)
+            & F.col("n_tokens").between(10, 5000)
+            & (F.col("_punct") < 0.25)
+            & (F.col("guessed_lang") != "und")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "guessed_lang",
+            "n_tokens",
+            F.round("_punct", 6).alias("punct_ratio"),
+            "quality",
+        )
+        .orderBy("doc_id")
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:
