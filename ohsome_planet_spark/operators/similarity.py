@@ -133,6 +133,76 @@ def centroids_df(
     )
 
 
+def kmeans_iterate(
+    vectors: DataFrame,
+    every: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Distributed Lloyd k-means, bit-reproducible across engines.
+
+    Seeds come from :func:`centroids_df` (every ``every``-th vector).
+    Each iteration: (1) assign every vector to its nearest centroid —
+    broadcast centroid table, squared-L2 rounded to 6 decimals so
+    near-ties become exact ties, tie to the smallest centroid id;
+    (2) recompute centroids as the per-dimension mean using
+    ORDER-INDEPENDENT fixed-point sums: each coordinate is quantized to
+    ``round(x * scale)`` int64 before summing, so partial-aggregation
+    order (nondeterministic on any distributed engine) cannot perturb
+    the result — the mean is then exact integer-sum / n / scale. This is
+    what lets a DuckDB oracle replay the iterations bit-for-bit, and at
+    cluster scale it makes reruns reproducible regardless of partitioning.
+
+    Each iteration ends in a lineage truncation (iterative algorithms
+    otherwise double their plan depth per round). Returns
+    (cid, cv array<double>, n) for the final iteration.
+    """
+    cents = centroids_df(vectors, every, id_col, vec_col)
+    dvec = F.col(vec_col).cast("array<double>")
+    out = None
+    for _ in range(iters):
+        dist = F.round(
+            F.aggregate(
+                F.zip_with(dvec, F.col("cv"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+        scored = (
+            vectors.select(id_col, vec_col)
+            .crossJoin(F.broadcast(cents.select("cid", "cv")))
+            .select(id_col, vec_col, "cid", dist.alias("_d"))
+        )
+        assigned = scored.groupBy(id_col).agg(
+            F.first(vec_col).alias(vec_col),
+            F.min_by("cid", F.struct("_d", "cid")).alias("cid"),
+        )
+        per_dim = (
+            assigned.select("cid", F.posexplode(dvec).alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.round(F.col("val") * scale).cast("bigint")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .withColumn("mean", (F.col("s") / F.col("n")) / scale)
+        )
+        out = per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                lambda x: x["mean"],
+            ).alias("cv"),
+            F.first("n").alias("n"),
+        )
+        # truncate lineage per round, as any iterative DataFrame algorithm
+        # must (c.f. connected_components in dedup.py)
+        out = out.localCheckpoint(eager=False)
+        cents = out
+    return out
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

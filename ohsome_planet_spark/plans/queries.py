@@ -52,7 +52,7 @@ from ..operators.dedup import (
     shingles,
     simhash,
 )
-from ..operators.similarity import cosine_topk, lsh_bucket_topk
+from ..operators.similarity import cosine_topk, kmeans_iterate, lsh_bucket_topk
 from ..operators.spatial import join_countries, rect_feature
 from ..sources.testdata import load_table
 
@@ -1215,9 +1215,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@_register(
-    "ann_cosine_topk",
-    """
+_ANN_COSINE_ORACLE = """
     WITH q AS (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
     ), sims AS (
@@ -1232,8 +1230,10 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
           FROM sims)
     WHERE rank <= 5 ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@_register("ann_cosine_topk", _ANN_COSINE_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for 5 query vectors (broadcast query
     side; JVM-side dot products via aggregate/zip_with)."""
@@ -2395,6 +2395,118 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
         )
         .orderBy("doc_id")
+    )
+
+
+# ===========================================================================
+# embedding-space training ops: ANN quality eval + reproducible k-means
+# ===========================================================================
+
+
+def _ann_recall_oracle() -> str:
+    exact = _ANN_COSINE_ORACLE.replace("ORDER BY query_id, rank", "")
+    approx = _ann_lsh_oracle().replace("ORDER BY query_id, rank", "")
+    return f"""
+    WITH exact AS (SELECT query_id, vec_id FROM ({exact})),
+         approx AS (SELECT query_id, vec_id FROM ({approx}))
+    SELECT e.query_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           round(count(a.vec_id) / 5.0, 6) AS recall_at_5
+    FROM exact e
+      LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """
+
+
+@_register("ann_recall_eval", _ann_recall_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — recall@5 of the LSH-bucketed search
+    against the exact brute-force ground truth, per query. The eval
+    harness every production ANN deployment needs before trading recall
+    for latency; both sides reuse the engine's own operators."""
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    approx = lsh_bucket_topk(emb, queries, dim=64, k=5, nbits=8).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hit"),
+            F.round(F.count("_hit") / 5.0, 6).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _kmeans_oracle(every: int = 64, iters: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
+    dist = (
+        "round(list_sum(list_transform(range(1, {d}), "
+        "i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))), 6)"
+    ).format(d=dim + 1)
+    parts = [
+        f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % {every} = 0
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(f"""
+    , d{it} AS (
+      SELECT v.vec_id, c.cid, {dist} AS d
+      FROM v, {prev} c
+    ), a{it} AS (
+      SELECT d.vec_id, min(d.cid) AS cid
+      FROM d{it} d
+        JOIN (SELECT vec_id, min(d) AS md FROM d{it} GROUP BY vec_id) m
+          ON m.vec_id = d.vec_id AND d.d = m.md
+      GROUP BY d.vec_id
+    ), u{it} AS (
+      SELECT a.cid, t.i AS pos,
+             sum(CAST(round(v.v[t.i] * {scale}) AS BIGINT)) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM a{it} a JOIN v ON v.vec_id = a.vec_id, range(1, {dim + 1}) t(i)
+      GROUP BY a.cid, t.i
+    ), c{it} AS (
+      SELECT cid, list((s / n) / {scale}.0 ORDER BY pos) AS cv FROM u{it} GROUP BY cid
+    )""")
+        prev = f"c{it}"
+    parts.append(f"""
+    SELECT cid, CAST(pos AS INT) AS pos, n AS n_assigned,
+           round((s / n) / {scale}.0, 6) AS c_val
+    FROM u{iters}
+    ORDER BY cid, pos
+    """)
+    return "".join(parts)
+
+
+@_register("kmeans_centroids", _kmeans_oracle())
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd k-means iterations over the embeddings (IVF training as
+    a first-class distributed operator): broadcast-centroid assignment
+    with rounded-distance deterministic ties, order-independent
+    fixed-point means (int64 quantized sums), lineage truncated per
+    round. The oracle replays both iterations CTE by CTE — possible only
+    because the means are summation-order independent."""
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    cents = kmeans_iterate(emb, every=64, iters=2)
+    return (
+        cents.select("cid", "n", F.posexplode("cv").alias("pos0", "val"))
+        .select(
+            "cid",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.col("n").alias("n_assigned"),
+            F.round("val", 6).alias("c_val"),
+        )
+        .orderBy("cid", "pos")
     )
 
 
