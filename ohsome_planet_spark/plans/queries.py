@@ -2399,6 +2399,99 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# queryability contract #3: snapshot time series + taginfo-style key stats
+# ===========================================================================
+
+_SNAPSHOT_SERIES_ORACLE = (
+    "WITH contribs AS ("
+    + _CONTRIB_ORACLE.replace("ORDER BY osm_id, osm_edits", "")
+    + """), snaps AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
+                                    TIMESTAMP '2024-02-01',
+                                    INTERVAL 7 DAY)) AS snap_ts
+    )
+    SELECT s.snap_ts,
+           CAST(count(*) AS BIGINT) AS n_live,
+           round(avg(c.osm_edits), 6) AS avg_edits
+    FROM contribs c JOIN snaps s
+      ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
+    WHERE c.status <> 'deleted'
+    GROUP BY s.snap_ts
+    ORDER BY s.snap_ts
+    """
+)
+
+
+@_register("snapshot_series", _SNAPSHOT_SERIES_ORACLE)
+def snapshot_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot contract extended to a TIME SERIES — live-element
+    count and mean edit depth at weekly instants, the 'OSM growth chart'
+    every ohsome dashboard opens with. The snapshot list is generated,
+    broadcast, and interval-joined against the validity windows; at
+    planet scale the snapshot side stays tiny so the join never
+    shuffles the contributions."""
+    nodes = _derived_nodes(spark, sf_dir)
+    contribs = synthesize_contributions(node_contribution_events(nodes))
+    snaps = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_timestamp('2024-01-04'), "
+                "to_timestamp('2024-02-01'), interval 7 days)"
+            )
+        ).alias("snap_ts")
+    )
+    return (
+        contribs.filter(F.col("status") != "deleted")
+        .join(
+            F.broadcast(snaps),
+            (F.col("valid_from") <= F.col("snap_ts"))
+            & (F.col("snap_ts") < F.col("valid_to")),
+        )
+        .groupBy("snap_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.round(F.avg("osm_edits"), 6).alias("avg_edits"),
+        )
+        .orderBy("snap_ts")
+    )
+
+
+def _tag_stats_oracle() -> str:
+    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
+    return (
+        _CONTRIB_ORACLE[:cut]
+        + """
+    SELECT 't' AS tag_key, tagv AS tag_value,
+           CAST(count(*) AS BIGINT) AS n_contribs,
+           CAST(count(DISTINCT osm_id) AS BIGINT) AS n_elements
+    FROM final WHERE visible
+    GROUP BY tagv
+    ORDER BY tag_value
+    """
+    )
+
+
+@_register("tag_key_stats", _tag_stats_oracle())
+def tag_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """taginfo-style tag statistics over the contribution stream: explode
+    the tags map of every visible contribution, count contributions and
+    distinct elements per (key, value). Map-explode + two-phase distinct
+    agg — the shape that serves planet-wide tag analytics."""
+    nodes = _derived_nodes(spark, sf_dir)
+    contribs = synthesize_contributions(node_contribution_events(nodes))
+    return (
+        contribs.filter(F.col("status") != "deleted")
+        .select("osm_id", F.explode("tags").alias("tag_key", "tag_value"))
+        .groupBy("tag_key", "tag_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_contribs"),
+            F.countDistinct("osm_id").alias("n_elements"),
+        )
+        .orderBy("tag_value")
+    )
+
+
+# ===========================================================================
 # embedding-space training ops: ANN quality eval + reproducible k-means
 # ===========================================================================
 
