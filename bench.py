@@ -5,14 +5,24 @@
 
 Execution is forced through the noop sink so the full plan runs (count()
 alone would let Catalyst prune most of the work).
+
+Hardening (round-6):
+- per-query error isolation: a failing query records an ``errors`` entry
+  and the harness still prints its JSON line (round-5's single broken query
+  zeroed the whole bench artifact);
+- n>=3 runs with per-query medians (``$SPARK_GRAFT_BENCH_N``, default 3):
+  sf0.1 timings are driver-bound with ~±50% single-run noise, so medians
+  are the only way a round-over-round delta is meaningful.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -20,39 +30,77 @@ from ohsome_planet_spark.plans.queries import all_queries  # noqa: E402
 from ohsome_planet_spark.session import get_spark, release_cached  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+
+
+def run_bench(spark, queries, sf_dir: str, n_runs: int) -> dict:
+    """Run every query ``n_runs`` times; return the driver-contract dict.
+
+    Never raises on a query failure: failures land in ``errors`` and the
+    remaining queries still produce medians.
+    """
+    runs: dict[str, list[float]] = {name: [] for name in queries}
+    errors: dict[str, str] = {}
+    for _ in range(n_runs):
+        for name in sorted(queries):
+            if name in errors:
+                continue  # a query that errored once will error every run
+            t0 = time.time()
+            try:
+                df = queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs[name].append(time.time() - t0)
+            except Exception:
+                errors[name] = traceback.format_exc(limit=8)
+            finally:
+                # release operator-persisted intermediates so a 45-query
+                # session's storage memory stays flat
+                try:
+                    release_cached()
+                except Exception:
+                    pass
+
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in runs.items() if ts
+    }
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total_query_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+        "runs_per_query": n_runs,
+    }
+    if errors:
+        out["errors"] = {
+            name: err.strip().splitlines()[-1] for name, err in errors.items()
+        }
+        for name, err in errors.items():
+            print(f"[bench] {name} FAILED:\n{err}", file=sys.stderr)
+    return out
 
 
 def main() -> None:
     spark = get_spark(app_name="ohsome_planet_spark_bench")
     queries = all_queries()
 
+    # test hook: deliberately break one query so the isolation path itself
+    # is testable end-to-end (tests/test_bench_harness.py)
+    broken = os.environ.get("SPARK_GRAFT_BENCH_BREAK")
+    if broken:
+        def _boom(spark, sf_dir):
+            raise RuntimeError(f"deliberately broken for test: {broken}")
+        queries[broken] = _boom
+
     # warm up the JVM/session so per-query numbers measure the queries
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    for name in sorted(queries):
-        t0 = time.time()
-        df = queries[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # release operator-persisted intermediates so a 32-query session's
-        # storage memory stays flat (each query re-derives its own)
-        release_cached()
-
-    total = round(sum(timings.values()), 3)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
-            }
-        )
-    )
-    spark.stop()
+    print(json.dumps(run_bench(spark, queries, SF_DIR, N_RUNS)))
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

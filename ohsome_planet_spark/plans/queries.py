@@ -318,10 +318,13 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch equivalent of a session window."""
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ, so the
+    # gap test is immune to parquet NTZ-inference drift (round-5 red row)
+    prev = F.lag("ts").over(w)
+    gap_over = (F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTES")
     marked = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+        F.when(prev.isNull() | gap_over, F.lit(1)).otherwise(F.lit(0)),
     )
     # first row of each user: lag null -> new session (oracle encodes the
     # same via the sentinel interval)

@@ -1,0 +1,45 @@
+"""Bench-harness isolation tests (round-5 judge finding: one broken query
+zeroed the whole BENCH artifact because the loop had no per-query
+try/except)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bench import run_bench
+
+
+def _ok_query(spark, sf_dir):
+    return spark.range(100).select(F.sum("id").alias("s"))
+
+
+def _broken_query(spark, sf_dir):
+    raise RuntimeError("deliberately broken")
+
+
+def _broken_at_action(spark, sf_dir):
+    # breaks only when the plan executes (the round-5 failure mode: an
+    # AnalysisException surfaced at the noop write, not at plan build)
+    return spark.range(10).select(F.col("id").cast("timestamp_ntz").cast("double"))
+
+
+def test_broken_query_does_not_zero_the_artifact(spark):
+    out = run_bench(
+        spark,
+        {"good": _ok_query, "bad": _broken_query, "bad_action": _broken_at_action},
+        "/root/testdata/sf0.001",
+        n_runs=2,
+    )
+    assert "good" in out["queries"] and out["queries"]["good"] >= 0
+    assert set(out["errors"]) == {"bad", "bad_action"}
+    assert out["value"] == out["queries"]["good"]
+    assert out["runs_per_query"] == 2
+
+
+def test_all_green_has_no_errors_key(spark):
+    out = run_bench(spark, {"a": _ok_query, "b": _ok_query}, "/root/testdata/sf0.001", n_runs=3)
+    assert "errors" not in out
+    assert set(out["queries"]) == {"a", "b"}
