@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import csv
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -156,6 +157,120 @@ def cmd_changesets(args) -> int:
     return 0
 
 
+def cmd_replications(args) -> int:
+    """End-to-end replication catch-up (``cmd/Replications.java:27-130``,
+    ``ReplicationManager.java:33-137``): keep a contributions dataset and a
+    changeset store current against replication endpoints.
+
+    ``file://`` endpoints route through the injectable file transport
+    (offline mirrors, tests); anything else uses urllib with the
+    reference's retry/backoff.
+    """
+    import time as _time
+    from datetime import datetime, timezone
+
+    from .session import get_spark
+    from .streaming.changesets import CHANGESET_STORE_SCHEMA, ChangesetStateManager
+    from .streaming.manager import (
+        ContributionReplicationManager,
+        run_replication_update,
+    )
+    from .streaming.replication import ReplicationState
+    from .streaming.server import changeset_server, entity_server, file_fetch
+
+    def make_server(endpoint: str, factory):
+        if endpoint.startswith("file://"):
+            return factory("local://mirror/", fetch=file_fetch(endpoint[len("file://"):]))
+        return factory(endpoint)
+
+    spark = get_spark(app_name="replications")
+    os.makedirs(args.data, exist_ok=True)
+
+    contribution_manager = None
+    if not args.just_changesets:
+        state_path = os.path.join(args.data, "state.txt")
+        if not os.path.exists(state_path) and args.start_sequence is not None:
+            with open(state_path, "w") as f:
+                f.write(ReplicationState(args.start_sequence, "").format())
+        contribution_manager = ContributionReplicationManager(
+            server=make_server(args.endpoint, entity_server),
+            spark=spark,
+            data_dir=args.data,
+            out_dir=args.parquet_data or os.path.join(args.data, "updates"),
+            max_size=args.size,
+            country_features=(
+                _load_country_csv(args.country_file) if args.country_file else None
+            ),
+        )
+        contribution_manager.initialize_local_state()
+
+    changeset_manager = None
+    changeset_state = None
+    if not args.just_contributions:
+        changeset_manager = ChangesetStateManager(
+            server=make_server(args.replication_changesets, changeset_server),
+            spark=spark,
+        )
+        cs_state_path = os.path.join(args.data, "changeset_state.txt")
+        if os.path.exists(cs_state_path):
+            with open(cs_state_path) as f:
+                changeset_manager.local_state = ReplicationState.parse(f.read())
+        elif args.changeset_start_sequence is not None:
+            changeset_manager.local_state = ReplicationState(
+                args.changeset_start_sequence, ""
+            )
+        cs_store = os.path.join(args.data, "changesets")
+        if os.path.isdir(cs_store):
+            changeset_state = spark.read.parquet(cs_store)
+        else:
+            changeset_state = spark.createDataFrame([], CHANGESET_STORE_SCHEMA)
+
+    while True:
+        changeset_state = run_replication_update(
+            contribution_manager,
+            changeset_manager,
+            changeset_state,
+            now=datetime.now(timezone.utc),
+        )
+        if changeset_manager is not None:
+            # the PostgreSQL store's local-mode analog: rewrite the parquet
+            # store and its state row after each pass (S16 JDBC sink is the
+            # drop-in for a real database)
+            cs_store = os.path.join(args.data, "changesets")
+            changeset_state.write.mode("overwrite").parquet(cs_store + ".tmp")
+            changeset_state = spark.read.parquet(cs_store + ".tmp")
+            changeset_state.write.mode("overwrite").parquet(cs_store)
+            changeset_state = spark.read.parquet(cs_store)
+            with open(os.path.join(args.data, "changeset_state.txt"), "w") as f:
+                f.write(changeset_manager.local_state.format())
+        if not args.continuous:
+            break
+        _time.sleep(args.wait_time)
+
+    applied = contribution_manager.applied if contribution_manager else []
+    print(
+        json.dumps(
+            {
+                "applied_sequences": applied,
+                "contribution_state": (
+                    contribution_manager.local_state.sequence
+                    if contribution_manager
+                    else None
+                ),
+                "changeset_state": (
+                    changeset_manager.local_state.sequence
+                    if changeset_manager and changeset_manager.local_state
+                    else None
+                ),
+            }
+        )
+    )
+    from .session import release_cached
+
+    release_cached()
+    return 0
+
+
 def cmd_fileinfo(args) -> int:
     """S17: osmium-fileinfo workalike (``FileInfo.java:19-60``)."""
     from .sources.pbf import read_header, scan_blobs
@@ -202,6 +317,31 @@ def main(argv=None) -> int:
     fi = sub.add_parser("fileinfo", help="print PBF header/blob summary")
     fi.add_argument("--pbf", required=True)
     fi.set_defaults(fn=cmd_fileinfo)
+
+    r = sub.add_parser(
+        "replications",
+        help="apply OSM replication .osc diffs: contributions parquet + changeset store",
+    )
+    r.add_argument("--data", required=True, help="working dir (state + history tables)")
+    r.add_argument("--parquet-data", help="output dir (default <data>/updates)")
+    r.add_argument(
+        "--endpoint",
+        default="https://planet.openstreetmap.org/replication/minute/",
+        help="entity replication endpoint (file://DIR for offline mirrors)",
+    )
+    r.add_argument(
+        "--replication-changesets",
+        default="https://planet.openstreetmap.org/replication/changesets/",
+    )
+    r.add_argument("--size", type=int, default=0, help="max osc files per pass (0 = all)")
+    r.add_argument("--country-file")
+    r.add_argument("--jcs", "--just-changesets", dest="just_changesets", action="store_true")
+    r.add_argument("--jcb", "--just-contributions", dest="just_contributions", action="store_true")
+    r.add_argument("--continue", dest="continuous", action="store_true")
+    r.add_argument("--wait-time", type=float, default=90.0)
+    r.add_argument("--start-sequence", type=int, help="seed <data>/state.txt if missing")
+    r.add_argument("--changeset-start-sequence", type=int)
+    r.set_defaults(fn=cmd_replications)
 
     args = ap.parse_args(argv)
     return args.fn(args)

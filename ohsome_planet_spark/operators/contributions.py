@@ -289,10 +289,13 @@ def relation_contribution_events(
     # and carrying it as lineage into the relation merge doubles every
     # downstream task binary and AQE re-plan. On a cluster this is the
     # staged-intermediate pattern (write members to a stage table, read
-    # back); localCheckpoint is the single-process analog. eager=False so
-    # the materialization happens inside the consuming job, not as an
-    # extra blocking action here.
-    member_events = way_events.unionByName(node_events).localCheckpoint(eager=False)
+    # back); truncate_lineage is the in-session analog — localCheckpoint
+    # single-process, reliable checkpoint() when a checkpoint dir is set
+    # (cluster mode). eager=False so the materialization happens inside
+    # the consuming job, not as an extra blocking action here.
+    from ..session import truncate_lineage
+
+    member_events = truncate_lineage(way_events.unionByName(node_events))
 
     merged = merge_member_streams(
         majors.select("pid", "pv", "pts", "pcs", "puid", "puname"),

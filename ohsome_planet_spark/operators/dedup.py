@@ -349,18 +349,21 @@ def connected_components(
     component is the minimum id in the node's component; singleton nodes
     (absent from ``pairs``) are the caller's concern (left-join + coalesce).
 
-    Each round ends in ``localCheckpoint(eager=True)``: without it the
+    Each round ends in an eager lineage truncation: without it the
     logical plan doubles every iteration (each round references the prior
     round's frame twice) and Catalyst analysis itself blows up after ~10
-    rounds. On a real cluster with a checkpoint dir, swap for reliable
-    ``checkpoint()`` to survive executor loss mid-iteration.
+    rounds. ``truncate_lineage`` picks reliable ``checkpoint()`` when a
+    checkpoint dir is configured (cluster mode: survives executor loss
+    mid-iteration), else ``localCheckpoint``.
     """
+    from ..session import truncate_lineage
+
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    e = truncate_lineage(e, eager=True)
     prev_sig = None
     for _ in range(max_iter):
         # -- large-star -----------------------------------------------------
@@ -390,8 +393,8 @@ def connected_components(
             .union(m2.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        e = truncate_lineage(e, eager=True)
         # convergence: edge multiset unchanged (count + order-independent
         # checksum — the rounds are monotone, so a matched checksum on a
         # matched count is a fixpoint, not a collision gamble)

@@ -158,6 +158,13 @@ def kmeans_iterate(
     Each iteration ends in a lineage truncation (iterative algorithms
     otherwise double their plan depth per round). Returns
     (cid, cv array<double>, n) for the final iteration.
+
+    Note on k: a centroid that receives zero assignments in an iteration
+    drops out of the groupBy output, so k can shrink per round (the DuckDB
+    oracle replays the same behavior). Standard Lloyd/IVF trainers instead
+    reseed or carry empty centroids forward; if predictable IVF list
+    counts matter, left-join the previous centroid table and coalesce —
+    not done here so the oracle equality stays exact.
     """
     cents = centroids_df(vectors, every, id_col, vec_col)
     dvec = F.col(vec_col).cast("array<double>")
@@ -198,7 +205,9 @@ def kmeans_iterate(
         )
         # truncate lineage per round, as any iterative DataFrame algorithm
         # must (c.f. connected_components in dedup.py)
-        out = out.localCheckpoint(eager=False)
+        from ..session import truncate_lineage
+
+        out = truncate_lineage(out)
         cents = out
     return out
 

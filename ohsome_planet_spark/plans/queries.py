@@ -1300,15 +1300,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _ann_ivf_oracle(every: int = 25, nprobe: int = 4, k: int = 5) -> str:
+def _ann_ivf_oracle(every: int = 25, nprobe: int = 4, k: int = 5, cents_cte: str | None = None) -> str:
+    """IVF oracle; ``cents_cte`` overrides the centroid source with a full
+    WITH-chain ending in a CTE named ``cents`` (the k-means-trained
+    variant); default is the every-Nth sampled centroid table."""
     cos = (
         "round(list_dot_product({a}, {b})"
         " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
     )
-    return f"""
+    head = cents_cte or f"""
     WITH cents AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % {every} = 0
-    ), assigned AS (
+    )"""
+    return head + f""", assigned AS (
       SELECT vec_id, embedding, cid AS list_id FROM (
         SELECT e.vec_id, e.embedding, c.cid,
                row_number() OVER (
@@ -2111,15 +2115,21 @@ def _members_unnest_oracle() -> str:
     # Reuse the relation-pipeline CTE stack but carry the member-instant
     # timestamp in the as-of state struct, pick the latest instant per
     # relation, and emit one row per (relation, member).
-    base = (
-        _CONTRIB_RELS_ORACLE.replace(
-            "struct_pack(sxs := xs, sys := ys)",
-            "struct_pack(sxs := xs, sys := ys, sts := wets)",
-        ).replace(
+    # str.replace would be a silent no-op if the base oracle text drifted
+    # (the sts field would vanish and only surface as a confusing DuckDB
+    # error at check time) — assert each fragment's occurrence count first
+    replacements = [
+        ("struct_pack(sxs := xs, sys := ys)", "struct_pack(sxs := xs, sys := ys, sts := wets)"),
+        (
             "CAST(NULL AS STRUCT(sxs DOUBLE[], sys DOUBLE[]))",
             "CAST(NULL AS STRUCT(sxs DOUBLE[], sys DOUBLE[], sts TIMESTAMP))",
-        )
-    )
+        ),
+    ]
+    base = _CONTRIB_RELS_ORACLE
+    for old, new in replacements:
+        n = base.count(old)
+        assert n >= 1, f"relation oracle drifted: {old!r} not found"
+        base = base.replace(old, new)
     cut = base.index("SELECT rid AS osm_id, 1 AS osm_version")
     return (
         base[:cut]
@@ -2501,46 +2511,68 @@ def tag_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_recall_oracle() -> str:
     exact = _ANN_COSINE_ORACLE.replace("ORDER BY query_id, rank", "")
-    approx = _ann_lsh_oracle().replace("ORDER BY query_id, rank", "")
+    lsh = _ann_lsh_oracle().replace("ORDER BY query_id, rank", "")
+    ivf = _ann_ivf_oracle().replace("ORDER BY query_id, rank", "")
     return f"""
     WITH exact AS (SELECT query_id, vec_id FROM ({exact})),
-         approx AS (SELECT query_id, vec_id FROM ({approx}))
-    SELECT e.query_id,
+         approx AS (
+           SELECT 'lsh' AS method, query_id, vec_id FROM ({lsh})
+           UNION ALL
+           SELECT 'ivf' AS method, query_id, vec_id FROM ({ivf})
+         ),
+         em AS (
+           SELECT m.method, e.query_id, e.vec_id
+           FROM exact e CROSS JOIN (VALUES ('lsh'), ('ivf')) m(method)
+         )
+    SELECT em.query_id, em.method,
            CAST(count(a.vec_id) AS BIGINT) AS n_hit,
            round(count(a.vec_id) / 5.0, 6) AS recall_at_5
-    FROM exact e
-      LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-    GROUP BY e.query_id
-    ORDER BY e.query_id
+    FROM em
+      LEFT JOIN approx a ON a.method = em.method
+        AND a.query_id = em.query_id AND a.vec_id = em.vec_id
+    GROUP BY em.query_id, em.method
+    ORDER BY em.query_id, em.method
     """
 
 
 @_register("ann_recall_eval", _ann_recall_oracle())
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality evaluation — recall@5 of the LSH-bucketed search
-    against the exact brute-force ground truth, per query. The eval
-    harness every production ANN deployment needs before trading recall
-    for latency; both sides reuse the engine's own operators."""
+    """ANN quality evaluation — recall@5 of each approximate path (LSH
+    buckets, IVF lists) against the exact brute-force ground truth, per
+    query and method. The eval harness every production ANN deployment
+    needs before trading recall for latency; all three sides reuse the
+    engine's own operators."""
+    from ..operators.similarity import centroids_df, ivf_topk
+
     emb = fan_out(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     exact = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
-    approx = lsh_bucket_topk(emb, queries, dim=64, k=5, nbits=8).select(
-        "query_id", "vec_id", F.lit(1).alias("_hit")
+    lsh = lsh_bucket_topk(emb, queries, dim=64, k=5, nbits=8)
+    ivf = ivf_topk(emb, queries, centroids_df(emb, every=25), k=5, nprobe=4)
+    approx = (
+        lsh.select(F.lit("lsh").alias("method"), "query_id", "vec_id")
+        .unionByName(ivf.select(F.lit("ivf").alias("method"), "query_id", "vec_id"))
+        .withColumn("_hit", F.lit(1))
     )
+    methods = spark.createDataFrame([("lsh",), ("ivf",)], "method string")
     return (
-        exact.join(approx, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
+        exact.crossJoin(F.broadcast(methods))
+        .join(approx, ["method", "query_id", "vec_id"], "left")
+        .groupBy("query_id", "method")
         .agg(
             F.count("_hit").alias("n_hit"),
             F.round(F.count("_hit") / 5.0, 6).alias("recall_at_5"),
         )
-        .orderBy("query_id")
+        .orderBy("query_id", "method")
     )
 
 
-def _kmeans_oracle(every: int = 64, iters: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
+def _kmeans_cte_chain(every: int = 64, iters: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
+    """The WITH-chain of the reproducible k-means replay, ending in CTE
+    ``c{iters}`` = (cid, cv DOUBLE[]); shared by the centroid oracle and
+    the k-means-trained IVF oracle."""
     dist = (
         "round(list_sum(list_transform(range(1, {d}), "
         "i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))), 6)"
@@ -2575,13 +2607,16 @@ def _kmeans_oracle(every: int = 64, iters: int = 2, dim: int = 64, scale: int = 
       SELECT cid, list((s / n) / {scale}.0 ORDER BY pos) AS cv FROM u{it} GROUP BY cid
     )""")
         prev = f"c{it}"
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle(every: int = 64, iters: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
+    return _kmeans_cte_chain(every, iters, dim, scale) + f"""
     SELECT cid, CAST(pos AS INT) AS pos, n AS n_assigned,
            round((s / n) / {scale}.0, 6) AS c_val
     FROM u{iters}
     ORDER BY cid, pos
-    """)
-    return "".join(parts)
+    """
 
 
 @_register("kmeans_centroids", _kmeans_oracle())
@@ -2604,6 +2639,32 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid", "pos")
     )
+
+
+def _ann_ivf_kmeans_oracle() -> str:
+    cents_cte = _kmeans_cte_chain(every=64, iters=2) + """
+    , cents AS (SELECT cid, cv FROM c2)"""
+    return _ann_ivf_oracle(nprobe=4, k=5, cents_cte=cents_cte)
+
+
+@_register("ann_ivf_kmeans_topk", _ann_ivf_kmeans_oracle())
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed IVF training loop: k-means-trained centroids
+    (:func:`kmeans_iterate`, 2 Lloyd rounds, bit-reproducible) feed the
+    IVF index directly — train → build lists → probe in one plan. The
+    oracle replays the training CTE-for-CTE and then the probe, which is
+    only possible because the means are summation-order independent."""
+    from ..operators.similarity import ivf_topk
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    cents = kmeans_iterate(emb, every=64, iters=2).select("cid", "cv")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(emb, queries, cents, k=5, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
+    ).orderBy("query_id", "rank")
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -55,6 +55,26 @@ def release_cached(blocking: bool = False) -> int:
     return n
 
 
+def truncate_lineage(df, eager: bool = False):
+    """Cut a DataFrame's lineage (iterative algorithms and staged pipeline
+    seams must, or plan depth doubles per round/stage).
+
+    ``localCheckpoint`` stores partitions only in executor block storage —
+    fine single-process, but on a real cluster an executor loss makes the
+    downstream job unrecomputable mid-run. When the caller has configured a
+    reliable checkpoint directory (``spark.sparkContext.setCheckpointDir``,
+    pointing at HDFS/S3), use ``checkpoint`` instead so recovery replays
+    from durable storage — the switch a cluster deployment flips without
+    touching operator code. (The fully-staged alternative — write an
+    intermediate table and re-read it — is what the replication manager
+    does for its history tables.)
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def fan_out(df, min_parallelism: int | None = None):
     """Repartition a narrow scan to cluster width before CPU-heavy
     derivation (shingling, hashing, geometry decode).
@@ -126,6 +146,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # write INT64 micros, not the legacy INT96 default: INT96 gets no
+        # min/max stats or predicate pushdown (a scan over 100 TB of
+        # contributions couldn't prune on valid_from/valid_to), and
+        # pyarrow reads it back as nanos, breaking Spark round-trips
+        # through the geo-metadata footer rewrite.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # contributions rows carry WKB blobs + tag maps; keep broadcast
         # threshold generous so dimension tables (changesets slice,
         # countries, polygon-feature rules) always broadcast.

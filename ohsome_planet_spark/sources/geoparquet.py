@@ -147,6 +147,11 @@ def _attach_geo_metadata(path: str) -> None:
                 table.replace_schema_metadata(merged),
                 full,
                 compression="zstd",
+                # keep timestamps Spark-readable: a ns (or INT96-read-as-ns)
+                # column written back as TIMESTAMP(NANOS) cannot be read by
+                # Spark without a legacy flag
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
             )
 
 

@@ -46,6 +46,7 @@ from .server import Server
 
 __all__ = [
     "CHANGESET_STORE_SCHEMA",
+    "bbox_geom_udf",
     "batch_winner",
     "upsert_changesets",
     "pending_changesets",
@@ -55,13 +56,46 @@ __all__ = [
 
 # Store columns mirror the reference's ``changesets`` table
 # (setupChangesetDB.sql): id, user_id, created_at, closed_at, open,
-# user_name, tags, hashtags (+ bbox in place of the PostGIS geom).
+# user_name, tags, hashtags, plus the raw bbox coords and the
+# PostGIS-equivalent bbox polygon (``geom Polygon 4326``) as WKB.
 CHANGESET_STORE_SCHEMA = (
     "id bigint, user_id bigint, created_at timestamp, closed_at timestamp,"
     " open boolean, user_name string, tags map<string,string>,"
     " hashtags array<string>,"
-    " min_lon double, min_lat double, max_lon double, max_lat double"
+    " min_lon double, min_lat double, max_lon double, max_lat double,"
+    " geom binary"
 )
+
+
+def bbox_geom_udf():
+    """WKB bbox polygon from min/max lon/lat — the store-write equivalent
+    of the reference's ``getBBOXasWKT``
+    (``OSMChangesets.java:81-88`` / ``ChangesetDB.java:178``): CCW ring
+    (min,min) → (max,min) → (max,max) → (min,max) → close, NULL when any
+    coordinate is missing. Arrow-batched (no native double→IEEE-bytes
+    expression exists); runs once per store write, off the query hot path.
+    """
+    import math
+    import struct
+
+    from pyspark.sql.functions import pandas_udf
+
+    # little-endian WKB: byteOrder=1, type=3 (Polygon), 1 ring, 5 points
+    header = b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00"
+
+    @pandas_udf("binary")
+    def _bbox_wkb(
+        min_lon: pd.Series, min_lat: pd.Series, max_lon: pd.Series, max_lat: pd.Series
+    ) -> pd.Series:
+        out = []
+        for a, b, c, d in zip(min_lon, min_lat, max_lon, max_lat):
+            if any(v is None or (isinstance(v, float) and math.isnan(v)) for v in (a, b, c, d)):
+                out.append(None)
+            else:
+                out.append(header + struct.pack("<10d", a, b, c, b, c, d, a, d, a, b))
+        return pd.Series(out, dtype=object)
+
+    return _bbox_wkb
 
 _PLACEHOLDER_CREATED_AT = "2000-01-01 00:00:00"
 
@@ -127,6 +161,7 @@ def pending_changesets(state: DataFrame, ids: DataFrame) -> DataFrame:
             F.lit(None).cast("double").alias(c)
             for c in ("min_lon", "min_lat", "max_lon", "max_lat")
         ],
+        F.lit(None).cast("binary").alias("geom"),
     )
     return state.unionByName(placeholders.select(*state.columns))
 
@@ -153,7 +188,7 @@ def _rows_to_df(
     pdf = pd.DataFrame(rows)
     schema = CHANGESET_STORE_SCHEMA.replace(
         " hashtags array<string>,", ""
-    ) + (", _pos bigint" if with_pos else "")
+    ).replace(", geom binary", "") + (", _pos bigint" if with_pos else "")
     cols = [
         "id", "user_id", "created_at", "closed_at", "open", "user_name",
         "tags", "min_lon", "min_lat", "max_lon", "max_lat",
@@ -164,7 +199,11 @@ def _rows_to_df(
         df = spark.createDataFrame(pdf[cols], schema)
     else:
         df = spark.createDataFrame([], schema)
-    return df.withColumn("hashtags", hashtags_from_tags_expr(F.col("tags")))
+    return df.withColumn(
+        "hashtags", hashtags_from_tags_expr(F.col("tags"))
+    ).withColumn(
+        "geom", bbox_geom_udf()("min_lon", "min_lat", "max_lon", "max_lat")
+    )
 
 
 @dataclass

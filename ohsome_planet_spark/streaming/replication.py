@@ -273,6 +273,9 @@ class IncrementalUpdater:
         way_state = latest_state(self.way_history)
         new_nodes = filter_diff_against_state(nodes, node_state).persist()
         new_ways = filter_diff_against_state(ways, way_state).persist()
+        # the J6-surviving delta, exposed for callers that append it to a
+        # durable history table (ContributionReplicationManager)
+        self.last_applied = (new_nodes, new_ways)
 
         self.node_history = self.node_history.unionByName(new_nodes)
         self.way_history = self.way_history.unionByName(new_ways)
@@ -314,8 +317,11 @@ class IncrementalUpdater:
             batch = self.spark.createDataFrame(pdf, ENTITY_ROW_SCHEMA)
             out.append(self.apply_batch(batch))
             # truncate lineage so the per-batch plan stays O(1) deep — the
-            # production loop gets this for free by writing the history
-            # table back to storage between batches
-            self.node_history = self.node_history.localCheckpoint(eager=False)
-            self.way_history = self.way_history.localCheckpoint(eager=False)
+            # production loop (ContributionReplicationManager) gets this
+            # for free by appending the delta to a durable history table
+            # and re-reading it between batches
+            from ..session import truncate_lineage
+
+            self.node_history = truncate_lineage(self.node_history)
+            self.way_history = truncate_lineage(self.way_history)
         return out

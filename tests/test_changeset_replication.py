@@ -48,6 +48,7 @@ def _row(id, open, minute=0, user="u", pos=None):
         "min_lat": None,
         "max_lon": None,
         "max_lat": None,
+        "geom": None,
     }
     if pos is not None:
         r["_pos"] = pos
@@ -427,3 +428,40 @@ def test_upsert_differential_500_random_scenarios(spark):
     )
     got = {r.id: (r.open, r.user_name) for r in out.collect()}
     assert got == expected
+
+
+def test_bbox_geom_wkb(spark):
+    """The store's ``geom`` column is the reference's PostGIS bbox polygon
+    (``OSMChangesets.getBBOXasWKT``): CCW WKB ring from min/max lon/lat,
+    NULL when any coordinate is missing."""
+    import struct
+
+    from ohsome_planet_spark.streaming.changesets import bbox_geom_udf
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0, 11.0, 21.0), (2, None, 20.0, 11.0, 21.0)],
+        "id bigint, min_lon double, min_lat double, max_lon double, max_lat double",
+    ).withColumn("geom", bbox_geom_udf()("min_lon", "min_lat", "max_lon", "max_lat"))
+    rows = {r.id: r.geom for r in df.collect()}
+    assert rows[2] is None
+    wkb = rows[1]
+    # little-endian, Polygon (3), one ring of five points
+    assert wkb[0] == 1
+    assert struct.unpack("<I", wkb[1:5])[0] == 3
+    assert struct.unpack("<I", wkb[5:9])[0] == 1
+    assert struct.unpack("<I", wkb[9:13])[0] == 5
+    pts = struct.unpack("<10d", wkb[13:])
+    assert pts == (10.0, 20.0, 11.0, 20.0, 11.0, 21.0, 10.0, 21.0, 10.0, 20.0)
+
+    # the batch-ingest path attaches the same column
+    from ohsome_planet_spark.streaming.changesets import _rows_to_df
+
+    out = _rows_to_df(
+        spark,
+        [{
+            "id": 7, "user_id": 1, "created_at": None, "closed_at": None,
+            "open": True, "user_name": "u", "tags": {},
+            "min_lon": 1.0, "min_lat": 2.0, "max_lon": 3.0, "max_lat": 4.0,
+        }],
+    ).collect()[0]
+    assert out.geom is not None and out.geom[0] == 1

@@ -1,0 +1,199 @@
+"""Integration test for the ``replications`` CLI command: drive three
+replication sequences end-to-end through ``python -m ohsome_planet_spark.cli
+replications`` against a file:// mirror and check the written parquet
+matches the incremental updater run directly
+(``cmd/Replications.java:27-130``, ``ReplicationManager.java:33-137``,
+``ContributionStateManager.java:116-245``)."""
+
+import gzip
+import json
+import os
+from datetime import datetime, timezone
+from types import SimpleNamespace
+
+import pytest
+
+from ohsome_planet_spark.cli import main
+from ohsome_planet_spark.streaming.manager import run_replication_update
+from ohsome_planet_spark.streaming.replication import (
+    IncrementalUpdater,
+    ReplicationState,
+)
+from ohsome_planet_spark.streaming.server import entity_server, file_fetch
+
+OSC = {
+    101: """<?xml version='1.0' encoding='UTF-8'?>
+<osmChange version="0.6" generator="test">
+  <create>
+    <node id="1" version="1" timestamp="2025-10-22T09:01:00Z" uid="1" user="One" changeset="11" lat="1.0" lon="1.0">
+      <tag k="amenity" v="cafe"/>
+    </node>
+    <node id="2" version="1" timestamp="2025-10-22T09:01:00Z" uid="1" user="One" changeset="11" lat="1.0" lon="2.0"/>
+    <way id="10" version="1" timestamp="2025-10-22T09:01:00Z" uid="1" user="One" changeset="11">
+      <nd ref="1"/><nd ref="2"/>
+      <tag k="highway" v="residential"/>
+    </way>
+  </create>
+</osmChange>""",
+    102: """<?xml version='1.0' encoding='UTF-8'?>
+<osmChange version="0.6" generator="test">
+  <modify>
+    <node id="1" version="2" timestamp="2025-10-22T09:02:00Z" uid="1" user="One" changeset="12" lat="1.5" lon="1.0">
+      <tag k="amenity" v="cafe"/>
+    </node>
+  </modify>
+</osmChange>""",
+    103: """<?xml version='1.0' encoding='UTF-8'?>
+<osmChange version="0.6" generator="test">
+  <create>
+    <node id="3" version="1" timestamp="2025-10-22T09:03:00Z" uid="2" user="Two" changeset="13" lat="1.0" lon="3.0"/>
+  </create>
+  <modify>
+    <way id="10" version="2" timestamp="2025-10-22T09:03:00Z" uid="2" user="Two" changeset="13">
+      <nd ref="1"/><nd ref="2"/><nd ref="3"/>
+      <tag k="highway" v="primary"/>
+    </way>
+  </modify>
+</osmChange>""",
+}
+TS = {
+    100: "2025-10-22T09:00:30Z",
+    101: "2025-10-22T09:01:30Z",
+    102: "2025-10-22T09:02:30Z",
+    103: "2025-10-22T09:03:30Z",
+}
+
+
+@pytest.fixture()
+def mirror(tmp_path):
+    root = tmp_path / "mirror"
+    seq_dir = root / "000" / "000"
+    seq_dir.mkdir(parents=True)
+    for seq, xml in OSC.items():
+        (seq_dir / f"{seq:03d}.osc.gz").write_bytes(gzip.compress(xml.encode()))
+    for seq, ts in TS.items():
+        state = f"sequenceNumber={seq}\ntimestamp={ts.replace(':', chr(92) + ':')}\n"
+        (seq_dir / f"{seq:03d}.state.txt").write_text(state)
+        if seq == max(TS):
+            (root / "state.txt").write_text(state)
+    return str(root)
+
+
+def _key_rows(df):
+    return {
+        (r.osm_type, r.osm_id, r.osm_version, r.osm_minor_version, r.osm_edits,
+         str(r.valid_from), r.contrib_type)
+        for r in df.collect()
+    }
+
+
+def test_replications_cli_three_sequences(spark, mirror, tmp_path, capsys):
+    data = str(tmp_path / "data")
+    out = str(tmp_path / "out")
+    argv = [
+        "replications", "--data", data, "--parquet-data", out,
+        "--endpoint", f"file://{mirror}", "--jcb", "--start-sequence", "100",
+    ]
+    assert main(argv) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["applied_sequences"] == [101, 102, 103]
+    assert report["contribution_state"] == 103
+
+    # published artifacts (per-sequence parquet + state, top-level state)
+    for seq in (101, 102, 103):
+        assert os.path.isdir(os.path.join(out, f"000/000/{seq:03d}.opc.parquet"))
+        assert os.path.exists(os.path.join(out, f"000/000/{seq:03d}.state.txt"))
+    top = ReplicationState.parse(open(os.path.join(out, "state.txt")).read())
+    assert top.sequence == 103
+    csv_text = open(os.path.join(out, "state.csv")).read()
+    assert "103" in csv_text and "103.opc.parquet" in csv_text
+    local = ReplicationState.parse(open(os.path.join(data, "state.txt")).read())
+    assert local.sequence == 103
+
+    # the written parquet for each sequence matches the incremental
+    # updater driven directly (with the manager's F5 tag-less filter)
+    server = entity_server("local://mirror/", fetch=file_fetch(mirror))
+    upd = IncrementalUpdater(
+        spark,
+        spark.createDataFrame([], "osm_type string, osm_id bigint, version int,"
+                              " ts timestamp, changeset bigint, user_id int,"
+                              " user_name string, visible boolean,"
+                              " tags map<string,string>, lon double, lat double"),
+        spark.createDataFrame([], "osm_type string, osm_id bigint, version int,"
+                              " ts timestamp, changeset bigint, user_id int,"
+                              " user_name string, visible boolean,"
+                              " tags map<string,string>, refs array<bigint>"),
+    )
+    from pyspark.sql import functions as F
+
+    results = upd.apply_sequences(server, [101, 102, 103])
+    for seq, (node_c, way_c) in zip((101, 102, 103), results):
+        direct = node_c.unionByName(way_c, allowMissingColumns=True).filter(
+            (F.size(F.coalesce("tags", F.create_map())) > 0)
+            | (F.size(F.coalesce("tags_before", F.create_map())) > 0)
+        )
+        written = spark.read.parquet(os.path.join(out, f"000/000/{seq:03d}.opc.parquet"))
+        assert _key_rows(written) == _key_rows(direct), f"seq {seq}"
+
+    # seq 103 touches node 3 (untagged -> dropped by the F5 filter) and
+    # way 10 (tagged -> rebuilt); node 1 is unaffected so not re-emitted
+    w103 = spark.read.parquet(os.path.join(out, "000/000/103.opc.parquet"))
+    assert {r.osm_id for r in w103.select("osm_id").collect()} == {10}
+
+    # history tables are durable: way 10's latest stored version is 2
+    ways = spark.read.parquet(os.path.join(data, "ways"))
+    assert ways.filter("osm_id = 10").agg(F.max("version")).first()[0] == 2
+
+
+def test_replications_cli_noop_when_caught_up(spark, mirror, tmp_path, capsys):
+    data = str(tmp_path / "data")
+    argv = [
+        "replications", "--data", data, "--parquet-data", str(tmp_path / "out"),
+        "--endpoint", f"file://{mirror}", "--jcb", "--start-sequence", "100",
+    ]
+    assert main(argv) == 0
+    capsys.readouterr()
+    # second run: local == remote, nothing applied, state unchanged
+    assert main(argv) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["applied_sequences"] == []
+    assert report["contribution_state"] == 103
+
+
+def test_holdback_logic_dual_stream():
+    """R2 holdback wiring (``ReplicationManager.java:57-75``): when the
+    changeset stream is keeping up (lag < 180 s) contributions are held to
+    its timestamp; when it lags badly, contributions run free."""
+    calls = {}
+
+    class FakeContribs:
+        changeset_store = None
+
+        def fetch_remote_state(self):
+            return ReplicationState(10, "2025-10-22T09:10:00+00:00")
+
+        def update_to_remote_state(self, remote, process_until=None):
+            calls["until"] = process_until
+            return 0
+
+    class FakeChangesets:
+        local_state = ReplicationState(5, "2025-10-22T09:09:00+00:00")
+
+        def __init__(self, ts):
+            self.server = SimpleNamespace(
+                get_latest_remote_state=lambda: ReplicationState(5, ts)
+            )
+
+        def update_to_remote_state(self, state, remote):
+            return state
+
+        def update_unclosed_changesets(self, state, now):
+            return state
+
+    # changeset stream 60 s behind -> holdback to its timestamp
+    run_replication_update(FakeContribs(), FakeChangesets("2025-10-22T09:09:00+00:00"))
+    assert calls["until"] == datetime(2025, 10, 22, 9, 9, tzinfo=timezone.utc)
+
+    # changeset stream 10 min behind -> no holdback
+    run_replication_update(FakeContribs(), FakeChangesets("2025-10-22T09:00:00+00:00"))
+    assert calls["until"] is None
