@@ -136,3 +136,148 @@ def test_mod_corpus(case):
     assert canon_multipolygon(got["coords"]) == canon_multipolygon(
         parse_wkt_multipolygon(wkt)
     ), f"{case}: built geometry differs from golden WKT"
+
+
+# ===========================================================================
+# Hand-authored adversarial cases standing in for the unvendorable
+# osm-testdata 7xx grid (the reference's submodule is empty in its own
+# checkout too). Each case's expectation is derived from
+# ``GeometryBuilderTest.java`` / ``GeometryBuilder.java`` repair semantics,
+# not from this implementation's output: touching outers, point/line
+# touching inners, outer-splitting inners, swapped roles, nesting,
+# parity salvage, and the documented error strings.
+# ===========================================================================
+
+
+def _sq(x0, y0, x1, y1):
+    return [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+
+
+# name -> (outer_ways, inner_ways, legacy, expected WKT or "ERROR:<msg>")
+ADVERSARIAL = {
+    # two outers sharing exactly one node: valid point contact, two polys
+    "touching_outers_at_node": (
+        [_sq(0, 0, 1, 1), _sq(1, 1, 2, 2)], [], False,
+        "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((1 1,2 1,2 2,1 2,1 1)))",
+    ),
+    # inner ring touching the outer boundary at a shared node: stays a hole
+    "inner_touches_outer_at_node": (
+        [_sq(0, 0, 4, 4)], [[(2, 0), (3, 1), (2, 2), (1, 1), (2, 0)]], False,
+        "MULTIPOLYGON(((0 0,4 0,4 4,0 4,0 0),(2 0,3 1,2 2,1 1,2 0)))",
+    ),
+    # two inners sharing a full edge are unioned into one hole
+    # (handleIntersectingAndTouchingPolygons: line-touching inners merge)
+    "line_touching_inners_merge": (
+        [_sq(0, 0, 4, 4)], [_sq(1, 1, 2, 2), _sq(2, 1, 3, 2)], False,
+        "MULTIPOLYGON(((0 0,4 0,4 4,0 4,0 0),(1 1,3 1,3 2,1 2,1 1)))",
+    ),
+    # inner band touching the outer boundary in two lines (at common
+    # nodes) splits the outer into two polygons via the n-ary difference
+    "inner_band_splits_outer": (
+        [[(0, 0), (1, 0), (3, 0), (4, 0), (4, 4), (3, 4), (1, 4), (0, 4), (0, 0)]],
+        [[(1, 0), (3, 0), (3, 4), (1, 4), (1, 0)]], False,
+        "MULTIPOLYGON(((0 0,1 0,1 4,0 4,0 0)),((3 0,4 0,4 4,3 4,3 0)))",
+    ),
+    # roles are intentionally ignored (osm-testdata 720): the big ring
+    # passed as "inner" still becomes the shell by containment nesting
+    "role_swapped_rings": (
+        [_sq(1, 1, 2, 2)], [_sq(0, 0, 4, 4)], False,
+        "MULTIPOLYGON(((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1)))",
+    ),
+    # three concentric rings: shell + hole, ring inside the hole starts a
+    # new outer (hole-of-hole)
+    "nested_three_rings": (
+        [_sq(0, 0, 6, 6), _sq(2, 2, 4, 4)], [_sq(1, 1, 5, 5)], False,
+        "MULTIPOLYGON(((0 0,6 0,6 6,0 6,0 0),(1 1,5 1,5 5,1 5,1 1)),"
+        "((2 2,4 2,4 4,2 4,2 2)))",
+    ),
+    # two inners sharing one node: both stay holes (interior remains
+    # connected; point contact between holes is valid)
+    "point_touching_inners": (
+        [_sq(0, 0, 4, 4)], [_sq(1, 1, 2, 2), _sq(2, 2, 3, 3)], False,
+        "MULTIPOLYGON(((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1),"
+        "(2 2,3 2,3 3,2 3,2 2)))",
+    ),
+    # an open way leaves two odd-degree nodes
+    "unclosed_way_parity": (
+        [[(0, 0), (1, 0), (1, 1)]], [], False,
+        "ERROR:Mismatched segments parity",
+    ),
+    # boundaries crossing at coordinates that are nodes of neither way
+    "crossing_outers_no_common_node": (
+        [_sq(0, 0, 2, 2), _sq(1, 1, 3, 3)], [], False,
+        "ERROR:Overlapping polygons",
+    ),
+    # overlapping outers whose boundary intersections are all shared
+    # nodes are repaired into their mutual differences (the overlap area
+    # is dropped, as the reference does)
+    "overlapping_outers_common_nodes": (
+        [[(0, 0), (2, 0), (2, 1), (2, 2), (1, 2), (0, 2), (0, 0)],
+         [(1, 1), (2, 1), (3, 1), (3, 3), (1, 3), (1, 2), (1, 1)]], [], False,
+        "MULTIPOLYGON(((0 0,2 0,2 1,1 1,1 2,0 2,0 0)),"
+        "((2 1,3 1,3 3,1 3,1 2,2 2,2 1)))",
+    ),
+    # LEGACY parity salvage: a stray duplicate edge makes three segments
+    # meet at two nodes; the redundant duplicate is dropped and the ring
+    # still builds (filterOutRedundantSegments)
+    "legacy_parity_salvage": (
+        [_sq(0, 0, 1, 1), [(0, 0), (1, 0)]], [], True,
+        "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)))",
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ADVERSARIAL))
+def test_adversarial_cases(name):
+    outer, inner, legacy, expected = ADVERSARIAL[name]
+    if expected.startswith("ERROR:"):
+        with pytest.raises(MultipolygonError) as exc:
+            build_multipolygon(outer, inner, legacy=legacy)
+        assert str(exc.value) == expected[len("ERROR:"):]
+        return
+    got = build_multipolygon(outer, inner, legacy=legacy)
+    assert got["type"] == "MultiPolygon"
+    assert canon_multipolygon(got["coords"]) == canon_multipolygon(
+        parse_wkt_multipolygon(expected)
+    ), name
+
+
+def test_member_limit_fallback():
+    """>500-member non-latest relations skip assembly and fall back to the
+    envelope-geometry GeometryCollection path
+    (``ContributionsAvroConverter.java:110-123``); the latest contribution
+    always assembles regardless of size."""
+    from ohsome_planet_spark.functions import wkb as wkblib
+    from ohsome_planet_spark.functions.geometry import build_relation_geometry
+
+    def way_member(mid, coords):
+        return {
+            "mtype": "way", "mid": mid, "role": "outer",
+            "state": {
+                "geom_wkb": wkblib.encode({"type": "LineString", "coords": coords}),
+                "geom_type": "LineString",
+            },
+        }
+
+    ring = _sq(0, 0, 2, 2)
+    # one ring way + 500 node members -> 501 members total (nodes count
+    # toward the limit but take no part in ring assembly)
+    members = [way_member(0, ring)] + [
+        {
+            "mtype": "node", "mid": i, "role": "",
+            "state": {
+                "geom_wkb": wkblib.encode({"type": "Point", "coords": (5.0, 5.0)}),
+                "geom_type": "Point",
+            },
+        }
+        for i in range(1, 501)
+    ]
+    tags = {"type": "multipolygon"}
+
+    capped = build_relation_geometry(tags, members, is_latest=False, member_limit=500)
+    assert capped[2] == "GeometryCollection"
+    env = wkblib.decode(capped[1])
+    assert env["type"] == "Polygon"  # stored geometry = envelope polygon
+
+    latest = build_relation_geometry(tags, members, is_latest=True, member_limit=500)
+    assert latest[2] == "MultiPolygon" and latest[0] is True
