@@ -293,7 +293,12 @@ class ChangesetStateManager:
         rows: list[dict] = []
         for i in range(0, len(ids), self.api_batch_size):
             chunk = ids[i : i + self.api_batch_size]
-            rows.extend(parse_changesets_bytes(api_fetch(chunk)))
+            try:
+                rows.extend(parse_changesets_bytes(api_fetch(chunk)))
+            except FileNotFoundError:
+                # API endpoint not reachable through this transport (offline
+                # mirror / tests): leave the rows open, reconcile next pass
+                continue
         if rows:
             batch_df = _rows_to_df(self.spark, rows)
             state = upsert_changesets(state, batch_df)

@@ -197,3 +197,39 @@ def test_holdback_logic_dual_stream():
     # changeset stream 10 min behind -> no holdback
     run_replication_update(FakeContribs(), FakeChangesets("2025-10-22T09:00:00+00:00"))
     assert calls["until"] is None
+
+
+REF_FIXTURES = "/root/reference/ohsome-replication-update/src/test/resources/replication"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_FIXTURES), reason="fixtures absent")
+def test_replications_cli_dual_stream(spark, tmp_path, capsys):
+    """Full dual-stream pass over the vendored public fixtures: changesets
+    catch up (6737400-401), then contributions (6824840-842) run without
+    holdback because the changeset stream lags by days
+    (``ReplicationManager.update``). The >2 h open-changeset API
+    reconciliation is unreachable through the file transport and must be
+    skipped, not crash."""
+    data = str(tmp_path / "data")
+    argv = [
+        "replications", "--data", data, "--parquet-data", str(tmp_path / "out"),
+        "--endpoint", f"file://{REF_FIXTURES}/minute",
+        "--replication-changesets", f"file://{REF_FIXTURES}/changesets",
+        "--start-sequence", "6824839",
+        "--changeset-start-sequence", "6737398",
+    ]
+    assert main(argv) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["applied_sequences"] == [6824840, 6824841, 6824842]
+    assert report["contribution_state"] == 6824842
+    # files 6737400-401 were applied; the stream's NNN.state.txt carries
+    # sequence N-1 (offset-by-one convention), so the local state lands on
+    # 6737400 == the remote state: caught up
+    assert report["changeset_state"] == 6737400
+
+    # the changeset store was materialized and carries real fixture rows
+    store = spark.read.parquet(os.path.join(data, "changesets"))
+    assert store.count() > 0
+    assert "geom" in store.columns
+    state_text = open(os.path.join(data, "changeset_state.txt")).read()
+    assert "6737400" in state_text
