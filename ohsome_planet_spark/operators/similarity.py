@@ -133,6 +133,37 @@ def centroids_df(
     )
 
 
+def assign_nearest(
+    vectors: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (the Lloyd E-step, shared by k-means
+    training and semantic dedup): broadcast centroid table, squared-L2
+    rounded to 6 decimals so near-ties become exact ties, tie to the
+    smallest centroid id. Returns (id, vec, cid); the per-(vector,
+    centroid) scores never shuffle — only one row per vector does."""
+    dvec = F.col(vec_col).cast("array<double>")
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(dvec, F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    scored = (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents.select("cid", "cv")))
+        .select(id_col, vec_col, "cid", dist.alias("_d"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.min_by("cid", F.struct("_d", "cid")).alias("cid"),
+    )
+
+
 def kmeans_iterate(
     vectors: DataFrame,
     every: int = 64,
@@ -170,23 +201,7 @@ def kmeans_iterate(
     dvec = F.col(vec_col).cast("array<double>")
     out = None
     for _ in range(iters):
-        dist = F.round(
-            F.aggregate(
-                F.zip_with(dvec, F.col("cv"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            6,
-        )
-        scored = (
-            vectors.select(id_col, vec_col)
-            .crossJoin(F.broadcast(cents.select("cid", "cv")))
-            .select(id_col, vec_col, "cid", dist.alias("_d"))
-        )
-        assigned = scored.groupBy(id_col).agg(
-            F.first(vec_col).alias(vec_col),
-            F.min_by("cid", F.struct("_d", "cid")).alias("cid"),
-        )
+        assigned = assign_nearest(vectors, cents, id_col, vec_col)
         per_dim = (
             assigned.select("cid", F.posexplode(dvec).alias("pos", "val"))
             .groupBy("cid", "pos")

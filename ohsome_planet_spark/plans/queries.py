@@ -2716,6 +2716,184 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# ===========================================================================
+# training-data curation: deterministic splits, TF-IDF, semantic dedup
+# ===========================================================================
+
+
+@_register(
+    "dataset_split",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             {hash60_sql("doc_id::VARCHAR || ':split'")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 6)   AS avg_chars
+    FROM b GROUP BY 1, 2 ORDER BY split, lang
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) — the reproducible
+    alternative to random splits for training-data curation: a 60-bit
+    content hash of the stable id buckets every row, so any engine at any
+    scale reproduces the identical membership. Pure map-side bucketing +
+    one small aggregation; no RNG state, no shuffle of the documents."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@_register(
+    "tfidf_top_terms",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df ON df.token = tf.token, n
+    )
+    SELECT doc_id, token, tfidf, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+          FROM scored)
+    WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (keyword extraction / relevance
+    features). Scale shape: tokenize map-side, tf = one shuffle on
+    (doc, token), df derived from tf with a map-side-combinable count,
+    idf joined back on the token key (dimension-sized at any corpus —
+    AQE broadcasts it), per-doc top-k window on the doc key."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    )
+
+
+def _semantic_dedup_oracle(threshold: float = 0.3) -> str:
+    cos = (
+        "round(list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    dist = (
+        "round(list_sum(list_transform(range(1, 65), "
+        "i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))), 6)"
+    )
+    return _kmeans_cte_chain(every=64, iters=2) + f"""
+    , d3 AS (
+      SELECT v.vec_id, c.cid, {dist} AS d FROM v, c2 c
+    ), a3 AS (
+      SELECT d.vec_id, min(d.cid) AS cid
+      FROM d3 d
+        JOIN (SELECT vec_id, min(d) AS md FROM d3 GROUP BY vec_id) m
+          ON m.vec_id = d.vec_id AND d.d = m.md
+      GROUP BY d.vec_id
+    ), dup AS (
+      SELECT DISTINCT a.vec_id
+      FROM a3 a JOIN a3 b ON a.cid = b.cid AND b.vec_id < a.vec_id
+        JOIN v x ON x.vec_id = a.vec_id
+        JOIN v y ON y.vec_id = b.vec_id
+      WHERE {cos} >= {threshold!r}
+    )
+    SELECT a3.vec_id, a3.cid, (dup.vec_id IS NULL) AS kept
+    FROM a3 LEFT JOIN dup ON dup.vec_id = a3.vec_id
+    ORDER BY a3.vec_id
+    """
+
+
+@_register("semantic_dedup", _semantic_dedup_oracle())
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: k-means cluster the
+    embedding space (2 reproducible Lloyd rounds), then inside each
+    cluster drop any vector that has a lower-id neighbor with cosine ≥
+    0.3 — the keep-one-per-near-duplicate-set rule, but the candidate
+    pairs are confined to a cluster instead of all-pairs. Scale shape:
+    assignment is a broadcast E-step (one row per vector shuffles), the
+    pair join is an equi-join on the cluster id — the coarse quantizer
+    caps the pair blowup exactly like the IVF list join."""
+    from ..operators.similarity import assign_nearest, cosine_expr
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    cents = kmeans_iterate(emb, every=64, iters=2).select("cid", "cv")
+    assigned = assign_nearest(emb, cents)
+
+    a = assigned.select(
+        F.col("vec_id"), F.col("cid"), F.col("embedding").alias("_va")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("_vb_id"), F.col("cid"), F.col("embedding").alias("_vb")
+    )
+    cos = F.round(
+        cosine_expr(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")),
+        6,
+    )
+    dup_ids = (
+        a.join(b, "cid")
+        .filter(F.col("_vb_id") < F.col("vec_id"))
+        .filter(cos >= 0.3)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        assigned.select("vec_id", "cid")
+        .join(dup_ids, "vec_id", "left")
+        .select("vec_id", "cid", F.col("_dup").isNull().alias("kept"))
+        .orderBy("vec_id")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
