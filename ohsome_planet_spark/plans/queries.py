@@ -1915,6 +1915,56 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_pipeline",
+    f"""
+    WITH media AS (
+      SELECT doc_id, encode(text) AS payload FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(octet_length(payload) AS INT) AS n_bytes,
+             {hash60_sql('hex(payload)')} AS h
+      FROM media
+    ), dims AS (
+      SELECT doc_id, n_bytes,
+             CAST(h % 1920 + 1 AS INT) AS fake_width,
+             CAST(h % 1080 + 1 AS INT) AS fake_height
+      FROM hashed
+    ), resized AS (
+      SELECT *, least(1.0, 512.0 / greatest(fake_width, fake_height)) AS scale
+      FROM dims
+    )
+    SELECT doc_id, fake_width, fake_height,
+           CAST(ceil(fake_width * scale) AS INT)  AS target_width,
+           CAST(ceil(fake_height * scale) AS INT) AS target_height,
+           CAST(n_bytes % 900 + 30 AS INT)        AS n_frames,
+           CAST(unnest(list_slice(range(0, n_bytes % 900 + 30, 30), 1, 8)) AS INT)
+                                                  AS frame_idx
+    FROM resized ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal chain: opaque binary media → ``mapInPandas``
+    decode (Arrow-batched stub kernel at the real-decoder seam) → native
+    resize targeting → per-frame sampling exploded one row per frame.
+    Everything except the stubbed pixel kernel is JVM-side; the decode
+    UDF sees exactly the batch shape a PIL/ffmpeg implementation would."""
+    from ..operators.multimodal import decode_stub, frame_sample_plan, resize_plan
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    media = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("media"))
+    frames = frame_sample_plan(resize_plan(decode_stub(media), max_side=512))
+    return frames.select(
+        "doc_id",
+        "fake_width",
+        "fake_height",
+        "target_width",
+        "target_height",
+        "n_frames",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+@_register(
     "event_time_windows",
     """
     SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS window_start,

@@ -281,3 +281,79 @@ def test_member_limit_fallback():
 
     latest = build_relation_geometry(tags, members, is_latest=True, member_limit=500)
     assert latest[2] == "MultiPolygon" and latest[0] is True
+
+
+# ===========================================================================
+# property-based: ring assembly invariants under way fragmentation
+# ===========================================================================
+
+from hypothesis import given, settings, strategies as st
+
+
+def _ring_area(ring):
+    pts = ring[:-1] if ring[0] == ring[-1] else ring
+    return abs(sum(
+        pts[i][0] * pts[(i + 1) % len(pts)][1] - pts[(i + 1) % len(pts)][0] * pts[i][1]
+        for i in range(len(pts))
+    )) / 2.0
+
+
+def _fragment(ring, rng):
+    """Split a closed ring into 1-3 open ways, randomly rotated and with
+    random per-way direction — the shapes member ways arrive in."""
+    pts = ring[:-1]
+    k = rng.randrange(len(pts))
+    pts = pts[k:] + pts[:k]
+    pts = pts + [pts[0]]
+    n_cuts = rng.randint(1, min(3, len(pts) - 1))
+    cut_at = sorted(rng.sample(range(1, len(pts) - 1), n_cuts - 1))
+    bounds = [0] + cut_at + [len(pts) - 1]
+    ways = []
+    for a, b in zip(bounds, bounds[1:]):
+        w = pts[a:b + 1]
+        if rng.random() < 0.5:
+            w = w[::-1]
+        ways.append(w)
+    rng.shuffle(ways)
+    return ways
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cells=st.sets(st.tuples(st.integers(0, 4), st.integers(0, 4)), min_size=1, max_size=6),
+    holed=st.lists(st.booleans(), min_size=6, max_size=6),
+    seed=st.integers(0, 2**31),
+)
+def test_assembly_invariants_under_fragmentation(cells, holed, seed):
+    """For any set of disjoint unit squares (some with centered holes),
+    assembling from randomly rotated/reversed/fragmented member ways must
+    reproduce the exact polygons: one shell per square, holes matched to
+    their shells, total area preserved."""
+    import random
+
+    rng = random.Random(seed)
+    outers, inners, expect = [], [], []
+    for i, (cx, cy) in enumerate(sorted(cells)):
+        x, y = 3 * cx, 3 * cy  # 3-spacing: squares never touch
+        shell = [(x, y), (x + 1, y), (x + 1, y + 1), (x, y + 1), (x, y)]
+        has_hole = holed[i % len(holed)]
+        outers.extend(_fragment(shell, rng))
+        if has_hole:
+            hole = [
+                (x + 0.25, y + 0.25), (x + 0.75, y + 0.25),
+                (x + 0.75, y + 0.75), (x + 0.25, y + 0.75), (x + 0.25, y + 0.25),
+            ]
+            inners.extend(_fragment(hole, rng))
+        expect.append((1.0, 1 if has_hole else 0))
+
+    got = build_multipolygon(outers, inners)
+    assert got["type"] == "MultiPolygon"
+    shapes = sorted(
+        (_ring_area(poly[0]), len(poly) - 1) for poly in got["coords"]
+    )
+    assert shapes == sorted(expect)
+    total = sum(
+        _ring_area(poly[0]) - sum(_ring_area(r) for r in poly[1:])
+        for poly in got["coords"]
+    )
+    assert abs(total - sum(a - (0.25 if h else 0.0) for a, h in expect)) < 1e-9
