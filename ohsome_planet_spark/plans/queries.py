@@ -2843,17 +2843,17 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms (keyword extraction / relevance
-    features). Scale shape: tokenize map-side, tf = one shuffle on
-    (doc, token), df derived from tf with a map-side-combinable count,
-    idf joined back on the token key (dimension-sized at any corpus —
-    AQE broadcasts it), per-doc top-k window on the doc key."""
+    features). Scale shape: ONE tokenize pass — tf is a (doc, token)
+    aggregation, df a count window over tf's token partition (no second
+    aggregation over the raw token stream, no idf rejoin), then the
+    per-doc top-k window. Three shuffles over tf-sized data total; the
+    corpus-wide N is a broadcast scalar."""
     docs = fan_out(_t(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.countDistinct("doc_id").alias("n"))
     scored = (
-        tf.join(df, "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("token")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -2916,7 +2916,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fan_out(_t(spark, sf_dir, "embeddings"))
     cents = kmeans_iterate(emb, every=64, iters=2).select("cid", "cv")
-    assigned = assign_nearest(emb, cents)
+    # the E-step output feeds both pair-join sides and the final keep list;
+    # persist it once (any real SemDeDup run materializes assignments)
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import register_cached
+
+    assigned = register_cached(
+        assign_nearest(emb, cents).persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     a = assigned.select(
         F.col("vec_id"), F.col("cid"), F.col("embedding").alias("_va")
