@@ -125,6 +125,19 @@ def _relation_contribs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _produce_then_query(spark, sf_dir, "relations", build)
 
 
+def _trained_centroids_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means centroids (every=64, iters=2) trained once per session —
+    the IVF train-once/reuse contract: the trainer (`kmeans_centroids`)
+    re-derives per run to stay the verified op, consumers (IVF probing,
+    semantic dedup) read the stored table."""
+    return _produce_then_query(
+        spark, sf_dir, "kmeans_e64_i2",
+        lambda: kmeans_iterate(
+            fan_out(_t(spark, sf_dir, "embeddings")), every=64, iters=2
+        ).select("cid", "cv"),
+    )
+
+
 # ===========================================================================
 # relational surface (joins/aggregations/sorts — SURVEY.md §2.3/2.4/2.6)
 # ===========================================================================
@@ -2756,7 +2769,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 
     emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    cents = kmeans_iterate(emb, every=64, iters=2).select("cid", "cv")
+    cents = _trained_centroids_table(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -2915,7 +2928,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import assign_nearest, cosine_expr
 
     emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    cents = kmeans_iterate(emb, every=64, iters=2).select("cid", "cv")
+    cents = _trained_centroids_table(spark, sf_dir)
     # the E-step output feeds both pair-join sides and the final keep list;
     # persist it once (any real SemDeDup run materializes assignments)
     from pyspark.storagelevel import StorageLevel
