@@ -2965,6 +2965,113 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "tagged_history_filter",
+    """
+    WITH h AS (
+      SELECT user_id AS osm_id, ts, event_id,
+             CASE WHEN event_type = 'error' AND value > 90 THEN event_type
+                  ELSE NULL END AS tagv
+      FROM events
+    ), keep AS (
+      SELECT osm_id FROM h GROUP BY osm_id HAVING count(tagv) > 0
+    )
+    SELECT h.osm_id,
+           CAST(count(*) AS BIGINT)    AS n_versions,
+           CAST(count(tagv) AS BIGINT) AS n_tagged
+    FROM h JOIN keep USING (osm_id)
+    GROUP BY h.osm_id ORDER BY h.osm_id
+    """,
+)
+def tagged_history_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (hasNoTags OSH filter) as an oracle-checked query: histories
+    where EVERY version is untagged are dropped whole; any single tagged
+    version keeps the full history (``util/Utils.java:21-23``). The
+    window-max formulation shares the (osm_id) partitioning with the
+    synthesis windows — no self-join, no extra shuffle."""
+    from ..operators.contributions import filter_tagged_histories
+
+    ev = _t(spark, sf_dir, "events")
+    # 'tagged' is rare (≈10% of users have none), so the drop path really
+    # triggers — an always-true predicate would never exercise the filter
+    hist = ev.select(
+        F.col("user_id").alias("osm_id"),
+        "ts",
+        "event_id",
+        F.when(
+            (F.col("event_type") == "error") & (F.col("value") > 90),
+            F.create_map(F.lit("t"), F.col("event_type")),
+        )
+        .otherwise(F.create_map().cast("map<string,string>"))
+        .alias("tags"),
+    )
+    kept = filter_tagged_histories(hist)
+    return (
+        kept.groupBy("osm_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum((F.size("tags") > 0).cast("bigint")).alias("n_tagged"),
+        )
+        .orderBy("osm_id")
+    )
+
+
+@_register(
+    "relation_tag_key_filter",
+    """
+    WITH h AS (
+      SELECT user_id AS osm_id, event_id,
+             (event_type = 'purchase' AND value > 95)
+               OR (event_type = 'error' AND value > 99) AS haskey
+      FROM events
+    ), keep AS (
+      SELECT osm_id FROM h GROUP BY osm_id
+      HAVING max(CAST(haskey AS INT)) > 0
+    )
+    SELECT h.osm_id,
+           CAST(count(*) AS BIGINT)                  AS n_versions,
+           CAST(sum(CAST(haskey AS INT)) AS BIGINT)  AS n_keyed
+    FROM h JOIN keep USING (osm_id)
+    GROUP BY h.osm_id ORDER BY h.osm_id
+    """,
+)
+def relation_tag_key_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (``--filter-relation-tag-keys``) as an oracle-checked query: a
+    relation history survives only if ANY version carries ANY of the
+    listed tag keys (``util/Utils.java:25-32``). Tag maps here carry a
+    'type' or 'boundary' key on rare versions so the drop path triggers;
+    the filter is the same window-max shape as F1 (no self-join)."""
+    from ..operators.contributions import filter_relation_tag_keys
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.col("user_id").alias("osm_id"),
+        "event_id",
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 95),
+            F.create_map(F.lit("type"), F.lit("route")),
+        )
+        .when(
+            (F.col("event_type") == "error") & (F.col("value") > 99),
+            F.create_map(F.lit("boundary"), F.lit("administrative")),
+        )
+        .otherwise(F.create_map(F.lit("other"), F.col("event_type")))
+        .alias("tags"),
+    )
+    kept = filter_relation_tag_keys(hist, ["type", "boundary"])
+    has_key = F.exists(
+        F.map_keys("tags"), lambda k: k.isin("type", "boundary")
+    )
+    return (
+        kept.groupBy("osm_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(has_key.cast("bigint")).alias("n_keyed"),
+        )
+        .orderBy("osm_id")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
