@@ -3072,6 +3072,38 @@ def relation_tag_key_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dataset_bbox_oracle() -> str:
+    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
+    return (
+        _CONTRIB_ORACLE[:cut]
+        + """
+    SELECT round(min((eff).lon), 6) AS xmin, round(min((eff).lat), 6) AS ymin,
+           round(max((eff).lon), 6) AS xmax, round(max((eff).lat), 6) AS ymax,
+           CAST(count(*) AS BIGINT)  AS n_rows
+    FROM final WHERE visible
+    """
+    )
+
+
+@_register("contrib_dataset_bbox", _dataset_bbox_oracle())
+def contrib_dataset_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (dataset summary stats) as an oracle-checked query: the
+    accumulated bbox + row count the GeoParquet sink stamps into the
+    ``geo`` footer metadata (``AvroGeoParquetWriter.java:122-133``),
+    computed the sink's way — one aggregation over the per-row bbox
+    struct of the staged contributions table (map-side combinable; at
+    100 TB this is a metadata-priced scan of four pruned columns)."""
+    contribs = _node_contribs_table(spark, sf_dir)
+    live = contribs.filter(F.col("status") != "deleted")
+    return live.agg(
+        F.round(F.min("bbox.xmin"), 6).alias("xmin"),
+        F.round(F.min("bbox.ymin"), 6).alias("ymin"),
+        F.round(F.max("bbox.xmax"), 6).alias("xmax"),
+        F.round(F.max("bbox.ymax"), 6).alias("ymax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
