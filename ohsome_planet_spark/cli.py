@@ -183,6 +183,12 @@ def cmd_replications(args) -> int:
             return factory("local://mirror/", fetch=file_fetch(endpoint[len("file://"):]))
         return factory(endpoint)
 
+    if args.just_changesets and args.just_contributions:
+        # Replications.java:143-145
+        raise SystemExit(
+            "Either just-contributions or just-changesets can be specified"
+        )
+
     spark = get_spark(app_name="replications")
     os.makedirs(args.data, exist_ok=True)
 

@@ -22,13 +22,33 @@ from pyspark.sql import functions as F
 __all__ = ["replicate_salted", "with_salt", "salted_join"]
 
 
+def _hashable(dt) -> bool:
+    # Spark's hash expressions reject MapType anywhere in the tree
+    # (HASH_MAP_TYPE); skip such columns when deriving the salt
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _hashable(dt.elementType)
+    return True
+
+
 def with_salt(df: DataFrame, keys: list[str], n_salt: int, salt_col: str = "_salt") -> DataFrame:
     """Deterministic per-row salt in [0, n_salt): xxhash64 over every
-    column, so rows sharing a hot key still spread (identical full rows
-    share a salt, which is harmless — they land in the same split)."""
-    return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    hashable column, so rows sharing a hot key still spread (identical
+    full rows share a salt, which is harmless — they land in the same
+    split). Map-typed columns are excluded (Spark cannot hash them); a
+    frame with no hashable columns falls back to the partition row id."""
+    cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
+    src = (
+        F.xxhash64(*[F.col(c) for c in cols])
+        if cols
+        else F.xxhash64(F.monotonically_increasing_id())
     )
+    return df.withColumn(salt_col, F.pmod(src, F.lit(n_salt)))
 
 
 def replicate_salted(dim: DataFrame, n_salt: int, salt_col: str = "_salt") -> DataFrame:

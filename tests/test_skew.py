@@ -53,3 +53,15 @@ def test_dim_replication_is_exact(spark):
     rep = replicate_salted(dim, 5)
     assert rep.count() == dim.count() * 5
     assert rep.select("_salt").distinct().count() == 5
+
+
+def test_salted_join_with_map_columns(spark):
+    """Map-typed columns (tag maps) can't be hashed by Spark; the salt
+    must derive from the hashable columns only."""
+    fact = spark.createDataFrame(
+        [(7, {"k": "v"}, i) for i in range(50)], "k bigint, tags map<string,string>, v bigint"
+    )
+    dim = spark.createDataFrame([(7, "hot")], "k bigint, name string")
+    out = salted_join(fact, dim, ["k"], n_salt=4)
+    assert out.count() == 50
+    assert out.columns == ["k", "tags", "v", "name"]
