@@ -1,0 +1,55 @@
+"""Physical-plan regression guards: the properties that make the 100 TB
+story true must stay visible in the plan — filters reaching the parquet
+scan, scans pruned to the referenced columns, broadcasts on dimension
+joins. A refactor that silently breaks one of these passes value checks
+but loses an order of magnitude at scale."""
+
+from pyspark.sql import functions as F
+
+from ohsome_planet_spark.plans.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scans(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+
+
+def test_pricing_summary_scan_is_pruned_and_pushed(spark):
+    plan = _executed(all_queries()["pricing_summary"](spark, SF))
+    (scan,) = _scans(plan)
+    # column pruning: the 16-column lineitem scan reads only the 5 used
+    for col in ("l_returnflag", "l_linestatus", "l_quantity"):
+        assert col in scan
+    assert "l_orderkey" not in scan and "l_comment" not in scan
+    # the shipdate filter reached the parquet reader
+    assert "PushedFilters: [" in scan and "l_shipdate" in scan.split("PushedFilters")[1]
+
+
+def test_snapshot_reads_staged_table_with_pushdown(spark):
+    plan = _executed(all_queries()["snapshot_at_date"](spark, SF))
+    scans = _scans(plan)
+    assert scans, "snapshot must read the staged contributions parquet"
+    staged = [s for s in scans if "valid_from" in s]
+    assert staged, "scan must include the validity columns"
+    pushed = staged[0].split("PushedFilters")[1]
+    assert "valid_from" in pushed and "valid_to" in pushed
+    # pruned: the staged table has ~20 columns; geometry/tags stay unread
+    assert "geometry" not in staged[0] and "tags" not in staged[0]
+
+
+def test_topk_uses_broadcast_for_dimension_join(spark):
+    plan = _executed(all_queries()["region_nation_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dataset_split_is_map_side_only(spark):
+    # bucketing + one small agg: exactly one shuffle, no join
+    plan = _executed(all_queries()["dataset_split"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
