@@ -90,3 +90,32 @@ def test_fileinfo_cli(pbf, capsys):
     info = json.loads(capsys.readouterr().out)
     assert info["data_blocks"] == 2
     assert "HistoricalInformation" in info["required_features"]
+
+
+def test_contributions_cli_with_changeset_enrichment(spark, pbf, tmp_path):
+    """--changesets wiring (J4): contribution rows carry the changeset's
+    hashtags/editor; ids missing from the table get the reference's
+    default record (epoch created_at, empty tags)."""
+    from ohsome_planet_spark.schemas import CHANGESET_SCHEMA
+
+    cs_path = str(tmp_path / "changesets.parquet")
+    spark.createDataFrame(
+        [
+            (10, None, None, {"comment": "x #fixit", "created_by": "JOSM"},
+             ["#fixit"], 7, "alice", False, None, None, None, None),
+        ],
+        CHANGESET_SCHEMA,
+    ).write.parquet(cs_path)
+
+    out = str(tmp_path / "contribs")
+    assert main(["contributions", "--pbf", pbf, "--out", out, "--changesets", cs_path]) == 0
+    rows = {(r.osm_type, r.osm_id, r.osm_version): r
+            for r in spark.read.parquet(out).collect()}
+
+    enriched = rows[("node", 1, 1)]  # changeset 10: present in the table
+    assert enriched.changeset.hashtags == ["#fixit"]
+    assert enriched.changeset.editor == "JOSM"
+
+    defaulted = rows[("node", 1, 2)]  # changeset 11: missing -> defaults
+    assert defaulted.changeset.hashtags == []
+    assert defaulted.changeset.editor is None
