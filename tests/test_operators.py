@@ -246,3 +246,32 @@ class TestGeometrySpatialJoin:
         df = spark.createDataFrame([(1, big)], "id int, geometry binary")
         out = join_countries_geometry(df, feats).collect()[0].countries
         assert out == ["TINY"]
+
+
+def test_truncate_lineage_uses_reliable_checkpoint_when_configured(spark, tmp_path):
+    """Cluster-mode switch (round-5 advice): with a checkpoint dir set,
+    truncate_lineage writes a reliable checkpoint (files on durable
+    storage, survives executor loss) instead of localCheckpoint."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.session import truncate_lineage
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # default: localCheckpoint path
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    out = truncate_lineage(df, eager=True)
+    assert out.count() == 100
+
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        out2 = truncate_lineage(df, eager=True)
+        assert out2.count() == 100
+        files = [f for _, _, fs in os.walk(ckpt) for f in fs]
+        assert files, "reliable checkpoint must write to the checkpoint dir"
+    finally:
+        # restore the no-checkpoint-dir default so other tests keep the
+        # localCheckpoint path (no public unset API; go through the JVM)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
