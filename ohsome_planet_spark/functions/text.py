@@ -133,3 +133,79 @@ def fingerprint_expr(text: Column) -> Column:
         lambda acc, t: (acc * F.lit(31) + F.pmod(hash60_expr(t), F.lit(FP_MOD)))
         % F.lit(FP_MOD),
     )
+
+
+# --- repetition metrics (Gopher-style quality rules) -------------------------
+#
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher", §A1.1) gate
+# training documents on repetition: the fraction of duplicated tokens and
+# the fraction of the document covered by its most frequent n-gram. The
+# per-document parts below are pure array expressions (codegen, no
+# shuffle); the corpus-level "top n-gram per document" is a distributed
+# explode + two-phase count in the query layer.
+
+
+def ngrams_expr(text: Column, n: int) -> Column:
+    """Token n-grams as space-joined strings, order-preserving.
+
+    DuckDB twin:
+      list_transform(generate_series(1, greatest(len(toks)-(n-1), 0)),
+                     i -> array_to_string(toks[i:i+(n-1)], ' '))
+    (DuckDB list slices are 1-based and end-inclusive.)
+    """
+    toks = tokens_expr(text)
+    # Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of yielding an empty
+    # array, so short documents need an explicit guard or slice() sees a
+    # zero start and throws.
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_token_fraction_expr(text: Column) -> Column:
+    """1 - distinct_tokens/total_tokens: the mass of repeated words.
+
+    DuckDB twin:
+      CASE WHEN len(toks) = 0 THEN 0.0
+           ELSE 1.0 - len(list_distinct(toks)) / len(toks) END
+    (the empty document is defined as unrepeated, not fully repeated).
+    """
+    toks = tokens_expr(text)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks)
+    )
+
+
+# --- PII scrubbing -----------------------------------------------------------
+#
+# Regexes are deliberately restricted to the syntax subset Java regex and
+# DuckDB's RE2 interpret identically (char classes, bounded repeats, \b,
+# \d) so the Spark plan and the SQL oracle redact byte-identically.
+
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii_expr(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and NANP-style phone suffixes with
+    typed placeholder tokens (applied in PII_PATTERNS order, so an IP
+    inside an email is consumed by the email rule first)."""
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_count_expr(text: Column, pattern: str) -> Column:
+    """How many matches of one PII pattern a document contains.
+
+    DuckDB twin: len(regexp_extract_all(text, pattern)).
+    """
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))

@@ -22,7 +22,11 @@ from ..functions.geodesic import SPHERE_FACT, segment_length_expr
 from ..functions.hashtags import hashtags_expr
 from ..functions.text import (
     FP_MOD,
+    dup_token_fraction_expr,
     fingerprint_expr,
+    ngrams_expr,
+    pii_count_expr,
+    redact_pii_expr,
     hash60_expr,
     hash60_sql,
     lang_guess_expr,
@@ -3101,6 +3105,195 @@ def contrib_dataset_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("bbox.xmax"), 6).alias("xmax"),
         F.round(F.max("bbox.ymax"), 6).alias("ymax"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ===========================================================================
+# training-data curation #2: repetition gates, PII scrubbing, corpus profiling
+# ===========================================================================
+
+_TOKS_CTE = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+"""
+
+
+@_register(
+    "gopher_repetition",
+    _TOKS_CTE
+    + """
+    , stats AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             round(CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE 1.0 - len(list_distinct(toks)) / len(toks) END,
+                   6) AS dup_token_frac
+      FROM tok
+    ), ng AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 0)),
+               i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+      FROM tok
+    ), cnt AS (
+      SELECT doc_id, ngram, count(*) AS c FROM ng GROUP BY doc_id, ngram
+    ), top AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_2gram_count
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens, s.dup_token_frac,
+           coalesce(t.top_2gram_count, 0) AS top_2gram_count,
+           round(coalesce(t.top_2gram_count, 0)
+                 / greatest(s.n_tokens - 1, 1), 6) AS top_2gram_frac,
+           (s.dup_token_frac <= 0.7
+            AND coalesce(t.top_2gram_count, 0)
+                / greatest(s.n_tokens - 1, 1) <= 0.2) AS keep
+    FROM stats s LEFT JOIN top t USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (Rae et al. 2021 §A1.1): duplicate-token
+    fraction and top-2-gram coverage per document, plus the keep/drop
+    verdict. The per-document metrics are pure array expressions (codegen,
+    no shuffle); the top-n-gram is an explode → two-phase count keyed by
+    (doc_id, ngram) — at 100 TB that is one shuffle of n-gram counts (far
+    smaller than the corpus after map-side combine), and the doc-level join
+    back is AQE-broadcastable per partition of doc stats."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    t = F.col("text")
+    stats = docs.select(
+        "doc_id",
+        token_count_expr(t).alias("n_tokens"),
+        F.round(dup_token_fraction_expr(t), 6).alias("dup_token_frac"),
+    )
+    ng = docs.select("doc_id", F.explode(ngrams_expr(t, 2)).alias("ngram"))
+    top = (
+        ng.groupBy("doc_id", "ngram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_2gram_count"))
+    )
+    denom = F.greatest(F.col("n_tokens") - F.lit(1), F.lit(1))
+    frac = F.coalesce(F.col("top_2gram_count"), F.lit(0)) / denom
+    return (
+        stats.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            F.coalesce(F.col("top_2gram_count"), F.lit(0)).alias(
+                "top_2gram_count"
+            ),
+            F.round(frac, 6).alias("top_2gram_frac"),
+            ((F.col("dup_token_frac") <= 0.7) & (frac <= 0.2)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pii_oracle() -> str:
+    pats = {
+        "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+        "phone": r"\b\d{3}-\d{4}\b",
+    }
+    derived = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR)"
+        " || '.7 call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    )
+    red = "raw"
+    for pat, token in (
+        (pats["email"], "<EMAIL>"),
+        (pats["ip"], "<IP>"),
+        (pats["phone"], "<PHONE>"),
+    ):
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {derived} AS raw FROM documents
+    ), r AS (
+      SELECT doc_id, raw, {red} AS redacted FROM d
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{pats["email"]}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{pats["ip"]}')) AS INT)    AS n_ips,
+           CAST(len(regexp_extract_all(raw, '{pats["phone"]}')) AS INT) AS n_phones,
+           CAST(length(redacted) AS INT) AS redacted_len,
+           {hash60_sql("redacted")} AS redacted_h
+    FROM r ORDER BY doc_id
+    """
+
+
+@_register("pii_redaction", _pii_oracle())
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact emails / IPv4s / phone suffixes
+    with placeholder tokens. The corpus is synthetic word-soup with no PII,
+    so the query first derives a PII-bearing column from doc_id (derivation
+    mirrored in the oracle, like the OSM histories derived from events) and
+    the redacted output is content-verified via its 60-bit hash. All
+    regexp work is JVM codegen on one scan — embarrassingly parallel, the
+    ideal 100 TB map-only shape."""
+    from ..functions.text import PII_PATTERNS
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 call 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    d = docs.select("doc_id", raw.alias("raw"))
+    red = redact_pii_expr(F.col("raw"))
+    return d.select(
+        "doc_id",
+        pii_count_expr(F.col("raw"), PII_PATTERNS[0][0]).alias("n_emails"),
+        pii_count_expr(F.col("raw"), PII_PATTERNS[1][0]).alias("n_ips"),
+        pii_count_expr(F.col("raw"), PII_PATTERNS[2][0]).alias("n_phones"),
+        F.length(red).alias("redacted_len"),
+        hash60_expr(red).alias("redacted_h"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "source_quantiles",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           round(quantile_cont(n_chars, 0.5), 6)  AS chars_p50,
+           round(quantile_cont(n_chars, 0.9), 6)  AS chars_p90,
+           round(quantile_cont(n_chars, 0.99), 6) AS chars_p99
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def source_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: per-source document-length distribution (exact
+    interpolated p50/p90/p99 — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share linear interpolation, so values hash-match).
+    At 100 TB the exact percentile is a single shuffle on the source key
+    with per-partition partial state; swap in ``percentile_approx`` for a
+    fixed-size sketch when sources are huge — same plan shape."""
+    docs = _t(spark, sf_dir, "documents")
+    v = F.col("n_chars").cast("double")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.percentile(v, F.lit(0.5)), 6).alias("chars_p50"),
+            F.round(F.percentile(v, F.lit(0.9)), 6).alias("chars_p90"),
+            F.round(F.percentile(v, F.lit(0.99)), 6).alias("chars_p99"),
+        )
+        .orderBy("source")
     )
 
 

@@ -315,3 +315,50 @@ def test_decode_flat_batch_little_endian():
     assert np.allclose(batch.row_bbox[0], [3.5, -7.25, 3.5, -7.25])
     assert np.allclose(batch.row_bbox[1], [1.0, 2.0, 1.0, 2.0])
     assert np.allclose(batch.row_bbox[2], [0.0, 1.0, 2.0, 3.0])
+
+
+def test_repetition_and_pii_exprs(spark):
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.functions.text import (
+        PII_PATTERNS,
+        dup_token_fraction_expr,
+        ngrams_expr,
+        pii_count_expr,
+        redact_pii_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat sat"),
+            (2, "one two"),
+            (3, ""),
+            (4, "mail a.b+c@ex-a.co ip 10.0.12.7 call 555-0142 not 55-0142"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            ngrams_expr(F.col("text"), 2).alias("ng"),
+            F.round(dup_token_fraction_expr(F.col("text")), 6).alias("dup"),
+            redact_pii_expr(F.col("text")).alias("red"),
+            *[
+                pii_count_expr(F.col("text"), pat).alias(f"n{i}")
+                for i, (pat, _) in enumerate(PII_PATTERNS)
+            ],
+        ).collect()
+    }
+    assert rows[1]["ng"][:3] == ["the cat", "cat sat", "sat on"]
+    assert len(rows[1]["ng"]) == 8
+    assert rows[1]["dup"] == round(1 - 5 / 9, 6)
+    # empty text: no n-grams, zero dup fraction (guarded denominator)
+    assert rows[3]["ng"] == [] and rows[3]["dup"] == 0.0
+    assert rows[2]["ng"] == ["one two"]
+    assert (
+        rows[4]["red"] == "mail <EMAIL> ip <IP> call <PHONE> not 55-0142"
+    )
+    assert (rows[4]["n0"], rows[4]["n1"], rows[4]["n2"]) == (1, 1, 1)
+    # clean text passes through untouched
+    assert rows[1]["red"] == rows[1]["text"] if "text" in rows[1] else True
