@@ -3297,6 +3297,101 @@ def source_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontamination_oracle() -> str:
+    # split bucket identical to dataset_split's
+    bucket = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
+    return rf"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CASE WHEN {bucket} < 80 THEN 'train'
+                  WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, split,
+             list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> x <> '') AS toks
+      FROM b WHERE split IN ('train', 'test')
+    ), sh AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 4, 0)),
+               i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
+      FROM tok
+    ), train_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE split = 'train'
+    ), test_tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM sh WHERE split = 'test' GROUP BY doc_id
+    ), hits AS (
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+      FROM sh s JOIN train_sh t USING (shingle)
+      WHERE s.split = 'test' GROUP BY s.doc_id
+    )
+    SELECT tt.doc_id, tt.n_shingles,
+           coalesce(h.n_overlap, 0) AS n_overlap,
+           round(coalesce(h.n_overlap, 0) / tt.n_shingles, 6)
+             AS contamination,
+           (coalesce(h.n_overlap, 0) / tt.n_shingles > 0.8) AS drop_doc
+    FROM test_tot tt LEFT JOIN hits h USING (doc_id)
+    ORDER BY tt.doc_id
+    """
+
+
+@_register("decontamination", _decontamination_oracle())
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (Brown et al. 2020 appendix C; standard
+    in every LLM data pipeline): flag evaluation documents whose 5-gram
+    shingles leak from the training split. Reuses dataset_split's
+    deterministic hash bucketing, dedupes the train side to DISTINCT
+    shingles (the big-but-combinable shuffle), and equi-joins test shingles
+    against it — at 100 TB this is the canonical inverted-index shape: no
+    all-pairs comparison, one shuffle keyed on the shingle, and the
+    test side is typically 100× smaller so AQE broadcasts it."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    bucket = F.pmod(
+        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    sh = (
+        docs.select("doc_id", split.alias("split"), "text")
+        .filter(F.col("split").isin("train", "test"))
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.array_distinct(ngrams_expr(F.col("text"), 5))
+            ).alias("shingle"),
+        )
+    )
+    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
+    test_sh = sh.filter(F.col("split") == "test")
+    totals = test_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        test_sh.join(train_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_shingles")
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(frac, 6).alias("contamination"),
+            (frac > 0.8).alias("drop_doc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
