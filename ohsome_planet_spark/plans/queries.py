@@ -3392,6 +3392,82 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "embedding_quantize",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, label, scale,
+             CAST(len(v) AS INT) AS n_dims,
+             list_transform(v, x -> round(x / scale)) AS qv,
+             list_sum(list_transform(
+               generate_series(1, len(v)),
+               i -> (v[i] - round(v[i] / scale) * scale)
+                    * (v[i] - round(v[i] / scale) * scale))) AS sse,
+             list_max(list_transform(
+               generate_series(1, len(v)),
+               i -> abs(v[i] - round(v[i] / scale) * scale))) AS max_err
+      FROM q
+    )
+    SELECT vec_id, label, n_dims,
+           round(scale, 9) AS scale,
+           CAST(list_max(list_transform(qv, x -> abs(x))) AS INT) AS q_max,
+           round(sse / n_dims, 9) AS mse,
+           round(max_err, 9)      AS max_abs_err
+    FROM e ORDER BY vec_id
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (the 4× storage/bandwidth
+    lever every 100 TB embedding store pulls before ANN): scale =
+    max|v|/127, q = round(v/scale), plus reconstruction-error stats that
+    certify the codec round-trips. Everything is JVM array expressions on
+    one scan — map-only, no shuffle, no UDF; the quantized vectors feed
+    the same IVF/LSH paths (`operators/similarity.py`) unchanged since
+    the dot-product kernels take any numeric array."""
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # NB: the internal raw scale must NOT share a name with the rounded
+    # output column — Spark's lateral column alias resolution would bind
+    # the quantization expressions to the *rounded* scale and silently
+    # change every error metric (caught by the DuckDB oracle).
+    d = emb.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        (
+            F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+        ).alias("_scale"),
+    )
+    sc = F.col("_scale")
+    err = F.transform(F.col("v"), lambda x: x - F.round(x / sc) * sc)
+    return d.select(
+        "vec_id",
+        "label",
+        F.size("v").alias("n_dims"),
+        F.round(sc, 9).alias("scale"),
+        F.array_max(
+            F.transform(
+                F.col("v"), lambda x: F.abs(F.round(x / sc)).cast("int")
+            )
+        ).alias("q_max"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e)
+            / F.size("v"),
+            9,
+        ).alias("mse"),
+        F.round(
+            F.array_max(F.transform(err, lambda e: F.abs(e))), 9
+        ).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

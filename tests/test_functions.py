@@ -362,3 +362,40 @@ def test_repetition_and_pii_exprs(spark):
     assert (rows[4]["n0"], rows[4]["n1"], rows[4]["n2"]) == (1, 1, 1)
     # clean text passes through untouched
     assert rows[1]["red"] == rows[1]["text"] if "text" in rows[1] else True
+
+
+def test_ngram_dup_properties(spark):
+    """Property check (one Spark job for all cases): n-gram count is
+    max(0, n_tokens - n + 1), dup fraction stays in [0, 1] and is 0 iff
+    all tokens are distinct."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.functions.text import (
+        dup_token_fraction_expr,
+        ngrams_expr,
+        token_count_expr,
+    )
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "Y_2", "zz"]
+    texts = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(texts, "i int, text string")
+    rows = df.select(
+        "i",
+        token_count_expr(F.col("text")).alias("n_tok"),
+        F.size(ngrams_expr(F.col("text"), 3)).alias("n_3g"),
+        dup_token_fraction_expr(F.col("text")).alias("dup"),
+        F.size(F.array_distinct(
+            F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")
+        )).alias("n_dist"),
+    ).collect()
+    for r in rows:
+        assert r["n_3g"] == max(0, r["n_tok"] - 2)
+        assert 0.0 <= r["dup"] <= 1.0
+        if r["n_tok"] > 0:
+            assert (r["dup"] == 0.0) == (r["n_dist"] == r["n_tok"])
