@@ -53,3 +53,16 @@ def test_dataset_split_is_map_side_only(spark):
     plan = _executed(all_queries()["dataset_split"](spark, SF))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Every registered query plans without row-at-a-time Python UDFs
+    (BatchEvalPython — Arrow-batched ArrowEvalPython is the only allowed
+    Python seam) and without CartesianProduct (broadcast nested-loop over
+    a dimension side is fine; an unbroadcast cartesian is a scale-killer).
+    Planning-only: no jobs run except queries that stage intermediates."""
+    for name, fn in sorted(all_queries().items()):
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
