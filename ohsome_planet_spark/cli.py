@@ -300,6 +300,32 @@ def cmd_fileinfo(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-data curation funnel over a documents parquet: quality
+    gate → exact dedup → repetition gate → optional holdout
+    decontamination → deterministic split → partitioned parquet, with a
+    one-line JSON funnel report (`operators/curation.py`)."""
+    from .operators.curation import curate
+    from .session import get_spark
+
+    spark = get_spark(app_name="curate")
+    docs = spark.read.parquet(args.input)
+    holdout = spark.read.parquet(args.holdout) if args.holdout else None
+    report = curate(
+        docs,
+        args.out,
+        holdout,
+        min_quality=args.min_quality,
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        max_punct=args.max_punct,
+        max_dup_token_frac=args.max_dup_token_frac,
+        contamination_max=args.contamination_max,
+    )
+    print(json.dumps(report))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ohsome_planet_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -348,6 +374,21 @@ def main(argv=None) -> int:
     r.add_argument("--start-sequence", type=int, help="seed <data>/state.txt if missing")
     r.add_argument("--changeset-start-sequence", type=int)
     r.set_defaults(fn=cmd_replications)
+
+    cu = sub.add_parser(
+        "curate",
+        help="documents parquet -> curated training dataset (quality/dedup/decontaminate/split)",
+    )
+    cu.add_argument("--input", required=True, help="documents parquet (doc_id, text, ...)")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--holdout", help="eval-corpus parquet to decontaminate against")
+    cu.add_argument("--min-quality", type=float, default=0.4)
+    cu.add_argument("--min-tokens", type=int, default=10)
+    cu.add_argument("--max-tokens", type=int, default=5000)
+    cu.add_argument("--max-punct", type=float, default=0.25)
+    cu.add_argument("--max-dup-token-frac", type=float, default=0.7)
+    cu.add_argument("--contamination-max", type=float, default=0.8)
+    cu.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,168 @@
+"""End-to-end training-data curation pipeline: the documents-side analog
+of the bulk ``contributions`` run.
+
+One composed DataFrame plan — no per-stage actions: every gate becomes a
+boolean column (``pass_quality``, ``is_exact_dup``, ``is_repetitive``,
+``contaminated``) plus the deterministic ``split``, so a single
+aggregation yields the whole funnel report and a single filtered write
+produces the curated dataset. At 100 TB that is one scan + one window
+shuffle (dedup) + one shingle join (decontamination, only when a holdout
+is supplied), instead of N re-scans for N stage counts.
+
+Stages (each individually toggleable):
+
+1. quality gate   — C4-style: quality score floor, token band, punctuation
+                    ceiling, language-ID != 'und' (`functions/text.py`).
+2. exact dedup    — first doc per 60-bit content hash wins (hash-window).
+3. repetition gate— Gopher §A1.1 duplicate-token fraction ceiling.
+4. decontamination— drop docs sharing >``contamination_max`` of their
+                    5-gram shingles with a holdout corpus (inverted-index
+                    join; the holdout's distinct-shingle side is usually
+                    small enough for AQE to broadcast).
+5. split          — deterministic 80/10/10 train/val/test hash bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    dup_token_fraction_expr,
+    hash60_expr,
+    lang_guess_expr,
+    ngrams_expr,
+    punct_ratio_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+
+FUNNEL_FLAGS = ("pass_quality", "is_exact_dup", "is_repetitive", "contaminated")
+
+
+def flag_documents(
+    docs: DataFrame,
+    holdout: DataFrame | None = None,
+    *,
+    min_quality: float = 0.4,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    max_punct: float = 0.25,
+    max_dup_token_frac: float = 0.7,
+    contamination_max: float = 0.8,
+) -> DataFrame:
+    """Annotate ``docs`` with the funnel flags + split; drops nothing.
+
+    ``keep`` is the conjunction the curated write filters on. Keeping the
+    flags instead of filtering eagerly means one output can serve both the
+    curated dataset and the rejected-docs audit (WHERE NOT keep).
+    """
+    t = F.col("text")
+    flagged = docs.withColumns(
+        {
+            "_h": hash60_expr(t),
+            "pass_quality": (
+                (quality_score_expr(t) >= min_quality)
+                & token_count_expr(t).between(min_tokens, max_tokens)
+                & (punct_ratio_expr(t) < max_punct)
+                & (lang_guess_expr(t) != "und")
+            ),
+            "is_repetitive": dup_token_fraction_expr(t) > max_dup_token_frac,
+        }
+    )
+    wdup = W.partitionBy("_h").orderBy("doc_id")
+    flagged = flagged.withColumn(
+        "is_exact_dup", F.row_number().over(wdup) > 1
+    )
+
+    if holdout is not None:
+        sh = flagged.select(
+            "doc_id",
+            F.explode(F.array_distinct(ngrams_expr(t, 5))).alias("shingle"),
+        )
+        hold_sh = holdout.select(
+            F.explode(
+                F.array_distinct(ngrams_expr(F.col("text"), 5))
+            ).alias("shingle")
+        ).distinct()
+        overlap = (
+            sh.join(hold_sh, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_n_overlap"))
+        )
+        totals = sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("_n_shingles")
+        )
+        contam = totals.join(overlap, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.coalesce(F.col("_n_overlap"), F.lit(0))
+                / F.col("_n_shingles")
+                > contamination_max
+            ).alias("contaminated"),
+        )
+        flagged = flagged.join(contam, "doc_id", "left").withColumn(
+            "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+        )
+    else:
+        flagged = flagged.withColumn("contaminated", F.lit(False))
+
+    bucket = F.pmod(
+        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(100),
+    )
+    return flagged.withColumns(
+        {
+            "split": F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("val"))
+            .otherwise(F.lit("test")),
+            "keep": F.col("pass_quality")
+            & ~F.col("is_exact_dup")
+            & ~F.col("is_repetitive")
+            & ~F.col("contaminated"),
+        }
+    ).drop("_h")
+
+
+def funnel_report(flagged: DataFrame) -> dict:
+    """One aggregation pass over the flag columns → stage counts."""
+    row = flagged.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((~F.col("pass_quality")).cast("long")).alias("fail_quality"),
+        F.sum(F.col("is_exact_dup").cast("long")).alias("exact_dups"),
+        F.sum(F.col("is_repetitive").cast("long")).alias("repetitive"),
+        F.sum(F.col("contaminated").cast("long")).alias("contaminated"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        *[
+            F.sum(
+                (F.col("keep") & (F.col("split") == s)).cast("long")
+            ).alias(f"kept_{s}")
+            for s in ("train", "val", "test")
+        ],
+    ).first()
+    return {k: int(v) for k, v in row.asDict().items()}
+
+
+def curate(
+    docs: DataFrame,
+    out_dir: str,
+    holdout: DataFrame | None = None,
+    **thresholds,
+) -> dict:
+    """Run the funnel and write the curated dataset partitioned by split.
+
+    Returns the funnel report. The write sorts within partitions by
+    doc_id so the parquet row groups stay range-queryable by id."""
+    flagged = flag_documents(docs, holdout, **thresholds)
+    # flags are recomputed by the two actions below (report + write) —
+    # cheaper than persisting the whole corpus for a one-pass-each pair
+    report = funnel_report(flagged)
+    (
+        flagged.filter("keep")
+        .drop("keep", *FUNNEL_FLAGS)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(out_dir)
+    )
+    return report
