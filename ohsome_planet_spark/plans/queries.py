@@ -3468,6 +3468,101 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def _curation_funnel_oracle() -> str:
+    stop20 = "['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on']"
+    bucket = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> x <> '') AS toks,
+             length(text) AS nct,
+             length(regexp_replace(text, '[^\w\s]', '', 'g')) AS npn
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_tokens,
+             (nct - npn) / greatest(nct, 1) AS punct_ratio,
+             len(list_filter(toks, x -> list_contains({stop20}, x)))
+               / greatest(len(toks), 1) AS stop_ratio,
+             list_sum(list_transform(toks, t -> length(t)))
+               / greatest(len(toks), 1) AS mtl,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) / greatest(len(toks), 1) AS s_en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))) / greatest(len(toks), 1) AS s_de,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','des','que','pas','pour'], x))) / greatest(len(toks), 1) AS s_fr,
+             len(list_filter(toks, x -> list_contains(['el','la','los','las','es','una','que','por','con','para'], x))) / greatest(len(toks), 1) AS s_es
+      FROM t
+    ), q AS (
+      SELECT *,
+             round(
+               least(n_tokens / 64.0, 1.0) * 0.4
+               + least(stop_ratio * 4.0, 1.0) * 0.2
+               + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
+                 * (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
+               + (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+             6) AS quality,
+             greatest(s_en, s_de, s_fr, s_es) AS best,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(toks)) / len(toks) END AS dup_frac,
+             row_number() OVER (
+               PARTITION BY {hash60_sql("text")} ORDER BY doc_id) AS rn
+      FROM m
+    ), f AS (
+      SELECT doc_id,
+             (quality >= 0.4 AND n_tokens BETWEEN 10 AND 5000
+              AND punct_ratio < 0.25 AND best >= 0.05) AS pass_quality,
+             (rn > 1)          AS is_exact_dup,
+             (dup_frac > 0.7)  AS is_repetitive,
+             CASE WHEN {bucket} < 80 THEN 'train'
+                  WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
+      FROM q
+    )
+    SELECT CAST(count(*) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN NOT pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS fail_quality,
+           CAST(sum(CASE WHEN is_exact_dup THEN 1 ELSE 0 END) AS BIGINT)  AS exact_dups,
+           CAST(sum(CASE WHEN is_repetitive THEN 1 ELSE 0 END) AS BIGINT) AS repetitive,
+           CAST(sum(CASE WHEN pass_quality AND NOT is_exact_dup
+                          AND NOT is_repetitive THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(CASE WHEN pass_quality AND NOT is_exact_dup
+                          AND NOT is_repetitive AND split = 'train'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_train,
+           CAST(sum(CASE WHEN pass_quality AND NOT is_exact_dup
+                          AND NOT is_repetitive AND split = 'val'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_val,
+           CAST(sum(CASE WHEN pass_quality AND NOT is_exact_dup
+                          AND NOT is_repetitive AND split = 'test'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_test
+    FROM f
+    """
+
+
+@_register("curation_funnel", _curation_funnel_oracle())
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``curate`` CLI's funnel report as an oracle-verified query
+    (`operators/curation.py::flag_documents`): every gate becomes a flag
+    column computed in one scan + one dedup window, and the whole funnel
+    reduces to a single aggregation row. This certifies the CLI's exact
+    keep/drop arithmetic, not just its pieces."""
+    from ..operators.curation import flag_documents
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    flagged = flag_documents(docs)
+    kept = F.col("keep")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((~F.col("pass_quality")).cast("long")).alias("fail_quality"),
+        F.sum(F.col("is_exact_dup").cast("long")).alias("exact_dups"),
+        F.sum(F.col("is_repetitive").cast("long")).alias("repetitive"),
+        F.sum(kept.cast("long")).alias("kept"),
+        *[
+            F.sum((kept & (F.col("split") == s)).cast("long")).alias(
+                f"kept_{s}"
+            )
+            for s in ("train", "val", "test")
+        ],
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
