@@ -3598,25 +3598,7 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same session normalization as the batch loader
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    # the file-stream source wants a landing DIRECTORY (the production
-    # shape); stage one per sf_dir with a symlink to the events parquet
-    land = _STREAM_DIRS.get(sf_dir)
-    if land is None or not os.path.isdir(land):
-        import tempfile
-
-        land = tempfile.mkdtemp(prefix="opc_stream_events_")
-        os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(land, "events.parquet"),
-        )
-        _STREAM_DIRS[sf_dir] = land
-    raw = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp, user_id bigint,"
-            " event_type string, value double, props string"
-        )
-        .parquet(land)
-    )
+    raw = _events_stream(spark, sf_dir)
     out = windowed_event_counts(raw)
     name = f"stream_win_{next(_STREAM_SEQ)}"
     q = (
@@ -3628,6 +3610,76 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over the events parquet (landing-dir staging
+    shared with streaming_window_counts)."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    land = _STREAM_DIRS.get(sf_dir)
+    if land is None or not os.path.isdir(land):
+        import tempfile
+
+        land = tempfile.mkdtemp(prefix="opc_stream_events_")
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(land, "events.parquet"),
+        )
+        _STREAM_DIRS[sf_dir] = land
+    return spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    ).parquet(land)
+
+
+@_register(
+    "streaming_latest_state",
+    """
+    SELECT user_id, event_id, ts, event_type, round(value, 6) AS value
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4's latest-state upsert as a REAL stateful streaming run,
+    oracle-verified: ``applyInPandasWithState`` keeps one fixed-width
+    state row per key (`streaming/stateful.py::latest_state_stream`) and
+    emits only version advances; bounded ``availableNow`` replay over the
+    events stream (version = event_id per user) must land exactly on the
+    SQL last-version-per-key answer. State is sharded by the grouping
+    key — the same O(live keys)/executor budget a 1000-node cluster
+    relies on."""
+    from ..streaming.stateful import latest_state_stream
+
+    raw = _events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = latest_state_stream(raw, ["user_id"], "event_id")
+    name = f"stream_latest_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("user_id")
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:
