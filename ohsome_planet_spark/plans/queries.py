@@ -3682,6 +3682,96 @@ def streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_logprob_oracle() -> str:
+    bucket = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
+    return rf"""
+    WITH b AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> x <> '') AS toks,
+             CASE WHEN {bucket} < 80 THEN 'train'
+                  WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    ), train_tok AS (
+      SELECT unnest(toks) AS token FROM b WHERE split = 'train'
+    ), vocab AS (
+      SELECT token, count(*) AS c FROM train_tok GROUP BY token
+    ), n AS (
+      SELECT sum(c) AS total, count(*) AS v FROM vocab
+    ), test_tok AS (
+      SELECT doc_id, unnest(toks) AS token FROM b WHERE split = 'test'
+    ), scored AS (
+      SELECT t.doc_id,
+             -ln((coalesce(vb.c, 0) + 1.0) / (n.total + n.v + 1.0)) AS nll
+      FROM test_tok t LEFT JOIN vocab vb USING (token) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(nll), 6) AS avg_nll,
+           round(max(nll), 6) AS max_nll
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@_register("unigram_logprob_scores", _unigram_logprob_oracle())
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM filtering (Wenzek et al. 2020), unigram form: fit
+    add-one-smoothed token frequencies on the train split, score every
+    test-split document by mean negative log-likelihood — the screen
+    that drops gibberish the rule-based gates miss. Plan shape at
+    100 TB: one word-count shuffle for the vocab (map-side combined),
+    the two scalar normalizers ride along as a broadcast cross join of
+    one row, and scoring is a token→vocab equi-join + per-doc agg; the
+    vocab (~10^7 rows) broadcasts, so the corpus-sized side never
+    shuffles twice."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    bucket = F.pmod(
+        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tok = docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.explode(tokens_expr(F.col("text"))).alias("token"),
+    )
+    vocab = (
+        tok.filter(F.col("split") == "train")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = vocab.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        tok.filter(F.col("split") == "test")
+        .join(vocab, "token", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("total") + F.col("v") + F.lit(1.0))
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.round(F.max("nll"), 6).alias("max_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
