@@ -5,7 +5,10 @@
         [--changesets changesets.parquet] [--country-file countries.csv]
         [--filter-relation-tag-keys k1,k2] [--multipolygon-member-limit N]
     python -m ohsome_planet_spark.cli changesets --input dump.osm.bz2 --out dir
+    python -m ohsome_planet_spark.cli replications --data dir [--endpoint url]
     python -m ohsome_planet_spark.cli fileinfo --pbf in.osh.pbf
+    python -m ohsome_planet_spark.cli curate --input docs.parquet --out dir
+        [--holdout eval.parquet] [--min-quality Q] [--contamination-max C]
 
 The bulk `contributions` run is the reference's 5-stage dataflow
 (SURVEY.md §3.1) as one Spark job: decode → nodes → ways → relations →
