@@ -3772,6 +3772,83 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "corpus_drift",
+    r"""
+    WITH tok AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), lc AS (
+      SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token
+    ), tc AS (
+      SELECT token, sum(c) AS c_all FROM lc GROUP BY token
+    ), v AS (
+      SELECT count(*) AS vocab, sum(c_all) AS n_all FROM tc
+    ), ln_ AS (
+      SELECT lang, sum(c) AS n_lang FROM lc GROUP BY lang
+    ), grid AS (
+      SELECT l.lang, t.token, t.c_all, coalesce(x.c, 0) AS c_lang
+      FROM (SELECT DISTINCT lang FROM lc) l
+      CROSS JOIN tc t
+      LEFT JOIN lc x ON x.lang = l.lang AND x.token = t.token
+    )
+    SELECT g.lang,
+           CAST(ln_.n_lang AS BIGINT) AS n_tokens,
+           round(sum(
+             ((g.c_lang + 1.0) / (ln_.n_lang + v.vocab))
+             * ln(((g.c_lang + 1.0) / (ln_.n_lang + v.vocab))
+                  / ((g.c_all + 1.0) / (v.n_all + v.vocab)))
+           ), 6) AS kl_vs_corpus
+    FROM grid g JOIN ln_ USING (lang) CROSS JOIN v
+    GROUP BY g.lang, ln_.n_lang ORDER BY g.lang
+    """,
+)
+def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitoring: add-one-smoothed KL divergence of
+    each language slice's token distribution against the whole corpus —
+    the alarm a continuously-ingesting pipeline raises when one source
+    starts feeding off-distribution text. Plan shape: one token-count
+    shuffle (map-side combined), then a slices×vocab grid built by
+    cross-joining the DISTINCT slice keys (a handful of rows, broadcast)
+    with the vocab table — the corpus-sized token stream is never
+    shuffled a second time."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "lang", F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    lc = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    tc = lc.groupBy("token").agg(F.sum("c").alias("c_all"))
+    v = tc.agg(
+        F.count(F.lit(1)).alias("vocab"), F.sum("c_all").alias("n_all")
+    )
+    n_lang = lc.groupBy("lang").agg(F.sum("c").alias("n_lang"))
+    langs = lc.select("lang").distinct()
+    grid = (
+        F.broadcast(langs)
+        .crossJoin(tc)
+        .join(lc, ["lang", "token"], "left")
+        .select(
+            "lang", "c_all", F.coalesce(F.col("c"), F.lit(0)).alias("c_lang")
+        )
+    )
+    p = (F.col("c_lang") + F.lit(1.0)) / (F.col("n_lang") + F.col("vocab"))
+    q = (F.col("c_all") + F.lit(1.0)) / (F.col("n_all") + F.col("vocab"))
+    return (
+        grid.join(F.broadcast(n_lang), "lang")
+        .crossJoin(F.broadcast(v))
+        .groupBy("lang", "n_lang")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"))
+        .select(
+            "lang",
+            F.col("n_lang").alias("n_tokens"),
+            "kl_vs_corpus",
+        )
+        .orderBy("lang")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
