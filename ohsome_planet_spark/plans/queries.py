@@ -3591,8 +3591,6 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee the module's docstring claims, here certified by the DuckDB
     oracle instead of a unit test. At scale the same query tails a
     landing directory continuously; availableNow is the catch-up mode."""
-    import os
-
     from ..streaming.windows import windowed_event_counts
 
     # same session normalization as the batch loader
