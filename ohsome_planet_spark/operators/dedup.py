@@ -434,3 +434,44 @@ def dedup_clusters(
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_docs"),
         (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def verify_candidate_pairs(
+    candidates: DataFrame,
+    shingle_df: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs — stage two of the
+    candidate-then-verify pattern (MinHashLSH / SimHash banding give
+    recall; this gives precision).
+
+    ``candidates``: (doc_a, doc_b); ``shingle_df``: (doc, shingle_hash)
+    distinct rows. Intersections are computed ONLY for candidate pairs
+    (join candidates to both shingle sets on the shingle key), so the
+    cost is O(Σ |shingles| over candidate docs), never the all-pairs
+    blowup the banding existed to avoid.
+    """
+    sizes = shingle_df.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingle_df.select(
+        F.col("doc").alias("doc_a"), F.col("shingle_hash").alias("_h")
+    )
+    b = shingle_df.select(
+        F.col("doc").alias("doc_b"), F.col("shingle_hash").alias("_h")
+    )
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "_h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    jac = F.round(
+        F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common")), 6
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

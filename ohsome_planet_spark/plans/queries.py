@@ -3847,6 +3847,55 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_verified_oracle(
+    num_perm: int = 16, bands: int = 4, n: int = 3, threshold: float = 0.5
+) -> str:
+    lsh = _lsh_oracle(num_perm, bands, n).replace("ORDER BY doc_a, doc_b", "")
+    sh = _SHINGLE_SQL.format(n=n)
+    return f"""
+    WITH cand AS ({lsh}
+    ), shv AS (
+      SELECT DISTINCT doc, {hash60_sql('shingle')} AS shingle_hash FROM ({sh})
+    ), sizes AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_sh FROM shv GROUP BY doc
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM cand c
+        JOIN shv a ON a.doc = c.doc_a
+        JOIN shv b ON b.doc = c.doc_b AND b.shingle_hash = a.shingle_hash
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+    FROM inter i
+      JOIN sizes sa ON sa.doc = i.doc_a
+      JOIN sizes sb ON sb.doc = i.doc_b
+    WHERE round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6)
+          >= {threshold!r}
+    ORDER BY i.doc_a, i.doc_b
+    """
+
+
+@_register("lsh_verified_pairs", _lsh_verified_oracle())
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full candidate-then-verify fuzzy-dedup pattern in one plan:
+    MinHash-LSH banding proposes candidate pairs (recall), then exact
+    3-gram Jaccard is computed ONLY for those pairs (precision) by
+    joining the candidates back to both shingle sets. This is THE shape
+    a 100 TB fuzzy dedup runs: the quadratic all-pairs comparison never
+    exists; verification cost is proportional to the candidates' shingle
+    mass, and both stages reuse one shingle table."""
+    from ..operators.dedup import verify_candidate_pairs
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    sh = shingles(docs, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, num_perm=16)
+    cand = lsh_candidate_pairs(sig, num_perm=16, bands=4)
+    return verify_candidate_pairs(cand, sh, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
