@@ -275,3 +275,35 @@ def test_truncate_lineage_uses_reliable_checkpoint_when_configured(spark, tmp_pa
         # restore the no-checkpoint-dir default so other tests keep the
         # localCheckpoint path (no public unset API; go through the JVM)
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+
+
+class TestVerifyCandidatePairs:
+    def test_false_positive_candidates_are_dropped(self, spark):
+        """LSH candidates below the exact-Jaccard threshold must not
+        survive verification; pairs above it keep their exact score."""
+        from ohsome_planet_spark.operators.dedup import (
+            shingles,
+            verify_candidate_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "alpha beta gamma delta epsilon eta"),   # near-dup of 1
+                (3, "one two three four five six"),          # unrelated
+            ],
+            "doc_id int, text string",
+        )
+        sh = shingles(docs, "doc_id", "text", n=3)
+        # candidates include a banding false positive: (1, 3)
+        cand = spark.createDataFrame(
+            [(1, 2), (1, 3)], "doc_a int, doc_b int"
+        )
+        rows = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in verify_candidate_pairs(cand, sh, threshold=0.3).collect()
+        }
+        assert (1, 3) not in rows          # false positive rejected
+        assert (1, 2) in rows
+        # docs 1/2 share 3 of their 4 3-gram shingles: J = 3/5
+        assert rows[(1, 2)] == 0.6
