@@ -3896,6 +3896,59 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "streaming_session_windows",
+    """
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *, sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts, new_s
+        ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           min(ts)                       AS session_start,
+           max(ts) + INTERVAL 30 MINUTE  AS session_end,
+           CAST(count(*) AS BIGINT)      AS n_events
+    FROM g GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (``F.session_window``, 30-min gap) through
+    the ACTUAL streaming engine — the streaming twin of the batch
+    ``user_sessions`` gap-sessionization, oracle-checked against the
+    classic gap-and-island SQL. Boundary semantics pinned by probe: an
+    exactly-gap-sized step MERGES (inclusive), so the oracle's new-session
+    test is strictly ``>``; a session's end is last event + gap. State per
+    key is the open session only — the watermark closes and evicts
+    sessions in continuous mode."""
+    from ..streaming.windows import session_windows
+
+    raw = _events_stream(spark, sf_dir)
+    out = session_windows(raw, gap="30 minutes", key="user_id")
+    name = f"stream_sess_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
