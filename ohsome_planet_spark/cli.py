@@ -22,6 +22,7 @@ import csv
 import json
 import os
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -303,6 +304,75 @@ def cmd_fileinfo(args) -> int:
     return 0
 
 
+def cmd_replication_store(args) -> int:
+    """Peek into the replication state tables for individual OSM elements
+    (``debug replication-store``, ``UpdateStoreRocksDb.query:36-57`` /
+    ``docs/CLI.md §Inspect Replication Store``).
+
+    The reference's RocksDB point-lookups become predicate-pushdown parquet
+    scans over the manager's history tables (``<data>/nodes``, ``<data>/
+    ways``): latest version per element plus derived back-references
+    (ways containing the node; relations containing the member, when a
+    relations table exists). ``osm_id = N`` prunes row groups via parquet
+    min/max stats, so a lookup touches only matching row groups — the
+    distributed analog of the keyed store read, no full scan.
+    """
+    from .session import get_spark
+    from .streaming.manager import (
+        NODE_HISTORY_SCHEMA,
+        WAY_HISTORY_SCHEMA,
+        _history_or_empty,
+    )
+
+    spark = get_spark(app_name="replication-store")
+    nodes = _history_or_empty(
+        spark, os.path.join(args.data, "nodes"), NODE_HISTORY_SCHEMA
+    )
+    ways = _history_or_empty(
+        spark, os.path.join(args.data, "ways"), WAY_HISTORY_SCHEMA
+    )
+
+    def latest(df, osm_id):
+        rows = (
+            df.filter(F.col("osm_id") == osm_id)
+            .orderBy(F.desc("version"), F.desc("ts"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return None
+        d = rows[0].asDict(recursive=True)
+        if d.get("ts") is not None:
+            d["ts"] = d["ts"].isoformat()
+        return d
+
+    out = {}
+    for param in args.elements:
+        etype, _, sid = param.partition("/")
+        osm_id = int(sid)
+        entry: dict = {}
+        if etype.startswith("n"):
+            entry["entity"] = latest(nodes, osm_id)
+            # back-references, derived: latest visible way versions whose
+            # refs contain the node (the NODE_WAY merge-operator store)
+            w = W.partitionBy("osm_id").orderBy(F.desc("version"))
+            entry["ways"] = sorted(
+                r.osm_id
+                for r in ways.filter(F.array_contains("refs", osm_id))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter("_rn = 1 AND visible")
+                .select("osm_id")
+                .collect()
+            )
+        elif etype.startswith("w"):
+            entry["entity"] = latest(ways, osm_id)
+        else:
+            entry["entity"] = None  # relation history not kept by the manager
+        out[param] = entry
+    print(json.dumps(out, indent=2, default=str))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Training-data curation funnel over a documents parquet: quality
     gate → exact dedup → repetition gate → optional holdout
@@ -352,6 +422,14 @@ def main(argv=None) -> int:
     fi = sub.add_parser("fileinfo", help="print PBF header/blob summary")
     fi.add_argument("--pbf", required=True)
     fi.set_defaults(fn=cmd_fileinfo)
+
+    rs = sub.add_parser(
+        "replication-store",
+        help="peek into replication state tables for OSM elements (n/ID w/ID)",
+    )
+    rs.add_argument("--data", required=True, help="replications working dir")
+    rs.add_argument("elements", nargs="+", help="e.g. n/1234 w/34565")
+    rs.set_defaults(fn=cmd_replication_store)
 
     r = sub.add_parser(
         "replications",

@@ -233,3 +233,33 @@ def test_replications_cli_dual_stream(spark, tmp_path, capsys):
     assert "geom" in store.columns
     state_text = open(os.path.join(data, "changeset_state.txt")).read()
     assert "6737400" in state_text
+
+
+def test_replication_store_peek(spark, mirror, tmp_path, capsys):
+    """`replication-store` shows latest stored entity + derived
+    back-references (UpdateStoreRocksDb.query:36-57, docs/CLI.md)."""
+    data = str(tmp_path / "data")
+    argv = [
+        "replications", "--data", data, "--parquet-data", str(tmp_path / "out"),
+        "--endpoint", f"file://{mirror}", "--jcb", "--start-sequence", "100",
+    ]
+    assert main(argv) == 0
+    capsys.readouterr()
+
+    assert main(["replication-store", "--data", data, "n/1", "n/3", "w/10", "n/99"]) == 0
+    out = json.loads(capsys.readouterr().out)
+
+    # n/1: latest stored version is 2 (modified in seq 102), lat moved
+    assert out["n/1"]["entity"]["version"] == 2
+    assert out["n/1"]["entity"]["lat"] == 1.5
+    # back-reference: way 10 contains node 1
+    assert out["n/1"]["ways"] == [10]
+    # n/3 was created untagged in 103 but IS in the node store (ways need it)
+    assert out["n/3"]["entity"]["version"] == 1
+    assert out["n/3"]["ways"] == [10]
+    # w/10: latest version 2 with the 3-node ref list
+    assert out["w/10"]["entity"]["version"] == 2
+    assert out["w/10"]["entity"]["refs"] == [1, 2, 3]
+    # unknown element -> explicit null, like the reference's -1 sentinels
+    assert out["n/99"]["entity"] is None
+    assert out["n/99"]["ways"] == []
