@@ -1,0 +1,89 @@
+"""Sequence packing: assign documents to fixed-length training sequences.
+
+LLM training pipelines concatenate tokenized documents and chunk the
+stream into ``seq_len``-token training sequences ("concat-and-chunk", the
+T5/GPT data-prep shape). The packing assignment itself — which sequence(s)
+each document lands in, at what offset, how many block boundaries split it
+— is a pure prefix-sum over a deterministic document order.
+
+Scale shape: a *global* prefix sum would need a total order (single
+reducer at the end of a global sort — a 100 TB non-starter). Real
+pipelines pack per output shard instead, so the operator shards documents
+by a deterministic hash and packs within shards: the cumulative-offset
+window partitions by ``shard`` and Spark runs one exchange hash-partitioned
+on shard, every shard summed independently in parallel. Shard count is the
+write-parallelism knob exactly as in production tokenizer-sharding jobs.
+
+No reference counterpart (ohsome-planet is an OSM engine); this is part of
+the training-data surface alongside dedup/ANN/text analysis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60_expr
+
+__all__ = ["pack_sequences", "packing_stats"]
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document packing assignment under concat-and-chunk.
+
+    Returns one row per document: its shard, whitespace-token count,
+    start offset in the shard's token stream, first/last sequence index,
+    the number of sequence boundaries that split the document, and its
+    offset inside the first sequence. Documents are ordered by ``id_col``
+    within each shard (deterministic, so the packing is reproducible
+    across runs and cluster sizes).
+    """
+    n_tok = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    ).cast("bigint")
+    shard = F.pmod(hash60_expr(F.col(id_col).cast("string")), F.lit(n_shards)).cast(
+        "bigint"
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    out = (
+        docs.select(F.col(id_col), shard.alias("shard"), n_tok.alias("n_tokens"))
+        .withColumn("start_off", start)
+        .withColumn("first_seq", F.floor(F.col("start_off") / seq_len))
+        .withColumn(
+            "last_seq",
+            F.floor(
+                F.greatest(
+                    F.col("start_off") + F.col("n_tokens") - 1, F.col("start_off")
+                )
+                / seq_len
+            ),
+        )
+        .withColumn("n_splits", (F.col("last_seq") - F.col("first_seq")).cast("bigint"))
+        .withColumn("seq_offset", F.pmod(F.col("start_off"), F.lit(seq_len)).cast("bigint"))
+    )
+    return out
+
+
+def packing_stats(packed: DataFrame, seq_len: int = 2048) -> DataFrame:
+    """Per-shard packing summary: documents, tokens, emitted sequences
+    (ceil of the token total), tail fill of the final sequence, and how
+    many documents straddle a boundary. One partial-agg shuffle on the
+    (already co-partitioned) shard key."""
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.ceil(F.sum("n_tokens") / seq_len).cast("bigint").alias("n_sequences"),
+        F.pmod(F.sum("n_tokens"), F.lit(seq_len)).cast("bigint").alias("tail_fill"),
+        F.sum((F.col("n_splits") > 0).cast("bigint")).alias("n_split_docs"),
+    )

@@ -3949,6 +3949,200 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sequence packing (concat-and-chunk training-data assignment) -----------
+
+_PACK_SEQ_LEN = 512
+_PACK_SHARDS = 16
+
+
+def _packing_base_sql() -> str:
+    return f"""
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {_PACK_SHARDS} AS shard,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+               AS BIGINT) AS n_tokens
+      FROM documents
+    """
+
+
+def _packing_oracle() -> str:
+    return f"""
+    WITH t AS ({_packing_base_sql()}),
+    o AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens, start_off,
+           start_off // {_PACK_SEQ_LEN} AS first_seq,
+           greatest(start_off + n_tokens - 1, start_off) // {_PACK_SEQ_LEN} AS last_seq,
+           greatest(start_off + n_tokens - 1, start_off) // {_PACK_SEQ_LEN}
+             - start_off // {_PACK_SEQ_LEN} AS n_splits,
+           start_off % {_PACK_SEQ_LEN} AS seq_offset
+    FROM o ORDER BY doc_id
+    """
+
+
+@_register("sequence_packing", _packing_oracle())
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing assignment: which fixed-length training
+    sequence(s) each document occupies. Shard-local prefix sums (hash
+    shard = the write-parallelism unit), so the window partitions by
+    shard — no global sort at any scale."""
+    from ..operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS
+    ).orderBy("doc_id")
+
+
+@_register(
+    "packing_stats",
+    f"""
+    WITH t AS ({_packing_base_sql()})
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(ceil(sum(n_tokens) / {_PACK_SEQ_LEN}.0) AS BIGINT) AS n_sequences,
+           CAST(sum(n_tokens) % {_PACK_SEQ_LEN} AS BIGINT) AS tail_fill,
+           CAST(sum(CASE WHEN
+                 greatest(start_off + n_tokens - 1, start_off) // {_PACK_SEQ_LEN}
+                   > start_off // {_PACK_SEQ_LEN} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_split_docs
+    FROM (
+      SELECT *,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      FROM t
+    ) GROUP BY shard ORDER BY shard
+    """,
+)
+def packing_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing yield: sequences emitted, tail fill, boundary-
+    split document count — the numbers a tokenizer-sharding job reports."""
+    from ..operators.packing import pack_sequences, packing_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS)
+    return packing_stats(packed, seq_len=_PACK_SEQ_LEN).orderBy("shard")
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "vector", "stream"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle(k: int = 10) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+      FROM documents
+    ), d AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM toks
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d
+    ), tf AS (
+      SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM d, UNNEST(toks) AS u(term)
+      WHERE term IN ({terms})
+      GROUP BY doc_id, dl, term
+    ), dfc AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id, round(sum(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+             * tf * ({_BM25_K1} + 1)
+             / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dfc USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {k}
+    """
+
+
+@_register("bm25_topk", _bm25_oracle())
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a bag-of-terms query: broadcast term dim +
+    broadcast corpus stats, the only wide stage is the (doc, query-term)
+    partial count (``operators/retrieval.py``)."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    return bm25_topk(docs, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B)
+
+
+# --- cross-document duplicated-passage detection -----------------------------
+
+
+def _dup_passage_oracle(n: int = 5) -> str:
+    sh = _SHINGLE_SQL.format(n=n)
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc, {hash60_sql('shingle')} AS shingle_hash FROM ({sh})
+    ), freq AS (
+      SELECT shingle_hash, count(*) AS n_docs FROM sh GROUP BY shingle_hash
+    ), per_doc AS (
+      SELECT doc,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM sh JOIN freq USING (shingle_hash) GROUP BY doc
+    )
+    SELECT d.doc_id,
+           COALESCE(n_shingles, 0) AS n_shingles,
+           COALESCE(n_shared, 0) AS n_shared,
+           round(COALESCE(n_shared, 0) / greatest(COALESCE(n_shingles, 0), 1), 6)
+             AS dup_fraction
+    FROM documents d LEFT JOIN per_doc ON per_doc.doc = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@_register("dup_passage_fraction", _dup_passage_oracle())
+def dup_passage_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplication (the Lee et al. 2022 exact-substring
+    signal at shingle granularity): per document, the fraction of its
+    distinct word-5-grams that also occur in at least one other document.
+    Inverted-index shape — shingle-hash frequency is one map-side-combined
+    aggregation, joined back to the per-doc shingle stream; no pairwise
+    comparison anywhere, so it scales as total shingle volume, not docs²."""
+    from ..operators.dedup import shingles
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    sh = shingles(docs, "doc_id", "text", n=5)
+    freq = sh.groupBy("shingle_hash").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        sh.join(freq, "shingle_hash")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("n_docs") >= 2).cast("bigint")).alias("n_shared"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, docs.doc_id == per_doc.doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0))
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
