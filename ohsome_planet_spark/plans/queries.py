@@ -4143,6 +4143,107 @@ def dup_passage_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Bloom-filter decontamination --------------------------------------------
+
+_BLOOM_M = 1 << 20
+_BLOOM_K = 3
+
+
+def _bloom_decon_oracle() -> str:
+    from ..operators.bloom import positions_sql
+
+    bucket = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
+    pos = positions_sql("h", _BLOOM_M, _BLOOM_K)
+    return rf"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CASE WHEN {bucket} < 80 THEN 'train'
+                  WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, split,
+             list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> x <> '') AS toks
+      FROM b WHERE split IN ('train', 'test')
+    ), sh AS (
+      SELECT DISTINCT doc_id, split, {hash60_sql('shingle')} AS h
+      FROM (
+        SELECT doc_id, split,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 3, 2)),
+                 i -> array_to_string(toks[i : i + 4], ' ')))) AS shingle
+        FROM tok
+      ) WHERE len(string_split(shingle, ' ')) = 5
+    ), bloom AS (
+      SELECT DISTINCT unnest({pos}) AS pos FROM sh WHERE split = 'test'
+    ), probe AS (
+      SELECT doc_id, h FROM sh WHERE split = 'train'
+    ), slots AS (
+      SELECT doc_id, h, unnest({pos}) AS pos FROM probe
+    ), hitc AS (
+      SELECT s.doc_id, s.h, count(*) AS nh
+      FROM slots s JOIN bloom USING (pos) GROUP BY 1, 2
+    ), flagged AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+      FROM hitc WHERE nh = {_BLOOM_K} GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM probe GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(f.n_flagged, 0) AS n_flagged,
+           round(COALESCE(f.n_flagged, 0) / t.n_shingles, 6) AS flagged_fraction
+    FROM tot t LEFT JOIN flagged f USING (doc_id)
+    ORDER BY t.doc_id
+    """
+
+
+@_register("bloom_decontamination", _bloom_decon_oracle())
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout decontamination through a real Bloom filter: the benchmark
+    (test-split) shingles fold into ≤ m set-bit positions, broadcast, and
+    the big training side is probed map-side — the scale inversion of the
+    exact ``decontamination`` join (which shuffles every training shingle).
+    False positives only, never false negatives: the flagged set is a
+    certified superset of the exact overlap (asserted in
+    tests/test_bloom.py). Same split, tokenization, and hash60 bridge as
+    the exact query, so the two are directly comparable."""
+    from ..operators.bloom import build_bloom, probe_bloom
+    from ..operators.dedup import shingles
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    bucket = F.pmod(
+        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = docs.select("doc_id", "text", split.alias("split"))
+    test_sh = shingles(
+        tagged.filter(F.col("split") == "test"), "doc_id", "text", n=5
+    ).select("shingle_hash").distinct()
+    bloom = build_bloom(test_sh, "shingle_hash", m=_BLOOM_M, k=_BLOOM_K)
+    probe = shingles(
+        tagged.filter(F.col("split") == "train"), "doc_id", "text", n=5
+    )
+    probed = probe_bloom(probe, "shingle_hash", bloom, m=_BLOOM_M, k=_BLOOM_K)
+    return (
+        probed.groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("maybe_member").cast("bigint")).alias("n_flagged"),
+        )
+        .withColumn(
+            "flagged_fraction",
+            F.round(F.col("n_flagged") / F.col("n_shingles"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -1,0 +1,56 @@
+"""Bloom-filter membership: no false negatives, bounded structure."""
+
+from pyspark.sql import functions as F
+
+from ohsome_planet_spark.functions.text import hash60_expr
+from ohsome_planet_spark.operators.bloom import (
+    bloom_positions_expr,
+    build_bloom,
+    probe_bloom,
+)
+
+M, K = 1 << 16, 3
+
+
+def _hashed(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    return df.withColumn("h", hash60_expr(F.col("key")))
+
+
+def test_no_false_negatives(spark):
+    member = [f"member-{i}" for i in range(200)]
+    extra = [f"other-{i}" for i in range(500)]
+    bloom = build_bloom(_hashed(spark, member), "h", m=M, k=K)
+    probed = probe_bloom(_hashed(spark, member + extra), "h", bloom, m=M, k=K)
+    got = {r.key: r.maybe_member for r in probed.collect()}
+    # every true member is flagged — the certified-superset property
+    assert all(got[k] for k in member)
+    # the filter is far from saturated (600 bits of 65536): false
+    # positives must be rare, not structural
+    fp = sum(1 for k in extra if got[k])
+    assert fp < len(extra) * 0.05
+
+
+def test_positions_deterministic_and_bounded(spark):
+    df = _hashed(spark, ["x", "y", "z"]).select(
+        "key", bloom_positions_expr(F.col("h"), M, K).alias("pos")
+    )
+    rows = {r.key: r.pos for r in df.collect()}
+    assert all(len(v) == K for v in rows.values())
+    assert all(0 <= p < M for v in rows.values() for p in v)
+    again = {r.key: r.pos for r in df.collect()}
+    assert rows == again
+
+
+def test_bloom_relation_bounded_by_m(spark):
+    keys = _hashed(spark, [f"k{i}" for i in range(1000)])
+    bloom = build_bloom(keys, "h", m=64, k=K)
+    n = bloom.count()
+    assert n <= 64  # saturates at the filter size, never the data size
+
+
+def test_probe_plan_broadcasts_filter(spark):
+    bloom = build_bloom(_hashed(spark, ["a", "b"]), "h", m=M, k=K)
+    probed = probe_bloom(_hashed(spark, ["a", "c"]), "h", bloom, m=M, k=K)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # probe side never shuffles into the join
