@@ -4244,6 +4244,118 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- temperature-weighted domain mixture resampling --------------------------
+
+_MIX_ALPHA = 0.5      # temperature: 1 = proportional, 0 = uniform over sources
+_MIX_TARGET = 200.0   # token-free doc budget for the mixed corpus
+
+
+def _mixture_oracle() -> str:
+    h = hash60_sql("CAST(doc_id AS VARCHAR) || ':mix'")
+    return f"""
+    WITH n AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n_docs FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs,
+             pow(n_docs, {_MIX_ALPHA}) / sum(pow(n_docs, {_MIX_ALPHA})) OVER () AS weight
+      FROM n
+    ), r AS (
+      SELECT source, n_docs, weight,
+             least(1.0, {_MIX_TARGET} * weight / n_docs) AS rate
+      FROM w
+    ), s AS (
+      SELECT d.source, count(*) FILTER (
+               WHERE ({h}) % 1000000 < r.rate * 1000000) AS n_sampled
+      FROM documents d JOIN r USING (source) GROUP BY d.source
+    )
+    SELECT r.source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           round(r.weight, 6) AS weight,
+           round(r.rate, 6) AS rate,
+           CAST(s.n_sampled AS BIGINT) AS n_sampled
+    FROM r JOIN s USING (source)
+    ORDER BY r.source
+    """
+
+
+@_register("mixture_resample", _mixture_oracle())
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing (the multilingual-sampling rule
+    of Conneau & Lample 2019, standard for balancing web-corpus sources):
+    per-source weight ∝ count^alpha, per-source sampling rate capped at 1,
+    membership decided by a deterministic hash bucket so the sample is
+    reproducible at any scale and cluster size. Source dimension is tiny:
+    the rate table broadcasts, the doc side is map-only until the final
+    per-source count."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # scalar denominator via broadcast 1-row crossJoin (not an unpartitioned
+    # window: that plans a single-partition WindowExec even on a tiny dim)
+    denom = n.agg(F.sum(F.pow("n_docs", _MIX_ALPHA)).alias("_denom"))
+    rates = (
+        n.crossJoin(F.broadcast(denom))
+        .withColumn("weight", F.pow("n_docs", _MIX_ALPHA) / F.col("_denom"))
+        .withColumn(
+            "rate", F.least(F.lit(1.0), _MIX_TARGET * F.col("weight") / F.col("n_docs"))
+        )
+        .drop("_denom")
+    )
+    bucket = F.pmod(
+        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+        F.lit(1000000),
+    )
+    sampled = (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.sum((bucket < F.col("rate") * 1000000).cast("bigint")).alias("n_sampled")
+        )
+    )
+    return (
+        rates.join(sampled, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round("weight", 6).alias("weight"),
+            F.round("rate", 6).alias("rate"),
+            "n_sampled",
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "streaming_dedup_keys",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-wins cross-batch dedup through the ACTUAL streaming
+    engine (``streaming/stateful.py::dedup_stream``,
+    ``applyInPandasWithState``). Which physical row wins depends on
+    partition arrival order, so the certified deterministic contract is
+    the emitted KEY SET — exactly one row per (user_id, event_type),
+    equal to batch DISTINCT. State per key is one boolean row."""
+    from ..streaming.stateful import dedup_stream
+
+    raw = _events_stream(spark, sf_dir)
+    out = dedup_stream(raw, ["user_id", "event_type"], state_ttl=None).select(
+        "user_id", "event_type"
+    )
+    name = f"stream_dedup_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "event_type")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
