@@ -4356,6 +4356,96 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("user_id", "event_type")
 
 
+# --- dataset snapshot diff ---------------------------------------------------
+
+
+def _dataset_diff_oracle() -> str:
+    vb = hash60_sql("CAST(doc_id AS VARCHAR) || ':ver'") + " % 10"
+    h = hash60_sql("text")
+    hu = hash60_sql("upper(text)")
+    return f"""
+    WITH d AS (SELECT doc_id, text, {vb} AS vb FROM documents),
+    v1 AS (SELECT doc_id, {h} AS h1 FROM d WHERE vb < 9),
+    v2 AS (
+      SELECT doc_id, CASE WHEN vb % 3 = 1 THEN {hu} ELSE {h} END AS h2
+      FROM d WHERE vb > 0
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN h1 = h2 THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    ORDER BY doc_id
+    """
+
+
+@_register("dataset_diff", _dataset_diff_oracle())
+def dataset_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-over-release corpus changelog: two snapshot versions are
+    derived deterministically from the documents table (bucket 0 leaves,
+    bucket 9 arrives, every third bucket's text mutates), then diffed by
+    content hash through ``operators/versioning.py`` — one id-keyed
+    full-outer join whose exchange carries (id, hash) only."""
+    from ..operators.versioning import dataset_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    vb = F.pmod(
+        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":ver"))),
+        F.lit(10),
+    )
+    d = docs.select("doc_id", "text", vb.alias("vb"))
+    v1 = d.filter(F.col("vb") < 9).select("doc_id", "text")
+    v2 = d.filter(F.col("vb") > 0).select(
+        "doc_id",
+        F.when(F.col("vb") % 3 == 1, F.upper("text")).otherwise(F.col("text")).alias("text"),
+    )
+    return dataset_diff(v1, v2).orderBy("doc_id")
+
+
+_DELETED_ORACLE = (
+    "WITH contribs AS (" + _CONTRIB_ORACLE.replace("ORDER BY osm_id, osm_edits", "") + ")"
+    + """
+    SELECT osm_id, osm_version, valid_from, contrib_type, cx, cy
+    FROM contribs
+    WHERE status = 'deleted'
+      AND cx BETWEEN -90 AND 90 AND cy BETWEEN 0 AND 90
+    ORDER BY osm_id, valid_from
+    """
+)
+
+
+@_register("deleted_features", _DELETED_ORACLE)
+def deleted_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAQ's deleted-elements contract (``docs/faq.md:19-23``): raw
+    OSM has no geometry for a deletion, but contributions carry the
+    previous version's geometry forward, so deletions are spatially
+    filterable — here by bounding box on the inherited centroid. Served
+    from the staged contributions table; the status + bbox predicates
+    push into the parquet scan."""
+    contribs = _node_contribs_table(spark, sf_dir)
+    # filter on the rounded coordinate (what the oracle's cx/cy hold) so a
+    # value knife-edged at the bbox boundary can't diverge between engines
+    return (
+        contribs.select(
+            "osm_id",
+            "osm_version",
+            "valid_from",
+            "contrib_type",
+            "status",
+            F.round("centroid.x", 6).alias("cx"),
+            F.round("centroid.y", 6).alias("cy"),
+        )
+        .filter(
+            (F.col("status") == "deleted")
+            & F.col("cx").between(-90, 90)
+            & F.col("cy").between(0, 90)
+        )
+        .drop("status")
+        .orderBy("osm_id", "valid_from")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
