@@ -1,0 +1,129 @@
+"""Deterministic HyperLogLog distinct-count sketches.
+
+Flajolet–Fuss–Gandouet–Meunier 2007 (public algorithm), built on the
+engine's deterministic 60-bit md5 hash so the sketch — registers and
+estimate — is replayable bit-for-bit in the DuckDB oracle, unlike the
+engines' built-in ``approx_count_distinct`` implementations, which are
+library-specific and can't be cross-checked.
+
+Why a sketch here at all: at 100 TB, ``count(DISTINCT x)`` per group
+shuffles every distinct value; the HLL register table is ``m`` rows per
+group regardless of cardinality, the per-bucket ``max(rho)`` is a
+map-side-combinable aggregation, and register tables from disjoint
+partitions/datasets merge by element-wise max — the standard
+pre-aggregated-rollup shape.
+
+The leading-zero count uses the binary-string length of the hash's high
+bits (integer-exact in both engines) rather than ``floor(log2(w))``,
+which is NOT safe: ``log2`` is a correctly-rounded double only per-libm,
+and Spark computes it as ``ln(w)/ln(2)`` where powers of two can land a
+ulp below the integer and floor off-by-one the register.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hll_registers", "hll_estimate", "HLL_HASH_BITS"]
+
+HLL_HASH_BITS = 60  # width of hash60
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    if m == 64:
+        return 0.709
+    if m == 32:
+        return 0.697
+    return 0.673
+
+
+def rho_expr(w: Column, width: int) -> Column:
+    """1 + number of leading zeros of ``w`` in a ``width``-bit window.
+
+    ``length(bin(w))`` is exactly ``floor(log2(w)) + 1`` with none of the
+    float hazards; ``w = 0`` (all bits zero) maps to ``width + 1`` per the
+    paper.
+    """
+    return F.when(
+        w > 0, F.lit(width + 1) - F.length(F.bin(w))
+    ).otherwise(F.lit(width + 1))
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], key_hash_col: str, p: int = 8
+) -> DataFrame:
+    """Per-(group, bucket) register values: ``max(rho)``.
+
+    Bucket = low ``p`` bits of the hash; the remaining ``60 - p`` bits
+    feed the leading-zero rank. Only non-zero registers materialize
+    (absent buckets are implicitly 0 and reconstructed in the estimate).
+    """
+    m = 1 << p
+    h = F.col(key_hash_col)
+    # h >> p, exact: double division would lose bits above 2^53
+    w = F.shiftright(h, p)
+    bucket = F.pmod(h, F.lit(m))
+    return (
+        df.select(*group_cols, bucket.alias("bucket"),
+                  rho_expr(w, HLL_HASH_BITS - p).alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Group → cardinality estimate, with the paper's small-range
+    (linear counting) correction. Deterministic given the registers."""
+    m = 1 << p
+    alpha = _alpha(m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("_sum_present"),
+        F.count(F.lit(1)).alias("_n_present"),
+    )
+    # absent buckets contribute 2^0 = 1 each; V = number of zero registers
+    z = F.col("_sum_present") + (F.lit(m) - F.col("_n_present"))
+    raw = F.lit(alpha * m * m) / z
+    v = F.lit(m) - F.col("_n_present")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    est = F.when((raw <= 2.5 * m) & (v > 0), linear).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.round(est, 6).alias("hll_estimate"),
+        F.col("_n_present").alias("n_registers"),
+    )
+
+
+def _floor_div_sql(h: str, m: int) -> str:
+    return f"CAST(({h}) // {m} AS BIGINT)"
+
+
+def registers_sql(key_hash_sql: str, m: int, width: int) -> tuple[str, str]:
+    """DuckDB twins of (bucket, rho) for the oracle."""
+    w = _floor_div_sql(key_hash_sql, m)
+    bucket = f"({key_hash_sql}) % {m}"
+    rho = (
+        f"CASE WHEN {w} > 0 THEN {width + 1} - length(bin({w})) "
+        f"ELSE {width + 1} END"
+    )
+    return bucket, rho
+
+
+def estimate_sql(m: int) -> str:
+    """DuckDB estimate expression over columns ``_sum_present`` /
+    ``_n_present`` (same branch structure as :func:`hll_estimate`)."""
+    alpha = _alpha(m)
+    z = f"(_sum_present + ({m} - _n_present))"
+    raw = f"({alpha * m * m!r} / {z})"
+    v = f"({m} - _n_present)"
+    linear = f"({float(m)!r} * ln({float(m)!r} / {v}))"
+    return (
+        f"round(CASE WHEN {raw} <= {2.5 * m!r} AND {v} > 0 "
+        f"THEN {linear} ELSE {raw} END, 6)"
+    )

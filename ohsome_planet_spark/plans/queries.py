@@ -4446,6 +4446,66 @@ def deleted_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- HyperLogLog distinct sketch ---------------------------------------------
+
+_HLL_P = 8
+
+
+def _hll_oracle() -> str:
+    from ..operators.sketches import HLL_HASH_BITS, estimate_sql, registers_sql
+
+    m = 1 << _HLL_P
+    h = hash60_sql("text")
+    bucket, rho = registers_sql("h", m, HLL_HASH_BITS - _HLL_P)
+    return f"""
+    WITH hsh AS (SELECT lang, {h} AS h FROM documents),
+    rows0 AS (SELECT lang, {bucket} AS bucket, {rho} AS rho FROM hsh),
+    r AS (SELECT lang, bucket, max(rho) AS register FROM rows0 GROUP BY lang, bucket),
+    a AS (
+      SELECT lang, sum(pow(2.0, -register)) AS _sum_present,
+             CAST(count(*) AS BIGINT) AS _n_present
+      FROM r GROUP BY lang
+    ),
+    e AS (SELECT lang, {estimate_sql(m)} AS hll_estimate,
+                 _n_present AS n_registers FROM a),
+    x AS (SELECT lang, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+          FROM hsh GROUP BY lang)
+    SELECT lang, n_exact, hll_estimate, n_registers,
+           round(abs(hll_estimate - n_exact) / n_exact, 6) AS rel_error
+    FROM x JOIN e USING (lang)
+    ORDER BY lang
+    """
+
+
+@_register("hll_distinct", _hll_oracle())
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog per-language distinct-content estimate,
+    next to the exact count and its relative error. The sketch shape is
+    the scale story: registers are ≤ 2^p rows per group however large the
+    corpus, built by one map-side-combinable max — unlike count(DISTINCT),
+    which shuffles every distinct value (``operators/sketches.py``)."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select("lang", hash60_expr(F.col("text")).alias("h"))
+    regs = hll_registers(hashed, ["lang"], "h", p=_HLL_P)
+    est = hll_estimate(regs, ["lang"], p=_HLL_P)
+    exact = hashed.groupBy("lang").agg(F.countDistinct("h").alias("n_exact"))
+    return (
+        exact.join(est, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            "hll_estimate",
+            "n_registers",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_error"),
+        )
+        .orderBy("lang")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
