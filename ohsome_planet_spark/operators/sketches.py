@@ -22,12 +22,16 @@ ulp below the integer and floor off-by-one the register.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "hll_estimate", "HLL_HASH_BITS"]
+__all__ = [
+    "hll_registers",
+    "hll_estimate",
+    "HLL_HASH_BITS",
+    "cms_build",
+    "cms_query",
+]
 
 HLL_HASH_BITS = 60  # width of hash60
 
@@ -126,4 +130,86 @@ def estimate_sql(m: int) -> str:
     return (
         f"round(CASE WHEN {raw} <= {2.5 * m!r} AND {v} > 0 "
         f"THEN {linear} ELSE {raw} END, 6)"
+    )
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005, public) ----------------
+#
+# Frequency estimation with bounded memory: d hash rows × w buckets of
+# counters. Distributed build = explode each key occurrence into its d
+# (row, bucket) cells and count — map-side combine collapses every
+# partition to ≤ d·w cells before the shuffle, so the exchange is
+# sketch-sized, not data-sized. Point query = min over the key's d cells
+# (always an overestimate, never an under). Same Carter–Wegman affine
+# hash family as the Bloom filter, so the oracle replays it exactly.
+
+
+def _cms_coeff(i: int, which: str) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"cms:{which}:{i}".encode()).hexdigest()[:15], 16)
+    return (h % (1 << 31)) | 1
+
+
+def cms_bucket_expr(key_hash: Column, row: int, w: int) -> Column:
+    from .dedup import MINHASH_PRIME
+
+    p = F.lit(MINHASH_PRIME)
+    return (
+        (F.lit(_cms_coeff(row, "a")) * (key_hash % p) + F.lit(_cms_coeff(row, "b")))
+        % p
+        % w
+    ).cast("int")
+
+
+def cms_bucket_sql(key_hash_sql: str, row: int, w: int) -> str:
+    from .dedup import MINHASH_PRIME
+
+    return (
+        f"CAST(({_cms_coeff(row, 'a')} * (({key_hash_sql}) % {MINHASH_PRIME})"
+        f" + {_cms_coeff(row, 'b')}) % {MINHASH_PRIME} % {w} AS INT)"
+    )
+
+
+def cms_build(
+    df: DataFrame, key_hash_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Counter table: one row per non-zero (sketch row, bucket) cell."""
+    h = F.col(key_hash_col)
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), cms_bucket_expr(h, i, w).alias("bucket"))
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def cms_query(
+    keys: DataFrame, key_hash_col: str, cms: DataFrame, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Append ``cms_estimate`` (min over the key's d cells) to each key row.
+
+    The counter table is ≤ d·w rows — broadcast; the keys side never
+    shuffles for the lookup.
+    """
+    cols = keys.columns
+    h = F.col(key_hash_col)
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), cms_bucket_expr(h, i, w).alias("bucket"))
+            for i in range(d)
+        ]
+    )
+    slots = keys.select(*cols, F.explode(cells).alias("c")).select(
+        *cols, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    )
+    return (
+        slots.join(F.broadcast(cms), ["row", "bucket"], "left")
+        .groupBy(*cols)
+        .agg(F.min(F.coalesce("counter", F.lit(0))).alias("cms_estimate"))
     )

@@ -4506,6 +4506,79 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Count-Min heavy hitters -------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def _cms_oracle(topk: int = 20) -> str:
+    from ..operators.sketches import cms_bucket_sql
+
+    h = hash60_sql("tok")
+    cells_build = " UNION ALL ".join(
+        f"SELECT {i} AS row, {cms_bucket_sql('h', i, _CMS_W)} AS bucket, h FROM toks"
+        for i in range(_CMS_D)
+    )
+    cells_query = " UNION ALL ".join(
+        f"SELECT tok, {i} AS row, {cms_bucket_sql('h', i, _CMS_W)} AS bucket"
+        " FROM top" for i in range(_CMS_D)
+    )
+    return f"""
+    WITH toks0 AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), toks AS (SELECT tok, {h} AS h FROM toks0),
+    cms AS (
+      SELECT row, bucket, CAST(count(*) AS BIGINT) AS counter
+      FROM ({cells_build}) GROUP BY row, bucket
+    ),
+    top AS (
+      SELECT tok, {h} AS h, CAST(count(*) AS BIGINT) AS n_exact
+      FROM toks GROUP BY tok ORDER BY n_exact DESC, tok LIMIT {topk}
+    ),
+    probe AS ({cells_query}),
+    est AS (
+      SELECT p.tok, min(COALESCE(c.counter, 0)) AS cms_estimate
+      FROM probe p LEFT JOIN cms c USING (row, bucket) GROUP BY p.tok
+    )
+    SELECT t.tok, t.n_exact, e.cms_estimate,
+           e.cms_estimate - t.n_exact AS overestimate
+    FROM top t JOIN est e USING (tok)
+    ORDER BY t.n_exact DESC, t.tok
+    """
+
+
+@_register("cms_heavy_hitters", _cms_oracle())
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the corpus's top-20 tokens, next
+    to exact counts and the (always ≥ 0) overestimate. The sketch build
+    collapses to ≤ d·w cells per partition before its one exchange, and
+    the point queries broadcast the counter table
+    (``operators/sketches.py::cms_build/cms_query``)."""
+    from ..operators.sketches import cms_build, cms_query
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens_expr(F.col("text"))).alias("tok")).withColumn(
+        "h", hash60_expr(F.col("tok"))
+    )
+    cms = cms_build(toks, "h", d=_CMS_D, w=_CMS_W)
+    top = (
+        toks.groupBy("tok", "h")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "tok")
+        .limit(20)
+    )
+    est = cms_query(top, "h", cms, d=_CMS_D, w=_CMS_W)
+    return est.select(
+        "tok",
+        "n_exact",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
+    ).orderBy(F.desc("n_exact"), "tok")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -65,3 +65,44 @@ def test_hll_duplicates_invariant(spark):
     e1 = hll_estimate(hll_registers(base, ["g"], "h", p=P), ["g"], p=P).collect()[0]
     e3 = hll_estimate(hll_registers(dup, ["g"], "h", p=P), ["g"], p=P).collect()[0]
     assert e1.hll_estimate == e3.hll_estimate  # multiplicity-blind
+
+
+# --- Count-Min sketch --------------------------------------------------------
+
+from ohsome_planet_spark.operators.sketches import cms_build, cms_query
+
+
+def _tok_stream(spark, counts):
+    rows = [(t,) for t, n in counts.items() for _ in range(n)]
+    return (
+        spark.createDataFrame(rows, "tok string")
+        .withColumn("h", hash60_expr(F.col("tok")))
+    )
+
+
+def test_cms_never_underestimates(spark):
+    counts = {f"t{i}": (i % 10) + 1 for i in range(300)}
+    stream = _tok_stream(spark, counts)
+    cms = cms_build(stream, "h", d=4, w=256)
+    keys = stream.select("tok", "h").distinct()
+    got = {r.tok: r.cms_estimate for r in cms_query(keys, "h", cms, d=4, w=256).collect()}
+    for t, n in counts.items():
+        assert got[t] >= n, t  # the one-sided CMS guarantee
+
+
+def test_cms_exact_when_sparse(spark):
+    counts = {"a": 7, "b": 3, "c": 11}
+    stream = _tok_stream(spark, counts)
+    cms = cms_build(stream, "h", d=4, w=1024)
+    keys = stream.select("tok", "h").distinct()
+    got = {r.tok: r.cms_estimate for r in cms_query(keys, "h", cms, d=4, w=1024).collect()}
+    # 3 keys in 4×1024 cells: collision-free, estimates exact
+    assert got == counts
+
+
+def test_cms_absent_key_zero_when_empty_cells(spark):
+    cms = cms_build(_tok_stream(spark, {"x": 5}), "h", d=4, w=1024)
+    assert cms.count() <= 4
+    probe = _tok_stream(spark, {"never-seen": 1}).distinct()
+    got = cms_query(probe, "h", cms, d=4, w=1024).collect()[0]
+    assert got.cms_estimate == 0  # all 4 cells empty for this key
