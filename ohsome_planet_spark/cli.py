@@ -399,6 +399,50 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Concat-and-chunk packing of a documents parquet into training
+    shards: per-shard parquet (hive ``shard=`` partitions) holding the
+    document payload plus its packing assignment, docs sorted by id
+    within each shard so a sequential reader replays the exact token
+    stream. Prints a one-line JSON yield report."""
+    from .operators.packing import pack_sequences, packing_stats
+    from .session import get_spark
+
+    spark = get_spark(app_name="pack")
+    docs = spark.read.parquet(args.input)
+    packed = pack_sequences(
+        docs, seq_len=args.seq_len, n_shards=args.shards
+    )
+    out_rows = docs.join(packed.drop("n_tokens"), "doc_id")
+    (
+        out_rows.repartition(args.shards, "shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(args.out)
+    )
+    stats = packing_stats(packed, seq_len=args.seq_len)
+    agg = stats.agg(
+        F.sum("n_docs").alias("docs"),
+        F.sum("total_tokens").alias("tokens"),
+        F.sum("n_sequences").alias("sequences"),
+        F.sum("n_split_docs").alias("split_docs"),
+    ).collect()[0]
+    fill = (
+        float(agg.tokens) / (agg.sequences * args.seq_len) if agg.sequences else 0.0
+    )
+    print(json.dumps({
+        "docs": agg.docs,
+        "tokens": agg.tokens,
+        "seq_len": args.seq_len,
+        "shards": args.shards,
+        "sequences": agg.sequences,
+        "boundary_split_docs": agg.split_docs,
+        "fill_ratio": round(fill, 6),
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ohsome_planet_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -470,6 +514,16 @@ def main(argv=None) -> int:
     cu.add_argument("--max-dup-token-frac", type=float, default=0.7)
     cu.add_argument("--contamination-max", type=float, default=0.8)
     cu.set_defaults(fn=cmd_curate)
+
+    pk = sub.add_parser(
+        "pack",
+        help="documents parquet -> packed training shards (concat-and-chunk)",
+    )
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--seq-len", type=int, default=2048)
+    pk.add_argument("--shards", type=int, default=16)
+    pk.set_defaults(fn=cmd_pack)
 
     args = ap.parse_args(argv)
     return args.fn(args)

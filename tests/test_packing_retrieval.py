@@ -83,3 +83,40 @@ def test_bm25_k_limit_and_determinism(spark):
     got = bm25_topk(docs, ["common"], k=5).collect()
     # all scores tie -> deterministic doc_id tiebreak picks lowest ids
     assert [r.doc_id for r in got] == [0, 1, 2, 3, 4]
+
+
+def test_pack_cli_end_to_end(spark, tmp_path, capsys):
+    import json as _json
+    import os
+
+    from ohsome_planet_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 20))) for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(src)
+    out = str(tmp_path / "packed")
+    assert main(["pack", "--input", src, "--out", out,
+                 "--seq-len", "64", "--shards", "4"]) == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["docs"] == 100
+    assert report["sequences"] >= report["tokens"] // 64
+    assert 0 < report["fill_ratio"] <= 1
+
+    # hive shard partitions exist and the shard-local token stream is
+    # exactly replayable: offsets are cumulative in doc_id order
+    back = spark.read.parquet(out)
+    assert set(back.columns) >= {"doc_id", "text", "start_off", "first_seq"}
+    for shard_dir in os.listdir(out):
+        if not shard_dir.startswith("shard="):
+            continue
+        rows = sorted(
+            back.filter(f"shard = {shard_dir.split('=')[1]}").collect(),
+            key=lambda r: r.doc_id,
+        )
+        off = 0
+        for r in rows:
+            assert r.start_off == off
+            off += len(r.text.split())
