@@ -4579,6 +4579,104 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("n_exact"), "tok")
 
 
+# --- ordered event funnel ----------------------------------------------------
+
+
+@_register(
+    "event_funnel",
+    """
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ), u2 AS (
+      SELECT e.user_id, u.t1,
+             min(CASE WHEN e.event_type = 'click' AND e.ts > u.t1
+                      THEN e.ts END) AS t2
+      FROM events e JOIN u USING (user_id) GROUP BY e.user_id, u.t1
+    ), u3 AS (
+      SELECT e.user_id, u2.t1, u2.t2,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > u2.t2
+                      THEN e.ts END) AS t3
+      FROM events e JOIN u2 USING (user_id) GROUP BY e.user_id, u2.t1, u2.t2
+    ), steps AS (
+      SELECT 1 AS step, 'signup' AS name,
+             CAST(count(t1) AS BIGINT) AS n_users,
+             round(median(epoch_us(t2) - epoch_us(t1)) / 1e6, 6) AS median_next_lag_s
+      FROM u3
+      UNION ALL
+      SELECT 2, 'click_after_signup', CAST(count(t2) AS BIGINT),
+             round(median(epoch_us(t3) - epoch_us(t2)) / 1e6, 6)
+      FROM u3
+      UNION ALL
+      SELECT 3, 'purchase_after_click', CAST(count(t3) AS BIGINT), NULL
+      FROM u3
+    )
+    SELECT * FROM steps ORDER BY step
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → first later click → first
+    later purchase) — the classic product-analytics sequence query. One
+    exchange on user_id; the three "first event after X" stages are
+    successive full-partition window minima over that same clustering,
+    so no self-joins and no re-shuffle. Counts + median step latency."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        staged.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3"))
+    )
+    lag12 = (F.unix_micros("t2") - F.unix_micros("t1")).cast("double")
+    lag23 = (F.unix_micros("t3") - F.unix_micros("t2")).cast("double")
+    steps = [
+        per_user.agg(
+            F.lit(1).alias("step"),
+            F.lit("signup").alias("name"),
+            F.count("t1").alias("n_users"),
+            F.round(F.percentile(lag12, F.lit(0.5)) / 1e6, 6).alias(
+                "median_next_lag_s"
+            ),
+        ),
+        per_user.agg(
+            F.lit(2).alias("step"),
+            F.lit("click_after_signup").alias("name"),
+            F.count("t2").alias("n_users"),
+            F.round(F.percentile(lag23, F.lit(0.5)) / 1e6, 6).alias(
+                "median_next_lag_s"
+            ),
+        ),
+        per_user.agg(
+            F.lit(3).alias("step"),
+            F.lit("purchase_after_click").alias("name"),
+            F.count("t3").alias("n_users"),
+            F.lit(None).cast("double").alias("median_next_lag_s"),
+        ),
+    ]
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
