@@ -4677,6 +4677,64 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("step")
 
 
+@_register(
+    "streaming_attribution_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the ACTUAL streaming engine:
+    click→purchase attribution within a 2-hour window. Both sides are
+    watermarked streams; the range condition bounds each side's state so
+    the engine evicts rows older than watermark − window (Spark's
+    canonical stream-stream join shape — state is O(window), not
+    O(stream)). Inner interval joins emit every matching pair exactly
+    once, so the full pair set is deterministic and value-oracled."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "4 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "4 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id")
+    name = f"stream_attr_{next(_STREAM_SEQ)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("click_id", "purchase_id")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
