@@ -4735,6 +4735,73 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("click_id", "purchase_id")
 
 
+# --- PageRank over the near-dup graph ----------------------------------------
+
+_PR_DAMPING = 0.85
+
+
+def _pagerank_oracle() -> str:
+    pairs = _jaccard_oracle(n=2, threshold=0.12, max_df=64)
+    return f"""
+    WITH pairs AS ({pairs}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+               FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+    i1 AS (
+      SELECT e.dst, sum(r.rank / o.outdeg) AS inbound
+      FROM edges e JOIN r0 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT nodes.node,
+             (1.0 - {_PR_DAMPING}) / n
+               + {_PR_DAMPING} * COALESCE(i1.inbound, 0.0) AS rank
+      FROM nodes CROSS JOIN nn LEFT JOIN i1 ON nodes.node = i1.dst
+    ),
+    i2 AS (
+      SELECT e.dst, sum(r.rank / o.outdeg) AS inbound
+      FROM edges e JOIN r1 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT nodes.node,
+             (1.0 - {_PR_DAMPING}) / n
+               + {_PR_DAMPING} * COALESCE(i2.inbound, 0.0) AS rank
+      FROM nodes CROSS JOIN nn LEFT JOIN i2 ON nodes.node = i2.dst
+    )
+    SELECT node, round(rank, 6) AS rank FROM r2 ORDER BY node
+    """
+
+
+@_register("dup_graph_pagerank", _pagerank_oracle())
+def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power iterations of PageRank over the symmetrized 2-gram
+    Jaccard near-dup graph — duplicate-cluster centrality, and the proof
+    that iterative graph algorithms run as driver-looped DataFrame
+    rounds with per-round lineage truncation (``operators/graph.py``,
+    same discipline as the connected-components rounds). The oracle
+    replays both iterations in SQL."""
+    from ..operators.graph import pagerank, symmetrize
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.12, max_df=64
+    )
+    edges = symmetrize(pairs, "doc_a", "doc_b")
+    ranks = pagerank(edges, iterations=2, damping=_PR_DAMPING)
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

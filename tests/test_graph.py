@@ -1,0 +1,47 @@
+"""PageRank: exact values on a known graph, rank-mass conservation."""
+
+import pytest
+
+from ohsome_planet_spark.operators.graph import pagerank, symmetrize
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def test_pagerank_matches_hand_computation(spark):
+    # path graph 1-2, 2-3 symmetrized: outdeg 1=[2], 2=[1,3], 3=[2]
+    e = _edges(spark, [(1, 2), (2, 1), (2, 3), (3, 2)])
+    got = {r.node: r.rank for r in pagerank(e, iterations=2, damping=0.85).collect()}
+
+    n, d = 3, 0.85
+    r0 = {1: 1 / n, 2: 1 / n, 3: 1 / n}
+    outdeg = {1: 1, 2: 2, 3: 1}
+
+    def step(r):
+        inb = {1: r[2] / outdeg[2], 2: r[1] + r[3], 3: r[2] / outdeg[2]}
+        return {k: (1 - d) / n + d * inb[k] for k in r}
+
+    expect = step(step(r0))
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], abs=1e-12)
+    # the symmetric graph has no dangling nodes: total mass stays 1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_symmetrize_doubles_edges(spark):
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "a bigint, b bigint")
+    e = symmetrize(pairs, "a", "b")
+    got = {(r.src, r.dst) for r in e.collect()}
+    assert got == {(1, 2), (2, 1), (3, 4), (4, 3)}
+
+
+def test_pagerank_star_center_dominates(spark):
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "a bigint, b bigint"
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank(symmetrize(pairs, "a", "b"), iterations=3).collect()
+    }
+    assert got[0] > max(v for k, v in got.items() if k != 0)
