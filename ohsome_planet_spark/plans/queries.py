@@ -4802,6 +4802,146 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
+# --- weighted sampling without replacement -----------------------------------
+
+_WS_K = 25
+
+
+def _weighted_sample_oracle() -> str:
+    h = hash60_sql("CAST(doc_id AS VARCHAR) || ':ws'")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             (({h}) + 1) / 1152921504606846977.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+           round(ln(u) / weight, 6) AS sort_key
+    FROM d
+    ORDER BY ln(u) / weight DESC, doc_id
+    LIMIT {_WS_K}
+    """
+
+
+@_register("weighted_sample", _weighted_sample_oracle())
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): each row gets key ``u^(1/w)`` — taken in log space,
+    ``ln(u)/w`` — from a deterministic per-row uniform, and the sample is
+    the top-k by key. On a cluster this is a map-only key computation
+    plus a top-k (per-partition heads, then a k-row merge): no shuffle of
+    the corpus, reproducible at any partitioning, and the inclusion
+    probabilities are exactly weight-proportional."""
+    docs = _t(spark, sf_dir, "documents")
+    h = hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":ws")))
+    # (h+1) / (2^60 + 1): strictly inside (0, 1) so ln() is finite
+    u = (h + 1) / F.lit(float((1 << 60) + 1))
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            key.alias("_key"),
+        )
+        .orderBy(F.desc("_key"), "doc_id")
+        .limit(_WS_K)
+        .select("doc_id", "weight", F.round("_key", 6).alias("sort_key"))
+    )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of BM25 and ANN ----------------
+
+_RRF_C = 60
+
+
+def _rrf_oracle() -> str:
+    bm25 = _bm25_oracle(k=20)
+    return f"""
+    WITH bm AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM ({bm25})
+    ), emb AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (SELECT v AS qv FROM emb WHERE doc_id = 0),
+    sims AS (
+      SELECT e.doc_id,
+             list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+      FROM emb e CROSS JOIN q WHERE e.doc_id <> 0
+    ), ann AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+      FROM (SELECT * FROM sims ORDER BY cosine DESC, doc_id LIMIT 20)
+    ), fused AS (
+      SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+             round(COALESCE(1.0 / ({_RRF_C} + bm.r), 0)
+                 + COALESCE(1.0 / ({_RRF_C} + ann.r), 0), 6) AS rrf
+      FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+    )
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+@_register("hybrid_retrieval_rrf", _rrf_oracle())
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    ``1/(c + rank)``) of the BM25 lexical top-20 and the exact-cosine
+    embedding top-20 (query = vector 0). Composes two existing operators
+    — each side is its own top-k (k-row results), so the fusion join is
+    trivially broadcast; ranks, not scores, cross the fusion boundary,
+    which is what makes RRF scale-calibration-free."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    bm = bm25_topk(docs, _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B)
+    w_bm = W.orderBy(F.desc("bm25"), "doc_id")
+    bm_r = bm.select("doc_id", F.row_number().over(w_bm).alias("r_bm"))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    # exact cosine top-20 inline (broadcast 1-row query side, JVM fold)
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sims = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot / (norm(F.col("embedding")) * norm(F.col("qv")))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(20)
+    )
+    w_ann = W.orderBy(F.desc("cosine"), "doc_id")
+    ann_r = sims.select("doc_id", F.row_number().over(w_ann).alias("r_ann"))
+
+    fused = (
+        bm_r.join(ann_r, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_C + F.col("r_bm")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_C + F.col("r_ann")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )
+    return fused
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
