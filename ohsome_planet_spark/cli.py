@@ -4,6 +4,7 @@
     python -m ohsome_planet_spark.cli contributions --pbf in.osh.pbf --out dir
         [--changesets changesets.parquet] [--country-file countries.csv]
         [--filter-relation-tag-keys k1,k2] [--multipolygon-member-limit N]
+        [--data dir --replication-endpoint url]   # initialize for replication
     python -m ohsome_planet_spark.cli changesets --input dump.osm.bz2 --out dir
     python -m ohsome_planet_spark.cli replications --data dir [--endpoint url]
     python -m ohsome_planet_spark.cli fileinfo --pbf in.osh.pbf
@@ -21,6 +22,7 @@ import argparse
 import csv
 import json
 import os
+import sys
 
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -89,9 +91,71 @@ def cmd_contributions(args) -> int:
         bloom_filter_columns=("osm_id",),
     )
     print(f"wrote contributions to {args.out}")
+
+    if args.replication_endpoint:
+        # bulk -> incremental handoff ("Initialize for Replication",
+        # docs/CLI.md:74-127, Contributions2Parquet.java:109-201): seed the
+        # replication history tables from the PBF entity streams and
+        # resolve the start sequence from the endpoint by the extract's
+        # max entity timestamp.
+        rc = _init_replication(spark, entities, args)
+        if rc != 0:
+            return rc
+
     from .session import release_cached
 
     release_cached()
+    return 0
+
+
+def _init_replication(spark, entities, args) -> int:
+    """Seed ``<data>/nodes``+``<data>/ways`` (the RocksDB-store analog) and
+    write the starting ``state.txt`` (``Contributions2Parquet.java:
+    132-201``, ``Server.findStartStateByTimestamp``)."""
+    from datetime import timezone
+
+    from .streaming.server import entity_server, file_fetch
+
+    if not args.data:
+        print("--replication-endpoint requires --data", file=sys.stderr)
+        return 2
+    os.makedirs(args.data, exist_ok=True)
+    for sub in ("nodes", "ways"):
+        p = os.path.join(args.data, sub)
+        if os.path.isdir(p) and os.listdir(p):
+            # Contributions2Parquet.java:137-141
+            print("replication directory is not empty!", file=sys.stderr)
+            return 1
+
+    endpoint = args.replication_endpoint
+    if endpoint.startswith("file://"):
+        server = entity_server(
+            "local://mirror/", fetch=file_fetch(endpoint[len("file://"):])
+        )
+    else:
+        server = entity_server(endpoint)
+
+    node_cols = ["osm_type", "osm_id", "version", "ts", "changeset",
+                 "user_id", "user_name", "visible", "tags", "lon", "lat"]
+    way_cols = node_cols[:-2] + ["refs"]
+    entities.filter("osm_type = 'node'").select(*node_cols).write.parquet(
+        os.path.join(args.data, "nodes")
+    )
+    entities.filter("osm_type = 'way'").select(*way_cols).write.parquet(
+        os.path.join(args.data, "ways")
+    )
+
+    max_ts = entities.agg(F.max("ts")).first()[0]
+    latest = server.get_latest_remote_state()
+    start = server.find_start_state_by_timestamp(
+        max_ts.replace(tzinfo=timezone.utc), latest
+    )
+    state_text = start.format()
+    with open(os.path.join(args.data, "state.txt"), "w") as f:
+        f.write(state_text)
+    with open(os.path.join(args.out, "state.txt"), "w") as f:
+        f.write(state_text)
+    print(f"replication initialized at sequence {start.sequence}")
     return 0
 
 
@@ -454,6 +518,11 @@ def main(argv=None) -> int:
     c.add_argument("--country-file")
     c.add_argument("--filter-relation-tag-keys")
     c.add_argument("--multipolygon-member-limit", type=int, default=500)
+    c.add_argument("--data", help="working dir for replication seeding")
+    c.add_argument(
+        "--replication-endpoint",
+        help="seed <data>/ replication stores + state.txt for later `replications` runs",
+    )
     c.set_defaults(fn=cmd_contributions)
 
     ch = sub.add_parser("changesets", help="changeset dump -> parquet table")

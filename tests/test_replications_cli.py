@@ -263,3 +263,96 @@ def test_replication_store_peek(spark, mirror, tmp_path, capsys):
     # unknown element -> explicit null, like the reference's -1 sentinels
     assert out["n/99"]["entity"] is None
     assert out["n/99"]["ways"] == []
+
+
+HANDOFF_OSC_101 = """<?xml version='1.0' encoding='UTF-8'?>
+<osmChange version="0.6" generator="test">
+  <modify>
+    <node id="5" version="2" timestamp="2025-10-22T09:01:00Z" uid="1" user="One" changeset="21" lat="3.5" lon="3.0">
+      <tag k="amenity" v="cafe"/>
+    </node>
+  </modify>
+</osmChange>"""
+
+
+@pytest.fixture()
+def handoff_mirror(tmp_path):
+    root = tmp_path / "mirror2"
+    seq_dir = root / "000" / "000"
+    seq_dir.mkdir(parents=True)
+    (seq_dir / "101.osc.gz").write_bytes(gzip.compress(HANDOFF_OSC_101.encode()))
+    for seq, ts in ((100, "2025-10-22T09:00:30Z"), (101, "2025-10-22T09:01:30Z")):
+        state = f"sequenceNumber={seq}\ntimestamp={ts.replace(':', chr(92) + ':')}\n"
+        (seq_dir / f"{seq:03d}.state.txt").write_text(state)
+        if seq == 101:
+            (root / "state.txt").write_text(state)
+    return str(root)
+
+
+def test_bulk_to_incremental_handoff(spark, handoff_mirror, tmp_path, capsys):
+    """`contributions --replication-endpoint` seeds the replication stores
+    and start state from the PBF; a later `replications` run continues
+    seamlessly (docs/CLI.md "Initialize for Replication",
+    Contributions2Parquet.java:109-201)."""
+    from datetime import datetime, timezone
+
+    from tests.pbf_encoder import encode_block, write_pbf
+
+    def ms(iso):
+        return int(datetime.fromisoformat(iso).replace(
+            tzinfo=timezone.utc).timestamp() * 1000)
+
+    nodes = [
+        dict(osm_id=5, version=1, ts_ms=ms("2025-10-22T09:00:00"), changeset=20,
+             uid=1, user="One", visible=True, tags={"amenity": "pub"},
+             lon=3.0, lat=3.0),
+        dict(osm_id=6, version=1, ts_ms=ms("2025-10-22T09:00:00"), changeset=20,
+             uid=1, user="One", visible=True, tags={}, lon=4.0, lat=3.0),
+    ]
+    ways = [
+        dict(osm_id=20, version=1, ts_ms=ms("2025-10-22T09:00:40"), changeset=20,
+             uid=1, user="One", visible=True,
+             tags={"highway": "residential"}, refs=[5, 6]),
+    ]
+    pbf = str(tmp_path / "seed.osh.pbf")
+    write_pbf(pbf, [encode_block(dense_nodes=nodes), encode_block(ways=ways)])
+
+    out = str(tmp_path / "contribs")
+    data = str(tmp_path / "data")
+    assert main([
+        "contributions", "--pbf", pbf, "--out", out,
+        "--data", data, "--replication-endpoint", f"file://{handoff_mirror}",
+    ]) == 0
+    capsys.readouterr()
+
+    # seeded stores + start state (greatest state ts <= max entity ts)
+    st = ReplicationState.parse(open(os.path.join(data, "state.txt")).read())
+    assert st.sequence == 100
+    assert os.path.exists(os.path.join(out, "state.txt"))
+    seeded_nodes = spark.read.parquet(os.path.join(data, "nodes"))
+    assert {r.osm_id for r in seeded_nodes.select("osm_id").collect()} == {5, 6}
+
+    # incremental continuation applies seq 101 against the seeded history
+    out2 = str(tmp_path / "updates")
+    assert main([
+        "replications", "--data", data, "--parquet-data", out2,
+        "--endpoint", f"file://{handoff_mirror}", "--jcb",
+    ]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["applied_sequences"] == [101]
+
+    w101 = spark.read.parquet(os.path.join(out2, "000/000/101.opc.parquet"))
+    rows = {(r.osm_type, r.osm_id): r for r in w101.collect()}
+    # node 5 v2: the seeded v1 history makes this the second edit
+    n5 = rows[("node", 5)]
+    assert n5.osm_version == 2 and n5.osm_edits == 2
+    assert n5.contrib_type == "TAG_GEOMETRY"
+    # dirty propagation rebuilt way 20 with node 5's new position
+    w20 = rows[("way", 20)]
+    assert w20.osm_version == 1 and w20.osm_minor_version == 1
+    # replication-store peek sees the merged history
+    capsys.readouterr()
+    assert main(["replication-store", "--data", data, "n/5"]) == 0
+    peek = json.loads(capsys.readouterr().out)
+    assert peek["n/5"]["entity"]["version"] == 2
+    assert peek["n/5"]["ways"] == [20]
