@@ -4942,6 +4942,128 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused
 
 
+# --- overlapping document chunking (RAG indexing shape) ----------------------
+
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48  # 16-token overlap
+
+
+@_register(
+    "doc_chunking",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CAST(i - 1 AS BIGINT) // {_CHUNK_STRIDE} AS chunk_idx,
+             array_to_string(toks[i : i + {_CHUNK_LEN} - 1], ' ') AS chunk
+      FROM t, UNNEST(range(1, greatest(len(toks), 1) + 1, {_CHUNK_STRIDE})) AS u(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+           {hash60_sql('chunk')} AS chunk_hash
+    FROM c WHERE chunk <> ''
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking (the RAG-indexing prep step):
+    64-token windows at a 48-token stride, one output row per chunk with
+    its token count and content hash. Pure codegen — sequence/slice/
+    transform expressions, a map-only plan with no shuffle at all until
+    the presentation sort."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    toks = tokens_expr(F.col("text"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(_CHUNK_STRIDE)
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            ((i - 1) / _CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i, _CHUNK_LEN)).alias("chunk"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk")
+        .filter(F.col("chunk") != "")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(F.split(F.col("chunk"), " ")).cast("bigint").alias("n_tokens"),
+            hash60_expr(F.col("chunk")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# --- hard-negative mining ----------------------------------------------------
+
+
+@_register(
+    "hard_negatives",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id AS neg_id,
+             round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+               AS cosine,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                 e.vec_id) AS rnk
+      FROM e JOIN q ON e.label <> q.qlabel
+    )
+    SELECT qid, neg_id, cosine FROM scored WHERE rnk <= 5
+    ORDER BY qid, cosine DESC, neg_id
+    """,
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the 5 most-similar vectors with a DIFFERENT label — similar
+    enough to be hard, wrong by supervision. Query side is tiny and
+    broadcast; the corpus side computes cosines in one codegen pass and
+    a per-query top-k window. No corpus self-join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", "label", d.alias("v"))
+    q = (
+        e.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neg_id"),
+            (dot / (norm(F.col("v")) * norm(F.col("qv")))).alias("_cos"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("_cos"), "neg_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "neg_id", F.round("_cos", 6).alias("cosine"))
+        .orderBy("qid", F.desc("cosine"), "neg_id")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
