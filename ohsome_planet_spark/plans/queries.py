@@ -5064,6 +5064,111 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- distributed BPE merge training ------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One BPE round as CTEs over s{r-1}(word, freq, symbols):
+    pair counts → deterministic argmax → leftmost-greedy merge.
+
+    Greedy-in-SQL: a match may overlap its neighbor only when
+    left = right (proof: matches at i and i+1 force symbols[i+1] to be
+    both right and left), so overlap chains are runs of consecutive
+    matches; leftmost-greedy = take even offsets within each run
+    (gaps-and-islands)."""
+    prev = f"s{r - 1}"
+    return f"""
+    p{r} AS (
+      SELECT symbols[i] AS l, symbols[i + 1] AS r, sum(freq) AS pair_count
+      FROM {prev}, UNNEST(range(1, len(symbols))) AS u(i)
+      GROUP BY 1, 2
+    ),
+    b{r} AS (
+      SELECT l, r, pair_count FROM p{r}
+      ORDER BY pair_count DESC, l, r LIMIT 1
+    ),
+    e{r} AS (
+      SELECT word, freq, i, symbols[i] AS sym,
+             COALESCE(symbols[i] = b.l AND i < len(symbols)
+                      AND symbols[i + 1] = b.r, FALSE) AS m
+      FROM {prev} CROSS JOIN b{r} b,
+           UNNEST(range(1, len(symbols) + 1)) AS u(i)
+    ),
+    g{r} AS (
+      SELECT *, CASE WHEN m THEN i - row_number()
+                 OVER (PARTITION BY word, m ORDER BY i) END AS isl
+      FROM e{r}
+    ),
+    t{r} AS (
+      SELECT *, CASE WHEN m THEN
+                 (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0
+               ELSE FALSE END AS take
+      FROM g{r}
+    ),
+    s{r} AS (
+      SELECT word, freq,
+             list(CASE WHEN take THEN b.l || b.r ELSE sym END ORDER BY i)
+               AS symbols
+      FROM (
+        SELECT *, COALESCE(
+          lag(take) OVER (PARTITION BY word ORDER BY i), FALSE) AS consumed
+        FROM t{r}
+      ) CROSS JOIN b{r} b
+      WHERE NOT consumed
+      GROUP BY word, freq
+    )"""
+
+
+def _bpe_oracle() -> str:
+    rounds = ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    finals = " UNION ALL ".join(
+        f"""SELECT {r} AS round, b{r}.l AS left, b{r}.r AS right,
+            CAST(b{r}.pair_count AS BIGINT) AS pair_count,
+            CAST((SELECT sum(freq * len(symbols)) FROM s{r}) AS BIGINT)
+              AS n_symbols_after
+            FROM b{r}"""
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH w AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    s0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             list_filter(string_split(word, ''), x -> x <> '') AS symbols
+      FROM w GROUP BY word
+    ),
+    {rounds}
+    SELECT * FROM ({finals}) ORDER BY round
+    """
+
+
+@_register("bpe_merges", _bpe_oracle())
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of distributed BPE training (Sennrich et al. 2016)
+    over the corpus word-frequency table: per round, the argmax adjacent
+    pair (count-desc, lexicographic tiebreak) and the corpus-weighted
+    symbol total after the leftmost-greedy merge — a checksum that every
+    occurrence was rewritten. Spark merges via a native array fold; the
+    oracle replays each round with the gaps-and-islands greedy trick
+    (``operators/bpe.py``)."""
+    from ..operators.bpe import bpe_train, word_freqs
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    recs = bpe_train(word_freqs(docs), rounds=_BPE_ROUNDS)
+    return spark.createDataFrame(
+        [
+            (r["round"], r["left"], r["right"], r["pair_count"], r["n_symbols_after"])
+            for r in recs
+        ],
+        "round int, left string, right string, pair_count bigint, n_symbols_after bigint",
+    ).orderBy("round")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

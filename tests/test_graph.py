@@ -45,3 +45,35 @@ def test_pagerank_star_center_dominates(spark):
         for r in pagerank(symmetrize(pairs, "a", "b"), iterations=3).collect()
     }
     assert got[0] > max(v for k, v in got.items() if k != 0)
+
+
+# --- BPE merge training ------------------------------------------------------
+
+from ohsome_planet_spark.operators.bpe import bpe_train
+
+
+def test_bpe_hand_corpus(spark):
+    # aaab x3 + ab x2: round1 merges (a,a) [6 > ab's 5], round2 (a,b),
+    # round3 (aa,ab); weighted symbol totals checked by hand
+    words = spark.createDataFrame([("aaab", 3), ("ab", 2)], "word string, freq bigint")
+    got = bpe_train(words, rounds=3)
+    assert [(r["left"], r["right"], r["pair_count"], r["n_symbols_after"])
+            for r in got] == [
+        ("a", "a", 6, 13),
+        ("a", "b", 5, 8),
+        ("aa", "ab", 3, 5),
+    ]
+
+
+def test_bpe_overlap_greedy_leftmost(spark):
+    # 'aaaa': (a,a) count 3; leftmost-greedy pairs positions (1,2) and
+    # (3,4) -> [aa, aa] -> 2 symbols
+    words = spark.createDataFrame([("aaaa", 1)], "word string, freq bigint")
+    got = bpe_train(words, rounds=1)
+    assert got[0]["pair_count"] == 3
+    assert got[0]["n_symbols_after"] == 2
+
+
+def test_bpe_stops_when_no_pairs(spark):
+    words = spark.createDataFrame([("a", 5), ("b", 2)], "word string, freq bigint")
+    assert bpe_train(words, rounds=2) == []
