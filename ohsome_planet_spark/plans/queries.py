@@ -5169,6 +5169,55 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
+# --- XZ-cell spatial rollup --------------------------------------------------
+
+
+@_register(
+    "xz_cell_stats",
+    f"""
+    WITH codes AS ({{inner}}),
+    cells AS (
+      SELECT xz_level, xz_code, CAST(count(*) AS BIGINT) AS n
+      FROM codes GROUP BY xz_level, xz_code
+    )
+    SELECT xz_level,
+           CAST(sum(n) AS BIGINT) AS n_features,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(n) AS BIGINT) AS max_cell,
+           round(avg(n), 6) AS avg_cell
+    FROM cells GROUP BY xz_level ORDER BY xz_level
+    """.format(inner=_xz_oracle().replace("ORDER BY c_custkey", "")),
+)
+def xz_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial rollup on the XZ space-filling curve: features per curve
+    cell, aggregated per level — the tiling histogram an OSM analytics
+    deployment uses for spatial partitioning decisions. One combinable
+    aggregation keyed on (level, code); the curve code itself is the
+    shuffle key, which is the whole point of XZ ordering at scale."""
+    c = _t(spark, sf_dir, "customer")
+    xmin = ((F.col("c_custkey") % 340) - 170).cast("double")
+    ymin = (((F.col("c_custkey") * 3) % 160) - 80).cast("double")
+    xmax = xmin + (F.abs(F.col("c_acctbal")) % 10.0)
+    ymax = ymin + ((F.abs(F.col("c_acctbal")) * 2.0) % 8.0)
+    codes = c.select(
+        xz_level_expr(xmin, ymin, xmax, ymax).alias("xz_level"),
+        xz_code_expr(xmin, ymin, xmax, ymax).alias("xz_code"),
+    )
+    cells = codes.groupBy("xz_level", "xz_code").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cells.groupBy("xz_level")
+        .agg(
+            F.sum("n").alias("n_features"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max("n").alias("max_cell"),
+            F.round(F.avg("n"), 6).alias("avg_cell"),
+        )
+        .orderBy("xz_level")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
