@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import MINHASH_PRIME, _perm_coeff
+from .dedup import MINHASH_PRIME
 
 __all__ = ["bloom_positions_expr", "build_bloom", "probe_bloom"]
 

@@ -33,7 +33,7 @@ side is co-located and the merge is shuffle-free on the big side.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from datetime import datetime, timedelta, timezone
+from datetime import datetime, timedelta
 from typing import Callable, Iterable, Sequence
 
 import pandas as pd
