@@ -53,12 +53,21 @@ def run_bench(spark, queries, sf_dir: str, n_runs: int) -> dict:
             except Exception:
                 errors[name] = traceback.format_exc(limit=8)
             finally:
-                # release operator-persisted intermediates so a 45-query
+                # release operator-persisted intermediates so a long
                 # session's storage memory stays flat
                 try:
                     release_cached()
                 except Exception:
                     pass
+        # localCheckpoint blocks are only reclaimed when the JVM's
+        # ContextCleaner sees their RDDs collected; over ~90 queries the
+        # block manager otherwise accumulates dead checkpoint blocks and
+        # later heavy queries pay eviction/GC stalls. One GC hint per
+        # full pass keeps the session flat (measured, not speculative).
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
 
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in runs.items() if ts

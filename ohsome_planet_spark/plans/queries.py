@@ -5218,6 +5218,71 @@ def xz_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental dedup (new batch vs historical index) -----------------------
+
+# fingerprint = the first 8 tokens (leading-content dedup: catches
+# boilerplate-prefixed near-copies that full-text hashing misses, and the
+# synthetic corpus actually collides on it, so both dup branches execute)
+_INC_HEAD_SQL = (
+    "array_to_string((list_filter(regexp_split_to_array(lower(text), '\\W+'),"
+    " x -> x <> ''))[1:8], ' ')"
+)
+
+
+@_register(
+    "incremental_dedup",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             {hash60_sql("CAST(doc_id AS VARCHAR) || ':inc'")} % 10 AS b,
+             {hash60_sql(_INC_HEAD_SQL)} AS fp
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fp FROM d WHERE b < 7),
+    batch AS (SELECT doc_id, fp FROM d WHERE b >= 7),
+    keep0 AS (
+      SELECT batch.doc_id, batch.fp,
+             hist.fp IS NOT NULL AS in_history,
+             row_number() OVER (PARTITION BY batch.fp ORDER BY batch.doc_id)
+               AS rn
+      FROM batch LEFT JOIN hist USING (fp)
+    )
+    SELECT doc_id,
+           CASE WHEN in_history THEN 'dup_of_history'
+                WHEN rn > 1 THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict
+    FROM keep0 ORDER BY doc_id
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the daily-crawl contract: a new batch is
+    checked against the historical fingerprint index (anti-join shape)
+    AND deduped within itself (first-by-id wins). At 100 TB the history
+    side is a bucketed fingerprint table (`sources/state_tables.py`
+    pattern) so the join is co-located; the batch is small, so AQE
+    broadcasts it — no history re-shuffle per day."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.pmod(
+        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":inc"))),
+        F.lit(10),
+    )
+    head = F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 8))
+    d = docs.select("doc_id", b.alias("b"), hash60_expr(head).alias("fp"))
+    hist = d.filter(F.col("b") < 7).select("fp").distinct()
+    batch = d.filter(F.col("b") >= 7).select("doc_id", "fp")
+    w = W.partitionBy("fp").orderBy("doc_id")
+    joined = (
+        batch.join(hist.withColumn("_h", F.lit(True)), "fp", "left")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    verdict = (
+        F.when(F.col("_h").isNotNull(), F.lit("dup_of_history"))
+        .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+    )
+    return joined.select("doc_id", verdict.alias("verdict")).orderBy("doc_id")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
