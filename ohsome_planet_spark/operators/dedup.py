@@ -436,6 +436,41 @@ def dedup_clusters(
     )
 
 
+def keep_best(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-exemplar selection: within every duplicate cluster keep
+    the highest-``score_col`` document (ties broken by smallest id), not
+    the smallest-id one ``dedup_clusters`` flags. This is what a curation
+    pipeline actually ships — near-dup removal should retain the *best*
+    exemplar (longest / highest-quality), and "keep longest" is the
+    standard heuristic when no quality model is in play.
+
+    One hash join on the id plus one window sorted within ``cluster_id``;
+    the window partitioning reuses the cluster key, so at 100 TB this adds
+    a single exchange over the (small) cluster-membership frame — the
+    document texts themselves never move.
+    """
+    scored = clusters.select(id_col, "cluster_id", "n_docs").join(
+        docs.select(id_col, score_col), id_col
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return scored.select(
+        id_col,
+        "cluster_id",
+        "n_docs",
+        F.col(score_col).alias("score"),
+        (F.row_number().over(w) == 1).alias("keep"),
+        F.first(id_col).over(frame).alias("best_doc"),
+    )
+
+
 def verify_candidate_pairs(
     candidates: DataFrame,
     shingle_df: DataFrame,

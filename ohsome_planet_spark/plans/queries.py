@@ -1084,8 +1084,14 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_clusters_oracle() -> str:
-    pairs_sql = _simhash_pairs_oracle().replace("ORDER BY doc_a, doc_b", "").strip()
+def _cc_labeled_ctes() -> str:
+    """The recursive transitive-closure CTE chain ending in ``labeled``
+    (doc_id, cluster_id) — shared by the cluster and canonical-selection
+    oracles so the two can't drift apart."""
+    base = _simhash_pairs_oracle()
+    tail = "ORDER BY doc_a, doc_b"
+    assert base.count(tail) == 1, "simhash pairs oracle drifted"
+    pairs_sql = base.replace(tail, "").strip()
     return f"""
     WITH RECURSIVE pairs AS (
       SELECT doc_a, doc_b FROM ({pairs_sql})
@@ -1101,7 +1107,12 @@ def _dedup_clusters_oracle() -> str:
     ), labeled AS (
       SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
-    )
+    )"""
+
+
+def _dedup_clusters_oracle() -> str:
+    return f"""
+    {_cc_labeled_ctes()}
     SELECT doc_id, cluster_id,
            CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs,
            doc_id = cluster_id AS is_canonical
@@ -1123,6 +1134,45 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = simhash(docs, "doc_id", "text", bits=32)
     pairs = simhash_near_dup_pairs(sigs, bits=32, bands=4, max_hamming=3)
     return dedup_clusters(docs, pairs, id_col="doc_id").orderBy("doc_id")
+
+
+def _dedup_canonical_oracle() -> str:
+    return f"""
+    {_cc_labeled_ctes()}
+    , sized AS (
+      SELECT doc_id, cluster_id,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs
+      FROM labeled
+    ), scored AS (
+      SELECT s.doc_id, s.cluster_id, s.n_docs, d.n_chars AS score,
+             row_number() OVER (PARTITION BY s.cluster_id
+                                ORDER BY d.n_chars DESC, s.doc_id ASC) AS rnk,
+             first_value(s.doc_id) OVER (PARTITION BY s.cluster_id
+                                ORDER BY d.n_chars DESC, s.doc_id ASC) AS best_doc
+      FROM sized s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, n_docs, score, rnk = 1 AS keep, best_doc
+    FROM scored ORDER BY doc_id
+    """
+
+
+@_register("dedup_canonical", _dedup_canonical_oracle())
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best canonical selection over near-dup clusters: SimHash
+    banding → connected components → per-cluster argmax(n_chars) exemplar
+    (ties to the smallest id). The curation behavior real pipelines ship —
+    retain the longest/best duplicate, not the min-id one. Spark side is
+    one join + one window over ``cluster_id``; only the small cluster
+    frame moves, never the texts."""
+    from ..operators.dedup import dedup_clusters, keep_best, simhash_near_dup_pairs
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    sigs = simhash(docs, "doc_id", "text", bits=32)
+    pairs = simhash_near_dup_pairs(sigs, bits=32, bands=4, max_hamming=3)
+    clusters = dedup_clusters(docs, pairs, id_col="doc_id")
+    return keep_best(clusters, docs, id_col="doc_id", score_col="n_chars").orderBy(
+        "doc_id"
+    )
 
 
 # ===========================================================================
