@@ -354,3 +354,156 @@ def lsh_bucket_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the memory-bound scale path for ANN
+# ---------------------------------------------------------------------------
+
+
+def _subspace_slices(vec: Column, m: int, dim: int) -> Column:
+    """array of the m contiguous sub-vectors of ``vec`` (cast to double)."""
+    ds = dim // m
+    dvec = vec.cast("array<double>")
+    return F.array(*[F.slice(dvec, s * ds + 1, ds) for s in range(m)])
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    every: int = 64,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ codebooks: split each vector into ``m`` contiguous
+    sub-vectors and train an independent reproducible k-means codebook per
+    subspace (:func:`kmeans_iterate` — data-sampled seeds, int64-quantized
+    means, so a SQL oracle replays training bit-for-bit).
+
+    PQ is the memory-bound scale path for ANN: a 64-dim float vector
+    (256 B) compresses to ``m`` small codes (m bytes at k<=256), so a
+    100 TB embedding corpus's index fits in cluster RAM and search reads
+    codes, not vectors. Returns (sub, cid, cv) — m small codebook tables
+    in one frame, always broadcastable.
+    """
+    ds = dim // m
+    dvec = F.col(vec_col).cast("array<double>")
+    out = None
+    for s in range(m):
+        sub = vectors.select(
+            F.col(id_col), F.slice(dvec, s * ds + 1, ds).alias(vec_col)
+        )
+        cb = kmeans_iterate(
+            sub, every=every, iters=iters, id_col=id_col, vec_col=vec_col
+        ).select(F.lit(s).alias("sub"), "cid", "cv")
+        out = cb if out is None else out.unionByName(cb)
+    return out
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest-codeword ids.
+
+    One broadcast equi-join on the subspace id (codebooks are tiny by
+    construction) + a map-side-combinable argmin groupBy — the
+    per-(vector, codeword) scores never shuffle; only the m code rows per
+    vector do. Squared-L2 is rounded to 6 decimals with ties to the
+    smallest codeword id, mirroring :func:`assign_nearest` so the DuckDB
+    oracle reproduces codes exactly.
+
+    Returns (id, sub, code, sub_dist) — the exploded code matrix; a
+    storage layout would ``collect_list`` it back to one codes array per
+    vector.
+    """
+    subs = vectors.select(
+        F.col(id_col),
+        F.posexplode(_subspace_slices(F.col(vec_col), m, dim)).alias("sub", "sv"),
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    joined = subs.join(F.broadcast(codebooks), "sub").select(
+        id_col, "sub", "cid", dist.alias("_d")
+    )
+    best = joined.groupBy(id_col, "sub").agg(
+        F.min(F.struct(F.col("_d").alias("d"), F.col("cid").alias("cid"))).alias(
+            "_b"
+        )
+    )
+    return best.select(
+        id_col,
+        "sub",
+        F.col("_b.cid").alias("code"),
+        F.col("_b.d").alias("sub_dist"),
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    Per query, precompute the lookup table LUT[sub, codeword] = squared-L2
+    from the query's sub-vector to each codeword (a queries x codebooks
+    join — both small, broadcast). The corpus scan then joins its code
+    rows to the LUT on (sub, code) — broadcast, no shuffle of the big
+    side — and sums the m partial distances per (query, vector)
+    (map-side-combinable groupBy). Only the per-query top-k window
+    shuffles candidate rows. The corpus's raw vectors are never read:
+    that is the point of PQ — at 100 TB the scan touches m bytes per
+    vector, and the LUT lives in registers.
+    """
+    qsubs = queries.select(
+        F.col(query_id_col),
+        F.posexplode(_subspace_slices(F.col(query_vec_col), m, dim)).alias(
+            "sub", "qv"
+        ),
+    )
+    ld = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    lut = qsubs.join(F.broadcast(codebooks), "sub").select(
+        query_id_col, "sub", F.col("cid").alias("_lcid"), ld.alias("_ld")
+    )
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["sub"] == lut["sub"])
+            & (codes["code"] == lut["_lcid"])
+            & (codes[id_col] != lut[query_id_col]),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_ld"), 6).alias("adc_dist"))
+    )
+    w = W.partitionBy(query_id_col).orderBy("adc_dist", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "adc_dist")
+    )

@@ -2833,6 +2833,131 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _pq_ctes(m: int = 4, dim: int = 64, every: int = 64, scale: int = 1_000_000) -> str:
+    """CTE chain replaying PQ training + encoding: per-subspace slice →
+    reproducible 1-round k-means (same int64-quantized means as
+    ``_kmeans_cte_chain``) → codebook union ``cb`` → sub-vector union
+    ``sv`` → argmin codes ``codes``."""
+    ds = dim // m
+    dist = (
+        f"round(list_sum(list_transform(range(1, {ds + 1}), "
+        "i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))), 6)"
+    )
+    parts = [
+        """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )"""
+    ]
+    for s in range(m):
+        lo, hi = s * ds + 1, (s + 1) * ds
+        parts.append(f"""
+    , s{s}v AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM v)
+    , s{s}c0 AS (SELECT vec_id AS cid, v AS cv FROM s{s}v WHERE vec_id % {every} = 0)
+    , s{s}d AS (SELECT v.vec_id, c.cid, {dist} AS d FROM s{s}v v, s{s}c0 c)
+    , s{s}a AS (
+        SELECT d.vec_id, min(d.cid) AS cid FROM s{s}d d
+        JOIN (SELECT vec_id, min(d) AS md FROM s{s}d GROUP BY vec_id) mm
+          ON mm.vec_id = d.vec_id AND d.d = mm.md
+        GROUP BY d.vec_id)
+    , s{s}u AS (
+        SELECT a.cid, t.i AS pos,
+               sum(CAST(round(v.v[t.i] * {scale}) AS BIGINT)) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM s{s}a a JOIN s{s}v v ON v.vec_id = a.vec_id, range(1, {ds + 1}) t(i)
+        GROUP BY a.cid, t.i)
+    , s{s}c1 AS (SELECT cid, list((s / n) / {scale}.0 ORDER BY pos) AS cv FROM s{s}u GROUP BY cid)""")
+    cb_union = "\n      UNION ALL ".join(
+        f"SELECT {s} AS sub, cid, cv FROM s{s}c1" for s in range(m)
+    )
+    sv_union = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {s} AS sub, v FROM s{s}v" for s in range(m)
+    )
+    parts.append(f"""
+    , cb AS ({cb_union})
+    , sv AS ({sv_union})
+    , enc AS (
+        SELECT sv.vec_id, sv.sub, cb.cid,
+               round(list_sum(list_transform(range(1, {ds + 1}),
+                 i -> (sv.v[i] - cb.cv[i]) * (sv.v[i] - cb.cv[i]))), 6) AS d
+        FROM sv JOIN cb ON cb.sub = sv.sub)
+    , codes AS (
+        SELECT e.vec_id, e.sub, min(e.cid) AS code, min(e.d) AS sub_dist
+        FROM enc e JOIN (SELECT vec_id, sub, min(d) AS md FROM enc GROUP BY vec_id, sub) b
+          ON b.vec_id = e.vec_id AND b.sub = e.sub AND e.d = b.md
+        GROUP BY e.vec_id, e.sub)""")
+    return "".join(parts)
+
+
+def _pq_codes_oracle() -> str:
+    return f"""
+    {_pq_ctes()}
+    SELECT vec_id, CAST(sub AS INT) AS sub, code, sub_dist
+    FROM codes ORDER BY vec_id, sub
+    """
+
+
+@_register("pq_codes", _pq_codes_oracle())
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: per-subspace reproducible k-means
+    codebooks (train) + broadcast argmin code assignment (encode). PQ is
+    the memory-bound ANN scale path — a 100 TB embedding corpus's index
+    becomes m bytes/vector. The oracle replays training AND encoding
+    CTE-for-CTE, possible because the codebook means are
+    summation-order-independent."""
+    from ..operators.similarity import pq_codebooks, pq_encode
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    cb = pq_codebooks(emb, m=4, dim=64, every=64, iters=1)
+    return (
+        pq_encode(emb, cb, m=4, dim=64)
+        .select("vec_id", F.col("sub").cast("int").alias("sub"), "code", "sub_dist")
+        .orderBy("vec_id", "sub")
+    )
+
+
+def _pq_adc_oracle(qevery: int = 25, k: int = 5, ds: int = 16) -> str:
+    return f"""
+    {_pq_ctes()}
+    , q AS (SELECT vec_id AS qid, sub, v AS qv FROM sv WHERE vec_id % {qevery} = 0)
+    , lut AS (
+        SELECT q.qid, q.sub, cb.cid,
+               round(list_sum(list_transform(range(1, {ds + 1}),
+                 i -> (q.qv[i] - cb.cv[i]) * (q.qv[i] - cb.cv[i]))), 6) AS ld
+        FROM q JOIN cb ON cb.sub = q.sub)
+    , scored AS (
+        SELECT l.qid, c.vec_id, round(sum(l.ld), 6) AS adc_dist
+        FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.code AND c.vec_id <> l.qid
+        GROUP BY l.qid, c.vec_id)
+    , ranked AS (
+        SELECT qid AS query_id, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
+        FROM scored)
+    SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
+    FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+@_register("pq_adc_topk", _pq_adc_oracle())
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search: per-query LUT against the trained
+    codebooks, corpus scanned as codes only (never raw vectors), per-query
+    top-k. With :func:`pq_codes` this closes the PQ loop —
+    train → encode → search — all oracle-replayed."""
+    from ..operators.similarity import pq_adc_topk, pq_codebooks, pq_encode
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    cb = pq_codebooks(emb, m=4, dim=64, every=64, iters=1)
+    codes = pq_encode(emb, cb, m=4, dim=64)
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq_adc_topk(codes, cb, queries, k=5, m=4, dim=64)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "adc_dist"
+    ).orderBy("query_id", "rank")
+
+
 # ===========================================================================
 # training-data curation: deterministic splits, TF-IDF, semantic dedup
 # ===========================================================================

@@ -205,6 +205,68 @@ class TestIvf:
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+class TestProductQuantization:
+    def _vectors(self, spark, n=40, dim=8, seed=7):
+        rng = np.random.default_rng(seed)
+        rows = [
+            (i, [float(x) for x in rng.standard_normal(dim)]) for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def test_pq_encode_is_argmin_over_codebooks(self, spark):
+        """Codes must equal the numpy argmin of rounded squared-L2 over the
+        trained per-subspace codebooks (ties to the smallest codeword id)."""
+        from ohsome_planet_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+        )
+
+        m, dim = 2, 8
+        vecs = self._vectors(spark, dim=dim)
+        cb = pq_codebooks(vecs, m=m, dim=dim, every=10, iters=1)
+        cb_rows = {
+            (r.sub, r.cid): np.array(r.cv) for r in cb.collect()
+        }
+        codes = pq_encode(vecs, cb, m=m, dim=dim).collect()
+        raw = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+               for r in vecs.collect()}
+        assert len(codes) == len(raw) * m
+        ds = dim // m
+        for r in codes:
+            sv = raw[r.vec_id][r.sub * ds:(r.sub + 1) * ds]
+            dists = {
+                cid: round(float(((sv - cv) ** 2).sum()), 6)
+                for (sub, cid), cv in cb_rows.items()
+                if sub == r.sub
+            }
+            best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))
+            assert (r.code, round(r.sub_dist, 6)) == best
+
+    def test_pq_adc_ranks_are_dense_and_exclude_self(self, spark):
+        from ohsome_planet_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_codebooks,
+            pq_encode,
+        )
+
+        m, dim = 2, 8
+        vecs = self._vectors(spark, dim=dim)
+        cb = pq_codebooks(vecs, m=m, dim=dim, every=10, iters=1)
+        codes = pq_encode(vecs, cb, m=m, dim=dim)
+        queries = vecs.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        out = pq_adc_topk(codes, cb, queries, k=4, m=m, dim=dim).collect()
+        by_q = {}
+        for r in out:
+            assert r.vec_id != r.query_id
+            by_q.setdefault(r.query_id, []).append(r.rank)
+        assert set(by_q) == {0, 1}
+        for ranks in by_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 class TestGeometrySpatialJoin:
     def test_linestring_crossing_feature(self, spark):
         """A line that crosses a country without any vertex inside still
