@@ -507,3 +507,106 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "adc_dist")
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    coarse: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ: coarse inverted lists bound the candidate set, ADC over PQ
+    codes ranks it — the composition every billion-scale ANN system ships
+    (FAISS IVFADC). This variant encodes raw vectors, not residuals
+    (IVF-Flat-PQ), which keeps codes list-independent and the oracle
+    replayable; residual encoding is a codebook-training swap, not a
+    dataflow change.
+
+    Dataflow: list assignment is :func:`assign_nearest` against the
+    broadcast coarse table (squared-L2 rounded 6, ties to smallest id —
+    replayable). Queries probe their ``nprobe`` nearest lists; the
+    (query, list) probe table and the per-query LUT both broadcast. The
+    corpus-side joins are the code matrix against its own list assignment
+    (co-keyed on the vector id — in a stored index these live in the same
+    row, so the join is a formality of deriving both here) and the
+    broadcast probe/LUT lookups; the only wide stage is the per-query
+    top-k over candidates, which IVF already cut by lists/nprobe.
+    """
+    assigned = assign_nearest(vectors, coarse, id_col, vec_col).select(
+        id_col, F.col("cid").alias("_list")
+    )
+
+    qd = F.col(query_vec_col).cast("array<double>")
+    qdist = F.round(
+        F.aggregate(
+            F.zip_with(qd, F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    qscored = queries.crossJoin(F.broadcast(coarse)).select(
+        query_id_col, query_vec_col, "cid", qdist.alias("_qd")
+    )
+    qw = W.partitionBy(query_id_col).orderBy("_qd", "cid")
+    probes = (
+        qscored.withColumn("_rn", F.row_number().over(qw))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, F.col("cid").alias("_list"))
+    )
+
+    qsubs = queries.select(
+        F.col(query_id_col),
+        F.posexplode(_subspace_slices(F.col(query_vec_col), m, dim)).alias(
+            "sub", "qv"
+        ),
+    )
+    ld = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    # `_lqid`: the LUT's query id is renamed so the candidate⨝LUT equi-join
+    # can never collapse into a trivially-true self-comparison (probes and
+    # the LUT both descend from the same `queries` attribute).
+    lut = qsubs.join(F.broadcast(codebooks), "sub").select(
+        F.col(query_id_col).alias("_lqid"),
+        "sub",
+        F.col("cid").alias("_lcid"),
+        ld.alias("_ld"),
+    )
+
+    listed = codes.join(assigned, id_col)
+    cand = listed.join(
+        F.broadcast(probes),
+        (listed["_list"] == probes["_list"])
+        & (listed[id_col] != probes[query_id_col]),
+    ).select(listed[id_col], "sub", "code", probes[query_id_col])
+    scored = (
+        cand.join(
+            F.broadcast(lut),
+            (cand["sub"] == lut["sub"])
+            & (cand["code"] == lut["_lcid"])
+            & (cand[query_id_col] == lut["_lqid"]),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_ld"), 6).alias("adc_dist"))
+    )
+    w = W.partitionBy(query_id_col).orderBy("adc_dist", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "adc_dist")
+    )

@@ -2958,6 +2958,83 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _ivfpq_oracle(
+    cevery: int = 64, qevery: int = 25, nprobe: int = 2, k: int = 5,
+    m: int = 4, dim: int = 64,
+) -> str:
+    ds = dim // m
+    l2 = (
+        "round(list_sum(list_transform(range(1, {n}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
+    )
+    return f"""
+    {_pq_ctes(m=m, dim=dim)}
+    , coarse AS (SELECT vec_id AS ccid, v AS ccv FROM v WHERE vec_id % {cevery} = 0)
+    , vd AS (SELECT v.vec_id, c.ccid,
+                    {l2.format(n=dim + 1, a="v.v", b="c.ccv")} AS d
+             FROM v, coarse c)
+    , vass AS (
+        SELECT vd.vec_id, min(vd.ccid) AS list
+        FROM vd JOIN (SELECT vec_id, min(d) AS md FROM vd GROUP BY vec_id) t
+          ON t.vec_id = vd.vec_id AND vd.d = t.md
+        GROUP BY vd.vec_id)
+    , q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id % {qevery} = 0)
+    , qd AS (SELECT q.qid, c.ccid,
+                    {l2.format(n=dim + 1, a="q.qv", b="c.ccv")} AS d
+             FROM q, coarse c)
+    , probes AS (
+        SELECT qid, ccid AS list FROM (
+          SELECT qid, ccid, row_number() OVER (PARTITION BY qid ORDER BY d, ccid) AS rn
+          FROM qd) WHERE rn <= {nprobe})
+    , qs AS (SELECT vec_id AS qid, sub, v AS qv FROM sv WHERE vec_id % {qevery} = 0)
+    , lut AS (
+        SELECT qs.qid, qs.sub, cb.cid,
+               {l2.format(n=ds + 1, a="qs.qv", b="cb.cv")} AS ld
+        FROM qs JOIN cb ON cb.sub = qs.sub)
+    , cand AS (
+        SELECT p.qid, a.vec_id
+        FROM vass a JOIN probes p ON a.list = p.list AND a.vec_id <> p.qid)
+    , scored AS (
+        SELECT ca.qid, ca.vec_id, round(sum(l.ld), 6) AS adc_dist
+        FROM cand ca
+        JOIN codes c ON c.vec_id = ca.vec_id
+        JOIN lut l ON l.qid = ca.qid AND l.sub = c.sub AND l.cid = c.code
+        GROUP BY ca.qid, ca.vec_id)
+    , ranked AS (
+        SELECT qid AS query_id, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
+        FROM scored)
+    SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
+    FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+@_register("ann_ivfpq_topk", _ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS-IVFADC shape): coarse inverted lists bound the
+    candidate set, ADC over PQ codes ranks it. The full billion-scale ANN
+    composition — coarse quantizer, per-subspace codebooks, code matrix,
+    probe tables — each stage oracle-replayed."""
+    from ..operators.similarity import (
+        centroids_df,
+        ivfpq_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    coarse = centroids_df(emb, every=64)
+    cb = pq_codebooks(emb, m=4, dim=64, every=64, iters=1)
+    codes = pq_encode(emb, cb, m=4, dim=64)
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfpq_topk(emb, queries, coarse, codes, cb, k=5, nprobe=2, m=4, dim=64)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "adc_dist"
+    ).orderBy("query_id", "rank")
+
+
 # ===========================================================================
 # training-data curation: deterministic splits, TF-IDF, semantic dedup
 # ===========================================================================
