@@ -2601,6 +2601,58 @@ _SNAPSHOT_SERIES_ORACLE = (
 )
 
 
+_CURRENTNESS_ORACLE = (
+    "WITH contribs AS (" + _CONTRIB_ORACLE.replace("ORDER BY osm_id, osm_edits", "") + ")"
+    + """
+    SELECT osm_id,
+           CAST(count(*) AS BIGINT) AS n_edits,
+           min(valid_from) AS first_edit,
+           max(valid_from) AS last_edit,
+           CAST(count(DISTINCT CAST(valid_from AS DATE)) AS BIGINT) AS active_days,
+           CASE WHEN count(*) > 1 THEN
+             round((epoch_us(max(valid_from)) - epoch_us(min(valid_from)))
+                   / (count(*) - 1) / 86400000000.0, 6) END AS mean_gap_days,
+           round((epoch_us(TIMESTAMP '2024-03-01') - epoch_us(max(valid_from)))
+                 / 86400000000.0, 6) AS age_days
+    FROM contribs GROUP BY osm_id ORDER BY osm_id
+    """
+)
+
+
+@_register("contrib_currentness", _CURRENTNESS_ORACLE)
+def contrib_currentness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-element edit cadence — the ohsome 'currentness' analytic: edit
+    count, first/last edit, distinct active days, mean inter-edit gap, and
+    age at a reference date. One map-side-combinable groupBy on the
+    element id over the staged contributions table (produce-then-query);
+    every aggregate is algebraic, so partial aggregation does almost all
+    the work before the single exchange."""
+    contribs = _node_contribs_table(spark, sf_dir)
+    ref_us = F.unix_micros(F.lit("2024-03-01").cast("timestamp"))
+    day_us = 86400000000.0
+    agg = contribs.groupBy("osm_id").agg(
+        F.count(F.lit(1)).alias("n_edits"),
+        F.min("valid_from").alias("first_edit"),
+        F.max("valid_from").alias("last_edit"),
+        F.countDistinct(F.to_date("valid_from")).alias("active_days"),
+    )
+    gap = F.round(
+        (F.unix_micros("last_edit") - F.unix_micros("first_edit"))
+        / (F.col("n_edits") - 1)
+        / day_us,
+        6,
+    )
+    return agg.select(
+        "osm_id",
+        "n_edits",
+        "first_edit",
+        "last_edit",
+        "active_days",
+        F.when(F.col("n_edits") > 1, gap).alias("mean_gap_days"),
+        F.round((ref_us - F.unix_micros("last_edit")) / day_us, 6).alias("age_days"),
+    ).orderBy("osm_id")
+
+
 @_register("snapshot_series", _SNAPSHOT_SERIES_ORACLE)
 def snapshot_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The snapshot contract extended to a TIME SERIES — live-element
