@@ -656,6 +656,80 @@ def contrib_changesets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+_CAMPAIGN_ORACLE = """
+WITH contribs AS (
+  SELECT o_orderkey AS contrib_id, CAST(o_custkey AS BIGINT) AS changeset_id
+  FROM orders
+), cs AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         TIMESTAMP '2020-01-01' + INTERVAL 1 MINUTE * c_custkey AS created_at,
+         [concat('h', CAST(c_custkey % 10 AS VARCHAR)),
+          lower(c_mktsegment)]                                AS hashtags
+  FROM customer WHERE c_custkey % 3 <> 0
+), j AS (
+  SELECT contrib_id, cs.id AS cs_id, cs.created_at,
+         unnest(cs.hashtags) AS hashtag
+  FROM contribs JOIN cs ON contribs.changeset_id = cs.id
+)
+SELECT hashtag,
+       CAST(count(*) AS BIGINT)              AS n_contribs,
+       CAST(count(DISTINCT cs_id) AS BIGINT) AS n_changesets,
+       min(created_at)                       AS first_at,
+       max(created_at)                       AS last_at
+FROM j GROUP BY hashtag ORDER BY hashtag
+"""
+
+
+@_register("hashtag_campaign_stats", _CAMPAIGN_ORACLE)
+def hashtag_campaign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Campaign (mapathon) monitoring — the ohsome hashtag analytic the
+    reference's changeset hashtags exist to serve: per hashtag, the
+    contribution count, distinct changesets, and first/last changeset
+    time. One explode + one map-side-combinable groupBy downstream of the
+    J4 enrichment join; missing changesets carry the default record's
+    empty hashtag list, so they drop out at the explode, matching the
+    oracle's inner join."""
+    from ..operators.contributions import with_changesets
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    contribs = orders.select(
+        F.col("o_orderkey").alias("contrib_id"),
+        F.col("o_custkey").cast("bigint").alias("changeset_id"),
+    )
+    changesets = customer.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").cast("bigint").alias("id"),
+        F.expr(
+            "timestamp'2020-01-01' + make_interval(0,0,0,0,0, c_custkey, 0)"
+        ).alias("created_at"),
+        F.expr(
+            "timestamp'2020-01-01' + make_interval(0,0,0,0,0, c_custkey + 120, 0)"
+        ).alias("closed_at"),
+        F.create_map(F.lit("created_by"), F.col("c_mktsegment")).alias("tags"),
+        F.array(
+            F.concat(F.lit("h"), (F.col("c_custkey") % 10).cast("string")),
+            F.lower("c_mktsegment"),
+        ).alias("hashtags"),
+    )
+    enriched = with_changesets(contribs, changesets)
+    tagged = enriched.select(
+        "contrib_id",
+        F.col("changeset.id").alias("cs_id"),
+        F.col("changeset.created_at").alias("created_at"),
+        F.explode("changeset.hashtags").alias("hashtag"),
+    )
+    return (
+        tagged.groupBy("hashtag")
+        .agg(
+            F.count(F.lit(1)).alias("n_contribs"),
+            F.countDistinct("cs_id").alias("n_changesets"),
+            F.min("created_at").alias("first_at"),
+            F.max("created_at").alias("last_at"),
+        )
+        .orderBy("hashtag")
+    )
+
+
 def _hashtags_oracle() -> str:
     from ..functions.hashtags import HASHTAG_RE, URL_RE
 
