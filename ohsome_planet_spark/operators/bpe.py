@@ -74,6 +74,16 @@ def bpe_train(words: DataFrame, rounds: int = 3) -> list[dict]:
     ``n_symbols_after`` is the corpus-weighted symbol total — a strong
     checksum that the merge rewrote every occurrence.
     """
+    return bpe_train_with_symbols(words, rounds)[0]
+
+
+def bpe_train_with_symbols(
+    words: DataFrame, rounds: int = 3
+) -> tuple[list[dict], DataFrame]:
+    """:func:`bpe_train` plus the trained vocabulary's symbol table —
+    (word, freq, symbols) after all merges. The symbol table IS the
+    tokenizer: encoding a corpus is a broadcast join of its word stream
+    against this vocab-sized frame (see ``bpe_encode_stats``)."""
     spark = words.sparkSession
     syms = words.select(
         "word",
@@ -125,4 +135,4 @@ def bpe_train(words: DataFrame, rounds: int = 3) -> list[dict]:
                 "n_symbols_after": int(n_after),
             }
         )
-    return out
+    return out, syms

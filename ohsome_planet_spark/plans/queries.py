@@ -5547,6 +5547,64 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
+def _bpe_encode_oracle() -> str:
+    rounds = ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    return f"""
+    WITH dwords AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    w AS (SELECT word FROM dwords),
+    s0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             list_filter(string_split(word, ''), x -> x <> '') AS symbols
+      FROM w GROUP BY word
+    ),
+    {rounds}
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)            AS n_words,
+           CAST(sum(len(word)) AS BIGINT)      AS n_chars,
+           CAST(sum(len(symbols)) AS BIGINT)   AS n_tokens,
+           round(sum(len(word)) * 1.0 / sum(len(symbols)), 6) AS compression
+    FROM dwords JOIN s{_BPE_ROUNDS} USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@_register("bpe_encode_stats", _bpe_encode_oracle())
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges: encode every document with the
+    final symbol table and report per-doc token count and compression.
+    The symbol table IS the tokenizer — vocab-sized, broadcast — so
+    encoding a 100 TB corpus is a map-side join of the word stream
+    against it plus one doc-keyed rollup; the training loop
+    (:func:`bpe_train_with_symbols`) runs once, not per document."""
+    from ..functions.text import tokens_expr
+    from ..operators.bpe import bpe_train_with_symbols, word_freqs
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    _, syms = bpe_train_with_symbols(word_freqs(docs), rounds=_BPE_ROUNDS)
+    dwords = docs.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("word")
+    )
+    vocab = syms.select("word", F.size("symbols").alias("_n_sym"))
+    return (
+        dwords.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("_n_sym").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.length("word")) / F.sum("_n_sym"), 6
+            ).alias("compression"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- XZ-cell spatial rollup --------------------------------------------------
 
 
