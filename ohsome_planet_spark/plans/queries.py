@@ -129,6 +129,38 @@ def _relation_contribs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _produce_then_query(spark, sf_dir, "relations", build)
 
 
+def _pq_codebook_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebooks (m=4, every=64, 1 Lloyd round) trained once per
+    session — the stored-index contract: `pq_codes` is the verified
+    trainer+encoder op and re-derives per run; the search queries
+    (`pq_adc_topk`, `ann_ivfpq_topk`) read the staged codebook table,
+    exactly as a deployed ANN service reads its trained index rather than
+    retraining per query."""
+    from ..operators.similarity import pq_codebooks
+
+    return _produce_then_query(
+        spark, sf_dir, "pq_cb_m4_e64",
+        lambda: pq_codebooks(
+            fan_out(_t(spark, sf_dir, "embeddings")), m=4, dim=64, every=64,
+            iters=1,
+        ),
+    )
+
+
+def _pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encoded PQ code matrix, staged once per session (the stored
+    index's data half; see :func:`_pq_codebook_table`)."""
+    from ..operators.similarity import pq_encode
+
+    def build() -> DataFrame:
+        cb = _pq_codebook_table(spark, sf_dir)
+        return pq_encode(
+            fan_out(_t(spark, sf_dir, "embeddings")), cb, m=4, dim=64
+        )
+
+    return _produce_then_query(spark, sf_dir, "pq_codes_m4_e64", build)
+
+
 def _trained_centroids_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means centroids (every=64, iters=2) trained once per session —
     the IVF train-once/reuse contract: the trainer (`kmeans_centroids`)
@@ -2675,6 +2707,54 @@ _SNAPSHOT_SERIES_ORACLE = (
 )
 
 
+_CONTRIBUTORS_ORACLE = """
+WITH act AS (
+  SELECT date_trunc('day', ts) AS period,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM events GROUP BY 1
+), fm AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS period FROM events GROUP BY user_id
+), nw AS (
+  SELECT period, CAST(count(*) AS BIGINT) AS n_new FROM fm GROUP BY period
+)
+SELECT a.period, a.n_active,
+       CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new,
+       CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY a.period) AS BIGINT)
+         AS n_cumulative
+FROM act a LEFT JOIN nw ON nw.period = a.period
+ORDER BY a.period
+"""
+
+
+@_register("contributors_over_time", _CONTRIBUTORS_ORACLE)
+def contributors_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ohsome dashboard 'contributors over time' analytic: per
+    period (day here; month at planet scale), active distinct users,
+    first-seen (new) users, and the cumulative contributor count. Two
+    user-keyed aggregations (both map-side-combinable) and one join +
+    running sum over the PERIOD table — the global window orders the
+    handful of period rows, not the event stream, so the
+    single-partition window is free at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    period = F.date_trunc("day", F.col("ts"))
+    act = ev.groupBy(period.alias("period")).agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    fm = ev.groupBy("user_id").agg(F.min(period).alias("period"))
+    nw = fm.groupBy("period").agg(F.count(F.lit(1)).alias("n_new"))
+    w = W.orderBy("period").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        act.join(nw, "period", "left")
+        .select(
+            "period",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .withColumn("n_cumulative", F.sum("n_new").over(w))
+        .orderBy("period")
+    )
+
+
 _CURRENTNESS_ORACLE = (
     "WITH contribs AS (" + _CONTRIB_ORACLE.replace("ORDER BY osm_id, osm_edits", "") + ")"
     + """
@@ -3070,11 +3150,11 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks, corpus scanned as codes only (never raw vectors), per-query
     top-k. With :func:`pq_codes` this closes the PQ loop —
     train → encode → search — all oracle-replayed."""
-    from ..operators.similarity import pq_adc_topk, pq_codebooks, pq_encode
+    from ..operators.similarity import pq_adc_topk
 
     emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    cb = pq_codebooks(emb, m=4, dim=64, every=64, iters=1)
-    codes = pq_encode(emb, cb, m=4, dim=64)
+    cb = _pq_codebook_table(spark, sf_dir)
+    codes = _pq_codes_table(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -3141,17 +3221,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set, ADC over PQ codes ranks it. The full billion-scale ANN
     composition — coarse quantizer, per-subspace codebooks, code matrix,
     probe tables — each stage oracle-replayed."""
-    from ..operators.similarity import (
-        centroids_df,
-        ivfpq_topk,
-        pq_codebooks,
-        pq_encode,
-    )
+    from ..operators.similarity import centroids_df, ivfpq_topk
 
     emb = fan_out(_t(spark, sf_dir, "embeddings"))
     coarse = centroids_df(emb, every=64)
-    cb = pq_codebooks(emb, m=4, dim=64, every=64, iters=1)
-    codes = pq_encode(emb, cb, m=4, dim=64)
+    cb = _pq_codebook_table(spark, sf_dir)
+    codes = _pq_codes_table(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -4881,6 +4956,66 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
         .orderBy("lang")
+    )
+
+
+def _hll_union_oracle() -> str:
+    from ..operators.sketches import HLL_HASH_BITS, estimate_sql, registers_sql
+
+    m = 1 << _HLL_P
+    h = hash60_sql("text")
+    bucket, rho = registers_sql("h", m, HLL_HASH_BITS - _HLL_P)
+    return f"""
+    WITH hsh AS (SELECT source, {h} AS h FROM documents),
+    rows0 AS (SELECT source, {bucket} AS bucket, {rho} AS rho FROM hsh),
+    rs AS (SELECT source, bucket, max(rho) AS register
+           FROM rows0 GROUP BY source, bucket),
+    mg AS (SELECT bucket, max(register) AS register FROM rs GROUP BY bucket),
+    dg AS (SELECT bucket, max(rho) AS register FROM rows0 GROUP BY bucket),
+    am AS (SELECT sum(pow(2.0, -register)) AS _sum_present,
+                  CAST(count(*) AS BIGINT) AS _n_present FROM mg),
+    ad AS (SELECT sum(pow(2.0, -register)) AS _sum_present,
+                  CAST(count(*) AS BIGINT) AS _n_present FROM dg),
+    em AS (SELECT {estimate_sql(m)} AS hll_merged FROM am),
+    ed AS (SELECT {estimate_sql(m)} AS hll_direct FROM ad),
+    x AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_exact,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM hsh)
+    SELECT x.n_exact, x.n_sources, ed.hll_direct, em.hll_merged,
+           ed.hll_direct = em.hll_merged AS merged_equals_direct
+    FROM x, em, ed
+    """
+
+
+@_register("hll_union", _hll_union_oracle())
+def hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY, the property that makes HLL distributed: per-
+    source register tables are unioned by a bucket-wise max and must yield
+    exactly the sketch built over the whole corpus in one pass. This is
+    how a 100 TB pipeline monitors distincts — per-shard sketches rolled
+    up without re-reading data; the merge moves ≤ 2^p rows per shard."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select("source", hash60_expr(F.col("text")).alias("h"))
+    per_src = hll_registers(hashed, ["source"], "h", p=_HLL_P)
+    merged_regs = per_src.groupBy("bucket").agg(F.max("register").alias("register"))
+    direct_regs = hll_registers(hashed, [], "h", p=_HLL_P)
+    merged = hll_estimate(merged_regs, [], p=_HLL_P).select(
+        F.col("hll_estimate").alias("hll_merged")
+    )
+    direct = hll_estimate(direct_regs, [], p=_HLL_P).select(
+        F.col("hll_estimate").alias("hll_direct")
+    )
+    exact = hashed.agg(
+        F.countDistinct("h").alias("n_exact"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return exact.crossJoin(direct).crossJoin(merged).select(
+        "n_exact",
+        "n_sources",
+        "hll_direct",
+        "hll_merged",
+        (F.col("hll_direct") == F.col("hll_merged")).alias("merged_equals_direct"),
     )
 
 
