@@ -2707,6 +2707,47 @@ _SNAPSHOT_SERIES_ORACLE = (
 )
 
 
+_PROPS_JSON_ORACLE = """
+SELECT event_type,
+       CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS INT) AS k_decile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY event_type, k_decile
+ORDER BY event_type, k_decile
+"""
+
+
+@_register("event_props_json", _PROPS_JSON_ORACLE)
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (SURVEY.md §2.7 JSON functions): the
+    events' ``props`` JSON column parsed with a typed ``from_json``
+    schema (JVM-native, codegen — never a Python JSON loop), bucketed and
+    aggregated. Schema-on-read over a semi-structured column is the
+    everyday shape of event-log analytics; the parse happens in the scan
+    stage, so only (type, decile) rows reach the exchange."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select(
+            "event_type",
+            F.floor(k / 10).cast("int").alias("k_decile"),
+            k.alias("_k"),
+            "value",
+        )
+        .groupBy("event_type", "k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_k").cast("int").alias("k_min"),
+            F.max("_k").cast("int").alias("k_max"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("event_type", "k_decile")
+    )
+
+
 _CONTRIBUTORS_ORACLE = """
 WITH act AS (
   SELECT date_trunc('day', ts) AS period,
