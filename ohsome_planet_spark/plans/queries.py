@@ -2922,66 +2922,6 @@ def tag_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-def _ann_recall_oracle() -> str:
-    exact = _ANN_COSINE_ORACLE.replace("ORDER BY query_id, rank", "")
-    lsh = _ann_lsh_oracle().replace("ORDER BY query_id, rank", "")
-    ivf = _ann_ivf_oracle().replace("ORDER BY query_id, rank", "")
-    return f"""
-    WITH exact AS (SELECT query_id, vec_id FROM ({exact})),
-         approx AS (
-           SELECT 'lsh' AS method, query_id, vec_id FROM ({lsh})
-           UNION ALL
-           SELECT 'ivf' AS method, query_id, vec_id FROM ({ivf})
-         ),
-         em AS (
-           SELECT m.method, e.query_id, e.vec_id
-           FROM exact e CROSS JOIN (VALUES ('lsh'), ('ivf')) m(method)
-         )
-    SELECT em.query_id, em.method,
-           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
-           round(count(a.vec_id) / 5.0, 6) AS recall_at_5
-    FROM em
-      LEFT JOIN approx a ON a.method = em.method
-        AND a.query_id = em.query_id AND a.vec_id = em.vec_id
-    GROUP BY em.query_id, em.method
-    ORDER BY em.query_id, em.method
-    """
-
-
-@_register("ann_recall_eval", _ann_recall_oracle())
-def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality evaluation — recall@5 of each approximate path (LSH
-    buckets, IVF lists) against the exact brute-force ground truth, per
-    query and method. The eval harness every production ANN deployment
-    needs before trading recall for latency; all three sides reuse the
-    engine's own operators."""
-    from ..operators.similarity import centroids_df, ivf_topk
-
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    exact = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
-    lsh = lsh_bucket_topk(emb, queries, dim=64, k=5, nbits=8)
-    ivf = ivf_topk(emb, queries, centroids_df(emb, every=25), k=5, nprobe=4)
-    approx = (
-        lsh.select(F.lit("lsh").alias("method"), "query_id", "vec_id")
-        .unionByName(ivf.select(F.lit("ivf").alias("method"), "query_id", "vec_id"))
-        .withColumn("_hit", F.lit(1))
-    )
-    methods = spark.createDataFrame([("lsh",), ("ivf",)], "method string")
-    return (
-        exact.crossJoin(F.broadcast(methods))
-        .join(approx, ["method", "query_id", "vec_id"], "left")
-        .groupBy("query_id", "method")
-        .agg(
-            F.count("_hit").alias("n_hit"),
-            F.round(F.count("_hit") / 5.0, 6).alias("recall_at_5"),
-        )
-        .orderBy("query_id", "method")
-    )
-
-
 def _kmeans_cte_chain(every: int = 64, iters: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
     """The WITH-chain of the reproducible k-means replay, ending in CTE
     ``c{iters}`` = (cid, cv DOUBLE[]); shared by the centroid oracle and
@@ -3207,8 +3147,9 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivfpq_oracle(
     cevery: int = 64, qevery: int = 25, nprobe: int = 2, k: int = 5,
-    m: int = 4, dim: int = 64,
+    m: int = 4, dim: int = 64, qwhere: str | None = None,
 ) -> str:
+    qpred = qwhere or f"vec_id % {qevery} = 0"
     ds = dim // m
     l2 = (
         "round(list_sum(list_transform(range(1, {n}), "
@@ -3225,7 +3166,7 @@ def _ivfpq_oracle(
         FROM vd JOIN (SELECT vec_id, min(d) AS md FROM vd GROUP BY vec_id) t
           ON t.vec_id = vd.vec_id AND vd.d = t.md
         GROUP BY vd.vec_id)
-    , q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id % {qevery} = 0)
+    , q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE {qpred})
     , qd AS (SELECT q.qid, c.ccid,
                     {l2.format(n=dim + 1, a="q.qv", b="c.ccv")} AS d
              FROM q, coarse c)
@@ -3233,7 +3174,7 @@ def _ivfpq_oracle(
         SELECT qid, ccid AS list FROM (
           SELECT qid, ccid, row_number() OVER (PARTITION BY qid ORDER BY d, ccid) AS rn
           FROM qd) WHERE rn <= {nprobe})
-    , qs AS (SELECT vec_id AS qid, sub, v AS qv FROM sv WHERE vec_id % {qevery} = 0)
+    , qs AS (SELECT vec_id AS qid, sub, v AS qv FROM sv WHERE {qpred})
     , lut AS (
         SELECT qs.qid, qs.sub, cb.cid,
                {l2.format(n=ds + 1, a="qs.qv", b="cb.cv")} AS ld
@@ -3275,6 +3216,91 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "adc_dist"
     ).orderBy("query_id", "rank")
+
+
+def _ann_recall_oracle() -> str:
+    exact = _ANN_COSINE_ORACLE.replace("ORDER BY query_id, rank", "")
+    lsh = _ann_lsh_oracle().replace("ORDER BY query_id, rank", "")
+    ivf = _ann_ivf_oracle().replace("ORDER BY query_id, rank", "")
+    ivfpq = _ivfpq_oracle(qwhere="vec_id < 5").replace(
+        "ORDER BY query_id, rank", ""
+    )
+    return f"""
+    WITH exact AS (SELECT query_id, vec_id FROM ({exact})),
+         approx AS (
+           SELECT 'lsh' AS method, query_id, vec_id FROM ({lsh})
+           UNION ALL
+           SELECT 'ivf' AS method, query_id, vec_id FROM ({ivf})
+           UNION ALL
+           SELECT 'ivfpq' AS method, query_id, vec_id FROM ({ivfpq})
+         ),
+         em AS (
+           SELECT m.method, e.query_id, e.vec_id
+           FROM exact e CROSS JOIN (VALUES ('lsh'), ('ivf'), ('ivfpq')) m(method)
+         )
+    SELECT em.query_id, em.method,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           round(count(a.vec_id) / 5.0, 6) AS recall_at_5
+    FROM em
+      LEFT JOIN approx a ON a.method = em.method
+        AND a.query_id = em.query_id AND a.vec_id = em.vec_id
+    GROUP BY em.query_id, em.method
+    ORDER BY em.query_id, em.method
+    """
+
+
+@_register("ann_recall_eval", _ann_recall_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — recall@5 of each approximate path (LSH
+    buckets, IVF lists, IVF-PQ codes) against the exact brute-force
+    ground truth, per query and method. The eval harness every production
+    ANN deployment needs before trading recall for latency; all sides
+    reuse the engine's own operators. Note the metric asymmetry the eval
+    deliberately surfaces: LSH/IVF rank by cosine, IVF-PQ by quantized
+    L2 — on unnormalized embeddings its recall includes that
+    metric-mismatch cost, exactly what an operator needs to see."""
+    from ..operators.similarity import centroids_df, ivf_topk, ivfpq_topk
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    lsh = lsh_bucket_topk(emb, queries, dim=64, k=5, nbits=8)
+    ivf = ivf_topk(emb, queries, centroids_df(emb, every=25), k=5, nprobe=4)
+    ivfpq = ivfpq_topk(
+        emb,
+        queries,
+        centroids_df(emb, every=64),
+        _pq_codes_table(spark, sf_dir),
+        _pq_codebook_table(spark, sf_dir),
+        k=5,
+        nprobe=2,
+        m=4,
+        dim=64,
+    )
+    approx = (
+        lsh.select(F.lit("lsh").alias("method"), "query_id", "vec_id")
+        .unionByName(ivf.select(F.lit("ivf").alias("method"), "query_id", "vec_id"))
+        .unionByName(
+            ivfpq.select(F.lit("ivfpq").alias("method"), "query_id", "vec_id")
+        )
+        .withColumn("_hit", F.lit(1))
+    )
+    methods = spark.createDataFrame(
+        [("lsh",), ("ivf",), ("ivfpq",)], "method string"
+    )
+    return (
+        exact.crossJoin(F.broadcast(methods))
+        .join(approx, ["method", "query_id", "vec_id"], "left")
+        .groupBy("query_id", "method")
+        .agg(
+            F.count("_hit").alias("n_hit"),
+            F.round(F.count("_hit") / 5.0, 6).alias("recall_at_5"),
+        )
+        .orderBy("query_id", "method")
+    )
+
 
 
 # ===========================================================================
