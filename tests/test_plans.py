@@ -61,8 +61,19 @@ def test_registry_wide_plan_hygiene(spark):
     Python seam) and without CartesianProduct (broadcast nested-loop over
     a dimension side is fine; an unbroadcast cartesian is a scale-killer).
     Planning-only: no jobs run except queries that stage intermediates."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     for name, fn in sorted(all_queries().items()):
         df = fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        # the driver's canonicalizer sort_values-es every output column and
+        # cannot hash array/map/struct cells (round-1 lesson: two red rows
+        # hidden by a stringifying hash) — registry outputs must be scalar
+        nested = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not nested, f"{name}: non-scalar output columns {nested}"
