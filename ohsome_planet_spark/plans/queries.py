@@ -2748,6 +2748,81 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIXTURE_BUDGET_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+), per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(substr(source, 4) AS INT) + 1 AS weight
+  FROM toks GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+         CAST(sum(weight) AS BIGINT) AS wsum FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / total, 6)                         AS natural_frac,
+       weight,
+       round(weight / wsum, 6)                            AS target_frac,
+       round(0.5 * total * weight / wsum, 6)              AS target_tokens,
+       round(0.5 * total * weight / wsum / n_tokens, 6)   AS epochs,
+       round(least(1.0, 0.5 * total * weight / wsum / n_tokens), 6)
+         AS sample_rate
+FROM per, tot ORDER BY source
+"""
+
+
+@_register("mixture_token_budget", _MIXTURE_BUDGET_ORACLE)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture PLANNER behind every LLM data recipe: per-source token
+    inventory vs target weights → per-source token budget, epochs
+    (>1 = upsampling), and the downsampling rate actually applicable.
+    One source-keyed aggregation plus a broadcast one-row totals join —
+    the planning table is sources-sized however big the corpus; executing
+    the plan is what `mixture_resample` does."""
+    from ..functions.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.size(tokens_expr(F.col("text"))).alias("_n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "weight", F.expr("CAST(substring(source, 4) AS INT) + 1")
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("bigint").alias("_total"),
+        F.sum("weight").cast("bigint").alias("_wsum"),
+    )
+    target_tok = (
+        F.lit(0.5) * F.col("_total") * F.col("weight") / F.col("_wsum")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_total"), 6).alias("natural_frac"),
+            "weight",
+            F.round(F.col("weight") / F.col("_wsum"), 6).alias("target_frac"),
+            F.round(target_tok, 6).alias("target_tokens"),
+            F.round(target_tok / F.col("n_tokens"), 6).alias("epochs"),
+            F.round(
+                F.least(F.lit(1.0), target_tok / F.col("n_tokens")), 6
+            ).alias("sample_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 _CONTRIBUTORS_ORACLE = """
 WITH act AS (
   SELECT date_trunc('day', ts) AS period,
