@@ -2707,6 +2707,40 @@ _SNAPSHOT_SERIES_ORACLE = (
 )
 
 
+_EVENTS_CUBE_ORACLE = """
+SELECT event_type,
+       date_trunc('day', ts) AS day,
+       CAST(GROUPING_ID(event_type, date_trunc('day', ts)) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, date_trunc('day', ts))
+ORDER BY gid, event_type, day
+"""
+
+
+@_register("events_cube", _EVENTS_CUBE_ORACLE)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (SURVEY.md §2.4's grouping-sets family, next to
+    `sales_rollup`'s ROLLUP): all four (event_type × day) grouping
+    combinations in ONE pass — Spark expands the sets map-side and still
+    partial-aggregates, so the exchange carries one row per (set, group),
+    not one scan per set. ``grouping_id`` disambiguates real NULLs from
+    subtotal rows, same contract as the SQL standard."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    return (
+        ev.select("event_type", day.alias("day"), "value")
+        .cube("event_type", "day")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("gid", "event_type", "day")
+    )
+
+
 _PROPS_JSON_ORACLE = """
 SELECT event_type,
        CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS INT) AS k_decile,
