@@ -2707,6 +2707,51 @@ _SNAPSHOT_SERIES_ORACLE = (
 )
 
 
+_BACKLOG_ORACLE = """
+WITH iv AS (
+  SELECT o_orderdate AS open_d,
+         o_orderdate + INTERVAL 1 DAY * (o_orderkey % 90) AS close_d
+  FROM orders
+), ev AS (
+  SELECT open_d AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT close_d AS day, -1 AS delta FROM iv
+), daily AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS net_change FROM ev GROUP BY day
+)
+SELECT day, net_change,
+       CAST(sum(net_change) OVER (ORDER BY day) AS BIGINT) AS n_open
+FROM daily ORDER BY day
+"""
+
+
+@_register("order_backlog_interval", _BACKLOG_ORACLE)
+def order_backlog_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting — how many intervals are open on each
+    day — via the ±1 event-ization trick: each interval emits (+1 at
+    open, −1 at close), one day-keyed combinable aggregation, then a
+    running sum over the DAY table. The alternative (day × interval
+    range join) is O(days·rows); this is O(rows) with a days-sized
+    window — the shape that scales to billions of intervals. (Close
+    dates are synthesized deterministically from the order key.)"""
+    orders = _t(spark, sf_dir, "orders")
+    iv = orders.select(
+        F.col("o_orderdate").alias("open_d"),
+        F.expr(
+            "o_orderdate + make_interval(0,0,0, CAST(o_orderkey % 90 AS INT), 0,0,0)"
+        ).alias("close_d"),
+    )
+    ev = iv.select(F.col("open_d").alias("day"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("close_d").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = ev.groupBy("day").agg(F.sum("delta").cast("bigint").alias("net_change"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        daily.withColumn("n_open", F.sum("net_change").over(w).cast("bigint"))
+        .orderBy("day")
+    )
+
+
 _EVENTS_CUBE_ORACLE = """
 SELECT event_type,
        date_trunc('day', ts) AS day,
