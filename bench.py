@@ -13,6 +13,14 @@ Hardening (round-6):
 - n>=3 runs with per-query medians (``$SPARK_GRAFT_BENCH_N``, default 3):
   sf0.1 timings are driver-bound with ~±50% single-run noise, so medians
   are the only way a round-over-round delta is meaningful.
+
+Hardening (round-7): the driver captures only the LAST 2,000 characters of
+stdout, and a 100-entry per-query map (~3.4 KB) pushed ``"metric"`` /
+``"value"`` out of the captured tail, so rounds 5-6 recorded
+``parsed: null``. The FINAL stdout line is now a compact summary
+(guaranteed < 1,900 bytes; asserted by tests/test_bench_harness.py); the
+full per-query map goes to the ``BENCH_DETAIL.json`` sidecar next to this
+script and, for humans, to stderr.
 """
 
 from __future__ import annotations
@@ -90,6 +98,37 @@ def run_bench(spark, queries, sf_dir: str, n_runs: int) -> dict:
     return out
 
 
+def compact_summary(out: dict) -> dict:
+    """Driver-contract final stdout line: everything except the per-query
+    map, guaranteed to serialize under 1,900 bytes so the driver's
+    2,000-char stdout tail capture parses it (round-6 verdict item #1).
+
+    ``errors`` is reduced to a count + (truncated) name list so even a
+    catastrophic all-queries-failed run stays under the size cap.
+    """
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "runs_per_query": out["runs_per_query"],
+        "n_queries": len(out.get("queries", {})),
+        "detail": "BENCH_DETAIL.json",
+    }
+    errs = out.get("errors")
+    if errs:
+        summary["n_errors"] = len(errs)
+        names = sorted(errs)
+        listed: list[str] = []
+        for name in names:
+            if sum(len(x) + 4 for x in listed) + len(name) > 1200:
+                listed.append("...")
+                break
+            listed.append(name)
+        summary["errors"] = listed
+    return summary
+
+
 def main() -> None:
     spark = get_spark(app_name="ohsome_planet_spark_bench")
     queries = all_queries()
@@ -105,7 +144,22 @@ def main() -> None:
     # warm up the JVM/session so per-query numbers measure the queries
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    print(json.dumps(run_bench(spark, queries, SF_DIR, N_RUNS)))
+    out = run_bench(spark, queries, SF_DIR, N_RUNS)
+
+    # Full detail (with the per-query map) goes to a sidecar + stderr; the
+    # FINAL stdout line is the compact driver-contract summary, kept well
+    # under the driver's 2,000-char stdout tail capture.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+    except Exception:
+        print("[bench] could not write BENCH_DETAIL.json", file=sys.stderr)
+    print(json.dumps(out), file=sys.stderr)
+
+    print(json.dumps(compact_summary(out)))
     try:
         spark.stop()
     except Exception:

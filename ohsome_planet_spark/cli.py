@@ -135,6 +135,21 @@ def _init_replication(spark, entities, args) -> int:
     else:
         server = entity_server(endpoint)
 
+    # Resolve the start state BEFORE writing the history tables: an empty
+    # extract (max_ts None) or an unreachable endpoint must not leave a
+    # half-seeded <data>/nodes that makes every rerun abort with
+    # "replication directory is not empty!" (round-6 ADVICE, low).
+    max_ts = entities.agg(F.max("ts")).first()[0]
+    if max_ts is None:
+        print("extract contains no entities; cannot initialize replication",
+              file=sys.stderr)
+        return 1
+    latest = server.get_latest_remote_state()
+    start = server.find_start_state_by_timestamp(
+        max_ts.replace(tzinfo=timezone.utc), latest
+    )
+    state_text = start.format()
+
     node_cols = ["osm_type", "osm_id", "version", "ts", "changeset",
                  "user_id", "user_name", "visible", "tags", "lon", "lat"]
     way_cols = node_cols[:-2] + ["refs"]
@@ -144,13 +159,6 @@ def _init_replication(spark, entities, args) -> int:
     entities.filter("osm_type = 'way'").select(*way_cols).write.parquet(
         os.path.join(args.data, "ways")
     )
-
-    max_ts = entities.agg(F.max("ts")).first()[0]
-    latest = server.get_latest_remote_state()
-    start = server.find_start_state_by_timestamp(
-        max_ts.replace(tzinfo=timezone.utc), latest
-    )
-    state_text = start.format()
     with open(os.path.join(args.data, "state.txt"), "w") as f:
         f.write(state_text)
     with open(os.path.join(args.out, "state.txt"), "w") as f:

@@ -85,9 +85,14 @@ def probe_bloom(
 
     Each probe key expands to its k (slot, position) pairs; a broadcast
     join against the set-bit relation hits each slot at most once, so a
-    key is a (possible) member iff all k slots joined. The big probe side
-    never shuffles — the only exchange is the final groupBy back to one
-    row per probe, keyed identically to the input.
+    key is a (possible) member iff all k DISTINCT slots joined. Counting
+    distinct slots (not rows) keeps the guarantee under duplicate probe
+    rows: groupBy(*cols) collapses duplicates, so a plain count(*) would
+    see 2k hits for a twice-probed member and wrongly report
+    ``maybe_member = False`` — a false NEGATIVE, the one failure mode a
+    Bloom filter must never have (round-6 ADVICE, medium). The big probe
+    side never shuffles — the only exchange is the final groupBy back to
+    one row per probe, keyed identically to the input.
     """
     cols = probes.columns
     slots = probes.select(
@@ -99,7 +104,7 @@ def probe_bloom(
     hits = (
         slots.join(F.broadcast(bloom), "pos")
         .groupBy(*cols)
-        .agg(F.count(F.lit(1)).alias("_n_hit"))
+        .agg(F.countDistinct("_slot").alias("_n_hit"))
     )
     return (
         probes.join(hits, cols, "left")

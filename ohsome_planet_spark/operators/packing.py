@@ -79,11 +79,21 @@ def packing_stats(packed: DataFrame, seq_len: int = 2048) -> DataFrame:
     """Per-shard packing summary: documents, tokens, emitted sequences
     (ceil of the token total), tail fill of the final sequence, and how
     many documents straddle a boundary. One partial-agg shuffle on the
-    (already co-partitioned) shard key."""
+    (already co-partitioned) shard key.
+
+    ``tail_fill`` is ``seq_len`` (i.e. "full") when the final sequence is
+    exactly full, and 0 only for an empty shard — the plain modulo
+    conflated the two (round-6 ADVICE, mirrored in the oracle SQL).
+    """
+    total = F.sum("n_tokens")
+    mod = F.pmod(total, F.lit(seq_len))
     return packed.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.ceil(F.sum("n_tokens") / seq_len).cast("bigint").alias("n_sequences"),
-        F.pmod(F.sum("n_tokens"), F.lit(seq_len)).cast("bigint").alias("tail_fill"),
+        total.alias("total_tokens"),
+        F.ceil(total / seq_len).cast("bigint").alias("n_sequences"),
+        F.when((mod == 0) & (total > 0), F.lit(seq_len))
+        .otherwise(mod)
+        .cast("bigint")
+        .alias("tail_fill"),
         F.sum((F.col("n_splits") > 0).cast("bigint")).alias("n_split_docs"),
     )

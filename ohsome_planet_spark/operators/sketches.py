@@ -194,6 +194,11 @@ def cms_query(
 ) -> DataFrame:
     """Append ``cms_estimate`` (min over the key's d cells) to each key row.
 
+    Duplicate key rows are preserved: estimates are computed once per
+    distinct key and joined back to the input frame (same shape as
+    ``probe_bloom``), so the output has exactly the input's rows
+    (round-6 ADVICE: the previous groupBy-only form collapsed duplicates).
+
     The counter table is ≤ d·w rows — broadcast; the keys side never
     shuffles for the lookup.
     """
@@ -208,8 +213,9 @@ def cms_query(
     slots = keys.select(*cols, F.explode(cells).alias("c")).select(
         *cols, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
     )
-    return (
+    estimates = (
         slots.join(F.broadcast(cms), ["row", "bucket"], "left")
         .groupBy(*cols)
         .agg(F.min(F.coalesce("counter", F.lit(0))).alias("cms_estimate"))
     )
+    return keys.join(estimates, cols, "left")

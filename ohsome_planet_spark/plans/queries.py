@@ -4681,7 +4681,11 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(ceil(sum(n_tokens) / {_PACK_SEQ_LEN}.0) AS BIGINT) AS n_sequences,
-           CAST(sum(n_tokens) % {_PACK_SEQ_LEN} AS BIGINT) AS tail_fill,
+           CAST(CASE WHEN sum(n_tokens) % {_PACK_SEQ_LEN} = 0
+                      AND sum(n_tokens) > 0
+                     THEN {_PACK_SEQ_LEN}
+                     ELSE sum(n_tokens) % {_PACK_SEQ_LEN} END AS BIGINT)
+             AS tail_fill,
            CAST(sum(CASE WHEN
                  greatest(start_off + n_tokens - 1, start_off) // {_PACK_SEQ_LEN}
                    > start_off // {_PACK_SEQ_LEN} THEN 1 ELSE 0 END) AS BIGINT)

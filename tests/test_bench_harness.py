@@ -9,7 +9,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from bench import run_bench
+from bench import compact_summary, run_bench
 
 
 def _ok_query(spark, sf_dir):
@@ -43,3 +43,45 @@ def test_all_green_has_no_errors_key(spark):
     out = run_bench(spark, {"a": _ok_query, "b": _ok_query}, "/root/testdata/sf0.001", n_runs=3)
     assert "errors" not in out
     assert set(out["queries"]) == {"a", "b"}
+
+
+def test_compact_summary_fits_driver_tail_capture():
+    """Round-6 verdict item #1: the driver captures only the last 2,000
+    chars of stdout; the final JSON line must round-trip json.loads with
+    "value" present and stay under 1,900 bytes even with a 200-entry
+    per-query map and many errors."""
+    import json
+
+    out = {
+        "metric": "total_query_wall",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {f"query_with_a_long_name_{i:04d}": 1.234 for i in range(200)},
+        "sf": 0.1,
+        "runs_per_query": 3,
+        "errors": {f"query_with_a_long_name_{i:04d}": "boom" for i in range(200)},
+    }
+    line = json.dumps(compact_summary(out))
+    assert len(line.encode()) < 1900
+    parsed = json.loads(line)
+    assert parsed["value"] == 123.456
+    assert parsed["metric"] == "total_query_wall"
+    assert parsed["n_queries"] == 200
+    assert parsed["n_errors"] == 200
+    assert parsed["errors"][-1] == "..."
+
+
+def test_compact_summary_green_case():
+    import json
+
+    out = {
+        "metric": "total_query_wall",
+        "value": 99.9,
+        "unit": "sec",
+        "queries": {"a": 1.0},
+        "sf": 0.1,
+        "runs_per_query": 3,
+    }
+    parsed = json.loads(json.dumps(compact_summary(out)))
+    assert "errors" not in parsed and "n_errors" not in parsed
+    assert parsed["n_queries"] == 1 and parsed["value"] == 99.9

@@ -54,3 +54,16 @@ def test_probe_plan_broadcasts_filter(spark):
     probed = probe_bloom(_hashed(spark, ["a", "c"]), "h", bloom, m=M, k=K)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # probe side never shuffles into the join
+
+
+def test_duplicate_probe_rows_keep_no_false_negative_guarantee(spark):
+    """Round-6 ADVICE (medium): with count(*) instead of countDistinct(_slot),
+    a true member probed in two identical rows accumulated 2k hits and was
+    wrongly reported maybe_member=False — a false negative."""
+    bloom = build_bloom(_hashed(spark, ["member"]), "h", m=M, k=K)
+    dup_probes = _hashed(spark, ["member", "member", "other"])
+    got = probe_bloom(dup_probes, "h", bloom, m=M, k=K).collect()
+    # multiplicity preserved: both duplicate rows come back, both flagged
+    members = [r for r in got if r.key == "member"]
+    assert len(members) == 2
+    assert all(r.maybe_member for r in members)

@@ -54,7 +54,22 @@ def test_packing_stats_roundtrip(spark):
         assert s.n_docs == agg[shard].n
         assert s.total_tokens == agg[shard].t
         assert s.n_sequences == math.ceil(agg[shard].t / 32)
-        assert s.tail_fill == agg[shard].t % 32
+        expected_tail = agg[shard].t % 32
+        if expected_tail == 0 and agg[shard].t > 0:
+            expected_tail = 32  # exactly-full final sequence reports seq_len
+        assert s.tail_fill == expected_tail
+
+
+def test_packing_stats_exactly_full_tail_reports_seq_len(spark):
+    """Round-6 ADVICE: tail_fill==0 used to be ambiguous between 'exactly
+    full' and 'empty'; an exactly-full shard now reports seq_len."""
+    # 4 docs x 8 tokens = 32 = exactly one full sequence, single shard
+    docs = _docs(spark, [(i, " ".join(["w"] * 8)) for i in range(4)])
+    packed = pack_sequences(docs, seq_len=32, n_shards=1)
+    s = packing_stats(packed, seq_len=32).collect()[0]
+    assert s.total_tokens == 32
+    assert s.n_sequences == 1
+    assert s.tail_fill == 32
 
 
 def test_bm25_ranks_term_density(spark):

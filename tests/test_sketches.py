@@ -106,3 +106,17 @@ def test_cms_absent_key_zero_when_empty_cells(spark):
     probe = _tok_stream(spark, {"never-seen": 1}).distinct()
     got = cms_query(probe, "h", cms, d=4, w=1024).collect()[0]
     assert got.cms_estimate == 0  # all 4 cells empty for this key
+
+
+def test_cms_query_preserves_duplicate_key_rows(spark):
+    """Round-6 ADVICE: estimates are joined back to the input frame, so
+    duplicate probe rows each get their own output row."""
+    from ohsome_planet_spark.functions.text import hash60_expr
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([("x",), ("x",), ("y",)], "tok string")
+    keys = df.withColumn("h", hash60_expr(F.col("tok")))
+    cms = cms_build(keys, "h", d=4, w=256)
+    out = cms_query(keys, "h", cms, d=4, w=256).collect()
+    assert len(out) == 3
+    xs = [r for r in out if r.tok == "x"]
+    assert len(xs) == 2 and all(r.cms_estimate >= 2 for r in xs)
