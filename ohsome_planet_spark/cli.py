@@ -85,11 +85,19 @@ def cmd_contributions(args) -> int:
     else:
         contribs = contribs.withColumn("countries", F.array().cast("array<string>"))
 
-    write_contributions(
-        contribs.sortWithinPartitions("osm_id", "valid_from"),
-        args.out,
-        bloom_filter_columns=("osm_id",),
-    )
+    if getattr(args, "sort_spatially", False):
+        # XZ-code clustering: spatially coherent row groups so the bbox
+        # covering column prunes (see geoparquet.write_contributions)
+        write_contributions(
+            contribs, args.out, bloom_filter_columns=("osm_id",),
+            sort_spatially=True,
+        )
+    else:
+        write_contributions(
+            contribs.sortWithinPartitions("osm_id", "valid_from"),
+            args.out,
+            bloom_filter_columns=("osm_id",),
+        )
     print(f"wrote contributions to {args.out}")
 
     if args.replication_endpoint:
@@ -527,6 +535,10 @@ def main(argv=None) -> int:
     c.add_argument("--filter-relation-tag-keys")
     c.add_argument("--multipolygon-member-limit", type=int, default=500)
     c.add_argument("--data", help="working dir for replication seeding")
+    c.add_argument(
+        "--sort-spatially", action="store_true",
+        help="cluster output rows by XZ code for bbox row-group pruning",
+    )
     c.add_argument(
         "--replication-endpoint",
         help="seed <data>/ replication stores + state.txt for later `replications` runs",

@@ -109,3 +109,68 @@ def test_multimodal_pipeline(spark):
         frames.groupBy("media_id").agg(F.count("frame_idx").alias("n")).collect()
     )
     assert all(1 <= r.n <= 4 for r in per_media)
+
+
+def test_bbox_covering_prunes_row_groups(spark, tmp_path):
+    """GeoParquet 1.1 covering path (round-6 verdict item #6): with
+    spatial sorting on the XZ code + small row groups, the per-row bbox
+    struct's column statistics let a bbox filter skip row groups — and
+    Spark pushes the nested bbox predicate down to the parquet scan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    # 120 nodes marching east along a line: spatially sortable, and any
+    # small query window should only touch a few row groups
+    rows = [
+        (
+            i, 1, ts("2020-01-01T00:00:00"), 10, 1, "u", True, {"a": "b"},
+            -170.0 + i * 2.8, 10.0,
+        )
+        for i in range(120)
+    ]
+    nodes = spark.createDataFrame(rows, NODE_SCHEMA)
+    contribs = synthesize_contributions(node_contribution_events(nodes)).coalesce(1)
+    out = str(tmp_path / "spatial")
+    write_contributions(
+        contribs, out, split_latest=False, sort_spatially=True, row_group_size=10
+    )
+
+    qxmin, qxmax = 0.0, 20.0  # small window over the equator-line sweep
+    total = scanned = kept_rows = 0
+    for f in glob.glob(out + "/**/*.parquet", recursive=True):
+        pf = pq.ParquetFile(f)
+        ncols = {c: i for i, c in enumerate(pf.schema_arrow.names)}
+        # locate the bbox.xmin/xmax leaf columns by path
+        md = pf.metadata
+        for rg in range(md.num_row_groups):
+            total += 1
+            stats = {}
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema in ("bbox.xmin", "bbox.xmax"):
+                    stats[col.path_in_schema] = col.statistics
+            assert stats, "bbox leaf statistics missing"
+            overlaps = (
+                stats["bbox.xmin"].max >= qxmin and stats["bbox.xmax"].min <= qxmax
+                and stats["bbox.xmin"].min <= qxmax and stats["bbox.xmax"].max >= qxmin
+            )
+            if overlaps:
+                scanned += 1
+                kept_rows += md.row_group(rg).num_rows
+    assert total >= 10  # the small row_group_size took effect
+    # spatial sort makes the window touch a small fraction of row groups
+    assert scanned <= max(2, total // 4), (scanned, total)
+
+    # Spark pushes the nested bbox predicate into the parquet scan
+    df = spark.read.parquet(out).filter(
+        (F.col("bbox.xmax") >= qxmin) & (F.col("bbox.xmin") <= qxmax)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "bbox" in plan.split("PushedFilters")[1][:200]
+    # and the filtered result is exactly the window's rows
+    got = sorted(r.osm_id for r in df.collect())
+    expect = sorted(
+        i for i in range(120) if -170.0 + i * 2.8 >= qxmin - 1e-9 and -170.0 + i * 2.8 <= qxmax + 1e-9
+    )
+    assert got == expect
