@@ -226,6 +226,80 @@ ADVERSARIAL = {
     ),
 }
 
+# round-7 additions, tracking the remaining 7xx-grid families named in the
+# round-6 verdict: spikes / self-intersections, duplicate nodes within a
+# ring, and ways used twice in one relation. Expectations derived from
+# GeometryBuilder.java semantics:
+# - splitWays drops zero-length segments (consecutive duplicate node) and
+#   whole ways whose coordinate SET was already seen (way used twice,
+#   including a reversed copy);
+# - an out-and-back spike creates a duplicate segment pair that
+#   filterOutRedundantSegments removes at the odd-parity node;
+# - mergeSegments collapses collinear backtracks;
+# - a ring crossing itself at a non-node -> JTS isValid false -> error;
+# - inners touching at a non-node coordinate -> documented error string.
+ADVERSARIAL.update({
+    # consecutive duplicate node -> zero-length segment dropped, square ok
+    "duplicate_consecutive_node": (
+        [[(0, 0), (1, 0), (1, 0), (1, 1), (0, 1), (0, 0)]], [], False,
+        "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)))",
+    ),
+    # the same member way listed twice: set-dedup keeps one copy
+    "way_used_twice": (
+        [_sq(0, 0, 1, 1), _sq(0, 0, 1, 1)], [], False,
+        "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)))",
+    ),
+    # a way plus its reversed copy: same coordinate set, second dropped
+    "way_used_twice_reversed": (
+        [_sq(0, 0, 1, 1), list(reversed(_sq(0, 0, 1, 1)))], [], False,
+        "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)))",
+    ),
+    # out-and-back spike: the doubled segment is redundant at the
+    # odd-parity tip and is filtered; the square survives without it
+    "spike_out_and_back": (
+        [[(0, 0), (1, 0), (1, 1), (1, 2), (1, 1), (0, 1), (0, 0)]], [], False,
+        "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)))",
+    ),
+    # spike on an INNER ring: hole survives without the spike
+    "spike_on_inner": (
+        [_sq(0, 0, 4, 4)],
+        [[(1, 1), (2, 1), (2, 2), (2, 3), (2, 2), (1, 2), (1, 1)]], False,
+        "MULTIPOLYGON(((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1)))",
+    ),
+    # collinear backtrack along an edge: mergeSegments collapses it
+    "collinear_backtrack": (
+        [[(0, 0), (2, 0), (1, 0), (1, 1), (0, 1), (0, 0)]], [], False,
+        "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)))",
+    ),
+    # full ring plus a 2-way duplicate cover of the same edges: segment
+    # dedup keeps one copy of each edge, parity stays even, square builds
+    "duplicate_edge_cover": (
+        [_sq(0, 0, 1, 1),
+         [(0, 0), (1, 0), (1, 1)], [(1, 1), (0, 1), (0, 0)]], [], False,
+        "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)))",
+    ),
+    # bowtie crossing itself at a non-node coordinate: ring assembles but
+    # the polygon is self-intersecting -> invalid
+    "bowtie_self_intersection": (
+        [[(0, 0), (1, 1), (1, 0), (0, 1), (0, 0)]], [], False,
+        "ERROR:Invalid polygon",
+    ),
+    # two inners touching at a coordinate that is a node of only one ring
+    "touching_inners_without_common_node": (
+        [_sq(0, 0, 6, 6)],
+        [_sq(1, 1, 3, 3),
+         [(3, 2), (4, 1.5), (4, 2.5), (3, 2)]], False,
+        "ERROR:Touching polygons without common node",
+    ),
+    # two outers overlapping where ONE crossing is a shared node but the
+    # other is not: repair is refused -> overlapping polygons error
+    "overlapping_outers_one_free_crossing": (
+        [[(0, 0), (2, 0), (2, 1), (2, 2), (0, 2), (0, 0)],
+         [(1, 1), (2, 1), (3, 1), (3, 3), (1, 3), (1, 1)]], [], False,
+        "ERROR:Overlapping polygons",
+    ),
+})
+
 
 @pytest.mark.parametrize("name", sorted(ADVERSARIAL))
 def test_adversarial_cases(name):
