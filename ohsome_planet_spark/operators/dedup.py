@@ -175,13 +175,15 @@ def _perm_coeff(i: int, which: str) -> int:
     return c | 1  # force odd (a must be non-zero)
 
 
-def lsh_candidate_pairs(
+def lsh_bands(
     signatures: DataFrame, num_perm: int = 16, bands: int = 4
 ) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` rows, bucket by the
-    band's content, and emit candidate pairs within equal buckets."""
+    """The banding half of LSH: (doc, band, bucket) rows. Exposed
+    separately so incremental consumers can probe a HISTORY bucket table
+    with a batch's bands (anti-join shape) instead of self-joining the
+    whole corpus."""
     rows_per_band = num_perm // bands
-    banded = signatures.select(
+    return signatures.select(
         "doc",
         F.explode(
             F.array(
@@ -201,6 +203,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_perm: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` rows, bucket by the
+    band's content, and emit candidate pairs within equal buckets."""
+    banded = lsh_bands(signatures, num_perm, bands)
     # both self-join sides consume the minhash computation; persist once
     from pyspark.storagelevel import StorageLevel
 

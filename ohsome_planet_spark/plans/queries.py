@@ -6320,6 +6320,417 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("doc_id", verdict.alias("verdict")).orderBy("doc_id")
 
 
+
+# ===========================================================================
+# round-7 additions: OSM analytics + training-data surface widening
+# ===========================================================================
+
+
+def _tag_change_oracle() -> str:
+    cut = _CONTRIB_ORACLE.find("SELECT\n  CASE WHEN NOT visible")
+    return (
+        _CONTRIB_ORACLE[:cut]
+        + """
+    SELECT prev_tagv AS old_value, tagv AS new_value,
+           CAST(count(*) AS BIGINT) AS n_changes,
+           CAST(count(DISTINCT osm_id) AS BIGINT) AS n_elements
+    FROM final
+    WHERE visible AND prev_tagv IS NOT NULL AND tagv IS DISTINCT FROM prev_tagv
+    GROUP BY 1, 2 ORDER BY old_value, new_value
+    """
+    )
+
+
+@_register("tag_change_matrix", _tag_change_oracle())
+def tag_change_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-transition matrix: how often each tag value changed into each
+    other value across the contribution stream (the 'how do features
+    evolve' analytics the taginfo/ohsome dashboards derive). One
+    two-column groupBy over the staged contributions table —
+    tags_before/tags are already materialized, so no window re-runs."""
+    contribs = _node_contribs_table(spark, sf_dir)
+    old_v, new_v = F.col("tags_before")["t"], F.col("tags")["t"]
+    return (
+        contribs.filter(F.col("status") != "deleted")
+        .filter(old_v.isNotNull() & ~old_v.eqNullSafe(new_v))
+        .groupBy(old_v.alias("old_value"), new_v.alias("new_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.countDistinct("osm_id").alias("n_elements"),
+        )
+        .orderBy("old_value", "new_value")
+    )
+
+
+def _lifespan_oracle() -> str:
+    contribs = _CONTRIB_ORACLE.replace("ORDER BY osm_id, osm_edits", "")
+    return f"""
+    WITH contribs AS ({contribs})
+    SELECT osm_id,
+           CAST(max(osm_edits) AS INT) AS n_edits,
+           min(valid_from) AS first_edit,
+           max(valid_from) AS last_edit,
+           round(date_diff('second', min(valid_from), max(valid_from))
+                 / 86400.0, 6) AS lifespan_days,
+           arg_max(status, osm_edits) AS final_status
+    FROM contribs GROUP BY osm_id ORDER BY osm_id
+    """
+
+
+@_register("element_lifespans", _lifespan_oracle())
+def element_lifespans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-element lifecycle summary: edit count, first/last edit, days
+    alive, and the element's final status — the 'churn' profile OSM
+    completeness studies aggregate. A single combinable groupBy on the
+    staged contributions table (already hash-clustered by osm_id in the
+    stage write, so at 100 TB this aggregation is co-located)."""
+    contribs = _node_contribs_table(spark, sf_dir)
+    return (
+        contribs.groupBy("osm_id")
+        .agg(
+            F.max("osm_edits").cast("int").alias("n_edits"),
+            F.min("valid_from").alias("first_edit"),
+            F.max("valid_from").alias("last_edit"),
+            F.round(
+                (
+                    F.max("valid_from").cast("long")
+                    - F.min("valid_from").cast("long")
+                )
+                / 86400.0,
+                6,
+            ).alias("lifespan_days"),
+            F.max_by("status", "osm_edits").alias("final_status"),
+        )
+        .orderBy("osm_id")
+    )
+
+
+def _bigram_logprob_oracle(k: float = 0.5) -> str:
+    bucket = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
+    return rf"""
+    WITH b AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> x <> '') AS toks,
+             CASE WHEN {bucket} < 80 THEN 'train'
+                  WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    ), bg0 AS (
+      SELECT doc_id, split,
+             unnest(list_transform(range(1, len(toks)),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+      FROM b
+    ), bg AS (
+      SELECT doc_id, split, (p).w1 AS w1, (p).w2 AS w2 FROM bg0
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c FROM bg WHERE split = 'train' GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, sum(c) AS c FROM c2 GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT w2) AS vocab FROM c2
+    ), scored AS (
+      SELECT t.doc_id,
+             -ln((coalesce(p.c, 0) + {k}) /
+                 (coalesce(u.c, 0) + {k} * v.vocab)) AS nll
+      FROM bg t
+        LEFT JOIN c2 p ON p.w1 = t.w1 AND p.w2 = t.w2
+        LEFT JOIN c1 u ON u.w1 = t.w1
+        CROSS JOIN v
+      WHERE t.split = 'test'
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(nll), 6) AS avg_nll,
+           round(max(nll), 6) AS max_nll
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@_register("bigram_logprob_scores", _bigram_logprob_oracle())
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM perplexity filtering — the KenLM-shaped upgrade of
+    ``unigram_logprob_scores``: add-k-smoothed bigram probabilities fit
+    on the train split, test documents scored by mean negative
+    log-likelihood. Plan shape at 100 TB: bigram construction is a
+    native array transform (no shuffle), the count tables are two
+    map-side-combined aggs, scoring is one equi-join per table plus the
+    scalar vocab broadcast — the corpus-sized side shuffles once."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    bucket = F.pmod(
+        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    base = docs.select(
+        "doc_id", split.alias("split"), tokens_expr(F.col("text")).alias("toks")
+    )
+    bg = base.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("bgr"),
+    ).select("doc_id", "split", F.col("bgr.w1").alias("w1"), F.col("bgr.w2").alias("w2"))
+    c2 = (
+        bg.filter(F.col("split") == "train")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = c2.agg(F.countDistinct("w2").alias("vocab"))
+    k = 0.5
+    scored = (
+        bg.filter(F.col("split") == "test")
+        .join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("vocab"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.round(F.max("nll"), 6).alias("max_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _vocab_coverage_oracle(top_k: int = 500) -> str:
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS c FROM tok GROUP BY token
+        ORDER BY c DESC, token LIMIT {top_k})
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                 / count(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """
+
+
+@_register("vocab_coverage", _vocab_coverage_oracle())
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-document OOV rate against the
+    corpus top-500 token vocabulary (the sizing statistic that decides a
+    tokenizer's vocab budget). The vocab is orderBy+limit — Spark plans
+    TakeOrderedAndProject (per-partition top-k + driver merge of k rows,
+    NO global sort), then broadcasts; the corpus side aggregates once."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(500)
+        .select("token", F.lit(True).alias("_inv"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("_inv").isNull().cast("bigint")).alias("n_oov"),
+            F.round(
+                F.sum(F.col("_inv").isNull().cast("bigint")) / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _matryoshka_oracle(dims: tuple = (16, 32), k: int = 5) -> str:
+    def topk_cte(name: str, d: int | None) -> str:
+        vec = "v" if d is None else f"v[1:{d}]"
+        qvec = "qv" if d is None else f"qv[1:{d}]"
+        n = 65 if d is None else d + 1
+        return f"""
+    , {name}_d AS (
+      SELECT q.qid, v.vec_id,
+             round(
+               list_sum(list_transform(range(1, {n}),
+                 i -> (q.{qvec})[i] * (v.{vec})[i]))
+               / (sqrt(list_sum(list_transform(range(1, {n}),
+                    i -> (q.{qvec})[i] * (q.{qvec})[i])))
+                  * sqrt(list_sum(list_transform(range(1, {n}),
+                      i -> (v.{vec})[i] * (v.{vec})[i])))), 6) AS cosine
+      FROM q, v WHERE q.qid <> v.vec_id
+    ), {name} AS (
+      SELECT qid AS query_id, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM {name}_d) WHERE rank <= {k})"""
+
+    union = "\n      UNION ALL ".join(
+        f"SELECT 'trunc{d}' AS method, query_id, vec_id FROM t{d}" for d in dims
+    )
+    values = ", ".join(f"('trunc{d}')" for d in dims)
+    ctes = topk_cte("full_t", None) + "".join(
+        topk_cte(f"t{d}", d) for d in dims
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 5)
+    {ctes}
+    , approx AS ({union})
+    , em AS (
+        SELECT m.method, e.query_id, e.vec_id
+        FROM full_t e CROSS JOIN (VALUES {values}) m(method))
+    SELECT em.query_id, em.method,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           round(count(a.vec_id) / {k}.0, 6) AS recall_at_{k}
+    FROM em LEFT JOIN approx a ON a.method = em.method
+       AND a.query_id = em.query_id AND a.vec_id = em.vec_id
+    GROUP BY em.query_id, em.method
+    ORDER BY em.query_id, em.method
+    """
+
+
+@_register("matryoshka_recall_eval", _matryoshka_oracle())
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval (Kusupati et al. 2022 MRL): recall@5 of
+    exact cosine search over the first 16/32 dims against full-64-dim
+    ground truth — the measurement that justifies serving truncated
+    embeddings (4×/2× memory cut) from an MRL-trained model. Same
+    broadcast-query brute-force shape as ``cosine_topk``; truncation is a
+    native slice, so the scan cost drops with the dimension."""
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    approx = None
+    for d in (16, 32):
+        te = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        tq = queries.select(
+            "query_id", F.slice("query_vec", 1, d).alias("query_vec")
+        )
+        t = cosine_topk(te, tq, k=5).select(
+            F.lit(f"trunc{d}").alias("method"), "query_id", "vec_id"
+        )
+        approx = t if approx is None else approx.unionByName(t)
+    approx = approx.withColumn("_hit", F.lit(1))
+    methods = spark.createDataFrame([("trunc16",), ("trunc32",)], "method string")
+    return (
+        exact.crossJoin(F.broadcast(methods))
+        .join(approx, ["method", "query_id", "vec_id"], "left")
+        .groupBy("query_id", "method")
+        .agg(
+            F.count("_hit").alias("n_hit"),
+            F.round(F.count("_hit") / 5.0, 6).alias("recall_at_5"),
+        )
+        .orderBy("query_id", "method")
+    )
+
+
+def _minhash_incremental_oracle(num_perm: int = 16, bands: int = 4, n: int = 3) -> str:
+    sh = _SHINGLE_SQL.format(n=n)
+    mins = ",\n           ".join(
+        f"min(({_perm_coeff(i, 'a')} * (shingle_hash % {MINHASH_PRIME}) + {_perm_coeff(i, 'b')}) % {MINHASH_PRIME}) AS mh_{i}"
+        for i in range(num_perm)
+    )
+    rows = num_perm // bands
+    band_rows = ", ".join(
+        "({b}, concat_ws(',', {cols}))".format(
+            b=b, cols=", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    bucket = hash60_sql("CAST(doc AS VARCHAR) || ':inc'") + " % 10"
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc, {hash60_sql('shingle')} AS shingle_hash FROM ({sh})
+    ), sig AS (
+      SELECT doc, {mins} FROM sh GROUP BY doc
+    ), banded AS (
+      SELECT doc, b.band, b.bucket, {bucket} AS split_b
+      FROM sig, (VALUES {band_rows}) AS b(band, bucket)
+    ), hist AS (
+      SELECT DISTINCT band, bucket FROM banded WHERE split_b < 7
+    ), batch AS (
+      SELECT * FROM banded WHERE split_b >= 7
+    ), hits AS (
+      SELECT DISTINCT batch.doc FROM batch JOIN hist USING (band, bucket)
+    )
+    SELECT d.doc AS doc_id,
+           CASE WHEN h.doc IS NOT NULL THEN 'near_dup_of_history'
+                ELSE 'new' END AS verdict
+    FROM (SELECT DISTINCT doc FROM batch) d LEFT JOIN hits h USING (doc)
+    ORDER BY doc_id
+    """
+
+
+@_register("minhash_incremental", _minhash_incremental_oracle())
+def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection — the fuzzy companion of the exact
+    ``incremental_dedup``: the day's batch is banded with MinHash-LSH and
+    probed against the HISTORY's (band, bucket) table. At 100 TB the
+    history bucket table is a stored index (id-free, distinct buckets
+    only); the batch side is day-sized, so the probe is a broadcast or
+    co-bucketed equi-join — the historical corpus itself is never
+    re-shingled."""
+    from ..operators.dedup import lsh_bands
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    sig = minhash_signatures(shingles(docs, "doc_id", "text", n=3), num_perm=16)
+    banded = lsh_bands(sig, num_perm=16, bands=4).withColumn(
+        "split_b",
+        F.pmod(
+            hash60_expr(F.concat(F.col("doc").cast("string"), F.lit(":inc"))),
+            F.lit(10),
+        ),
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import register_cached
+
+    banded = register_cached(banded.persist(StorageLevel.MEMORY_AND_DISK))
+    hist = banded.filter(F.col("split_b") < 7).select("band", "bucket").distinct()
+    batch = banded.filter(F.col("split_b") >= 7)
+    hits = (
+        batch.join(hist, ["band", "bucket"], "left_semi").select("doc").distinct()
+        .withColumn("_h", F.lit(True))
+    )
+    return (
+        batch.select("doc").distinct()
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.when(F.col("_h").isNotNull(), F.lit("near_dup_of_history"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
