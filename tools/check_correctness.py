@@ -60,6 +60,7 @@ def frame_hash(df: pd.DataFrame) -> tuple[int, list[str], str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", help="write per-query results to this JSON file")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -88,28 +89,35 @@ def main() -> int:
     from ohsome_planet_spark.session import release_cached
 
     n_fail = 0
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
             sdf = queries[name](spark, args.sf).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"status": "spark_error", "error": str(e)[:300]}
             n_fail += 1
             continue
         finally:
             release_cached()
         if name not in oracles:
             print(f"OK*   {name}: rows={len(sdf)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "rows_only", "rows": len(sdf),
+                             "secs": round(time.time() - t0, 1)}
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            results[name] = {"status": "oracle_error", "error": str(e)[:300]}
             n_fail += 1
             continue
         sn, sc, sh = frame_hash(sdf)
         on, oc, oh = frame_hash(odf)
         status = "ok" if (sn, sc, sh) == (on, oc, oh) else "MISMATCH"
+        results[name] = {"status": status, "rows": sn,
+                         "secs": round(time.time() - t0, 1)}
         if status != "ok":
             n_fail += 1
             print(f"FAIL  {name}: spark=({sn} rows, {sc}) duck=({on} rows, {oc}) "
@@ -127,6 +135,28 @@ def main() -> int:
         else:
             print(f"ok    {name}: rows={sn} [{time.time()-t0:.1f}s]")
     print(f"\n{len(names) - n_fail}/{len(names)} passed")
+    if args.json:
+        import json as _json
+        import subprocess
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ).stdout.strip()
+        except Exception:
+            head = None
+        with open(args.json, "w") as fh:
+            _json.dump(
+                {
+                    "sf": args.sf,
+                    "git_head": head,
+                    "n_pass": len(names) - n_fail,
+                    "n_total": len(names),
+                    "entry_rows": n_entry,
+                    "queries": results,
+                },
+                fh, indent=1, sort_keys=True,
+            )
     return 1 if n_fail else 0
 
 
