@@ -523,6 +523,69 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build and store an ANN index over an embeddings parquet — the
+    stored-index contract as a user surface (FAISS's train/add/write
+    cycle, Spark-shaped): k-means coarse centroids, optional PQ
+    codebooks + code matrix (raw or residual encoding), each written as a
+    parquet table a search job later reads instead of retraining. Prints
+    a one-line JSON summary."""
+    from .operators.similarity import (
+        kmeans_iterate,
+        pq_codebooks,
+        pq_encode,
+        residual_vectors,
+    )
+    from .session import get_spark
+
+    spark = get_spark(app_name="ann_index")
+    emb = spark.read.parquet(args.input)
+
+    coarse = kmeans_iterate(
+        emb, every=args.coarse_every, iters=args.train_iters,
+        id_col=args.id_col, vec_col=args.vec_col,
+    ).select("cid", "cv")
+    coarse.write.mode("overwrite").parquet(os.path.join(args.out, "coarse"))
+    coarse = spark.read.parquet(os.path.join(args.out, "coarse"))
+    n_lists = coarse.count()
+
+    summary = {
+        "kind": args.kind,
+        "n_lists": n_lists,
+        "out": args.out,
+    }
+    if args.kind in ("ivfpq", "ivfpq_residual"):
+        if args.kind == "ivfpq_residual":
+            enc_input = residual_vectors(
+                emb, coarse, id_col=args.id_col, vec_col=args.vec_col
+            )
+        else:
+            from .operators.similarity import assign_nearest
+
+            assigned = assign_nearest(emb, coarse, args.id_col, args.vec_col)
+            enc_input = assigned.select(
+                args.id_col, F.col("cid").alias("_list"), args.vec_col
+            )
+        cb = pq_codebooks(
+            enc_input, m=args.pq_m, dim=args.dim, every=args.coarse_every,
+            iters=args.train_iters, id_col=args.id_col, vec_col=args.vec_col,
+        )
+        cb.write.mode("overwrite").parquet(os.path.join(args.out, "codebooks"))
+        cb = spark.read.parquet(os.path.join(args.out, "codebooks"))
+        codes = pq_encode(
+            enc_input, cb, m=args.pq_m, dim=args.dim,
+            id_col=args.id_col, vec_col=args.vec_col,
+        ).join(enc_input.select(args.id_col, "_list"), args.id_col)
+        codes.write.mode("overwrite").parquet(os.path.join(args.out, "codes"))
+        summary["n_codes"] = spark.read.parquet(
+            os.path.join(args.out, "codes")
+        ).count()
+        summary["bytes_per_vector"] = args.pq_m
+
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ohsome_planet_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -613,6 +676,23 @@ def main(argv=None) -> int:
     pk.add_argument("--seq-len", type=int, default=2048)
     pk.add_argument("--shards", type=int, default=16)
     pk.set_defaults(fn=cmd_pack)
+
+    ix = sub.add_parser(
+        "index",
+        help="embeddings parquet -> stored ANN index tables (IVF / IVF-PQ)",
+    )
+    ix.add_argument("--input", required=True)
+    ix.add_argument("--out", required=True)
+    ix.add_argument(
+        "--kind", choices=("ivf", "ivfpq", "ivfpq_residual"), default="ivfpq_residual"
+    )
+    ix.add_argument("--dim", type=int, default=64)
+    ix.add_argument("--pq-m", type=int, default=4)
+    ix.add_argument("--coarse-every", type=int, default=64)
+    ix.add_argument("--train-iters", type=int, default=2)
+    ix.add_argument("--id-col", default="vec_id")
+    ix.add_argument("--vec-col", default="embedding")
+    ix.set_defaults(fn=cmd_index)
 
     args = ap.parse_args(argv)
     return args.fn(args)
