@@ -200,7 +200,7 @@ def kmeans_iterate(
     cents = centroids_df(vectors, every, id_col, vec_col)
     dvec = F.col(vec_col).cast("array<double>")
     out = None
-    for _ in range(iters):
+    for it in range(iters):
         assigned = assign_nearest(vectors, cents, id_col, vec_col)
         per_dim = (
             assigned.select("cid", F.posexplode(dvec).alias("pos", "val"))
@@ -218,11 +218,17 @@ def kmeans_iterate(
             ).alias("cv"),
             F.first("n").alias("n"),
         )
-        # truncate lineage per round, as any iterative DataFrame algorithm
-        # must (c.f. connected_components in dedup.py)
-        from ..session import truncate_lineage
+        # truncate lineage BETWEEN rounds, as any iterative DataFrame
+        # algorithm must (c.f. connected_components in dedup.py). The
+        # final round is left untruncated: truncation only exists to stop
+        # cross-iteration plan doubling, and a trailing localCheckpoint
+        # forces an extra serial materialization at plan-construction
+        # time (measured: pq_codes' four 1-round sub-codebooks each paid
+        # one) — the consumer's own action materializes the last round.
+        if it < iters - 1:
+            from ..session import truncate_lineage
 
-        out = truncate_lineage(out)
+            out = truncate_lineage(out)
         cents = out
     return out
 
