@@ -5714,6 +5714,90 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("click_id", "purchase_id")
 
 
+@_register(
+    "streaming_louter_attribution",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least(date_trunc('milliseconds', (SELECT max(click_ts) FROM c)),
+                        date_trunc('milliseconds', (SELECT max(purchase_ts) FROM p)))
+                  - INTERVAL 4 HOUR AS w),
+    matched AS (
+      SELECT c.click_id, p.purchase_id, c.user_id FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.purchase_ts > c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 2 HOUR
+    ),
+    unmatched AS (
+      SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id
+      FROM c, wm
+      WHERE c.click_ts + INTERVAL 2 HOUR < wm.w
+        AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+    )
+    SELECT click_id, purchase_id, user_id FROM matched
+    UNION ALL SELECT click_id, purchase_id, user_id FROM unmatched
+    ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_louter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join through the actual streaming
+    engine: every click emits either its attributed purchases (within 2 h)
+    or, once the watermark proves no match can arrive, a single null-padded
+    row. State stays O(join window) — the range condition lets the engine
+    evict both sides past watermark − window, and unmatched left rows are
+    emitted at eviction (Spark's canonical outer stream-stream join).
+
+    The oracle reproduces the engine's emission rule exactly, empirically
+    pinned at sf0.001/sf0.01 (set-equal outputs): the final no-data batch
+    (spark.sql.streaming.noDataMicroBatches, default on) advances the
+    global watermark to min over BOTH watermarked inputs of
+    floor_ms(max event ts) − 4 h delay — the per-input maxima differ
+    because each side is filtered to its event_type BEFORE withWatermark —
+    and a click is emitted unmatched iff click_ts + 2 h < that watermark;
+    later unmatched clicks are discarded with the state at query end.
+    Reference has no streaming outer join; this extends its replication
+    update loop (ReplicationUpdater.java) the way Spark users would."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "4 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "4 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id")
+    name = f"stream_louter_{next(_STREAM_SEQ)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("click_id", "purchase_id")
+
+
 # --- PageRank over the near-dup graph ----------------------------------------
 
 _PR_DAMPING = 0.85
