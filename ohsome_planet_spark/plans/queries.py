@@ -5275,6 +5275,52 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("user_id", "event_type")
 
 
+@_register(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT DISTINCT user_id, event_type,
+           date_trunc('hour', ts) AS ts_hour
+    FROM events
+    ORDER BY user_id, event_type, ts_hour
+    """,
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps one state row per key and —
+    unlike plain streaming ``dropDuplicates``, whose state grows with the
+    number of distinct keys FOREVER — evicts a key once the watermark
+    passes its event time + delay, so state is O(keys per watermark
+    window), the only shape that survives an unbounded stream. Dedup key
+    is (user_id, event_type, hour-truncated ts); emitting the key columns
+    only keeps the output independent of which physical row won (partition
+    arrival order), the same certification contract as
+    ``streaming_dedup_keys``. Single-source replay means batch 1 runs at
+    watermark 0 (nothing evicted mid-batch), so the emitted key set equals
+    batch DISTINCT exactly — value-oracled, not just row-counted."""
+    raw = _events_stream(spark, sf_dir)
+    out = (
+        raw.select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+            F.col("ts"),
+        )
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "ts_hour"])
+        .select("user_id", "event_type", "ts_hour")
+    )
+    name = f"stream_dedup_wm_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "event_type", "ts_hour")
+
+
 # --- dataset snapshot diff ---------------------------------------------------
 
 
