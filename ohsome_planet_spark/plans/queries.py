@@ -3991,6 +3991,115 @@ def relation_tag_key_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OHSOME_FILTER = (
+    "(building=* or highway in (residential, primary))"
+    " and not oneway=yes and geometry:polygon and area:(10..5000)"
+    " or type:node and highway=*"
+)
+
+
+@_register(
+    "ohsome_filter_query",
+    """
+    WITH f AS (
+      SELECT event_id AS osm_id,
+             CASE event_id % 3 WHEN 0 THEN 'node' WHEN 1 THEN 'way'
+                  ELSE 'relation' END AS osm_type,
+             CASE WHEN event_id % 5 < 2 THEN
+               CASE event_id % 4 WHEN 0 THEN 'residential'
+                    WHEN 1 THEN 'primary' WHEN 2 THEN 'service'
+                    ELSE 'track' END END AS hw,
+             CASE WHEN event_id % 7 = 0 THEN
+               CASE WHEN event_id % 14 = 0 THEN 'residential'
+                    ELSE 'yes' END END AS bld,
+             CASE WHEN event_id % 11 = 0 THEN 'yes' END AS ow,
+             CASE WHEN event_id % 3 = 0 THEN 'Point'
+                  WHEN event_id % 3 = 1 THEN
+                    CASE WHEN event_id % 2 = 0 THEN 'LineString'
+                         ELSE 'Polygon' END
+                  ELSE
+                    CASE WHEN event_id % 2 = 0 THEN 'MultiPolygon'
+                         ELSE 'GeometryCollection' END
+             END AS geometry_type,
+             round(value * 100, 3) AS area
+      FROM events
+    )
+    SELECT osm_id, osm_type, geometry_type, area
+    FROM f
+    WHERE (bld IS NOT NULL OR hw IN ('residential', 'primary'))
+      AND NOT coalesce(ow = 'yes', false)
+      AND geometry_type IN ('Polygon', 'MultiPolygon')
+      AND area BETWEEN 10 AND 5000
+       OR osm_type = 'node' AND hw IS NOT NULL
+    ORDER BY osm_id
+    """,
+)
+def ohsome_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The public ohsome filter DSL end-to-end: a composite filter string
+    (tag wildcard/in-list, null-safe not, geometry class, area range,
+    type meta-filter, and/or precedence) is PARSED AND COMPILED by
+    ``functions/ohsome_filter.py`` into one native Catalyst predicate,
+    then run over an OSM-feature-shaped frame derived deterministically
+    from events. The oracle hand-translates the same predicate to SQL —
+    so it checks the parser+compiler, not just Spark's filter operator.
+    This is the query language the reference's output tables are consumed
+    with downstream (docs.ohsome.org filter parameter); the reference
+    itself ships no evaluator. Whole plan is JVM-side (plan-hygiene test
+    covers the registry): the DSL adds zero Python seams."""
+    from ..functions.ohsome_filter import compile_filter
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    hw = F.when(
+        eid % 5 < 2,
+        F.element_at(
+            F.array(
+                F.lit("residential"), F.lit("primary"),
+                F.lit("service"), F.lit("track"),
+            ),
+            (eid % 4 + 1).cast("int"),
+        ),
+    )
+    bld = F.when(
+        eid % 7 == 0, F.when(eid % 14 == 0, "residential").otherwise("yes")
+    )
+    ow = F.when(eid % 11 == 0, "yes")
+    feats = ev.select(
+        eid.alias("osm_id"),
+        F.when(eid % 3 == 0, "node")
+        .when(eid % 3 == 1, "way")
+        .otherwise("relation")
+        .alias("osm_type"),
+        F.map_from_entries(
+            F.filter(
+                F.array(
+                    F.struct(F.lit("highway").alias("key"), hw.alias("value")),
+                    F.struct(F.lit("building").alias("key"), bld.alias("value")),
+                    F.struct(F.lit("oneway").alias("key"), ow.alias("value")),
+                ),
+                lambda e: e["value"].isNotNull(),
+            )
+        ).alias("tags"),
+        F.when(eid % 3 == 0, "Point")
+        .when(
+            eid % 3 == 1,
+            F.when(eid % 2 == 0, "LineString").otherwise("Polygon"),
+        )
+        .otherwise(
+            F.when(eid % 2 == 0, "MultiPolygon").otherwise(
+                "GeometryCollection"
+            )
+        )
+        .alias("geometry_type"),
+        F.round(F.col("value") * 100, 3).alias("area"),
+    )
+    return (
+        feats.filter(compile_filter(_OHSOME_FILTER))
+        .select("osm_id", "osm_type", "geometry_type", "area")
+        .orderBy("osm_id")
+    )
+
+
 def _dataset_bbox_oracle() -> str:
     cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
     return (
