@@ -520,3 +520,61 @@ def verify_candidate_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def span_duplication(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span fraction (ExactSubstr-style dedup,
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): the fraction of a document's POSITIONAL token n-gram spans
+    (stride 1, multiplicity kept — unlike ``shingles``, which is a
+    distinct set) whose hash occurs in at least ``min_docs`` distinct
+    documents. A high fraction marks boilerplate/mirror content that
+    survives document-level near-dup filters.
+
+    Output: (doc, n_spans, n_dup_spans, dup_fraction); documents shorter
+    than n tokens produce no spans and are absent.
+
+    Scale: the heavy frame is (doc, span_hash) at ~tokens-sized rows of
+    16 bytes; it shuffles twice on the hash key (doc-frequency agg +
+    join back) and once on doc for the final agg. No all-pairs stage —
+    cost is linear in corpus tokens, the property that makes this the
+    scalable stand-in for suffix-array ExactSubstr (which needs a global
+    sort). The df-agg is map-side combinable on the hash key.
+    """
+    toks = tokens_expr(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    spans = (
+        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("span"))
+        .filter(F.size(F.split(F.col("span"), " ")) == n)
+        .select("doc", hash60_expr(F.col("span")).alias("_h"))
+    )
+    docs_per_hash = spans.groupBy("_h").agg(
+        F.count_distinct("doc").alias("_nd")
+    )
+    return (
+        spans.join(docs_per_hash, "_h")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_nd") >= min_docs).cast("bigint")).alias(
+                "n_dup_spans"
+            ),
+        )
+        .select(
+            "doc",
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )

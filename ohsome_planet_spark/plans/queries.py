@@ -1103,6 +1103,114 @@ def _jaccard_oracle(n: int = 3, threshold: float = 0.5, max_df: int = 64) -> str
     """
 
 
+_SPAN_SQL = """
+  SELECT doc, {h} AS h
+  FROM (
+    SELECT doc_id AS doc,
+           list_transform(range(1, greatest(len(toks) - {n} + 2, 2)),
+                          i -> array_to_string(toks[i : i + {n} - 1], ' ')) AS grams
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+          FROM documents)
+  ), UNNEST(grams) AS t(span)
+  WHERE len(string_split(span, ' ')) = {n}
+"""
+
+
+def _span_dup_oracle(n: int = 8, min_docs: int = 2) -> str:
+    sp = _SPAN_SQL.format(n=n, h=hash60_sql("span"))
+    return f"""
+    WITH sp AS ({sp}),
+    dph AS (SELECT h, count(DISTINCT doc) AS nd FROM sp GROUP BY h)
+    SELECT doc, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN nd >= {min_docs} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           round(sum(CASE WHEN nd >= {min_docs} THEN 1 ELSE 0 END)
+                 / count(*), 6) AS dup_fraction
+    FROM sp JOIN dph USING (h)
+    GROUP BY doc ORDER BY doc
+    """
+
+
+@_register("span_duplication", _span_dup_oracle(n=8, min_docs=2))
+def span_duplication_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span dedup (Lee et al. 2022) as the scalable
+    Spark composition: per document, the fraction of positional token
+    8-gram spans (multiplicity kept, unlike the distinct shingle set)
+    shared with ≥2 distinct documents — the signal used to cut
+    boilerplate/mirrored passages that survive document-level near-dup
+    filters. Linear in corpus tokens (hash-keyed agg + join back), no
+    all-pairs stage and no global sort — the 100 TB substitute for a
+    suffix array."""
+    from ..operators.dedup import span_duplication
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    return span_duplication(docs, "doc_id", "text", n=8, min_docs=2).orderBy(
+        "doc"
+    )
+
+
+def _contamination_oracle(n: int = 8, mod: int = 97, threshold: float = 0.05) -> str:
+    sh = _SHINGLE_SQL.format(n=n)
+    return f"""
+    WITH sh0 AS (
+      SELECT DISTINCT doc, {hash60_sql('shingle')} AS h FROM ({sh})
+    ),
+    ev AS (SELECT DISTINCT h FROM sh0 WHERE doc % {mod} = 0),
+    tr AS (SELECT * FROM sh0 WHERE doc % {mod} <> 0)
+    SELECT doc, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(ev.h) AS BIGINT) AS n_overlap,
+           round(count(ev.h) / count(*), 6) AS overlap_fraction,
+           count(ev.h) / count(*) >= {threshold!r} AS contaminated
+    FROM tr LEFT JOIN ev USING (h)
+    GROUP BY doc ORDER BY doc
+    """
+
+
+@_register("eval_contamination", _contamination_oracle(n=8, mod=10, threshold=0.05))
+def eval_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark-contamination scoring: per TRAIN document,
+    the fraction of its distinct token 8-gram shingles that also occur
+    anywhere in the EVAL split (docs with doc_id % 10 == 0 stand in for
+    a held-out benchmark), plus a ≥5% contamination flag. Complements
+    bloom_decontamination (exact-key membership) with the published
+    n-gram-overlap protocol. Scale shape: the eval shingle set is
+    benchmark-sized (MBs against a 100 TB corpus), so it BROADCASTS —
+    the train side is scanned once, map-side joined, and aggregated on
+    the doc key; no shuffle of the corpus on the shingle key at all."""
+    from ..operators.dedup import shingles
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    is_eval = F.col("doc_id") % 10 == 0
+    ev_sh = (
+        shingles(docs.filter(is_eval), "doc_id", "text", n=8)
+        .select("shingle_hash")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tr_sh = shingles(docs.filter(~is_eval), "doc_id", "text", n=8)
+    return (
+        tr_sh.join(F.broadcast(ev_sh), "shingle_hash", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_overlap"),
+        )
+        .select(
+            "doc",
+            "n_shingles",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias(
+                "overlap_fraction"
+            ),
+            (F.col("n_overlap") / F.col("n_shingles") >= 0.05).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("doc")
+    )
+
+
 @_register("ngram_jaccard_dups", _jaccard_oracle(n=2, threshold=0.12, max_df=64))
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-2-gram Jaccard ≥ 0.12 over shingles with
