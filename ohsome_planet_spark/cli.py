@@ -85,6 +85,14 @@ def cmd_contributions(args) -> int:
     else:
         contribs = contribs.withColumn("countries", F.array().cast("array<string>"))
 
+    if getattr(args, "filter", None):
+        # ohsome filter DSL (docs.ohsome.org filter parameter) compiled to
+        # one Catalyst predicate — the downstream query language applied
+        # at produce time so the written dataset is already filtered
+        from .functions.ohsome_filter import compile_filter
+
+        contribs = contribs.filter(compile_filter(args.filter))
+
     if getattr(args, "sort_spatially", False):
         # XZ-code clustering: spatially coherent row groups so the bbox
         # covering column prunes (see geoparquet.write_contributions)
@@ -596,6 +604,11 @@ def main(argv=None) -> int:
     c.add_argument("--changesets")
     c.add_argument("--country-file")
     c.add_argument("--filter-relation-tag-keys")
+    c.add_argument(
+        "--filter",
+        help="ohsome filter DSL applied to the produced contributions"
+        " (e.g. \"building=* and geometry:polygon\")",
+    )
     c.add_argument("--multipolygon-member-limit", type=int, default=500)
     c.add_argument("--data", help="working dir for replication seeding")
     c.add_argument(

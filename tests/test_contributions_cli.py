@@ -119,3 +119,23 @@ def test_contributions_cli_with_changeset_enrichment(spark, pbf, tmp_path):
     defaulted = rows[("node", 1, 2)]  # changeset 11: missing -> defaults
     assert defaulted.changeset.hashtags == []
     assert defaulted.changeset.editor is None
+
+
+def test_contributions_cli_with_ohsome_filter(spark, pbf, tmp_path):
+    out = str(tmp_path / "contribs_filtered")
+    assert (
+        main(
+            [
+                "contributions", "--pbf", pbf, "--out", out,
+                "--filter", "amenity=* and not amenity=bar",
+            ]
+        )
+        == 0
+    )
+    rows = [
+        (r.osm_type, r.osm_id, r.osm_version)
+        for r in spark.read.parquet(out).collect()
+    ]
+    # node 1 v1 (amenity=cafe) passes; v2 (amenity=bar) is excluded by the
+    # not-clause; the untagged way has no amenity at all
+    assert rows == [("node", 1, 1)]
