@@ -23,9 +23,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import hash60_expr
+from ..functions.text import hash60_expr, tokens_expr
 
-__all__ = ["pack_sequences", "packing_stats"]
+__all__ = ["pack_sequences", "packing_stats", "chunk_documents"]
 
 
 def pack_sequences(
@@ -96,4 +96,59 @@ def packing_stats(packed: DataFrame, seq_len: int = 2048) -> DataFrame:
         .cast("bigint")
         .alias("tail_fill"),
         F.sum((F.col("n_splits") > 0).cast("bigint")).alias("n_split_docs"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking: split each document's token
+    stream into windows of ``max_tokens`` with ``overlap`` tokens of
+    context carried between consecutive chunks (stride =
+    max_tokens − overlap) — the standard long-document prep for
+    embedding / RAG / long-context training pipelines.
+
+    Output: (doc, chunk_idx, chunk_text, n_tokens). The final partial
+    chunk is kept (n_tokens ≤ max_tokens); a document emits
+    ceil(max(n_doc_tokens − overlap, 1) / stride) chunks, each starting
+    at chunk_idx·stride. A chunk that would be a pure suffix of the
+    previous one (entirely overlap, no new tokens) is never emitted.
+
+    Scale: chunking is a narrow per-row transform — token split, one
+    ``sequence``/``transform``/``slice`` expression, one explode. No
+    shuffle at all; output order and content are deterministic.
+    """
+    stride = max_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than max_tokens")
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    # last start index: largest i*stride with i*stride + overlap < n
+    # (ensures every chunk carries at least one non-overlap token),
+    # except a single chunk at 0 when the doc fits entirely
+    n_chunks = F.ceil(F.greatest(n - F.lit(overlap), F.lit(1)) / stride)
+    starts = F.sequence(F.lit(0), n_chunks.cast("int") - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, max_tokens)
+            ).alias("chunk_text"),
+            F.least(n - i * stride, F.lit(max_tokens)).alias("n_tokens"),
+        ),
+    )
+    return (
+        docs.filter(n > 0)
+        .select(F.col(id_col).alias("doc"), F.explode(chunks).alias("c"))
+        .select(
+            "doc",
+            F.col("c.chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").cast("bigint").alias("n_tokens"),
+        )
     )

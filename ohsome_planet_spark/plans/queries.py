@@ -1103,6 +1103,44 @@ def _jaccard_oracle(n: int = 3, threshold: float = 0.5, max_df: int = 64) -> str
     """
 
 
+def _chunk_oracle(max_tokens: int = 16, overlap: int = 4) -> str:
+    stride = max_tokens - overlap
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS doc, toks, len(toks) AS n
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+      WHERE len(toks) > 0
+    )
+    SELECT doc, i AS chunk_idx,
+           array_to_string(toks[i * {stride} + 1 : i * {stride} + {max_tokens}],
+                           ' ') AS chunk_text,
+           least(n - i * {stride}, {max_tokens}) AS n_tokens
+    FROM base, UNNEST(range(0,
+      CAST(ceil(greatest(n - {overlap}, 1) / CAST({stride} AS DOUBLE))
+           AS BIGINT))) AS t(i)
+    ORDER BY doc, chunk_idx
+    """
+
+
+@_register("document_chunks", _chunk_oracle(max_tokens=16, overlap=4))
+def document_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for embedding/RAG/long-context prep:
+    each document's token stream becomes windows of 16 tokens with 4
+    tokens of overlap carried between consecutive chunks
+    (``operators/packing.py::chunk_documents``). Pure narrow transform —
+    one sequence/slice expression and an explode, zero shuffles — so it
+    composes with any downstream embedding stage at full scan speed."""
+    from ..operators.packing import chunk_documents
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    return chunk_documents(docs, max_tokens=16, overlap=4).orderBy(
+        "doc", "chunk_idx"
+    )
+
+
 _SPAN_SQL = """
   SELECT doc, {h} AS h
   FROM (
