@@ -467,6 +467,70 @@ def _compile(node: _Node, s: FilterSchema) -> Column:
     raise AssertionError(f"unhandled node {node!r}")
 
 
+def _quote(word: str) -> str:
+    """Quote a key/value unless it can stand as a bare word."""
+    bare = (
+        word != ""
+        and all(c.isalnum() or c in _WORD_EXTRA for c in word)
+        and ".." not in word
+        and word.lower() not in ("and", "or", "not", "in")
+        and not any(word.lower().startswith(kw + ":") for kw in _META_KEYWORDS)
+    )
+    if bare:
+        return word
+    return '"' + word.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def unparse_filter(node: _Node) -> str:
+    """Render an AST back to filter syntax; ``parse_filter`` of the
+    result yields an equal AST (property-tested)."""
+    if isinstance(node, _Or):
+        return " or ".join(
+            f"({unparse_filter(i)})" if isinstance(i, _Or) else unparse_filter(i)
+            for i in node.items
+        )
+    if isinstance(node, _And):
+        out = []
+        for i in node.items:
+            s = unparse_filter(i)
+            if isinstance(i, (_Or, _And)):
+                s = f"({s})"
+            out.append(s)
+        return " and ".join(out)
+    if isinstance(node, _Not):
+        s = unparse_filter(node.item)
+        if isinstance(node.item, (_Or, _And)):
+            s = f"({s})"
+        return f"not {s}"
+    if isinstance(node, _TagEq):
+        return f"{_quote(node.key)}={_quote(node.value)}"
+    if isinstance(node, _TagNe):
+        return f"{_quote(node.key)}!={_quote(node.value)}"
+    if isinstance(node, _TagExists):
+        return f"{_quote(node.key)}=*"
+    if isinstance(node, _TagNotExists):
+        return f"{_quote(node.key)}!=*"
+    if isinstance(node, _TagIn):
+        vals = ", ".join(_quote(v) for v in node.values)
+        return f"{_quote(node.key)} in ({vals})"
+    if isinstance(node, _TypeIs):
+        return f"type:{node.osm_type}"
+    if isinstance(node, _GeomIs):
+        return f"geometry:{node.geom_class}"
+    if isinstance(node, _IdIn):
+        items = [
+            str(i) if t is None else f"{t}/{i}" for t, i in node.items
+        ]
+        if len(items) == 1:
+            return f"id:{items[0]}"
+        return "id:(" + ", ".join(items) + ")"
+    if isinstance(node, _Range):
+        lo = "" if node.lo is None else repr(node.lo)
+        hi = "" if node.hi is None else repr(node.hi)
+        return f"{node.field}:({lo}..{hi})"
+    raise AssertionError(f"unhandled node {node!r}")
+
+
 def compile_filter(src: str, schema: FilterSchema | None = None) -> Column:
     """Compile an ohsome filter string to a Spark Column predicate.
 
