@@ -3236,6 +3236,97 @@ def snapshot_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ohsome_count_series_oracle() -> str:
+    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
+    cases = " || ".join(
+        f"CASE WHEN lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r} "
+        f"THEN ['{fid}'] ELSE [] END"
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    )
+    return (
+        _CONTRIB_ORACLE[:cut]
+        + f"""
+    SELECT country, snap_ts,
+           CAST(count(*) AS BIGINT) AS n_live,
+           round(avg(osm_edits), 6) AS avg_edits
+    FROM (
+      SELECT unnest({cases}) AS country, s.snap_ts, osm_edits
+      FROM (SELECT (eff).lon AS lon, (eff).lat AS lat, osm_edits,
+                   ts AS valid_from,
+                   coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to
+            FROM final
+            WHERE visible AND eff IS NOT NULL
+              AND tagv IN ('click', 'view')) c
+      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
+                                          TIMESTAMP '2024-02-01',
+                                          INTERVAL 7 DAY)) AS snap_ts) s
+        ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
+    )
+    GROUP BY country, snap_ts
+    ORDER BY country, snap_ts
+    """
+    )
+
+
+@_register("ohsome_count_series", _ohsome_count_series_oracle())
+def ohsome_count_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ohsome API's headline endpoint shape — /elements/count grouped
+    by boundary AND snapshot time under a filter — composed end-to-end
+    from this engine's pieces: the staged contributions table, the ohsome
+    filter DSL (``t in (click, view)`` compiled by
+    ``functions/ohsome_filter.py``), broadcast country tagging on the
+    centroid, and a broadcast interval join against weekly snapshot
+    instants. Scale shape: the contributions side never shuffles — filter
+    and country tagging are map-side, the snapshot list is tiny and
+    broadcast, and the only exchange is the final (country, snap_ts)
+    aggregation."""
+    from ..functions.ohsome_filter import compile_filter
+    from ..operators.spatial import join_countries, rect_feature
+
+    contribs = _node_contribs_table(spark, sf_dir)
+    live = contribs.filter(F.col("status").isin("history", "latest")).filter(
+        compile_filter("t in (click, view)")
+    )
+    feats = [
+        rect_feature(fid, x0, y0, x1, y1)
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    ]
+    pts = live.select(
+        "valid_from",
+        "valid_to",
+        "osm_edits",
+        F.col("centroid.x").alias("lon"),
+        F.col("centroid.y").alias("lat"),
+    )
+    tagged = join_countries(pts, feats).select(
+        F.explode("countries").alias("country"),
+        "valid_from",
+        "valid_to",
+        "osm_edits",
+    )
+    snaps = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_timestamp('2024-01-04'), "
+                "to_timestamp('2024-02-01'), interval 7 days)"
+            )
+        ).alias("snap_ts")
+    )
+    return (
+        tagged.join(
+            F.broadcast(snaps),
+            (F.col("valid_from") <= F.col("snap_ts"))
+            & (F.col("snap_ts") < F.col("valid_to")),
+        )
+        .groupBy("country", "snap_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.round(F.avg("osm_edits"), 6).alias("avg_edits"),
+        )
+        .orderBy("country", "snap_ts")
+    )
+
+
 def _tag_stats_oracle() -> str:
     cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
     return (
