@@ -118,6 +118,14 @@ def _node_contribs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _way_contribs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        ways, nodes = _derived_way_inputs(spark, sf_dir)
+        return synthesize_contributions(way_contribution_events(ways, nodes))
+
+    return _produce_then_query(spark, sf_dir, "ways", build)
+
+
 def _relation_contribs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         ways, nodes = _derived_way_inputs(spark, sf_dir)
@@ -2001,6 +2009,89 @@ def contrib_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("centroid.y", 6).alias("cy"),
         "refs_count",
     ).orderBy("osm_id", "osm_edits")
+
+
+def _ohsome_length_series_oracle() -> str:
+    cut = _CONTRIB_WAYS_ORACLE.index("SELECT wid AS osm_id")
+    cases = " || ".join(
+        f"CASE WHEN lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r} "
+        f"THEN ['{fid}'] ELSE [] END"
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    )
+    return (
+        _CONTRIB_WAYS_ORACLE[:cut]
+        + f"""
+    SELECT country, snap_ts,
+           CAST(count(*) AS BIGINT) AS n_live,
+           round(sum(length_m), 2) AS total_length_m
+    FROM (
+      SELECT unnest({cases}) AS country, s.snap_ts, c.length_m
+      FROM (SELECT inst_ts AS valid_from,
+                   coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to,
+                   cx AS lon, cy AS lat, length_m
+            FROM contribs WHERE nc >= 2) c
+      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
+                                          TIMESTAMP '2024-02-01',
+                                          INTERVAL 7 DAY)) AS snap_ts) s
+        ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
+    )
+    GROUP BY country, snap_ts
+    ORDER BY country, snap_ts
+    """
+    )
+
+
+@_register("ohsome_length_series", _ohsome_length_series_oracle())
+def ohsome_length_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ohsome API /elements/length endpoint shape — total live way
+    length grouped by boundary and snapshot time — over the STAGED way
+    contributions table (produce-then-query: the expensive temporal
+    member merge runs once; consumers read the stored dataset, the
+    reference's docs/useful_queries.md contract). Lineal features only
+    (geometry_type = LineString ⇔ ≥2 resolved member nodes); geodesic
+    lengths come from the contribution synthesis itself. Same
+    never-shuffle-the-facts shape as ohsome_count_series: map-side
+    country tagging on the centroid, broadcast snapshot interval join,
+    one exchange on the (country, snap_ts) agg keys."""
+    contribs = _way_contribs_table(spark, sf_dir)
+    feats = [
+        rect_feature(fid, x0, y0, x1, y1)
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    ]
+    pts = contribs.filter(F.col("geometry_type") == "LineString").select(
+        "valid_from",
+        "valid_to",
+        F.col("length").alias("length_m"),
+        F.col("centroid.x").alias("lon"),
+        F.col("centroid.y").alias("lat"),
+    )
+    tagged = join_countries(pts, feats).select(
+        F.explode("countries").alias("country"),
+        "valid_from",
+        "valid_to",
+        "length_m",
+    )
+    snaps = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_timestamp('2024-01-04'), "
+                "to_timestamp('2024-02-01'), interval 7 days)"
+            )
+        ).alias("snap_ts")
+    )
+    return (
+        tagged.join(
+            F.broadcast(snaps),
+            (F.col("valid_from") <= F.col("snap_ts"))
+            & (F.col("snap_ts") < F.col("valid_to")),
+        )
+        .groupBy("country", "snap_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.round(F.sum("length_m"), 2).alias("total_length_m"),
+        )
+        .orderBy("country", "snap_ts")
+    )
 
 
 # ===========================================================================
