@@ -594,6 +594,32 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Print the optimized physical plan of any registry query — the
+    plan-hygiene contract (no row-wise Python, no cartesian products,
+    wide WholeStageCodegen spans, pushed filters visible) as a user
+    surface. ``--mode formatted`` is Spark's operator-tree + codegen
+    annotation view."""
+    from .plans.queries import QUERIES
+    from .session import get_spark
+
+    if args.query not in QUERIES:
+        import difflib
+
+        near = difflib.get_close_matches(args.query, QUERIES, n=3)
+        hint = f" (did you mean: {', '.join(near)}?)" if near else ""
+        print(f"unknown query {args.query!r}{hint}", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="explain")
+    df = QUERIES[args.query](spark, args.sf_dir)
+    print(df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            args.mode
+        )
+    ))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ohsome_planet_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -706,6 +732,19 @@ def main(argv=None) -> int:
     ix.add_argument("--id-col", default="vec_id")
     ix.add_argument("--vec-col", default="embedding")
     ix.set_defaults(fn=cmd_index)
+
+    ex = sub.add_parser(
+        "explain",
+        help="print a registry query's optimized physical plan",
+    )
+    ex.add_argument("query", help="registry query name (see docs/QUERIES.md)")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument(
+        "--mode",
+        default="formatted",
+        choices=("formatted", "extended", "cost", "codegen", "simple"),
+    )
+    ex.set_defaults(fn=cmd_explain)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -71,3 +71,20 @@ def test_index_cli_ivf_only(spark, tmp_path, capsys):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["n_lists"] >= 2 and "n_codes" not in report
     assert spark.read.parquet(out + "/coarse").columns == ["cid", "cv"]
+
+
+def test_explain_cli(capsys):
+    from ohsome_planet_spark.cli import main
+
+    assert main(["explain", "pricing_summary",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "PushedFilters" in out and "HashAggregate" in out
+
+
+def test_explain_cli_unknown_query(capsys):
+    from ohsome_planet_spark.cli import main
+
+    assert main(["explain", "pricing_sumary"]) == 2
+    err = capsys.readouterr().err
+    assert "did you mean" in err and "pricing_summary" in err
