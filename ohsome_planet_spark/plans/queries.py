@@ -6242,6 +6242,9 @@ def streaming_louter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     later unmatched clicks are discarded with the state at query end.
     Reference has no streaming outer join; this extends its replication
     update loop (ReplicationUpdater.java) the way Spark users would."""
+    # the oracle's emission rule requires the final no-data batch (default
+    # on; pinned against environment config drift)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     clicks = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
