@@ -594,6 +594,34 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Run SQL over a written contributions dataset — the tutorial's
+    'explore the produced parquet with DuckDB' workflow
+    (``docs/tutorial.md``, ``docs/useful_queries.md``) served by the
+    same engine that wrote it: ``contributions`` / ``contributions_latest``
+    temp views are registered (latest-layer reads prune on the hive
+    partition), the query runs through Catalyst with full
+    pushdown/pruning, and results go to stdout or ``--out`` parquet. An
+    optional ``--filter`` composes an ohsome-filter-DSL predicate with
+    the SQL's own WHERE clause."""
+    from .session import get_spark
+    from .sources.views import register_contribution_views
+
+    spark = get_spark(app_name="sql")
+    register_contribution_views(spark, args.data)
+    df = spark.sql(args.query)
+    if args.filter:
+        from .functions.ohsome_filter import compile_filter
+
+        df = df.filter(compile_filter(args.filter))
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.limit, truncate=not args.wide)
+    return 0
+
+
 def cmd_explain(args) -> int:
     """Print the optimized physical plan of any registry query — the
     plan-hygiene contract (no row-wise Python, no cartesian products,
@@ -732,6 +760,19 @@ def main(argv=None) -> int:
     ix.add_argument("--id-col", default="vec_id")
     ix.add_argument("--vec-col", default="embedding")
     ix.set_defaults(fn=cmd_index)
+
+    sq = sub.add_parser(
+        "sql",
+        help="run SQL over a written contributions dataset"
+        " (views: contributions, contributions_latest)",
+    )
+    sq.add_argument("--data", required=True, help="contributions parquet dir")
+    sq.add_argument("query", help="SQL text")
+    sq.add_argument("--filter", help="ohsome filter DSL composed with the SQL")
+    sq.add_argument("--out", help="write result parquet here instead of stdout")
+    sq.add_argument("--limit", type=int, default=50)
+    sq.add_argument("--wide", action="store_true", help="no column truncation")
+    sq.set_defaults(fn=cmd_sql)
 
     ex = sub.add_parser(
         "explain",

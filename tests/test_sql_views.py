@@ -98,3 +98,36 @@ def test_latest_view_prunes_partition(spark, dataset):
     assert "layer" in plan
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     assert scans and "PartitionFilters: [" in scans[0]
+
+
+def test_sql_cli(dataset, capsys):
+    assert (
+        main(
+            [
+                "sql", "--data", dataset,
+                "SELECT osm_type, osm_id, tags['amenity'] AS amenity"
+                " FROM contributions_latest WHERE osm_type = 'node'"
+                " ORDER BY osm_id",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "bar" in out  # node 1's latest amenity
+
+
+def test_sql_cli_with_dsl_filter_and_out(dataset, tmp_path, spark, capsys):
+    dst = str(tmp_path / "routes")
+    assert (
+        main(
+            [
+                "sql", "--data", dataset,
+                "SELECT osm_type, osm_id, tags FROM contributions_latest",
+                "--filter", "route=bicycle and type:relation",
+                "--out", dst,
+            ]
+        )
+        == 0
+    )
+    rows = spark.read.parquet(dst).collect()
+    assert [(r.osm_type, r.osm_id) for r in rows] == [("relation", 200)]
