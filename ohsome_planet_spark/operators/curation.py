@@ -166,3 +166,55 @@ def curate(
         .parquet(out_dir)
     )
     return report
+
+
+def train_logreg(
+    feats: DataFrame,
+    n_features: int,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> tuple[list[float], float]:
+    """Distributed, REPRODUCIBLE logistic-regression training — the
+    canonical Spark ML gradient loop (map-side-combinable gradient
+    aggregation, scalar driver update per round), made order-independent
+    the same way as the k-means trainer (`similarity.py::kmeans_iterate`):
+    each row's per-feature gradient contribution is quantized to int64
+    (round(g·1e9)) BEFORE the sum, so the aggregated gradient is exact
+    integer arithmetic — identical under any partitioning, and replayable
+    bit-for-bit by a SQL oracle. Weight updates are pure rational double
+    math on those exact sums.
+
+    ``feats`` must carry columns x0..x{n-1} (double) and y (double 0/1).
+    Returns (weights, train_accuracy). Per round the driver sees
+    ``n_features`` integers — nothing corpus-sized; at 100 TB the only
+    wide work is one combinable agg per iteration over the feature frame.
+    """
+    n = feats.count()
+    w = [0.0] * n_features
+
+    def z_expr(weights):
+        z = F.lit(weights[0]) * F.col("x0")
+        for j in range(1, n_features):
+            z = z + F.lit(weights[j]) * F.col(f"x{j}")
+        return z
+
+    for _ in range(iters):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_expr(w)))
+        e = p - F.col("y")
+        row = feats.agg(
+            *[
+                F.sum(F.round(e * F.col(f"x{j}") * 1e9).cast("bigint")).alias(
+                    f"g{j}"
+                )
+                for j in range(n_features)
+            ]
+        ).collect()[0]
+        w = [w[j] - lr * (row[f"g{j}"] / 1e9) / n for j in range(n_features)]
+
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_expr(w)))
+    acc = feats.agg(
+        F.avg(
+            ((p >= 0.5) == (F.col("y") >= 0.5)).cast("double")
+        ).alias("acc")
+    ).collect()[0]["acc"]
+    return w, acc

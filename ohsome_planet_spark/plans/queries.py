@@ -1111,6 +1111,118 @@ def _jaccard_oracle(n: int = 3, threshold: float = 0.5, max_df: int = 64) -> str
     """
 
 
+def _lr_oracle(iters: int = 3, lr: float = 0.5) -> str:
+    from ..functions.text import STOPWORDS
+
+    k = 5
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    xs = [f"x{j}" for j in range(k)]
+
+    def z(wref: str | None) -> str:
+        if wref is None:
+            terms = [f"0.0 * {x}" for x in xs]
+        else:
+            terms = [f"{wref}.w{j} * {xs[j]}" for j in range(k)]
+        return " + ".join(terms)
+
+    def grads(name: str, wref: str | None, extra_from: str) -> str:
+        p = f"1.0/(1.0+exp(-({z(wref)})))"
+        cols = ", ".join(
+            f"sum(CAST(round((({p} - y) * {x}) * 1e9) AS BIGINT)) AS g{j}"
+            for j, x in enumerate(xs)
+        )
+        return f"{name} AS (SELECT {cols} FROM f{extra_from})"
+
+    parts = [
+        f"""WITH f AS (
+      SELECT 1.0 AS x0,
+             ln(1.0 + n_chars) - ln(300.0) AS x1,
+             len(list_filter(toks, t -> t IN ({stops})))
+               / greatest(len(toks), 1) AS x2,
+             (n_chars / greatest(len(toks), 1)) / 10.0 - 0.55 AS x3,
+             len(toks) / 100.0 - 0.55 AS x4,
+             CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
+      FROM (SELECT n_chars,
+                   list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)"""
+    ]
+    for t in range(1, iters + 1):
+        wprev = None if t == 1 else f"w{t - 1}"
+        parts.append(grads(f"g{t}", wprev, "" if t == 1 else f", w{t - 1}"))
+        upd = ", ".join(
+            (
+                f"0.0 - {lr!r} * (g{j} / 1e9) / nn.n AS w{j}"
+                if t == 1
+                else f"w.w{j} - {lr!r} * (g{j} / 1e9) / nn.n AS w{j}"
+            )
+            for j in range(k)
+        )
+        src = f"g{t}, nn" if t == 1 else f"g{t}, w{t - 1} w, nn"
+        parts.append(f"w{t} AS (SELECT {upd} FROM {src})")
+    wf = f"w{iters}"
+    pz = f"1.0/(1.0+exp(-({z('w')})))"
+    weight_rows = " UNION ALL ".join(
+        f"SELECT 'x{j}' AS feature, round(w.w{j}, 9) AS weight FROM {wf} w"
+        for j in range(k)
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+    {weight_rows}
+    UNION ALL
+    SELECT 'accuracy' AS feature,
+           round((SELECT avg(CASE WHEN ({pz} >= 0.5) = (y >= 0.5)
+                                  THEN 1.0 ELSE 0.0 END)
+                  FROM f, {wf} w), 9) AS weight
+    ORDER BY feature
+    """
+    )
+
+
+@_register("quality_lr_train", _lr_oracle(iters=3, lr=0.5))
+def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING, oracle-replayed: 3 rounds
+    of full-batch gradient descent over per-document quality features
+    (bias, log length, stopword ratio, mean word length, token count)
+    against a synthetic linearly-separable label (n_chars ≥ 300; features
+    centered at the boundary so 3 full-batch rounds reach ~98% train
+    accuracy — the verified artifact is the TRAINING LOOP, not a
+    production classifier).
+    The gradient is quantized to int64 per row before the sum (the
+    k-means trainer's order-independence trick), so the aggregated
+    gradient is exact integer arithmetic under any partitioning and the
+    DuckDB oracle replays every round bit-for-bit — weights AND final
+    train accuracy. Scale shape: one map-side-combinable agg per round;
+    the driver sees 5 integers per round (``operators/curation.py::
+    train_logreg``). This is the fastText-style quality-classifier
+    training stage of a curation pipeline, Spark-shaped."""
+    from ..operators.curation import train_logreg
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    toks = tokens_expr(F.col("text"))
+    feats = docs.select(
+        F.lit(1.0).alias("x0"),
+        (F.log(F.lit(1.0) + F.col("n_chars")) - F.log(F.lit(300.0))).alias(
+            "x1"
+        ),
+        stopword_ratio_expr(F.col("text")).alias("x2"),
+        (
+            (F.col("n_chars") / F.greatest(F.size(toks), F.lit(1))) / 10.0
+            - 0.55
+        ).alias("x3"),
+        (F.size(toks) / 100.0 - 0.55).alias("x4"),
+        F.when(F.col("n_chars") >= 300, 1.0).otherwise(0.0).alias("y"),
+    )
+    w, acc = train_logreg(feats, n_features=5, iters=3, lr=0.5)
+    rows = [(f"x{j}", w[j]) for j in range(5)] + [("accuracy", acc)]
+    out = spark.createDataFrame(rows, "feature string, weight double")
+    return out.select(
+        "feature", F.round("weight", 9).alias("weight")
+    ).orderBy("feature")
+
+
 def _chunk_oracle(max_tokens: int = 16, overlap: int = 4) -> str:
     stride = max_tokens - overlap
     return f"""

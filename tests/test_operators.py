@@ -449,3 +449,23 @@ class TestVerifyCandidatePairs:
         assert (1, 2) in rows
         # docs 1/2 share 3 of their 4 3-gram shingles: J = 3/5
         assert rows[(1, 2)] == 0.6
+
+
+def test_train_logreg_partition_invariant(spark):
+    from ohsome_planet_spark.operators.curation import train_logreg
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (1.0, rng.uniform(-2, 2), rng.uniform(0, 1), float(rng.random() > 0.5))
+        for _ in range(500)
+    ]
+    schema = "x0 double, x1 double, x2 double, y double"
+    w1, a1 = train_logreg(
+        spark.createDataFrame(rows, schema).repartition(1), 3, iters=3
+    )
+    w32, a32 = train_logreg(
+        spark.createDataFrame(rows, schema).repartition(32), 3, iters=3
+    )
+    # int64-quantized gradients -> bit-identical under any partitioning
+    assert w1 == w32 and a1 == a32
