@@ -258,7 +258,6 @@ def cmd_replications(args) -> int:
     (offline mirrors, tests); anything else uses urllib with the
     reference's retry/backoff.
     """
-    import time as _time
     from datetime import datetime, timezone
 
     from .session import get_spark
@@ -323,6 +322,10 @@ def cmd_replications(args) -> int:
         else:
             changeset_state = spark.createDataFrame([], CHANGESET_STORE_SCHEMA)
 
+    from .streaming.waiter import Waiter
+
+    waiter = Waiter()
+    last_applied = 0
     while True:
         changeset_state = run_replication_update(
             contribution_manager,
@@ -343,7 +346,21 @@ def cmd_replications(args) -> int:
                 f.write(changeset_manager.local_state.format())
         if not args.continuous:
             break
-        _time.sleep(args.wait_time)
+        # reference cadence (Waiter.java): exponential 5->60s backoff while
+        # nothing changes, immediate next pass (reset) after progress;
+        # --wait-time caps a single wait
+        applied_now = len(contribution_manager.applied) if contribution_manager else 0
+        if applied_now > last_applied:
+            waiter.reset_retry()
+            last_applied = applied_now
+        else:
+            waiter.retry_seconds = min(
+                waiter.retry_seconds, max(1, int(args.wait_time))
+            )
+            try:
+                waiter.wait_for_retry()
+            except InterruptedError:
+                break
 
     applied = contribution_manager.applied if contribution_manager else []
     print(

@@ -210,3 +210,60 @@ def test_changeset_lag_holdback():
     states = [(100, ts(9_000)), (101, ts(9_600)), (102, ts(10_000))]
     assert select_target_state(states, ts(9_700)) == (101, ts(9_600))
     assert select_target_state(states, ts(8_000)) is None
+
+
+# --- Waiter (reference utils/Waiter.java, pinned by WaiterTest.java) --------
+
+
+def test_not_waiting_for_changesets_contributions_older():
+    from datetime import datetime
+    from ohsome_planet_spark.streaming.waiter import not_waiting_for_changesets
+
+    # contributions behind changesets -> nothing to wait for
+    assert not_waiting_for_changesets(
+        datetime(2025, 12, 1, 9, 54), datetime(2025, 12, 1, 9, 56)
+    )
+
+
+def test_waiting_for_changesets_within_two_minutes():
+    from datetime import datetime
+    from ohsome_planet_spark.streaming.waiter import not_waiting_for_changesets
+
+    # contributions ahead by <= 120s -> hold back for the changeset stream
+    assert not not_waiting_for_changesets(
+        datetime(2025, 12, 1, 9, 59), datetime(2025, 12, 1, 9, 58)
+    )
+
+
+def test_not_waiting_for_changesets_beyond_escape_window():
+    from datetime import datetime
+    from ohsome_planet_spark.streaming.waiter import not_waiting_for_changesets
+
+    # changesets lag > 120s -> escape valve, proceed without them
+    assert not_waiting_for_changesets(
+        datetime(2025, 12, 1, 10, 57), datetime(2025, 12, 1, 9, 59, 30)
+    )
+
+
+def test_waiter_backoff_doubles_and_caps():
+    from ohsome_planet_spark.streaming.waiter import Waiter
+
+    w = Waiter(clock=lambda: None)  # no real sleeping
+    for _ in range(6):
+        w.wait_for_retry()
+    assert [s for s, _ in w.waits] == [5, 10, 20, 40, 60, 60]
+    w.reset_retry()
+    w.wait_for_retry()
+    assert w.waits[-1][0] == 5
+
+
+def test_waiter_sleep_interruptible():
+    import threading
+    import pytest
+    from ohsome_planet_spark.streaming.waiter import Waiter
+
+    stop = threading.Event()
+    stop.set()
+    w = Waiter(shutdown_event=stop, clock=lambda: None)
+    with pytest.raises(InterruptedError):
+        w.sleep(5, "test")
