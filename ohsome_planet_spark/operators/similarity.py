@@ -738,3 +738,75 @@ def ivfpq_residual_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "adc_dist")
     )
+
+
+def knn_self_join(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-corpus kNN self-join: every vector's top-k cosine neighbors,
+    IVF-blocked — the precursor of semantic dedup / clustering /
+    diversity sampling, where the QUERY SET IS THE CORPUS (so
+    :func:`ivf_topk`'s broadcast-the-queries shape cannot apply).
+
+    Shape: nearest-list assignment (broadcast centroids, one row per
+    vector survives), then a CO-PARTITIONED equi-join of the assignment
+    table with itself on the list id — both sides shuffle once on
+    ``_list``, candidate pairs are bounded by Σ|list|² ≈ N·(list size),
+    linear in N for a fixed ``every`` sampling rate. Neighbors in other
+    lists are unseen (the documented single-probe recall tradeoff, same
+    as ``semantic_dedup``'s centroid bucketing); a hot list grows
+    quadratically — AQE skew-join splitting plus the centroid sampling
+    rate are the knobs.
+
+    Output: (vec_id, neighbor_id, cosine, rank ≤ k).
+    """
+    cents = centroids.select(
+        F.col("cid").cast("bigint").alias("cid"),
+        F.col("cv").cast("array<double>").alias("cv"),
+    )
+
+    dvec = F.col(vec_col).cast("array<double>")
+    cos_c = F.round(
+        dot_expr(dvec, F.col("cv")) / (norm_expr(dvec) * norm_expr(F.col("cv"))),
+        6,
+    )
+    scored = (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(id_col, vec_col, "cid", cos_c.alias("_c"))
+    )
+    assigned = scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.max_by(
+            "cid", F.struct(F.col("_c").alias("c"), (-F.col("cid")).alias("t"))
+        ).alias("_list"),
+    )
+
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "_list"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "_list"
+    )
+    sim = F.round(
+        cosine_expr(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")),
+        6,
+    )
+    w = W.partitionBy("_ida").orderBy(F.desc("cosine"), F.col("_idb"))
+    return (
+        a.join(b, "_list")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(F.col("_ida"), F.col("_idb"), sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_ida").alias(id_col),
+            F.col("_idb").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

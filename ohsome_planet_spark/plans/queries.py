@@ -1887,6 +1887,54 @@ def _ann_ivf_oracle(every: int = 25, nprobe: int = 4, k: int = 5, cents_cte: str
     """
 
 
+def _knn_self_join_oracle(every: int = 25, k: int = 3) -> str:
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % {every} = 0
+    ), assigned AS (
+      SELECT vec_id, embedding, cid AS list_id FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a="e.embedding::DOUBLE[]", b="c.cv")} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             {cos.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")} AS cosine
+      FROM assigned a JOIN assigned b
+        ON a.list_id = b.list_id AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM pairs)
+    WHERE rank <= {k} ORDER BY vec_id, rank
+    """
+
+
+@_register("knn_self_join", _knn_self_join_oracle(every=25, k=3))
+def knn_self_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-corpus kNN self-join (every vector's top-3 cosine neighbors),
+    IVF-blocked — the building block under semantic dedup, near-dup
+    clustering, and diversity-aware sampling where the query set IS the
+    corpus. Unlike the query-side ANN ops this cannot broadcast either
+    side: the assignment table equi-joins with ITSELF on the list id
+    (both sides shuffle once, co-partitioned), candidate pairs ≈
+    N·(list size) — linear in N at a fixed sampling rate
+    (``operators/similarity.py::knn_self_join``)."""
+    from ..operators.similarity import centroids_df, knn_self_join
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    cents = centroids_df(emb, every=25)
+    return knn_self_join(emb, cents, k=3).orderBy("vec_id", "rank")
+
+
 @_register("ann_ivf_topk", _ann_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: deterministic data-sampled centroids (every 25th
