@@ -20,8 +20,30 @@ from ohsome_planet_spark.functions.ohsome_filter import (
     unparse_filter,
 )
 
-KEYS = ["highway", "building", "name", "addr:street", "weird key", "type"]
-VALUES = ["residential", "primary", "yes", "no", "Main St", "multipolygon", ""]
+KEYS = [
+    "highway",
+    "building",
+    "name",
+    "addr:street",
+    "weird key",
+    "type",
+    'quo"ted',
+    "back\\slash",
+]
+VALUES = [
+    "residential",
+    "primary",
+    "yes",
+    "no",
+    "Main St",
+    "multipolygon",
+    "",
+    "and",          # keyword as a value -> must be quoted by unparse
+    "type:route",   # reserved-prefix value -> must be quoted
+    'say "hi"',
+    "a\\b",
+    "1..2",         # range-lookalike -> must be quoted
+]
 GEOMS = ["Point", "LineString", "Polygon", "MultiPolygon", "GeometryCollection"]
 
 keys = st.sampled_from(KEYS)
