@@ -810,3 +810,92 @@ def knn_self_join(
             "rank",
         )
     )
+
+
+def mmr_diverse_topk(
+    vectors: DataFrame,
+    query_id: int,
+    pool: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, float]]:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    pick k results balancing relevance to the query against redundancy
+    with what's already picked — the diversity reranker production
+    retrieval stacks run on top of ANN.
+
+    Production shape, honestly modeled: stage 1 (DISTRIBUTED) scores the
+    corpus against the query and keeps a ``pool``-sized candidate set
+    (top-k by rounded cosine — one pass, per-query top-k, same plan as
+    ``cosine_topk``); stage 2 collects the pool's pairwise-similarity
+    matrix (pool² rounded cosines — candidate-pool-sized, NOT
+    corpus-sized) and runs the inherently-sequential greedy argmax on the
+    driver. Scores are computed in exact integer micro-units (lam in
+    tenths of relevance), with id tiebreaks — deterministic and
+    SQL-replayable with no float-rounding ambiguity.
+
+    Returns [(rank, vec_id, mmr_score)] with rank 1..k.
+    """
+    q = vectors.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    dvec = F.col(vec_col).cast("array<double>")
+    rel = F.round(
+        dot_expr(dvec, F.col("qv")) / (norm_expr(dvec) * norm_expr(F.col("qv"))),
+        6,
+    )
+    cands = (
+        vectors.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(id_col, vec_col, rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.col(id_col))
+        .limit(pool)
+    )
+    a = cands.select(
+        F.col(id_col).alias("ia"), F.col(vec_col).alias("va")
+    )
+    b = cands.select(
+        F.col(id_col).alias("ib"), F.col(vec_col).alias("vb")
+    )
+    s = F.round(
+        cosine_expr(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
+        6,
+    )
+    sims = {
+        (r.ia, r.ib): r.s
+        for r in a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select("ia", "ib", s.alias("s"))
+        .collect()
+    }
+    rels = {r[0]: r.rel for r in cands.select(id_col, "rel").collect()}
+
+    # Exact integer scoring: rel/sim are 6-decimal-rounded, so in
+    # micro-units they are exact int64s; with lam expressed in tenths the
+    # MMR score is the exact integer 7*rel_u - 3*maxsim_u (score = n/1e7).
+    # Floating round() here would sit ON .5 boundaries structurally
+    # (products of 6-decimal values by 0.7/0.3) and Python half-even vs
+    # SQL half-away would diverge — integers cannot.
+    lam_tenths = round(lam * 10)
+    rels_u = {c: round(r * 1e6) for c, r in rels.items()}
+    sims_u = {p: round(v * 1e6) for p, v in sims.items()}
+
+    chosen: list[tuple[int, int, float]] = []
+    picked: list[int] = []
+    remaining = sorted(rels)
+    for rank in range(1, min(k, len(remaining) + len(picked)) + 1):
+        best = None
+        for c in remaining:
+            if picked:
+                maxsim_u = max(sims_u[(c, p)] for p in picked)
+                score_n = lam_tenths * rels_u[c] - (10 - lam_tenths) * maxsim_u
+            else:
+                score_n = lam_tenths * rels_u[c]
+            # deterministic: higher score wins, ties to the smaller id
+            if best is None or (score_n, -c) > (best[1], -best[0]):
+                best = (c, score_n)
+        chosen.append((rank, best[0], best[1] / 1e7))
+        picked.append(best[0])
+        remaining.remove(best[0])
+    return chosen

@@ -1935,6 +1935,80 @@ def knn_self_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_self_join(emb, cents, k=3).orderBy("vec_id", "rank")
 
 
+def _mmr_oracle(qid: int = 0, pool: int = 20, k: int = 5, lam: float = 0.7) -> str:
+    lt = round(lam * 10)  # lam in tenths -> exact integer scoring
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    parts = [
+        f"""WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {qid}
+    ), cand AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {cos.format(a="embedding::DOUBLE[]", b="qv")} AS rel
+      FROM embeddings, q WHERE vec_id <> {qid}
+      ORDER BY rel DESC, vec_id LIMIT {pool}
+    ), sim AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             {cos.format(a="a.v", b="b.v")} AS s
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ), c1 AS (
+      SELECT vec_id, 1 AS rank,
+             ({lt} * CAST(round(rel * 1e6) AS BIGINT)) / 1e7 AS score
+      FROM cand
+      ORDER BY {lt} * CAST(round(rel * 1e6) AS BIGINT) DESC, vec_id LIMIT 1
+    ), p1 AS (SELECT vec_id FROM c1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f"""s{t} AS (
+      SELECT c.vec_id,
+             {lt} * CAST(round(c.rel * 1e6) AS BIGINT)
+               - {10 - lt} * (SELECT max(CAST(round(s.s * 1e6) AS BIGINT))
+                              FROM sim s
+                              WHERE s.ia = c.vec_id
+                                AND s.ib IN (SELECT vec_id FROM p{t - 1}))
+               AS score_n
+      FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM p{t - 1})
+    ), c{t} AS (
+      SELECT vec_id, {t} AS rank, score_n / 1e7 AS score FROM s{t}
+      ORDER BY score_n DESC, vec_id LIMIT 1
+    ), p{t} AS (SELECT vec_id FROM p{t - 1} UNION ALL SELECT vec_id FROM c{t})"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM c{t}" for t in range(1, k + 1))
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT CAST(rank AS INT) AS rank, vec_id, score
+    FROM ({union}) ORDER BY rank
+    """
+    )
+
+
+@_register("mmr_diverse_topk", _mmr_oracle(qid=0, pool=20, k=5, lam=0.7))
+def mmr_diverse_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998):
+    the diversity stage production retrieval runs after ANN — pick 5
+    results trading relevance to the query (λ=0.7) against redundancy
+    with the already-picked set. Stage 1 distributes (corpus → top-20
+    candidate pool, one cosine pass); the inherently-sequential greedy
+    argmax runs on the driver over the POOL-sized rounded similarity
+    matrix (the honest place — pool², never corpus-sized). The oracle
+    replays all 5 greedy steps exactly: scores are exact integer
+    micro-units (λ in tenths — float rounding would sit ON .5 boundaries
+    structurally), ties to the smaller id
+    (``operators/similarity.py::mmr_diverse_topk``)."""
+    from ..operators.similarity import mmr_diverse_topk
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    chosen = mmr_diverse_topk(emb, query_id=0, pool=20, k=5, lam=0.7)
+    return spark.createDataFrame(
+        chosen, "rank int, vec_id bigint, score double"
+    ).orderBy("rank")
+
+
 @_register("ann_ivf_topk", _ann_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: deterministic data-sampled centroids (every 25th
