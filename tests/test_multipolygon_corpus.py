@@ -291,6 +291,22 @@ ADVERSARIAL.update({
          [(3, 2), (4, 1.5), (4, 2.5), (3, 2)]], False,
         "ERROR:Touching polygons without common node",
     ),
+    # island inside a hole, sharing a node with the hole boundary:
+    # point contact is valid, the island starts its own outer
+    "island_in_hole_touching_hole": (
+        [_sq(0, 0, 6, 6), [(1, 1), (3, 1), (3, 3), (1, 3), (1, 1)]],
+        [_sq(1, 1, 5, 5)], False,
+        "MULTIPOLYGON(((0 0,6 0,6 6,0 6,0 0),(1 1,5 1,5 5,1 5,1 1)),"
+        "((1 1,3 1,3 3,1 3,1 1)))",
+    ),
+    # two disjoint outers, one hole each: holes must associate with THEIR
+    # containing shell, not the first/biggest one
+    "two_disjoint_outers_each_with_hole": (
+        [_sq(0, 0, 3, 3), _sq(10, 0, 13, 3)],
+        [_sq(1, 1, 2, 2), _sq(11, 1, 12, 2)], False,
+        "MULTIPOLYGON(((0 0,3 0,3 3,0 3,0 0),(1 1,2 1,2 2,1 2,1 1)),"
+        "((10 0,13 0,13 3,10 3,10 0),(11 1,12 1,12 2,11 2,11 1)))",
+    ),
     # two outers overlapping where ONE crossing is a shared node but the
     # other is not: repair is refused -> overlapping polygons error
     "overlapping_outers_one_free_crossing": (
