@@ -625,12 +625,23 @@ def cmd_sql(args) -> int:
     from .sources.views import register_contribution_views
 
     spark = get_spark(app_name="sql")
-    register_contribution_views(spark, args.data)
-    df = spark.sql(args.query)
+    base = register_contribution_views(spark, args.data)
     if args.filter:
+        # apply the DSL predicate to the source views, not the SQL result:
+        # the user's query may aggregate or project away tags/osm_type, so
+        # filtering the result frame would fail on perfectly valid SQL
         from .functions.ohsome_filter import compile_filter
+        from .sources.views import VALID_TO_SENTINEL
 
-        df = df.filter(compile_filter(args.filter))
+        pred = compile_filter(args.filter)
+        filtered = base.filter(pred)
+        filtered.createOrReplaceTempView("contributions")
+        if "layer" in filtered.columns:
+            latest = filtered.filter(F.col("layer") == "latest")
+        else:
+            latest = filtered.filter(F.col("valid_to") == F.lit(VALID_TO_SENTINEL))
+        latest.createOrReplaceTempView("contributions_latest")
+    df = spark.sql(args.query)
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
         print(f"wrote {args.out}")

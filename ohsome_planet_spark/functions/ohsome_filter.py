@@ -63,6 +63,11 @@ class FilterSchema:
     geometry_col: str = "geometry_type"
     area_col: str = "area"
     length_col: str = "length"
+    changeset_col: str = "changeset"
+    # the contribution schema carries no perimeter column; a schema that
+    # does can set this — otherwise perimeter:(..) fails at compile time
+    # with a clear error instead of a downstream AnalysisException
+    perimeter_col: str | None = None
 
 
 _OSM_TYPES = ("node", "way", "relation")
@@ -455,9 +460,18 @@ def _compile(node: _Node, s: FilterSchema) -> Column:
             out = c if out is None else (out | c)
         return out
     if isinstance(node, _Range):
-        col = {"area": s.area_col, "length": s.length_col}.get(
-            node.field, node.field
-        )
+        col = {
+            "area": s.area_col,
+            "length": s.length_col,
+            "changeset": s.changeset_col,
+            "perimeter": s.perimeter_col,
+        }.get(node.field, node.field)
+        if col is None:
+            raise FilterSyntaxError(
+                f"{node.field}:(..) range filter: the target schema has no"
+                f" column configured for '{node.field}' (set"
+                f" FilterSchema.{node.field}_col)"
+            )
         c = F.col(col)
         if node.lo is not None and node.hi is not None:
             return (c >= node.lo) & (c <= node.hi)

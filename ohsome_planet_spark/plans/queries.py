@@ -7276,9 +7276,14 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "split",
         F.explode(
+            # guard: sequence(1, n-1) counts DOWN when n < 2 and toks[i]
+            # then throws INVALID_ARRAY_INDEX; short docs emit no bigrams
+            # (matching the oracle's empty range(1, len(toks)))
             F.expr(
-                "transform(sequence(1, size(toks) - 1),"
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(1, size(toks) - 1),"
                 " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                " ELSE array() END"
             )
         ).alias("bgr"),
     ).select("doc_id", "split", F.col("bgr.w1").alias("w1"), F.col("bgr.w2").alias("w2"))

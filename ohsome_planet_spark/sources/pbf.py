@@ -402,7 +402,7 @@ def _decode_relation(buf, strings, date_gran):
 
 ENTITY_ROW_SCHEMA = (
     "osm_type string, osm_id bigint, version int, ts timestamp, changeset bigint,"
-    " user_id int, user_name string, visible boolean,"
+    " user_id bigint, user_name string, visible boolean,"
     " tags map<string,string>, lon double, lat double,"
     " refs array<bigint>, members array<struct<type:string,id:bigint,role:string>>"
 )

@@ -1,0 +1,125 @@
+"""Round-8 regression tests for the round-7 ADVICE findings.
+
+1. bigram_logprob_scores must not crash on documents with <2 tokens
+   (sequence(1, size-1) counts DOWN when size<2 and toks[i] throws).
+2. perimeter:(..) range filters must fail at compile time with a clear
+   error, not a downstream AnalysisException on a missing column;
+   changeset:(..) must bind to the configured changeset column.
+3. cmd_sql --filter must compose with aggregate / narrow-projection SQL
+   (the predicate applies to the registered views, not the result frame).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ohsome_planet_spark.functions.ohsome_filter import (
+    FilterSchema,
+    FilterSyntaxError,
+    compile_filter,
+)
+
+
+def test_bigram_guard_short_docs(spark):
+    """Docs with 0 or 1 tokens emit zero bigrams instead of crashing —
+    matching the DuckDB oracle's empty range(1, len(toks))."""
+    df = spark.createDataFrame(
+        [("a", ["x"]), ("b", []), ("c", ["x", "y", "z"]), ("d", None)],
+        "doc_id string, toks array<string>",
+    )
+    out = df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                " ELSE array() END"
+            )
+        ).alias("bgr"),
+    ).collect()
+    assert sorted((r.doc_id, r.bgr.w1, r.bgr.w2) for r in out) == [
+        ("c", "x", "y"),
+        ("c", "y", "z"),
+    ]
+
+
+def test_bigram_query_handles_short_docs(spark, tmp_path):
+    """The registry query end-to-end over a corpus that includes empty
+    and single-token documents (the synthetic testdata has none)."""
+    import pandas as pd
+
+    from ohsome_planet_spark.plans.queries import QUERIES
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(40)),
+            "text": (
+                ["word"] * 5
+                + [""] * 5
+                + [f"alpha beta gamma delta {i}" for i in range(30)]
+            ),
+            "lang": ["en"] * 40,
+            "source": ["t"] * 40,
+            "published_ts": pd.to_datetime("2024-01-01"),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.to_parquet(str(sf / "documents.parquet"))
+    res = QUERIES["bigram_logprob_scores"](spark, str(sf)).collect()
+    # must run without INVALID_ARRAY_INDEX; short docs contribute no rows
+    assert all(r.n_bigrams >= 1 for r in res)
+
+
+def test_perimeter_range_filter_clear_error():
+    with pytest.raises(FilterSyntaxError, match="perimeter"):
+        compile_filter("perimeter:(10..100)")
+
+
+def test_perimeter_range_filter_with_configured_column():
+    pred = compile_filter(
+        "perimeter:(10..100)", FilterSchema(perimeter_col="perim")
+    )
+    assert "perim" in str(pred._jc)
+
+
+def test_changeset_range_filter_binds_changeset_col(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 50), (3, 500)], "osm_id long, changeset long"
+    )
+    got = df.filter(compile_filter("changeset:(10..100)")).collect()
+    assert [r.osm_id for r in got] == [2]
+
+
+def test_sql_cli_filter_composes_with_aggregate(tmp_path, capsys):
+    """--filter + aggregate SQL: the filter must hit the views before the
+    query runs, so a SELECT that projects away tags still works."""
+    from ohsome_planet_spark.cli import main
+    from tests.pbf_encoder import encode_block, write_pbf
+    from tests.test_sql_views import NODES, RELS, WAYS
+
+    pbf = str(tmp_path / "f.osh.pbf")
+    write_pbf(
+        pbf,
+        [
+            encode_block(dense_nodes=NODES),
+            encode_block(ways=WAYS),
+            encode_block(relations=RELS),
+        ],
+    )
+    out = str(tmp_path / "contribs")
+    assert main(["contributions", "--pbf", pbf, "--out", out]) == 0
+    assert (
+        main(
+            [
+                "sql",
+                "--data",
+                out,
+                "SELECT count(*) AS n FROM contributions_latest",
+                "--filter",
+                "type:relation and route=bicycle",
+            ]
+        )
+        == 0
+    )
+    assert "1" in capsys.readouterr().out
