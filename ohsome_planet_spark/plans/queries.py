@@ -575,22 +575,16 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 # OSM contribution pipeline on derived histories (flagship)
 # ===========================================================================
 
-_CONTRIB_ORACLE = """
-WITH base AS (
-  SELECT user_id AS osm_id, ts,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
-         event_type, value
-  FROM events
-), ent AS (
-  SELECT osm_id, ts,
-         CAST(((seq - 1) // 2) + 1 AS INT)            AS version,
-         CAST((((seq - 1) // 2) + 1) % 7 AS BIGINT)   AS changeset,
-         event_type <> 'error'                        AS visible,
-         event_type                                   AS tagv,
-         (value % 360.0) - 180.0                      AS lon,
-         ((value * 7.0) % 180.0) - 90.0               AS lat
-  FROM base
-), raw AS (
+def _contrib_oracle_sql(ent_cte: str) -> str:
+    """The node-contribution window-SQL oracle, parameterized over the
+    entity-derivation CTE (``contrib_nodes`` derives float coords and raw
+    event timestamps; ``contrib_from_pbf`` derives PBF-representable
+    second-resolution timestamps and 1e-7-exact coordinates)."""
+    return _CONTRIB_ORACLE_BODY.replace("__ENT_CTE__", ent_cte)
+
+
+_CONTRIB_ORACLE_BODY = """
+__ENT_CTE__, raw AS (
   SELECT *,
          lag(ts)       OVER w AS prev_ts,
          lag(tagv)     OVER w AS prev_tagv,
@@ -637,6 +631,45 @@ FROM final
 ORDER BY osm_id, osm_edits
 """
 
+_CONTRIB_ORACLE = _contrib_oracle_sql("""
+WITH base AS (
+  SELECT user_id AS osm_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+         event_type, value
+  FROM events
+), ent AS (
+  SELECT osm_id, ts,
+         CAST(((seq - 1) // 2) + 1 AS INT)            AS version,
+         CAST((((seq - 1) // 2) + 1) % 7 AS BIGINT)   AS changeset,
+         event_type <> 'error'                        AS visible,
+         event_type                                   AS tagv,
+         (value % 360.0) - 180.0                      AS lon,
+         ((value * 7.0) % 180.0) - 90.0               AS lat
+  FROM base
+)""")
+
+# contrib_from_pbf: same history, but every value must survive the PBF
+# wire format exactly — timestamps at whole seconds (date_granularity
+# 1000), coordinates on the half/quarter-degree grid (exact doubles,
+# lossless through the 1e-7 nanodegree encoding).
+_CONTRIB_FROM_PBF_ORACLE = _contrib_oracle_sql("""
+WITH base AS (
+  SELECT user_id AS osm_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+         event_type, value
+  FROM events WHERE user_id % 4 = 0
+), ent AS (
+  SELECT osm_id,
+         TIMESTAMP '2015-01-01' + INTERVAL 1 MINUTE * seq              AS ts,
+         CAST(((seq - 1) // 2) + 1 AS INT)            AS version,
+         CAST((((seq - 1) // 2) + 1) % 7 AS BIGINT)   AS changeset,
+         event_type <> 'error'                        AS visible,
+         event_type                                   AS tagv,
+         (abs(CAST(floor(value) AS BIGINT)) % 360) - 180 + 0.5         AS lon,
+         (abs(CAST(floor(value * 7.0) AS BIGINT)) % 180) - 90 + 0.25   AS lat
+  FROM base
+)""")
+
 
 def _derived_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic node-history derivation from the events table: two
@@ -665,6 +698,89 @@ def contrib_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the full node contribution pipeline (A1-A6, F3, F4) on
     derived histories, checked column-by-column against a window-SQL oracle."""
     nodes = _derived_nodes(spark, sf_dir)
+    contribs = synthesize_contributions(node_contribution_events(nodes))
+    return contribs.select(
+        "status",
+        "valid_from",
+        "valid_to",
+        "osm_id",
+        "osm_version",
+        "osm_minor_version",
+        "osm_edits",
+        "osm_last_edit",
+        "contrib_type",
+        F.round("centroid.x", 6).alias("cx"),
+        F.round("centroid.y", 6).alias("cy"),
+    ).orderBy("osm_id", "osm_edits")
+
+
+_PBF_FIXTURES: dict[str, str] = {}
+
+
+def _pbf_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build the deterministic ``.osh.pbf`` fixture for contrib_from_pbf:
+    derive a bounded node history from events (25% of users), collect it,
+    and encode real DenseNodes wire bytes. The collect is fixture
+    construction, not pipeline shape — at 100 TB the PBF already exists
+    (it is the planet dump); only the decode side below is the engine."""
+    import os
+
+    path = _PBF_FIXTURES.get(sf_dir)
+    if path is not None and os.path.exists(path):
+        return path
+    from ..sources.pbf_encoder import write_node_history_pbf
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 4 == 0)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = F.row_number().over(w)
+    version = (F.floor((seq - F.lit(1)) / 2) + 1).cast("int")
+    rows = ev.select(
+        F.col("user_id").alias("osm_id"),
+        version.alias("version"),
+        (F.lit(1420070400) + 60 * seq).alias("ts_s"),
+        (version % 7).cast("bigint").alias("changeset"),
+        (F.col("event_type") != "error").alias("visible"),
+        F.col("event_type").alias("tagv"),
+        (F.abs(F.floor("value").cast("bigint")) % 360 - 180 + 0.5).alias("lon"),
+        (F.abs(F.floor(F.col("value") * 7.0).cast("bigint")) % 180 - 90 + 0.25).alias("lat"),
+    ).orderBy("osm_id", "version", "ts_s").collect()
+    nodes = [
+        dict(
+            osm_id=r.osm_id, version=r.version, ts_ms=r.ts_s * 1000,
+            changeset=r.changeset, uid=0, user="u", visible=r.visible,
+            tags={"t": r.tagv}, lon=r.lon, lat=r.lat,
+        )
+        for r in rows
+    ]
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"opc_fixture_nodes_{key}.osh.pbf"
+    )
+    write_node_history_pbf(path, nodes)
+    _PBF_FIXTURES[sf_dir] = path
+    return path
+
+
+@_register("contrib_from_pbf", _CONTRIB_FROM_PBF_ORACLE)
+def contrib_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end S1-S6 + A1-A6 seam: real ``.osh.pbf`` bytes → distributed
+    blob decode (``read_pbf``, mapInPandas over the blob index) → node
+    contribution synthesis — the `Contributions2Parquet.call()` path
+    (``Contributions2Parquet.java:125-207``) inside the hash-match gate.
+    The oracle replays the same history from the events table in pure SQL;
+    any decode bug (delta/zigzag, string table, info fields, granularity)
+    breaks the hash."""
+    from ..sources.pbf import read_pbf
+
+    path = _pbf_fixture(spark, sf_dir)
+    ents = read_pbf(spark, path).filter(F.col("osm_type") == "node")
+    nodes = ents.select(
+        "osm_id", "version", "ts", "changeset", "user_id", "user_name",
+        "visible", "tags", "lon", "lat",
+    )
     contribs = synthesize_contributions(node_contribution_events(nodes))
     return contribs.select(
         "status",

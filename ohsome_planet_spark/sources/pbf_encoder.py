@@ -1,0 +1,191 @@
+"""Minimal OSM-PBF *encoder*: builds deterministic ``.osh.pbf`` fixtures
+for tests and for the ``contrib_from_pbf`` registry query, which closes
+the decoder→synthesis seam end-to-end (the reference tests decode blocks
+built with the official protobuf bindings, ``TransformerTest.java:19-60``;
+we hand-roll the wire format). Not a production sink — the reference
+never writes PBF either."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+
+def varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def zz(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def field(num: int, wt: int) -> bytes:
+    return varint((num << 3) | wt)
+
+
+def len_field(num: int, payload: bytes) -> bytes:
+    return field(num, 2) + varint(len(payload)) + payload
+
+
+def packed(num: int, values) -> bytes:
+    return len_field(num, b"".join(varint(v) for v in values))
+
+
+def packed_sint_delta(num: int, values) -> bytes:
+    out = []
+    prev = 0
+    for v in values:
+        out.append(zz(v - prev))
+        prev = v
+    return packed(num, out)
+
+
+class StringTable:
+    def __init__(self):
+        self.strings = [""]
+        self.index = {"": 0}
+
+    def get(self, s: str) -> int:
+        if s not in self.index:
+            self.index[s] = len(self.strings)
+            self.strings.append(s)
+        return self.index[s]
+
+    def encode(self) -> bytes:
+        return len_field(
+            1, b"".join(len_field(1, s.encode()) for s in self.strings)
+        )
+
+
+def encode_info(st: StringTable, e: dict) -> bytes:
+    out = b""
+    out += field(1, 0) + varint(e.get("version", 1))
+    out += field(2, 0) + varint(e.get("ts_ms", 0) // 1000)
+    out += field(3, 0) + varint(e.get("changeset", 0))
+    out += field(4, 0) + varint(e.get("uid", 0))
+    out += field(5, 0) + varint(st.get(e.get("user", "")))
+    out += field(6, 0) + varint(1 if e.get("visible", True) else 0)
+    return out
+
+
+def encode_dense(st: StringTable, nodes: list[dict]) -> bytes:
+    ids = packed_sint_delta(1, [n["osm_id"] for n in nodes])
+    info = b""
+    info += packed(1, [n.get("version", 1) for n in nodes])
+    info += packed_sint_delta(2, [n.get("ts_ms", 0) // 1000 for n in nodes])
+    info += packed_sint_delta(3, [n.get("changeset", 0) for n in nodes])
+    info += packed_sint_delta(4, [n.get("uid", 0) for n in nodes])
+    info += packed_sint_delta(5, [st.get(n.get("user", "")) for n in nodes])
+    info += packed(6, [1 if n.get("visible", True) else 0 for n in nodes])
+    lat = packed_sint_delta(8, [round(n["lat"] * 1e7) for n in nodes])
+    lon = packed_sint_delta(9, [round(n["lon"] * 1e7) for n in nodes])
+    kv = []
+    for n in nodes:
+        for k, v in n.get("tags", {}).items():
+            kv.append(st.get(k))
+            kv.append(st.get(v))
+        kv.append(0)
+    return ids + len_field(5, info) + lat + lon + packed(10, kv)
+
+
+def encode_way(st: StringTable, w: dict) -> bytes:
+    out = field(1, 0) + varint(w["osm_id"])
+    tags = w.get("tags", {})
+    out += packed(2, [st.get(k) for k in tags])
+    out += packed(3, [st.get(v) for v in tags.values()])
+    out += len_field(4, encode_info(st, w))
+    out += packed_sint_delta(8, w.get("refs", []))
+    return out
+
+
+_MTYPE = {"node": 0, "way": 1, "relation": 2}
+
+
+def encode_relation(st: StringTable, r: dict) -> bytes:
+    out = field(1, 0) + varint(r["osm_id"])
+    tags = r.get("tags", {})
+    out += packed(2, [st.get(k) for k in tags])
+    out += packed(3, [st.get(v) for v in tags.values()])
+    out += len_field(4, encode_info(st, r))
+    members = r.get("members", [])
+    out += packed(8, [st.get(m["role"]) for m in members])
+    out += packed_sint_delta(9, [m["id"] for m in members])
+    out += packed(10, [_MTYPE[m["type"]] for m in members])
+    return out
+
+
+def encode_block(
+    dense_nodes: list[dict] | None = None,
+    ways: list[dict] | None = None,
+    relations: list[dict] | None = None,
+) -> bytes:
+    st = StringTable()
+    groups = b""
+    if dense_nodes:
+        groups += len_field(2, encode_dense(st, dense_nodes))
+    for w in ways or []:
+        groups += len_field(3, encode_way(st, w))
+    for r in relations or []:
+        groups += len_field(4, encode_relation(st, r))
+    block = st.encode() + len_field(2, groups)
+    block += field(17, 0) + varint(100)  # granularity
+    block += field(18, 0) + varint(1000)  # date_granularity
+    return block
+
+
+def write_node_history_pbf(
+    path: str, nodes: list[dict], block_size: int = 8000
+) -> None:
+    """Encode a node-history row list (dicts with osm_id/version/ts_ms/
+    changeset/uid/user/visible/tags/lon/lat) into an ``.osh.pbf`` file,
+    chunked into DenseNodes blocks like real planet files. Written via a
+    same-directory temp file + atomic replace so concurrent builders of
+    the same fixture path never observe a torn file."""
+    import os
+    import tempfile
+
+    blocks = [
+        encode_block(dense_nodes=nodes[i : i + block_size])
+        for i in range(0, max(len(nodes), 1), block_size)
+    ]
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(path) or ".", suffix=".pbf.tmp"
+    )
+    try:
+        with os.fdopen(fd, "wb"):
+            pass
+        write_pbf(tmp, blocks)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def write_pbf(path: str, blocks: list[bytes], header_extra: bytes = b"") -> None:
+    with open(path, "wb") as f:
+        hdr_block = (
+            len_field(4, b"OsmSchema-V0.6")
+            + len_field(4, b"HistoricalInformation")
+            + header_extra
+        )
+        _write_blob(f, "OSMHeader", hdr_block)
+        for b in blocks:
+            _write_blob(f, "OSMData", b)
+
+
+def _write_blob(f, btype: str, payload: bytes) -> None:
+    compressed = zlib.compress(payload)
+    blob = field(2, 0) + varint(len(payload)) + len_field(3, compressed)
+    hdr = len_field(1, btype.encode()) + field(3, 0) + varint(len(blob))
+    f.write(struct.pack(">I", len(hdr)))
+    f.write(hdr)
+    f.write(blob)

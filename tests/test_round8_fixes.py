@@ -123,3 +123,26 @@ def test_sql_cli_filter_composes_with_aggregate(tmp_path, capsys):
         == 0
     )
     assert "1" in capsys.readouterr().out
+
+
+def test_write_node_history_pbf_multiblock_roundtrip(spark, tmp_path):
+    """write_node_history_pbf chunks into DenseNodes blocks; the
+    distributed decoder must reassemble all of them."""
+    from ohsome_planet_spark.sources.pbf import read_pbf
+    from ohsome_planet_spark.sources.pbf_encoder import write_node_history_pbf
+
+    nodes = [
+        dict(
+            osm_id=i, version=1, ts_ms=1_000_000 + i * 1000, changeset=i % 5,
+            uid=0, user="u", visible=True, tags={"n": str(i)},
+            lon=(i % 360) - 180 + 0.5, lat=(i % 180) - 90 + 0.25,
+        )
+        for i in range(25)
+    ]
+    path = str(tmp_path / "multi.osh.pbf")
+    write_node_history_pbf(path, nodes, block_size=7)  # 4 blocks
+    got = read_pbf(spark, path).orderBy("osm_id").collect()
+    assert len(got) == 25
+    assert [r.osm_id for r in got] == list(range(25))
+    assert got[7].tags == {"n": "7"}
+    assert abs(got[3].lon - (3 - 180 + 0.5)) < 1e-9
