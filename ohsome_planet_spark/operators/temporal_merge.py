@@ -182,8 +182,26 @@ def merge_member_streams(
         )
 
     ev = ev.withColumn("_prior", F.lit(False))
-    for _ in range(FOLD_FIXPOINT_ITERS):
-        ev = _classification_pass(ev)
+    # Fold-candidate gate: the fixpoint only does work when some member
+    # event shares its parent major's changeset after pts (cs == pcs ∧
+    # ts > pts). Virtually all real histories have none — then _fold/_prior
+    # are constant-false and all 3 passes (2 window sorts each over the
+    # widest frame in the pipeline) can be skipped outright. The gate costs
+    # one existence probe over the (persisted) join; the persist replaces
+    # the recompute the probe would otherwise trigger.
+    ev = register_cached(ev.persist(StorageLevel.MEMORY_AND_DISK))
+    has_fold_candidates = not ev.filter(
+        after_t & (F.col("cs") == F.col("pcs"))
+    ).isEmpty()
+    if has_fold_candidates:
+        for _ in range(FOLD_FIXPOINT_ITERS):
+            ev = _classification_pass(ev)
+    else:
+        ev = (
+            ev.withColumn("_viol", F.lit(0))
+            .withColumn("_fold", F.lit(False))
+            .withColumn("_fmax", F.lit(None).cast("long"))
+        )
     if assert_convergence:
         # one probe pass: any row whose fold/prior classification would
         # still change means a consumption chain deeper than the fixed
