@@ -2444,6 +2444,333 @@ def ohsome_length_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- /elements/area + groupBy variants + /users/count ----------------------
+
+_EPOCH_2020 = 1577836800  # 2020-01-01T00:00:00Z
+
+
+def _derived_polygon_ways(spark: SparkSession, sf_dir: str):
+    """Closed-way (building) histories: one 3-version way per nation whose
+    5-slot ring [a,b,c,d,a] references single-version corner nodes on an
+    exact grid (integer degrees + 0.5/0.25 offsets — lossless doubles).
+    Odd versions use corner 3, even versions corner 4, so every version
+    is a GEOMETRY contribution and the ring is always simple & convex."""
+    nat = _t(spark, sf_dir, "nation")
+    wid = F.col("n_nationkey").cast("bigint")
+    base = nat.select(wid.alias("wid"))
+    x0 = (F.col("wid") * 7 % 340 - 170).cast("double")
+    y0 = (F.col("wid") * 11 % 160 - 80).cast("double")
+    dx = F.array(*[F.lit(v) for v in (0.0, 0.5, 0.5, 0.0, 0.0)])
+    dy = F.array(*[F.lit(v) for v in (0.0, 0.0, 0.25, 0.25, 0.5)])
+    k = F.col("k").cast("int")
+    nodes = (
+        base.crossJoin(
+            F.broadcast(spark.range(5).select(F.col("id").alias("k")))
+        )
+        .select(
+            (F.lit(10_000_000) + F.col("wid") * 8 + F.col("k")).alias("osm_id"),
+            F.lit(1).cast("int").alias("version"),
+            F.timestamp_seconds(F.lit(_EPOCH_2020)).alias("ts"),
+            F.lit(1).cast("bigint").alias("changeset"),
+            F.lit(0).alias("user_id"),
+            F.lit("u").alias("user_name"),
+            F.lit(True).alias("visible"),
+            F.expr("cast(map() as map<string,string>)").alias("tags"),
+            (x0 + F.element_at(dx, k + 1)).alias("lon"),
+            (y0 + F.element_at(dy, k + 1)).alias("lat"),
+        )
+    )
+    nid = F.lit(10_000_000) + F.col("wid") * 8
+    v = F.col("v")
+    ways = (
+        base.crossJoin(spark.range(1, 4).select(F.col("id").alias("v")))
+        .select(
+            F.col("wid").alias("osm_id"),
+            v.cast("int").alias("version"),
+            F.timestamp_seconds(
+                F.lit(_EPOCH_2024)
+                + (F.col("wid") % 5) * 86400
+                + v * 7 * 86400
+            ).alias("ts"),
+            (F.lit(1000) + F.col("wid") * 10 + v).cast("bigint").alias("changeset"),
+            F.lit(0).alias("user_id"),
+            F.lit("u").alias("user_name"),
+            F.lit(True).alias("visible"),
+            F.create_map(F.lit("building"), F.lit("yes")).alias("tags"),
+            F.array(
+                nid, nid + 1, nid + 2,
+                nid + F.when(v % 2 == 1, F.lit(3)).otherwise(F.lit(4)),
+                nid,
+            ).alias("refs"),
+        )
+    )
+    return ways, nodes
+
+
+def _polygon_contribs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        ways, nodes = _derived_polygon_ways(spark, sf_dir)
+        return synthesize_contributions(way_contribution_events(ways, nodes))
+
+    return _produce_then_query(spark, sf_dir, "polygons", build)
+
+
+def _ohsome_area_series_oracle() -> str:
+    from ..functions.geodesic import (
+        EARTH_INVERSE_FLATTENING as INVF,
+        EARTH_RADIUS_EQUATOR as RE,
+        F_UNDERSCORE as FU,
+    )
+
+    sinlat = (
+        f"({FU!r} * tan(radians(ys[((i + 1) % 5) + 1]))"
+        f" / sqrt(({FU!r} * tan(radians(ys[((i + 1) % 5) + 1])))"
+        f" * ({FU!r} * tan(radians(ys[((i + 1) % 5) + 1]))) + 1.0))"
+    )
+    return f"""
+WITH ways AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS wid, CAST(v AS INT) AS v,
+         make_timestamp(({_EPOCH_2024} + (n_nationkey % 5) * 86400
+                         + v * 7 * 86400) * 1000000) AS wts
+  FROM nation, (SELECT unnest(range(1, 4)) AS v)
+), rings AS (
+  SELECT wid, v, wts,
+         lead(wts) OVER (PARTITION BY wid ORDER BY wts, v) AS wts_end,
+         CAST((wid * 7) % 340 - 170 AS DOUBLE) AS x0,
+         CAST((wid * 11) % 160 - 80 AS DOUBLE) AS y0
+  FROM ways
+), coords AS (
+  SELECT *,
+         [x0, x0 + 0.5, x0 + 0.5, x0, x0] AS xs,
+         CASE WHEN v % 2 = 1
+              THEN [y0, y0, y0 + 0.25, y0 + 0.25, y0]
+              ELSE [y0, y0, y0 + 0.25, y0 + 0.5, y0] END AS ys
+  FROM rings
+), areas AS (
+  SELECT wid, v, wts, wts_end,
+    abs(
+      list_sum(list_transform(range(0, 5), i ->
+        radians(xs[((i + 2) % 5) + 1] - xs[(i % 5) + 1]) * {sinlat}))
+      * (0.5 * {RE!r} * {RE!r}
+         * (1.0 - 1.0 / {INVF!r}
+            * (cos(radians((list_max(ys) + list_min(ys)) / 2.0))
+               * cos(radians((list_max(ys) + list_min(ys)) / 2.0)))))
+    ) AS area_m2
+  FROM coords
+)
+SELECT s.snap_ts,
+       CAST(count(*) AS BIGINT) AS n_live,
+       round(sum(area_m2) / 1000000.0, 6) AS total_area_km2
+FROM areas a
+JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
+                                    TIMESTAMP '2024-02-01',
+                                    INTERVAL 7 DAY)) AS snap_ts) s
+  ON a.wts <= s.snap_ts AND (a.wts_end IS NULL OR s.snap_ts < a.wts_end)
+GROUP BY s.snap_ts
+ORDER BY s.snap_ts
+"""
+
+
+@_register("ohsome_area_series", _ohsome_area_series_oracle())
+def ohsome_area_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ohsome API /elements/area endpoint shape — total live polygon
+    area at weekly snapshots — over a STAGED closed-way contributions
+    table. Exercises the way-polygon branch end-to-end: polygon-feature
+    predicate (building=yes), ring closure + simplicity, Chamberlain &
+    Duquette spherical-excess area (A8), contribution validity windows,
+    and the broadcast snapshot interval join. The oracle replays the ring
+    area term-for-term (same summation order) in DuckDB. Scale shape:
+    facts never shuffle — the snapshot list is broadcast and the only
+    exchange is the final snap_ts aggregation."""
+    from ..functions.ohsome_filter import compile_filter
+
+    contribs = _polygon_contribs_table(spark, sf_dir)
+    live = contribs.filter(
+        F.col("status").isin("history", "latest")
+    ).filter(compile_filter("geometry:polygon and building=yes"))
+    snaps = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_timestamp('2024-01-04'), "
+                "to_timestamp('2024-02-01'), interval 7 days)"
+            )
+        ).alias("snap_ts")
+    )
+    return (
+        live.select("valid_from", "valid_to", "area")
+        .join(
+            F.broadcast(snaps),
+            (F.col("valid_from") <= F.col("snap_ts"))
+            & (F.col("snap_ts") < F.col("valid_to")),
+        )
+        .groupBy("snap_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.round(F.sum("area") / 1e6, 6).alias("total_area_km2"),
+        )
+        .orderBy("snap_ts")
+    )
+
+
+def _ohsome_count_groupby_tag_oracle() -> str:
+    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
+    return (
+        _CONTRIB_ORACLE[:cut]
+        + """
+    SELECT tag_value, snap_ts,
+           CAST(count(*) AS BIGINT) AS n_live,
+           CAST(count(DISTINCT osm_id) AS BIGINT) AS n_elements
+    FROM (
+      SELECT c.tagv AS tag_value, s.snap_ts, c.osm_id
+      FROM (SELECT tagv, osm_id, ts AS valid_from,
+                   coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to
+            FROM final WHERE visible AND eff IS NOT NULL) c
+      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
+                                          TIMESTAMP '2024-02-01',
+                                          INTERVAL 7 DAY)) AS snap_ts) s
+        ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
+    )
+    GROUP BY tag_value, snap_ts
+    ORDER BY tag_value, snap_ts
+    """
+    )
+
+
+@_register("ohsome_count_groupby_tag", _ohsome_count_groupby_tag_oracle())
+def ohsome_count_groupby_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/elements/count groupBy tag (groupByKey=t): live element counts per
+    tag value per weekly snapshot over the staged node contributions.
+    Same never-shuffle-the-facts shape as ohsome_count_series with the
+    boundary dimension swapped for the tag-value dimension (map lookup,
+    no explode needed for a single groupByKey)."""
+    contribs = _node_contribs_table(spark, sf_dir)
+    live = contribs.filter(F.col("status").isin("history", "latest"))
+    snaps = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_timestamp('2024-01-04'), "
+                "to_timestamp('2024-02-01'), interval 7 days)"
+            )
+        ).alias("snap_ts")
+    )
+    return (
+        live.select(
+            F.col("tags")["t"].alias("tag_value"),
+            "osm_id",
+            "valid_from",
+            "valid_to",
+        )
+        .join(
+            F.broadcast(snaps),
+            (F.col("valid_from") <= F.col("snap_ts"))
+            & (F.col("snap_ts") < F.col("valid_to")),
+        )
+        .groupBy("tag_value", "snap_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.countDistinct("osm_id").alias("n_elements"),
+        )
+        .orderBy("tag_value", "snap_ts")
+    )
+
+
+def _ohsome_length_groupby_tag_oracle() -> str:
+    cut = _CONTRIB_WAYS_ORACLE.index("SELECT wid AS osm_id")
+    return (
+        _CONTRIB_WAYS_ORACLE[:cut]
+        + """
+    SELECT tag_value, snap_ts,
+           CAST(count(*) AS BIGINT) AS n_live,
+           round(sum(length_m), 2) AS total_length_m
+    FROM (
+      SELECT concat('w', c.wid) AS tag_value, s.snap_ts, c.length_m
+      FROM (SELECT wid, inst_ts AS valid_from,
+                   coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to,
+                   length_m
+            FROM contribs WHERE nc >= 2) c
+      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
+                                          TIMESTAMP '2024-02-01',
+                                          INTERVAL 7 DAY)) AS snap_ts) s
+        ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
+    )
+    GROUP BY tag_value, snap_ts
+    ORDER BY tag_value, snap_ts
+    """
+    )
+
+
+@_register("ohsome_length_groupby_tag", _ohsome_length_groupby_tag_oracle())
+def ohsome_length_groupby_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/elements/length groupBy tag (groupByKey=name): live way length per
+    tag value per weekly snapshot over the staged way contributions —
+    the tag dimension comes straight from the stored tags map."""
+    contribs = _way_contribs_table(spark, sf_dir)
+    live = contribs.filter(F.col("geometry_type") == "LineString")
+    snaps = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_timestamp('2024-01-04'), "
+                "to_timestamp('2024-02-01'), interval 7 days)"
+            )
+        ).alias("snap_ts")
+    )
+    return (
+        live.select(
+            F.col("tags")["name"].alias("tag_value"),
+            "valid_from",
+            "valid_to",
+            F.col("length").alias("length_m"),
+        )
+        .join(
+            F.broadcast(snaps),
+            (F.col("valid_from") <= F.col("snap_ts"))
+            & (F.col("snap_ts") < F.col("valid_to")),
+        )
+        .groupBy("tag_value", "snap_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.round(F.sum("length_m"), 2).alias("total_length_m"),
+        )
+        .orderBy("tag_value", "snap_ts")
+    )
+
+
+_OHSOME_USERS_COUNT_ORACLE = """
+SELECT date_trunc('week', ts) AS period,
+       CAST(count(DISTINCT event_id % 40) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_contribs
+FROM events
+WHERE event_type IN ('click', 'view')
+GROUP BY period
+ORDER BY period
+"""
+
+
+@_register("ohsome_users_count", _OHSOME_USERS_COUNT_ORACLE)
+def ohsome_users_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/users/count — distinct contributors per week under an ohsome
+    filter DSL predicate. One map-side-combinable aggregation over the
+    edit stream; the DSL predicate (`t in (click, view)`) compiles to a
+    native tags-map lookup, so filter + bucket + distinct-count all run
+    inside whole-stage codegen before the single exchange."""
+    from ..functions.ohsome_filter import compile_filter
+
+    ev = _t(spark, sf_dir, "events")
+    edits = ev.select(
+        (F.col("event_id") % 40).alias("uid"),
+        "ts",
+        F.create_map(F.lit("t"), F.col("event_type")).alias("tags"),
+    ).filter(compile_filter("t in (click, view)"))
+    return (
+        edits.groupBy(F.date_trunc("week", "ts").alias("period"))
+        .agg(
+            F.countDistinct("uid").alias("n_users"),
+            F.count(F.lit(1)).alias("n_contribs"),
+        )
+        .orderBy("period")
+    )
+
+
 # ===========================================================================
 # relation contribution pipeline (flagship #3): nested member streams
 # ===========================================================================
