@@ -32,11 +32,24 @@ MEDIA_SCHEMA = (
 )
 
 
-def _decode_media_real(payload: bytes) -> tuple[int, int]:
-    """The real decode seam: swap in PIL/libav here when available."""
+def _decode_media_real(payload: bytes) -> tuple[int, int, int, int]:
+    """The real decode seam: (width, height, channels, pixel_sum).
+
+    PNG is decoded for real — stdlib inflate + per-row un-filter
+    (``functions/png.py``); ``pixel_sum`` covers every decoded byte, so a
+    wrong filter reversal anywhere in the image changes the result.
+    Other containers (jpeg/riff/...) still need an external library —
+    they raise NotImplementedError and callers fall back to the stub."""
+    from ..functions.png import PNG_SIGNATURE, decode_png
+
+    payload = bytes(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        width, height, channels, rows = decode_png(payload)
+        return width, height, channels, sum(sum(r) for r in rows)
     raise NotImplementedError(
-        "media decoding requires an image/audio library not present in this "
-        "environment; decode_stub provides the deterministic fake"
+        "only PNG decodes natively; jpeg/audio/video require an external "
+        "library not present in this environment — decode_stub provides "
+        "the deterministic fake"
     )
 
 
@@ -103,6 +116,40 @@ def decode_stub(df: DataFrame, media_col: str = "media") -> DataFrame:
             yield out
 
     schema = df.schema.simpleString()[7:-1] + ",fake_width int,fake_height int"
+    return df.mapInPandas(decode, schema)
+
+
+def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL decode via ``mapInPandas``: per-batch kernel calling
+    :func:`_decode_media_real` (PNG: full pixel decode). Non-decodable or
+    unsupported payloads yield null dims instead of failing the task —
+    at 100 TB a corrupt image must not kill the job. Same Arrow batch
+    shape as :func:`decode_stub`; columns ``width/height/channels/
+    pixel_sum`` appended."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, channels, sums = [], [], [], []
+            for payload in pdf[media_col]:
+                try:
+                    w, h, c, s = _decode_media_real(payload)
+                except (NotImplementedError, ValueError, TypeError):
+                    w = h = c = s = None
+                widths.append(w)
+                heights.append(h)
+                channels.append(c)
+                sums.append(s)
+            out = pdf.copy()
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["height"] = pd.array(heights, dtype="Int32")
+            out["channels"] = pd.array(channels, dtype="Int32")
+            out["pixel_sum"] = pd.array(sums, dtype="Int64")
+            yield out
+
+    schema = (
+        df.schema.simpleString()[7:-1]
+        + ",width int,height int,channels int,pixel_sum bigint"
+    )
     return df.mapInPandas(decode, schema)
 
 

@@ -13,7 +13,9 @@ query and mirrored in its oracle.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -3103,6 +3105,60 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         F.col("frame_idx").cast("int").alias("frame_idx"),
     ).orderBy("doc_id", "frame_idx")
+
+
+@_register(
+    "multimodal_png_decode",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 16 + 1 AS INT) AS width,
+           CAST(doc_id % 12 + 1 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(list_sum(flatten(list_transform(range(0, doc_id % 12 + 1),
+                 r -> list_transform(range(0, doc_id % 16 + 1),
+                   c -> (doc_id * 31 + r * 7 + c * 13) % 256)))) AS BIGINT)
+             AS pixel_sum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the multimodal seam: deterministic
+    grayscale pixels are encoded to genuine PNG bytes (zlib + per-row
+    filters cycling through all five filter types), then decoded back by
+    the stdlib decoder behind ``_decode_media_real``. The oracle computes
+    the expected dimensions and whole-image pixel sum arithmetically —
+    a single wrong byte in filter reversal breaks the hash. Both kernels
+    are Arrow-batched ``mapInPandas``; media bytes never leave the
+    executors."""
+    from ..operators.multimodal import decode_media
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 16 + 1, d % 12 + 1
+                rows = [
+                    bytes((d * 31 + r * 7 + c * 13) % 256 for c in range(w))
+                    for r in range(h)
+                ]
+                payloads.append(
+                    encode_png(w, h, rows, row_filters=[(d + r) % 5 for r in range(h)])
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+    return (
+        decode_media(media)
+        .select("doc_id", "width", "height", "channels", "pixel_sum")
+        .orderBy("doc_id")
+    )
 
 
 @_register(

@@ -146,3 +146,70 @@ def test_write_node_history_pbf_multiblock_roundtrip(spark, tmp_path):
     assert [r.osm_id for r in got] == list(range(25))
     assert got[7].tags == {"n": "7"}
     assert abs(got[3].lon - (3 - 180 + 0.5)) < 1e-9
+
+
+class TestPngCodec:
+    """Stdlib PNG codec: real decode behind the multimodal seam."""
+
+    def test_roundtrip_all_filters_gray(self):
+        from ohsome_planet_spark.functions.png import decode_png, encode_png
+
+        w, h = 9, 10
+        rows = [bytes((r * 37 + c * 11) % 256 for c in range(w)) for r in range(h)]
+        data = encode_png(w, h, rows, row_filters=[r % 5 for r in range(h)])
+        gw, gh, ch, got = decode_png(data)
+        assert (gw, gh, ch) == (w, h, 1)
+        assert got == rows
+
+    def test_roundtrip_rgb_rgba(self):
+        from ohsome_planet_spark.functions.png import decode_png, encode_png
+
+        for color_type, nch in ((2, 3), (6, 4)):
+            w, h = 5, 4
+            rows = [
+                bytes((r * 31 + c * 7) % 256 for c in range(w * nch))
+                for r in range(h)
+            ]
+            data = encode_png(
+                w, h, rows, color_type=color_type,
+                row_filters=[(r + 1) % 5 for r in range(h)],
+            )
+            gw, gh, ch, got = decode_png(data)
+            assert (gw, gh, ch) == (w, h, nch)
+            assert got == rows
+
+    def test_rejects_non_png_and_bad_profile(self):
+        import struct as _s
+        import zlib as _z
+
+        import pytest as _pt
+
+        from ohsome_planet_spark.functions.png import (
+            PNG_SIGNATURE,
+            PngFormatError,
+            decode_png,
+            encode_png,
+        )
+
+        with _pt.raises(PngFormatError):
+            decode_png(b"\xff\xd8\xff\xe0 not a png")
+        # 16-bit depth header → unsupported profile
+        ihdr = _s.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+        chunk = _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr + _s.pack(
+            ">I", _z.crc32(b"IHDR" + ihdr)
+        )
+        with _pt.raises(PngFormatError, match="unsupported"):
+            decode_png(PNG_SIGNATURE + chunk)
+        # encoder rejects rows of the wrong stride
+        with _pt.raises(PngFormatError):
+            encode_png(3, 1, [b"\x00" * 2])
+
+    def test_decode_media_real_png_and_fallback(self):
+        from ohsome_planet_spark.functions.png import encode_png
+        from ohsome_planet_spark.operators.multimodal import _decode_media_real
+
+        rows = [bytes([10, 20]), bytes([30, 40])]
+        w, h, ch, psum = _decode_media_real(encode_png(2, 2, rows))
+        assert (w, h, ch, psum) == (2, 2, 1, 100)
+        with pytest.raises(NotImplementedError):
+            _decode_media_real(b"\xff\xd8\xff\xe0JFIF....")
