@@ -43,6 +43,11 @@ def cmd_contributions(args) -> int:
     from .sources.pbf import read_pbf
 
     spark = get_spark(app_name="contributions")
+    # S15: normalize s3:// -> s3a:// and map the reference's S3_* env
+    # contract onto fs.s3a.* before any write (S3OutputLocationProvider)
+    from .sources.output import resolve_output_location
+
+    args.out = resolve_output_location(spark, args.out)
     entities = read_pbf(spark, args.pbf)
     nodes = entities.filter("osm_type = 'node'").drop("refs", "members", "osm_type")
     ways = entities.filter("osm_type = 'way'").drop("lon", "lat", "members", "osm_type")

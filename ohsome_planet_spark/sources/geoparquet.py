@@ -115,7 +115,9 @@ def write_contributions(
         writer = writer.partitionBy("layer", "osm_type")
     writer.parquet(path)
 
-    _attach_geo_metadata(path, row_group_size=row_group_size)
+    _attach_geo_metadata(
+        path, row_group_size=row_group_size, spark=contribs.sparkSession
+    )
 
 
 def _file_geo_metadata(table) -> dict:
@@ -147,7 +149,40 @@ def _file_geo_metadata(table) -> dict:
     return geo_metadata(bbox, gtypes, covering=has_bbox_col)
 
 
-def _attach_geo_metadata(path: str, row_group_size: int | None = None) -> None:
+def _rewrite_parquet_file(full: str, row_group_size: int | None) -> None:
+    table = pq.read_table(full)
+    existing = table.schema.metadata or {}
+    merged = dict(existing)
+    merged[b"geo"] = json.dumps(_file_geo_metadata(table)).encode()
+    kwargs = {}
+    if row_group_size is not None:
+        kwargs["row_group_size"] = row_group_size
+    pq.write_table(
+        table.replace_schema_metadata(merged),
+        full,
+        compression="zstd",
+        # keep timestamps Spark-readable: a ns (or INT96-read-as-ns)
+        # column written back as TIMESTAMP(NANOS) cannot be read by
+        # Spark without a legacy flag
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+        **kwargs,
+    )
+
+
+def _attach_geo_metadata(
+    path: str, row_group_size: int | None = None, spark=None
+) -> None:
+    from .output import is_local_path
+
+    if not is_local_path(path):
+        if spark is None:
+            raise ValueError(
+                "attaching geo metadata to a non-local output requires the "
+                "SparkSession (Hadoop FileSystem access)"
+            )
+        _attach_geo_metadata_hadoop(spark, path, row_group_size)
+        return
     for root, _dirs, files in os.walk(path):
         for fn in files:
             full = os.path.join(root, fn)
@@ -157,24 +192,44 @@ def _attach_geo_metadata(path: str, row_group_size: int | None = None) -> None:
                 continue
             if not fn.endswith(".parquet"):
                 continue
-            table = pq.read_table(full)
-            existing = table.schema.metadata or {}
-            merged = dict(existing)
-            merged[b"geo"] = json.dumps(_file_geo_metadata(table)).encode()
-            kwargs = {}
-            if row_group_size is not None:
-                kwargs["row_group_size"] = row_group_size
-            pq.write_table(
-                table.replace_schema_metadata(merged),
-                full,
-                compression="zstd",
-                # keep timestamps Spark-readable: a ns (or INT96-read-as-ns)
-                # column written back as TIMESTAMP(NANOS) cannot be read by
-                # Spark without a legacy flag
-                coerce_timestamps="us",
-                allow_truncated_timestamps=True,
-                **kwargs,
-            )
+            _rewrite_parquet_file(full, row_group_size)
+
+
+def _attach_geo_metadata_hadoop(
+    spark, path: str, row_group_size: int | None
+) -> None:
+    """The footer post-pass for object-store / non-local outputs (S15):
+    walk the dataset through the Hadoop FileSystem API (any scheme Spark
+    can write — s3a, viewfs, hdfs), pull each file down, rewrite the
+    footer locally, push it back. One round-trip per output file; files
+    are processed independently, so at planet scale this parallelizes
+    trivially (it is metadata-sized work compared to the write itself)."""
+    import tempfile
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    targets, sidecars = [], []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if name.endswith(".crc"):
+            sidecars.append(p)
+        elif name.endswith(".parquet"):
+            targets.append(p)
+    for p in sidecars:
+        fs.delete(p, False)
+    for p in targets:
+        with tempfile.TemporaryDirectory() as td:
+            local = os.path.join(td, p.getName())
+            lpath = jvm.org.apache.hadoop.fs.Path("file:" + local)
+            # useRawLocalFileSystem=True: no .crc sidecar for the temp copy
+            fs.copyToLocalFile(False, p, lpath, True)
+            _rewrite_parquet_file(local, row_group_size)
+            fs.copyFromLocalFile(False, True, lpath, p)
 
 
 def read_geo_metadata(file_path: str) -> dict | None:
