@@ -34,6 +34,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _nanos_columns(path: str) -> list[str]:
+    if os.path.isdir(path):
+        # Spark-written dataset directory: any part file carries the schema
+        parts = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        if not parts:
+            return []
+        path = parts[0]
     schema = pq.read_schema(path)
     out = []
     for field in schema:
