@@ -260,3 +260,57 @@ def test_minor_relevance_filter(spark):
     )
     kept = {r.version for r in minor_relevant_node_versions(ndf).collect()}
     assert kept == {1, 3, 4}
+
+
+# --- the reference's own @Disabled cases: intended semantics, green here -----
+#
+# Two ContributionsWayTest cases are @Disabled upstream ("Missing logic to
+# pick up minor contributions based only on changes in geometry" /
+# "Missing logic to discard geometry-unrelated edits to node"). They test
+# the RAW ContributionsWay iterator, which indeed lacks that logic — but
+# the reference's production pipeline runs MinorNode compaction BEFORE the
+# iterator (minor/MinorNode.java:55-64: keep only node versions whose
+# (lon, lat, visible) changed), which delivers exactly the intended
+# semantics. This engine ports the composed production path
+# (minor_relevant_node_versions -> temporal merge), so both cases pass:
+# the @Disabled expectations are met end-to-end, pinning that the gap is
+# an artifact of the reference's unit-test layering, not of its shipped
+# behavior — and that this engine must keep meeting them.
+
+
+def test_disabled_testWays_geometry_unchanged_minor(spark):
+    """ContributionsWayTest.java:19 @Disabled testWays: two member nodes
+    each get a v2 at t=2 with IDENTICAL coordinates; only the creation
+    contribution must be emitted."""
+    out = run_instants(
+        spark,
+        [
+            node(1, 1, 1, 1, 0.0, 0.0), node(1, 2, 2, 2, 0.0, 0.0),
+            node(2, 1, 1, 1, 0.0, 0.0), node(2, 2, 2, 2, 0.0, 0.0),
+        ],
+        [way(10, 1, 1, 1, [1, 2])],
+    )
+    assert len(out) == 1
+    assert out[0].ts == ts(1)
+    assert out[0].changeset == 1
+    assert len(out[0].member_states) == 2
+
+
+def test_disabled_node_tags_modified_within_one_changeset(spark):
+    """ContributionsWayTest.java:269 @Disabled
+    testNodeTagsModifiedMultipleTimesWithinOneChangeset: node v2/v3 at
+    t=2,3 (same changeset 2) never move; only the way creation at t=1
+    must be emitted (geometry-unrelated edits discarded by the MinorNode
+    compaction)."""
+    out = run_instants(
+        spark,
+        [
+            node(1, 1, 1, 1, 1.0, 0.0),
+            node(1, 2, 2, 2, 1.0, 0.0),
+            node(1, 3, 3, 2, 1.0, 0.0),
+        ],
+        [way(10, 1, 1, 1, [1])],
+    )
+    assert len(out) == 1
+    assert out[0].ts == ts(1)
+    assert out[0].changeset == 1
