@@ -411,6 +411,33 @@ def cmd_fileinfo(args) -> int:
         "blocks": len(refs),
         "data_blocks": len(data_blobs),
     }, indent=2))
+    if getattr(args, "blobs", False):
+        # per-blob dump (the reference's Debug surface beyond the header):
+        # offsets/sizes always; entity type counts + id ranges when
+        # --decode is set (decodes every block — bounded by file size)
+        from .sources.pbf import BlobRef, decode_block, read_blob
+
+        for r in refs:
+            row = {
+                "idx": r.index,
+                "type": r.header_type,
+                "offset": r.offset,
+                "size": r.size,
+            }
+            if getattr(args, "decode", False) and r.header_type == "OSMData":
+                counts: dict[str, int] = {}
+                lo = hi = None
+                for e in decode_block(
+                    read_blob(args.pbf, BlobRef(r.index, r.header_type, r.offset, r.size))
+                ):
+                    counts[e["osm_type"]] = counts.get(e["osm_type"], 0) + 1
+                    oid = e.get("osm_id")
+                    if oid is not None:
+                        lo = oid if lo is None else min(lo, oid)
+                        hi = oid if hi is None else max(hi, oid)
+                row["entities"] = counts
+                row["id_range"] = [lo, hi]
+            print(json.dumps(row))
     return 0
 
 
@@ -717,6 +744,14 @@ def main(argv=None) -> int:
 
     fi = sub.add_parser("fileinfo", help="print PBF header/blob summary")
     fi.add_argument("--pbf", required=True)
+    fi.add_argument(
+        "--blobs", action="store_true",
+        help="dump one JSON line per blob (idx/type/offset/size)",
+    )
+    fi.add_argument(
+        "--decode", action="store_true",
+        help="with --blobs: decode each data block for entity counts + id range",
+    )
     fi.set_defaults(fn=cmd_fileinfo)
 
     rs = sub.add_parser(

@@ -2517,7 +2517,10 @@ def _polygon_contribs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _produce_then_query(spark, sf_dir, "polygons", build)
 
 
-def _ohsome_area_series_oracle() -> str:
+def _polygon_area_ctes() -> str:
+    """Shared oracle CTEs for the derived closed-way corpus: ways →
+    per-version rings on the exact grid → spherical-excess areas
+    (term-for-term replay of ``functions/geodesic.py::ring_area``)."""
     from ..functions.geodesic import (
         EARTH_INVERSE_FLATTENING as INVF,
         EARTH_RADIUS_EQUATOR as RE,
@@ -2559,7 +2562,11 @@ WITH ways AS (
                * cos(radians((list_max(ys) + list_min(ys)) / 2.0)))))
     ) AS area_m2
   FROM coords
-)
+)"""
+
+
+def _ohsome_area_series_oracle() -> str:
+    return _polygon_area_ctes() + """
 SELECT s.snap_ts,
        CAST(count(*) AS BIGINT) AS n_live,
        round(sum(area_m2) / 1000000.0, 6) AS total_area_km2
@@ -2612,6 +2619,93 @@ def ohsome_area_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("snap_ts")
     )
+
+
+def _pbf_polygon_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Encode the derived closed-way corpus (ways + corner nodes) into a
+    real ``.osh.pbf`` — per-type blocks, DenseNodes + way groups. Every
+    value is PBF-representable by construction (whole-second timestamps,
+    exact-grid coordinates), so the decode is lossless and the polygon
+    oracle applies unchanged."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = "poly_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"opc_fixture_{key}.osh.pbf")
+    if _PBF_FIXTURES.get(key) == path and os.path.exists(path):
+        return path
+    from ..sources.pbf_encoder import write_history_pbf
+
+    ways, nodes = _derived_polygon_ways(spark, sf_dir)
+    node_rows = [
+        dict(
+            osm_id=r.osm_id, version=r.version,
+            ts_ms=int(r.ts.timestamp()) * 1000, changeset=r.changeset,
+            uid=0, user="u", visible=True, tags={}, lon=r.lon, lat=r.lat,
+        )
+        for r in nodes.orderBy("osm_id").collect()
+    ]
+    way_rows = [
+        dict(
+            osm_id=r.osm_id, version=r.version,
+            ts_ms=int(r.ts.timestamp()) * 1000, changeset=r.changeset,
+            uid=0, user="u", visible=True, tags=dict(r.tags),
+            refs=list(r.refs),
+        )
+        for r in ways.orderBy("osm_id", "version").collect()
+    ]
+    write_history_pbf(path, node_rows, ways=way_rows)
+    _PBF_FIXTURES[key] = path
+    return path
+
+
+def _contrib_polygons_from_pbf_oracle() -> str:
+    return _polygon_area_ctes() + """
+SELECT wid AS osm_id, v AS osm_version,
+       wts AS valid_from,
+       coalesce(wts_end, TIMESTAMP '2222-01-01') AS valid_to,
+       CASE WHEN wts_end IS NULL THEN 'latest' ELSE 'history' END AS status,
+       CASE WHEN v = 1 THEN 'CREATION' ELSE 'GEOMETRY' END AS contrib_type,
+       'Polygon' AS geometry_type,
+       round(area_m2 / 1000000.0, 6) AS area_km2
+FROM areas
+ORDER BY osm_id, osm_version
+"""
+
+
+@_register("contrib_polygons_from_pbf", _contrib_polygons_from_pbf_oracle())
+def contrib_polygons_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAY half of the Contributions2Parquet seam end-to-end from wire
+    bytes: real ``.osh.pbf`` (DenseNodes + way groups) → distributed blob
+    decode → temporal member merge → way-polygon geometry (ring closure,
+    polygon-feature predicate, spherical-excess area) → contribution
+    synthesis. Complements ``contrib_from_pbf`` (nodes): together the two
+    put decoder → J1/J3 merge → A2/A8 geometry inside the hash-match
+    gate. The oracle replays ring areas term-for-term."""
+    from ..sources.pbf import read_pbf
+
+    path = _pbf_polygon_fixture(spark, sf_dir)
+    ents = read_pbf(spark, path)
+    nodes = ents.filter(F.col("osm_type") == "node").select(
+        "osm_id", "version", "ts", "changeset", "user_id", "user_name",
+        "visible", "tags", "lon", "lat",
+    )
+    ways = ents.filter(F.col("osm_type") == "way").select(
+        "osm_id", "version", "ts", "changeset", "user_id", "user_name",
+        "visible", "tags", "refs",
+    )
+    contribs = synthesize_contributions(way_contribution_events(ways, nodes))
+    return contribs.select(
+        "osm_id",
+        "osm_version",
+        "valid_from",
+        "valid_to",
+        "status",
+        "contrib_type",
+        "geometry_type",
+        F.round(F.col("area") / 1e6, 6).alias("area_km2"),
+    ).orderBy("osm_id", "osm_version")
 
 
 def _ohsome_count_groupby_tag_oracle() -> str:

@@ -150,7 +150,8 @@ def _schema_pairs():
 CHANGESET_ROW_SCHEMA = (
     "id bigint, created_at timestamp, closed_at timestamp,"
     " tags map<string,string>, user_id bigint, user_name string, open boolean,"
-    " min_lon double, min_lat double, max_lon double, max_lat double"
+    " min_lon double, min_lat double, max_lon double, max_lat double,"
+    " num_changes int, comments_count int"
 )
 
 _BZ2_STREAM_MAGIC = b"BZh91AY&SY"
@@ -195,6 +196,9 @@ def parse_changesets_bytes(data: bytes) -> list[dict]:
                 "min_lat": float(cs.get("min_lat")) if cs.get("min_lat") else None,
                 "max_lon": float(cs.get("max_lon")) if cs.get("max_lon") else None,
                 "max_lat": float(cs.get("max_lat")) if cs.get("max_lat") else None,
+                # ChangesetXmlReader.java:65-66
+                "num_changes": int(cs.get("num_changes", "0")),
+                "comments_count": int(cs.get("comments_count", "0")),
             }
         )
     return out

@@ -144,11 +144,25 @@ def encode_block(
 def write_node_history_pbf(
     path: str, nodes: list[dict], block_size: int = 8000
 ) -> None:
-    """Encode a node-history row list (dicts with osm_id/version/ts_ms/
-    changeset/uid/user/visible/tags/lon/lat) into an ``.osh.pbf`` file,
-    chunked into DenseNodes blocks like real planet files. Written via a
-    same-directory temp file + atomic replace so concurrent builders of
-    the same fixture path never observe a torn file."""
+    """Encode a node-history row list into an ``.osh.pbf`` file (see
+    :func:`write_history_pbf`)."""
+    write_history_pbf(path, nodes, block_size=block_size)
+
+
+def write_history_pbf(
+    path: str,
+    nodes: list[dict],
+    ways: list[dict] | None = None,
+    relations: list[dict] | None = None,
+    block_size: int = 8000,
+) -> None:
+    """Encode entity-history row lists (dicts with osm_id/version/ts_ms/
+    changeset/uid/user/visible/tags plus lon/lat | refs | members) into an
+    ``.osh.pbf``, chunked into per-type blocks like real planet files
+    (Sort.Type_then_ID layout: all node blocks, then way blocks, then
+    relation blocks). Written via a same-directory temp file + atomic
+    replace so concurrent builders of the same fixture path never observe
+    a torn file."""
     import os
     import tempfile
 
@@ -156,6 +170,12 @@ def write_node_history_pbf(
         encode_block(dense_nodes=nodes[i : i + block_size])
         for i in range(0, max(len(nodes), 1), block_size)
     ]
+    for w_chunk in range(0, len(ways or []), block_size):
+        blocks.append(encode_block(ways=ways[w_chunk : w_chunk + block_size]))
+    for r_chunk in range(0, len(relations or []), block_size):
+        blocks.append(
+            encode_block(relations=relations[r_chunk : r_chunk + block_size])
+        )
     fd, tmp = tempfile.mkstemp(
         dir=os.path.dirname(path) or ".", suffix=".pbf.tmp"
     )

@@ -69,13 +69,20 @@ def test_read_osc_spark(spark, tmp_path):
 def test_parse_changesets():
     xml = b"""<osm><changeset id="42" created_at="2024-01-01T00:00:00Z"
         closed_at="2024-01-01T01:00:00Z" open="false" uid="7" user="u"
-        min_lon="8.0" min_lat="49.0" max_lon="8.1" max_lat="49.1">
+        min_lon="8.0" min_lat="49.0" max_lon="8.1" max_lat="49.1"
+        num_changes="25" comments_count="3">
         <tag k="comment" v="mapping #streets today"/>
         <tag k="created_by" v="JOSM"/></changeset></osm>"""
     rows = parse_changesets_bytes(xml)
     assert rows[0]["id"] == 42
     assert rows[0]["tags"]["created_by"] == "JOSM"
     assert rows[0]["open"] is False
+    # ChangesetXmlReader.java:65-66
+    assert rows[0]["num_changes"] == 25
+    assert rows[0]["comments_count"] == 3
+    # absent attributes default to 0, matching the reference's int fields
+    bare = parse_changesets_bytes(b'<osm><changeset id="1"/></osm>')
+    assert bare[0]["num_changes"] == 0 and bare[0]["comments_count"] == 0
 
 
 def test_split_bz2_streams_roundtrip():

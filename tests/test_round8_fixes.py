@@ -213,3 +213,31 @@ class TestPngCodec:
         assert (w, h, ch, psum) == (2, 2, 1, 100)
         with pytest.raises(NotImplementedError):
             _decode_media_real(b"\xff\xd8\xff\xe0JFIF....")
+
+
+def test_fileinfo_blob_dump(tmp_path, capsys):
+    """fileinfo --blobs --decode: per-blob JSON lines with entity counts
+    and id ranges (the reference's Debug surface beyond the header)."""
+    import json as _json
+
+    from ohsome_planet_spark.cli import main
+    from ohsome_planet_spark.sources.pbf_encoder import write_history_pbf
+
+    nodes = [
+        dict(osm_id=i, version=1, ts_ms=1000_000, changeset=1, uid=0,
+             user="u", visible=True, tags={}, lon=1.0, lat=2.0)
+        for i in range(5, 12)
+    ]
+    ways = [dict(osm_id=99, version=1, ts_ms=1000_000, changeset=1, uid=0,
+                 user="u", visible=True, tags={"a": "b"}, refs=[5, 6])]
+    pbf = str(tmp_path / "d.osh.pbf")
+    write_history_pbf(pbf, nodes, ways=ways)
+    assert main(["fileinfo", "--pbf", pbf, "--blobs", "--decode"]) == 0
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.startswith('{"idx"')]
+    data = [_json.loads(ln) for ln in lines]
+    node_blocks = [d for d in data if d.get("entities", {}).get("node")]
+    way_blocks = [d for d in data if d.get("entities", {}).get("way")]
+    assert node_blocks[0]["entities"]["node"] == 7
+    assert node_blocks[0]["id_range"] == [5, 11]
+    assert way_blocks[0]["id_range"] == [99, 99]
