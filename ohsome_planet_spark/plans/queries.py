@@ -2489,9 +2489,12 @@ def _derived_polygon_ways(spark: SparkSession, sf_dir: str):
         .select(
             F.col("wid").alias("osm_id"),
             v.cast("int").alias("version"),
+            # wid in MINUTES keeps every (wid, v) instant globally unique
+            # (day-offset schemes collide across versions of different
+            # ways, which would make relation minor-run windows ambiguous)
             F.timestamp_seconds(
                 F.lit(_EPOCH_2024)
-                + (F.col("wid") % 5) * 86400
+                + F.col("wid") * 60
                 + v * 7 * 86400
             ).alias("ts"),
             (F.lit(1000) + F.col("wid") * 10 + v).cast("bigint").alias("changeset"),
@@ -2535,7 +2538,7 @@ def _polygon_area_ctes() -> str:
     return f"""
 WITH ways AS (
   SELECT CAST(n_nationkey AS BIGINT) AS wid, CAST(v AS INT) AS v,
-         make_timestamp(({_EPOCH_2024} + (n_nationkey % 5) * 86400
+         make_timestamp(({_EPOCH_2024} + n_nationkey * 60
                          + v * 7 * 86400) * 1000000) AS wts
   FROM nation, (SELECT unnest(range(1, 4)) AS v)
 ), rings AS (
@@ -2631,13 +2634,14 @@ def _pbf_polygon_fixture(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
-    key = "poly_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    key = "poly2_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"opc_fixture_{key}.osh.pbf")
     if _PBF_FIXTURES.get(key) == path and os.path.exists(path):
         return path
     from ..sources.pbf_encoder import write_history_pbf
 
     ways, nodes = _derived_polygon_ways(spark, sf_dir)
+    rels = _derived_polygon_relations(spark, sf_dir)
     node_rows = [
         dict(
             osm_id=r.osm_id, version=r.version,
@@ -2655,7 +2659,19 @@ def _pbf_polygon_fixture(spark: SparkSession, sf_dir: str) -> str:
         )
         for r in ways.orderBy("osm_id", "version").collect()
     ]
-    write_history_pbf(path, node_rows, ways=way_rows)
+    rel_rows = [
+        dict(
+            osm_id=r.osm_id, version=r.version,
+            ts_ms=int(r.ts.timestamp()) * 1000, changeset=r.changeset,
+            uid=0, user="u", visible=True, tags=dict(r.tags),
+            members=[
+                {"type": m.type, "id": m.id, "role": m.role}
+                for m in r.members
+            ],
+        )
+        for r in rels.orderBy("osm_id").collect()
+    ]
+    write_history_pbf(path, node_rows, ways=way_rows, relations=rel_rows)
     _PBF_FIXTURES[key] = path
     return path
 
@@ -2706,6 +2722,116 @@ def contrib_polygons_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "geometry_type",
         F.round(F.col("area") / 1e6, 6).alias("area_km2"),
     ).orderBy("osm_id", "osm_version")
+
+
+def _derived_polygon_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One type=multipolygon relation per region: members are the region's
+    nations' closed ways (role outer), single relation version created
+    AFTER every member way's v1 (epoch+10d) — so creation resolves all
+    members and every later way version produces a relation minor."""
+    nat = _t(spark, sf_dir, "nation")
+    member_struct = F.transform(
+        F.col("member_ids"),
+        lambda i: F.struct(
+            F.lit("way").alias("type"), i.alias("id"), F.lit("outer").alias("role")
+        ),
+    )
+    return (
+        nat.groupBy(F.col("n_regionkey").cast("bigint").alias("osm_id"))
+        .agg(F.sort_array(F.collect_list(F.col("n_nationkey").cast("bigint"))).alias("member_ids"))
+        .select(
+            "osm_id",
+            F.lit(1).cast("int").alias("version"),
+            F.timestamp_seconds(F.lit(_EPOCH_2024) + 10 * 86400).alias("ts"),
+            (F.lit(5000) + F.col("osm_id")).cast("bigint").alias("changeset"),
+            F.lit(0).alias("user_id"),
+            F.lit("u").alias("user_name"),
+            F.lit(True).alias("visible"),
+            F.create_map(
+                F.lit("type"), F.lit("multipolygon"),
+                F.lit("landuse"), F.lit("forest"),
+            ).alias("tags"),
+            member_struct.alias("members"),
+        )
+    )
+
+
+def _contrib_multipolygons_from_pbf_oracle() -> str:
+    return _polygon_area_ctes() + f"""
+, members AS (
+  SELECT CAST(n_regionkey AS BIGINT) AS rid, CAST(n_nationkey AS BIGINT) AS wid
+  FROM nation
+), rel_instants AS (
+  SELECT DISTINCT rid,
+         make_timestamp({(_EPOCH_2024 + 10 * 86400) * 1000000}) AS inst_ts,
+         CAST(5000 + rid AS BIGINT) AS inst_cs
+  FROM members
+  UNION ALL
+  SELECT m.rid, a.wts AS inst_ts,
+         CAST(1000 + a.wid * 10 + a.v AS BIGINT) AS inst_cs
+  FROM members m JOIN areas a ON a.wid = m.wid
+  WHERE a.wts > make_timestamp({(_EPOCH_2024 + 10 * 86400) * 1000000})
+), assembled AS (
+  SELECT i.rid, i.inst_ts, i.inst_cs,
+         (SELECT sum(a.area_m2)
+          FROM members m JOIN areas a ON a.wid = m.wid
+          WHERE m.rid = i.rid AND a.wts <= i.inst_ts
+            AND (a.wts_end IS NULL OR i.inst_ts < a.wts_end)) AS area_m2,
+         lead(i.inst_ts) OVER (PARTITION BY i.rid
+                               ORDER BY i.inst_ts, i.inst_cs) AS next_ts,
+         row_number() OVER (PARTITION BY i.rid
+                            ORDER BY i.inst_ts, i.inst_cs) AS rn
+  FROM rel_instants i
+)
+SELECT rid AS osm_id, inst_ts AS valid_from,
+       coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to,
+       CASE WHEN next_ts IS NULL THEN 'latest' ELSE 'history' END AS status,
+       CASE WHEN rn = 1 THEN 'CREATION' ELSE 'GEOMETRY' END AS contrib_type,
+       'MultiPolygon' AS geometry_type,
+       round(area_m2 / 1000000.0, 6) AS area_km2
+FROM assembled
+ORDER BY osm_id, valid_from
+"""
+
+
+@_register(
+    "contrib_multipolygons_from_pbf", _contrib_multipolygons_from_pbf_oracle()
+)
+def contrib_multipolygons_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELATION third of the Contributions2Parquet seam from wire
+    bytes: ``.osh.pbf`` with DenseNodes + way + relation groups →
+    distributed decode → NESTED temporal merge (way streams feed relation
+    streams, J2+J3) → multipolygon assembly from member outers → A8 areas
+    → synthesis. Every member-way version lands as a relation minor whose
+    assembled area the oracle recomputes from as-of ring areas."""
+    from ..sources.pbf import read_pbf
+
+    path = _pbf_polygon_fixture(spark, sf_dir)
+    ents = read_pbf(spark, path)
+    nodes = ents.filter(F.col("osm_type") == "node").select(
+        "osm_id", "version", "ts", "changeset", "user_id", "user_name",
+        "visible", "tags", "lon", "lat",
+    )
+    ways = ents.filter(F.col("osm_type") == "way").select(
+        "osm_id", "version", "ts", "changeset", "user_id", "user_name",
+        "visible", "tags", "refs",
+    )
+    rels = ents.filter(F.col("osm_type") == "relation").select(
+        "osm_id", "version", "ts", "changeset", "user_id", "user_name",
+        "visible", "tags", "members",
+    )
+    contribs = synthesize_contributions(
+        relation_contribution_events(rels, ways, nodes)
+    )
+    return contribs.select(
+        "osm_id",
+        "valid_from",
+        "valid_to",
+        "status",
+        "contrib_type",
+        "geometry_type",
+        F.round(F.col("area") / 1e6, 6).alias("area_km2"),
+    ).orderBy("osm_id", "valid_from")
 
 
 def _ohsome_count_groupby_tag_oracle() -> str:
