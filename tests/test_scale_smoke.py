@@ -208,7 +208,19 @@ def _build_scaled_sfdir(spark, src: str, dst: str, k: int) -> str:
             .withColumn("text", F.translate("text", _ROT, _rotate(_ROT, i)))
         )
         e_parts.append(
+            # deterministic per-replica perturbation: exact copies would
+            # all land in the same IVF list (10x denser lists -> the
+            # Sum(|list|^2) blow-up is then a data artifact, not the
+            # operator's scaling)
             emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+            .withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, j: x
+                    + F.lit(0.05 * i) * F.sin(j.cast("double") + F.lit(float(i))),
+                ),
+            )
         )
         v_parts.append(
             ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
