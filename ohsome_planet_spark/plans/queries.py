@@ -2834,6 +2834,69 @@ def contrib_multipolygons_from_pbf(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("osm_id", "valid_from")
 
 
+def _polygon_perimeters_oracle() -> str:
+    from ..functions.geodesic import SPHERE_FACT as SF
+
+    seg = (
+        f"6371000.0 * sqrt("
+        f"pow((radians(xs[i + 1]) - radians(xs[i]))"
+        f" * cos((atan({SF!r} * tan(radians(ys[i])))"
+        f" + atan({SF!r} * tan(radians(ys[i + 1])))) / 2), 2)"
+        f" + pow(atan({SF!r} * tan(radians(ys[i + 1])))"
+        f" - atan({SF!r} * tan(radians(ys[i]))), 2))"
+    )
+    return _polygon_area_ctes() + f"""
+SELECT wid AS osm_id,
+       round(list_sum(list_transform(range(1, 5), i -> {seg})), 2)
+         AS perimeter_m
+FROM coords WHERE v = 3
+ORDER BY osm_id
+"""
+
+
+@_register("polygon_perimeters", _polygon_perimeters_oracle())
+def polygon_perimeters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/elements/perimeter shape — geodesic exterior-ring length of the
+    latest polygon state, computed FROM THE STORED GeoParquet geometry:
+    the sink→decode seam (WKB written by the pipeline, decoded back,
+    ring walked with the engine's own geodesic) inside the hash-match
+    gate. Arrow-batched decode; the table is dimension-sized (one row
+    per latest way), so the UDF touches meters of data, not the corpus."""
+
+    @F.pandas_udf("double")
+    def ring_perimeter(wkb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..functions import wkb as wkblib
+        from ..functions.geodesic import line_length
+
+        out = []
+        for buf in wkb:
+            if buf is None:
+                out.append(None)
+                continue
+            geom = wkblib.decode(bytes(buf))
+            if geom is None or geom["type"] != "Polygon":
+                out.append(None)
+                continue
+            ring = geom["coords"][0]
+            xs = np.array([p[0] for p in ring])
+            ys = np.array([p[1] for p in ring])
+            out.append(line_length(xs, ys))
+        return pd.Series(out, dtype="float64")
+
+    contribs = _polygon_contribs_table(spark, sf_dir)
+    latest = contribs.filter(F.col("status") == "latest").filter(
+        F.col("geometry_type") == "Polygon"
+    )
+    return (
+        latest.select(
+            "osm_id", F.round(ring_perimeter(F.col("geometry")), 2).alias("perimeter_m")
+        )
+        .orderBy("osm_id")
+    )
+
+
 def _ohsome_count_groupby_tag_oracle() -> str:
     cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
     return (
