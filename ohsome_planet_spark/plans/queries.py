@@ -3020,6 +3020,153 @@ def ohsome_length_groupby_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ohsome_count_ratio_oracle() -> str:
+    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
+    return (
+        _CONTRIB_ORACLE[:cut]
+        + """
+    SELECT snap_ts,
+           CAST(count(*) AS BIGINT) AS n_live,
+           CAST(count(*) FILTER (WHERE tagv = 'click') AS BIGINT) AS n_live2,
+           round(count(*) FILTER (WHERE tagv = 'click')
+                 / CAST(count(*) AS DOUBLE), 6) AS ratio
+    FROM (
+      SELECT c.tagv, s.snap_ts
+      FROM (SELECT tagv, ts AS valid_from,
+                   coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to
+            FROM final WHERE visible AND eff IS NOT NULL) c
+      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
+                                          TIMESTAMP '2024-02-01',
+                                          INTERVAL 7 DAY)) AS snap_ts) s
+        ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
+    )
+    GROUP BY snap_ts
+    ORDER BY snap_ts
+    """
+    )
+
+
+@_register("ohsome_count_ratio_series", _ohsome_count_ratio_oracle())
+def ohsome_count_ratio_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/elements/count/ratio — the two-filter endpoint: live elements
+    matching filter2 (``t=click``, compiled by the DSL) over all live
+    elements, per weekly snapshot. One pass: the filter2 predicate
+    becomes a conditional count inside the same aggregation, so the
+    ratio costs nothing beyond the base count query."""
+    from ..functions.ohsome_filter import compile_filter
+
+    contribs = _node_contribs_table(spark, sf_dir)
+    live = contribs.filter(F.col("status").isin("history", "latest"))
+    snaps = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_timestamp('2024-01-04'), "
+                "to_timestamp('2024-02-01'), interval 7 days)"
+            )
+        ).alias("snap_ts")
+    )
+    is2 = compile_filter("t=click")
+    return (
+        live.select("valid_from", "valid_to", is2.alias("m2"))
+        .join(
+            F.broadcast(snaps),
+            (F.col("valid_from") <= F.col("snap_ts"))
+            & (F.col("snap_ts") < F.col("valid_to")),
+        )
+        .groupBy("snap_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum(F.col("m2").cast("bigint")).alias("n_live2"),
+        )
+        .select(
+            "snap_ts",
+            "n_live",
+            "n_live2",
+            F.round(F.col("n_live2") / F.col("n_live").cast("double"), 6).alias(
+                "ratio"
+            ),
+        )
+        .orderBy("snap_ts")
+    )
+
+
+def _ohsome_count_boundary_tag_oracle() -> str:
+    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
+    cases = " || ".join(
+        f"CASE WHEN lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r} "
+        f"THEN ['{fid}'] ELSE [] END"
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    )
+    return (
+        _CONTRIB_ORACLE[:cut]
+        + f"""
+    SELECT country, tag_value, snap_ts, CAST(count(*) AS BIGINT) AS n_live
+    FROM (
+      SELECT unnest({cases}) AS country, c.tagv AS tag_value, s.snap_ts
+      FROM (SELECT (eff).lon AS lon, (eff).lat AS lat, tagv,
+                   ts AS valid_from,
+                   coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to
+            FROM final WHERE visible AND eff IS NOT NULL) c
+      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
+                                          TIMESTAMP '2024-02-01',
+                                          INTERVAL 7 DAY)) AS snap_ts) s
+        ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
+    )
+    GROUP BY country, tag_value, snap_ts
+    ORDER BY country, tag_value, snap_ts
+    """
+    )
+
+
+@_register(
+    "ohsome_count_groupby_boundary_tag", _ohsome_count_boundary_tag_oracle()
+)
+def ohsome_count_groupby_boundary_tag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """/elements/count groupBy boundary groupBy tag — the two-dimension
+    grouping endpoint: live counts per (country, tag value, snapshot).
+    Same never-shuffle-the-facts shape; the extra dimension just widens
+    the final aggregation key."""
+    contribs = _node_contribs_table(spark, sf_dir)
+    live = contribs.filter(F.col("status").isin("history", "latest"))
+    feats = [
+        rect_feature(fid, x0, y0, x1, y1)
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    ]
+    pts = live.select(
+        "valid_from",
+        "valid_to",
+        F.col("tags")["t"].alias("tag_value"),
+        F.col("centroid.x").alias("lon"),
+        F.col("centroid.y").alias("lat"),
+    )
+    tagged = join_countries(pts, feats).select(
+        F.explode("countries").alias("country"),
+        "tag_value",
+        "valid_from",
+        "valid_to",
+    )
+    snaps = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_timestamp('2024-01-04'), "
+                "to_timestamp('2024-02-01'), interval 7 days)"
+            )
+        ).alias("snap_ts")
+    )
+    return (
+        tagged.join(
+            F.broadcast(snaps),
+            (F.col("valid_from") <= F.col("snap_ts"))
+            & (F.col("snap_ts") < F.col("valid_to")),
+        )
+        .groupBy("country", "tag_value", "snap_ts")
+        .agg(F.count(F.lit(1)).alias("n_live"))
+        .orderBy("country", "tag_value", "snap_ts")
+    )
+
+
 _OHSOME_USERS_COUNT_ORACLE = """
 SELECT date_trunc('week', ts) AS period,
        CAST(count(DISTINCT event_id % 40) AS BIGINT) AS n_users,
