@@ -167,7 +167,7 @@ def way_contribution_instants_exact(ways: DataFrame, nodes: DataFrame) -> DataFr
 
     out_schema = (
         "osm_id bigint, osm_version int, run_idx bigint, ts timestamp,"
-        " changeset bigint, user_id int, user_name string,"
+        " changeset bigint, user_id bigint, user_name string,"
         " member_ids array<bigint>, member_versions array<int>"
     )
 

@@ -30,7 +30,10 @@ _COMMON_ENTITY_FIELDS = [
     T.StructField("version", T.IntegerType(), False),
     T.StructField("ts", T.TimestampType(), False),
     T.StructField("changeset", T.LongType(), True),
-    T.StructField("user_id", T.IntegerType(), True),
+    # bigint: matches ENTITY_ROW_SCHEMA (sources/pbf.py) — uid > int32
+    # occurs on real wire input, and mixed-width parquet histories fail
+    # the vectorized reader with PARQUET_COLUMN_DATA_TYPE_MISMATCH
+    T.StructField("user_id", T.LongType(), True),
     T.StructField("user_name", T.StringType(), True),
     T.StructField("visible", T.BooleanType(), False),
     T.StructField("tags", T.MapType(T.StringType(), T.StringType()), True),

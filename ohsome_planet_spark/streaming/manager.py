@@ -49,12 +49,12 @@ __all__ = ["ContributionReplicationManager", "run_replication_update"]
 
 NODE_HISTORY_SCHEMA = (
     "osm_type string, osm_id bigint, version int, ts timestamp,"
-    " changeset bigint, user_id int, user_name string, visible boolean,"
+    " changeset bigint, user_id bigint, user_name string, visible boolean,"
     " tags map<string,string>, lon double, lat double"
 )
 WAY_HISTORY_SCHEMA = (
     "osm_type string, osm_id bigint, version int, ts timestamp,"
-    " changeset bigint, user_id int, user_name string, visible boolean,"
+    " changeset bigint, user_id bigint, user_name string, visible boolean,"
     " tags map<string,string>, refs array<bigint>"
 )
 
