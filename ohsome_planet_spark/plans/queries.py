@@ -1568,6 +1568,59 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig, num_perm=16, bands=4).orderBy("doc_a", "doc_b")
 
 
+def _dedup_recall_oracle(threshold: float = 0.5) -> str:
+    truth = _jaccard_oracle(n=3, threshold=threshold, max_df=64)
+    cand = _lsh_oracle()
+    return f"""
+    WITH truth AS (SELECT doc_a, doc_b FROM ({truth})),
+    cand AS (SELECT doc_a, doc_b FROM ({cand})),
+    hit AS (SELECT doc_a, doc_b FROM truth INTERSECT SELECT doc_a, doc_b FROM cand)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT)  AS n_candidates,
+           CAST((SELECT count(*) FROM hit) AS BIGINT)   AS n_hit,
+           round((SELECT count(*) FROM hit)
+                 / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall,
+           round((SELECT count(*) FROM hit)
+                 / CAST((SELECT count(*) FROM cand) AS DOUBLE), 6)  AS precision
+    """
+
+
+@_register("dedup_recall_eval", _dedup_recall_oracle())
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation — ann_recall_eval's sibling for the text
+    side: MinHash-LSH candidate pairs (16 perms, 4×4 bands) graded
+    against exact 3-gram Jaccard ≥ 0.5 ground truth (stop-shingle
+    max_df=64 cap on the exact index, stated in the metric's contract).
+    Output is one row: truth/candidate/hit counts, recall, and candidate
+    precision — the number a pipeline owner tunes bands/rows against.
+    Scale shape: both sides are the already-bounded pair generators; the
+    grading join is pair-keyed (tiny) and the aggregate is one row."""
+    from ..operators.dedup import minhash_signatures as mh_sigs
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    truth = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=64
+    ).select("doc_a", "doc_b")
+    sh = shingles(docs, "doc_id", "text", n=3)
+    cand = lsh_candidate_pairs(
+        mh_sigs(sh, num_perm=16), num_perm=16, bands=4
+    ).select("doc_a", "doc_b")
+    hit = truth.intersect(cand)
+    n_truth = truth.count()
+    n_cand = cand.count()
+    n_hit = hit.count()
+    row = [(
+        n_truth, n_cand, n_hit,
+        round(n_hit / n_truth, 6) if n_truth else None,
+        round(n_hit / n_cand, 6) if n_cand else None,
+    )]
+    return spark.createDataFrame(
+        row,
+        "n_truth bigint, n_candidates bigint, n_hit bigint,"
+        " recall double, precision double",
+    )
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     votes = " + ".join(
         f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
