@@ -8232,6 +8232,103 @@ def _bigram_logprob_oracle(k: float = 0.5) -> str:
     """
 
 
+def _dsir_oracle(buckets: int = 1024) -> str:
+    h = hash60_sql("w1 || ' ' || w2")
+    return rf"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), bg0 AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             unnest(list_transform(range(1, len(toks)),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+      FROM b
+    ), bg AS (
+      SELECT doc_id, is_target,
+             {h} % {buckets} AS bucket
+      FROM (SELECT doc_id, is_target, (p).w1 AS w1, (p).w2 AS w2 FROM bg0)
+    ), counts AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS raw_c,
+             CAST(count(*) FILTER (WHERE is_target) AS BIGINT) AS tgt_c
+      FROM bg GROUP BY bucket
+    ), totals AS (
+      SELECT sum(raw_c) AS r_total, sum(tgt_c) AS t_total FROM counts
+    ), ratios AS (
+      SELECT bucket,
+             ln((tgt_c + 0.5) / (t.t_total + 0.5 * {buckets}))
+             - ln((raw_c + 0.5) / (t.r_total + 0.5 * {buckets})) AS lr
+      FROM counts, totals t
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(r.lr), 6) AS importance,
+           round(avg(r.lr), 6) AS importance_per_ngram
+    FROM bg JOIN ratios r USING (bucket)
+    GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """
+
+
+@_register("dsir_importance_weights", _dsir_oracle())
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed word-bigram
+    features (1024 buckets), bag-of-ngrams log-likelihood ratio between
+    the target domain (lang=en) and the raw corpus, summed per document
+    — the score a curation pipeline resamples against to shift a raw
+    crawl toward a target distribution. Scale shape: the bucket count
+    table is fixed-size (1024 rows) and BROADCAST back onto the n-gram
+    stream; the only corpus-sized exchange is the per-doc aggregation."""
+    buckets = 1024
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        tokens_expr(F.col("text")).alias("toks"),
+    )
+    bg = base.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i - 1], ' ', toks[i]))"
+                " ELSE array() END"
+            )
+        ).alias("ngram"),
+    ).select(
+        "doc_id",
+        "is_target",
+        F.pmod(hash60_expr(F.col("ngram")), F.lit(buckets)).alias("bucket"),
+    )
+    counts = bg.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.sum(F.col("is_target").cast("bigint")).alias("tgt_c"),
+    )
+    totals = counts.agg(
+        F.sum("raw_c").alias("r_total"), F.sum("tgt_c").alias("t_total")
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_c") + 0.5) / (F.col("t_total") + 0.5 * buckets))
+            - F.log((F.col("raw_c") + 0.5) / (F.col("r_total") + 0.5 * buckets))
+        ).alias("lr"),
+    )
+    return (
+        bg.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("lr"), 6).alias("importance"),
+            F.round(F.avg("lr"), 6).alias("importance_per_ngram"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @_register("bigram_logprob_scores", _bigram_logprob_oracle())
 def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM perplexity filtering — the KenLM-shaped upgrade of
