@@ -128,12 +128,24 @@ def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
     pixel_sum`` appended."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
         for pdf in batches:
             widths, heights, channels, sums = [], [], [], []
             for payload in pdf[media_col]:
                 try:
                     w, h, c, s = _decode_media_real(payload)
-                except (NotImplementedError, ValueError, TypeError):
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    TypeError,
+                    # corrupt IDAT deflate stream / malformed chunk layout
+                    # escape decode_png as these, not ValueError
+                    zlib.error,
+                    struct.error,
+                    IndexError,
+                ):
                     w = h = c = s = None
                 widths.append(w)
                 heights.append(h)

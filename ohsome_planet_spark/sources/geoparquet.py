@@ -185,14 +185,15 @@ def _attach_geo_metadata(
         return
     for root, _dirs, files in os.walk(path):
         for fn in files:
-            full = os.path.join(root, fn)
-            # the rewrite invalidates Hadoop's .crc sidecars — drop them
-            if fn.endswith(".crc"):
-                os.remove(full)
-                continue
             if not fn.endswith(".parquet"):
                 continue
+            full = os.path.join(root, fn)
             _rewrite_parquet_file(full, row_group_size)
+            # the rewrite invalidates only THIS file's Hadoop .crc sidecar;
+            # leave checksums of files we never touch (_SUCCESS, ...) intact
+            sidecar = os.path.join(root, f".{fn}.crc")
+            if os.path.exists(sidecar):
+                os.remove(sidecar)
 
 
 def _attach_geo_metadata_hadoop(
@@ -210,18 +211,13 @@ def _attach_geo_metadata_hadoop(
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(conf)
-    targets, sidecars = [], []
+    targets = []
     it = fs.listFiles(root, True)
     while it.hasNext():
         st = it.next()
         p = st.getPath()
-        name = p.getName()
-        if name.endswith(".crc"):
-            sidecars.append(p)
-        elif name.endswith(".parquet"):
+        if p.getName().endswith(".parquet"):
             targets.append(p)
-    for p in sidecars:
-        fs.delete(p, False)
     for p in targets:
         with tempfile.TemporaryDirectory() as td:
             local = os.path.join(td, p.getName())
@@ -230,6 +226,13 @@ def _attach_geo_metadata_hadoop(
             fs.copyToLocalFile(False, p, lpath, True)
             _rewrite_parquet_file(local, row_group_size)
             fs.copyFromLocalFile(False, True, lpath, p)
+            # drop only the rewritten file's now-stale checksum sidecar;
+            # unrelated sidecars (_SUCCESS, ...) keep their integrity metadata
+            sidecar = jvm.org.apache.hadoop.fs.Path(
+                p.getParent(), "." + p.getName() + ".crc"
+            )
+            if fs.exists(sidecar):
+                fs.delete(sidecar, False)
 
 
 def read_geo_metadata(file_path: str) -> dict | None:

@@ -12,6 +12,10 @@ import zlib
 
 
 def varint(n: int) -> bytes:
+    if n < 0:
+        # negative ints never terminate the shift loop below; fixtures with
+        # e.g. anonymous uid -1 must fail fast, not hang the encoder
+        raise ValueError(f"varint requires n >= 0, got {n} (zigzag first)")
     out = bytearray()
     while True:
         b = n & 0x7F
