@@ -32,24 +32,31 @@ MEDIA_SCHEMA = (
 )
 
 
-def _decode_media_real(payload: bytes) -> tuple[int, int, int, int]:
+def _decode_media_real(payload: bytes) -> tuple[int, int, int, int | None]:
     """The real decode seam: (width, height, channels, pixel_sum).
 
     PNG is decoded for real — stdlib inflate + per-row un-filter
     (``functions/png.py``); ``pixel_sum`` covers every decoded byte, so a
     wrong filter reversal anywhere in the image changes the result.
-    Other containers (jpeg/riff/...) still need an external library —
-    they raise NotImplementedError and callers fall back to the stub."""
+    JPEG headers are parsed for real (``functions/jpeg.py``: SOFn marker
+    walk) — width/height/channels are genuine, pixel_sum is null because
+    DCT/huffman pixel decode still needs an external library. Other
+    containers (riff/...) raise NotImplementedError and callers fall
+    back to the stub."""
+    from ..functions.jpeg import JPEG_SOI, decode_jpeg_header
     from ..functions.png import PNG_SIGNATURE, decode_png
 
     payload = bytes(payload)
     if payload[:8] == PNG_SIGNATURE:
         width, height, channels, rows = decode_png(payload)
         return width, height, channels, sum(sum(r) for r in rows)
+    if payload[:2] == JPEG_SOI:
+        width, height, channels = decode_jpeg_header(payload)
+        return width, height, channels, None
     raise NotImplementedError(
-        "only PNG decodes natively; jpeg/audio/video require an external "
-        "library not present in this environment — decode_stub provides "
-        "the deterministic fake"
+        "only PNG pixels and JPEG headers decode natively; jpeg pixels and "
+        "audio/video require an external library not present in this "
+        "environment — decode_stub provides the deterministic fake"
     )
 
 

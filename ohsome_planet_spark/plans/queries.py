@@ -3645,6 +3645,58 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_jpeg_dims",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 1919 + 1 AS INT) AS width,
+           CAST(doc_id % 1079 + 1 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+           CAST(NULL AS BIGINT) AS pixel_sum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG header decode through the multimodal seam: deterministic
+    baseline/progressive JPEG byte streams (varying APPn padding segments
+    and COM markers, so the marker-walk is exercised) are parsed back by
+    the stdlib SOFn parser behind ``_decode_media_real``. Dimensions and
+    channel counts are genuine; pixel_sum is null — JPEG entropy decode
+    stays behind the documented external-library stub. The oracle replays
+    the dimensions arithmetically."""
+    from ..operators.multimodal import decode_media
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.jpeg import encode_jpeg_header
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    encode_jpeg_header(
+                        d % 1919 + 1,
+                        d % 1079 + 1,
+                        channels=3 if d % 2 == 0 else 1,
+                        progressive=d % 3 == 0,
+                        n_app_segments=d % 4 + 1,
+                        comment=b"c" * (d % 7),
+                    )
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+    return (
+        decode_media(media)
+        .select("doc_id", "width", "height", "channels", "pixel_sum")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
     "event_time_windows",
     """
     SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS window_start,
