@@ -237,7 +237,15 @@ def merge_member_streams(
         .filter(F.col("_init") | F.col("_minor"))
         .drop("_viol", "_fold", "_fmax", "_prior")
     )
-    ev = register_cached(ev.persist(StorageLevel.MEMORY_AND_DISK))
+    # Lineage truncation, not just persist: the classified event stream
+    # feeds three downstream branches (runs, states, probes join), each of
+    # which would otherwise re-embed the full upstream merge pipeline in
+    # its task binaries and AQE re-plans — the plan-depth cost the r8
+    # verdict flagged on contrib_ways (209 printed Exchange nodes). Same
+    # staged-intermediate pattern as the relation path's member_events.
+    from ..session import truncate_lineage
+
+    ev = truncate_lineage(ev)
 
     # --- run construction (rules 2-3) ------------------------------------
     rw = W.partitionBy("pid", "pv").orderBy("ts", "cs", "mtype", "mid", "seq")
@@ -251,7 +259,7 @@ def merge_member_streams(
             F.sum("_new_run").over(rw.rowsBetween(W.unboundedPreceding, W.currentRow)),
         )
     )
-    minor_ev = register_cached(minor_ev.persist(StorageLevel.MEMORY_AND_DISK))
+    minor_ev = truncate_lineage(minor_ev)
     runs = minor_ev.groupBy("pid", "pv", "run_idx").agg(
         F.max("ts").alias("inst_ts"),
         F.first("cs").alias("inst_cs"),
