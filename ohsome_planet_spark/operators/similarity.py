@@ -133,6 +133,38 @@ def centroids_df(
     )
 
 
+def centroids_df_sqrt(
+    vectors: DataFrame,
+    min_every: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`centroids_df` with the sampling rate scaled to the corpus:
+    ``every = max(min_every, floor(sqrt(N)))`` so ``n_lists ∝ √N``.
+
+    Why √N (r8 verdict item 7): with a FIXED ``every`` the centroid count
+    grows linearly and nearest-list assignment costs N·(N/every) —
+    quadratic, measured as a 10x wall ratio of ~9 on the self-join. √N
+    balances assignment (N·√N) against the blocked self-join's candidate
+    pairs (N·(N/√N) = N·√N): total N^1.5 instead of N², and single-probe
+    recall only improves (fewer, larger lists). The count enters as a
+    broadcast 1-row scalar — no eager driver action."""
+    ev = vectors.agg(
+        F.greatest(
+            F.lit(min_every).cast("bigint"),
+            F.floor(F.sqrt(F.count(F.lit(1)).cast("double"))).cast("bigint"),
+        ).alias("_ev")
+    )
+    return (
+        vectors.crossJoin(F.broadcast(ev))
+        .filter((F.col(id_col) % F.col("_ev")) == 0)
+        .select(
+            F.col(id_col).cast("bigint").alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    )
+
+
 def assign_nearest(
     vectors: DataFrame,
     cents: DataFrame,

@@ -2058,14 +2058,18 @@ def _ann_ivf_oracle(every: int = 25, nprobe: int = 4, k: int = 5, cents_cte: str
     """
 
 
-def _knn_self_join_oracle(every: int = 25, k: int = 3) -> str:
+def _knn_self_join_oracle(min_every: int = 25, k: int = 3) -> str:
     cos = (
         "round(list_dot_product({a}, {b})"
         " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
     )
     return f"""
-    WITH cents AS (
-      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % {every} = 0
+    WITH ev AS (
+      SELECT greatest({min_every}, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS e
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings, ev WHERE vec_id % ev.e = 0
     ), assigned AS (
       SELECT vec_id, embedding, cid AS list_id FROM (
         SELECT e.vec_id, e.embedding, c.cid,
@@ -2089,20 +2093,21 @@ def _knn_self_join_oracle(every: int = 25, k: int = 3) -> str:
     """
 
 
-@_register("knn_self_join", _knn_self_join_oracle(every=25, k=3))
+@_register("knn_self_join", _knn_self_join_oracle(min_every=25, k=3))
 def knn_self_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-corpus kNN self-join (every vector's top-3 cosine neighbors),
     IVF-blocked — the building block under semantic dedup, near-dup
     clustering, and diversity-aware sampling where the query set IS the
     corpus. Unlike the query-side ANN ops this cannot broadcast either
     side: the assignment table equi-joins with ITSELF on the list id
-    (both sides shuffle once, co-partitioned), candidate pairs ≈
-    N·(list size) — linear in N at a fixed sampling rate
-    (``operators/similarity.py::knn_self_join``)."""
-    from ..operators.similarity import centroids_df, knn_self_join
+    (both sides shuffle once, co-partitioned). The centroid count scales
+    as √N (``centroids_df_sqrt``) so assignment and candidate-pair work
+    are both N·√N — a fixed sampling rate made assignment quadratic
+    (measured 10x wall ratio ~9 in round 8; see SCALE_SMOKE.json)."""
+    from ..operators.similarity import centroids_df_sqrt, knn_self_join
 
     emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    cents = centroids_df(emb, every=25)
+    cents = centroids_df_sqrt(emb, min_every=25)
     return knn_self_join(emb, cents, k=3).orderBy("vec_id", "rank")
 
 

@@ -196,3 +196,54 @@ class TestJpegHeader:
                for r in decode_media(df).collect()}
         assert out[1] == (320, 200, 3, None)
         assert out[2] == (None, None, None, None)
+
+
+def test_knn_self_join_sqrt_centroids_recall(spark):
+    """VERDICT r8 item 7: the sqrt-N centroid rule must not cost recall.
+    At sf0.1 (N=2000) adaptive every=44 diverges from the old fixed 25;
+    grade both against exact brute-force top-3 (dedup_recall_eval style)."""
+    from ohsome_planet_spark.operators.similarity import (
+        centroids_df, centroids_df_sqrt, knn_self_join,
+    )
+    from ohsome_planet_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+
+    def pairs(df):
+        return {(r.vec_id, r.neighbor_id) for r in df.collect()}
+
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    cos = F.round(
+        F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (
+            F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+            * F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+        ),
+        6,
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("ia").orderBy(F.desc("cosine"), F.col("ib"))
+    truth = pairs(
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select("ia", "ib", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(F.col("ia").alias("vec_id"), F.col("ib").alias("neighbor_id"))
+    )
+    fixed = pairs(knn_self_join(emb, centroids_df(emb, every=25), k=3))
+    adaptive = pairs(knn_self_join(emb, centroids_df_sqrt(emb), k=3))
+    r_fixed = len(fixed & truth) / len(truth)
+    r_adaptive = len(adaptive & truth) / len(truth)
+    # larger single-probe lists can only see MORE of each vector's true
+    # neighborhood; allow a hair of tie-ordering slack. Absolute recall is
+    # inherently low on these near-uniform synthetic embeddings (no cluster
+    # structure for IVF to exploit) — the guard is against a REGRESSION
+    # from the fixed-rate sampling, not an absolute quality bar.
+    assert r_adaptive >= r_fixed - 0.01, (r_adaptive, r_fixed)
+    assert r_adaptive >= 0.10, r_adaptive

@@ -298,3 +298,97 @@ def test_streaming_dedup_scales(spark, scaled_dirs):
         spark, "streaming_dedup_within_watermark", scaled_dirs,
         check_exchanges=False,
     )
+
+
+# --- round-9: the PBF seam (decode -> nested merge -> multipolygon) ---------
+#
+# contrib_multipolygons_from_pbf was the top wall-clock query in round 8;
+# its scaling was assumed, not measured. Pin the 10x point by encoding the
+# polygon corpus into REAL .osh.pbf wire bytes at 1x and 10x (small block
+# size so the 10x file has many blobs and the decode actually fans out,
+# like a real planet file) and running decode -> J2+J3 -> assembly.
+
+
+def _collect_polygon_corpus(spark):
+    from ohsome_planet_spark.plans.queries import (
+        _derived_polygon_relations,
+        _derived_polygon_ways,
+    )
+
+    ways, nodes = _derived_polygon_ways(spark, SF_DIR)
+    rels = _derived_polygon_relations(spark, SF_DIR)
+    node_rows = [
+        dict(osm_id=r.osm_id, version=r.version,
+             ts_ms=int(r.ts.timestamp()) * 1000, changeset=r.changeset,
+             uid=0, user="u", visible=True, tags={}, lon=r.lon, lat=r.lat)
+        for r in nodes.orderBy("osm_id").collect()
+    ]
+    way_rows = [
+        dict(osm_id=r.osm_id, version=r.version,
+             ts_ms=int(r.ts.timestamp()) * 1000, changeset=r.changeset,
+             uid=0, user="u", visible=True, tags=dict(r.tags),
+             refs=list(r.refs))
+        for r in ways.orderBy("osm_id", "version").collect()
+    ]
+    rel_rows = [
+        dict(osm_id=r.osm_id, version=r.version,
+             ts_ms=int(r.ts.timestamp()) * 1000, changeset=r.changeset,
+             uid=0, user="u", visible=True, tags=dict(r.tags),
+             members=[{"type": m.type, "id": m.id, "role": m.role}
+                      for m in r.members])
+        for r in rels.orderBy("osm_id").collect()
+    ]
+    return node_rows, way_rows, rel_rows
+
+
+def _replicate_pbf(node_rows, way_rows, rel_rows, k):
+    nodes, ways, rels = [], [], []
+    for i in range(k):
+        for n in node_rows:
+            nodes.append({**n, "osm_id": n["osm_id"] + i * NODE_OFF})
+        for w in way_rows:
+            ways.append({**w, "osm_id": w["osm_id"] + i * WAY_OFF,
+                         "refs": [r + i * NODE_OFF for r in w["refs"]]})
+        for r in rel_rows:
+            rels.append({**r, "osm_id": r["osm_id"] + i * REL_OFF,
+                         "members": [{**m, "id": m["id"] + i * WAY_OFF}
+                                     for m in r["members"]]})
+    return nodes, ways, rels
+
+
+def test_contrib_multipolygons_pbf_seam_scales(spark, tmp_path):
+    from ohsome_planet_spark.sources.pbf import read_pbf
+    from ohsome_planet_spark.sources.pbf_encoder import write_history_pbf
+    from ohsome_planet_spark.session import release_cached
+
+    corpus = _collect_polygon_corpus(spark)
+    p1 = str(tmp_path / "seam_x1.osh.pbf")
+    p10 = str(tmp_path / "seam_x10.osh.pbf")
+    n1, w1, r1 = _replicate_pbf(*corpus, 1)
+    n10, w10, r10 = _replicate_pbf(*corpus, K)
+    write_history_pbf(p1, n1, ways=w1, relations=r1, block_size=64)
+    write_history_pbf(p10, n10, ways=w10, relations=r10, block_size=64)
+
+    def build(path):
+        ents = read_pbf(spark, path)
+        nodes = ents.filter(F.col("osm_type") == "node").select(
+            "osm_id", "version", "ts", "changeset", "user_id", "user_name",
+            "visible", "tags", "lon", "lat")
+        ways = ents.filter(F.col("osm_type") == "way").select(
+            "osm_id", "version", "ts", "changeset", "user_id", "user_name",
+            "visible", "tags", "refs")
+        rels = ents.filter(F.col("osm_type") == "relation").select(
+            "osm_id", "version", "ts", "changeset", "user_id", "user_name",
+            "visible", "tags", "members")
+        return synthesize_contributions(
+            relation_contribution_events(rels, ways, nodes))
+
+    _assert_plan_scale_invariant(spark, build, (p1,), (p10,))
+    t1 = _run(build(p1))
+    release_cached()
+    t10 = _run(build(p10))
+    release_cached()
+    ratio = t10 / max(t1, 0.05)
+    _record({"name": "contrib_multipolygons_from_pbf", "wall_1x": round(t1, 2),
+             "wall_10x": round(t10, 2), "ratio": round(ratio, 2), "k": K})
+    assert ratio < 30.0, f"10x input cost {ratio:.1f}x wall — super-linear blowup"
