@@ -8327,16 +8327,10 @@ def _dsir_oracle(buckets: int = 1024) -> str:
     """
 
 
-@_register("dsir_importance_weights", _dsir_oracle())
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
-    for Language Models via Importance Resampling"): hashed word-bigram
-    features (1024 buckets), bag-of-ngrams log-likelihood ratio between
-    the target domain (lang=en) and the raw corpus, summed per document
-    — the score a curation pipeline resamples against to shift a raw
-    crawl toward a target distribution. Scale shape: the bucket count
-    table is fixed-size (1024 rows) and BROADCAST back onto the n-gram
-    stream; the only corpus-sized exchange is the per-doc aggregation."""
+def _dsir_weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared body of the DSIR family: per-doc (n_bigrams, UNROUNDED
+    importance sum) — consumed by the weights query (rounded projection)
+    and by the resampler (Gumbel keys)."""
     buckets = 1024
     docs = fan_out(_t(spark, sf_dir, "documents"))
     base = docs.select(
@@ -8379,10 +8373,93 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.sum("lr"), 6).alias("importance"),
-            F.round(F.avg("lr"), 6).alias("importance_per_ngram"),
+            F.sum("lr").alias("_importance_raw"),
+            F.avg("lr").alias("_ipn_raw"),
+        )
+    )
+
+
+@_register("dsir_importance_weights", _dsir_oracle())
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed word-bigram
+    features (1024 buckets), bag-of-ngrams log-likelihood ratio between
+    the target domain (lang=en) and the raw corpus, summed per document
+    — the score a curation pipeline resamples against to shift a raw
+    crawl toward a target distribution. Scale shape: the bucket count
+    table is fixed-size (1024 rows) and BROADCAST back onto the n-gram
+    stream; the only corpus-sized exchange is the per-doc aggregation."""
+    return (
+        _dsir_weights_df(spark, sf_dir)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("_importance_raw", 6).alias("importance"),
+            F.round("_ipn_raw", 6).alias("importance_per_ngram"),
         )
         .orderBy("doc_id")
+    )
+
+
+def _dsir_resample_oracle(m: int = 150, temp: float = 2.0) -> str:
+    h = hash60_sql("CAST(doc_id AS VARCHAR) || ':dsir'")
+    u = f"(({h}) + 1.0) / 1152921504606846977.0"
+    body = _dsir_oracle()
+    cut = body.index("SELECT bg.doc_id,")
+    return (
+        body[:cut]
+        + f""", weights AS (
+      SELECT bg.doc_id, sum(r.lr) AS imp
+      FROM bg JOIN ratios r USING (bucket)
+      GROUP BY bg.doc_id
+    ), keyed AS (
+      SELECT doc_id, imp,
+             imp / {temp!r} + (-ln(-ln({u}))) AS gkey
+      FROM weights
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY gkey DESC, doc_id) AS INT) AS rank,
+           round(imp, 6) AS importance
+    FROM keyed
+    ORDER BY gkey DESC, doc_id
+    LIMIT {m}
+    """
+    )
+
+
+@_register("dsir_resample", _dsir_resample_oracle())
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLING half of DSIR (Xie et al. 2023 §2): select M
+    documents without replacement with probability ∝ exp(importance/T)
+    via the Gumbel top-k trick — key = importance/T + Gumbel(0,1), take
+    the top M. The Gumbel noise is a deterministic hash-derived uniform
+    (u = (hash60(doc_id)+1)/(2^60+1)), so the draw is reproducible and
+    SQL-replayable. Scale shape: keys are computed map-side on the
+    weights table; the only coordination is the top-M (TakeOrdered — no
+    full sort shuffle)."""
+    m, temp = 150, 2.0
+    w = _dsir_weights_df(spark, sf_dir)
+    u = (
+        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":dsir")))
+        + F.lit(1.0)
+    ) / F.lit(1152921504606846977.0)
+    keyed = w.select(
+        "doc_id",
+        F.col("_importance_raw").alias("imp"),
+        (F.col("_importance_raw") / F.lit(temp) + (-F.log(-F.log(u)))).alias("gkey"),
+    )
+    from pyspark.sql import Window as _W
+
+    # TakeOrdered first (no full-sort shuffle at corpus scale), THEN the
+    # global rank window — it only ever sees the M selected rows
+    top = keyed.orderBy(F.desc("gkey"), F.col("doc_id")).limit(m)
+    return (
+        top.withColumn(
+            "rank",
+            F.row_number().over(_W.orderBy(F.desc("gkey"), F.col("doc_id"))).cast("int"),
+        )
+        .select("doc_id", "rank", F.round("imp", 6).alias("importance"))
+        .orderBy("rank")
     )
 
 
@@ -9558,6 +9635,78 @@ def ohsome_full_history_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "geometry_type",
         F.hex("geometry").alias("geometry_wkb"),
     ).orderBy("osm_id", "osm_version")
+
+
+@_register(
+    "ohsome_contributions_count",
+    _polygon_ways_sql_cte()
+    + """
+SELECT CAST(floor((epoch(wts) - epoch(TIMESTAMP '2024-01-04')) / 604800.0)
+            AS INT) AS week_idx,
+       CASE WHEN v = 1 THEN 'CREATION' ELSE 'GEOMETRY' END AS contrib_type,
+       CAST(count(*) AS BIGINT) AS n_contributions,
+       CAST(count(DISTINCT wid) AS BIGINT) AS n_elements
+FROM geo
+WHERE wts >= TIMESTAMP '2024-01-04' AND wts < TIMESTAMP '2024-02-01'
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def ohsome_contributions_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ohsome API /contributions/count: contribution events (not element
+    states) bucketed into weekly intervals and split by contribution
+    type, under a time range. Scale shape: one scan + one
+    map-side-combinable groupBy — valid_from range prunes row groups."""
+    lo = F.lit("2024-01-04").cast("timestamp")
+    hi = F.lit("2024-02-01").cast("timestamp")
+    contribs = _polygon_contribs_table(spark, sf_dir)
+    in_range = contribs.filter((F.col("valid_from") >= lo) & (F.col("valid_from") < hi))
+    week = F.floor(
+        (F.col("valid_from").cast("long") - lo.cast("long")) / (7 * 86400.0)
+    ).cast("int")
+    return (
+        in_range.groupBy(week.alias("week_idx"), "contrib_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_contributions"),
+            F.countDistinct("osm_id").alias("n_elements"),
+        )
+        .orderBy("week_idx", "contrib_type")
+    )
+
+
+@_register(
+    "ohsome_contributions_latest_count",
+    _polygon_ways_sql_cte()
+    + """
+SELECT contrib_type, CAST(count(*) AS BIGINT) AS n_elements
+FROM (
+  SELECT wid,
+         max_by(CASE WHEN v = 1 THEN 'CREATION' ELSE 'GEOMETRY' END, wts)
+           AS contrib_type
+  FROM geo
+  WHERE wts >= TIMESTAMP '2024-01-04' AND wts < TIMESTAMP '2024-01-20'
+  GROUP BY wid
+)
+GROUP BY contrib_type ORDER BY contrib_type
+""",
+)
+def ohsome_contributions_latest_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ohsome API /contributions/latest/count: each element's most recent
+    contribution inside the time range, counted by contribution type.
+    Scale shape: range-pruned scan → per-element max_by (one partial-agg
+    shuffle on osm_id) → tiny type rollup."""
+    lo = F.lit("2024-01-04").cast("timestamp")
+    hi = F.lit("2024-01-20").cast("timestamp")
+    contribs = _polygon_contribs_table(spark, sf_dir)
+    latest = (
+        contribs.filter((F.col("valid_from") >= lo) & (F.col("valid_from") < hi))
+        .groupBy("osm_id")
+        .agg(F.max_by("contrib_type", "valid_from").alias("contrib_type"))
+    )
+    return (
+        latest.groupBy("contrib_type")
+        .agg(F.count(F.lit(1)).alias("n_elements"))
+        .orderBy("contrib_type")
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:
