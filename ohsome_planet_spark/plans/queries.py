@@ -9382,10 +9382,14 @@ def contrib_full_row_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.contributions import with_changesets
     from ..operators.spatial import geometry_countries_udf
 
+    from ..session import truncate_lineage
     from ..sources.pbf import read_pbf
 
     path = _pbf_fullrow_fixture(spark, sf_dir)
-    ents = read_pbf(spark, path)
+    # decode ONCE: the three entity-type pipelines (and the nested way
+    # merge inside the relation pipeline) would otherwise each re-run the
+    # blob-decode scan — at planet scale this is the staged decode table
+    ents = truncate_lineage(read_pbf(spark, path))
     nodes = ents.filter(F.col("osm_type") == "node").select(
         "osm_id", "version", "ts", "changeset", "user_id", "user_name",
         "visible", "tags", "lon", "lat",
@@ -9405,7 +9409,16 @@ def contrib_full_row_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
             synthesize_contributions(relation_contribution_events(rels, ways, nodes))
         )
     )
-    contribs = with_changesets(contribs, _fullrow_changesets(spark, sf_dir))
+    # stage the synthesized union before enrichment: J4's semi-join build
+    # side and probe side, and the countries projection, each replan the
+    # 3-pipeline union otherwise (the in-session analog of the reference's
+    # produce-then-enrich staging)
+    contribs = truncate_lineage(contribs)
+    # prune=False: the fixture dim is already dimension-sized (AQE
+    # broadcasts it); the semi-join prune pass would only add stages here
+    contribs = with_changesets(
+        contribs, _fullrow_changesets(spark, sf_dir), prune=False
+    )
     feats = [
         rect_feature("AAA", -180.0, -90.0, -100.1, 90.0),
         rect_feature("BBB", -100.1, -90.0, -50.1, 90.0),
