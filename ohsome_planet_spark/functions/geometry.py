@@ -337,3 +337,144 @@ def relation_geom_bundle(member_limit: int = 500):
         return pd.DataFrame(rows, columns=_BUNDLE_COLS)
 
     return _udf
+
+
+# ---------------------------------------------------------------------------
+# bbox clipping (the ohsome API's clipGeometry parameter: features reported
+# inside a boundary are clipped to it before geometry/area are returned)
+# ---------------------------------------------------------------------------
+
+
+def clip_ring_rect(
+    coords: list[tuple[float, float]],
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+) -> list[tuple[float, float]] | None:
+    """Sutherland–Hodgman clip of one closed ring against an axis-aligned
+    rectangle. Input/output rings are closed (last == first); returns
+    None when the intersection is empty or degenerate (< 3 distinct
+    vertices). Plane order: x>=xmin, x<=xmax, y>=ymin, y<=ymax; each
+    plane pass walks edges (v[i], v[i+1 mod n]) over the OPEN ring and
+    emits the crossing point and/or the inside endpoint — the vertex
+    sequence is therefore deterministic (pinned by the extraction
+    oracle's byte-level WKB replay)."""
+    pts = list(coords[:-1]) if coords and coords[0] == coords[-1] else list(coords)
+
+    planes = (
+        (lambda p: p[0] >= xmin, lambda a, b: _x_cross(a, b, xmin)),
+        (lambda p: p[0] <= xmax, lambda a, b: _x_cross(a, b, xmax)),
+        (lambda p: p[1] >= ymin, lambda a, b: _y_cross(a, b, ymin)),
+        (lambda p: p[1] <= ymax, lambda a, b: _y_cross(a, b, ymax)),
+    )
+    for inside, cross in planes:
+        if not pts:
+            return None
+        out: list[tuple[float, float]] = []
+        n = len(pts)
+        for i in range(n):
+            a, b = pts[i], pts[(i + 1) % n]
+            a_in, b_in = inside(a), inside(b)
+            if b_in:
+                if not a_in:
+                    out.append(cross(a, b))
+                out.append(b)
+            elif a_in:
+                out.append(cross(a, b))
+        pts = out
+    if len({p for p in pts}) < 3:
+        return None
+    return pts + [pts[0]]
+
+
+def _x_cross(a, b, x):
+    t = (x - a[0]) / (b[0] - a[0])
+    return (x, a[1] + t * (b[1] - a[1]))
+
+
+def _y_cross(a, b, y):
+    t = (y - a[1]) / (b[1] - a[1])
+    return (a[0] + t * (b[0] - a[0]), y)
+
+
+def clip_geometry_bbox(geom: dict | None, bbox: tuple[float, float, float, float]):
+    """Clip a geometry dict to a bbox (ohsome clipGeometry semantics).
+    Polygons/MultiPolygons clip ring-wise (a clipped-away exterior drops
+    the polygon part); Points pass through iff inside. Returns None for
+    an empty intersection. LineString clipping (MultiLineString output)
+    is not needed by the extraction surface yet and raises."""
+    if geom is None:
+        return None
+    xmin, ymin, xmax, ymax = bbox
+    t = geom["type"]
+    if t == "Point":
+        x, y = geom["coords"]
+        if xmin <= x <= xmax and ymin <= y <= ymax:
+            return geom
+        return None
+    if t == "Polygon":
+        rings = [
+            clip_ring_rect(r, xmin, ymin, xmax, ymax) for r in geom["coords"]
+        ]
+        if not rings or rings[0] is None:
+            return None
+        return {"type": "Polygon", "coords": [rings[0]] + [r for r in rings[1:] if r]}
+    if t == "MultiPolygon":
+        polys = []
+        for poly in geom["coords"]:
+            c = clip_geometry_bbox({"type": "Polygon", "coords": poly}, bbox)
+            if c is not None:
+                polys.append(c["coords"])
+        if not polys:
+            return None
+        return {"type": "MultiPolygon", "coords": polys}
+    raise NotImplementedError(f"clipGeometry for {t}")
+
+
+def clip_to_bbox_udf(xmin: float, ymin: float, xmax: float, ymax: float):
+    """pandas UDF factory: stored WKB -> clipped WKB (null = empty
+    intersection), plus the re-measured geodesic area of the clipped
+    geometry — Arrow-batched, decode/encode per batch."""
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("wkb", T.BinaryType()),
+                T.StructField("area", T.DoubleType()),
+            ]
+        )
+    )
+    def _clip(wkb_col: pd.Series) -> pd.DataFrame:
+        rows = []
+        for buf in wkb_col:
+            if buf is None:
+                rows.append((None, None))
+                continue
+            geom = wkblib.decode(bytes(buf))
+            clipped = clip_geometry_bbox(geom, (xmin, ymin, xmax, ymax))
+            if clipped is None:
+                rows.append((None, None))
+                continue
+            if clipped["type"] == "Polygon":
+                polys = [clipped["coords"]]
+            elif clipped["type"] == "MultiPolygon":
+                polys = clipped["coords"]
+            else:
+                rows.append((wkblib.encode(clipped), 0.0))
+                continue
+            area = 0.0
+            for poly in polys:
+                area += polygon_area(
+                    [
+                        (
+                            np.array([p[0] for p in ring]),
+                            np.array([p[1] for p in ring]),
+                        )
+                        for ring in poly
+                    ]
+                )
+            rows.append((wkblib.encode(clipped), float(area)))
+        return pd.DataFrame(rows, columns=["wkb", "area"])
+
+    return _clip

@@ -8966,16 +8966,16 @@ def _fullrow_changesets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dhex(v: str) -> str:
     """DuckDB expression: IEEE-754 big-endian hex (uppercase, 16 chars) of a
-    DOUBLE expression whose value is a dyadic rational (multiple of 0.25,
+    DOUBLE expression whose value is a dyadic rational (multiple of 1/16,
     |v| < 512) — exact integer arithmetic, verified against
     ``struct.pack('>d')``. Mirrors the engine's JTS-style big-endian WKB
     coordinate encoding (``functions/wkb.py:49``)."""
-    m = f"CAST(abs({v})*4 AS BIGINT)"
-    e = f"(length(bin({m})) - 3)"
+    m = f"CAST(abs({v})*16 AS BIGINT)"
+    e = f"(length(bin({m})) - 5)"
     return (
         f"(CASE WHEN ({v}) = 0 THEN '0000000000000000' ELSE "
         f"lpad(to_hex((CASE WHEN ({v}) < 0 THEN 2048 ELSE 0 END) + {e} + 1023), 3, '0')"
-        f" || lpad(to_hex({m} * (CAST(1 AS BIGINT) << (50 - {e}))"
+        f" || lpad(to_hex({m} * (CAST(1 AS BIGINT) << (48 - {e}))"
         f" - (CAST(1 AS BIGINT) << 52)), 13, '0') END)"
     )
 
@@ -9648,6 +9648,106 @@ def ohsome_full_history_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "geometry_type",
         F.hex("geometry").alias("geometry_wkb"),
     ).orderBy("osm_id", "osm_version")
+
+
+_CLIP_XLO = -120.75  # dyadic (multiple of 1/4) so cut coordinates stay exact
+
+
+def _elements_clipped_oracle() -> str:
+    from ..functions.geodesic import (
+        EARTH_INVERSE_FLATTENING as INVF,
+        EARTH_RADIUS_EQUATOR as RE,
+        F_UNDERSCORE as FU,
+    )
+
+    sinlat = (
+        f"({FU!r} * tan(radians(cys[((i + 1) % 5) + 1]))"
+        f" / sqrt(({FU!r} * tan(radians(cys[((i + 1) % 5) + 1])))"
+        f" * ({FU!r} * tan(radians(cys[((i + 1) % 5) + 1]))) + 1.0))"
+    )
+    chex = (
+        "'0000000003' || '00000001' || '00000005' || "
+        "array_to_string(list_transform(range(1, 6), i -> "
+        + _dhex("cxs[i]") + " || " + _dhex("cys[i]") + "), '')"
+    )
+    xlo = _CLIP_XLO
+    # Sutherland–Hodgman replay for the even-version corpus ring
+    # [a(x0,y0) b(x0+.5,y0) c(x0+.5,y0+.25) d(x0,y0+.5)] against the
+    # half-plane x >= xlo (other planes non-binding): a partially-cut ring
+    # comes out as [I_cd, I_ab, b, c] (verified vertex order — three
+    # all-inside plane passes rotate the 4-gon left by 3). Cut ordinates
+    # replay _x_cross term-for-term (all dyadic, so exact on both engines).
+    i_cd_y = f"((y0 + 0.25) + (({xlo!r}) - (x0 + 0.5)) / (x0 - (x0 + 0.5)) * ((y0 + 0.5) - (y0 + 0.25)))"
+    i_ab_y = f"(y0 + (({xlo!r}) - x0) / ((x0 + 0.5) - x0) * (y0 - y0))"
+    return (
+        _polygon_ways_sql_cte()
+        + f"""
+, live AS (
+  SELECT * FROM geo
+  WHERE wts <= TIMESTAMP '{_ELEMENTS_SNAP}'
+    AND (wts_end IS NULL OR TIMESTAMP '{_ELEMENTS_SNAP}' < wts_end)
+    AND x0 + 0.5 > {xlo!r}
+), clipped AS (
+  SELECT wid, v,
+    CASE WHEN x0 >= {xlo!r} THEN xs
+         ELSE [{xlo!r}, {xlo!r}, x0 + 0.5, x0 + 0.5, {xlo!r}] END AS cxs,
+    CASE WHEN x0 >= {xlo!r} THEN ys
+         ELSE [{i_cd_y}, {i_ab_y}, y0, y0 + 0.25, {i_cd_y}] END AS cys
+  FROM live
+)
+SELECT 'way/' || CAST(wid AS VARCHAR) AS elem_id,
+       wid AS osm_id, v AS osm_version,
+       'Polygon' AS geometry_type,
+       {chex} AS geometry_wkb,
+       round(abs(
+         list_sum(list_transform(range(0, 5), i ->
+           radians(cxs[((i + 2) % 5) + 1] - cxs[(i % 5) + 1]) * {sinlat}))
+         * (0.5 * {RE!r} * {RE!r}
+            * (1.0 - 1.0 / {INVF!r}
+               * (cos(radians((list_max(cys) + list_min(cys)) / 2.0))
+                  * cos(radians((list_max(cys) + list_min(cys)) / 2.0)))))
+       ) / 1000000.0, 6) AS clipped_area_km2
+FROM clipped
+ORDER BY osm_id
+"""
+    )
+
+
+@_register("ohsome_elements_clipped", _elements_clipped_oracle())
+def ohsome_elements_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ohsome API /elements extraction with clipGeometry=true: the live
+    feature set at a snapshot, geometries CLIPPED to the query boundary
+    (Sutherland–Hodgman against the bbox, ``functions/geometry.py::
+    clip_ring_rect``) with the geodesic area re-measured on the clipped
+    ring. Features wholly outside the boundary drop out; partially-
+    covered ones return the cut polygon. The oracle replays the clip's
+    vertex sequence and cut ordinates byte-for-byte in the WKB hex.
+    Scale shape: scan + snapshot filter, one Arrow-batched clip kernel
+    over the dimension-sized live set; no shuffle."""
+    from ..functions.geometry import clip_to_bbox_udf
+    from ..functions.ohsome_filter import compile_filter
+
+    snap = F.lit(_ELEMENTS_SNAP).cast("timestamp")
+    contribs = _polygon_contribs_table(spark, sf_dir)
+    live = (
+        contribs.filter(F.col("status").isin("history", "latest"))
+        .filter(compile_filter("geometry:polygon and building=yes"))
+        .filter((F.col("valid_from") <= snap) & (snap < F.col("valid_to")))
+    )
+    clip = clip_to_bbox_udf(_CLIP_XLO, -90.0, 10.0, 90.0)
+    return (
+        live.withColumn("_clip", clip(F.col("geometry")))
+        .filter(F.col("_clip.wkb").isNotNull())
+        .select(
+            F.concat(F.lit("way/"), F.col("osm_id").cast("string")).alias("elem_id"),
+            "osm_id",
+            "osm_version",
+            "geometry_type",
+            F.hex("_clip.wkb").alias("geometry_wkb"),
+            F.round(F.col("_clip.area") / 1e6, 6).alias("clipped_area_km2"),
+        )
+        .orderBy("osm_id")
+    )
 
 
 @_register(

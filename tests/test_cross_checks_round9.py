@@ -247,3 +247,51 @@ def test_knn_self_join_sqrt_centroids_recall(spark):
     # from the fixed-rate sampling, not an absolute quality bar.
     assert r_adaptive >= r_fixed - 0.01, (r_adaptive, r_fixed)
     assert r_adaptive >= 0.10, r_adaptive
+
+
+class TestClipGeometry:
+    """clipGeometry operator (Sutherland–Hodgman bbox clip)."""
+
+    def test_rect_cases(self):
+        from ohsome_planet_spark.functions.geometry import clip_ring_rect
+
+        rect = [(0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (0.0, 2.0), (0.0, 0.0)]
+        # identity (4 non-binding passes rotate a 4-gon back to itself)
+        assert clip_ring_rect(rect, -1, -1, 5, 3) == rect
+        # straddling cut -> clamped rectangle
+        out = clip_ring_rect(rect, 1.0, -1, 5, 3)
+        assert out is not None and out[0] == out[-1]
+        assert {p for p in out[:-1]} == {(1.0, 0.0), (4.0, 0.0), (4.0, 2.0), (1.0, 2.0)}
+        # empty
+        assert clip_ring_rect(rect, 10, 10, 20, 20) is None
+        # degenerate: clip window touches only the edge x=4
+        assert clip_ring_rect(rect, 4.0, -1, 5, 3) is None
+
+    def test_geometry_kinds(self):
+        from ohsome_planet_spark.functions.geometry import clip_geometry_bbox
+
+        assert clip_geometry_bbox({"type": "Point", "coords": (1.0, 1.0)},
+                                  (0, 0, 2, 2)) is not None
+        assert clip_geometry_bbox({"type": "Point", "coords": (5.0, 1.0)},
+                                  (0, 0, 2, 2)) is None
+        mp = {"type": "MultiPolygon", "coords": [
+            [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]],
+            [[(10.0, 0.0), (11.0, 0.0), (11.0, 1.0), (10.0, 1.0), (10.0, 0.0)]],
+        ]}
+        out = clip_geometry_bbox(mp, (-1, -1, 2, 2))
+        assert out["type"] == "MultiPolygon" and len(out["coords"]) == 1
+        with pytest.raises(NotImplementedError):
+            clip_geometry_bbox({"type": "LineString",
+                                "coords": [(0.0, 0.0), (3.0, 3.0)]}, (0, 0, 2, 2))
+
+    def test_hole_survives_clip(self):
+        from ohsome_planet_spark.functions.geometry import clip_geometry_bbox
+
+        poly = {"type": "Polygon", "coords": [
+            [(0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0), (0.0, 0.0)],
+            [(2.0, 2.0), (3.0, 2.0), (3.0, 3.0), (2.0, 3.0), (2.0, 2.0)],
+        ]}
+        out = clip_geometry_bbox(poly, (-1.0, -1.0, 4.0, 4.0))
+        assert len(out["coords"]) == 2  # hole inside window survives
+        out2 = clip_geometry_bbox(poly, (4.0, 4.0, 9.0, 9.0))
+        assert len(out2["coords"]) == 1  # hole clipped away entirely
