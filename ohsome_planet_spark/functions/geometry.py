@@ -398,12 +398,70 @@ def _y_cross(a, b, y):
     return (a[0] + t * (b[0] - a[0]), y)
 
 
+def clip_segment_rect(
+    x1: float, y1: float, x2: float, y2: float,
+    xmin: float, ymin: float, xmax: float, ymax: float,
+) -> tuple[float, float, float, float, float, float] | None:
+    """Liang–Barsky clip of one segment; returns (t0, t1, cx1, cy1, cx2,
+    cy2) or None when the segment misses the window. Endpoints with
+    t == 0 / t == 1 are the ORIGINAL coordinates (no re-interpolation
+    round-off), so untouched interior vertices stay bit-identical —
+    the property the length oracle's replay depends on."""
+    dx, dy = x2 - x1, y2 - y1
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, x1 - xmin), (dx, xmax - x1), (-dy, y1 - ymin), (dy, ymax - y1)):
+        if p == 0.0:
+            if q < 0.0:
+                return None
+            continue
+        r = q / p
+        if p < 0.0:
+            if r > t0:
+                t0 = r
+        else:
+            if r < t1:
+                t1 = r
+    if t0 > t1:
+        return None
+    cx1 = x1 if t0 == 0.0 else x1 + t0 * dx
+    cy1 = y1 if t0 == 0.0 else y1 + t0 * dy
+    cx2 = x2 if t1 == 1.0 else x1 + t1 * dx
+    cy2 = y2 if t1 == 1.0 else y1 + t1 * dy
+    return t0, t1, cx1, cy1, cx2, cy2
+
+
+def clip_polyline_rect(
+    coords: list[tuple[float, float]],
+    xmin: float, ymin: float, xmax: float, ymax: float,
+) -> list[list[tuple[float, float]]]:
+    """Clip a polyline to a rectangle: per-segment Liang–Barsky, with
+    consecutive surviving segments CHAINED into parts whenever the
+    previous segment leaves uncut (t1 == 1) and the current enters uncut
+    (t0 == 0). Returns the (possibly empty) list of parts."""
+    parts: list[list[tuple[float, float]]] = []
+    prev_kept, prev_t1 = False, 0.0
+    for i in range(len(coords) - 1):
+        x1, y1 = coords[i]
+        x2, y2 = coords[i + 1]
+        hit = clip_segment_rect(x1, y1, x2, y2, xmin, ymin, xmax, ymax)
+        if hit is None:
+            prev_kept = False
+            continue
+        t0, t1, cx1, cy1, cx2, cy2 = hit
+        if prev_kept and prev_t1 == 1.0 and t0 == 0.0:
+            parts[-1].append((cx2, cy2))
+        else:
+            parts.append([(cx1, cy1), (cx2, cy2)])
+        prev_kept, prev_t1 = True, t1
+    return [p for p in parts if len(p) >= 2]
+
+
 def clip_geometry_bbox(geom: dict | None, bbox: tuple[float, float, float, float]):
     """Clip a geometry dict to a bbox (ohsome clipGeometry semantics).
     Polygons/MultiPolygons clip ring-wise (a clipped-away exterior drops
-    the polygon part); Points pass through iff inside. Returns None for
-    an empty intersection. LineString clipping (MultiLineString output)
-    is not needed by the extraction surface yet and raises."""
+    the polygon part); LineStrings clip segment-wise into a
+    MultiLineString; Points pass through iff inside. Returns None for an
+    empty intersection."""
     if geom is None:
         return None
     xmin, ymin, xmax, ymax = bbox
@@ -429,19 +487,50 @@ def clip_geometry_bbox(geom: dict | None, bbox: tuple[float, float, float, float
         if not polys:
             return None
         return {"type": "MultiPolygon", "coords": polys}
+    if t == "LineString":
+        parts = clip_polyline_rect(geom["coords"], xmin, ymin, xmax, ymax)
+        if not parts:
+            return None
+        return {"type": "MultiLineString", "coords": parts}
+    if t == "MultiLineString":
+        parts = []
+        for line in geom["coords"]:
+            parts.extend(clip_polyline_rect(line, xmin, ymin, xmax, ymax))
+        if not parts:
+            return None
+        return {"type": "MultiLineString", "coords": parts}
     raise NotImplementedError(f"clipGeometry for {t}")
+
+
+def _segment_geodesic_m(x1: float, y1: float, x2: float, y2: float) -> float:
+    """Scalar geodesic segment length (the ``segment_length_expr`` /
+    ``line_length`` formula) via libm scalars — the per-segment form an
+    SQL oracle replays term-for-term (numpy's SIMD tan can differ from
+    libm by 1 ulp, so the clip kernel stays scalar)."""
+    import math
+
+    from .geodesic import EARTH_RADIUS_MEAN, SPHERE_FACT
+
+    lat1 = math.atan(SPHERE_FACT * math.tan(math.radians(y1)))
+    lat2 = math.atan(SPHERE_FACT * math.tan(math.radians(y2)))
+    dlon = (math.radians(x2) - math.radians(x1)) * math.cos((lat1 + lat2) / 2)
+    dlat = lat2 - lat1
+    return EARTH_RADIUS_MEAN * math.sqrt(dlon * dlon + dlat * dlat)
 
 
 def clip_to_bbox_udf(xmin: float, ymin: float, xmax: float, ymax: float):
     """pandas UDF factory: stored WKB -> clipped WKB (null = empty
-    intersection), plus the re-measured geodesic area of the clipped
-    geometry — Arrow-batched, decode/encode per batch."""
+    intersection) plus the re-measured geodesic area (areal), geodesic
+    length (lineal, accumulated per original segment left-to-right) and
+    part count — Arrow-batched, decode/encode per batch."""
 
     @F.pandas_udf(
         T.StructType(
             [
                 T.StructField("wkb", T.BinaryType()),
                 T.StructField("area", T.DoubleType()),
+                T.StructField("length", T.DoubleType()),
+                T.StructField("n_parts", T.IntegerType()),
             ]
         )
     )
@@ -449,19 +538,28 @@ def clip_to_bbox_udf(xmin: float, ymin: float, xmax: float, ymax: float):
         rows = []
         for buf in wkb_col:
             if buf is None:
-                rows.append((None, None))
+                rows.append((None, None, None, None))
                 continue
             geom = wkblib.decode(bytes(buf))
             clipped = clip_geometry_bbox(geom, (xmin, ymin, xmax, ymax))
             if clipped is None:
-                rows.append((None, None))
+                rows.append((None, None, None, None))
                 continue
             if clipped["type"] == "Polygon":
                 polys = [clipped["coords"]]
             elif clipped["type"] == "MultiPolygon":
                 polys = clipped["coords"]
+            elif clipped["type"] == "MultiLineString":
+                length = 0.0
+                for part in clipped["coords"]:
+                    for i in range(len(part) - 1):
+                        length += _segment_geodesic_m(*part[i], *part[i + 1])
+                rows.append(
+                    (wkblib.encode(clipped), 0.0, length, len(clipped["coords"]))
+                )
+                continue
             else:
-                rows.append((wkblib.encode(clipped), 0.0))
+                rows.append((wkblib.encode(clipped), 0.0, 0.0, 1))
                 continue
             area = 0.0
             for poly in polys:
@@ -474,7 +572,7 @@ def clip_to_bbox_udf(xmin: float, ymin: float, xmax: float, ymax: float):
                         for ring in poly
                     ]
                 )
-            rows.append((wkblib.encode(clipped), float(area)))
-        return pd.DataFrame(rows, columns=["wkb", "area"])
+            rows.append((wkblib.encode(clipped), float(area), 0.0, len(polys)))
+        return pd.DataFrame(rows, columns=["wkb", "area", "length", "n_parts"])
 
     return _clip

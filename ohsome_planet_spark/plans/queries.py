@@ -9650,6 +9650,102 @@ def ohsome_full_history_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("osm_id", "osm_version")
 
 
+def _length_clipped_oracle(
+    xmin: float = -90.0, ymin: float = -45.0, xmax: float = 90.0, ymax: float = 45.0
+) -> str:
+    """Liang–Barsky replay over the lineal way corpus: per original
+    segment, the same plane-parameter forms as ``clip_segment_rect``
+    (q/p divisions verbatim, t0/t1 via exact max/min, original endpoints
+    when t == 0/1), per-segment geodesic terms summed left-to-right —
+    bit-equal to the clip kernel's accumulation."""
+    cut = _CONTRIB_WAYS_ORACLE.index("SELECT wid AS osm_id")
+    cx1 = "(CASE WHEN g.t0 = 0.0 THEN g.x1 ELSE g.x1 + g.t0 * g.dx END)"
+    cy1 = "(CASE WHEN g.t0 = 0.0 THEN g.y1 ELSE g.y1 + g.t0 * g.dy END)"
+    cx2 = "(CASE WHEN g.t1 = 1.0 THEN g.x2 ELSE g.x1 + g.t1 * g.dx END)"
+    cy2 = "(CASE WHEN g.t1 = 1.0 THEN g.y2 ELSE g.y1 + g.t1 * g.dy END)"
+    sqrt_term = (
+        f"(6371000.0 * sqrt("
+        f"pow((radians({cx2}) - radians({cx1}))"
+        f" * cos((atan({SPHERE_FACT!r} * tan(radians({cy1})))"
+        f" + atan({SPHERE_FACT!r} * tan(radians({cy2})))) / 2), 2)"
+        f" + pow(atan({SPHERE_FACT!r} * tan(radians({cy2})))"
+        f" - atan({SPHERE_FACT!r} * tan(radians({cy1}))), 2)))"
+    )
+    return (
+        _CONTRIB_WAYS_ORACLE[:cut]
+        + f"""
+, lineal AS (
+  SELECT wid, xs, ys FROM contribs WHERE next_ts IS NULL AND nc >= 2
+), s0 AS (
+  SELECT wid, list_transform(range(1, len(xs)), i -> struct_pack(
+    x1 := xs[i], y1 := ys[i], x2 := xs[i + 1], y2 := ys[i + 1],
+    dx := xs[i + 1] - xs[i], dy := ys[i + 1] - ys[i])) AS g0
+  FROM lineal
+), s1 AS (
+  SELECT wid, list_transform(g0, g -> struct_pack(
+    x1 := g.x1, y1 := g.y1, x2 := g.x2, y2 := g.y2, dx := g.dx, dy := g.dy,
+    rej := (g.dx = 0 AND ((g.x1 - {xmin!r}) < 0 OR ({xmax!r} - g.x1) < 0))
+        OR (g.dy = 0 AND ((g.y1 - {ymin!r}) < 0 OR ({ymax!r} - g.y1) < 0)),
+    t0 := greatest(0.0,
+      CASE WHEN g.dx > 0 THEN (g.x1 - {xmin!r}) / (-g.dx)
+           WHEN g.dx < 0 THEN ({xmax!r} - g.x1) / g.dx ELSE 0.0 END,
+      CASE WHEN g.dy > 0 THEN (g.y1 - {ymin!r}) / (-g.dy)
+           WHEN g.dy < 0 THEN ({ymax!r} - g.y1) / g.dy ELSE 0.0 END),
+    t1 := least(1.0,
+      CASE WHEN g.dx > 0 THEN ({xmax!r} - g.x1) / g.dx
+           WHEN g.dx < 0 THEN (g.x1 - {xmin!r}) / (-g.dx) ELSE 1.0 END,
+      CASE WHEN g.dy > 0 THEN ({ymax!r} - g.y1) / g.dy
+           WHEN g.dy < 0 THEN (g.y1 - {ymin!r}) / (-g.dy) ELSE 1.0 END)
+  )) AS g1
+  FROM s0
+), s2 AS (
+  SELECT wid, list_transform(g1, g -> struct_pack(
+    kept := NOT g.rej AND g.t0 <= g.t1,
+    t0 := g.t0, t1 := g.t1,
+    term := CASE WHEN NOT g.rej AND g.t0 <= g.t1
+                 THEN {sqrt_term} ELSE 0.0 END
+  )) AS s
+  FROM s1
+)
+SELECT wid AS osm_id,
+  CAST(len(list_filter(range(1, len(s) + 1), i -> s[i].kept AND (
+    i = 1 OR NOT s[i - 1].kept OR s[i - 1].t1 < 1.0 OR s[i].t0 > 0.0
+  ))) AS INT) AS n_parts,
+  round(list_sum(list_transform(s, e -> e.term)), 2) AS clipped_length_m
+FROM s2
+WHERE len(list_filter(s, e -> e.kept)) > 0
+ORDER BY osm_id
+"""
+    )
+
+
+@_register("ohsome_length_clipped", _length_clipped_oracle())
+def ohsome_length_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ohsome /elements/length with clipGeometry: each latest lineal
+    feature's geometry clipped to the boundary bbox (per-segment
+    Liang–Barsky, surviving runs chained into MultiLineString parts) and
+    the geodesic length re-measured on the clipped parts. Features not
+    touching the boundary drop out. Scale shape: staged-table scan +
+    one Arrow-batched clip kernel; no shuffle."""
+    from ..functions.geometry import clip_to_bbox_udf
+
+    contribs = _way_contribs_table(spark, sf_dir)
+    latest = contribs.filter(
+        (F.col("status") == "latest") & (F.col("geometry_type") == "LineString")
+    )
+    clip = clip_to_bbox_udf(-90.0, -45.0, 90.0, 45.0)
+    return (
+        latest.withColumn("_clip", clip(F.col("geometry")))
+        .filter(F.col("_clip.wkb").isNotNull())
+        .select(
+            "osm_id",
+            F.col("_clip.n_parts").alias("n_parts"),
+            F.round(F.col("_clip.length"), 2).alias("clipped_length_m"),
+        )
+        .orderBy("osm_id")
+    )
+
+
 _CLIP_XLO = -120.75  # dyadic (multiple of 1/4) so cut coordinates stay exact
 
 

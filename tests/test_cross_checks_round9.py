@@ -280,9 +280,27 @@ class TestClipGeometry:
         ]}
         out = clip_geometry_bbox(mp, (-1, -1, 2, 2))
         assert out["type"] == "MultiPolygon" and len(out["coords"]) == 1
-        with pytest.raises(NotImplementedError):
-            clip_geometry_bbox({"type": "LineString",
-                                "coords": [(0.0, 0.0), (3.0, 3.0)]}, (0, 0, 2, 2))
+
+    def test_polyline_clip(self):
+        from ohsome_planet_spark.functions.geometry import (
+            clip_geometry_bbox, clip_polyline_rect,
+        )
+
+        # in -> out -> in: two parts, cut points on the window edge
+        zig = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+        parts = clip_polyline_rect(zig, -1.0, -1.0, 2.0, 5.0)
+        assert len(parts) == 2
+        assert parts[0] == [(0.0, 0.0), (2.0, 0.0)]
+        assert parts[1] == [(2.0, 4.0), (0.0, 4.0)]
+        # fully inside: one chained part with ORIGINAL vertices
+        inside = clip_polyline_rect(zig, -10, -10, 10, 10)
+        assert inside == [zig]
+        # fully outside
+        assert clip_polyline_rect(zig, 10, 10, 20, 20) == []
+        out = clip_geometry_bbox(
+            {"type": "LineString", "coords": zig}, (-1.0, -1.0, 2.0, 5.0)
+        )
+        assert out["type"] == "MultiLineString" and len(out["coords"]) == 2
 
     def test_hole_survives_clip(self):
         from ohsome_planet_spark.functions.geometry import clip_geometry_bbox

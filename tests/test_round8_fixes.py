@@ -211,8 +211,13 @@ class TestPngCodec:
         rows = [bytes([10, 20]), bytes([30, 40])]
         w, h, ch, psum = _decode_media_real(encode_png(2, 2, rows))
         assert (w, h, ch, psum) == (2, 2, 1, 100)
+        # round 9: JPEG headers decode for real (dims, null pixel_sum);
+        # RIFF and friends still hit the external-library stub seam
+        from ohsome_planet_spark.functions.jpeg import encode_jpeg_header
+
+        assert _decode_media_real(encode_jpeg_header(64, 32, 3)) == (64, 32, 3, None)
         with pytest.raises(NotImplementedError):
-            _decode_media_real(b"\xff\xd8\xff\xe0JFIF....")
+            _decode_media_real(b"RIFF\x00\x00\x00\x00WAVE")
 
 
 def test_fileinfo_blob_dump(tmp_path, capsys):
