@@ -129,17 +129,33 @@ def node_contribution_events(nodes: DataFrame) -> DataFrame:
     )
 
 
-def way_contribution_events(ways: DataFrame, nodes: DataFrame) -> DataFrame:
-    """Way history + node history → contribution event stream with geometry
-    bundles (SURVEY.md Phase 2): temporal member merge (J3) for minor
-    versions, then the way-geometry rules in one Arrow-batched UDF."""
+def bundled_way_instants(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Way contribution instants + the way-geometry bundle, computed ONCE —
+    the shareable intermediate both the way pipeline and the relation
+    pipeline's member streams consume (the relational analog of the
+    reference's per-contribution geometry memoization,
+    ``Contribution.java:26-28``). Callers composing both pipelines should
+    stage this (``truncate_lineage``) and pass it to
+    :func:`way_contribution_events` / :func:`relation_contribution_events`
+    so the way merge runs once, not twice."""
     from ..functions.geometry import way_geom_bundle
     from .temporal_merge import way_contribution_instants
 
     inst = way_contribution_instants(ways, nodes)
-    bundled = inst.withColumn(
+    return inst.withColumn(
         "_bundle", way_geom_bundle(F.col("tags"), F.col("refs"), F.col("member_states"))
     )
+
+
+def way_contribution_events(
+    ways: DataFrame, nodes: DataFrame, bundled: DataFrame | None = None
+) -> DataFrame:
+    """Way history + node history → contribution event stream with geometry
+    bundles (SURVEY.md Phase 2): temporal member merge (J3) for minor
+    versions, then the way-geometry rules in one Arrow-batched UDF.
+    ``bundled`` short-circuits with a precomputed
+    :func:`bundled_way_instants` table."""
+    bundled = bundled if bundled is not None else bundled_way_instants(ways, nodes)
     return bundled.select(
         "osm_id",
         F.lit("way").alias("osm_type"),
@@ -175,6 +191,7 @@ def relation_contribution_events(
     ways: DataFrame,
     nodes: DataFrame,
     member_limit: int = 500,
+    bundled_ways: DataFrame | None = None,
 ) -> DataFrame:
     """Relation history + way/node histories → contribution event stream
     (SURVEY.md Phase 3 / J2+J3).
@@ -233,11 +250,17 @@ def relation_contribution_events(
         node_ids_direct.unionByName(node_ids_via_ways).distinct(), "osm_id", "left_semi"
     )
 
-    # member way streams = way contribution instants + geometry (built once)
-    way_inst = way_contribution_instants(used_ways, used_nodes)
-    way_bundled = way_inst.withColumn(
-        "_b", way_geom_bundle(F.col("tags"), F.col("refs"), F.col("member_states"))
-    )
+    # member way streams = way contribution instants + geometry. A caller
+    # composing the way pipeline too passes its staged bundled_way_instants
+    # so the way merge runs ONCE; unreferenced ways drop out at the
+    # member-stream equi-join below.
+    if bundled_ways is not None:
+        way_bundled = bundled_ways.withColumnRenamed("_bundle", "_b")
+    else:
+        way_inst = way_contribution_instants(used_ways, used_nodes)
+        way_bundled = way_inst.withColumn(
+            "_b", way_geom_bundle(F.col("tags"), F.col("refs"), F.col("member_states"))
+        )
     wseq = W.partitionBy("osm_id").orderBy("ts", "osm_version", "changeset")
     way_events = way_bundled.select(
         F.lit("way").alias("mtype"),

@@ -9402,11 +9402,24 @@ def contrib_full_row_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "osm_id", "version", "ts", "changeset", "user_id", "user_name",
         "visible", "tags", "members",
     )
+    # the way merge + geometry bundle is computed ONCE and staged; the way
+    # pipeline projects contribution events from it and the relation
+    # pipeline consumes it as its member way streams (the reference's
+    # memoized way contributions, Contribution.java:26-28)
+    from ..operators.contributions import bundled_way_instants
+
+    bundled = truncate_lineage(bundled_way_instants(ways, nodes))
     contribs = (
         synthesize_contributions(node_contribution_events(nodes))
-        .unionByName(synthesize_contributions(way_contribution_events(ways, nodes)))
         .unionByName(
-            synthesize_contributions(relation_contribution_events(rels, ways, nodes))
+            synthesize_contributions(
+                way_contribution_events(ways, nodes, bundled=bundled)
+            )
+        )
+        .unionByName(
+            synthesize_contributions(
+                relation_contribution_events(rels, ways, nodes, bundled_ways=bundled)
+            )
         )
     )
     # stage the synthesized union before enrichment: J4's semi-join build
