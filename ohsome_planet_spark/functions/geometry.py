@@ -359,8 +359,17 @@ def clip_ring_rect(
     plane pass walks edges (v[i], v[i+1 mod n]) over the OPEN ring and
     emits the crossing point and/or the inside endpoint — the vertex
     sequence is therefore deterministic (pinned by the extraction
-    oracle's byte-level WKB replay)."""
+    oracle's byte-level WKB replay). A ring ENTIRELY inside the window
+    short-circuits to the input vertices unchanged (ohsome clipGeometry
+    returns the original geometry for untouched features — without the
+    short-circuit the all-inside plane passes would rotate an n-gon's
+    vertex sequence and change its WKB bytes)."""
     pts = list(coords[:-1]) if coords and coords[0] == coords[-1] else list(coords)
+
+    if all(xmin <= x <= xmax and ymin <= y <= ymax for x, y in pts):
+        if len(set(pts)) < 3:
+            return None
+        return pts + [pts[0]]
 
     planes = (
         (lambda p: p[0] >= xmin, lambda a, b: _x_cross(a, b, xmin)),
@@ -386,6 +395,15 @@ def clip_ring_rect(
     if len({p for p in pts}) < 3:
         return None
     return pts + [pts[0]]
+
+
+def _ring_shoelace(ring: list[tuple[float, float]]) -> float:
+    """Signed planar shoelace area ×2 of a closed ring (sign carries
+    orientation; callers take ``abs`` for coverage comparisons)."""
+    a = 0.0
+    for i in range(len(ring) - 1):
+        a += ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+    return a
 
 
 def _x_cross(a, b, x):
@@ -477,7 +495,18 @@ def clip_geometry_bbox(geom: dict | None, bbox: tuple[float, float, float, float
         ]
         if not rings or rings[0] is None:
             return None
-        return {"type": "Polygon", "coords": [rings[0]] + [r for r in rings[1:] if r]}
+        ext = rings[0]
+        holes = [r for r in rings[1:] if r]
+        # bbox entirely inside a hole: the clipped hole covers the clipped
+        # exterior (both collapse to the window rectangle) — the true
+        # intersection is empty, so emit nothing rather than a degenerate
+        # zero-area polygon. Relative epsilon absorbs crossing-point
+        # round-off; a legitimate remainder sliver below 1e-12 of the
+        # exterior is degenerate anyway.
+        ext_area = abs(_ring_shoelace(ext))
+        if any(abs(_ring_shoelace(h)) >= ext_area * (1.0 - 1e-12) for h in holes):
+            return None
+        return {"type": "Polygon", "coords": [ext] + holes}
     if t == "MultiPolygon":
         polys = []
         for poly in geom["coords"]:

@@ -8413,8 +8413,12 @@ def _dsir_resample_oracle(m: int = 150, temp: float = 2.0) -> str:
       FROM bg JOIN ratios r USING (bucket)
       GROUP BY bg.doc_id
     ), keyed AS (
+      -- gkey rounded to 9dp BEFORE ordering (round-before-hash convention):
+      -- imp is a float aggregate sum whose low bits depend on partial-agg
+      -- order, so near-tie unrounded keys could flip selection between
+      -- engines/runs
       SELECT doc_id, imp,
-             imp / {temp!r} + (-ln(-ln({u}))) AS gkey
+             round(imp / {temp!r} + (-ln(-ln({u}))), 9) AS gkey
       FROM weights
     )
     SELECT doc_id,
@@ -8443,10 +8447,15 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":dsir")))
         + F.lit(1.0)
     ) / F.lit(1152921504606846977.0)
+    # gkey rounded to 9dp before ordering: the importance sum's low bits are
+    # partial-aggregation-order dependent, so the unrounded key could flip
+    # near-tie selections run-to-run / engine-to-engine
     keyed = w.select(
         "doc_id",
         F.col("_importance_raw").alias("imp"),
-        (F.col("_importance_raw") / F.lit(temp) + (-F.log(-F.log(u)))).alias("gkey"),
+        F.round(
+            F.col("_importance_raw") / F.lit(temp) + (-F.log(-F.log(u))), 9
+        ).alias("gkey"),
     )
     from pyspark.sql import Window as _W
 
