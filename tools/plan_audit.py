@@ -16,6 +16,13 @@ Writes ``PLAN_AUDIT.json`` at the repo root and exits non-zero if any
 query carries a flagged anti-pattern. Queries that execute eagerly
 (streaming memory sinks, driver-looped iterations) are audited on the
 frame they return.
+
+Lineage-truncation seams (localCheckpoint staging) hide their upstream
+segment from the returned frame's printed plan, so the audit ALSO walks
+every pre-checkpoint frame registered by ``truncate_lineage`` while the
+query was built (``session.drain_seam_frames``) — the round-9 verdict's
+blind spot. Per-query counts are the sum over the returned plan plus all
+seam-segment plans; ``seams`` records how many segments were audited.
 """
 
 from __future__ import annotations
@@ -40,18 +47,33 @@ def main() -> int:
     names = sorted(QUERIES)
     if len(sys.argv) > 1:
         names = sys.argv[1:]
+    from ohsome_planet_spark.session import drain_seam_frames
+
     for name in names:
         try:
+            drain_seam_frames()  # discard seams left over from fixtures
             df = QUERIES[name](spark, SF_DIR)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            seams = drain_seam_frames()
+            plans = [df._jdf.queryExecution().executedPlan().toString()]
+            for seam in seams:
+                try:
+                    plans.append(
+                        seam._jdf.queryExecution().executedPlan().toString()
+                    )
+                except Exception:
+                    pass  # seam frame already released by the query body
             entry = {
-                "cartesian": plan.count("CartesianProduct"),
-                "row_python_udf": plan.count("BatchEvalPython"),
-                "arrow_python": plan.count("ArrowEvalPython")
-                + plan.count("MapInPandas")
-                + plan.count("FlatMapGroupsInPandas"),
-                "exchanges": plan.count("Exchange"),
-                "codegen_spans": plan.count("WholeStageCodegen"),
+                "cartesian": sum(p.count("CartesianProduct") for p in plans),
+                "row_python_udf": sum(p.count("BatchEvalPython") for p in plans),
+                "arrow_python": sum(
+                    p.count("ArrowEvalPython")
+                    + p.count("MapInPandas")
+                    + p.count("FlatMapGroupsInPandas")
+                    for p in plans
+                ),
+                "exchanges": sum(p.count("Exchange") for p in plans),
+                "codegen_spans": sum(p.count("WholeStageCodegen") for p in plans),
+                "seams": len(plans) - 1,
             }
             if entry["cartesian"] or entry["row_python_udf"]:
                 flagged.append(name)
