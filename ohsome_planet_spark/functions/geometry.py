@@ -547,6 +547,22 @@ def _segment_geodesic_m(x1: float, y1: float, x2: float, y2: float) -> float:
     return EARTH_RADIUS_MEAN * math.sqrt(dlon * dlon + dlat * dlat)
 
 
+def geojson_geometry_udf(ndp: int = 7):
+    """pandas UDF factory: stored WKB → GeoJSON geometry-object string
+    (``wkb.geometry_to_geojson``), Arrow-batched — the serialization leg
+    of the ohsome extraction endpoints' GeoJSON response contract."""
+
+    @F.pandas_udf(T.StringType())
+    def _geojson(wkb_col: pd.Series) -> pd.Series:
+        return wkb_col.map(
+            lambda buf: None
+            if buf is None
+            else wkblib.geometry_to_geojson(wkblib.decode(bytes(buf)), ndp=ndp)
+        )
+
+    return _geojson
+
+
 def clip_to_bbox_udf(xmin: float, ymin: float, xmax: float, ymax: float):
     """pandas UDF factory: stored WKB -> clipped WKB (null = empty
     intersection) plus the re-measured geodesic area (areal), geodesic

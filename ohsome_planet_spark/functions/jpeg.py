@@ -1,18 +1,28 @@
-"""Stdlib JPEG header codec — real width/height/channels for the
-multimodal decode seam (VERDICT r8 item 4).
+"""Stdlib/numpy JPEG codec — header walk for every SOFn variant, plus a
+REAL baseline (SOF0/SOF1) pixel decoder (VERDICT r9 item 3).
 
 JPEG is a sequence of marker segments (``FF xx`` + big-endian length).
-Frame dimensions live in the Start-Of-Frame segment (SOF0 baseline,
-SOF2 progressive, and the other SOFn variants): precision(1B),
-height(2B), width(2B), n_components(1B). Pixel decode (DCT/huffman)
-still needs an external library and stays behind the deterministic stub
-— this module only parses (and, for fixtures, writes) the header walk,
-so ``kind='jpeg'`` rows carry real dimensions.
+Frame dimensions live in the Start-Of-Frame segment: precision(1B),
+height(2B), width(2B), n_components(1B).
+
+``decode_jpeg`` implements the full baseline sequential pipeline per
+ITU-T T.81: canonical huffman entropy decode (with 0xFF00 byte
+unstuffing and RSTn restart handling), zigzag → natural reorder,
+dequantization, 8×8 type-III DCT, sampling-factor chroma upsampling,
+and JFIF YCbCr→RGB conversion. Progressive (SOF2) and the arithmetic/
+lossless variants raise — headers still parse, pixels stay behind the
+documented stub.
+
+``encode_jpeg`` writes real baseline streams for fixtures (grayscale or
+4:4:4 / 4:2:0 color, optional restart markers) using simple flat-length
+huffman tables — valid, suboptimal, and deterministic.
 """
 
 from __future__ import annotations
 
 import struct
+
+import numpy as np
 
 JPEG_SOI = b"\xff\xd8"
 
@@ -73,6 +83,480 @@ def decode_jpeg_header(payload: bytes) -> tuple[int, int, int]:
             raise JpegFormatError("SOS before SOF")
         off += seg_len
     raise JpegFormatError("no SOF segment found")
+
+
+# ---------------------------------------------------------------------------
+# baseline pixel decode (ITU-T T.81 sequential DCT, huffman entropy coding)
+# ---------------------------------------------------------------------------
+
+# zigzag position -> natural (row-major) coefficient index, T.81 Figure 5
+ZIGZAG_NATURAL = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """M[u, x] = c_u/2 · cos((2x+1)uπ/16): rows are the orthonormal 1-D
+    DCT basis. Forward DCT = M @ S @ M.T, inverse = M.T @ F @ M."""
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = cu / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def build_huffman_decoder(counts: list[int], values: bytes) -> dict:
+    """Canonical huffman (T.81 Annex C): {(code_length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """Entropy-segment bit reader: 0xFF00 unstuffing, marker detection,
+    restart re-sync."""
+
+    def __init__(self, buf: bytes, off: int):
+        self.buf = buf
+        self.off = off
+        self.cur = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.off >= len(self.buf):
+                raise JpegFormatError("truncated entropy stream")
+            b = self.buf[self.off]
+            self.off += 1
+            if b == 0xFF:
+                if self.off < len(self.buf) and self.buf[self.off] == 0x00:
+                    self.off += 1  # stuffed byte
+                else:
+                    self.off -= 1
+                    raise JpegFormatError("marker inside entropy stream")
+            self.cur = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegFormatError("invalid huffman code")
+
+    def restart(self, m: int) -> None:
+        """Byte-align and consume the expected RSTm marker."""
+        self.nbits = 0
+        if (
+            self.off + 2 > len(self.buf)
+            or self.buf[self.off] != 0xFF
+            or self.buf[self.off + 1] != 0xD0 + (m & 7)
+        ):
+            raise JpegFormatError("missing restart marker")
+        self.off += 2
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t received bits to the signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """Full baseline decode: ``(width, height, channels, rows)`` with
+    ``rows`` a list of per-row interleaved pixel ``bytes`` (same shape as
+    ``png.decode_png`` returns). Raises :class:`JpegFormatError` on
+    progressive/arithmetic/lossless frames or corrupt streams."""
+    buf = bytes(payload)
+    if len(buf) < 4 or buf[:2] != JPEG_SOI:
+        raise JpegFormatError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    off = 2
+    n = len(buf)
+    while off < n:
+        if buf[off] != 0xFF:
+            raise JpegFormatError(f"expected marker at offset {off}")
+        while off < n and buf[off] == 0xFF:
+            off += 1
+        if off >= n:
+            raise JpegFormatError("truncated at marker")
+        marker = buf[off]
+        off += 1
+        if marker in _STANDALONE:
+            if marker == 0xD9:
+                break
+            continue
+        if off + 2 > n:
+            raise JpegFormatError("truncated segment length")
+        (seg_len,) = struct.unpack(">H", buf[off : off + 2])
+        if seg_len < 2 or off + seg_len > n:
+            raise JpegFormatError(f"bad segment length {seg_len}")
+        seg = buf[off + 2 : off + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise JpegFormatError("16-bit quant tables unsupported")
+                if p + 65 > len(seg):
+                    raise JpegFormatError("truncated DQT")
+                tbl = np.zeros(64)
+                for k in range(64):
+                    tbl[ZIGZAG_NATURAL[k]] = seg[p + 1 + k]
+                qt[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1 : p + 17])
+                nv = sum(counts)
+                values = seg[p + 17 : p + 17 + nv]
+                if len(values) < nv:
+                    raise JpegFormatError("truncated DHT")
+                (huff_dc if tc == 0 else huff_ac)[th] = build_huffman_decoder(
+                    counts, values
+                )
+                p += 17 + nv
+        elif marker in _SOF_MARKERS:
+            if marker not in (0xC0, 0xC1):
+                raise JpegFormatError(
+                    "only baseline sequential (SOF0/SOF1) pixel decode"
+                )
+            precision, height, width, nf = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise JpegFormatError("only 8-bit precision")
+            if width == 0 or height == 0:
+                raise JpegFormatError("zero frame dimension")
+            comps = []
+            for i in range(nf):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = {"w": width, "h": height, "comps": comps}
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegFormatError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise JpegFormatError("scan references unknown component")
+                scan.append((comp, tdta >> 4, tdta & 15))
+            if len(scan) != len(frame["comps"]):
+                raise JpegFormatError("non-interleaved scans unsupported")
+            return _decode_scan(
+                buf, off + seg_len, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        off += seg_len
+    raise JpegFormatError("no scan data found")
+
+
+def _decode_scan(buf, data_off, frame, scan, qt, huff_dc, huff_ac, dri):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise JpegFormatError("bad sampling factors")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.int32)
+        )
+        if c["tq"] not in qt:
+            raise JpegFormatError("missing quant table")
+    reader = _BitReader(buf, data_off)
+    preds = [0] * len(comps)
+    m = _DCT_M
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            mcu_idx = my * mcus_x + mx
+            if dri and mcu_idx and mcu_idx % dri == 0:
+                reader.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
+            for ci, (comp, td, ta) in enumerate(scan):
+                if td not in huff_dc or ta not in huff_ac:
+                    raise JpegFormatError("missing huffman table")
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coef = np.zeros(64)
+                        t = reader.decode_symbol(huff_dc[td])
+                        preds[ci] += _extend(reader.receive(t), t)
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(huff_ac[ta])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegFormatError("AC index overflow")
+                            coef[ZIGZAG_NATURAL[k]] = _extend(
+                                reader.receive(s), s
+                            )
+                            k += 1
+                        block = coef.reshape(8, 8) * qt[comp["tq"]]
+                        px = m.T @ block @ m + 128.0
+                        px = np.clip(np.rint(px), 0, 255).astype(np.int32)
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    # upsample to full resolution and crop
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax:
+            p = np.repeat(p, hmax // c["h"], axis=1)
+        if c["v"] != vmax:
+            p = np.repeat(p, vmax // c["v"], axis=0)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        out = full[0][:, :, None]
+    elif len(comps) == 3:
+        y, cb, cr = (f.astype(np.float64) for f in full)
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = np.stack(
+            [np.clip(np.rint(ch), 0, 255) for ch in (r, g, b)], axis=2
+        ).astype(np.int32)
+    else:
+        raise JpegFormatError(f"{len(comps)}-component color unsupported")
+    rows = [bytes(out[r].reshape(-1).astype(np.uint8)) for r in range(h)]
+    return w, h, len(comps), rows
+
+
+# ---------------------------------------------------------------------------
+# baseline encoder (fixture writer): grayscale / 4:4:4 / 4:2:0, flat huffman
+# ---------------------------------------------------------------------------
+
+# simple valid tables: DC categories 0-11 as 4-bit codes; every AC (run,
+# size) symbol plus EOB/ZRL as 8-bit codes. Suboptimal but deterministic.
+_ENC_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALUES = bytes(range(12))
+_ENC_AC_VALUES = bytes(
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_ENC_AC_COUNTS = [0] * 7 + [len(_ENC_AC_VALUES)] + [0] * 8
+
+
+def _encoder_codes(counts, values) -> dict[int, tuple[int, int]]:
+    dec = build_huffman_decoder(counts, values)
+    return {sym: (length, code) for (length, code), sym in dec.items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nacc = 0
+
+    def pad_align(self) -> None:
+        while self.nacc:
+            self.put(1, 1)  # pad with 1-bits per T.81 F.1.2.3
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(writer, coefs, pred, dc_codes, ac_codes) -> int:
+    """Quantized natural-order 8×8 block → entropy bits; returns new DC pred."""
+    zz = [int(coefs.reshape(-1)[ZIGZAG_NATURAL[k]]) for k in range(64)]
+    diff = zz[0] - pred
+    t = _category(diff)
+    length, code = dc_codes[t]
+    writer.put(code, length)
+    if t:
+        writer.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_codes[0xF0]
+            writer.put(code, length)
+            run -= 16
+        s = _category(zz[k])
+        length, code = ac_codes[(run << 4) | s]
+        writer.put(code, length)
+        v = zz[k]
+        writer.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        length, code = ac_codes[0x00]
+        writer.put(code, length)
+    return zz[0]
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    rows: list[bytes],
+    channels: int = 1,
+    quant: int = 1,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Real baseline JPEG byte stream from interleaved pixel rows.
+
+    ``quant`` fills the (flat) quantization table; ``quant=1`` keeps every
+    DCT coefficient exact after rounding, so flat 8×8 blocks round-trip
+    bit-exactly. ``subsample`` selects 4:2:0 for 3-channel input."""
+    img = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+        height, width, channels
+    ).astype(np.float64)
+    if channels == 1:
+        comps = [(img[:, :, 0], 1, 1)]
+    elif channels == 3:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            sub = []
+            for p in (cb, cr):
+                # pad odd edges by replication before 2×2 box averaging
+                if height % 2 or width % 2:
+                    p = np.pad(
+                        p, ((0, height % 2), (0, width % 2)), mode="edge"
+                    )
+                sub.append(
+                    (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
+                    / 4.0
+                )
+            comps = [(y, 2, 2), (sub[0], 1, 1), (sub[1], 1, 1)]
+        else:
+            comps = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+    else:
+        raise ValueError("1 or 3 channels")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    qtbl = np.full((8, 8), float(quant))
+    m = _DCT_M
+    # pad each plane to its MCU grid by edge replication, then quantize DCT
+    blocks: list[list[np.ndarray]] = []  # per comp: block per (mcu, by, bx)
+    for plane, ch, cv in comps:
+        th, tw = mcus_y * cv * 8, mcus_x * ch * 8
+        plane = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        per = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        s = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        per.append(np.rint((m @ s @ m.T) / qtbl))
+        blocks.append(per)
+
+    out = bytearray(JPEG_SOI)
+    zz_q = bytes(
+        int(qtbl.reshape(-1)[ZIGZAG_NATURAL[k]]) for k in range(64)
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, len(comps)))
+    for i, (_, ch, cv) in enumerate(comps):
+        sof += bytes([i + 1, (ch << 4) | cv, 0])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    dht = bytearray(b"\x00") + bytes(_ENC_DC_COUNTS) + _ENC_DC_VALUES
+    dht += b"\x10" + bytes(_ENC_AC_COUNTS) + _ENC_AC_VALUES
+    out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytearray([len(comps)])
+    for i in range(len(comps)):
+        sos += bytes([i + 1, 0])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_codes = _encoder_codes(_ENC_DC_COUNTS, _ENC_DC_VALUES)
+    ac_codes = _encoder_codes(_ENC_AC_COUNTS, _ENC_AC_VALUES)
+    writer = _BitWriter()
+    preds = [0] * len(comps)
+    blocks_per_mcu = [ch * cv for _, ch, cv in comps]
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.pad_align()
+            writer.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            preds = [0] * len(comps)
+        for ci in range(len(comps)):
+            base = mcu * blocks_per_mcu[ci]
+            for bi in range(blocks_per_mcu[ci]):
+                preds[ci] = _encode_block(
+                    writer, blocks[ci][base + bi], preds[ci], dc_codes, ac_codes
+                )
+    writer.pad_align()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg_header(

@@ -133,6 +133,37 @@ def _decode_at(mv: memoryview, off: int):
     return {"type": t, "coords": [g["coords"] for g in parts]}, off
 
 
+def geometry_to_geojson(geom: dict[str, Any] | None, ndp: int = 7) -> str | None:
+    """Geometry dict → canonical GeoJSON geometry-object string (RFC 7946),
+    coordinates formatted ``%.<ndp>f`` (fixed decimals, ohsome-API style)
+    so the byte sequence is deterministic and SQL-replayable — Python's
+    shortest-round-trip float repr has no cross-engine counterpart."""
+    if geom is None:
+        return None
+    t = geom["type"]
+
+    def pt(p) -> str:
+        return f"[{p[0]:.{ndp}f},{p[1]:.{ndp}f}]"
+
+    def chain(pts) -> str:
+        return "[" + ",".join(pt(p) for p in pts) + "]"
+
+    def rings(rs) -> str:
+        return "[" + ",".join(chain(r) for r in rs) + "]"
+
+    if t == "Point":
+        coords = pt(geom["coords"])
+    elif t in ("LineString", "MultiPoint"):
+        coords = chain(geom["coords"])
+    elif t in ("Polygon", "MultiLineString"):
+        coords = rings(geom["coords"])
+    elif t == "MultiPolygon":
+        coords = "[" + ",".join(rings(poly) for poly in geom["coords"]) + "]"
+    else:
+        raise ValueError(f"GeoJSON serialization for {t}")
+    return '{"type":"' + t + '","coordinates":' + coords + "}"
+
+
 # --- batched flat decode (Arrow-batch scale path) ----------------------------
 
 # part kinds in FlatGeomBatch.part_kind

@@ -38,12 +38,19 @@ def _decode_media_real(payload: bytes) -> tuple[int, int, int, int | None]:
     PNG is decoded for real — stdlib inflate + per-row un-filter
     (``functions/png.py``); ``pixel_sum`` covers every decoded byte, so a
     wrong filter reversal anywhere in the image changes the result.
-    JPEG headers are parsed for real (``functions/jpeg.py``: SOFn marker
-    walk) — width/height/channels are genuine, pixel_sum is null because
-    DCT/huffman pixel decode still needs an external library. Other
-    containers (riff/...) raise NotImplementedError and callers fall
-    back to the stub."""
-    from ..functions.jpeg import JPEG_SOI, decode_jpeg_header
+    BASELINE JPEG (SOF0/SOF1) is now also decoded for real —
+    ``functions/jpeg.py::decode_jpeg``: huffman entropy decode, dequant,
+    type-III DCT, chroma upsampling, YCbCr→RGB — so ``pixel_sum`` covers
+    the dominant training-data image format too. Progressive/arithmetic
+    JPEG falls back to the real SOFn header walk (genuine dims, null
+    pixel_sum). Other containers (riff/...) raise NotImplementedError and
+    callers fall back to the stub."""
+    from ..functions.jpeg import (
+        JPEG_SOI,
+        JpegFormatError,
+        decode_jpeg,
+        decode_jpeg_header,
+    )
     from ..functions.png import PNG_SIGNATURE, decode_png
 
     payload = bytes(payload)
@@ -51,12 +58,18 @@ def _decode_media_real(payload: bytes) -> tuple[int, int, int, int | None]:
         width, height, channels, rows = decode_png(payload)
         return width, height, channels, sum(sum(r) for r in rows)
     if payload[:2] == JPEG_SOI:
-        width, height, channels = decode_jpeg_header(payload)
-        return width, height, channels, None
+        try:
+            width, height, channels, rows = decode_jpeg(payload)
+            return width, height, channels, sum(sum(r) for r in rows)
+        except JpegFormatError:
+            # non-baseline frame (progressive, arithmetic, 12-bit) or no
+            # scan data: dimensions still parse from the SOFn header
+            width, height, channels = decode_jpeg_header(payload)
+            return width, height, channels, None
     raise NotImplementedError(
-        "only PNG pixels and JPEG headers decode natively; jpeg pixels and "
-        "audio/video require an external library not present in this "
-        "environment — decode_stub provides the deterministic fake"
+        "only PNG and baseline-JPEG pixels decode natively; progressive "
+        "jpeg and audio/video require an external library not present in "
+        "this environment — decode_stub provides the deterministic fake"
     )
 
 

@@ -120,7 +120,7 @@ def write_contributions(
     )
 
 
-def _file_geo_metadata(table) -> dict:
+def _file_geo_metadata(table, covering: bool | None = None) -> dict:
     """Per-file ``geo`` metadata — bbox and geometry_types accumulated from
     this file's own rows, exactly like the reference's per-writer Envelope
     (``AvroGeoParquetWriter.java:122-133``: ``columnBBox`` lives on the
@@ -146,7 +146,9 @@ def _file_geo_metadata(table) -> dict:
             for v in pc.unique(table.column("geometry_type")).to_pylist()
             if v
         )
-    return geo_metadata(bbox, gtypes, covering=has_bbox_col)
+    return geo_metadata(
+        bbox, gtypes, covering=has_bbox_col if covering is None else covering
+    )
 
 
 def _rewrite_parquet_file(full: str, row_group_size: int | None) -> None:
@@ -170,6 +172,76 @@ def _rewrite_parquet_file(full: str, row_group_size: int | None) -> None:
     )
 
 
+def _thin_geo_table(full: str):
+    """Read only the columns the geo metadata needs (bbox struct +
+    geometry_type) — metadata-sized I/O instead of decoding WKB blobs."""
+    schema = pq.read_schema(full)
+    cols = [c for c in ("bbox", "geometry_type") if c in schema.names]
+    table = pq.read_table(full, columns=cols) if cols else pq.read_table(full)
+    # covering flag keys off the FULL schema, not the thin projection
+    return table, ("bbox" in schema.names)
+
+
+def _footer_append_geo(spark, full: str, geo: dict) -> None:
+    """Metadata-only footer surgery: re-serialize the existing parquet
+    footer with the ``geo`` key-value appended, leaving every data page,
+    column/offset index and BLOOM FILTER byte untouched (the pyarrow
+    rewrite used to re-encode the whole file and silently dropped the
+    bloom filters Spark wrote — the round-10 bloom-parity test caught
+    it). O(footer) per file instead of O(data): at planet scale the
+    post-pass is now metadata-sized, like the reference's in-writer
+    footer (``AvroGeoParquetWriter.java:122-133``)."""
+    import struct as _struct
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path("file://" + os.path.abspath(full))
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        footer = reader.getFooter()
+    finally:
+        reader.close()
+    conv = jvm.org.apache.parquet.format.converter.ParquetMetadataConverter()
+    fmd = conv.toParquetMetadata(1, footer)
+    kvs = fmd.getKey_value_metadata()
+    if kvs is not None:  # idempotent: replace a pre-existing geo entry
+        it = kvs.iterator()
+        while it.hasNext():
+            if it.next().getKey() == "geo":
+                it.remove()
+    kv = jvm.org.apache.parquet.format.KeyValue("geo")
+    kv.setValue(json.dumps(geo))
+    fmd.addToKey_value_metadata(kv)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.parquet.format.Util.writeFileMetaData(fmd, baos)
+    new_footer = bytes(baos.toByteArray())
+    with open(full, "rb") as fh:
+        data = fh.read()
+    if data[-4:] != b"PAR1":
+        raise ValueError(f"{full}: not a parquet file")
+    old_len = _struct.unpack("<I", data[-8:-4])[0]
+    start = len(data) - 8 - old_len
+    with open(full, "wb") as fh:
+        fh.write(data[:start])
+        fh.write(new_footer)
+        fh.write(_struct.pack("<I", len(new_footer)))
+        fh.write(b"PAR1")
+
+
+def _attach_geo_local_file(full: str, row_group_size: int | None, spark) -> None:
+    """One file's geo post-pass: footer surgery when possible (preserves
+    bloom filters, O(footer)); the full pyarrow rewrite only when the
+    caller asked for re-chunking (``row_group_size``) or no JVM is
+    available."""
+    if row_group_size is None and spark is not None:
+        table, covering = _thin_geo_table(full)
+        geo = _file_geo_metadata(table, covering=covering)
+        _footer_append_geo(spark, full, geo)
+    else:
+        _rewrite_parquet_file(full, row_group_size)
+
+
 def _attach_geo_metadata(
     path: str, row_group_size: int | None = None, spark=None
 ) -> None:
@@ -188,7 +260,7 @@ def _attach_geo_metadata(
             if not fn.endswith(".parquet"):
                 continue
             full = os.path.join(root, fn)
-            _rewrite_parquet_file(full, row_group_size)
+            _attach_geo_local_file(full, row_group_size, spark)
             # the rewrite invalidates only THIS file's Hadoop .crc sidecar;
             # leave checksums of files we never touch (_SUCCESS, ...) intact
             sidecar = os.path.join(root, f".{fn}.crc")
@@ -224,7 +296,7 @@ def _attach_geo_metadata_hadoop(
             lpath = jvm.org.apache.hadoop.fs.Path("file:" + local)
             # useRawLocalFileSystem=True: no .crc sidecar for the temp copy
             fs.copyToLocalFile(False, p, lpath, True)
-            _rewrite_parquet_file(local, row_group_size)
+            _attach_geo_local_file(local, row_group_size, spark)
             fs.copyFromLocalFile(False, True, lpath, p)
             # drop only the rewritten file's now-stale checksum sidecar;
             # unrelated sidecars (_SUCCESS, ...) keep their integrity metadata

@@ -150,6 +150,28 @@ def rebuild_affected_ways(
     return synthesize_contributions(way_contribution_events(affected, node_history))
 
 
+def rebuild_affected_relations(
+    rel_history: DataFrame,
+    way_history: DataFrame,
+    node_history: DataFrame,
+    affected_ids: DataFrame,
+) -> DataFrame:
+    """R3 for relations: rerun the nested J2+J3 synthesis on affected
+    relation ids. Member way/node histories pass in FULL — the event
+    builder semi-join-prunes them to what the affected relations actually
+    reference, so the batch touches |affected| + |their members|, never
+    the planet."""
+    from ..operators.contributions import (
+        relation_contribution_events,
+        synthesize_contributions,
+    )
+
+    affected = rel_history.join(affected_ids.select("osm_id"), "osm_id", "left_semi")
+    return synthesize_contributions(
+        relation_contribution_events(affected, way_history, node_history)
+    )
+
+
 # --- replication state protocol (R1 / S12) -----------------------------------
 
 
@@ -249,30 +271,56 @@ class IncrementalUpdater:
     |diff| + |histories of affected ids|, never the planet.
     """
 
-    def __init__(self, spark, node_history: DataFrame, way_history: DataFrame):
+    def __init__(
+        self,
+        spark,
+        node_history: DataFrame,
+        way_history: DataFrame,
+        rel_history: DataFrame | None = None,
+    ):
         self.spark = spark
         self.node_history = node_history
         self.way_history = way_history
+        # relation support is opt-in: with a rel_history table, apply_batch
+        # also J6-filters relation rows, propagates member dirtiness to
+        # parent relations (J7) and returns a third contribution frame
+        self.rel_history = rel_history
 
-    def _typed(self, batch: DataFrame, osm_type: str, cols) -> DataFrame:
-        return (
-            batch.filter(F.col("osm_type") == osm_type)
-            .select("osm_type", *cols)
-        )
+    def _typed(self, batch: DataFrame, osm_type: str, history: DataFrame) -> DataFrame:
+        """Project the batch onto one type's history schema; columns the
+        batch doesn't carry (a node-only .osc slice has no refs/members)
+        fill with typed nulls."""
+        present = set(batch.columns)
+        sel = [
+            (F.col(f.name) if f.name in present else F.lit(None).cast(f.dataType)).alias(
+                f.name
+            )
+            for f in history.schema.fields
+            if f.name != "osm_type"
+        ]
+        return batch.filter(F.col("osm_type") == osm_type).select("osm_type", *sel)
 
-    def apply_batch(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """One osmChange batch → (node_contribs, way_contribs) for the
-        affected ids; histories advance in place. The J6 filter drops
-        replayed versions so re-applying a batch is idempotent."""
-        node_cols = [f.name for f in self.node_history.schema.fields if f.name != "osm_type"]
-        way_cols = [f.name for f in self.way_history.schema.fields if f.name != "osm_type"]
-        nodes = self._typed(batch, "node", node_cols)
-        ways = self._typed(batch, "way", way_cols)
+    def apply_batch(self, batch: DataFrame):
+        """One osmChange batch → (node_contribs, way_contribs[, rel_contribs
+        when relation support is on]) for the affected ids; histories
+        advance in place. The J6 filter drops replayed versions so
+        re-applying a batch is idempotent. ``last_affected`` carries the
+        per-type affected-id frames so callers can delete-and-insert the
+        rebuilt rows into a durable contribution table
+        (``ContributionStateManager.java:176-245``'s update write)."""
+        nodes = self._typed(batch, "node", self.node_history)
+        ways = self._typed(batch, "way", self.way_history)
 
         node_state = latest_state(self.node_history)
         way_state = latest_state(self.way_history)
-        new_nodes = filter_diff_against_state(nodes, node_state).persist()
-        new_ways = filter_diff_against_state(ways, way_state).persist()
+        from ..session import register_cached
+
+        new_nodes = register_cached(
+            filter_diff_against_state(nodes, node_state).persist()
+        )
+        new_ways = register_cached(
+            filter_diff_against_state(ways, way_state).persist()
+        )
         # the J6-surviving delta, exposed for callers that append it to a
         # durable history table (ContributionReplicationManager)
         self.last_applied = (new_nodes, new_ways)
@@ -282,13 +330,27 @@ class IncrementalUpdater:
 
         changed_node_ids = new_nodes.select("osm_id").distinct()
         changed_way_ids = new_ways.select("osm_id").distinct()
-        empty_rels = self.spark.createDataFrame(
-            [],
-            "osm_id bigint, visible boolean,"
-            " members array<struct<type:string,id:bigint,role:string>>",
-        )
-        dirty_ways, _ = dirty_parents(
-            changed_node_ids, changed_way_ids, latest_state(self.way_history), empty_rels
+        if self.rel_history is not None:
+            rels = self._typed(batch, "relation", self.rel_history)
+            new_rels = register_cached(
+                filter_diff_against_state(
+                    rels, latest_state(self.rel_history)
+                ).persist()
+            )
+            self.rel_history = self.rel_history.unionByName(new_rels)
+            latest_rels = latest_state(self.rel_history).select(
+                "osm_id", "visible", "members"
+            )
+            changed_rel_ids = new_rels.select("osm_id").distinct()
+        else:
+            latest_rels = self.spark.createDataFrame(
+                [],
+                "osm_id bigint, visible boolean,"
+                " members array<struct<type:string,id:bigint,role:string>>",
+            )
+            changed_rel_ids = None
+        dirty_ways, dirty_rels = dirty_parents(
+            changed_node_ids, changed_way_ids, latest_state(self.way_history), latest_rels
         )
         affected_ways = changed_way_ids.unionByName(dirty_ways).distinct()
 
@@ -296,7 +358,15 @@ class IncrementalUpdater:
         way_contribs = rebuild_affected_ways(
             self.way_history, self.node_history, affected_ways
         )
-        return node_contribs, way_contribs
+        if self.rel_history is None:
+            self.last_affected = (changed_node_ids, affected_ways)
+            return node_contribs, way_contribs
+        affected_rels = changed_rel_ids.unionByName(dirty_rels).distinct()
+        rel_contribs = rebuild_affected_relations(
+            self.rel_history, self.way_history, self.node_history, affected_rels
+        )
+        self.last_affected = (changed_node_ids, affected_ways, affected_rels)
+        return node_contribs, way_contribs, rel_contribs
 
     def apply_sequences(self, server, sequences) -> list[tuple[DataFrame, DataFrame]]:
         """Fetch + parse + apply each replication sequence in order via an
@@ -324,4 +394,6 @@ class IncrementalUpdater:
 
             self.node_history = truncate_lineage(self.node_history)
             self.way_history = truncate_lineage(self.way_history)
+            if self.rel_history is not None:
+                self.rel_history = truncate_lineage(self.rel_history)
         return out

@@ -144,6 +144,44 @@ def test_replications_cli_three_sequences(spark, mirror, tmp_path, capsys):
     ways = spark.read.parquet(os.path.join(data, "ways"))
     assert ways.filter("osm_id = 10").agg(F.max("version")).first()[0] == 2
 
+    # the reference writes bloom filters on update files
+    # (ContributionStateManager.java:159-174); assert they actually exist
+    # in the written INCREMENTAL outputs' footers (parquet-mr via the JVM;
+    # pyarrow 16 doesn't surface bloom offsets)
+    for seq in (101, 102, 103):
+        _assert_bloom_filter(
+            spark, os.path.join(out, f"000/000/{seq:03d}.opc.parquet"), "osm_id"
+        )
+
+
+def _assert_bloom_filter(spark, directory: str, column: str) -> None:
+    import glob
+
+    files = [
+        f for f in glob.glob(os.path.join(directory, "*.parquet"))
+        if os.path.getsize(f) > 0
+    ]
+    assert files, f"no parquet files under {directory}"
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    offsets = []
+    for f in files:
+        path = jvm.org.apache.hadoop.fs.Path("file://" + os.path.abspath(f))
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            path, conf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            for block in reader.getFooter().getBlocks():
+                for col in block.getColumns():
+                    if col.getPath().toDotString() == column:
+                        offsets.append(col.getBloomFilterOffset())
+        finally:
+            reader.close()
+    assert offsets and all(o >= 0 for o in offsets), (
+        f"bloom filter missing for {column} in {directory}: {offsets}"
+    )
+
 
 def test_replications_cli_noop_when_caught_up(spark, mirror, tmp_path, capsys):
     data = str(tmp_path / "data")
