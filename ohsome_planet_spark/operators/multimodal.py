@@ -80,7 +80,16 @@ def magic_kind_expr(media: Column) -> Column:
         F.when(head.startswith("89504E47"), F.lit("png"))
         .when(head.startswith("FFD8"), F.lit("jpeg"))
         .when(head.startswith("47494638"), F.lit("gif"))
+        .when(
+            head.startswith("52494646")
+            & (F.hex(F.substring(media, 9, 4)) == F.lit("57415645")),  # WAVE
+            F.lit("wav"),
+        )
         .when(head.startswith("52494646"), F.lit("riff"))
+        .when(
+            F.hex(F.substring(media, 5, 4)) == F.lit("66747970"),  # ftyp
+            F.lit("mp4"),
+        )
         .otherwise(F.lit("unknown"))
     )
 
@@ -183,6 +192,79 @@ def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
         + ",width int,height int,channels int,pixel_sum bigint"
     )
     return df.mapInPandas(decode, schema)
+
+
+def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL audio decode via ``mapInPandas``: PCM RIFF/WAVE payloads →
+    ``channels/sample_rate/bits/n_frames/sample_sum`` (the audio analog of
+    ``decode_media``'s pixel_sum — WAV PCM is lossless, so the sum is
+    exact). Compressed codecs (mp3/aac/opus) need external libraries and
+    null out like corrupt payloads do."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from ..functions.wav import decode_wav
+
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("channels", "sample_rate", "bits", "n_frames", "sample_sum")}
+            for payload in pdf[media_col]:
+                try:
+                    ch, rate, bits, frames, total = decode_wav(payload)
+                except (ValueError, TypeError, struct.error, IndexError):
+                    ch = rate = bits = frames = total = None
+                cols["channels"].append(ch)
+                cols["sample_rate"].append(rate)
+                cols["bits"].append(bits)
+                cols["n_frames"].append(frames)
+                cols["sample_sum"].append(total)
+            out = pdf.copy()
+            for k in ("channels", "sample_rate", "bits", "n_frames"):
+                out[k] = pd.array(cols[k], dtype="Int32")
+            out["sample_sum"] = pd.array(cols["sample_sum"], dtype="Int64")
+            yield out
+
+    schema = (
+        df.schema.simpleString()[7:-1]
+        + ",channels int,sample_rate int,bits int,n_frames int,sample_sum bigint"
+    )
+    return df.mapInPandas(decode, schema)
+
+
+def probe_video(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL video container probe via ``mapInPandas``: ISO-BMFF (MP4/MOV)
+    box walk → ``width/height/duration_ms`` — the metadata pass a
+    training pipeline runs on every video before spending decode cycles.
+    Frame pixel decode stays behind the external-codec stub."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from ..functions.isobmff import probe_mp4
+
+        for pdf in batches:
+            widths, heights, durations = [], [], []
+            for payload in pdf[media_col]:
+                try:
+                    w, h, duration, timescale = probe_mp4(payload)
+                    ms = (duration * 1000) // timescale if timescale else None
+                except (ValueError, TypeError, struct.error, IndexError):
+                    w = h = ms = None
+                widths.append(w)
+                heights.append(h)
+                durations.append(ms)
+            out = pdf.copy()
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["height"] = pd.array(heights, dtype="Int32")
+            out["duration_ms"] = pd.array(durations, dtype="Int64")
+            yield out
+
+    schema = (
+        df.schema.simpleString()[7:-1]
+        + ",width int,height int,duration_ms bigint"
+    )
+    return df.mapInPandas(probe, schema)
 
 
 def resize_plan(

@@ -3772,6 +3772,122 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_wav_decode",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 2 + 1 AS INT) AS channels,
+           CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits,
+           CAST(doc_id % 50 + 1 AS INT) AS n_frames,
+           CAST(list_sum(flatten(list_transform(range(0, doc_id % 50 + 1), f ->
+             list_transform(range(0, doc_id % 2 + 1), c ->
+               CASE WHEN doc_id % 3 = 0
+                    THEN (doc_id * 13 + f * 7 + c * 3) % 256
+                    ELSE (doc_id * 13 + f * 7 + c * 3) % 200 - 100 END))))
+             AS BIGINT) AS sample_sum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the multimodal seam: deterministic PCM
+    frames (8-bit unsigned / 16-bit signed, mono and stereo) are written
+    as genuine RIFF/WAVE bytes and decoded back by the stdlib parser
+    behind :func:`operators.multimodal.decode_audio`. PCM is lossless, so
+    the oracle computes the exact whole-stream sample sum arithmetically
+    — a wrong byte order, chunk walk, or sign convention breaks the hash.
+    Arrow-batched both ways; audio bytes never leave the executors."""
+    from ..operators.multimodal import decode_audio
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wav import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ch, n = d % 2 + 1, d % 50 + 1
+                bits = 8 if d % 3 == 0 else 16
+                frames = [
+                    tuple(
+                        (d * 13 + f * 7 + c * 3) % 256
+                        if bits == 8
+                        else (d * 13 + f * 7 + c * 3) % 200 - 100
+                        for c in range(ch)
+                    )
+                    for f in range(n)
+                ]
+                payloads.append(
+                    encode_wav(ch, 8000 + (d % 5) * 1000, bits, frames)
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+    return (
+        decode_audio(media)
+        .select("doc_id", "channels", "sample_rate", "bits", "n_frames",
+                "sample_sum")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "multimodal_mp4_probe",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 1904 + 16 AS INT) AS width,
+           CAST(doc_id % 1064 + 16 AS INT) AS height,
+           CAST((doc_id % 9000 + 1000) * 1000
+                // (CASE WHEN doc_id % 2 = 1 THEN 600 ELSE 1000 END)
+             AS BIGINT) AS duration_ms
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container probe through the multimodal seam:
+    deterministic ISO-BMFF streams (mvhd v0/v1, classic-MOV 600 and
+    1000 timescales, free-box padding so the box walk is exercised) are
+    parsed back by :func:`operators.multimodal.probe_video`. Dimensions
+    (16.16 fixed point) and duration_ms are genuine; frame decode stays
+    behind the documented external-codec stub. The oracle replays the
+    fixed-point and timescale arithmetic."""
+    from ..operators.multimodal import probe_video
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.isobmff import encode_mp4_header
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    encode_mp4_header(
+                        d % 1904 + 16,
+                        d % 1064 + 16,
+                        duration=d % 9000 + 1000,
+                        timescale=600 if d % 2 == 1 else 1000,
+                        version=d % 2,
+                        extra_boxes=d % 4,
+                    )
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+    return (
+        probe_video(media)
+        .select("doc_id", "width", "height", "duration_ms")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
     "event_time_windows",
     """
     SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS window_start,

@@ -282,6 +282,110 @@ class TestJpegBaselineDecode:
         assert (w, h, c, s) == (9, 9, 1, None)
 
 
+class TestWavCodec:
+    """The stdlib ``wave`` module is the independent referee: it shares no
+    code with ``functions/wav.py``, so agreement pins the RIFF layout."""
+
+    def test_roundtrip_against_stdlib_wave(self, tmp_path):
+        import wave as stdwave
+
+        from ohsome_planet_spark.functions.wav import decode_wav, encode_wav
+
+        frames = [(i % 200 - 100, -(i % 150) + 50) for i in range(37)]
+        mine = encode_wav(2, 16000, 16, frames)
+        # stdlib reads ours
+        p = tmp_path / "x.wav"
+        p.write_bytes(mine)
+        with stdwave.open(str(p)) as w:
+            assert w.getnchannels() == 2
+            assert w.getframerate() == 16000
+            assert w.getsampwidth() == 2
+            assert w.getnframes() == 37
+            raw = w.readframes(37)
+        import struct
+
+        ref_sum = sum(struct.unpack(f"<{len(raw) // 2}h", raw))
+        # we read ours and stdlib's output identically
+        ch, rate, bits, n, total = decode_wav(mine)
+        assert (ch, rate, bits, n) == (2, 16000, 16, 37)
+        assert total == ref_sum == sum(a + b for a, b in frames)
+        # stdlib writes, we read
+        p2 = tmp_path / "y.wav"
+        with stdwave.open(str(p2), "wb") as w:
+            w.setnchannels(1)
+            w.setframerate(8000)
+            w.setsampwidth(1)
+            w.writeframes(bytes(range(100, 150)))
+        ch, rate, bits, n, total = decode_wav(p2.read_bytes())
+        assert (ch, rate, bits, n) == (1, 8000, 8, 50)
+        assert total == sum(range(100, 150))
+
+    def test_rejections(self):
+        import pytest as _pytest
+
+        from ohsome_planet_spark.functions.wav import WavFormatError, decode_wav
+
+        with _pytest.raises(WavFormatError):
+            decode_wav(b"RIFFxxxxNOPE")
+        with _pytest.raises(WavFormatError):
+            decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+        from ohsome_planet_spark.functions.wav import encode_wav
+
+        good = bytearray(encode_wav(1, 8000, 16, [(1,), (2,), (3,)]))
+        good[20] = 2  # format tag -> ADPCM
+        with _pytest.raises(WavFormatError):
+            decode_wav(bytes(good))
+
+
+class TestIsoBmff:
+    def test_probe_v0_v1(self):
+        from ohsome_planet_spark.functions.isobmff import (
+            encode_mp4_header,
+            probe_mp4,
+        )
+
+        for version, timescale in ((0, 1000), (1, 600)):
+            data = encode_mp4_header(
+                1280, 720, duration=7200, timescale=timescale,
+                version=version, extra_boxes=3,
+            )
+            w, h, dur, ts = probe_mp4(data)
+            assert (w, h, dur, ts) == (1280, 720, 7200, timescale)
+
+    def test_rejections(self):
+        import pytest as _pytest
+
+        from ohsome_planet_spark.functions.isobmff import (
+            BmffFormatError,
+            encode_mp4_header,
+            probe_mp4,
+        )
+
+        with _pytest.raises(BmffFormatError):
+            probe_mp4(b"\x00\x00\x00\x08free")  # no ftyp
+        data = bytearray(encode_mp4_header(64, 64, duration=100))
+        data[-120:] = b""  # chop moov
+        with _pytest.raises(BmffFormatError):
+            probe_mp4(bytes(data))
+
+    def test_magic_kind_sniffing(self, spark):
+        from ohsome_planet_spark.functions.isobmff import encode_mp4_header
+        from ohsome_planet_spark.functions.wav import encode_wav
+        from ohsome_planet_spark.operators.multimodal import with_media_meta
+
+        rows = [
+            (1, bytearray(encode_wav(1, 8000, 8, [(7,)]))),
+            (2, bytearray(encode_mp4_header(8, 8, duration=10))),
+            (3, bytearray(b"RIFF\x08\x00\x00\x00AVI LIST")),
+        ]
+        df = spark.createDataFrame(rows, "media_id int, media binary")
+        kinds = {
+            r.media_id: r.kind
+            for r in with_media_meta(df).select("media_id", "kind").collect()
+        }
+        assert kinds == {1: "wav", 2: "mp4", 3: "riff"}
+
+
 NODE_SCHEMA = (
     "osm_type string, osm_id bigint, version int, ts timestamp,"
     " changeset bigint, user_id bigint, user_name string, visible boolean,"
