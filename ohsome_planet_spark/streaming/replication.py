@@ -139,7 +139,10 @@ def rebuild_affected_nodes(
 
 
 def rebuild_affected_ways(
-    way_history: DataFrame, node_history: DataFrame, affected_ids: DataFrame
+    way_history: DataFrame,
+    node_history: DataFrame,
+    affected_ids: DataFrame,
+    bundled: DataFrame | None = None,
 ) -> DataFrame:
     from ..operators.contributions import (
         synthesize_contributions,
@@ -147,7 +150,11 @@ def rebuild_affected_ways(
     )
 
     affected = way_history.join(affected_ids.select("osm_id"), "osm_id", "left_semi")
-    return synthesize_contributions(way_contribution_events(affected, node_history))
+    if bundled is not None:
+        bundled = bundled.join(affected_ids.select("osm_id"), "osm_id", "left_semi")
+    return synthesize_contributions(
+        way_contribution_events(affected, node_history, bundled=bundled)
+    )
 
 
 def rebuild_affected_relations(
@@ -155,12 +162,14 @@ def rebuild_affected_relations(
     way_history: DataFrame,
     node_history: DataFrame,
     affected_ids: DataFrame,
+    bundled: DataFrame | None = None,
 ) -> DataFrame:
     """R3 for relations: rerun the nested J2+J3 synthesis on affected
     relation ids. Member way/node histories pass in FULL — the event
     builder semi-join-prunes them to what the affected relations actually
     reference, so the batch touches |affected| + |their members|, never
-    the planet."""
+    the planet. ``bundled`` shares a precomputed way-instant table with
+    the way rebuild (the J3 merge is the batch's dominant cost)."""
     from ..operators.contributions import (
         relation_contribution_events,
         synthesize_contributions,
@@ -168,7 +177,9 @@ def rebuild_affected_relations(
 
     affected = rel_history.join(affected_ids.select("osm_id"), "osm_id", "left_semi")
     return synthesize_contributions(
-        relation_contribution_events(affected, way_history, node_history)
+        relation_contribution_events(
+            affected, way_history, node_history, bundled_ways=bundled
+        )
     )
 
 
@@ -355,15 +366,39 @@ class IncrementalUpdater:
         affected_ways = changed_way_ids.unionByName(dirty_ways).distinct()
 
         node_contribs = rebuild_affected_nodes(self.node_history, changed_node_ids)
-        way_contribs = rebuild_affected_ways(
-            self.way_history, self.node_history, affected_ways
-        )
         if self.rel_history is None:
+            way_contribs = rebuild_affected_ways(
+                self.way_history, self.node_history, affected_ways
+            )
             self.last_affected = (changed_node_ids, affected_ways)
             return node_contribs, way_contribs
         affected_rels = changed_rel_ids.unionByName(dirty_rels).distinct()
+        # share ONE J3 way merge between the way and relation rebuilds
+        # (the batch's dominant cost — the reference memoizes member way
+        # contributions the same way, Contribution.java:26-28): instants
+        # for every way the batch touches, i.e. affected ways plus the
+        # ways referenced by affected relations.
+        from ..operators.contributions import bundled_way_instants
+
+        aff_rel_hist = self.rel_history.join(affected_rels, "osm_id", "left_semi")
+        member_way_ids = (
+            aff_rel_hist.select(F.explode("members").alias("m"))
+            .filter(F.col("m.type") == "way")
+            .select(F.col("m.id").alias("osm_id"))
+        )
+        touched_way_ids = affected_ways.unionByName(member_way_ids).distinct()
+        ways_touched = self.way_history.join(
+            touched_way_ids, "osm_id", "left_semi"
+        )
+        bundled = register_cached(
+            bundled_way_instants(ways_touched, self.node_history).persist()
+        )
+        way_contribs = rebuild_affected_ways(
+            self.way_history, self.node_history, affected_ways, bundled=bundled
+        )
         rel_contribs = rebuild_affected_relations(
-            self.rel_history, self.way_history, self.node_history, affected_rels
+            self.rel_history, self.way_history, self.node_history, affected_rels,
+            bundled=bundled,
         )
         self.last_affected = (changed_node_ids, affected_ways, affected_rels)
         return node_contribs, way_contribs, rel_contribs
