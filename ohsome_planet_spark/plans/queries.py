@@ -9739,6 +9739,28 @@ def contrib_full_row_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fullrow_project(_fullrow_enrich(spark, sf_dir, contribs))
 
 
+def _osc_roundtrip_batch(spark: SparkSession, wave: DataFrame) -> DataFrame:
+    """Collect one wave (fixture-sized), write it as osmChange XML, parse
+    it back, and return the entity batch frame — the .osc wire seam the
+    production replication loop consumes (``apply_sequences`` does the
+    identical parse from a server)."""
+    from ..sources.osmxml import encode_osc, parse_osc_bytes
+    from ..sources.pbf import ENTITY_ROW_SCHEMA
+
+    rows = [
+        r.asDict(recursive=True)
+        for r in wave.orderBy("osm_type", "osm_id", "version").collect()
+    ]
+    parsed = parse_osc_bytes(encode_osc(rows))
+    cols = [
+        "osm_type", "osm_id", "version", "ts", "changeset", "user_id",
+        "user_name", "visible", "tags", "lon", "lat", "refs", "members",
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(parsed, columns=cols), ENTITY_ROW_SCHEMA
+    )
+
+
 @_register("contrib_full_row_incremental", _fullrow_oracle())
 def contrib_full_row_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk ≡ incremental full-row equivalence gate — the reference's
@@ -9772,8 +9794,8 @@ def contrib_full_row_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production artifacts — exactly the pre-existing bulk state
     # ContributionUpdater starts from — so they stage per session like
     # every other produce-then-query table; what this query MEASURES is
-    # the incremental path: J6 filtering, J7 propagation, R3 rebuilds and
-    # the R4 merge
+    # the incremental path: the .osc wire round-trip (S10), J6 filtering,
+    # J7 propagation, R3 rebuilds and the R4 merge
     ents = _produce_then_query(
         spark, sf_dir, "fullrow_ents", lambda: read_pbf(spark, path)
     )
@@ -9798,11 +9820,17 @@ def contrib_full_row_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exercises J6's multi-version keep). Every batch dirties essentially
     # the whole fixture (each way references a moved node), so per-batch
     # cost here is ~one bulk rebuild — the worst case, priced deliberately.
+    # two replication waves, round-tripped through REAL osmChange wire
+    # bytes (encode_osc -> parse_osc_bytes, the S10 seam) exactly like
+    # minutely diffs arrive. The driver-side encode is fixture
+    # construction (same documented pattern as _pbf_fullrow_fixture) —
+    # the pipeline under test starts at the parsed batch.
     waves = (
         ents.filter(F.col("version") == 2),
         ents.filter(F.col("version") >= 3),
     )
-    for i, batch in enumerate(waves):
+    for i, wave in enumerate(waves):
+        batch = _osc_roundtrip_batch(spark, wave)
         rebuilt = updater.apply_batch(batch)
         aff_nodes, aff_ways, aff_rels = updater.last_affected
         affected = (

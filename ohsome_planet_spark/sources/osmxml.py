@@ -80,6 +80,41 @@ def parse_osc_bytes(data: bytes) -> list[dict]:
     return out
 
 
+def encode_osc(rows: list[dict]) -> bytes:
+    """Entity dicts → osmChange XML bytes — the inverse of
+    :func:`parse_osc_bytes` (fixture/round-trip writer: visible rows go
+    under ``<modify>``, invisible under ``<delete>``, mirroring
+    ``OscParser.java``'s operation semantics)."""
+    root = ET.Element("osmChange", version="0.6")
+    modify = ET.SubElement(root, "modify")
+    delete = ET.SubElement(root, "delete")
+    for r in rows:
+        visible = bool(r.get("visible", True))
+        elem = ET.SubElement(modify if visible else delete, r["osm_type"])
+        elem.set("id", str(r["osm_id"]))
+        elem.set("version", str(r["version"]))
+        elem.set("timestamp", r["ts"].strftime("%Y-%m-%dT%H:%M:%SZ"))
+        elem.set("changeset", str(r["changeset"]))
+        elem.set("uid", str(r["user_id"]))
+        elem.set("user", r.get("user_name") or "")
+        elem.set("visible", "true" if visible else "false")
+        if r["osm_type"] == "node" and r.get("lon") is not None:
+            # repr: shortest round-trip float text (coordinates survive
+            # encode -> parse bit-exactly)
+            elem.set("lon", repr(float(r["lon"])))
+            elem.set("lat", repr(float(r["lat"])))
+        for k, v in (r.get("tags") or {}).items():
+            ET.SubElement(elem, "tag", k=k, v=v)
+        for ref in r.get("refs") or []:
+            ET.SubElement(elem, "nd", ref=str(ref))
+        for m in r.get("members") or []:
+            ET.SubElement(
+                elem, "member",
+                type=m["type"], ref=str(m["id"]), role=m.get("role") or "",
+            )
+    return ET.tostring(root, encoding="utf-8", xml_declaration=True)
+
+
 def parse_osm_bytes(data: bytes) -> list[dict]:
     """Full .osm document → entity dicts."""
     root = ET.fromstring(data)

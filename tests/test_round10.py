@@ -282,6 +282,45 @@ class TestJpegBaselineDecode:
         assert (w, h, c, s) == (9, 9, 1, None)
 
 
+class TestOscEncoder:
+    def test_roundtrip_all_types(self):
+        import datetime as dt
+
+        from ohsome_planet_spark.sources.osmxml import encode_osc, parse_osc_bytes
+
+        ts = dt.datetime(2024, 3, 1, 12, 30, 45)
+        rows = [
+            dict(osm_type="node", osm_id=5, version=2, ts=ts, changeset=9,
+                 user_id=3, user_name="ann", visible=True,
+                 tags={"amenity": "cafe"}, lon=-119.25, lat=42.0,
+                 refs=None, members=None),
+            dict(osm_type="way", osm_id=7, version=4, ts=ts, changeset=9,
+                 user_id=3, user_name="ann", visible=False, tags={},
+                 lon=None, lat=None, refs=[], members=None),
+            dict(osm_type="relation", osm_id=1, version=1, ts=ts,
+                 changeset=9, user_id=3, user_name="ann", visible=True,
+                 tags={"type": "multipolygon"}, lon=None, lat=None,
+                 refs=None,
+                 members=[{"type": "way", "id": 7, "role": "outer"}]),
+        ]
+        back = parse_osc_bytes(encode_osc(rows))
+        by_key = {(r["osm_type"], r["osm_id"]): r for r in back}
+        n = by_key[("node", 5)]
+        assert (n["lon"], n["lat"]) == (-119.25, 42.0)  # bit-exact coords
+        assert n["tags"] == {"amenity": "cafe"} and n["visible"]
+        assert pd_ts_naive(n["ts"]) == ts
+        w = by_key[("way", 7)]
+        assert w["visible"] is False and w["refs"] == []
+        r = by_key[("relation", 1)]
+        assert r["members"] == [{"type": "way", "id": 7, "role": "outer"}]
+
+
+def pd_ts_naive(ts):
+    import pandas as pd
+
+    return pd.Timestamp(ts).to_pydatetime().replace(tzinfo=None)
+
+
 class TestWavCodec:
     """The stdlib ``wave`` module is the independent referee: it shares no
     code with ``functions/wav.py``, so agreement pins the RIFF layout."""
