@@ -188,10 +188,14 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """Full baseline decode: ``(width, height, channels, rows)`` with
-    ``rows`` a list of per-row interleaved pixel ``bytes`` (same shape as
-    ``png.decode_png`` returns). Raises :class:`JpegFormatError` on
-    progressive/arithmetic/lossless frames or corrupt streams."""
+    """Full pixel decode for baseline sequential (SOF0/SOF1) AND
+    progressive (SOF2) huffman frames: ``(width, height, channels, rows)``
+    with ``rows`` a list of per-row interleaved pixel ``bytes`` (same
+    shape as ``png.decode_png`` returns). Progressive scans support both
+    spectral selection and successive approximation (DC/AC first +
+    refinement passes, EOB runs — T.81 G.2). Raises
+    :class:`JpegFormatError` on arithmetic/lossless/hierarchical frames
+    or corrupt streams."""
     buf = bytes(payload)
     if len(buf) < 4 or buf[:2] != JPEG_SOI:
         raise JpegFormatError("not a JPEG (missing SOI)")
@@ -200,6 +204,7 @@ def decode_jpeg(payload: bytes):
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    saw_scan = False
     off = 2
     n = len(buf)
     while off < n:
@@ -248,9 +253,9 @@ def decode_jpeg(payload: bytes):
                 )
                 p += 17 + nv
         elif marker in _SOF_MARKERS:
-            if marker not in (0xC0, 0xC1):
+            if marker not in (0xC0, 0xC1, 0xC2):
                 raise JpegFormatError(
-                    "only baseline sequential (SOF0/SOF1) pixel decode"
+                    "only huffman sequential/progressive pixel decode"
                 )
             precision, height, width, nf = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
@@ -263,7 +268,7 @@ def decode_jpeg(payload: bytes):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
-            frame = {"w": width, "h": height, "comps": comps}
+            frame = _init_frame(width, height, comps, marker == 0xC2)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -273,20 +278,262 @@ def decode_jpeg(payload: bytes):
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
-                comp = next(
-                    (c for c in frame["comps"] if c["id"] == cs), None
+                ci = next(
+                    (
+                        j
+                        for j, c in enumerate(frame["comps"])
+                        if c["id"] == cs
+                    ),
+                    None,
                 )
-                if comp is None:
+                if ci is None:
                     raise JpegFormatError("scan references unknown component")
-                scan.append((comp, tdta >> 4, tdta & 15))
-            if len(scan) != len(frame["comps"]):
-                raise JpegFormatError("non-interleaved scans unsupported")
-            return _decode_scan(
-                buf, off + seg_len, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+                scan.append((ci, tdta >> 4, tdta & 15))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not frame["progressive"]:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise JpegFormatError("bad sequential scan parameters")
+                if len(scan) != len(frame["comps"]):
+                    raise JpegFormatError(
+                        "partial sequential scans unsupported"
+                    )
+            off = _decode_scan_coeffs(
+                buf, off + seg_len, frame, scan, huff_dc, huff_ac,
+                restart_interval, ss, se, ah, al,
             )
+            saw_scan = True
+            continue
         off += seg_len
-    raise JpegFormatError("no scan data found")
+    if frame is None or not saw_scan:
+        raise JpegFormatError("no scan data found")
+    return _render(frame, qt)
+
+
+def _init_frame(width, height, comps, progressive):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise JpegFormatError("bad sampling factors")
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    for c in comps:
+        # component sample dims, true block dims, MCU-padded block grid
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        c["bw"] = -(-cw // 8)
+        c["bh"] = -(-ch // 8)
+        c["bw_pad"] = mcus_x * c["h"]
+        c["bh_pad"] = mcus_y * c["v"]
+        # zigzag-ordered coefficient store, MCU-padded grid
+        c["coef"] = np.zeros((c["bh_pad"], c["bw_pad"], 64), dtype=np.int32)
+    return {
+        "w": width, "h": height, "comps": comps,
+        "hmax": hmax, "vmax": vmax,
+        "mcus_x": mcus_x, "mcus_y": mcus_y,
+        "progressive": progressive,
+    }
+
+
+def _decode_scan_coeffs(
+    buf, data_off, frame, scan, huff_dc, huff_ac, dri, ss, se, ah, al
+):
+    """Entropy-decode one scan into the frame's coefficient planes;
+    returns the byte offset just past the scan's entropy data."""
+    comps = frame["comps"]
+    reader = _BitReader(buf, data_off)
+    preds = {ci: 0 for ci, _td, _ta in scan}
+    state = {"eobrun": 0}
+    rst = 0
+
+    def check_tables():
+        for ci, td, ta in scan:
+            if ss == 0 and not (frame["progressive"] and ah > 0):
+                if td not in huff_dc:
+                    raise JpegFormatError("missing huffman table")
+            if se > 0 and ta not in huff_ac:
+                raise JpegFormatError("missing huffman table")
+
+    check_tables()
+
+    def decode_block(ci, td, ta, by, bx):
+        coef = comps[ci]["coef"][by, bx]
+        if not frame["progressive"]:
+            _block_sequential(reader, coef, preds, ci, huff_dc[td], huff_ac[ta])
+        elif ss == 0:
+            if ah == 0:
+                t = reader.decode_symbol(huff_dc[td])
+                preds[ci] += _extend(reader.receive(t), t)
+                coef[0] = preds[ci] << al
+            else:
+                if reader.read_bit():
+                    coef[0] |= 1 << al
+        elif ah == 0:
+            _block_ac_first(reader, coef, huff_ac[ta], ss, se, al, state)
+        else:
+            _block_ac_refine(reader, coef, huff_ac[ta], ss, se, al, state)
+
+    if len(scan) == 1:
+        # non-interleaved: raster over the component's TRUE block dims
+        ci, td, ta = scan[0]
+        c = comps[ci]
+        nb = 0
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                if dri and nb and nb % dri == 0:
+                    reader.restart(rst)
+                    rst = (rst + 1) & 7
+                    preds[ci] = 0
+                    state["eobrun"] = 0
+                decode_block(ci, td, ta, by, bx)
+                nb += 1
+    else:
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                mcu = my * frame["mcus_x"] + mx
+                if dri and mcu and mcu % dri == 0:
+                    reader.restart(rst)
+                    rst = (rst + 1) & 7
+                    for k in preds:
+                        preds[k] = 0
+                    state["eobrun"] = 0
+                for ci, td, ta in scan:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(
+                                ci, td, ta,
+                                my * c["v"] + by, mx * c["h"] + bx,
+                            )
+    # byte-align and return the offset of the next marker
+    return reader.off
+
+
+def _block_sequential(reader, coef, preds, ci, dc_table, ac_table):
+    t = reader.decode_symbol(dc_table)
+    preds[ci] += _extend(reader.receive(t), t)
+    coef[0] = preds[ci]
+    k = 1
+    while k < 64:
+        rs = reader.decode_symbol(ac_table)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegFormatError("AC index overflow")
+        coef[k] = _extend(reader.receive(s), s)
+        k += 1
+
+
+def _block_ac_first(reader, coef, ac_table, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_table)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            # EOB run: this block ends; (2^r - 1 + bits) more follow
+            state["eobrun"] = (1 << r) - 1 + reader.receive(r)
+            return
+        k += r
+        if k > se:
+            raise JpegFormatError("AC index overflow")
+        coef[k] = _extend(reader.receive(s), s) << al
+        k += 1
+
+
+def _block_ac_refine(reader, coef, ac_table, ss, se, al, state):
+    """T.81 G.2 successive-approximation AC refinement: new ±1<<al
+    coefficients terminate zero runs; every already-nonzero coefficient
+    visited receives a correction bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_table)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = (1 << r) + reader.receive(r)
+                    break
+                # ZRL: skip 16 zero-history positions (correcting nonzeros)
+                val = 0
+            elif s == 1:
+                val = p1 if reader.read_bit() else m1
+            else:
+                raise JpegFormatError("bad refinement magnitude")
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            coef[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        # EOB span: only correction bits for remaining nonzero coefficients
+        while k <= se:
+            if coef[k] != 0:
+                if reader.read_bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _render(frame, qt):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    m = _DCT_M
+    nat = np.array(ZIGZAG_NATURAL)
+    full = []
+    for c in comps:
+        if c["tq"] not in qt:
+            raise JpegFormatError("missing quant table")
+        q = qt[c["tq"]]
+        plane = np.zeros((c["bh_pad"] * 8, c["bw_pad"] * 8), dtype=np.int32)
+        for by in range(c["bh_pad"]):
+            for bx in range(c["bw_pad"]):
+                zz = c["coef"][by, bx]
+                block = np.zeros(64)
+                block[nat] = zz
+                block = block.reshape(8, 8) * q
+                px = m.T @ block @ m + 128.0
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.rint(px), 0, 255
+                ).astype(np.int32)
+        if c["h"] != hmax:
+            plane = np.repeat(plane, hmax // c["h"], axis=1)
+        if c["v"] != vmax:
+            plane = np.repeat(plane, vmax // c["v"], axis=0)
+        full.append(plane[:h, :w])
+    if len(comps) == 1:
+        out = full[0][:, :, None]
+    elif len(comps) == 3:
+        y, cb, cr = (f.astype(np.float64) for f in full)
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = np.stack(
+            [np.clip(np.rint(ch), 0, 255) for ch in (r, g, b)], axis=2
+        ).astype(np.int32)
+    else:
+        raise JpegFormatError(f"{len(comps)}-component color unsupported")
+    rows = [bytes(out[r].reshape(-1).astype(np.uint8)) for r in range(h)]
+    return w, h, len(comps), rows
 
 
 def _decode_scan(buf, data_off, frame, scan, qt, huff_dc, huff_ac, dri):
@@ -376,11 +623,13 @@ def _decode_scan(buf, data_off, frame, scan, qt, huff_dc, huff_ac, dri):
 # ---------------------------------------------------------------------------
 
 # simple valid tables: DC categories 0-11 as 4-bit codes; every AC (run,
-# size) symbol plus EOB/ZRL as 8-bit codes. Suboptimal but deterministic.
+# size) symbol plus EOB-run symbols (r<<4 for r=0..14, the progressive
+# EOBRUN lengths) and ZRL as 8-bit codes. Suboptimal but deterministic.
 _ENC_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
 _ENC_DC_VALUES = bytes(range(12))
 _ENC_AC_VALUES = bytes(
     [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
     + [(r << 4) | s for r in range(16) for s in range(1, 11)]
 )
 _ENC_AC_COUNTS = [0] * 7 + [len(_ENC_AC_VALUES)] + [0] * 8
@@ -417,15 +666,23 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def _encode_block(writer, coefs, pred, dc_codes, ac_codes) -> int:
-    """Quantized natural-order 8×8 block → entropy bits; returns new DC pred."""
-    zz = [int(coefs.reshape(-1)[ZIGZAG_NATURAL[k]]) for k in range(64)]
+def _put_sym(writer, codes, sym):
+    length, code = codes[sym]
+    writer.put(code, length)
+
+
+def _put_signed(writer, v: int, s: int):
+    writer.put(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _encode_block(writer, zz, pred, dc_codes, ac_codes) -> int:
+    """Quantized zigzag-ordered block → sequential entropy bits; returns
+    the new DC predictor."""
     diff = zz[0] - pred
     t = _category(diff)
-    length, code = dc_codes[t]
-    writer.put(code, length)
+    _put_sym(writer, dc_codes, t)
     if t:
-        writer.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        _put_signed(writer, diff, t)
     run = 0
     last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
     for k in range(1, last_nz + 1):
@@ -433,19 +690,111 @@ def _encode_block(writer, coefs, pred, dc_codes, ac_codes) -> int:
             run += 1
             continue
         while run > 15:
-            length, code = ac_codes[0xF0]
-            writer.put(code, length)
+            _put_sym(writer, ac_codes, 0xF0)
             run -= 16
         s = _category(zz[k])
-        length, code = ac_codes[(run << 4) | s]
-        writer.put(code, length)
-        v = zz[k]
-        writer.put(v if v >= 0 else v + (1 << s) - 1, s)
+        _put_sym(writer, ac_codes, (run << 4) | s)
+        _put_signed(writer, zz[k], s)
         run = 0
     if last_nz < 63:
-        length, code = ac_codes[0x00]
-        writer.put(code, length)
+        _put_sym(writer, ac_codes, 0x00)
     return zz[0]
+
+
+# --- progressive scan encoders (T.81 G.1.2) ---------------------------------
+
+
+def _flush_eobrun(writer, ac_codes, state):
+    """Emit the pending EOB-run symbol + extra bits, then the correction
+    bits buffered (in block order) while the run accumulated."""
+    n = state["eobrun"]
+    if n > 0:
+        ebits = n.bit_length() - 1
+        _put_sym(writer, ac_codes, ebits << 4)
+        if ebits:
+            writer.put(n - (1 << ebits), ebits)
+        state["eobrun"] = 0
+    for bit in state["br"]:
+        writer.put(bit, 1)
+    state["br"] = []
+
+
+def _encode_ac_first(writer, ac_codes, zz, ss, se, al, state):
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        vals.append((abs(v) >> al) * (1 if v >= 0 else -1))
+    last = -1
+    for i, va in enumerate(vals):
+        if va:
+            last = i
+    if last < 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(writer, ac_codes, state)
+        return
+    _flush_eobrun(writer, ac_codes, state)
+    r = 0
+    for i in range(last + 1):
+        va = vals[i]
+        if va == 0:
+            r += 1
+            continue
+        while r > 15:
+            _put_sym(writer, ac_codes, 0xF0)
+            r -= 16
+        s = _category(va)
+        _put_sym(writer, ac_codes, (r << 4) | s)
+        _put_signed(writer, va, s)
+        r = 0
+    if last < se - ss:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(writer, ac_codes, state)
+
+
+def _encode_ac_refine(writer, ac_codes, zz, ss, se, al, state):
+    """Mirror of the decoder's refinement walk: ZRL spans cover exactly 16
+    zero-history positions with each span's correction bits emitted right
+    after its symbol; fully-insignificant blocks join the EOB run with
+    their correction bits buffered in block order."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    sig = [i for i, a in enumerate(absv) if a == 1]  # newly significant
+    if not sig:
+        state["eobrun"] += 1
+        state["br"].extend(a & 1 for a in absv if a > 1)
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(writer, ac_codes, state)
+        return
+    _flush_eobrun(writer, ac_codes, state)
+    pos = 0
+    for si in sig:
+        r = 0
+        span_bits: list[int] = []
+        for i in range(pos, si):
+            a = absv[i]
+            if a == 0:
+                r += 1
+                if r == 16:
+                    _put_sym(writer, ac_codes, 0xF0)
+                    for bit in span_bits:
+                        writer.put(bit, 1)
+                    span_bits = []
+                    r = 0
+            else:
+                span_bits.append(a & 1)
+        _put_sym(writer, ac_codes, (r << 4) | 1)
+        writer.put(1 if zz[ss + si] >= 0 else 0, 1)
+        for bit in span_bits:
+            writer.put(bit, 1)
+        pos = si + 1
+    if pos <= se - ss:  # remaining positions covered by an EOB unit
+        state["eobrun"] += 1
+        state["br"].extend(
+            absv[i] & 1 for i in range(pos, len(absv)) if absv[i] > 1
+        )
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(writer, ac_codes, state)
 
 
 def encode_jpeg(
@@ -456,8 +805,13 @@ def encode_jpeg(
     quant: int = 1,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Real baseline JPEG byte stream from interleaved pixel rows.
+    """Real JPEG byte stream from interleaved pixel rows — baseline
+    sequential by default, or a four-scan progressive script
+    (``progressive=True``: DC first Al=1 → DC refinement → per-component
+    AC first Al=1 → AC refinement) that exercises spectral selection AND
+    successive approximation end-to-end.
 
     ``quant`` fills the (flat) quantization table; ``quant=1`` keeps every
     DCT coefficient exact after rounding, so flat 8×8 blocks round-trip
@@ -495,25 +849,29 @@ def encode_jpeg(
     mcus_y = -(-height // (8 * vmax))
     qtbl = np.full((8, 8), float(quant))
     m = _DCT_M
-    # pad each plane to its MCU grid by edge replication, then quantize DCT
-    blocks: list[list[np.ndarray]] = []  # per comp: block per (mcu, by, bx)
+    # pad each plane to its MCU grid by edge replication, then quantized
+    # DCT blocks in zigzag order on the padded block grid
+    grids: list[list[list[list[int]]]] = []  # per comp: [by][bx] -> zz list
+    dims: list[tuple[int, int, int, int]] = []  # (bw, bh, bw_pad, bh_pad)
     for plane, ch, cv in comps:
-        th, tw = mcus_y * cv * 8, mcus_x * ch * 8
+        cw, chgt = plane.shape[1], plane.shape[0]
+        bw, bh = -(-cw // 8), -(-chgt // 8)
+        bw_pad, bh_pad = mcus_x * ch, mcus_y * cv
         plane = np.pad(
             plane,
-            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            ((0, bh_pad * 8 - chgt), (0, bw_pad * 8 - cw)),
             mode="edge",
         )
-        per = []
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for by in range(cv):
-                    for bx in range(ch):
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        s = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        per.append(np.rint((m @ s @ m.T) / qtbl))
-        blocks.append(per)
+        g = []
+        for by in range(bh_pad):
+            row = []
+            for bx in range(bw_pad):
+                s = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                nat = np.rint((m @ s @ m.T) / qtbl).reshape(-1)
+                row.append([int(nat[ZIGZAG_NATURAL[k]]) for k in range(64)])
+            g.append(row)
+        grids.append(g)
+        dims.append((bw, bh, bw_pad, bh_pad))
 
     out = bytearray(JPEG_SOI)
     zz_q = bytes(
@@ -523,38 +881,102 @@ def encode_jpeg(
     sof = bytearray(struct.pack(">BHHB", 8, height, width, len(comps)))
     for i, (_, ch, cv) in enumerate(comps):
         sof += bytes([i + 1, (ch << 4) | cv, 0])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += (
+        (b"\xff\xc2" if progressive else b"\xff\xc0")
+        + struct.pack(">H", len(sof) + 2) + sof
+    )
     dht = bytearray(b"\x00") + bytes(_ENC_DC_COUNTS) + _ENC_DC_VALUES
     dht += b"\x10" + bytes(_ENC_AC_COUNTS) + _ENC_AC_VALUES
     out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
-    if restart_interval:
+    if restart_interval and not progressive:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sos = bytearray([len(comps)])
-    for i in range(len(comps)):
-        sos += bytes([i + 1, 0])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
     dc_codes = _encoder_codes(_ENC_DC_COUNTS, _ENC_DC_VALUES)
     ac_codes = _encoder_codes(_ENC_AC_COUNTS, _ENC_AC_VALUES)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        sos = bytearray([len(comp_ids)])
+        for i in comp_ids:
+            sos += bytes([i + 1, 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    def mcu_blocks():
+        """(ci, by, bx) in interleaved MCU order over the padded grid."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (_, ch, cv) in enumerate(comps):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            yield ci, my * cv + by, mx * ch + bx
+
+    if not progressive:
+        out += sos_header(list(range(len(comps))), 0, 63, 0, 0)
+        writer = _BitWriter()
+        preds = [0] * len(comps)
+        rst = 0
+        mcu_size = sum(ch * cv for _, ch, cv in comps)
+        for n, (ci, by, bx) in enumerate(mcu_blocks()):
+            mcu = n // mcu_size
+            if (
+                restart_interval and mcu and n % (mcu_size * restart_interval) == 0
+            ):
+                writer.pad_align()
+                writer.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = [0] * len(comps)
+            preds[ci] = _encode_block(
+                writer, grids[ci][by][bx], preds[ci], dc_codes, ac_codes
+            )
+        writer.pad_align()
+        out += writer.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # progressive script exercising all four scan kinds:
+    #   1. DC first (interleaved, Al=1)   2. DC refinement (Ah=1, Al=0)
+    #   3. per-component AC first (Ss=1..63, Al=1)
+    #   4. per-component AC refinement (Ah=1, Al=0)
+    out += sos_header(list(range(len(comps))), 0, 0, 0, 1)
     writer = _BitWriter()
     preds = [0] * len(comps)
-    blocks_per_mcu = [ch * cv for _, ch, cv in comps]
-    rst = 0
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            writer.pad_align()
-            writer.out += bytes([0xFF, 0xD0 + (rst & 7)])
-            rst += 1
-            preds = [0] * len(comps)
-        for ci in range(len(comps)):
-            base = mcu * blocks_per_mcu[ci]
-            for bi in range(blocks_per_mcu[ci]):
-                preds[ci] = _encode_block(
-                    writer, blocks[ci][base + bi], preds[ci], dc_codes, ac_codes
-                )
+    for ci, by, bx in mcu_blocks():
+        dc = grids[ci][by][bx][0] >> 1  # DC point transform: arithmetic shift
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        t = _category(diff)
+        _put_sym(writer, dc_codes, t)
+        if t:
+            _put_signed(writer, diff, t)
     writer.pad_align()
     out += writer.out
+
+    out += sos_header(list(range(len(comps))), 0, 0, 1, 0)
+    writer = _BitWriter()
+    for ci, by, bx in mcu_blocks():
+        writer.put(grids[ci][by][bx][0] & 1, 1)
+    writer.pad_align()
+    out += writer.out
+
+    for al in (1, 0):
+        for ci in range(len(comps)):
+            bw, bh, _bwp, _bhp = dims[ci]
+            out += sos_header([ci], 1, 63, 1 - al, al)
+            writer = _BitWriter()
+            state = {"eobrun": 0, "br": []}
+            for by in range(bh):
+                for bx in range(bw):
+                    if al == 1:
+                        _encode_ac_first(
+                            writer, ac_codes, grids[ci][by][bx], 1, 63, 1, state
+                        )
+                    else:
+                        _encode_ac_refine(
+                            writer, ac_codes, grids[ci][by][bx], 1, 63, 0, state
+                        )
+            _flush_eobrun(writer, ac_codes, state)
+            writer.pad_align()
+            out += writer.out
     out += b"\xff\xd9"
     return bytes(out)
 

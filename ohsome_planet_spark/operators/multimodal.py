@@ -38,13 +38,14 @@ def _decode_media_real(payload: bytes) -> tuple[int, int, int, int | None]:
     PNG is decoded for real — stdlib inflate + per-row un-filter
     (``functions/png.py``); ``pixel_sum`` covers every decoded byte, so a
     wrong filter reversal anywhere in the image changes the result.
-    BASELINE JPEG (SOF0/SOF1) is now also decoded for real —
-    ``functions/jpeg.py::decode_jpeg``: huffman entropy decode, dequant,
-    type-III DCT, chroma upsampling, YCbCr→RGB — so ``pixel_sum`` covers
-    the dominant training-data image format too. Progressive/arithmetic
-    JPEG falls back to the real SOFn header walk (genuine dims, null
-    pixel_sum). Other containers (riff/...) raise NotImplementedError and
-    callers fall back to the stub."""
+    JPEG — baseline sequential (SOF0/SOF1) AND progressive (SOF2, spectral
+    selection + successive approximation) — is also decoded for real
+    (``functions/jpeg.py::decode_jpeg``: huffman entropy decode, dequant,
+    type-III DCT, chroma upsampling, YCbCr→RGB), so ``pixel_sum`` covers
+    the dominant training-data image format in both its wire forms.
+    Arithmetic/lossless JPEG (and metadata-only streams) fall back to the
+    real SOFn header walk (genuine dims, null pixel_sum). Other containers
+    raise NotImplementedError and callers fall back to the stub."""
     from ..functions.jpeg import (
         JPEG_SOI,
         JpegFormatError,
@@ -62,8 +63,8 @@ def _decode_media_real(payload: bytes) -> tuple[int, int, int, int | None]:
             width, height, channels, rows = decode_jpeg(payload)
             return width, height, channels, sum(sum(r) for r in rows)
         except JpegFormatError:
-            # non-baseline frame (progressive, arithmetic, 12-bit) or no
-            # scan data: dimensions still parse from the SOFn header
+            # non-huffman frame (arithmetic, lossless, 12-bit) or no scan
+            # data: dimensions still parse from the SOFn header
             width, height, channels = decode_jpeg_header(payload)
             return width, height, channels, None
     raise NotImplementedError(

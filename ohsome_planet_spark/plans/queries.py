@@ -3772,6 +3772,69 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_jpeg_progressive",
+    """
+    SELECT doc_id,
+           CAST((doc_id % 4 + 1) * 8 AS INT) AS width,
+           CAST((doc_id % 3 + 1) * 8 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+           CAST((CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END) *
+             list_sum(flatten(list_transform(range(0, doc_id % 3 + 1), by ->
+               list_transform(range(0, doc_id % 4 + 1), bx ->
+                 64 * ((doc_id * 41 + bx * 17 + by * 29) % 256)))))
+             AS BIGINT) AS pixel_sum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PROGRESSIVE (SOF2) JPEG pixel decode through the multimodal
+    seam: the same flat-block corpus trick as ``multimodal_jpeg_pixels``
+    but encoded with the four-scan progressive script — DC first (Al=1),
+    DC refinement, per-component AC first, AC refinement with EOB runs —
+    so spectral selection AND successive approximation sit inside the
+    hash gate (one wrong refinement bit, EOBRUN count, or non-interleaved
+    block raster breaks it). Flat blocks keep the pipeline bit-exact, so
+    the oracle stays fully arithmetic."""
+    from ..operators.multimodal import decode_media
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw, bh = d % 4 + 1, d % 3 + 1
+                channels = 3 if d % 2 == 0 else 1
+                rows = []
+                for r in range(bh * 8):
+                    row = bytearray()
+                    for c in range(bw * 8):
+                        v = (d * 41 + (c // 8) * 17 + (r // 8) * 29) % 256
+                        row += bytes([v] * channels)
+                    rows.append(bytes(row))
+                payloads.append(
+                    encode_jpeg(
+                        bw * 8, bh * 8, rows,
+                        channels=channels, quant=1,
+                        subsample=channels == 3, progressive=True,
+                    )
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+    return (
+        decode_media(media)
+        .select("doc_id", "width", "height", "channels", "pixel_sum")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
     "multimodal_wav_decode",
     """
     SELECT doc_id,

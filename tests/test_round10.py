@@ -264,6 +264,70 @@ class TestJpegBaselineDecode:
         with _pytest.raises(JpegFormatError):
             decode_jpeg(bytes(data))
 
+    def test_progressive_equals_baseline(self):
+        """The baseline decoder is already golden-tested; progressive and
+        baseline encodings of the SAME image must decode identically (the
+        quantized coefficients are identical, only scan scripting differs)
+        — any error in the DC/AC first/refinement codecs breaks equality."""
+        import numpy as np
+
+        from ohsome_planet_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(23)
+        for ch, sub, q, w, h in (
+            (1, False, 1, 40, 24),
+            (3, False, 1, 23, 17),
+            (3, True, 1, 23, 17),
+            (1, False, 16, 56, 40),  # coarse quant stresses refine paths
+        ):
+            img = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+            rows = [bytes(img[r].reshape(-1)) for r in range(h)]
+            b = decode_jpeg(
+                encode_jpeg(w, h, rows, channels=ch, quant=q, subsample=sub)
+            )
+            p = decode_jpeg(
+                encode_jpeg(
+                    w, h, rows, channels=ch, quant=q, subsample=sub,
+                    progressive=True,
+                )
+            )
+            assert b == p, (ch, sub, q)
+
+    def test_progressive_sparse_eob_runs(self):
+        """A near-flat image makes almost every AC block join long EOB
+        runs (and the two bright pixels force ZRL + refinement bits)."""
+        import numpy as np
+
+        from ohsome_planet_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        img = np.full((32, 48), 128, dtype=np.uint8)
+        img[5, 7] = 250
+        img[20, 40] = 3
+        rows = [bytes(img[r]) for r in range(32)]
+        b = decode_jpeg(encode_jpeg(48, 32, rows, channels=1))
+        p = decode_jpeg(encode_jpeg(48, 32, rows, channels=1, progressive=True))
+        assert b == p
+
+    def test_progressive_flat_blocks_exact(self):
+        import numpy as np
+
+        from ohsome_planet_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(29)
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        for by in range(2):
+            for bx in range(2):
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :] = rng.randint(
+                    0, 256
+                )
+        rows = [bytes(img[r].reshape(-1)) for r in range(16)]
+        w, h, c, out = decode_jpeg(
+            encode_jpeg(16, 16, rows, channels=3, subsample=True,
+                        progressive=True)
+        )
+        got = np.frombuffer(b"".join(out), dtype=np.uint8).reshape(16, 16, 3)
+        assert np.array_equal(got, img)
+
     def test_media_seam_fallbacks(self):
         from ohsome_planet_spark.functions.jpeg import encode_jpeg, encode_jpeg_header
         from ohsome_planet_spark.operators.multimodal import _decode_media_real
@@ -275,11 +339,17 @@ class TestJpegBaselineDecode:
         # header-only stream (no scan) -> dims real, pixel_sum null
         w, h, c, s = _decode_media_real(encode_jpeg_header(31, 17, channels=3))
         assert (w, h, c, s) == (31, 17, 3, None)
-        # progressive -> dims real, pixel_sum null
+        # header-only progressive (no scan) -> dims real, pixel_sum null
         w, h, c, s = _decode_media_real(
             encode_jpeg_header(9, 9, channels=1, progressive=True)
         )
         assert (w, h, c, s) == (9, 9, 1, None)
+        # REAL progressive stream -> real pixel sum
+        rows = [bytes([140] * 8) for _ in range(8)]
+        w, h, c, s = _decode_media_real(
+            encode_jpeg(8, 8, rows, channels=1, progressive=True)
+        )
+        assert (w, h, c, s) == (8, 8, 1, 64 * 140)
 
 
 class TestOscEncoder:
