@@ -44,8 +44,11 @@ def _decode_media_real(payload: bytes) -> tuple[int, int, int, int | None]:
     type-III DCT, chroma upsampling, YCbCr→RGB), so ``pixel_sum`` covers
     the dominant training-data image format in both its wire forms.
     Arithmetic/lossless JPEG (and metadata-only streams) fall back to the
-    real SOFn header walk (genuine dims, null pixel_sum). Other containers
-    raise NotImplementedError and callers fall back to the stub."""
+    real SOFn header walk (genuine dims, null pixel_sum). GIF (87a/89a,
+    LZW + interlace, ``functions/gif.py``) decodes for real too. Other
+    containers raise NotImplementedError and callers fall back to the
+    stub."""
+    from ..functions.gif import GIF_MAGICS, decode_gif
     from ..functions.jpeg import (
         JPEG_SOI,
         JpegFormatError,
@@ -57,6 +60,9 @@ def _decode_media_real(payload: bytes) -> tuple[int, int, int, int | None]:
     payload = bytes(payload)
     if payload[:8] == PNG_SIGNATURE:
         width, height, channels, rows = decode_png(payload)
+        return width, height, channels, sum(sum(r) for r in rows)
+    if payload[:6] in GIF_MAGICS:
+        width, height, channels, rows = decode_gif(payload)
         return width, height, channels, sum(sum(r) for r in rows)
     if payload[:2] == JPEG_SOI:
         try:

@@ -3834,6 +3834,106 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GIF_PIX = (
+    "(((((doc_id*7 + x*3 + y*5) % 16) * 37) % 256)"
+    " + ((((doc_id*7 + x*3 + y*5) % 16) * 59) % 256)"
+    " + ((((doc_id*7 + x*3 + y*5) % 16) * 83) % 256))"
+)
+
+
+@_register(
+    "multimodal_gif_decode",
+    f"""
+    SELECT doc_id,
+           CAST(doc_id % 20 + 1 AS INT) AS width,
+           CAST(doc_id % 14 + 1 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(list_sum(flatten(list_transform(range(0, doc_id % 14 + 1),
+             y -> list_transform(range(0, doc_id % 20 + 1),
+               x -> {_GIF_PIX})))) AS BIGINT) AS pixel_sum,
+           CAST(list_sum(flatten(list_transform(range(0, doc_id % 14 + 1),
+             y -> list_transform(range(0, doc_id % 20 + 1),
+               x -> (y * (doc_id % 20 + 1) + x + 1) * {_GIF_PIX}))))
+             AS BIGINT) AS weighted_sum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode through the multimodal seam: deterministic
+    16-color index grids are LZW-compressed into genuine GIF89a bytes
+    (interlaced for even docs, comment-extension padding so the block
+    walk is exercised) and decoded back by ``functions/gif.py``. GIF is
+    lossless, so the oracle computes BOTH the plain pixel sum and a
+    position-WEIGHTED sum arithmetically — the weighted column is
+    order-sensitive, so a wrong interlace de-scramble or row order
+    breaks the hash even though the plain sum wouldn't."""
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.gif import encode_gif
+
+        pal = [((i * 37) % 256, (i * 59) % 256, (i * 83) % 256) for i in range(16)]
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 20 + 1, d % 14 + 1
+                idx = [
+                    (d * 7 + x * 3 + y * 5) % 16
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                payloads.append(
+                    encode_gif(
+                        w, h, pal, idx,
+                        interlace=d % 2 == 0, n_extensions=d % 3,
+                    )
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.gif import decode_gif
+
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("width", "height", "channels", "pixel_sum", "weighted_sum")}
+            for payload in pdf["media"]:
+                w, h, c, rows = decode_gif(bytes(payload))
+                ps = 0
+                ws = 0
+                for y, row in enumerate(rows):
+                    for x in range(w):
+                        s = row[3 * x] + row[3 * x + 1] + row[3 * x + 2]
+                        ps += s
+                        ws += (y * w + x + 1) * s
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["channels"].append(c)
+                cols["pixel_sum"].append(ps)
+                cols["weighted_sum"].append(ws)
+            out = pdf.copy()
+            for k in ("width", "height", "channels"):
+                out[k] = pd.array(cols[k], dtype="Int32")
+            for k in ("pixel_sum", "weighted_sum"):
+                out[k] = pd.array(cols[k], dtype="Int64")
+            yield out
+
+    return (
+        media.mapInPandas(
+            decode,
+            "doc_id bigint, media binary, width int, height int,"
+            " channels int, pixel_sum bigint, weighted_sum bigint",
+        )
+        .select("doc_id", "width", "height", "channels", "pixel_sum",
+                "weighted_sum")
+        .orderBy("doc_id")
+    )
+
+
 @_register(
     "multimodal_wav_decode",
     """

@@ -391,6 +391,86 @@ def pd_ts_naive(ts):
     return pd.Timestamp(ts).to_pydatetime().replace(tzinfo=None)
 
 
+class TestGifCodec:
+    def test_roundtrip_random_grids(self):
+        import numpy as np
+
+        from ohsome_planet_spark.functions.gif import decode_gif, encode_gif
+
+        rng = np.random.RandomState(5)
+        for trial in range(12):
+            w = int(rng.randint(1, 70))
+            h = int(rng.randint(1, 40))
+            ncol = [2, 4, 16, 256][trial % 4]
+            pal = [
+                (int(rng.randint(256)), int(rng.randint(256)),
+                 int(rng.randint(256)))
+                for _ in range(ncol)
+            ]
+            idx = [int(v) for v in rng.randint(0, ncol, w * h)]
+            data = encode_gif(
+                w, h, pal, idx,
+                interlace=trial % 3 == 0, n_extensions=trial % 4,
+            )
+            ww, hh, cc, rows = decode_gif(data)
+            assert (ww, hh, cc) == (w, h, 3)
+            expect = [
+                b"".join(bytes(pal[idx[y * w + x]]) for x in range(w))
+                for y in range(h)
+            ]
+            assert rows == expect
+
+    def test_dictionary_reset_long_stream(self):
+        """>4096 distinct LZW codes forces a mid-stream dictionary reset
+        on both sides."""
+        import numpy as np
+
+        from ohsome_planet_spark.functions.gif import decode_gif, encode_gif
+
+        rng = np.random.RandomState(9)
+        w, h = 200, 120
+        pal = [(i, 255 - i, i // 2) for i in range(256)]
+        idx = [int(v) for v in rng.randint(0, 256, w * h)]
+        ww, hh, cc, rows = decode_gif(encode_gif(w, h, pal, idx))
+        expect = [
+            b"".join(bytes(pal[idx[y * w + x]]) for x in range(w))
+            for y in range(h)
+        ]
+        assert rows == expect
+
+    def test_interlace_row_order(self):
+        """Row-gradient image: every row a distinct flat color, so a wrong
+        interlace de-scramble puts the wrong COLOR on a row — checked
+        against an expectation that never touches the codec's pass table."""
+        from ohsome_planet_spark.functions.gif import decode_gif, encode_gif
+
+        h, w = 13, 5
+        pal = [(i * 10, 0, 0) for i in range(h)]
+        idx = [y for y in range(h) for _ in range(w)]
+        _, _, _, rows = decode_gif(encode_gif(w, h, pal, idx, interlace=True))
+        for y in range(h):
+            assert rows[y] == bytes((y * 10, 0, 0)) * w
+
+    def test_rejections_and_media_seam(self):
+        import pytest as _pytest
+
+        from ohsome_planet_spark.functions.gif import (
+            GifFormatError,
+            decode_gif,
+            encode_gif,
+        )
+        from ohsome_planet_spark.operators.multimodal import _decode_media_real
+
+        with _pytest.raises(GifFormatError):
+            decode_gif(b"NOTAGIF")
+        good = encode_gif(4, 4, [(1, 2, 3), (4, 5, 6)], [0, 1] * 8)
+        with _pytest.raises(GifFormatError):
+            decode_gif(good[:-8])
+        w, h, c, s = _decode_media_real(good)
+        assert (w, h, c) == (4, 4, 3)
+        assert s == 8 * (1 + 2 + 3) + 8 * (4 + 5 + 6)
+
+
 class TestWavCodec:
     """The stdlib ``wave`` module is the independent referee: it shares no
     code with ``functions/wav.py``, so agreement pins the RIFF layout."""
