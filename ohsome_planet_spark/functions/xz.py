@@ -107,6 +107,15 @@ def xz_level_expr(xmin: Column, ymin: Column, xmax: Column, ymax: Column, g: int
     )
 
 
+# The built expression is ~4g py4j-constructed nodes (seconds of driver
+# round-trips); it is a pure function of its input expressions, and Column
+# trees are immutable JVM objects safe to splice into any number of plans,
+# so one process builds each distinct (inputs, g) tree once. Keyed by the
+# inputs' canonical expression strings (4 py4j toString calls vs ~400
+# constructor calls).
+_CODE_EXPR_CACHE: dict[tuple, Column] = {}
+
+
 def xz_code_expr(
     xmin: Column, ymin: Column, xmax: Column, ymax: Column, g: int = G_DEFAULT
 ) -> Column:
@@ -118,6 +127,21 @@ def xz_code_expr(
     term is independent — the expression stays linear in ``g`` and inside
     whole-stage codegen (a naive unroll of the walk nests exponentially).
     """
+    try:
+        key = (str(xmin), str(ymin), str(xmax), str(ymax), g)
+    except Exception:
+        key = None
+    if key is not None and key in _CODE_EXPR_CACHE:
+        return _CODE_EXPR_CACHE[key]
+    out = _xz_code_expr_build(xmin, ymin, xmax, ymax, g)
+    if key is not None:
+        _CODE_EXPR_CACHE[key] = out
+    return out
+
+
+def _xz_code_expr_build(
+    xmin: Column, ymin: Column, xmax: Column, ymax: Column, g: int = G_DEFAULT
+) -> Column:
     level = xz_level_expr(xmin, ymin, xmax, ymax, g)
     x = (F.lit(180.0) + xmin) / F.lit(360.0)
     y = (F.lit(90.0) + ymin) / F.lit(360.0)

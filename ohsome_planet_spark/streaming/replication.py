@@ -390,8 +390,15 @@ class IncrementalUpdater:
         ways_touched = self.way_history.join(
             touched_way_ids, "osm_id", "left_semi"
         )
-        bundled = register_cached(
-            bundled_way_instants(ways_touched, self.node_history).persist()
+        # lineage-cut, not just persist: the bundled table is re-embedded in
+        # the way rebuild, the relation rebuild AND (through the member
+        # merge) the member-event union — persist alone leaves its full
+        # logical tree in each, and the optimizer re-walks it per embedding
+        # (measured: the member-event seam's planning dominates batch cost)
+        from ..session import truncate_lineage
+
+        bundled = truncate_lineage(
+            bundled_way_instants(ways_touched, self.node_history)
         )
         way_contribs = rebuild_affected_ways(
             self.way_history, self.node_history, affected_ways, bundled=bundled
