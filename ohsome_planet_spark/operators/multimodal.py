@@ -202,15 +202,18 @@ def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
 
 
 def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """REAL audio decode via ``mapInPandas``: PCM RIFF/WAVE payloads →
-    ``channels/sample_rate/bits/n_frames/sample_sum`` (the audio analog of
-    ``decode_media``'s pixel_sum — WAV PCM is lossless, so the sum is
-    exact). Compressed codecs (mp3/aac/opus) need external libraries and
-    null out like corrupt payloads do."""
+    """REAL audio decode via ``mapInPandas``: PCM RIFF/WAVE *and* FLAC
+    payloads (magic-sniffed) → ``channels/sample_rate/bits/n_frames/
+    sample_sum`` (the audio analog of ``decode_media``'s pixel_sum — both
+    codecs are lossless, so the sum is exact; FLAC streams additionally
+    verify per-frame CRC-8/CRC-16 and the stream MD5). Perceptual codecs
+    (mp3/aac/opus) need external libraries and null out like corrupt
+    payloads do."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
+        from ..functions.flac import FLAC_MAGIC, decode_flac_summary
         from ..functions.wav import decode_wav
 
         for pdf in batches:
@@ -218,7 +221,10 @@ def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
                     ("channels", "sample_rate", "bits", "n_frames", "sample_sum")}
             for payload in pdf[media_col]:
                 try:
-                    ch, rate, bits, frames, total = decode_wav(payload)
+                    if bytes(payload[:4]) == FLAC_MAGIC:
+                        ch, rate, bits, frames, total = decode_flac_summary(payload)
+                    else:
+                        ch, rate, bits, frames, total = decode_wav(payload)
                 except (ValueError, TypeError, struct.error, IndexError):
                     ch = rate = bits = frames = total = None
                 cols["channels"].append(ch)

@@ -3997,6 +3997,126 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLAC_SAMP = (
+    "(doc_id * 31 + f * 17 + c * 11) % (CASE WHEN doc_id % 3 = 0 THEN 256 "
+    "ELSE 65536 END) - (CASE WHEN doc_id % 3 = 0 THEN 128 ELSE 32768 END)"
+)
+
+
+@_register(
+    "multimodal_flac_decode",
+    f"""
+    SELECT doc_id,
+           CAST(doc_id % 2 + 1 AS INT) AS channels,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 11025 ELSE 44100 END AS INT)
+             AS sample_rate,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits,
+           CAST(doc_id % 60 + 1 AS INT) AS n_frames,
+           CAST(list_sum(flatten(list_transform(range(0, doc_id % 60 + 1), f ->
+             list_transform(range(0, doc_id % 2 + 1), c -> {_FLAC_SAMP}))))
+             AS BIGINT) AS sample_sum,
+           CAST(list_sum(flatten(list_transform(range(0, doc_id % 60 + 1), f ->
+             list_transform(range(0, doc_id % 2 + 1), c ->
+               (f * (doc_id % 2 + 1) + c + 1) * ({_FLAC_SAMP})))))
+             AS BIGINT) AS weighted_sum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode through the multimodal seam:
+    deterministic PCM signals are FLAC-encoded into genuine bitstreams —
+    fixed predictors + Rice-partitioned residuals (4- and 5-bit
+    parameters, raw-escape partitions), all four stereo channel
+    assignments, odd block sizes, PADDING metadata blocks — and decoded
+    back by ``functions/flac.py`` (CRC-8/CRC-16/MD5-verified). FLAC is
+    lossless, so the oracle computes the exact sums arithmetically; the
+    position-WEIGHTED sum is frame/channel-order-sensitive, so a wrong
+    channel de-correlation (left/side vs mid/side) or frame order breaks
+    the hash even though the plain sum wouldn't."""
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.flac import (
+            CH_LEFT_SIDE,
+            CH_MID_SIDE,
+            CH_RIGHT_SIDE,
+            encode_flac,
+        )
+
+        modes = [None, CH_LEFT_SIDE, CH_RIGHT_SIDE, CH_MID_SIDE]
+        rates = [8000, 16000, 11025, 44100]
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ch, n = d % 2 + 1, d % 60 + 1
+                bits = 8 if d % 3 == 0 else 16
+                half = 1 << (bits - 1)
+                frames = [
+                    tuple(
+                        (d * 31 + f * 17 + c * 11) % (2 * half) - half
+                        for c in range(ch)
+                    )
+                    for f in range(n)
+                ]
+                payloads.append(
+                    encode_flac(
+                        ch, rates[d % 4], bits, frames,
+                        block_size=16 + d % 50,
+                        stereo_mode=modes[(d // 2) % 4] if ch == 2 else None,
+                        partition_order=d % 3,
+                        rice2=d % 5 == 0,
+                        force_escape=d % 7 == 0,
+                        pad_metadata=(d % 4) * 3,
+                    )
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.flac import decode_flac
+
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("channels", "sample_rate", "bits", "n_frames",
+                     "sample_sum", "weighted_sum")}
+            for payload in pdf["media"]:
+                ch, rate, bits, frames = decode_flac(bytes(payload))
+                ss = 0
+                ws = 0
+                for f, fr in enumerate(frames):
+                    for c, s in enumerate(fr):
+                        ss += s
+                        ws += (f * ch + c + 1) * s
+                cols["channels"].append(ch)
+                cols["sample_rate"].append(rate)
+                cols["bits"].append(bits)
+                cols["n_frames"].append(len(frames))
+                cols["sample_sum"].append(ss)
+                cols["weighted_sum"].append(ws)
+            out = pdf.copy()
+            for k in ("channels", "sample_rate", "bits", "n_frames"):
+                out[k] = pd.array(cols[k], dtype="Int32")
+            for k in ("sample_sum", "weighted_sum"):
+                out[k] = pd.array(cols[k], dtype="Int64")
+            yield out
+
+    return (
+        media.mapInPandas(
+            decode,
+            "doc_id bigint, media binary, channels int, sample_rate int,"
+            " bits int, n_frames int, sample_sum bigint, weighted_sum bigint",
+        )
+        .select("doc_id", "channels", "sample_rate", "bits", "n_frames",
+                "sample_sum", "weighted_sum")
+        .orderBy("doc_id")
+    )
+
+
 @_register(
     "multimodal_mp4_probe",
     """
