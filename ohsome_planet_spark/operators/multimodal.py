@@ -247,21 +247,27 @@ def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
 
 def probe_video(df: DataFrame, media_col: str = "media") -> DataFrame:
     """REAL video container probe via ``mapInPandas``: ISO-BMFF (MP4/MOV)
-    box walk → ``width/height/duration_ms`` — the metadata pass a
-    training pipeline runs on every video before spending decode cycles.
-    Frame pixel decode stays behind the external-codec stub."""
+    box walk or RIFF/AVI chunk walk (magic-sniffed) →
+    ``width/height/duration_ms`` — the metadata pass a training pipeline
+    runs on every video before spending decode cycles. Frame pixel decode
+    is real for MJPEG-in-AVI (:func:`sample_video_frames`); other codecs
+    stay behind the external-codec stub."""
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
+        from ..functions.avi import AVI_MAGIC_PREFIX, probe_avi
         from ..functions.isobmff import probe_mp4
 
         for pdf in batches:
             widths, heights, durations = [], [], []
             for payload in pdf[media_col]:
                 try:
-                    w, h, duration, timescale = probe_mp4(payload)
-                    ms = (duration * 1000) // timescale if timescale else None
+                    if bytes(payload[:4]) == AVI_MAGIC_PREFIX:
+                        w, h, _n, ms = probe_avi(payload)
+                    else:
+                        w, h, duration, timescale = probe_mp4(payload)
+                        ms = (duration * 1000) // timescale if timescale else None
                 except (ValueError, TypeError, struct.error, IndexError):
                     w = h = ms = None
                 widths.append(w)
@@ -292,6 +298,64 @@ def resize_plan(
     return df.withColumn(
         "target_width", F.ceil(F.col("fake_width") * scale).cast("int")
     ).withColumn("target_height", F.ceil(F.col("fake_height") * scale).cast("int"))
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 30,
+    max_frames: int = 8,
+    media_col: str = "media",
+) -> DataFrame:
+    """REAL video frame sampling for MJPEG-in-AVI payloads: parse the RIFF
+    container (:func:`..functions.avi.parse_avi`), keep frame indices
+    ``0, every_n, 2*every_n, …`` up to ``max_frames``, decode each sampled
+    JPEG frame with the full huffman+IDCT pipeline, and emit ONE ROW PER
+    SAMPLED FRAME with ``frame_idx/n_frames/width/height/pixel_sum``.
+
+    Scale shape: sampling happens before decode, so a 1-in-30 policy pays
+    1/30th of the decode cost; rows fan out inside the Arrow batch (no
+    explode shuffle); media bytes never leave the executors. Non-AVI or
+    non-JPEG payloads yield zero rows (probe them instead)."""
+
+    passthrough = list(df.columns)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from ..functions.avi import AviFormatError, parse_avi
+        from ..functions.jpeg import JpegFormatError, decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for _, rec in pdf.iterrows():
+                try:
+                    info = parse_avi(rec[media_col])
+                except (AviFormatError, TypeError, struct.error):
+                    continue
+                frames = info["frames"]
+                for i in range(0, len(frames), every_n):
+                    if i // every_n >= max_frames:
+                        break
+                    try:
+                        w, h, _c, prows = decode_jpeg(bytes(frames[i]))
+                    except (JpegFormatError, ValueError):
+                        continue
+                    base = {c: rec[c] for c in passthrough}
+                    base.update(
+                        frame_idx=i, n_frames=len(frames), width=w, height=h,
+                        pixel_sum=int(sum(sum(r) for r in prows)),
+                    )
+                    rows.append(base)
+            cols = passthrough + [
+                "frame_idx", "n_frames", "width", "height", "pixel_sum"
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        df.schema.simpleString()[7:-1]
+        + ",frame_idx int,n_frames int,width int,height int,pixel_sum bigint"
+    )
+    return df.mapInPandas(sample, schema)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 30, max_frames: int = 8) -> DataFrame:

@@ -4170,6 +4170,151 @@ def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _avi_jpeg_frame(d: int, f: int) -> "bytes":
+    """One deterministic flat-block grayscale JPEG frame (bit-exact at
+    quant=1, same construction as multimodal_jpeg_pixels)."""
+    from ..functions.jpeg import encode_jpeg
+
+    bw, bh = d % 3 + 1, d % 2 + 1
+    rows = []
+    for r in range(bh * 8):
+        rows.append(
+            bytes(
+                (d * 37 + f * 29 + (c // 8) * 11 + (r // 8) * 23) % 256
+                for c in range(bw * 8)
+            )
+        )
+    return encode_jpeg(bw * 8, bh * 8, rows, channels=1, quant=1)
+
+
+@_register(
+    "multimodal_avi_probe",
+    """
+    SELECT doc_id,
+           CAST((doc_id % 3 + 1) * 8 AS INT) AS width,
+           CAST((doc_id % 2 + 1) * 8 AS INT) AS height,
+           CAST((doc_id % 12 + 1) * 1000 // (15 + doc_id % 10) AS BIGINT)
+             AS duration_ms
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_avi_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI container probe: deterministic MJPEG AVIs (RIFF chunk
+    tree with strh/strf agreement checks, JUNK padding for odd docs,
+    idx1 index verified entry-by-entry against real chunk offsets) are
+    parsed back by ``functions/avi.py`` through the same ``probe_video``
+    seam as ISO-BMFF — the dispatcher sniffs the magic. The oracle
+    replays the rate/scale duration arithmetic."""
+    from ..operators.multimodal import probe_video
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.avi import encode_avi_mjpeg
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 12 + 1
+                payloads.append(
+                    encode_avi_mjpeg(
+                        (d % 3 + 1) * 8, (d % 2 + 1) * 8,
+                        [_avi_jpeg_frame(d, f) for f in range(n)],
+                        rate=15 + d % 10, scale=1,
+                        write_index=d % 3 != 1,
+                        junk_bytes=(d % 2) * 12,
+                    )
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+    return (
+        probe_video(media)
+        .select("doc_id", "width", "height", "duration_ms")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "multimodal_avi_frame_sample",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             UNNEST(list_transform(
+               range(0, least(4, ((doc_id % 12 + 1) + (doc_id % 3))
+                                  // (doc_id % 3 + 1))),
+               i -> i * (doc_id % 3 + 1))) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(doc_id % 12 + 1 AS INT) AS n_frames,
+           CAST((doc_id % 3 + 1) * 8 AS INT) AS width,
+           CAST((doc_id % 2 + 1) * 8 AS INT) AS height,
+           CAST(64 * list_sum(flatten(list_transform(range(0, doc_id % 2 + 1),
+             by -> list_transform(range(0, doc_id % 3 + 1), bx ->
+               (doc_id * 37 + frame_idx * 29 + bx * 11 + by * 23) % 256))))
+             AS BIGINT) AS pixel_sum
+    FROM s ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end video frame decode: MJPEG-in-AVI payloads →
+    RIFF container walk → every-``k``-th frame sampled (k = doc_id%3+1,
+    capped at 4) → full JPEG huffman+IDCT decode per sampled frame → one
+    row per frame with its exact pixel sum (flat blocks are bit-exact at
+    quant=1). The oracle enumerates the same sampled indices and replays
+    the per-frame block arithmetic — a wrong chunk walk, frame order,
+    sampling stride or cap, or any JPEG decode defect breaks the hash."""
+    from ..operators.multimodal import sample_video_frames
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.avi import encode_avi_mjpeg
+
+        for pdf in batches:
+            ids, payloads, strides = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 12 + 1
+                ids.append(d)
+                strides.append(d % 3 + 1)
+                payloads.append(
+                    encode_avi_mjpeg(
+                        (d % 3 + 1) * 8, (d % 2 + 1) * 8,
+                        [_avi_jpeg_frame(d, f) for f in range(n)],
+                        rate=24, scale=1, junk_bytes=(d % 2) * 8,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "media": payloads, "stride": strides}
+            )
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary, stride int")
+    # the sampler takes one stride per call; fan the three stride classes
+    # through the operator and union (each class filters ITS payloads —
+    # at scale this is one pass per distinct sampling policy, the shape a
+    # real pipeline with per-collection policies has)
+    parts = [
+        sample_video_frames(
+            media.filter(F.col("stride") == k), every_n=k, max_frames=4
+        )
+        for k in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.select("doc_id", "frame_idx", "n_frames", "width", "height",
+                   "pixel_sum")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 @_register(
     "event_time_windows",
     """
