@@ -2893,16 +2893,7 @@ def contrib_multipolygons_from_pbf(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def _polygon_perimeters_oracle() -> str:
-    from ..functions.geodesic import SPHERE_FACT as SF
-
-    seg = (
-        f"6371000.0 * sqrt("
-        f"pow((radians(xs[i + 1]) - radians(xs[i]))"
-        f" * cos((atan({SF!r} * tan(radians(ys[i])))"
-        f" + atan({SF!r} * tan(radians(ys[i + 1])))) / 2), 2)"
-        f" + pow(atan({SF!r} * tan(radians(ys[i + 1])))"
-        f" - atan({SF!r} * tan(radians(ys[i]))), 2))"
-    )
+    seg = _perimeter_seg_sql()
     return _polygon_area_ctes() + f"""
 SELECT wid AS osm_id,
        round(list_sum(list_transform(range(1, 5), i -> {seg})), 2)
@@ -2912,14 +2903,9 @@ ORDER BY osm_id
 """
 
 
-@_register("polygon_perimeters", _polygon_perimeters_oracle())
-def polygon_perimeters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """/elements/perimeter shape — geodesic exterior-ring length of the
-    latest polygon state, computed FROM THE STORED GeoParquet geometry:
-    the sink→decode seam (WKB written by the pipeline, decoded back,
-    ring walked with the engine's own geodesic) inside the hash-match
-    gate. Arrow-batched decode; the table is dimension-sized (one row
-    per latest way), so the UDF touches meters of data, not the corpus."""
+def _ring_perimeter_udf():
+    """Pandas UDF: stored WKB polygon → geodesic exterior-ring length
+    (shared by the /elements/perimeter latest and series endpoints)."""
 
     @F.pandas_udf("double")
     def ring_perimeter(wkb: pd.Series) -> pd.Series:
@@ -2942,6 +2928,35 @@ def polygon_perimeters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ys = np.array([p[1] for p in ring])
             out.append(line_length(xs, ys))
         return pd.Series(out, dtype="float64")
+
+    return ring_perimeter
+
+
+def _perimeter_seg_sql() -> str:
+    """DuckDB replay of ``functions/geodesic.py::line_length`` for one
+    exterior-ring segment of the derived polygon corpus (term-for-term,
+    same constants)."""
+    from ..functions.geodesic import SPHERE_FACT as SF
+
+    return (
+        f"6371000.0 * sqrt("
+        f"pow((radians(xs[i + 1]) - radians(xs[i]))"
+        f" * cos((atan({SF!r} * tan(radians(ys[i])))"
+        f" + atan({SF!r} * tan(radians(ys[i + 1])))) / 2), 2)"
+        f" + pow(atan({SF!r} * tan(radians(ys[i + 1])))"
+        f" - atan({SF!r} * tan(radians(ys[i]))), 2))"
+    )
+
+
+@_register("polygon_perimeters", _polygon_perimeters_oracle())
+def polygon_perimeters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/elements/perimeter shape — geodesic exterior-ring length of the
+    latest polygon state, computed FROM THE STORED GeoParquet geometry:
+    the sink→decode seam (WKB written by the pipeline, decoded back,
+    ring walked with the engine's own geodesic) inside the hash-match
+    gate. Arrow-batched decode; the table is dimension-sized (one row
+    per latest way), so the UDF touches meters of data, not the corpus."""
+    ring_perimeter = _ring_perimeter_udf()
 
     contribs = _polygon_contribs_table(spark, sf_dir)
     latest = contribs.filter(F.col("status") == "latest").filter(
@@ -3258,6 +3273,281 @@ def ohsome_users_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_contribs"),
         )
         .orderBy("period")
+    )
+
+
+def _ohsome_perimeter_series_oracle() -> str:
+    seg = _perimeter_seg_sql()
+    return _polygon_area_ctes() + f"""
+SELECT s.snap_ts,
+       CAST(count(*) AS BIGINT) AS n_live,
+       round(sum(round(list_sum(list_transform(range(1, 5), i -> {seg})), 2)),
+             2) AS total_perimeter_m
+FROM coords a
+JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
+                                    TIMESTAMP '2024-02-01',
+                                    INTERVAL 7 DAY)) AS snap_ts) s
+  ON a.wts <= s.snap_ts AND (a.wts_end IS NULL OR s.snap_ts < a.wts_end)
+GROUP BY s.snap_ts
+ORDER BY s.snap_ts
+"""
+
+
+@_register("ohsome_perimeter_series", _ohsome_perimeter_series_oracle())
+def ohsome_perimeter_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ohsome API /elements/perimeter endpoint shape — total live
+    polygon perimeter at weekly snapshots — over the STAGED closed-way
+    contributions table, with the geodesic ring length computed FROM THE
+    STORED WKB geometry (sink→decode seam). Per-ring values round to 2dp
+    on both engines before summing so the hash can't drift on float sum
+    order. Scale shape: identical to ohsome_area_series — facts never
+    shuffle, the snapshot list broadcasts, one final exchange."""
+    from ..functions.ohsome_filter import compile_filter
+
+    ring_perimeter = _ring_perimeter_udf()
+    contribs = _polygon_contribs_table(spark, sf_dir)
+    live = contribs.filter(
+        F.col("status").isin("history", "latest")
+    ).filter(compile_filter("geometry:polygon and building=yes"))
+    snaps = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_timestamp('2024-01-04'), "
+                "to_timestamp('2024-02-01'), interval 7 days)"
+            )
+        ).alias("snap_ts")
+    )
+    return (
+        live.select(
+            "valid_from", "valid_to",
+            F.round(ring_perimeter(F.col("geometry")), 2).alias("pm"),
+        )
+        .join(
+            F.broadcast(snaps),
+            (F.col("valid_from") <= F.col("snap_ts"))
+            & (F.col("snap_ts") < F.col("valid_to")),
+        )
+        .groupBy("snap_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.round(F.sum("pm"), 2).alias("total_perimeter_m"),
+        )
+        .orderBy("snap_ts")
+    )
+
+
+def _rect_area_sql(x0: float, y0: float, x1: float, y1: float) -> str:
+    """DuckDB replay of ``functions/geodesic.py::ring_area`` for one
+    literal-cornered rectangle ring (same term construction: dlon(p3,p1)
+    * sin(spherical_lat(p2)) with wrap-around, then the mid-latitude
+    ellipsoid correction)."""
+    from ..functions.geodesic import (
+        EARTH_INVERSE_FLATTENING as INVF,
+        EARTH_RADIUS_EQUATOR as RE,
+        F_UNDERSCORE as FU,
+    )
+
+    xs = [x0, x1, x1, x0, x0]
+    ys = [y0, y0, y1, y1, y0]
+    terms = []
+    for i in range(5):
+        ymid = ys[(i + 1) % 5]
+        sinlat = (
+            f"(({FU!r} * tan(radians({ymid!r})))"
+            f" / sqrt(({FU!r} * tan(radians({ymid!r})))"
+            f" * ({FU!r} * tan(radians({ymid!r}))) + 1.0))"
+        )
+        terms.append(f"radians({xs[(i + 2) % 5]!r} - {xs[i]!r}) * {sinlat}")
+    mid = (max(ys) + min(ys)) / 2.0
+    return (
+        f"abs(({' + '.join(terms)})"
+        f" * (0.5 * {RE!r} * {RE!r}"
+        f" * (1.0 - 1.0 / {INVF!r}"
+        f" * (cos(radians({mid!r})) * cos(radians({mid!r}))))))"
+    )
+
+
+def _ohsome_count_density_oracle() -> str:
+    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
+    cases = " || ".join(
+        f"CASE WHEN lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r} "
+        f"THEN ['{fid}'] ELSE [] END"
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    )
+    area_case = "CASE country " + " ".join(
+        f"WHEN '{fid}' THEN {_rect_area_sql(x0, y0, x1, y1)}"
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    ) + " END"
+    return (
+        _CONTRIB_ORACLE[:cut]
+        + f"""
+    SELECT country, snap_ts,
+           CAST(count(*) AS BIGINT) AS n_live,
+           round(count(*) / (({area_case}) / 1e6 / 1e6), 6)
+             AS density_per_mkm2
+    FROM (
+      SELECT unnest({cases}) AS country, s.snap_ts
+      FROM (SELECT (eff).lon AS lon, (eff).lat AS lat,
+                   ts AS valid_from,
+                   coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to
+            FROM final
+            WHERE visible AND eff IS NOT NULL
+              AND tagv IN ('click', 'view')) c
+      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
+                                          TIMESTAMP '2024-02-01',
+                                          INTERVAL 7 DAY)) AS snap_ts) s
+        ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
+    )
+    GROUP BY country, snap_ts
+    ORDER BY country, snap_ts
+    """
+    )
+
+
+@_register("ohsome_count_density_series", _ohsome_count_density_oracle())
+def ohsome_count_density_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ohsome API's density endpoint shape — /elements/count/density
+    grouped by boundary and snapshot: live count divided by the
+    boundary's geodesic area (per MILLION km² here, keeping the quotient
+    O(1-100) so 6dp rounding is meaningful). The boundary areas come from
+    the engine's own ``ring_area`` (A8) evaluated driver-side over the
+    dimension-sized boundary list and broadcast; the oracle replays the
+    spherical-excess arithmetic per rectangle. Scale shape: identical to
+    ohsome_count_series plus one broadcast dim join."""
+    import numpy as np
+
+    from ..functions.geodesic import ring_area
+    from ..functions.ohsome_filter import compile_filter
+    from ..operators.spatial import join_countries, rect_feature
+
+    contribs = _node_contribs_table(spark, sf_dir)
+    live = contribs.filter(F.col("status").isin("history", "latest")).filter(
+        compile_filter("t in (click, view)")
+    )
+    feats = [
+        rect_feature(fid, x0, y0, x1, y1)
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    ]
+    dim = spark.createDataFrame(
+        [
+            (
+                fid,
+                float(
+                    abs(
+                        ring_area(
+                            np.array([x0, x1, x1, x0, x0]),
+                            np.array([y0, y0, y1, y1, y0]),
+                        )
+                    )
+                )
+                / 1e6
+                / 1e6,
+            )
+            for fid, x0, y0, x1, y1 in _GRID_FEATURES
+        ],
+        "country string, area_mkm2 double",
+    )
+    pts = live.select(
+        "valid_from", "valid_to",
+        F.col("centroid.x").alias("lon"),
+        F.col("centroid.y").alias("lat"),
+    )
+    tagged = join_countries(pts, feats).select(
+        F.explode("countries").alias("country"), "valid_from", "valid_to"
+    )
+    snaps = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_timestamp('2024-01-04'), "
+                "to_timestamp('2024-02-01'), interval 7 days)"
+            )
+        ).alias("snap_ts")
+    )
+    return (
+        tagged.join(
+            F.broadcast(snaps),
+            (F.col("valid_from") <= F.col("snap_ts"))
+            & (F.col("snap_ts") < F.col("valid_to")),
+        )
+        .groupBy("country", "snap_ts")
+        .agg(F.count(F.lit(1)).alias("n_live"))
+        .join(F.broadcast(dim), "country")
+        .select(
+            "country", "snap_ts", "n_live",
+            F.round(F.col("n_live") / F.col("area_mkm2"), 6).alias(
+                "density_per_mkm2"
+            ),
+        )
+        .orderBy("country", "snap_ts")
+    )
+
+
+def _ohsome_groupby_type_oracle() -> str:
+    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
+    poly = _polygon_area_ctes()
+    merged = _CONTRIB_ORACLE[:cut].rstrip() + ", " + poly.split("WITH ", 1)[1]
+    return merged + """
+, snaps AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
+                                TIMESTAMP '2024-02-01',
+                                INTERVAL 7 DAY)) AS snap_ts
+)
+SELECT osm_type, snap_ts, CAST(count(*) AS BIGINT) AS n_live
+FROM (
+  SELECT 'node' AS osm_type, s.snap_ts
+  FROM (SELECT ts AS valid_from,
+               coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to
+        FROM final WHERE visible AND eff IS NOT NULL) c
+  JOIN snaps s ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
+  UNION ALL
+  SELECT 'way' AS osm_type, s.snap_ts
+  FROM areas a
+  JOIN snaps s
+    ON a.wts <= s.snap_ts AND (a.wts_end IS NULL OR s.snap_ts < a.wts_end)
+)
+GROUP BY osm_type, snap_ts
+ORDER BY osm_type, snap_ts
+"""
+
+
+@_register("ohsome_count_groupby_type", _ohsome_groupby_type_oracle())
+def ohsome_count_groupby_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ohsome API /elements/count/groupBy/type endpoint shape — live
+    element counts split by OSM type at weekly snapshots, composed over
+    TWO staged contribution tables (the node stream and the closed-way
+    polygon stream) with one union. The oracle merges both tables' CTE
+    derivations into a single DuckDB statement. Scale shape: both fact
+    scans are map-side until the final (type, snap_ts) aggregation; the
+    snapshot dim broadcasts into each."""
+    snaps = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_timestamp('2024-01-04'), "
+                "to_timestamp('2024-02-01'), interval 7 days)"
+            )
+        ).alias("snap_ts")
+    )
+    live = F.col("status").isin("history", "latest")
+    nodes = (
+        _node_contribs_table(spark, sf_dir)
+        .filter(live)
+        .select(F.lit("node").alias("osm_type"), "valid_from", "valid_to")
+    )
+    ways = (
+        _polygon_contribs_table(spark, sf_dir)
+        .filter(live)
+        .select(F.lit("way").alias("osm_type"), "valid_from", "valid_to")
+    )
+    return (
+        nodes.unionByName(ways)
+        .join(
+            F.broadcast(snaps),
+            (F.col("valid_from") <= F.col("snap_ts"))
+            & (F.col("snap_ts") < F.col("valid_to")),
+        )
+        .groupBy("osm_type", "snap_ts")
+        .agg(F.count(F.lit(1)).alias("n_live"))
+        .orderBy("osm_type", "snap_ts")
     )
 
 
