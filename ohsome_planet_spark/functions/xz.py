@@ -83,8 +83,29 @@ def xz_codes(
     return length, code
 
 
+# same memoization rationale as _CODE_EXPR_CACHE below: pure function of
+# its input expressions, immutable JVM tree, rebuilt in every contribution
+# synthesis otherwise
+_LEVEL_EXPR_CACHE: dict[tuple, Column] = {}
+
+
 def xz_level_expr(xmin: Column, ymin: Column, xmax: Column, ymax: Column, g: int = G_DEFAULT) -> Column:
     """Native Spark expression for the XZ level (no UDF)."""
+    try:
+        key = (str(xmin), str(ymin), str(xmax), str(ymax), g)
+    except Exception:
+        key = None
+    if key is not None and key in _LEVEL_EXPR_CACHE:
+        return _LEVEL_EXPR_CACHE[key]
+    out = _xz_level_expr_build(xmin, ymin, xmax, ymax, g)
+    if key is not None:
+        _LEVEL_EXPR_CACHE[key] = out
+    return out
+
+
+def _xz_level_expr_build(
+    xmin: Column, ymin: Column, xmax: Column, ymax: Column, g: int = G_DEFAULT
+) -> Column:
     nx_min = (F.lit(180.0) + xmin) / F.lit(360.0)
     ny_min = (F.lit(90.0) + ymin) / F.lit(360.0)
     nx_max = (F.lit(180.0) + xmax) / F.lit(360.0)

@@ -437,59 +437,72 @@ def synthesize_contributions(events: DataFrame) -> DataFrame:
     (ts, osm_version, changeset) — all window specs share it, so Catalyst
     plans a single exchange + sort.
     """
+    parts = _synth_exprs()
+    # (1) raw-predecessor lags — BEFORE the squash filter (subtlety #1).
+    df = events.withColumns(parts["raw_lags"])
+    # (2) same-changeset squash (F4): keep only the LAST row of a
+    # (osm_version, changeset) run.
+    df = df.filter(parts["squash_keep"]).drop("_next_version", "_next_changeset")
+    # (3) emitted-stream windows (all sharing ONE partitioning + sort).
+    df = df.withColumns(parts["validity"]).withColumns(parts["derived"])
+    return df.select(*parts["select"])
+
+
+def _synth_exprs() -> dict:
+    """The synthesis expression bundle — pure functions of fixed column
+    names (Column trees are immutable JVM objects), so one process builds
+    the few-hundred-node tree once instead of per pipeline invocation
+    (the incremental updater synthesizes per affected type per batch;
+    construction cost was measurable driver time at toy scale)."""
+    if _SYNTH_EXPRS:
+        return _SYNTH_EXPRS
+
     part = ["osm_type", "osm_id"]
     order = [F.col("ts"), F.col("osm_version"), F.col("changeset")]
     w_raw = W.partitionBy(*part).orderBy(*order)
+    w = W.partitionBy(*part).orderBy(*order)
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_ver = W.partitionBy(*part, "osm_version").orderBy(*order)
 
-    # (1) raw-predecessor lags — BEFORE the squash filter (subtlety #1).
-    df = (
-        events.withColumn("_prev_ts", F.lag("ts").over(w_raw))
-        .withColumn("_prev_tags", F.lag("tags").over(w_raw))
-        .withColumn("_prev_visible", F.lag("visible").over(w_raw))
-        .withColumn("_next_version", F.lead("osm_version").over(w_raw))
-        .withColumn("_next_changeset", F.lead("changeset").over(w_raw))
-    )
-
-    # (2) same-changeset squash (F4): keep only the LAST row of a
-    # (osm_version, changeset) run.
-    df = df.filter(
+    raw_lags = {
+        "_prev_ts": F.lag("ts").over(w_raw),
+        "_prev_tags": F.lag("tags").over(w_raw),
+        "_prev_visible": F.lag("visible").over(w_raw),
+        "_next_version": F.lead("osm_version").over(w_raw),
+        "_next_changeset": F.lead("changeset").over(w_raw),
+    }
+    squash_keep = (
         ~(
             (F.col("_next_version") == F.col("osm_version"))
             & (F.col("_next_changeset") == F.col("changeset"))
         )
         | F.col("_next_version").isNull()
-    ).drop("_next_version", "_next_changeset")
-
-    # (3) emitted-stream windows.
-    w = W.partitionBy(*part).orderBy(*order)
-    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    w_ver = W.partitionBy(*part, "osm_version").orderBy(*order)
-
-    own_bundle = F.struct(*[F.col(c).alias(c) for c in _GEOM_FIELDS])
-    df = (
-        df.withColumn("valid_to", F.lead("ts").over(w))
-        .withColumn("_has_next", F.lead("ts").over(w).isNotNull())
-        # geometry inheritance (subtlety #3): effective bundle = own when
-        # visible, else the last visible row's own bundle.
-        .withColumn("_own", F.when(F.col("visible"), own_bundle))
-        .withColumn("_eff", F.last("_own", ignorenulls=True).over(w_run))
     )
+
+    # geometry inheritance (subtlety #3): effective bundle = own when
+    # visible, else the last visible row's own bundle.
+    own_bundle = F.struct(*[F.col(c).alias(c) for c in _GEOM_FIELDS])
+    validity = {
+        "valid_to": F.lead("ts").over(w),
+        "_has_next": F.lead("ts").over(w).isNotNull(),
+        "_eff": F.last(
+            F.when(F.col("visible"), own_bundle), ignorenulls=True
+        ).over(w_run),
+    }
 
     has_geom = F.coalesce(F.col("_eff.geom_valid"), F.lit(False))
     area = F.coalesce(F.col("_eff.geom_area"), F.lit(0.0))
     length = F.coalesce(F.col("_eff.geom_length"), F.lit(0.0))
-
-    df = (
-        df.withColumn("_has_geom", has_geom)
-        .withColumn("area", area)
-        .withColumn("length", length)
-        .withColumn("_prev_wkb", F.lag("_eff.geom_key").over(w))
-        .withColumn("_prev_emitted", F.lag("ts").over(w).isNotNull())
-        .withColumn("area_delta", F.col("area") - F.lag("area", 1, 0.0).over(w))
-        .withColumn("length_delta", F.col("length") - F.lag("length", 1, 0.0).over(w))
-        .withColumn("osm_minor_version", (F.row_number().over(w_ver) - F.lit(1)).cast("int"))
-        .withColumn("osm_edits", F.row_number().over(w).cast("int"))
-    )
+    derived = {
+        "_has_geom": has_geom,
+        "area": area,
+        "length": length,
+        "_prev_wkb": F.lag("_eff.geom_key").over(w),
+        "area_delta": area - F.lag(area, 1, 0.0).over(w),
+        "length_delta": length - F.lag(length, 1, 0.0).over(w),
+        "osm_minor_version": (F.row_number().over(w_ver) - F.lit(1)).cast("int"),
+        "osm_edits": F.row_number().over(w).cast("int"),
+    }
 
     status = (
         F.when(~F.col("visible"), F.lit("deleted"))
@@ -535,7 +548,23 @@ def synthesize_contributions(events: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.lit(0).cast("bigint"))
 
-    return df.select(
+    select = _synth_select_list(status, tags, tags_before, contrib_type, xz_level, xz_code)
+    _SYNTH_EXPRS.update(
+        raw_lags=raw_lags, squash_keep=squash_keep, validity=validity,
+        derived=derived, select=select,
+    )
+    return _SYNTH_EXPRS
+
+
+_SYNTH_EXPRS: dict = {}
+
+
+def _synth_select_inner(*cols):
+    return list(cols)
+
+
+def _synth_select_list(status, tags, tags_before, contrib_type, xz_level, xz_code):
+    return _synth_select_inner(
         status.alias("status"),
         F.col("ts").alias("valid_from"),
         F.coalesce("valid_to", F.lit(VALID_TO_SENTINEL)).alias("valid_to"),
