@@ -286,11 +286,99 @@ def probe_video(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(probe, schema)
 
 
+def _decode_media_rows(payload: bytes) -> tuple[int, int, int, list]:
+    """(width, height, channels, pixel rows) for the formats whose pixel
+    decode is real (PNG / GIF / baseline+progressive JPEG); raises on
+    anything else — the same seam contract as ``_decode_media_real``."""
+    from ..functions.gif import GIF_MAGICS, decode_gif
+    from ..functions.jpeg import JPEG_SOI, decode_jpeg
+    from ..functions.png import PNG_SIGNATURE, decode_png
+
+    payload = bytes(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
+    if payload[:6] in GIF_MAGICS:
+        return decode_gif(payload)
+    if payload[:2] == JPEG_SOI:
+        return decode_jpeg(payload)
+    raise NotImplementedError("no native pixel decoder for this container")
+
+
+def resize_media(
+    df: DataFrame,
+    max_side: int = 512,
+    media_col: str = "media",
+    max_side_col: str | None = None,
+) -> DataFrame:
+    """REAL image resize through the multimodal seam: decode (PNG/GIF/
+    JPEG), then nearest-neighbor downscale to fit ``max_side`` (never
+    upscale) with the floor source mapping ``sx = (x_t * w) // tw`` —
+    exact integer arithmetic, so the kernel is bit-deterministic and
+    oracle-replayable. Emits genuine ``width/height/target_width/
+    target_height/resized_pixel_sum``; undecodable payloads null out.
+
+    ``max_side_col`` switches to a per-row budget column (mixed-policy
+    collections). Scale shape: one Arrow-batched pass, numpy fancy
+    indexing per image; media bytes never leave the executors."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("width", "height", "target_width", "target_height",
+                     "resized_pixel_sum")}
+            budgets = (
+                pdf[max_side_col] if max_side_col is not None
+                else [max_side] * len(pdf)
+            )
+            for payload, ms in zip(pdf[media_col], budgets):
+                try:
+                    w, h, ch, rows = _decode_media_rows(payload)
+                except (NotImplementedError, ValueError, TypeError):
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                scale = min(1.0, float(ms) / float(max(w, h)))
+                tw = int(math.ceil(w * scale))
+                th = int(math.ceil(h * scale))
+                img = np.frombuffer(b"".join(bytes(r) for r in rows),
+                                    dtype=np.uint8).reshape(h, w * ch)
+                sy = (np.arange(th, dtype=np.int64) * h) // th
+                sx = (np.arange(tw, dtype=np.int64) * w) // tw
+                # gather whole source pixels (all channels per column)
+                colsel = (sx[:, None] * ch + np.arange(ch)[None, :]).ravel()
+                resized = img[sy][:, colsel]
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["target_width"].append(tw)
+                cols["target_height"].append(th)
+                cols["resized_pixel_sum"].append(int(resized.sum(dtype=np.int64)))
+            out = pdf.copy()
+            for k in ("width", "height", "target_width", "target_height"):
+                out[k] = pd.array(cols[k], dtype="Int32")
+            out["resized_pixel_sum"] = pd.array(
+                cols["resized_pixel_sum"], dtype="Int64"
+            )
+            yield out
+
+    schema = (
+        df.schema.simpleString()[7:-1]
+        + ",width int,height int,target_width int,target_height int,"
+        "resized_pixel_sum bigint"
+    )
+    return df.mapInPandas(resize, schema)
+
+
 def resize_plan(
     df: DataFrame, max_side: int = 512, media_col: str = "media"
 ) -> DataFrame:
     """Resize plumbing: target dimensions computed natively from the decoded
-    (fake) dims; the pixel kernel itself is the stub seam."""
+    (fake) dims; the pixel kernel itself is the stub seam
+    (:func:`resize_media` is the real-kernel counterpart for the formats
+    with native pixel decoders)."""
     scale = F.least(
         F.lit(1.0),
         F.lit(max_side) / F.greatest(F.col("fake_width"), F.col("fake_height")),

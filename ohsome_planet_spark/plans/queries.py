@@ -3940,6 +3940,75 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_resize",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 16 + 1 AS INT) AS w,
+             CAST(doc_id % 12 + 1 AS INT) AS h,
+             CAST(doc_id % 10 + 4 AS INT) AS ms
+      FROM documents
+    ), t AS (
+      SELECT doc_id, w, h,
+             CAST(ceil(w * least(1.0, CAST(ms AS DOUBLE) / greatest(w, h)))
+                  AS INT) AS tw,
+             CAST(ceil(h * least(1.0, CAST(ms AS DOUBLE) / greatest(w, h)))
+                  AS INT) AS th
+      FROM dims
+    )
+    SELECT doc_id, w AS width, h AS height,
+           tw AS target_width, th AS target_height,
+           CAST(list_sum(flatten(list_transform(range(0, th), y ->
+             list_transform(range(0, tw), x ->
+               (doc_id * 31 + ((y * h) // th) * 7 + ((x * w) // tw) * 13)
+                 % 256)))) AS BIGINT) AS resized_pixel_sum
+    FROM t ORDER BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through the multimodal seam: the PNG-decode
+    fixture images (real zlib + filter-reversal decode) downscale to a
+    per-doc ``max_side`` budget with the exact-integer nearest-neighbor
+    kernel (``sx = (x_t*w)//tw``, floor mapping, never upscales). The
+    oracle replays the target-dimension float arithmetic and the resized
+    pixel sum arithmetically — a wrong scale clamp, ceil, source mapping
+    or decode defect breaks the hash."""
+    from ..operators.multimodal import resize_media
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.png import encode_png
+
+        for pdf in batches:
+            ids, payloads, budgets = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 16 + 1, d % 12 + 1
+                rows = [
+                    bytes((d * 31 + r * 7 + c * 13) % 256 for c in range(w))
+                    for r in range(h)
+                ]
+                ids.append(d)
+                payloads.append(
+                    encode_png(w, h, rows,
+                               row_filters=[(d + r) % 5 for r in range(h)])
+                )
+                budgets.append(d % 10 + 4)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media": payloads, "ms": budgets}
+            )
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary, ms int")
+    return (
+        resize_media(media, max_side_col="ms")
+        .select("doc_id", "width", "height", "target_width", "target_height",
+                "resized_pixel_sum")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
     "multimodal_jpeg_dims",
     """
     SELECT doc_id,
