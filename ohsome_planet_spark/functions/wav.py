@@ -32,6 +32,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, int]:
     from a PCM RIFF/WAVE byte stream. ``sample_sum`` sums every decoded
     integer sample across channels (8-bit: unsigned 0..255; 16/32-bit:
     signed), so one wrong frame anywhere changes it."""
+    channels, rate, bits, frames = decode_wav_frames(payload)
+    return channels, rate, bits, len(frames), sum(s for fr in frames for s in fr)
+
+
+def decode_wav_frames(payload: bytes) -> tuple[int, int, int, list[tuple[int, ...]]]:
+    """(channels, sample_rate, bits_per_sample, frames) — the full
+    decoded sample stream (one tuple per frame), for feature extraction."""
     buf = bytes(payload)
     if len(buf) < 12 or buf[:4] != RIFF_MAGIC or buf[8:12] != WAVE_MAGIC:
         raise WavFormatError("not a RIFF/WAVE stream")
@@ -78,7 +85,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, int]:
     block = channels
     if len(samples) % block:
         raise WavFormatError("data not a whole number of frames")
-    return channels, rate, bits, len(samples) // block, sum(samples)
+    frames = [
+        tuple(samples[i : i + block]) for i in range(0, len(samples), block)
+    ]
+    return channels, rate, bits, frames
 
 
 def encode_wav(

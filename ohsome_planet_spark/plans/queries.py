@@ -4477,6 +4477,88 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_audio_features",
+    """
+    WITH base AS (
+      SELECT doc_id, doc_id % 2 + 1 AS ch, doc_id % 50 + 1 AS n
+      FROM documents
+    ), mono AS (
+      SELECT doc_id, ch, n,
+             list_transform(range(0, n), f ->
+               CAST(floor(list_sum(list_transform(range(0, ch), c ->
+                 (doc_id * 13 + f * 7 + c * 3) % 200 - 100))
+                 / CAST(ch AS DOUBLE)) AS BIGINT)) AS m
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(ceil(n / 16.0) AS INT) AS n_analysis_frames,
+           CAST(list_sum(list_transform(m, v -> v * v)) AS BIGINT)
+             AS energy_total,
+           CAST(coalesce(list_sum(list_transform(range(1, n), i ->
+               CASE WHEN (m[i] < 0) <> (m[i + 1] < 0) THEN 1 ELSE 0 END)), 0)
+             AS INT) AS zero_crossings,
+           CAST(list_max(list_transform(m, v -> abs(v))) AS BIGINT)
+             AS peak_abs
+    FROM mono ORDER BY doc_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction through the multimodal seam: the
+    same deterministic 16-bit PCM signal family travels as RIFF/WAVE for
+    even docs and as genuine FLAC (varying stereo decorrelation modes)
+    for odd docs — the feature kernel magic-sniffs and decodes both —
+    then integer-exact features: floor-downmixed mono lane, total energy
+    (Σ s²), zero-crossing count and peak amplitude. The oracle replays
+    every feature arithmetically; a wrong decode, downmix rounding or
+    sign convention on either codec path breaks the hash."""
+    from ..operators.multimodal import audio_features
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.flac import (
+            CH_LEFT_SIDE,
+            CH_MID_SIDE,
+            CH_RIGHT_SIDE,
+            encode_flac,
+        )
+        from ..functions.wav import encode_wav
+
+        modes = [None, CH_LEFT_SIDE, CH_RIGHT_SIDE, CH_MID_SIDE]
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ch, n = d % 2 + 1, d % 50 + 1
+                frames = [
+                    tuple((d * 13 + f * 7 + c * 3) % 200 - 100
+                          for c in range(ch))
+                    for f in range(n)
+                ]
+                if d % 2 == 0:
+                    payloads.append(encode_wav(ch, 16000, 16, frames))
+                else:
+                    payloads.append(
+                        encode_flac(
+                            ch, 16000, 16, frames, block_size=16,
+                            stereo_mode=modes[(d // 2) % 4] if ch == 2 else None,
+                            partition_order=d % 2,
+                        )
+                    )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+    return (
+        audio_features(media, frame_len=16)
+        .select("doc_id", "n_analysis_frames", "energy_total",
+                "zero_crossings", "peak_abs")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
     "multimodal_mp4_probe",
     """
     SELECT doc_id,
