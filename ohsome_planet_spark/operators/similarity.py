@@ -65,14 +65,19 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, nbits: int) -> list[list[float]]:
+def _hyperplanes(dim: int, nbits: int, salt: str = "") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (b, d) is a
-    uniform value in [-1, 1) derived from md5(b:d)."""
+    uniform value in [-1, 1) derived from md5(salt:b:d). ``salt``
+    derives independent tables for multi-table LSH (empty salt keeps the
+    historical single-table planes bit-identical)."""
     planes = []
     for b in range(nbits):
         row = []
         for d in range(dim):
-            h = int(hashlib.md5(f"hyperplane:{b}:{d}".encode()).hexdigest()[:8], 16)
+            h = int(
+                hashlib.md5(f"hyperplane:{salt}{b}:{d}".encode()).hexdigest()[:8],
+                16,
+            )
             row.append(h / float(1 << 31) - 1.0)
         planes.append(row)
     return planes
@@ -833,6 +838,74 @@ def knn_self_join(
         a.join(b, "_list")
         .filter(F.col("_ida") != F.col("_idb"))
         .select(F.col("_ida"), F.col("_idb"), sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_ida").alias(id_col),
+            F.col("_idb").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def knn_self_join_lsh(
+    vectors: DataFrame,
+    k: int = 3,
+    nbits: int = 8,
+    ntables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-corpus kNN self-join via MULTI-TABLE sign-LSH — the
+    linear-scale path. Per table ``t``, every vector hashes to an
+    ``nbits`` signature under table-salted hyperplanes and candidate
+    pairs form by a self-equi-join on the signature; the tables' pair
+    sets union + de-duplicate, then exact cosine re-ranks top-k.
+
+    Scale shape vs :func:`knn_self_join` (IVF-blocked): hashing is
+    O(N·ntables·nbits) and pair cost is Σ|bucket|² per table — with
+    occupancy held constant by raising ``nbits`` as N grows, total work
+    stays ~linear in N, where the √N-centroid IVF variant grows N^1.5
+    (its assignment scan is the N·√N term). Recall comes from the union
+    of ``ntables`` independent tables instead of one coarse quantizer —
+    neighbors sharing no bucket in any table are unseen; graded by the
+    ``knn_lsh_recall_eval`` row. Hot buckets (many near-identical
+    vectors) are the skew knob, split by AQE like any skewed equi-join.
+
+    Output: (vec_id, neighbor_id, cosine, rank ≤ k)."""
+    dvec = F.col(vec_col).cast("array<double>")
+    cands = None
+    for t in range(ntables):
+        planes = _hyperplanes(dim, nbits, salt=f"t{t}:")
+        tagged = vectors.select(
+            F.col(id_col), F.col(vec_col), signature_expr(dvec, planes).alias("_sig")
+        )
+        a = tagged.select(
+            F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "_sig"
+        )
+        b = tagged.select(
+            F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "_sig"
+        )
+        pairs = (
+            a.join(b, "_sig")
+            .filter(F.col("_ida") != F.col("_idb"))
+            .select("_ida", "_idb", "_va", "_vb")
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    # a pair found in several tables ranks once; duplicate rows carry the
+    # same vectors, so which copy survives is value-irrelevant
+    cands = cands.dropDuplicates(["_ida", "_idb"])
+    sim = F.round(
+        cosine_expr(
+            F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")
+        ),
+        6,
+    )
+    w = W.partitionBy("_ida").orderBy(F.desc("cosine"), F.col("_idb"))
+    return (
+        cands.select("_ida", "_idb", sim.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(

@@ -2111,6 +2111,164 @@ def knn_self_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_self_join(emb, cents, k=3).orderBy("vec_id", "rank")
 
 
+def _lsh_table_sig_sql(nbits: int, salt: str, dim: int = 64) -> str:
+    """One table's sign-LSH signature as explicit left-assoc SQL (same
+    fp evaluation order as Spark's aggregate fold)."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, nbits, salt=salt)
+    bit_terms = []
+    for b, plane in enumerate(planes):
+        dot = " + ".join(
+            f"(embedding[{d + 1}]::DOUBLE * {plane[d]!r})" for d in range(dim)
+        )
+        bit_terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(bit_terms)
+
+
+def _knn_lsh_pairs_sql(
+    nbits: int = 8, ntables: int = 2, source: str = "embeddings", pre: str = ""
+) -> str:
+    """CTE chain ending in ``lshpairs`` = the distinct candidate pairs of
+    the multi-table LSH self-join (over ``source``, which must expose
+    vec_id + embedding; ``pre`` prepends extra CTEs, e.g. an augmented
+    corpus)."""
+    sigs = []
+    for t in range(ntables):
+        sig = _lsh_table_sig_sql(nbits, salt=f"t{t}:")
+        sigs.append(
+            f"sig{t} AS (SELECT vec_id, CAST({sig} AS BIGINT) AS sig"
+            f" FROM {source})"
+        )
+    unions = "\n      UNION\n".join(
+        f"      SELECT a.vec_id, b.vec_id AS neighbor_id"
+        f" FROM sig{t} a JOIN sig{t} b"
+        f" ON a.sig = b.sig AND a.vec_id <> b.vec_id"
+        for t in range(ntables)
+    )
+    return (
+        "WITH "
+        + (pre + ",\n    " if pre else "")
+        + ",\n    ".join(sigs)
+        + f""",
+    lshpairs AS (
+{unions}
+    )"""
+    )
+
+
+def _knn_lsh_oracle(nbits: int = 8, ntables: int = 2, k: int = 3) -> str:
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return _knn_lsh_pairs_sql(nbits, ntables) + f""",
+    scored AS (
+      SELECT p.vec_id, p.neighbor_id,
+             {cos.format(a="va.embedding::DOUBLE[]", b="vb.embedding::DOUBLE[]")}
+               AS cosine
+      FROM lshpairs p
+        JOIN embeddings va ON va.vec_id = p.vec_id
+        JOIN embeddings vb ON vb.vec_id = p.neighbor_id
+    )
+    SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {k} ORDER BY vec_id, rank
+    """
+
+
+@_register("knn_self_join_lsh", _knn_lsh_oracle())
+def knn_self_join_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-corpus kNN self-join on the LINEAR scale path: multi-table
+    sign-LSH bucketing (table-salted deterministic hyperplanes) instead
+    of IVF lists. Hashing is O(N·ntables·nbits) and pair work is
+    within-bucket only, so with occupancy held constant by nbits the
+    total stays ~linear where the √N-centroid IVF variant grows N^1.5.
+    Recall graded by ``knn_lsh_recall_eval``."""
+    from ..operators.similarity import knn_self_join_lsh
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    return knn_self_join_lsh(emb, k=3, nbits=8, ntables=2).orderBy(
+        "vec_id", "rank"
+    )
+
+
+_LSH_TWIN_BASE = 1_000_000
+_LSH_TWIN_JITTER = (
+    "(1.0 + ((d * 7 + vec_id) % 5 - 2) / 50.0)"  # ±4% multiplicative
+)
+
+
+def _knn_lsh_recall_oracle(graded: int = 30) -> str:
+    aug = f"""aug AS (
+      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_LSH_TWIN_BASE},
+             list_transform(range(0, 64), d ->
+               embedding[d + 1]::DOUBLE * {_LSH_TWIN_JITTER})
+      FROM embeddings WHERE vec_id < {graded}
+    )"""
+    return _knn_lsh_pairs_sql(source="aug", pre=aug) + f"""
+    SELECT g.vec_id,
+           CAST(max(CASE WHEN p.neighbor_id = g.vec_id + {_LSH_TWIN_BASE}
+                         THEN 1 ELSE 0 END) AS INT) AS twin_found
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < {graded}) g
+      LEFT JOIN lshpairs p ON p.vec_id = g.vec_id
+    GROUP BY g.vec_id ORDER BY g.vec_id
+    """
+
+
+@_register("knn_lsh_recall_eval", _knn_lsh_recall_oracle())
+def knn_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-twin recall of the LSH self-join — the measurement that
+    prices the linear path's multi-table tradeoff on its ACTUAL use case
+    (near-duplicate mining): each graded vector gets a deterministic
+    ±4%-jittered twin appended to the corpus, and the row reports
+    whether the twin surfaced as a candidate pair. Multiplicative jitter
+    preserves hyperplane signs except at low margins, so measured recall
+    is ~1.0 at these settings (64-dim dots sit far from the hyperplanes)
+    — the eval exists so a settings change that breaks this shows up as
+    red rows, not silently. Generic top-3 recall on this corpus's
+    near-orthogonal vectors (max pairwise cosine 0.51) would grade the
+    geometry of the data, not the operator."""
+    from ..operators.similarity import knn_self_join_lsh
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    graded = emb.filter(F.col("vec_id") < 30)
+    vid = F.col("vec_id")
+    twins = graded.select(
+        (vid + _LSH_TWIN_BASE).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, d: x * (1.0 + ((d * 7 + vid) % 5 - 2) / 50.0),
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(twins)
+    pairs = knn_self_join_lsh(aug, k=3, nbits=8, ntables=2).select(
+        "vec_id", "neighbor_id"
+    )
+    hit = (
+        F.max(
+            F.when(
+                F.col("neighbor_id") == F.col("vec_id") + _LSH_TWIN_BASE, 1
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("twin_found")
+    )
+    return (
+        graded.select("vec_id")
+        .join(pairs, "vec_id", "left")
+        .groupBy("vec_id")
+        .agg(hit)
+        .orderBy("vec_id")
+    )
+
+
 def _mmr_oracle(qid: int = 0, pool: int = 20, k: int = 5, lam: float = 0.7) -> str:
     lt = round(lam * 10)  # lam in tenths -> exact integer scoring
     cos = (
