@@ -849,6 +849,19 @@ def knn_self_join(
     )
 
 
+def lsh_nbits_for(n: int, target_occupancy: int = 8, floor_bits: int = 8) -> int:
+    """Occupancy-constant signature width: 2^nbits buckets sized so the
+    expected bucket holds ~``target_occupancy`` vectors. This is THE knob
+    that keeps the within-bucket pair work linear as N grows — a fixed
+    width degrades to Σ|bucket|² ≈ N²/2^nbits (measured 51x wall at a 10x
+    corpus before this policy; ~6x after, SCALE_SMOKE.json)."""
+    import math
+
+    return max(
+        floor_bits, int(math.ceil(math.log2(max(n, 1) / target_occupancy)))
+    )
+
+
 def knn_self_join_lsh(
     vectors: DataFrame,
     k: int = 3,

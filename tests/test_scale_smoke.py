@@ -290,6 +290,38 @@ def test_knn_self_join_scales(spark, scaled_dirs):
     _smoke_query(spark, "knn_self_join", scaled_dirs, check_exchanges=True)
 
 
+def test_knn_self_join_lsh_scales(spark, scaled_dirs):
+    # the linear-scale path (multi-table sign-LSH) in its SCALE
+    # configuration: occupancy-constant signature width (lsh_nbits_for),
+    # the knob that bounds within-bucket pair work as N grows. At fixed
+    # nbits the same operator measured 51x at 10x (Σ|bucket|² = N²/2^nbits
+    # is quadratic) — which is exactly why the width must scale; the gate
+    # row pins correctness at a fixed width instead.
+    from ohsome_planet_spark.operators.similarity import (
+        knn_self_join_lsh,
+        lsh_nbits_for,
+    )
+    from ohsome_planet_spark.sources.testdata import load_table
+
+    def run(sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return knn_self_join_lsh(
+            emb, k=3, nbits=lsh_nbits_for(emb.count()), ntables=2
+        )
+
+    _assert_plan_scale_invariant(
+        spark, lambda s, d: run(d), (spark, scaled_dirs[1]),
+        (spark, scaled_dirs[10]),
+    )
+    t1, runs1 = _run_median(lambda: run(scaled_dirs[1]))
+    t10, runs10 = _run_median(lambda: run(scaled_dirs[10]))
+    ratio = t10 / max(t1, 0.05)
+    _record({"name": "knn_self_join_lsh", "wall_1x": round(t1, 2),
+             "wall_10x": round(t10, 2), "runs_1x": runs1, "runs_10x": runs10,
+             "n_runs": N_RUNS, "ratio": round(ratio, 2), "k": K})
+    assert ratio < 30.0, f"10x input cost {ratio:.1f}x wall — super-linear blowup"
+
+
 def test_bloom_decontamination_scales(spark, scaled_dirs):
     _smoke_query(spark, "bloom_decontamination", scaled_dirs, check_exchanges=True)
 
