@@ -22,6 +22,56 @@ import struct
 RIFF_MAGIC = b"RIFF"
 WAVE_MAGIC = b"WAVE"
 
+TAG_PCM = 1
+TAG_ALAW = 6
+TAG_ULAW = 7
+
+
+def ulaw_to_linear(b: int) -> int:
+    """ITU-T G.711 µ-law expansion: complemented byte → sign/exponent/
+    mantissa → 14-bit linear (±32124 at 16-bit scale)."""
+    b = ~b & 0xFF
+    sign = b & 0x80
+    exponent = (b >> 4) & 0x07
+    mantissa = b & 0x0F
+    sample = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return -sample if sign else sample
+
+
+def alaw_to_linear(b: int) -> int:
+    """ITU-T G.711 A-law expansion: 0x55-masked byte → sign/exponent/
+    mantissa → 13-bit linear (±32256 at 16-bit scale)."""
+    b ^= 0x55
+    sign = b & 0x80
+    exponent = (b >> 4) & 0x07
+    mantissa = b & 0x0F
+    if exponent == 0:
+        t = (mantissa << 4) + 8
+    else:
+        t = ((mantissa << 4) + 0x108) << (exponent - 1)
+    # A-law's sign bit is INVERTED relative to µ-law: set means positive
+    # (caught by the stdlib-audioop referee; see tests)
+    return t if sign else -t
+
+
+def encode_wav_g711(
+    channels: int, sample_rate: int, law: int, law_bytes: bytes
+) -> bytes:
+    """Fixture writer: raw G.711 wire bytes (interleaved channels) →
+    RIFF/WAVE with format tag 6 (A-law) or 7 (µ-law)."""
+    if law not in (TAG_ALAW, TAG_ULAW):
+        raise ValueError(f"not a G.711 format tag: {law}")
+    balign = channels
+    fmt = struct.pack(
+        "<HHIIHH", law, channels, sample_rate, sample_rate * balign, balign, 8
+    )
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(law_bytes)) + law_bytes
+    if len(law_bytes) & 1:
+        out += b"\x00"
+    return RIFF_MAGIC + struct.pack("<I", len(out)) + out
+
 
 class WavFormatError(ValueError):
     pass
@@ -58,19 +108,28 @@ def decode_wav_frames(payload: bytes) -> tuple[int, int, int, list[tuple[int, ..
             tag, channels, rate, _brate, _balign, bits = struct.unpack_from(
                 "<HHIIHH", buf, body_off
             )
-            if tag != 1:
-                raise WavFormatError(f"non-PCM format tag {tag}")
-            fmt = (channels, rate, bits)
+            if tag not in (TAG_PCM, TAG_ALAW, TAG_ULAW):
+                raise WavFormatError(f"unsupported format tag {tag}")
+            fmt = (tag, channels, rate, bits)
         elif cid == b"data":
             data = buf[body_off : body_off + csize]
         # chunks are word-aligned: odd sizes carry a pad byte
         off = body_off + csize + (csize & 1)
     if fmt is None or data is None:
         raise WavFormatError("missing fmt or data chunk")
-    channels, rate, bits = fmt
+    tag, channels, rate, bits = fmt
     if channels < 1 or rate < 1:
         raise WavFormatError("bad fmt values")
-    if bits == 8:
+    if tag in (TAG_ALAW, TAG_ULAW):
+        # G.711 companded telephony audio: 8-bit wire bytes expand to
+        # 13/14-bit linear PCM through the stateless segment/mantissa
+        # formulas — a REAL compressed codec, decoded exactly
+        if bits != 8:
+            raise WavFormatError("G.711 requires 8-bit wire samples")
+        expand = alaw_to_linear if tag == TAG_ALAW else ulaw_to_linear
+        samples = [expand(b) for b in data]
+        bits = 16  # decoded linear width
+    elif bits == 8:
         samples = list(data)
     elif bits == 16:
         if len(data) % 2:

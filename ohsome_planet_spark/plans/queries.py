@@ -4514,6 +4514,70 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_G711_BYTE = "(doc_id * 13 + f * 11) % 256"
+_G711_ULAW = f"""(
+  CASE WHEN (255 - ({_G711_BYTE})) >= 128 THEN -1 ELSE 1 END *
+  ((((255 - ({_G711_BYTE})) % 16) * 8 + 132)
+    * (1 << (((255 - ({_G711_BYTE})) // 16) % 8)) - 132)
+)"""
+_G711_ALAW = f"""(
+  CASE WHEN xor({_G711_BYTE}, 85) >= 128 THEN 1 ELSE -1 END *
+  (CASE WHEN ((xor({_G711_BYTE}, 85) // 16) % 8) = 0
+        THEN (xor({_G711_BYTE}, 85) % 16) * 16 + 8
+        ELSE ((xor({_G711_BYTE}, 85) % 16) * 16 + 264)
+               * (1 << (((xor({_G711_BYTE}, 85) // 16) % 8) - 1)) END)
+)"""
+
+
+@_register(
+    "multimodal_g711_decode",
+    f"""
+    SELECT doc_id,
+           CAST(1 AS INT) AS channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bits,
+           CAST(doc_id % 40 + 1 AS INT) AS n_frames,
+           CAST(list_sum(list_transform(range(0, doc_id % 40 + 1), f ->
+             CASE WHEN doc_id % 2 = 0 THEN {_G711_ULAW}
+                  ELSE {_G711_ALAW} END)) AS BIGINT) AS sample_sum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-telephony decode through the multimodal seam:
+    deterministic G.711 wire bytes wrap in RIFF/WAVE with format tag 7
+    (µ-law, even docs) or 6 (A-law, odd docs) and expand to linear PCM
+    through the stateless ITU segment/mantissa formulas inside the same
+    ``decode_audio`` kernel. The oracle replays both expansion formulas
+    byte-for-byte — a wrong complement mask, exponent shift or sign
+    convention on either law breaks the hash."""
+    from ..operators.multimodal import decode_audio
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wav import TAG_ALAW, TAG_ULAW, encode_wav_g711
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                law = TAG_ULAW if d % 2 == 0 else TAG_ALAW
+                raw = bytes((d * 13 + f * 11) % 256 for f in range(d % 40 + 1))
+                payloads.append(encode_wav_g711(1, 8000, law, raw))
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+    return (
+        decode_audio(media)
+        .select("doc_id", "channels", "sample_rate", "bits", "n_frames",
+                "sample_sum")
+        .orderBy("doc_id")
+    )
+
+
 _FLAC_SAMP = (
     "(doc_id * 31 + f * 17 + c * 11) % (CASE WHEN doc_id % 3 = 0 THEN 256 "
     "ELSE 65536 END) - (CASE WHEN doc_id % 3 = 0 THEN 128 ELSE 32768 END)"
