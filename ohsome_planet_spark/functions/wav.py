@@ -54,6 +54,90 @@ def alaw_to_linear(b: int) -> int:
     return t if sign else -t
 
 
+TAG_IMA_ADPCM = 0x11
+
+# IMA/DVI ADPCM tables (shared with stdlib audioop's Intel/DVI codec —
+# the independent referee in tests)
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def ima_adpcm_step(pred: int, idx: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: (predictor, step index) + 4-bit
+    nibble → (new predictor, new index). The standard table variant
+    (diff = step/8 + per-bit step fractions), identical to audioop's."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nibble & 7]))
+    return pred, idx
+
+
+def _decode_ima_blocks(data: bytes, block_align: int) -> list[int]:
+    """Mono WAV IMA-ADPCM data chunk → linear samples. Per block: 4-byte
+    header (int16 predictor — which IS the block's first sample — uint8
+    step index, reserved), then nibble bytes, LOW nibble first."""
+    if block_align < 5:
+        raise WavFormatError("IMA block align too small")
+    samples: list[int] = []
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        if len(block) < 4:
+            raise WavFormatError("truncated IMA block header")
+        (pred,) = struct.unpack_from("<h", block, 0)
+        idx = block[2]
+        if idx > 88:
+            raise WavFormatError(f"IMA step index {idx} out of range")
+        samples.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                pred, idx = ima_adpcm_step(pred, idx, nib)
+                samples.append(pred)
+    return samples
+
+
+def encode_wav_ima(
+    sample_rate: int, pred0: int, idx0: int, nibbles: list[int],
+) -> bytes:
+    """Fixture writer: one mono IMA-ADPCM block from explicit seed state
+    + 4-bit nibbles (even count) → RIFF/WAVE with format tag 0x11."""
+    if len(nibbles) % 2:
+        raise ValueError("nibble count must be even")
+    if not 0 <= idx0 <= 88:
+        raise ValueError("step index out of range")
+    body = bytearray(struct.pack("<hBB", pred0, idx0, 0))
+    for i in range(0, len(nibbles), 2):
+        body.append((nibbles[i] & 0xF) | ((nibbles[i + 1] & 0xF) << 4))
+    balign = len(body)
+    fmt = struct.pack(
+        "<HHIIHHH", TAG_IMA_ADPCM, 1, sample_rate, sample_rate, balign, 4,
+        # cbSize=2 extension would carry samples-per-block; we derive it
+        # from the block size instead, so store the count informationally
+        1 + len(nibbles),
+    )
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(body)) + bytes(body)
+    if len(body) & 1:
+        out += b"\x00"
+    return RIFF_MAGIC + struct.pack("<I", len(out)) + out
+
+
 def encode_wav_g711(
     channels: int, sample_rate: int, law: int, law_bytes: bytes
 ) -> bytes:
@@ -105,22 +189,32 @@ def decode_wav_frames(payload: bytes) -> tuple[int, int, int, list[tuple[int, ..
         if cid == b"fmt ":
             if csize < 16:
                 raise WavFormatError("fmt chunk too short")
-            tag, channels, rate, _brate, _balign, bits = struct.unpack_from(
+            tag, channels, rate, _brate, balign, bits = struct.unpack_from(
                 "<HHIIHH", buf, body_off
             )
-            if tag not in (TAG_PCM, TAG_ALAW, TAG_ULAW):
+            if tag not in (TAG_PCM, TAG_ALAW, TAG_ULAW, TAG_IMA_ADPCM):
                 raise WavFormatError(f"unsupported format tag {tag}")
-            fmt = (tag, channels, rate, bits)
+            fmt = (tag, channels, rate, bits, balign)
         elif cid == b"data":
             data = buf[body_off : body_off + csize]
         # chunks are word-aligned: odd sizes carry a pad byte
         off = body_off + csize + (csize & 1)
     if fmt is None or data is None:
         raise WavFormatError("missing fmt or data chunk")
-    tag, channels, rate, bits = fmt
+    tag, channels, rate, bits, balign = fmt
     if channels < 1 or rate < 1:
         raise WavFormatError("bad fmt values")
-    if tag in (TAG_ALAW, TAG_ULAW):
+    if tag == TAG_IMA_ADPCM:
+        # IMA/DVI ADPCM: a real lossy compressed codec decoded exactly
+        # (integer state machine). Mono only — the stereo nibble
+        # interleave is a documented gap, not a silent wrong answer.
+        if channels != 1:
+            raise WavFormatError("stereo IMA-ADPCM unsupported")
+        if bits != 4:
+            raise WavFormatError("IMA-ADPCM requires 4-bit wire samples")
+        samples = _decode_ima_blocks(data, balign)
+        bits = 16
+    elif tag in (TAG_ALAW, TAG_ULAW):
         # G.711 companded telephony audio: 8-bit wire bytes expand to
         # 13/14-bit linear PCM through the stateless segment/mantissa
         # formulas — a REAL compressed codec, decoded exactly

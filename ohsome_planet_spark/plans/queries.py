@@ -4578,6 +4578,92 @@ def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adpcm_oracle() -> str:
+    from ..functions.wav import _IMA_INDEX_TABLE, _IMA_STEP_TABLE
+
+    step_tbl = "[" + ", ".join(str(v) for v in _IMA_STEP_TABLE) + "]"
+    idx_tbl = "[" + ", ".join(str(v) for v in _IMA_INDEX_TABLE) + "]"
+    # the transition out of state f consumes nibble index f+1 - 0-based
+    nib = "((s.doc_id * 7 + (s.f + 1) * 5) % 16)"
+    step = f"({step_tbl}[s.idx + 1])"
+    diff = (
+        f"(({step} >> 3)"
+        f" + CASE WHEN {nib} & 4 <> 0 THEN {step} ELSE 0 END"
+        f" + CASE WHEN {nib} & 2 <> 0 THEN ({step} >> 1) ELSE 0 END"
+        f" + CASE WHEN {nib} & 1 <> 0 THEN ({step} >> 2) ELSE 0 END)"
+    )
+    pred2 = (
+        f"least(greatest(CASE WHEN {nib} & 8 <> 0"
+        f" THEN s.pred - {diff} ELSE s.pred + {diff} END, -32768), 32767)"
+    )
+    idx2 = f"least(greatest(s.idx + {idx_tbl}[({nib} % 8) + 1], 0), 88)"
+    return f"""
+    WITH RECURSIVE st AS (
+      SELECT doc_id,
+             CAST((doc_id % 5 + 1) * 8 AS INT) AS n,
+             -1 AS f,
+             CAST((doc_id * 31) % 200 - 100 AS INT) AS pred,
+             CAST((doc_id * 3) % 89 AS INT) AS idx,
+             CAST((doc_id * 31) % 200 - 100 AS BIGINT) AS total
+      FROM documents
+      UNION ALL
+      SELECT s.doc_id, s.n, s.f + 1,
+             CAST({pred2} AS INT),
+             CAST({idx2} AS INT),
+             s.total + {pred2}
+      FROM st s WHERE s.f + 1 < s.n
+    )
+    SELECT doc_id,
+           CAST(1 AS INT) AS channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bits,
+           CAST(n + 1 AS INT) AS n_frames,
+           CAST(total AS BIGINT) AS sample_sum
+    FROM st WHERE f = n - 1 ORDER BY doc_id
+    """
+
+
+@_register("multimodal_adpcm_decode", _adpcm_oracle())
+def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-compressed audio through the multimodal seam: IMA/DVI
+    ADPCM (WAV format tag 0x11) — deterministic 4-bit nibble streams
+    with per-doc seed (predictor, step index) decode through the exact
+    integer state machine (``functions/wav.py::ima_adpcm_step``, pinned
+    against stdlib audioop for every transition in tests). The oracle is
+    a RECURSIVE CTE replaying the state machine transition-for-
+    transition in DuckDB — the first sequential-state codec the gate
+    hashes end-to-end."""
+    from ..operators.multimodal import decode_audio
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wav import encode_wav_ima
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = (d % 5 + 1) * 8
+                nibs = [(d * 7 + f * 5) % 16 for f in range(n)]
+                payloads.append(
+                    encode_wav_ima(
+                        8000, (d * 31) % 200 - 100, (d * 3) % 89, nibs
+                    )
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+    return (
+        decode_audio(media)
+        .select("doc_id", "channels", "sample_rate", "bits", "n_frames",
+                "sample_sum")
+        .orderBy("doc_id")
+    )
+
+
 _FLAC_SAMP = (
     "(doc_id * 31 + f * 17 + c * 11) % (CASE WHEN doc_id % 3 = 0 THEN 256 "
     "ELSE 65536 END) - (CASE WHEN doc_id % 3 = 0 THEN 128 ELSE 32768 END)"

@@ -94,3 +94,77 @@ def test_g711_wav_seam(spark):
     assert out[1]["sample_sum"] == sum(ulaw_to_linear(b) for b in raw)
     assert out[2]["n_frames"] == len(raw) // 2  # stereo interleave
     assert out[2]["sample_sum"] == sum(alaw_to_linear(b) for b in raw)
+
+
+def test_ima_adpcm_step_matches_stdlib_audioop():
+    """Independent referee: every (nibble, step-index bucket) transition
+    of the IMA state machine must match stdlib audioop's Intel/DVI
+    decoder. audioop consumes HIGH nibble first; WAV is low-first — the
+    test packs accordingly."""
+    import struct
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from ohsome_planet_spark.functions.wav import ima_adpcm_step
+
+    for idx0 in range(0, 89, 7):
+        for pred0 in (-32768, -1234, 0, 77, 32767):
+            nibs = [(idx0 * 3 + pred0 + i * 5) % 16 for i in range(16)]
+            pred, idx = pred0, idx0
+            mine = []
+            for nb in nibs:
+                pred, idx = ima_adpcm_step(pred, idx, nb)
+                mine.append(pred)
+            packed = bytes(
+                (nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2)
+            )
+            out, state = audioop.adpcm2lin(packed, 2, (pred0, idx0))
+            ref = list(struct.unpack(f"<{len(nibs)}h", out))
+            assert mine == ref, (idx0, pred0)
+            assert state == (pred, idx)
+
+
+def test_ima_adpcm_wav_seam(spark):
+    import pandas as pd
+
+    from ohsome_planet_spark.functions.wav import (
+        encode_wav_ima,
+        ima_adpcm_step,
+    )
+    from ohsome_planet_spark.operators.multimodal import decode_audio
+
+    nibs = [(i * 11 + 2) % 16 for i in range(40)]
+    pred0, idx0 = 99, 33
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1],
+                      "media": [encode_wav_ima(16000, pred0, idx0, nibs)]}),
+        "media_id bigint, media binary",
+    )
+    row = decode_audio(df).collect()[0]
+    pred, idx = pred0, idx0
+    total = pred0
+    for nb in nibs:
+        pred, idx = ima_adpcm_step(pred, idx, nb)
+        total += pred
+    assert (row["channels"], row["sample_rate"], row["bits"]) == (1, 16000, 16)
+    assert row["n_frames"] == len(nibs) + 1
+    assert row["sample_sum"] == total
+
+
+def test_ima_adpcm_rejections():
+    import pytest as _pytest
+
+    from ohsome_planet_spark.functions.wav import (
+        WavFormatError,
+        decode_wav_frames,
+        encode_wav_ima,
+    )
+
+    good = encode_wav_ima(8000, 0, 0, [1, 2, 3, 4])
+    bad = bytearray(good)
+    bad[bad.index(b"data") + 4 + 4 + 2] = 89  # step index out of range
+    with _pytest.raises(WavFormatError, match="step index"):
+        decode_wav_frames(bytes(bad))
