@@ -1,19 +1,26 @@
 """Multimodal column operators for training-data pipelines.
 
 Images/audio/video travel as opaque ``binary`` columns with typed metadata
-structs. The Spark-side plumbing — schemas, Arrow batch shapes, partition
-behavior, UDF signatures — is real and tested; the actual media DECODE is
-stubbed behind deterministic fakes (the container has no image/audio
-libraries), each clearly marked with the real-implementation seam.
+structs; every kernel is a single Arrow-batched map pass (media bytes
+never shuffle, broadcast, or reach the driver). The decode surface is
+REAL where stdlib/numpy reach, stubbed only for perceptual codecs that
+need external libraries:
 
-Operators:
-- :func:`with_media_meta`    — cheap native metadata (size, magic-sniffed kind);
-- :func:`decode_stub`        — per-item "decode" producing deterministic fake
-                               dimensions (md5-derived) via ``mapInPandas``;
-- :func:`resize_plan`        — resize plumbing: computes target dims JVM-side,
-                               delegates pixel work to the stubbed kernel;
-- :func:`frame_sample_plan`  — video frame sampling: explodes deterministic
-                               frame indices (native), one row per frame.
+- :func:`decode_media`        — PNG / GIF / JPEG (baseline + progressive)
+                                pixel decode (``functions/png.py`` /
+                                ``gif.py`` / ``jpeg.py``);
+- :func:`resize_media`        — exact-integer nearest-neighbor downscale
+                                over the decoded pixels;
+- :func:`decode_audio`        — WAV PCM, G.711 µ-law/A-law, IMA ADPCM and
+                                FLAC (``functions/wav.py`` / ``flac.py``);
+- :func:`audio_features`      — integer-exact energy/zero-crossings/peak;
+- :func:`probe_video`         — ISO-BMFF and RIFF/AVI container metadata;
+- :func:`sample_video_frames` — every-Nth MJPEG frame decode (sampling
+                                BEFORE decode);
+- :func:`with_media_meta` / :func:`decode_stub` / :func:`resize_plan` /
+  :func:`frame_sample_plan`   — the metadata pass plus the documented
+                                deterministic-fake seam for formats with
+                                no native decoder (mp3/aac/h264/...).
 """
 
 from __future__ import annotations
@@ -74,9 +81,11 @@ def _decode_media_real(payload: bytes) -> tuple[int, int, int, int | None]:
             width, height, channels = decode_jpeg_header(payload)
             return width, height, channels, None
     raise NotImplementedError(
-        "only PNG and baseline-JPEG pixels decode natively; progressive "
-        "jpeg and audio/video require an external library not present in "
-        "this environment — decode_stub provides the deterministic fake"
+        "no native pixel decoder for this container (PNG/GIF/JPEG decode "
+        "natively; audio goes through decode_audio, video through "
+        "probe_video/sample_video_frames); other formats need an external "
+        "library not present in this environment — decode_stub provides "
+        "the deterministic fake"
     )
 
 
