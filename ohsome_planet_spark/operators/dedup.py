@@ -578,3 +578,102 @@ def span_duplication(
             ),
         )
     )
+
+
+def exact_substr_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022 §4.1): rewrite each document
+    with its cross-corpus duplicated spans cut out. ``span_duplication``
+    only *scores* the duplication; this operator produces the deduplicated
+    text itself — the other half of the reference pipeline.
+
+    Policy (documented divergence from the suffix-array tool): a
+    positional token ``n``-gram is duplicated when its hash occurs in at
+    least ``min_docs`` DISTINCT documents, and *every* occurrence is
+    removed (symmetric cut — no arbitrary canonical survivor). Overlapping
+    and adjacent duplicated spans merge into maximal token intervals
+    (gaps-and-islands), so a 40-token mirrored passage is cut once as one
+    range, exactly like the byte-range merging in the reference tool.
+    Removal happens in normalized-token space (lowercase, ``\\W+`` split),
+    the same space the duplication is detected in.
+
+    Output: (doc, n_tokens, n_removed, dedup_text), one row per input
+    document (documents with nothing removed pass through intact).
+
+    Scale: the heavy frame is (doc, pos, span_hash) at ~corpus-token rows;
+    it shuffles on the hash key (doc-frequency agg + semi-join back) and
+    then on doc (islands window + interval collect) — both keys are
+    high-cardinality and skew-free. The islands window partitions by doc,
+    so its state is bounded by one document's span count, never the
+    corpus. No all-pairs stage and no global sort: this is the linear
+    pipeline that replaces the suffix array at 100 TB, where a global
+    suffix sort is the bottleneck.
+    """
+    toks = tokens_expr(F.col(text_col))
+    docs = df.select(F.col(id_col).alias("doc"), toks.alias("_toks"))
+
+    idx = F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n))
+    )
+    spans = (
+        docs.select("doc", F.posexplode(grams).alias("pos", "span"))
+        .filter(F.size(F.split(F.col("span"), " ")) == n)
+        .select("doc", "pos", hash60_expr(F.col("span")).alias("_h"))
+    )
+    dup_hashes = (
+        spans.groupBy("_h")
+        .agg(F.count_distinct("doc").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    dup_spans = spans.join(dup_hashes, "_h").select("doc", "pos")
+
+    w_prev = (
+        W.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("doc").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = (
+        dup_spans.withColumn("_pe", F.max(F.col("pos") + n).over(w_prev))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_pe").isNull() | (F.col("pos") > F.col("_pe")), 1
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_run))
+        .groupBy("doc", "_isl")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + n).alias("e"),
+        )
+        .groupBy("doc")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("_ivs")
+        )
+    )
+
+    joined = docs.join(islands, "doc", "left").withColumn(
+        "_ivs", F.coalesce(F.col("_ivs"), F.array())
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_ivs"), lambda iv: (i >= iv["s"]) & (i < iv["e"])
+    )
+    kept = F.filter(F.col("_toks"), lambda t, i: ~covered(i))
+    return joined.select(
+        "doc",
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("dedup_text"),
+    )

@@ -1426,6 +1426,86 @@ def span_duplication_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_substr_oracle(n: int = 8, min_docs: int = 2) -> str:
+    h = hash60_sql("span")
+    return f"""
+    WITH docs AS (
+      SELECT doc_id AS doc,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc, i, {h} AS h FROM (
+        SELECT doc, i, array_to_string(toks[i : i + {n} - 1], ' ') AS span
+        FROM docs, UNNEST(range(1, greatest(len(toks) - {n} + 2, 1))) AS t(i)
+        WHERE len(toks) >= i + {n} - 1
+      )
+    ),
+    duph AS (
+      SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc) >= {min_docs}
+    ),
+    dupsp AS (SELECT doc, i FROM sp JOIN duph USING (h)),
+    isl0 AS (
+      SELECT doc, i,
+             max(i + {n}) OVER (PARTITION BY doc ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+      FROM dupsp
+    ),
+    isl1 AS (
+      SELECT doc, i,
+             CASE WHEN pe IS NULL OR i > pe THEN 1 ELSE 0 END AS ni
+      FROM isl0
+    ),
+    isl2 AS (
+      SELECT doc, i,
+             sum(ni) OVER (PARTITION BY doc ORDER BY i
+               ROWS UNBOUNDED PRECEDING) AS isl
+      FROM isl1
+    ),
+    iv AS (
+      SELECT doc, min(i) AS s, max(i) + {n} AS e
+      FROM isl2 GROUP BY doc, isl
+    ),
+    ivs AS (
+      SELECT doc, list(struct_pack(s := s, e := e) ORDER BY s) AS ivl
+      FROM iv GROUP BY doc
+    ),
+    fin AS (
+      SELECT d.doc, d.toks, coalesce(v.ivl, []) AS ivl
+      FROM docs d LEFT JOIN ivs v USING (doc)
+    )
+    SELECT doc,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(list_transform(kept, j -> toks[j]), ' '),
+                    '') AS dedup_text
+    FROM (
+      SELECT doc, toks,
+             list_filter(range(1, len(toks) + 1),
+               j -> len(list_filter(ivl,
+                      iv -> j >= iv.s AND j < iv.e)) = 0) AS kept
+      FROM fin
+    )
+    ORDER BY doc
+    """
+
+
+@_register("exact_substr_dedup", _exact_substr_oracle(n=8, min_docs=2))
+def exact_substr_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (Lee et al. 2022 §4.1): rewrite documents with
+    every cross-corpus duplicated 8-gram span cut out, overlapping spans
+    merged to maximal ranges (gaps-and-islands window). The removal half
+    of the pipeline whose scoring half is ``span_duplication`` — linear in
+    corpus tokens, no suffix-array global sort."""
+    from ..operators.dedup import exact_substr_dedup
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    return exact_substr_dedup(docs, "doc_id", "text", n=8, min_docs=2).orderBy(
+        "doc"
+    )
+
+
 def _contamination_oracle(n: int = 8, mod: int = 97, threshold: float = 0.05) -> str:
     sh = _SHINGLE_SQL.format(n=n)
     return f"""

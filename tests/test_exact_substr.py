@@ -1,0 +1,126 @@
+"""Independent referee for exact_substr_dedup (ExactSubstr removal,
+Lee et al. 2022 §4.1): a from-scratch pure-Python implementation of the
+same policy — positional n-gram spans duplicated across >= min_docs
+distinct documents, every occurrence removed, overlapping/adjacent spans
+merged to maximal intervals — compared row-for-row with the Spark
+operator on hand-built and randomized corpora. The referee shares no
+code with the operator (no tokens_expr/hash60: it uses re + dict
+counting), closing the co-authored-oracle gap for this operator.
+"""
+
+from __future__ import annotations
+
+import re
+import random
+
+import pytest
+
+from ohsome_planet_spark.operators.dedup import exact_substr_dedup
+
+
+def _ref_exact_substr(docs: dict[int, str], n: int, min_docs: int):
+    toks = {
+        d: [t for t in re.split(r"\W+", text.lower()) if t]
+        for d, text in docs.items()
+    }
+    span_docs: dict[tuple, set] = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            span_docs.setdefault(tuple(ts[i : i + n]), set()).add(d)
+    out = {}
+    for d, ts in toks.items():
+        starts = [
+            i
+            for i in range(len(ts) - n + 1)
+            if len(span_docs[tuple(ts[i : i + n])]) >= min_docs
+        ]
+        covered = set()
+        for i in starts:
+            covered.update(range(i, i + n))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        out[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+def _run_operator(spark, docs: dict[int, str], n: int, min_docs: int):
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    rows = exact_substr_dedup(df, "doc_id", "text", n=n, min_docs=min_docs).collect()
+    return {r.doc: (r.n_tokens, r.n_removed, r.dedup_text) for r in rows}
+
+
+def _check(spark, docs, n=4, min_docs=2):
+    got = _run_operator(spark, docs, n, min_docs)
+    want = _ref_exact_substr(docs, n, min_docs)
+    assert got == want
+
+
+def test_planted_shared_passage(spark):
+    boiler = "alpha beta gamma delta epsilon zeta"
+    docs = {
+        1: f"one two three {boiler} four five six",
+        2: f"seven eight {boiler} nine ten eleven twelve",
+        3: "completely unrelated words here nothing shared at all",
+    }
+    got = _run_operator(spark, docs, 4, 2)
+    want = _ref_exact_substr(docs, 4, 2)
+    assert got == want
+    # the shared 6-token passage is cut from both carriers as ONE island
+    assert got[1][1] == 6 and got[2][1] == 6
+    assert "alpha" not in got[1][2] and "zeta" not in got[2][2]
+    assert got[3][1] == 0
+
+
+def test_overlapping_islands_merge(spark):
+    # two duplicated 4-gram families overlapping by 2 tokens in doc 1:
+    # removal must be the union range, not double-counted
+    docs = {
+        1: "p q a b c d e f r s",
+        2: "x a b c d y",
+        3: "z c d e f w",
+    }
+    _check(spark, docs, n=4, min_docs=2)
+
+
+def test_adjacent_spans_single_island(spark):
+    shared = "a b c d e f g h"  # every 4-gram inside is shared
+    docs = {1: f"left {shared} right", 2: shared}
+    got = _run_operator(spark, docs, 4, 2)
+    assert got[1] == _ref_exact_substr(docs, 4, 2)[1]
+    assert got[1][1] == 8  # one maximal island, full shared run
+    assert got[1][2] == "left right"
+
+
+def test_full_removal_and_short_docs(spark):
+    docs = {
+        1: "a b c d",  # exactly n tokens, fully duplicated
+        2: "a b c d",
+        3: "x y",  # shorter than n: no spans, untouched
+        4: "",  # empty
+    }
+    got = _run_operator(spark, docs, 4, 2)
+    want = _ref_exact_substr(docs, 4, 2)
+    assert got == want
+    assert got[1] == (4, 4, "")
+    assert got[3] == (2, 0, "x y")
+    assert got[4] == (0, 0, "")
+
+
+def test_within_doc_repeat_not_cut(spark):
+    # policy: duplication is cross-document (min_docs distinct docs);
+    # a span repeated twice WITHIN one doc only does not trigger removal
+    docs = {1: "a b c d x a b c d", 2: "totally different words here now"}
+    got = _run_operator(spark, docs, 4, 2)
+    assert got[1][1] == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_randomized_vs_referee(spark, seed):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        for d in range(20)
+    }
+    _check(spark, docs, n=3, min_docs=2)
