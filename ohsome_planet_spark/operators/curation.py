@@ -218,3 +218,58 @@ def train_logreg(
         ).alias("acc")
     ).collect()[0]["acc"]
     return w, acc
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 5,
+    require_terminal_punct: bool = True,
+    min_kept_lines: int = 3,
+    doc_drop_markers: tuple[str, ...] = ("lorem ipsum", "{"),
+    line_drop_markers: tuple[str, ...] = ("javascript",),
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2): rewrite
+    each document keeping only lines that (a) end in terminal punctuation
+    (``. ! ? "``) when ``require_terminal_punct``, (b) have at least
+    ``min_words_per_line`` whitespace words, and (c) contain none of the
+    ``line_drop_markers`` (case-insensitive); then drop whole documents
+    that contain any ``doc_drop_markers`` or retain fewer than
+    ``min_kept_lines`` lines. This is the line-granular rewrite sibling of
+    ``exact_substr_dedup``'s span-granular one — together they cover C4's
+    two text-mutating stages (its third, span dedup, IS exact_substr).
+
+    Output: (doc, n_lines, n_kept_lines, kept_text, keep_doc) — one row
+    per input document, ``kept_text`` the newline-joined surviving lines.
+
+    Scale: a pure narrow map — split/filter/join on native Column
+    expressions, zero shuffles, zero UDFs; at 100 TB this pipelines inside
+    the scan stage with full whole-stage codegen.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _line_pred(l):  # noqa: E741
+        p = (
+            F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != ""))
+            >= min_words_per_line
+        )
+        if require_terminal_punct:
+            p = p & F.trim(l).rlike(r'[.!?"]$')
+        for m in line_drop_markers:
+            p = p & ~F.contains(F.lower(l), F.lit(m))
+        return p
+
+    kept = F.filter(lines, _line_pred)
+    low = F.lower(F.col(text_col))
+    doc_ok = F.lit(True)
+    for m in doc_drop_markers:
+        doc_ok = doc_ok & ~F.contains(low, F.lit(m))
+    doc_ok = doc_ok & (F.size(kept) >= min_kept_lines)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        F.concat_ws("\n", kept).alias("kept_text"),
+        doc_ok.alias("keep_doc"),
+    )

@@ -1506,6 +1506,52 @@ def exact_substr_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_C4_ORACLE = """
+WITH base AS (
+  SELECT doc_id AS doc, text, string_split(text, chr(10)) AS lines
+  FROM documents
+),
+k AS (
+  SELECT doc, text, lines,
+         list_filter(lines, l ->
+           len(list_filter(string_split_regex(trim(l), '\\s+'),
+                           w -> w <> '')) >= 30
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM base
+)
+SELECT doc,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
+       (NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(lower(text), '{')
+        AND len(kept) >= 1) AS keep_doc
+FROM k ORDER BY doc
+"""
+
+
+@_register("c4_line_filter", _C4_ORACLE)
+def c4_line_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): per-line
+    word-count/marker rules rewrite the document, doc-level markers and a
+    kept-line floor decide keep_doc. The corpus is single-line, so the
+    gate exercises the doc-level split (terminal-punct rule off,
+    30-word floor); the line-granular semantics are refereed by
+    tests/test_c4_filter.py on multi-line fixtures. Pure narrow map —
+    zero shuffles, full codegen."""
+    from ..operators.curation import c4_line_filter
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    return c4_line_filter(
+        docs,
+        "doc_id",
+        "text",
+        min_words_per_line=30,
+        require_terminal_punct=False,
+        min_kept_lines=1,
+    ).orderBy("doc")
+
+
 def _contamination_oracle(n: int = 8, mod: int = 97, threshold: float = 0.05) -> str:
     sh = _SHINGLE_SQL.format(n=n)
     return f"""
