@@ -7,8 +7,9 @@ REAL where stdlib/numpy reach, stubbed only for perceptual codecs that
 need external libraries:
 
 - :func:`decode_media`        — PNG / GIF / JPEG (baseline + progressive)
-                                pixel decode (``functions/png.py`` /
-                                ``gif.py`` / ``jpeg.py``);
+                                / baseline TIFF pixel decode
+                                (``functions/png.py`` / ``gif.py`` /
+                                ``jpeg.py`` / ``tiff.py``);
 - :func:`resize_media`        — exact-integer nearest-neighbor downscale
                                 over the decoded pixels;
 - :func:`decode_audio`        — WAV PCM, G.711 µ-law/A-law, IMA ADPCM and
@@ -52,9 +53,11 @@ def _decode_media_real(payload: bytes) -> tuple[int, int, int, int | None]:
     the dominant training-data image format in both its wire forms.
     Arithmetic/lossless JPEG (and metadata-only streams) fall back to the
     real SOFn header walk (genuine dims, null pixel_sum). GIF (87a/89a,
-    LZW + interlace, ``functions/gif.py``) decodes for real too. Other
-    containers raise NotImplementedError and callers fall back to the
-    stub."""
+    LZW + interlace, ``functions/gif.py``) and baseline TIFF (strips,
+    PackBits/LZW with early change + predictor, gray/RGB/palette/
+    WhiteIsZero, both byte orders, ``functions/tiff.py``) decode for real
+    too. Other containers raise NotImplementedError and callers fall back
+    to the stub."""
     from ..functions.gif import GIF_MAGICS, decode_gif
     from ..functions.jpeg import (
         JPEG_SOI,
@@ -63,6 +66,7 @@ def _decode_media_real(payload: bytes) -> tuple[int, int, int, int | None]:
         decode_jpeg_header,
     )
     from ..functions.png import PNG_SIGNATURE, decode_png
+    from ..functions.tiff import TIFF_MAGICS, decode_tiff
 
     payload = bytes(payload)
     if payload[:8] == PNG_SIGNATURE:
@@ -70,6 +74,9 @@ def _decode_media_real(payload: bytes) -> tuple[int, int, int, int | None]:
         return width, height, channels, sum(sum(r) for r in rows)
     if payload[:6] in GIF_MAGICS:
         width, height, channels, rows = decode_gif(payload)
+        return width, height, channels, sum(sum(r) for r in rows)
+    if payload[:4] in TIFF_MAGICS:
+        width, height, channels, rows = decode_tiff(payload)
         return width, height, channels, sum(sum(r) for r in rows)
     if payload[:2] == JPEG_SOI:
         try:
@@ -81,7 +88,8 @@ def _decode_media_real(payload: bytes) -> tuple[int, int, int, int | None]:
             width, height, channels = decode_jpeg_header(payload)
             return width, height, channels, None
     raise NotImplementedError(
-        "no native pixel decoder for this container (PNG/GIF/JPEG decode "
+        "no native pixel decoder for this container (PNG/GIF/JPEG/TIFF "
+        "decode "
         "natively; audio goes through decode_audio, video through "
         "probe_video/sample_video_frames); other formats need an external "
         "library not present in this environment — decode_stub provides "
@@ -96,6 +104,10 @@ def magic_kind_expr(media: Column) -> Column:
         F.when(head.startswith("89504E47"), F.lit("png"))
         .when(head.startswith("FFD8"), F.lit("jpeg"))
         .when(head.startswith("47494638"), F.lit("gif"))
+        .when(
+            head.startswith("49492A00") | head.startswith("4D4D002A"),
+            F.lit("tiff"),
+        )
         .when(
             head.startswith("52494646")
             & (F.hex(F.substring(media, 9, 4)) == F.lit("57415645")),  # WAVE
@@ -361,11 +373,13 @@ def probe_video(df: DataFrame, media_col: str = "media") -> DataFrame:
 
 def _decode_media_rows(payload: bytes) -> tuple[int, int, int, list]:
     """(width, height, channels, pixel rows) for the formats whose pixel
-    decode is real (PNG / GIF / baseline+progressive JPEG); raises on
+    decode is real (PNG / GIF / baseline+progressive JPEG / baseline
+    TIFF); raises on
     anything else — the same seam contract as ``_decode_media_real``."""
     from ..functions.gif import GIF_MAGICS, decode_gif
     from ..functions.jpeg import JPEG_SOI, decode_jpeg
     from ..functions.png import PNG_SIGNATURE, decode_png
+    from ..functions.tiff import TIFF_MAGICS, decode_tiff
 
     payload = bytes(payload)
     if payload[:8] == PNG_SIGNATURE:
@@ -374,6 +388,8 @@ def _decode_media_rows(payload: bytes) -> tuple[int, int, int, list]:
         return decode_gif(payload)
     if payload[:2] == JPEG_SOI:
         return decode_jpeg(payload)
+    if payload[:4] in TIFF_MAGICS:
+        return decode_tiff(payload)
     raise NotImplementedError("no native pixel decoder for this container")
 
 
@@ -384,7 +400,7 @@ def resize_media(
     max_side_col: str | None = None,
 ) -> DataFrame:
     """REAL image resize through the multimodal seam: decode (PNG/GIF/
-    JPEG), then nearest-neighbor downscale to fit ``max_side`` (never
+    JPEG/TIFF), then nearest-neighbor downscale to fit ``max_side`` (never
     upscale) with the floor source mapping ``sx = (x_t * w) // tw`` —
     exact integer arithmetic, so the kernel is bit-deterministic and
     oracle-replayable. Emits genuine ``width/height/target_width/

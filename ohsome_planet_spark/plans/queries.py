@@ -4577,6 +4577,145 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TIFF_PIXSUM = """
+CASE doc_id % 4
+  WHEN 0 THEN (doc_id*41 + x*7 + y*13) % 256
+  WHEN 1 THEN ((doc_id*41 + x*7 + y*13) % 256)
+            + ((doc_id*41 + x*7 + y*13 + 19) % 256)
+            + ((doc_id*41 + x*7 + y*13 + 38) % 256)
+  WHEN 2 THEN 255 - ((doc_id*41 + x*7 + y*13) % 256)
+  ELSE (((doc_id*41 + x*7 + y*13) % 16) * 37) % 256
+     + (((doc_id*41 + x*7 + y*13) % 16) * 59) % 256
+     + (((doc_id*41 + x*7 + y*13) % 16) * 83) % 256
+END
+"""
+
+
+@_register(
+    "multimodal_tiff_decode",
+    f"""
+    SELECT doc_id,
+           CAST(doc_id % 13 + 1 AS INT) AS width,
+           CAST(doc_id % 9 + 1 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 3 ELSE 1 END AS INT)
+             AS channels,
+           CAST(list_sum(flatten(list_transform(range(0, doc_id % 9 + 1),
+             y -> list_transform(range(0, doc_id % 13 + 1),
+               x -> {_TIFF_PIXSUM})))) AS BIGINT) AS pixel_sum,
+           CAST(list_sum(flatten(list_transform(range(0, doc_id % 9 + 1),
+             y -> list_transform(range(0, doc_id % 13 + 1),
+               x -> (y * (doc_id % 13 + 1) + x + 1) * ({_TIFF_PIXSUM})))))
+             AS BIGINT) AS weighted_sum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode through the multimodal seam
+    (``functions/tiff.py``): deterministic pixel grids are written as
+    genuine TIFF bytes rotating through the format surface — photometric
+    gray/RGB/WhiteIsZero/palette by doc%4, compression none/PackBits/LZW
+    by doc%3 (LZW with horizontal-differencing predictor on even docs),
+    byte order II/MM by doc%2, multi-strip layout by doc%3 — and decoded
+    back. TIFF is lossless, so the oracle replays the pixel function
+    arithmetically; the position-WEIGHTED sum is order-sensitive, so a
+    wrong strip order, predictor direction, or palette fold breaks the
+    hash even when the plain sum survives."""
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.tiff import encode_tiff
+
+        pal = (
+            [((i * 37) % 256) << 8 for i in range(256)]
+            + [((i * 59) % 256) << 8 for i in range(256)]
+            + [((i * 83) % 256) << 8 for i in range(256)]
+        )
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 13 + 1, d % 9 + 1
+                mode = d % 4
+                comp = (1, 32773, 5)[d % 3]
+                pred = 2 if (comp == 5 and d % 2 == 0 and mode != 3) else 1
+                if mode == 0:
+                    photo, ch = 1, 1
+                    val = lambda x, y, c: (d * 41 + x * 7 + y * 13) % 256  # noqa: E731
+                elif mode == 1:
+                    photo, ch = 2, 3
+                    val = lambda x, y, c: (d * 41 + x * 7 + y * 13 + 19 * c) % 256  # noqa: E731
+                elif mode == 2:
+                    photo, ch = 0, 1
+                    # stored sample v; WhiteIsZero decode yields 255 - v,
+                    # which is what the oracle replays
+                    val = lambda x, y, c: (d * 41 + x * 7 + y * 13) % 256  # noqa: E731
+                else:
+                    photo, ch = 3, 1
+                    val = lambda x, y, c: (d * 41 + x * 7 + y * 13) % 16  # noqa: E731
+                rows = [
+                    bytes(
+                        val(x, y, c)
+                        for x in range(w)
+                        for c in range(ch)
+                    )
+                    for y in range(h)
+                ]
+                payloads.append(
+                    encode_tiff(
+                        w, h, rows,
+                        channels=ch, compression=comp,
+                        big_endian=d % 2 == 1,
+                        rows_per_strip=d % 3 + 1,
+                        predictor=pred, photometric=photo,
+                        colormap=pal if mode == 3 else None,
+                    )
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.tiff import decode_tiff
+
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("width", "height", "channels", "pixel_sum",
+                     "weighted_sum")}
+            for payload in pdf["media"]:
+                w, h, c, rows = decode_tiff(bytes(payload))
+                ps = 0
+                ws = 0
+                for y, row in enumerate(rows):
+                    for x in range(w):
+                        s = sum(row[c * x + i] for i in range(c))
+                        ps += s
+                        ws += (y * w + x + 1) * s
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["channels"].append(c)
+                cols["pixel_sum"].append(ps)
+                cols["weighted_sum"].append(ws)
+            out = pdf.copy()
+            for k in ("width", "height", "channels"):
+                out[k] = pd.array(cols[k], dtype="Int32")
+            for k in ("pixel_sum", "weighted_sum"):
+                out[k] = pd.array(cols[k], dtype="Int64")
+            yield out
+
+    return (
+        media.mapInPandas(
+            decode,
+            "doc_id bigint, media binary, width int, height int,"
+            " channels int, pixel_sum bigint, weighted_sum bigint",
+        )
+        .select("doc_id", "width", "height", "channels", "pixel_sum",
+                "weighted_sum")
+        .orderBy("doc_id")
+    )
+
+
 @_register(
     "multimodal_wav_decode",
     """
