@@ -1,0 +1,219 @@
+"""MPEG audio (MP3) frame walk in pure stdlib Python — container-level
+probe for the multimodal seam, the audio sibling of the ISO-BMFF/AVI
+probes: genuine sync-word frame headers are parsed and walked
+frame-by-frame (no guessing from file size), ID3v2 prefixes are skipped
+by their syncsafe length, and a Xing/Info VBR header in the first frame
+is read from its channel-mode-dependent offset.
+
+Scope: MPEG-1/2/2.5, Layers I/II/III, all standard bitrate and
+sample-rate table entries, padding bit, mono/stereo modes. Payload
+SAMPLES are not decoded — MP3's hybrid filterbank needs huffman tables +
+IMDCT + polyphase synthesis; the frame geometry, timing, and VBR
+bookkeeping here are the real wire-format arithmetic (the same tables a
+full decoder starts from). This is honestly a PROBE, like probe_mp4.
+
+All tables below are the published ISO/IEC 11172-3 / 13818-3 values.
+"""
+
+from __future__ import annotations
+
+import struct
+
+MP3_SYNC = 0xFFE0  # 11 set bits
+
+# bitrate_kbps[version_group][layer][index]; version_group 0 = MPEG1,
+# 1 = MPEG2/2.5; layer index 0 = Layer I, 1 = II, 2 = III; index 0 = free
+_BITRATES = {
+    (0, 0): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (0, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (0, 2): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (1, 0): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (1, 1): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (1, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+# sample rates by version bits (00=MPEG2.5, 10=MPEG2, 11=MPEG1)
+_RATES = {
+    3: (44100, 48000, 32000),  # MPEG1
+    2: (22050, 24000, 16000),  # MPEG2
+    0: (11025, 12000, 8000),  # MPEG2.5
+}
+
+_VERSION_NAME = {3: "1", 2: "2", 0: "2.5"}
+
+
+class Mp3FormatError(ValueError):
+    pass
+
+
+def _syncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _parse_header(h: int):
+    """32-bit big-endian frame header → (version_bits, layer_idx,
+    bitrate_kbps, sample_rate, padding, channels, frame_bytes,
+    samples_per_frame)."""
+    if (h >> 21) & 0x7FF != 0x7FF:
+        raise Mp3FormatError("lost sync")
+    version = (h >> 19) & 3  # 0=2.5, 1=reserved, 2=2, 3=1
+    layer_code = (h >> 17) & 3  # 3=I, 2=II, 1=III, 0=reserved
+    if version == 1 or layer_code == 0:
+        raise Mp3FormatError("reserved version/layer")
+    layer = 3 - layer_code  # 0=I, 1=II, 2=III
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        raise Mp3FormatError("free/bad bitrate or bad sample rate")
+    padding = (h >> 9) & 1
+    mode = (h >> 6) & 3  # 3 = mono
+    vgroup = 0 if version == 3 else 1
+    bitrate = _BITRATES[(vgroup, layer)][br_idx] * 1000
+    rate = _RATES[version][sr_idx]
+    if layer == 0:  # Layer I: slots of 4 bytes
+        frame_bytes = (12 * bitrate // rate + padding) * 4
+        spf = 384
+    elif layer == 1 or vgroup == 0:  # Layer II, or MPEG1 Layer III
+        frame_bytes = 144 * bitrate // rate + padding
+        spf = 1152
+    else:  # MPEG2/2.5 Layer III: 576-sample granule
+        frame_bytes = 72 * bitrate // rate + padding
+        spf = 576
+    channels = 1 if mode == 3 else 2
+    return version, layer, bitrate, rate, padding, channels, frame_bytes, spf
+
+
+def _xing_offset(version: int, channels: int) -> int:
+    # 4 header bytes + Layer III side-info length
+    if version == 3:  # MPEG1
+        return 4 + (17 if channels == 1 else 32)
+    return 4 + (9 if channels == 1 else 17)
+
+
+def probe_mp3(payload: bytes):
+    """Walk every frame → dict(version, layer, sample_rate, channels,
+    n_frames, total_frame_bytes, duration_us, bitrate_kbps, is_vbr,
+    xing_frames). ``duration_us`` is exact integer arithmetic
+    (sum of per-frame ``spf * 1_000_000 // rate``); ``bitrate_kbps`` is
+    the header value when constant across frames, else the byte-weighted
+    integer average. ``xing_frames`` is the frame count claimed by a
+    Xing/Info header when present (None otherwise)."""
+    buf = bytes(payload)
+    pos = 0
+    if buf[:3] == b"ID3":
+        if len(buf) < 10:
+            raise Mp3FormatError("truncated ID3v2 header")
+        pos = 10 + _syncsafe(buf[6:10])
+    first = None
+    n_frames = 0
+    total_bytes = 0
+    duration_us = 0
+    bitrates = set()
+    xing_frames = None
+    while pos + 4 <= len(buf):
+        (h,) = struct.unpack_from(">I", buf, pos)
+        version, layer, bitrate, rate, _pad, channels, fb, spf = _parse_header(h)
+        if first is None:
+            first = (version, layer, rate, channels)
+            xo = _xing_offset(version, channels)
+            tag = buf[pos + xo : pos + xo + 4]
+            if tag in (b"Xing", b"Info"):
+                flags = struct.unpack_from(">I", buf, pos + xo + 4)[0]
+                if flags & 1:
+                    xing_frames = struct.unpack_from(
+                        ">I", buf, pos + xo + 8
+                    )[0]
+        elif (version, layer, rate, channels) != first:
+            raise Mp3FormatError("stream parameters change mid-file")
+        if pos + fb > len(buf):
+            raise Mp3FormatError("truncated final frame")
+        n_frames += 1
+        total_bytes += fb
+        duration_us += spf * 1_000_000 // rate
+        bitrates.add(bitrate)
+        pos += fb
+    if first is None:
+        raise Mp3FormatError("no MPEG audio frames")
+    version, layer, rate, channels = first
+    if len(bitrates) == 1:
+        kbps = next(iter(bitrates)) // 1000
+        is_vbr = xing_frames is not None
+    else:
+        # byte-weighted average over the walked frames, integer math
+        kbps = total_bytes * 8 * rate // (
+            n_frames * (384 if layer == 0 else 1152 if layer == 1 or version == 3 else 576)
+        ) // 1000
+        is_vbr = True
+    return {
+        "version": _VERSION_NAME[version],
+        "layer": layer + 1,
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "total_frame_bytes": total_bytes,
+        "duration_us": duration_us,
+        "bitrate_kbps": kbps,
+        "is_vbr": is_vbr,
+        "xing_frames": xing_frames,
+    }
+
+
+# --- fixture encoder ----------------------------------------------------------
+
+
+def encode_mp3(
+    version: int,
+    layer: int,
+    bitrate_indices: list[int],
+    sr_idx: int,
+    channels: int = 2,
+    padding_pattern: int = 0,
+    id3_bytes: int = 0,
+    xing: bool = False,
+) -> bytes:
+    """Emit genuine MPEG-audio frame sequences (fixture encoder): real
+    sync headers with the requested version (3=MPEG1, 2=MPEG2, 0=2.5),
+    layer (0/1/2 for I/II/III), per-frame bitrate indices, optional
+    ID3v2 prefix and first-frame Xing header; payloads are zero-filled
+    (the probe never reads them)."""
+    out = bytearray()
+    if id3_bytes:
+        body = bytes(id3_bytes)
+        out += b"ID3\x04\x00\x00" + bytes(
+            (
+                (id3_bytes >> 21) & 0x7F,
+                (id3_bytes >> 14) & 0x7F,
+                (id3_bytes >> 7) & 0x7F,
+                id3_bytes & 0x7F,
+            )
+        )
+        out += body
+    vgroup = 0 if version == 3 else 1
+    mode = 3 if channels == 1 else 0
+    for k, br_idx in enumerate(bitrate_indices):
+        pad = (padding_pattern >> (k % 8)) & 1
+        h = (
+            (0x7FF << 21)
+            | (version << 19)
+            | ((3 - layer) << 17)
+            | (1 << 16)  # no CRC
+            | (br_idx << 12)
+            | (sr_idx << 10)
+            | (pad << 9)
+            | (mode << 6)
+        )
+        bitrate = _BITRATES[(vgroup, layer)][br_idx] * 1000
+        rate = _RATES[version][sr_idx]
+        if layer == 0:
+            fb = (12 * bitrate // rate + pad) * 4
+        elif layer == 1 or vgroup == 0:
+            fb = 144 * bitrate // rate + pad
+        else:
+            fb = 72 * bitrate // rate + pad
+        frame = bytearray(struct.pack(">I", h)) + bytes(fb - 4)
+        if xing and k == 0:
+            xo = _xing_offset(version, channels)
+            frame[xo : xo + 4] = b"Xing"
+            struct.pack_into(">II", frame, xo + 4, 0x1, len(bitrate_indices))
+        out += frame
+    return bytes(out)

@@ -118,6 +118,12 @@ def magic_kind_expr(media: Column) -> Column:
             F.hex(F.substring(media, 5, 4)) == F.lit("66747970"),  # ftyp
             F.lit("mp4"),
         )
+        .when(
+            head.startswith("494433")  # ID3v2 prefix
+            | head.startswith("FFF")  # MPEG sync, MPEG1/2
+            | head.startswith("FFE"),  # MPEG sync, MPEG2.5
+            F.lit("mp3"),
+        )
         .otherwise(F.lit("unknown"))
     )
 
@@ -328,6 +334,46 @@ def audio_features(
         "peak_abs bigint"
     )
     return df.mapInPandas(feats, schema)
+
+
+def probe_audio_stream(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL MPEG-audio (MP3) probe via ``mapInPandas``: frame-by-frame
+    sync walk (``functions/mp3.py``) — version/layer/bitrate tables,
+    ID3v2 skip, first-frame Xing/Info VBR header — emitting
+    ``sample_rate/channels/n_frames/duration_us/bitrate_kbps/is_vbr``.
+    The audio sibling of :func:`probe_video`: the metadata pass that runs
+    before any decode spend; undecodable payloads null out."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from ..functions.mp3 import Mp3FormatError, probe_mp3
+
+        cols = ("sample_rate", "channels", "n_frames", "duration_us",
+                "bitrate_kbps", "is_vbr")
+        for pdf in batches:
+            acc = {k: [] for k in cols}
+            for payload in pdf[media_col]:
+                try:
+                    r = probe_mp3(bytes(payload))
+                except (Mp3FormatError, ValueError, TypeError, struct.error,
+                        IndexError):
+                    r = None
+                for k in cols:
+                    acc[k].append(r[k] if r is not None else None)
+            out = pdf.copy()
+            for k in ("sample_rate", "channels", "n_frames", "bitrate_kbps"):
+                out[k] = pd.array(acc[k], dtype="Int32")
+            out["duration_us"] = pd.array(acc["duration_us"], dtype="Int64")
+            out["is_vbr"] = pd.array(acc["is_vbr"], dtype="boolean")
+            yield out
+
+    schema = (
+        df.schema.simpleString()[7:-1]
+        + ",sample_rate int,channels int,n_frames int,duration_us bigint,"
+        "bitrate_kbps int,is_vbr boolean"
+    )
+    return df.mapInPandas(probe, schema)
 
 
 def probe_video(df: DataFrame, media_col: str = "media") -> DataFrame:

@@ -5184,6 +5184,127 @@ def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MP3_ORACLE = """
+WITH cfg AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0 END AS version,
+    (doc_id // 3) % 3 AS layer,
+    doc_id % 3 AS sr_idx,
+    CAST(1 + doc_id % 2 AS INT) AS channels,
+    CAST(doc_id % 25 + 1 AS INT) AS nf,
+    doc_id % 256 AS padpat,
+    doc_id % 4 = 0 AS vary
+  FROM documents
+),
+t AS (
+  SELECT *,
+    CASE WHEN version = 3 THEN 0 ELSE 1 END AS vgroup,
+    CAST(CASE version
+      WHEN 3 THEN [44100, 48000, 32000][sr_idx + 1]
+      WHEN 2 THEN [22050, 24000, 16000][sr_idx + 1]
+      ELSE [11025, 12000, 8000][sr_idx + 1] END AS INT) AS rate
+  FROM cfg
+),
+t2 AS (
+  SELECT *,
+    CASE
+      WHEN vgroup = 0 AND layer = 0 THEN
+        [0,32,64,96,128,160,192,224,256,288,320,352,384,416,448]
+      WHEN vgroup = 0 AND layer = 1 THEN
+        [0,32,48,56,64,80,96,112,128,160,192,224,256,320,384]
+      WHEN vgroup = 0 THEN
+        [0,32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+      WHEN layer = 0 THEN
+        [0,32,48,56,64,80,96,112,128,144,160,176,192,224,256]
+      ELSE [0,8,16,24,32,40,48,56,64,80,96,112,128,144,160]
+    END AS brt,
+    CASE WHEN layer = 0 THEN 384
+         WHEN layer = 1 OR version = 3 THEN 1152
+         ELSE 576 END AS spf
+  FROM t
+),
+fr AS (
+  SELECT *,
+    list_transform(range(0, nf), k -> CASE
+      WHEN vary THEN brt[5 + (doc_id + k) % 10 + 1]
+      ELSE brt[1 + doc_id % 14 + 1] END * 1000) AS brs,
+    list_transform(range(0, nf), k -> (padpat >> (k % 8)) & 1) AS pads
+  FROM t2
+),
+fb AS (
+  SELECT *,
+    list_sum(list_transform(range(0, nf), k -> CASE
+      WHEN layer = 0 THEN (12 * brs[k + 1] // rate + pads[k + 1]) * 4
+      WHEN layer = 1 OR vgroup = 0 THEN 144 * brs[k + 1] // rate + pads[k + 1]
+      ELSE 72 * brs[k + 1] // rate + pads[k + 1] END)) AS total_bytes
+  FROM fr
+)
+SELECT doc_id, rate AS sample_rate, channels,
+       nf AS n_frames,
+       CAST(nf * (spf * 1000000 // rate) AS BIGINT) AS duration_us,
+       CAST(CASE WHEN NOT vary OR nf = 1 THEN brs[1] // 1000
+            ELSE total_bytes * 8 * rate // (nf * spf) // 1000
+       END AS INT) AS bitrate_kbps,
+       CASE WHEN vary AND nf >= 2 THEN true
+            WHEN vary AND nf = 1 AND layer = 2 THEN true
+            ELSE false END AS is_vbr
+FROM fb ORDER BY doc_id
+"""
+
+
+@_register("multimodal_mp3_probe", _MP3_ORACLE)
+def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-audio frame walk through the multimodal seam
+    (``functions/mp3.py``): genuine sync-word frame sequences rotate the
+    published header tables — MPEG1/2/2.5 by doc%3, Layers I/II/III by
+    (doc//3)%3, all three sample-rate slots, mono/stereo, per-frame
+    padding bits from a doc-specific pattern, ID3v2 prefixes, and
+    varying-bitrate sequences with a first-frame Xing header on Layer III
+    — and the probe walks every frame (no size guessing). The oracle
+    replays the ISO 11172-3/13818-3 bitrate/rate/frame-size arithmetic
+    per frame, so one wrong table entry, slot rounding, or padding bit
+    breaks the hash."""
+    from ..operators.multimodal import probe_audio_stream
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mp3 import encode_mp3
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                version = (3, 2, 0)[d % 3]
+                layer = (d // 3) % 3
+                nf = d % 25 + 1
+                vary = d % 4 == 0
+                if vary:
+                    brs = [5 + (d + k) % 10 for k in range(nf)]
+                else:
+                    brs = [1 + d % 14] * nf
+                payloads.append(
+                    encode_mp3(
+                        version, layer, brs, d % 3,
+                        channels=1 + d % 2,
+                        padding_pattern=d % 256,
+                        id3_bytes=(d % 5) * 11,
+                        xing=vary and layer == 2,
+                    )
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+    return (
+        probe_audio_stream(media)
+        .select("doc_id", "sample_rate", "channels", "n_frames",
+                "duration_us", "bitrate_kbps", "is_vbr")
+        .orderBy("doc_id")
+    )
+
+
 def _avi_jpeg_frame(d: int, f: int) -> "bytes":
     """One deterministic flat-block grayscale JPEG frame (bit-exact at
     quant=1, same construction as multimodal_jpeg_pixels)."""
