@@ -12046,6 +12046,215 @@ def ohsome_contributions_latest_count(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _ohsome_length_density_oracle() -> str:
+    cut = _CONTRIB_WAYS_ORACLE.index("SELECT wid AS osm_id")
+    cases = " || ".join(
+        f"CASE WHEN cx >= {x0!r} AND cx <= {x1!r} AND cy >= {y0!r} AND cy <= {y1!r} "
+        f"THEN ['{fid}'] ELSE [] END"
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    )
+    area_case = "CASE country " + " ".join(
+        f"WHEN '{fid}' THEN {_rect_area_sql(x0, y0, x1, y1)}"
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    ) + " END"
+    return (
+        _CONTRIB_WAYS_ORACLE[:cut]
+        + f"""
+    SELECT country, snap_ts,
+           CAST(count(*) AS BIGINT) AS n_live,
+           round(sum(length_m), 2) AS total_length_m,
+           round(sum(length_m) / (({area_case}) / 1e6 / 1e6), 4)
+             AS density_m_per_mkm2
+    FROM (
+      SELECT unnest({cases}) AS country, s.snap_ts, c.length_m
+      FROM (SELECT cx, cy, length_m, inst_ts AS valid_from,
+                   coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to
+            FROM contribs WHERE nc >= 2) c
+      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
+                                          TIMESTAMP '2024-02-01',
+                                          INTERVAL 7 DAY)) AS snap_ts) s
+        ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
+    )
+    GROUP BY country, snap_ts
+    ORDER BY country, snap_ts
+    """
+    )
+
+
+@_register("ohsome_length_density_series", _ohsome_length_density_oracle())
+def ohsome_length_density_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ohsome API /elements/length/density groupBy boundary: live way
+    length per boundary geodesic area (meters per million km², keeping
+    the quotient in a range where 4dp rounding is meaningful) at weekly
+    snapshots. Composition of the length-series measurement with the
+    count-density boundary machinery: centroid containment against the
+    broadcast grid, boundary areas from the engine's own ``ring_area``
+    over the dimension-sized feature list. Scale shape: facts never
+    shuffle except the final (country, snap) agg; boundary dim and
+    snapshot list are broadcast."""
+    import numpy as np
+
+    from ..functions.geodesic import ring_area
+    from ..operators.spatial import join_countries, rect_feature
+
+    contribs = _way_contribs_table(spark, sf_dir)
+    live = contribs.filter(F.col("geometry_type") == "LineString")
+    feats = [
+        rect_feature(fid, x0, y0, x1, y1)
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    ]
+    dim = spark.createDataFrame(
+        [
+            (
+                fid,
+                float(
+                    abs(
+                        ring_area(
+                            np.array([x0, x1, x1, x0, x0]),
+                            np.array([y0, y0, y1, y1, y0]),
+                        )
+                    )
+                )
+                / 1e6
+                / 1e6,
+            )
+            for fid, x0, y0, x1, y1 in _GRID_FEATURES
+        ],
+        "country string, area_mkm2 double",
+    )
+    pts = live.select(
+        "valid_from", "valid_to",
+        F.col("length").alias("length_m"),
+        F.col("centroid.x").alias("lon"),
+        F.col("centroid.y").alias("lat"),
+    )
+    tagged = join_countries(pts, feats).select(
+        F.explode("countries").alias("country"),
+        "valid_from", "valid_to", "length_m",
+    )
+    snaps = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_timestamp('2024-01-04'), "
+                "to_timestamp('2024-02-01'), interval 7 days)"
+            )
+        ).alias("snap_ts")
+    )
+    return (
+        tagged.join(
+            F.broadcast(snaps),
+            (F.col("valid_from") <= F.col("snap_ts"))
+            & (F.col("snap_ts") < F.col("valid_to")),
+        )
+        .groupBy("country", "snap_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum("length_m").alias("_len"),
+        )
+        .join(F.broadcast(dim), "country")
+        .select(
+            "country", "snap_ts", "n_live",
+            F.round(F.col("_len"), 2).alias("total_length_m"),
+            F.round(F.col("_len") / F.col("area_mkm2"), 4).alias(
+                "density_m_per_mkm2"
+            ),
+        )
+        .orderBy("country", "snap_ts")
+    )
+
+
+def _ohsome_contrib_density_oracle() -> str:
+    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
+    cases = " || ".join(
+        f"CASE WHEN lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r} "
+        f"THEN ['{fid}'] ELSE [] END"
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    )
+    area_case = "CASE country " + " ".join(
+        f"WHEN '{fid}' THEN {_rect_area_sql(x0, y0, x1, y1)}"
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    ) + " END"
+    return (
+        _CONTRIB_ORACLE[:cut]
+        + f"""
+    SELECT country, month_ts,
+           CAST(count(*) AS BIGINT) AS n_contributions,
+           round(count(*) / (({area_case}) / 1e6 / 1e6), 6)
+             AS density_per_mkm2
+    FROM (
+      SELECT unnest({cases}) AS country,
+             date_trunc('month', valid_from) AS month_ts
+      FROM (SELECT (eff).lon AS lon, (eff).lat AS lat, ts AS valid_from
+            FROM final WHERE visible AND eff IS NOT NULL) c
+    )
+    GROUP BY country, month_ts
+    ORDER BY country, month_ts
+    """
+    )
+
+
+@_register(
+    "ohsome_contributions_density", _ohsome_contrib_density_oracle()
+)
+def ohsome_contributions_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ohsome API /contributions/count/density groupBy boundary:
+    contribution EVENTS (not live states) per boundary geodesic area,
+    bucketed by calendar month of valid_from. No snapshot interval join
+    at all — one scan, centroid containment against the broadcast grid,
+    month truncation, one (country, month) agg, broadcast area divide."""
+    import numpy as np
+
+    from ..functions.geodesic import ring_area
+    from ..operators.spatial import join_countries, rect_feature
+
+    contribs = _node_contribs_table(spark, sf_dir)
+    vis = contribs.filter(F.col("status").isin("history", "latest"))
+    feats = [
+        rect_feature(fid, x0, y0, x1, y1)
+        for fid, x0, y0, x1, y1 in _GRID_FEATURES
+    ]
+    dim = spark.createDataFrame(
+        [
+            (
+                fid,
+                float(
+                    abs(
+                        ring_area(
+                            np.array([x0, x1, x1, x0, x0]),
+                            np.array([y0, y0, y1, y1, y0]),
+                        )
+                    )
+                )
+                / 1e6
+                / 1e6,
+            )
+            for fid, x0, y0, x1, y1 in _GRID_FEATURES
+        ],
+        "country string, area_mkm2 double",
+    )
+    pts = vis.select(
+        "valid_from",
+        F.col("centroid.x").alias("lon"),
+        F.col("centroid.y").alias("lat"),
+    )
+    tagged = join_countries(pts, feats).select(
+        F.explode("countries").alias("country"),
+        F.date_trunc("month", F.col("valid_from")).alias("month_ts"),
+    )
+    return (
+        tagged.groupBy("country", "month_ts")
+        .agg(F.count(F.lit(1)).alias("n_contributions"))
+        .join(F.broadcast(dim), "country")
+        .select(
+            "country", "month_ts", "n_contributions",
+            F.round(F.col("n_contributions") / F.col("area_mkm2"), 6).alias(
+                "density_per_mkm2"
+            ),
+        )
+        .orderBy("country", "month_ts")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
