@@ -12255,6 +12255,162 @@ def ohsome_contributions_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Web ingestion (Common Crawl front half): WARC record walk + HTML main-
+# text extraction — sources/warc.py, functions/html.py, operators/web.py.
+# Fixture WARCs are genuine wire bytes (per-record gzip on odd docs), the
+# same encode-then-decode gate pattern as the multimodal codecs.
+# ===========================================================================
+
+_WARC_INFO_PAYLOAD = "software: ohsome-planet-spark"
+
+
+def _tpl_html(d: int, text: str, lang: str, source: str) -> str:
+    ent = "&#68;&amp;" if d % 2 == 0 else "&amp;"
+    return (
+        f"<html><head><title>skip {d}</title><style>p{{c:red}}</style>"
+        f"</head><body><h1>Doc {ent}{d}</h1><p>{text} <b>{lang}</b></p>"
+        f'<script>var x="</div>";</script>'
+        f"<ul><li>{lang}</li><li>{source}</li></ul><!-- n{d} -->"
+        f"</body></html>"
+    )
+
+
+def _warc_fixture_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..sources.warc import encode_warc, http_response_wrap
+
+    for pdf in batches:
+        payloads = []
+        for _, r in pdf.iterrows():
+            d = int(r["doc_id"])
+            html = _tpl_html(d, r["text"], r["lang"], r["source"])
+            recs = [
+                {"warc_type": "warcinfo",
+                 "payload": _WARC_INFO_PAYLOAD.encode()},
+                {"warc_type": "response",
+                 "target_uri": f"http://example.test/{d}",
+                 "content_type": "application/http;msgtype=response",
+                 "payload": http_response_wrap(html.encode())},
+            ] + [
+                {"warc_type": "request",
+                 "target_uri": f"http://example.test/{d}",
+                 "payload": f"GET /{d}".encode()}
+                for _ in range(d % 3)
+            ]
+            payloads.append(encode_warc(recs, gzip_records=d % 2 == 1))
+        out = pdf[["doc_id"]].copy()
+        out["warc"] = payloads
+        yield out
+
+
+_WARC_PROBE_ORACLE = f"""
+SELECT doc_id,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_records,
+       CAST(1 AS BIGINT) AS n_response,
+       -- warcinfo + HTTP envelope (62 fixed bytes + the Content-Length
+       -- digit count) + html body + doc%3 request payloads 'GET /<id>'
+       CAST({len(_WARC_INFO_PAYLOAD)}
+            + 62 + length(CAST(length(html) AS VARCHAR)) + length(html)
+            + (doc_id % 3) * (5 + length(CAST(doc_id AS VARCHAR)))
+         AS BIGINT) AS total_payload_bytes
+FROM (
+  SELECT doc_id,
+         '<html><head><title>skip ' || doc_id ||
+         '</title><style>p{{c:red}}</style></head><body><h1>Doc ' ||
+         CASE WHEN doc_id % 2 = 0 THEN '&#68;&amp;' ELSE '&amp;' END ||
+         doc_id || '</h1><p>' || text || ' <b>' || lang ||
+         '</b></p><script>var x="</div>";</script><ul><li>' || lang ||
+         '</li><li>' || source || '</li></ul><!-- n' || doc_id ||
+         ' --></body></html>' AS html
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+@_register("warc_records_probe", _WARC_PROBE_ORACLE)
+def warc_records_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record walk (``sources/warc.py``) through the web-ingestion
+    seam: genuine WARC/1.0 archives — warcinfo + HTTP-wrapped response +
+    doc%3 request records, per-record gzip members on odd docs — are
+    parsed back by declared Content-Length (never separator scanning).
+    The oracle recomputes every record's payload size arithmetically from
+    the template, so one wrong framing byte, gzip member boundary, or
+    header parse breaks the hash."""
+    from ..operators.web import warc_records
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang", "source"
+    )
+    archives = docs.mapInPandas(
+        _warc_fixture_encode, "doc_id bigint, warc binary"
+    )
+    recs = warc_records(archives, "warc")
+    return (
+        recs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(
+                (F.col("warc_type") == "response").cast("bigint")
+            ).alias("n_response"),
+            F.sum("content_length").alias("total_payload_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WARC_HTML_ORACLE = """
+WITH exp AS (
+  SELECT doc_id,
+         list_filter([
+           'Doc ' || CASE WHEN doc_id % 2 = 0 THEN 'D&' ELSE '&' END
+                  || CAST(doc_id AS VARCHAR),
+           trim(text || ' ' || lang),
+           lang,
+           source
+         ], x -> x <> '') AS lines
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(lines, chr(10)) AS extracted_text,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(length(array_to_string(lines, chr(10))) AS BIGINT) AS n_chars
+FROM exp ORDER BY doc_id
+"""
+
+
+@_register("warc_html_extract", _WARC_HTML_ORACLE)
+def warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common Crawl front half end-to-end: WARC archive → record walk
+    → response filter → HTTP envelope strip → HTML main-text extraction
+    (``functions/html.py``: script/style/head dropped with raw-text
+    handling — the planted ``</div>`` inside a script must NOT terminate
+    early — named and numeric character references decoded, block
+    boundaries to newlines, whitespace collapsed). The oracle constructs
+    the expected text from the template fields, so a wrong drop scope,
+    entity decode, or block split breaks the hash."""
+    from ..operators.web import extract_main_text, warc_records
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang", "source"
+    )
+    archives = docs.mapInPandas(
+        _warc_fixture_encode, "doc_id bigint, warc binary"
+    )
+    responses = warc_records(archives, "warc").filter(
+        F.col("warc_type") == "response"
+    )
+    extracted = extract_main_text(responses, "payload", http=True)
+    return extracted.select(
+        "doc_id",
+        "extracted_text",
+        F.size(F.split("extracted_text", "\n")).cast("bigint").alias(
+            "n_lines"
+        ),
+        F.length("extracted_text").cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -1,0 +1,181 @@
+"""Referees for the web-ingestion family (sources/warc.py,
+functions/html.py, operators/web.py): WARC framing by Content-Length
+only, multi-member gzip, HTTP envelope stripping, and an adversarial
+HTML corpus with hand-written expected extractions (the gate corpus is
+template-generated, so the parser's hard cases are certified here).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import pytest
+
+from ohsome_planet_spark.functions.html import html_to_text
+from ohsome_planet_spark.sources.warc import (
+    WarcFormatError,
+    encode_warc,
+    http_response_body,
+    http_response_wrap,
+    parse_warc,
+)
+
+
+def test_content_length_framing_not_separator_scan():
+    # a payload CONTAINING the record separator and a fake version line:
+    # only Content-Length framing survives this
+    evil = b"\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\n"
+    recs = [
+        {"warc_type": "resource", "payload": evil},
+        {"warc_type": "metadata", "payload": b"after"},
+    ]
+    out = parse_warc(encode_warc(recs))
+    assert len(out) == 2
+    assert out[0]["payload"] == evil
+    assert out[1]["warc_type"] == "metadata"
+    assert out[1]["payload"] == b"after"
+
+
+def test_multi_member_gzip():
+    recs = [
+        {"warc_type": "warcinfo", "payload": b"a"},
+        {"warc_type": "resource", "payload": b"b" * 5000},
+        {"warc_type": "metadata", "payload": b""},
+    ]
+    data = encode_warc(recs, gzip_records=True)
+    # really three independent gzip members (zlib member-by-member;
+    # GzipFile would transparently concatenate them)
+    import zlib
+
+    members = 0
+    rest = data
+    while rest:
+        d = zlib.decompressobj(31)
+        d.decompress(rest)
+        assert d.eof
+        rest = d.unused_data
+        members += 1
+    assert members == 3
+    out = parse_warc(data)
+    assert [r["warc_type"] for r in out] == ["warcinfo", "resource", "metadata"]
+    assert out[1]["content_length"] == 5000
+    # plain and gzipped forms parse identically
+    assert [r["payload"] for r in out] == [
+        r["payload"] for r in parse_warc(encode_warc(recs))
+    ]
+
+
+def test_warc_headers_case_insensitive_and_fields():
+    raw = (
+        b"WARC/1.0\r\n"
+        b"warc-type: response\r\n"
+        b"WARC-TARGET-URI: http://x/y\r\n"
+        b"CONTENT-LENGTH: 4\r\n"
+        b"\r\nbody\r\n\r\n"
+    )
+    (r,) = parse_warc(raw)
+    assert r["warc_type"] == "response"
+    assert r["target_uri"] == "http://x/y"
+    assert r["payload"] == b"body"
+
+
+def test_corrupt_warc_rejection():
+    with pytest.raises(WarcFormatError):
+        parse_warc(b"WARC/9.9\r\n\r\n")
+    with pytest.raises(WarcFormatError):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n")  # no Content-Length
+    good = encode_warc([{"warc_type": "resource", "payload": b"abcdef"}])
+    with pytest.raises(WarcFormatError):
+        parse_warc(good[:-12])  # payload truncated
+    data = encode_warc([{"warc_type": "resource", "payload": b"x"}],
+                       gzip_records=True)
+    with pytest.raises(WarcFormatError):
+        parse_warc(data + b"JUNK")  # garbage between members
+
+
+def test_http_envelope():
+    body = b"<html><body><p>hi</p></body></html>"
+    wrapped = http_response_wrap(body)
+    assert http_response_body(wrapped) == body
+    with pytest.raises(WarcFormatError):
+        http_response_body(b"not an http response")
+
+
+HTML_CASES = [
+    # raw-text element: the </div> inside script must not close anything
+    (
+        '<div><p>a</p><script>if (x < 3) { s = "</div>"; }</script><p>b</p></div>',
+        "a\nb",
+    ),
+    # style + head dropped entirely, title included in head
+    (
+        "<head><title>nope</title><style>p { c: </style?>; }</style></head>"
+        "<body><p>kept</p></body>",
+        "kept",
+    ),
+    # entities: named, numeric decimal, numeric hex
+    ("<p>&lt;tag&gt; &amp; &#65;&#x42;</p>", "<tag> & AB"),
+    # inline tags join, block tags split
+    ("<p>one <b>two</b> three</p><div>four</div>", "one two three\nfour"),
+    # br splits inside a paragraph, both syntaxes
+    ("<p>a<br>b<br/>c</p>", "a\nb\nc"),
+    # comments and processing instructions vanish
+    ("<p>x<!-- <p>ghost</p> -->y</p>", "xy"),
+    # whitespace collapse inside blocks, empty blocks vanish
+    ("<div>  a\t\n  b  </div><div>   </div><div>c</div>", "a b\nc"),
+    # unclosed drop tag at EOF: nothing after it leaks
+    ("<p>seen</p><script>var x = 1;", "seen"),
+    # stray close tags do not break extraction
+    ("</script></div><p>ok</p>", "ok"),
+    # nested lists
+    ("<ul><li>a<ul><li>b</li></ul></li><li>c</li></ul>", "a\nb\nc"),
+    # noscript/template dropped
+    ("<noscript>no</noscript><template>tpl</template><p>yes</p>", "yes"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("html,want", HTML_CASES)
+def test_html_extraction_cases(html, want):
+    assert html_to_text(html) == want
+
+
+def test_warc_records_operator_dirty_tolerance(spark):
+    from ohsome_planet_spark.operators.web import warc_records
+
+    good = encode_warc(
+        [
+            {"warc_type": "warcinfo", "payload": b"sw"},
+            {"warc_type": "response", "target_uri": "http://a",
+             "payload": b"zzz"},
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"garbage not a warc"))],
+        "file_id long, warc binary",
+    )
+    rows = warc_records(df, "warc").collect()
+    assert sorted((r.file_id, r.rec_idx, r.warc_type) for r in rows) == [
+        (1, 0, "warcinfo"),
+        (1, 1, "response"),
+    ]
+    assert all(r.file_id == 1 for r in rows)  # dirty archive yields 0 rows
+
+
+def test_extract_main_text_operator(spark):
+    from ohsome_planet_spark.operators.web import extract_main_text
+
+    html = b"<body><h1>T</h1><p>a &amp; b</p></body>"
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(http_response_wrap(html))),
+            (2, bytearray(b"not http")),
+            (3, None),
+        ],
+        "id long, payload binary",
+    )
+    rows = {r.id: r.extracted_text
+            for r in extract_main_text(df, "payload", http=True).collect()}
+    assert rows[1] == "T\na & b"
+    assert rows[2] is None and rows[3] is None
