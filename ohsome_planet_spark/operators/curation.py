@@ -273,3 +273,38 @@ def c4_line_filter(
         F.concat_ws("\n", kept).alias("kept_text"),
         doc_ok.alias("keep_doc"),
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str,
+    forms: tuple[str, ...] = ("NFC", "NFKC"),
+) -> DataFrame:
+    """Unicode normalization over a text column — the canonicalization
+    pass a multilingual training pipeline runs before tokenization and
+    dedup (decomposed sequences, compatibility characters, and visually
+    identical codepoints otherwise defeat exact and near-dup hashing).
+
+    One Arrow-batched ``mapInPandas`` pass (CPython ``unicodedata``, the
+    UCD reference implementation); emits one ``<form>_text`` column per
+    requested form. Scale shape: narrow map, no shuffle; at 100 TB this
+    pipelines inside the scan like every other row-local rewrite.
+    """
+    lower = [f.lower() for f in forms]
+
+    def norm(batches):
+        import unicodedata
+
+        for pdf in batches:
+            out = pdf.copy()
+            for form, lf in zip(forms, lower):
+                out[f"{lf}_text"] = [
+                    unicodedata.normalize(form, t) if t is not None else None
+                    for t in pdf[text_col]
+                ]
+            yield out
+
+    schema = df.schema.simpleString()[7:-1] + "".join(
+        f",{lf}_text string" for lf in lower
+    )
+    return df.mapInPandas(norm, schema)

@@ -12411,6 +12411,131 @@ def warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_UNICODE_ORACLE = """
+WITH inp AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' cafe' || chr(769)
+           WHEN 1 THEN ' ' || chr(64257) || 'le ' || chr(9312)
+           WHEN 2 THEN ' ' || chr(8491) || 'ngstro' || chr(776) || 'm'
+           ELSE '' END AS raw,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' caf' || chr(233)
+           WHEN 1 THEN ' file 1'
+           WHEN 2 THEN ' ' || chr(197) || 'ngstr' || chr(246) || 'm'
+           ELSE '' END AS nfkc_expected
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(raw) AS nfc_text,
+       nfkc_expected AS nfkc_text,
+       CAST(length(nfc_normalize(raw)) AS INT) AS nfc_chars,
+       CAST(length(nfkc_expected) AS INT) AS nfkc_chars
+FROM inp ORDER BY doc_id
+"""
+
+
+@_register("unicode_normalize", _UNICODE_ORACLE)
+def unicode_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC/NFKC normalization through the curation seam: each doc
+    gets a planted denormalized suffix (combining acute, the fi ligature +
+    circled one, the angstrom sign + combining diaeresis) and the operator
+    canonicalizes it. TWO independent referees: the NFC column is checked
+    against DuckDB's ICU ``nfc_normalize`` (a different UCD implementation
+    than CPython's ``unicodedata``), and the NFKC column against
+    hand-derived published compatibility mappings."""
+    from ..operators.curation import normalize_unicode
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    # explicit escapes: the inputs are the DECOMPOSED wire forms
+    # (e + U+0301, U+FB01 ligature + U+2460, U+212B + o + U+0308)
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" cafe\u0301"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" \ufb01le \u2460"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" \u212bngstro\u0308m"))
+        .otherwise(F.lit(""))
+    )
+    raw = docs.select("doc_id", F.concat("text", suffix).alias("raw"))
+    out = normalize_unicode(raw, "raw")
+    return out.select(
+        "doc_id",
+        "nfc_text",
+        "nfkc_text",
+        F.length("nfc_text").cast("int").alias("nfc_chars"),
+        F.length("nfkc_text").cast("int").alias("nfkc_chars"),
+    ).orderBy("doc_id")
+
+
+_CC_PIPELINE_ORACLE = f"""
+WITH exp AS (
+  SELECT doc_id,
+         list_filter([
+           'Doc ' || CASE WHEN doc_id % 2 = 0 THEN 'D&' ELSE '&' END
+                  || CAST(doc_id AS VARCHAR),
+           trim(text || ' ' || lang),
+           lang,
+           source
+         ], x -> x <> '') AS lines
+  FROM documents
+),
+kept AS (
+  SELECT doc_id,
+         lines,
+         list_filter(lines, l ->
+           len(list_filter(string_split_regex(trim(l), '\\s+'),
+                           w -> w <> '')) >= 2
+           AND NOT contains(lower(l), 'javascript')) AS keptl
+  FROM exp
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(keptl) AS BIGINT) AS n_kept_lines,
+       len(keptl) >= 2 AS keep_doc,
+       CAST(len(list_filter(regexp_split_to_array(
+              lower(coalesce(array_to_string(keptl, chr(10)), '')), '\\W+'),
+            x -> x <> '')) AS BIGINT) AS n_tokens
+FROM kept ORDER BY doc_id
+"""
+
+
+@_register("cc_ingest_pipeline", _CC_PIPELINE_ORACLE)
+def cc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common Crawl ingest chain composed end-to-end: WARC archive →
+    record walk → HTTP envelope strip → HTML main-text extraction →
+    C4 line filter (the extracted text is MULTI-line, so the line rules
+    bite for real here: 1-word lang/source lines drop, the heading and
+    body lines survive) → token accounting on the surviving text. One
+    narrow pipeline, no shuffles until the final orderBy."""
+    from ..operators.curation import c4_line_filter
+    from ..operators.web import extract_main_text, warc_records
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang", "source"
+    )
+    archives = docs.mapInPandas(
+        _warc_fixture_encode, "doc_id bigint, warc binary"
+    )
+    responses = warc_records(archives, "warc").filter(
+        F.col("warc_type") == "response"
+    )
+    extracted = extract_main_text(responses, "payload", http=True)
+    filtered = c4_line_filter(
+        extracted,
+        "doc_id",
+        "extracted_text",
+        min_words_per_line=2,
+        require_terminal_punct=False,
+        min_kept_lines=2,
+    )
+    return filtered.select(
+        F.col("doc").alias("doc_id"),
+        "n_lines",
+        "n_kept_lines",
+        "keep_doc",
+        token_count_expr(F.col("kept_text")).cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
