@@ -12536,6 +12536,88 @@ def cc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_URL_ORACLE = """
+WITH urls AS (
+  SELECT doc_id, lang,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://h' ||
+    CAST(doc_id % 37 AS VARCHAR) ||
+    (CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END) ||
+    (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
+    '/p/' || CAST(doc_id AS VARCHAR) || '?q=' || lang || '&x=1' ||
+    (CASE WHEN doc_id % 3 = 0 THEN '#f' || CAST(doc_id AS VARCHAR)
+          ELSE '' END) AS url
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id, lang,
+         regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+         regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q,
+         regexp_replace(url, '#.*$', '') AS canonical
+  FROM urls
+)
+SELECT host,
+       regexp_extract(host, '(\\.[a-z]+)$', 1) AS tld,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT q) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical
+FROM parsed
+GROUP BY host ORDER BY host
+"""
+
+
+@_register("url_host_rollup", _URL_ORACLE)
+def url_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL analysis for crawl pipelines, zero UDFs: synthetic but fully
+    varied URLs (scheme, host, explicit port, path, query, fragment) go
+    through Spark's JVM-side ``parse_url`` — HOST must strip the port,
+    QUERY key lookup must stop at the fragment — then a per-host rollup
+    (doc count, distinct query langs, fragment-stripped canonical URL
+    dedup). The oracle re-parses with plain regex, so the two engines'
+    URL grammars are checked against each other."""
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id", "lang")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(
+            F.lit("http")
+        ),
+        F.lit("://h"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".org"))
+        .otherwise(F.lit(".net")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        F.col("lang"),
+        F.lit("&x=1"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("#f"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    parsed = docs.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q"),
+        F.regexp_replace(url, "#.*$", "").alias("canonical"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("q").alias("n_langs"),
+            F.count_distinct("canonical").alias("n_canonical"),
+        )
+        .select(
+            "host",
+            F.regexp_extract("host", r"(\.[a-z]+)$", 1).alias("tld"),
+            "n_docs",
+            "n_langs",
+            "n_canonical",
+        )
+        .orderBy("host")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
