@@ -12618,6 +12618,65 @@ def url_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    from ..functions.zorder import zorder_key_sql
+
+    key = zorder_key_sql(["qd", "qc"], bits=12)
+    return f"""
+    WITH q AS (
+      SELECT datediff('day', DATE '1992-01-01',
+                      CAST(o_orderdate AS DATE)) & 4095 AS qd,
+             o_custkey & 4095 AS qc
+      FROM orders
+    ),
+    k AS (SELECT qd, qc, {key} AS zkey FROM q)
+    SELECT CAST(zkey >> 18 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(qd) AS BIGINT) AS min_qd,
+           CAST(max(qd) AS BIGINT) AS max_qd,
+           CAST(min(qc) AS BIGINT) AS min_qc,
+           CAST(max(qc) AS BIGINT) AS max_qc,
+           CAST(sum(zkey) AS BIGINT) AS key_checksum
+    FROM k GROUP BY bucket ORDER BY bucket
+    """
+
+
+@_register("zorder_layout", _zorder_oracle())
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys — the OPTIMIZE ZORDER BY primitive
+    for multi-dimensional row-group pruning at 100 TB
+    (``functions/zorder.py``, the general-purpose sibling of the domain
+    XZ curve). Orders interleave (order date days, customer id) into one
+    24-bit key, entirely closed-form shift/mask arithmetic inside
+    whole-stage codegen; the per-bucket min/max spans of BOTH dimensions
+    demonstrate the locality a clustered write would give, and the key
+    checksum pins every interleaved bit. The oracle replays the bit
+    layout exactly."""
+    from ..functions.zorder import zorder_key_expr
+
+    ords = fan_out(_t(spark, sf_dir, "orders"))
+    qd = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+    ).cast("long").bitwiseAND(F.lit(4095))
+    qc = F.col("o_custkey").bitwiseAND(F.lit(4095))
+    keyed = ords.select(
+        qd.alias("qd"),
+        qc.alias("qc"),
+    ).withColumn("zkey", zorder_key_expr([F.col("qd"), F.col("qc")], bits=12))
+    return (
+        keyed.groupBy(F.shiftright("zkey", 18).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("qd").cast("bigint").alias("min_qd"),
+            F.max("qd").cast("bigint").alias("max_qd"),
+            F.min("qc").cast("bigint").alias("min_qc"),
+            F.max("qc").cast("bigint").alias("max_qc"),
+            F.sum("zkey").cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

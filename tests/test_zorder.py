@@ -1,0 +1,88 @@
+"""Referee for the Z-order layout key (functions/zorder.py): a
+pure-Python bit-interleave twin, a known-answer vector, and the locality
+property the key exists for — chunking a zkey-sorted table gives tighter
+per-chunk spans on BOTH dimensions than a single-column sort."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from ohsome_planet_spark.functions.zorder import (
+    quantize_expr,
+    zorder_key_expr,
+)
+
+
+def _ref_interleave(vals: list[int], bits: int) -> int:
+    key = 0
+    for d, v in enumerate(vals):
+        for i in range(bits):
+            key |= ((v >> i) & 1) << (i * len(vals) + d)
+    return key
+
+
+def test_known_answer_and_referee(spark):
+    # hand-computed: x=0b101, y=0b011, 3 bits ->
+    # bit layout (y2 x2 y1 x1 y0 x0) = 0 1 1 0 1 1 = 0b011011 = 27
+    assert _ref_interleave([0b101, 0b011], 3) == 27
+    rng = random.Random(0)
+    rows = [(rng.randrange(1 << 12), rng.randrange(1 << 12)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select(
+        "a", "b", zorder_key_expr([F.col("a"), F.col("b")], bits=12).alias("k")
+    ).collect()
+    for r in got:
+        assert r.k == _ref_interleave([r.a, r.b], 12)
+
+
+def test_three_dims_and_bounds(spark):
+    df = spark.createDataFrame([(7, 5, 3)], "x long, y long, z long")
+    (row,) = df.select(
+        zorder_key_expr([F.col("x"), F.col("y"), F.col("z")], bits=3).alias("k")
+    ).collect()
+    assert row.k == _ref_interleave([7, 5, 3], 3)
+    import pytest
+
+    with pytest.raises(ValueError):
+        zorder_key_expr([F.col("x"), F.col("y")], bits=32)  # 64 bits > 63
+
+
+def test_quantize_clamps(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (50.0,), (100.0,), (250.0,)], "v double"
+    )
+    got = [
+        r.q
+        for r in df.select(
+            quantize_expr(F.col("v"), 0.0, 100.0, bits=4).alias("q")
+        ).collect()
+    ]
+    assert got == [0, 0, 7, 15, 15]
+
+
+def test_locality_beats_single_dim_sort(spark):
+    # the reason the key exists: chunks of a zkey-sorted table span small
+    # ranges of EVERY interleaved dimension, so predicates on either
+    # column prune chunks; a single-dim sort leaves the other dimension's
+    # spans at full width
+    rng = random.Random(1)
+    rows = [(rng.randrange(1 << 10), rng.randrange(1 << 10)) for _ in range(4096)]
+
+    def chunk_spans(sorted_rows, chunk=256):
+        spans_a, spans_b = [], []
+        for i in range(0, len(sorted_rows), chunk):
+            c = sorted_rows[i : i + chunk]
+            spans_a.append(max(x for x, _ in c) - min(x for x, _ in c))
+            spans_b.append(max(y for _, y in c) - min(y for _, y in c))
+        return sum(spans_a) / len(spans_a), sum(spans_b) / len(spans_b)
+
+    by_a = sorted(rows)
+    by_z = sorted(rows, key=lambda r: _ref_interleave([r[0], r[1]], 10))
+    a_span_a, a_span_b = chunk_spans(by_a)
+    z_span_a, z_span_b = chunk_spans(by_z)
+    # single-dim sort: near-zero span on a, full width on b
+    assert a_span_b > 0.8 * 1024
+    # z-order: BOTH spans far below full width
+    assert z_span_a < 0.5 * 1024 and z_span_b < 0.5 * 1024
