@@ -48,3 +48,35 @@ def join_is_shuffle_free(joined: DataFrame) -> bool:
     # in a bucket-joined plan the join's children scan the bucketed files
     # directly: the plan shows the join but no hash exchange above the scans
     return "Exchange hashpartitioning" not in plan
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dims: tuple[str, ...],
+    bits: int = 16,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` clustered by the Z-order key of ``dims`` (non-negative
+    integer columns) — the OPTIMIZE ZORDER BY layout: range-partition by
+    the Morton key so files cover disjoint key ranges, then sort within
+    each file. Parquet column min/max statistics then bound EVERY
+    interleaved dimension tightly per row group, so a range predicate on
+    any one of them prunes files/row groups at scan time (the multi-dim
+    generalization of a single sort key). The key column itself is not
+    persisted — the layout is the artifact.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.zorder import zorder_key_expr
+
+    keyed = df.withColumn(
+        "_zkey", zorder_key_expr([F.col(d) for d in dims], bits=bits)
+    )
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -86,3 +86,59 @@ def test_locality_beats_single_dim_sort(spark):
     assert a_span_b > 0.8 * 1024
     # z-order: BOTH spans far below full width
     assert z_span_a < 0.5 * 1024 and z_span_b < 0.5 * 1024
+
+
+def test_write_zordered_file_stats_prune_both_dims(spark, tmp_path):
+    # the writer-path proof: after a z-ordered write, parquet footer
+    # min/max statistics bound BOTH dimensions per file, so a predicate
+    # on either dimension can skip most files; a single-dim-sorted write
+    # leaves the second dimension at full width in every file
+    import glob
+    import random
+
+    import pyarrow.parquet as pq
+
+    from ohsome_planet_spark.sources.state_tables import write_zordered
+
+    rng = random.Random(2)
+    rows = [(rng.randrange(1 << 10), rng.randrange(1 << 10)) for _ in range(20000)]
+    df = spark.createDataFrame(rows, "a long, b long")
+
+    zdir = str(tmp_path / "z")
+    write_zordered(df, zdir, dims=("a", "b"), bits=10, n_files=8)
+
+    sdir = str(tmp_path / "s")
+    df.repartitionByRange(8, "a").sortWithinPartitions("a").write.parquet(sdir)
+
+    def mean_file_spans(d):
+        spans_a, spans_b = [], []
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo_a = hi_a = lo_b = hi_b = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    if name == "a":
+                        lo_a = st.min if lo_a is None else min(lo_a, st.min)
+                        hi_a = st.max if hi_a is None else max(hi_a, st.max)
+                    elif name == "b":
+                        lo_b = st.min if lo_b is None else min(lo_b, st.min)
+                        hi_b = st.max if hi_b is None else max(hi_b, st.max)
+            if lo_a is not None:
+                spans_a.append(hi_a - lo_a)
+                spans_b.append(hi_b - lo_b)
+        return (sum(spans_a) / len(spans_a), sum(spans_b) / len(spans_b))
+
+    z_a, z_b = mean_file_spans(zdir)
+    s_a, s_b = mean_file_spans(sdir)
+    full = 1 << 10
+    assert s_b > 0.8 * full          # single-dim sort: b unbounded per file
+    assert z_a < 0.6 * full and z_b < 0.6 * full  # z-order: both bounded
+    # and the data survives the round trip
+    back = spark.read.parquet(zdir)
+    assert back.count() == len(rows)
