@@ -219,3 +219,67 @@ def cms_query(
         .agg(F.min(F.coalesce("counter", F.lit(0))).alias("cms_estimate"))
     )
     return keys.join(estimates, cols, "left")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta) sketch: mergeable distinct counting WITH
+# set-operation estimates (union, intersection, difference) — the piece
+# HLL lacks (HLL unions trivially but cannot intersect).
+# ---------------------------------------------------------------------------
+
+KMV_SPACE = float(1 << 60)
+
+
+def kmv_sketch(df, key: Column, k: int = 256) -> "DataFrame":
+    """Build one KMV sketch row: the k smallest 60-bit hashes of the key
+    (deterministic md5-based hash, so the sketch is bit-reproducible and
+    SQL-replayable). Returns a 1-row frame (ks array<long>, n_keys long).
+
+    Scale shape: a map-side-combinable agg — Spark's TypedImperative
+    would be ideal, but sort_array(collect_set)[0:k] over the DISTINCT
+    hash set stays exact and shuffle-light because the distinct set is
+    pre-shrunk per partition by partial aggregation. For corpus-scale
+    keys use the two-stage form: per-partition top-k (groupBy
+    spark_partition_id + slice) then a final merge — same result by the
+    order-statistic property: the global k smallest are among the union
+    of per-partition k smallest.
+    """
+    from ..functions.text import hash60_expr
+
+    h = hash60_expr(key.cast("string"))
+    return df.select(h.alias("_h")).distinct().select(
+        F.slice(F.sort_array(F.collect_list("_h")), 1, k).alias("ks"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+
+
+def kmv_estimate_expr(ks: Column, k: int) -> Column:
+    """Distinct-count estimate: (k-1) / theta where theta = kth smallest
+    hash / hash-space size; exact count when fewer than k values exist."""
+    n = F.size(ks)
+    kth = F.element_at(ks, k)
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / kth.cast("double")
+    )
+
+
+def kmv_merge_expr(a: Column, b: Column, k: int) -> Column:
+    """Union of two sketches: merge, dedup, keep the k smallest — closed
+    under the sketch invariant, pure array expressions."""
+    return F.slice(F.sort_array(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_intersect_estimate_expr(a: Column, b: Column, k: int) -> Column:
+    """Intersection estimate (theta-sketch style): form the union sketch,
+    take its theta (the kth smallest union hash), count common hashes
+    below theta, and scale by 1/theta. Exact when the union has fewer
+    than k values. Pure array expressions — mergeable and shuffle-free
+    once the per-side sketches exist."""
+    u = kmv_merge_expr(a, b, k)
+    n_u = F.size(u)
+    kth = F.element_at(u, k)
+    common_all = F.array_intersect(a, b)
+    common_below = F.size(F.filter(common_all, lambda x: x < kth))
+    return F.when(n_u < k, F.size(common_all).cast("double")).otherwise(
+        common_below.cast("double") * F.lit(KMV_SPACE) / kth.cast("double")
+    )

@@ -12677,6 +12677,87 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_oracle(k: int = 256) -> str:
+    h = hash60_sql("CAST(user_id AS VARCHAR)")
+    space = float(1 << 60)
+    est = (
+        "CASE WHEN len({ks}) < {k} THEN CAST(len({ks}) AS DOUBLE) "
+        "ELSE CAST({km1} AS DOUBLE) * {space!r} / CAST({ks}[{k}] AS DOUBLE) END"
+    )
+    return f"""
+    WITH ha AS (SELECT DISTINCT {h} AS h FROM events
+                WHERE event_type = 'click'),
+    hb AS (SELECT DISTINCT {h} AS h FROM events
+           WHERE event_type = 'view'),
+    a AS (SELECT list_sort(list(h))[1:{k}] AS ks, count(*) AS n FROM ha),
+    b AS (SELECT list_sort(list(h))[1:{k}] AS ks, count(*) AS n FROM hb),
+    j AS (
+      SELECT a.ks AS ka, a.n AS n_a, b.ks AS kb, b.n AS n_b,
+             list_sort(list_distinct(a.ks || b.ks))[1:{k}] AS ku
+      FROM a, b
+    ),
+    e AS (
+      SELECT n_a, n_b, ka, kb, ku,
+             list_intersect(ka, kb) AS ci
+      FROM j
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round({est.format(ks='ka', k=k, km1=k - 1, space=space)}, 4)
+             AS est_a,
+           round({est.format(ks='kb', k=k, km1=k - 1, space=space)}, 4)
+             AS est_b,
+           round({est.format(ks='ku', k=k, km1=k - 1, space=space)}, 4)
+             AS est_union,
+           round(CASE WHEN len(ku) < {k} THEN CAST(len(ci) AS DOUBLE)
+                 ELSE CAST(len(list_filter(ci, x -> x < ku[{k}]))
+                           AS DOUBLE) * {space!r}
+                      / CAST(ku[{k}] AS DOUBLE) END, 4) AS est_intersect
+    FROM e
+    """
+
+
+@_register("kmv_set_ops", _kmv_oracle())
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta) sketch set operations — the mergeable-sketch piece HLL
+    lacks: besides distinct estimates and closed-form unions, theta
+    sketches estimate INTERSECTIONS (count common hashes below the union
+    sketch's theta, scale by 1/theta). Clicker vs viewer user sets are
+    sketched at k=256; every number is deterministic (md5 hash space) and
+    the oracle replays the order statistics bit-for-bit. Scale shape: the
+    corpus-sized work is two distinct-aggs; everything after operates on
+    k-sized arrays broadcast-joined on a literal key."""
+    from ..operators.sketches import (
+        kmv_estimate_expr,
+        kmv_intersect_estimate_expr,
+        kmv_merge_expr,
+        kmv_sketch,
+    )
+
+    k = 256
+    ev = fan_out(_t(spark, sf_dir, "events"))
+    a = kmv_sketch(
+        ev.filter(F.col("event_type") == "click"), F.col("user_id"), k=k
+    ).select(F.col("ks").alias("ka"), F.col("n_keys").alias("n_a"),
+             F.lit(1).alias("_j"))
+    b = kmv_sketch(
+        ev.filter(F.col("event_type") == "view"), F.col("user_id"), k=k
+    ).select(F.col("ks").alias("kb"), F.col("n_keys").alias("n_b"),
+             F.lit(1).alias("_j"))
+    joined = a.join(F.broadcast(b), "_j")
+    ku = kmv_merge_expr(F.col("ka"), F.col("kb"), k)
+    return joined.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(kmv_estimate_expr(F.col("ka"), k), 4).alias("est_a"),
+        F.round(kmv_estimate_expr(F.col("kb"), k), 4).alias("est_b"),
+        F.round(kmv_estimate_expr(ku, k), 4).alias("est_union"),
+        F.round(
+            kmv_intersect_estimate_expr(F.col("ka"), F.col("kb"), k), 4
+        ).alias("est_intersect"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
