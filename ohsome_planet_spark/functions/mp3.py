@@ -217,3 +217,165 @@ def encode_mp3(
             struct.pack_into(">II", frame, xo + 4, 0x1, len(bitrate_indices))
         out += frame
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Layer I sample decode (subband domain)
+# ---------------------------------------------------------------------------
+
+# ISO 11172-3 Table B.1 scalefactors: scf(idx) = 2.0 * 2^(-idx/3).
+# Index multiples of 3 are exact dyadic doubles (2.0, 1.0, 0.5, ...).
+SCALEFACTORS = [2.0 * 2.0 ** (-i / 3.0) for i in range(63)]
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.data = data
+        self.pos = pos_bits
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise Mp3FormatError("bitstream underrun")
+            v = (v << 1) | ((self.data[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+def decode_mp1_subbands(payload: bytes):
+    """REAL MPEG-1 Layer I sample decode, subband domain: walk every
+    frame, read the 4-bit allocations, 6-bit scalefactor indices and
+    MSB-packed samples from the genuine bitstream, and requantize per
+    ISO 11172-3 §2.4.3.3:
+
+        s'''    = (raw XOR 2^(nb-1)) / 2^(nb-1) - 1   (inverted MSB)
+        sample   = scf * (2^nb / (2^nb - 1)) * (s''' + 2^-nb)
+
+    which lands codes on the exact symmetric grid [-1, +1] (the all-ones
+    positive code decodes to exactly +1.0, its mirror to -1.0).
+
+    Output: (sample_rate, channels, n_frames, samples) with ``samples``
+    a per-frame list of per-channel lists of 32x12 subband values. The
+    synthesis polyphase filterbank (the lossy perceptual half) is
+    deliberately NOT applied — subband samples are the exact decodable
+    content of the bitstream, and every arithmetic step above is
+    IEEE-deterministic, so the result is oracle-replayable bit-for-bit.
+    Only Layer I mono/stereo without CRC is in scope; anything else
+    raises and callers fall back to :func:`probe_mp3`."""
+    buf = bytes(payload)
+    pos = 0
+    if buf[:3] == b"ID3":
+        pos = 10 + _syncsafe(buf[6:10])
+    first = None
+    frames = []
+    while pos + 4 <= len(buf):
+        (h,) = struct.unpack_from(">I", buf, pos)
+        version, layer, bitrate, rate, _pad, channels, fb, _spf = _parse_header(h)
+        if layer != 0 or version != 3:
+            raise Mp3FormatError("only MPEG-1 Layer I sample decode")
+        if not (h >> 16) & 1:
+            raise Mp3FormatError("CRC-protected Layer I not supported")
+        if first is None:
+            first = (rate, channels)
+        elif (rate, channels) != first:
+            raise Mp3FormatError("stream parameters change mid-file")
+        if pos + fb > len(buf):
+            raise Mp3FormatError("truncated frame")
+        rd = _BitReader(buf[pos : pos + fb], pos_bits=32)
+        alloc = [
+            [rd.read(4) for _ in range(32)] for _ in range(channels)
+        ]
+        if any(a == 15 for ch in alloc for a in ch):
+            raise Mp3FormatError("forbidden allocation 15")
+        scf = [
+            [rd.read(6) if alloc[c][sb] else 0 for sb in range(32)]
+            for c in range(channels)
+        ]
+        chans = [[[0.0] * 12 for _ in range(32)] for _ in range(channels)]
+        for s in range(12):
+            for sb in range(32):
+                for c in range(channels):
+                    a = alloc[c][sb]
+                    if a == 0:
+                        continue
+                    nb = a + 1
+                    raw = rd.read(nb)
+                    half = 1 << (nb - 1)
+                    s3 = (raw ^ half) / float(half) - 1.0
+                    val = (
+                        SCALEFACTORS[scf[c][sb]]
+                        * (float(1 << nb) / float((1 << nb) - 1))
+                        * (s3 + 2.0 ** (-nb))
+                    )
+                    chans[c][sb][s] = val
+        frames.append(chans)
+        pos += fb
+    if first is None:
+        raise Mp3FormatError("no frames")
+    rate, channels = first
+    return rate, channels, len(frames), frames
+
+
+def encode_mp1(
+    alloc: list[list[int]],
+    scf_idx: list[list[int]],
+    samples: list[list[list[int]]],
+    sr_idx: int = 0,
+    br_idx: int = 12,
+    channels: int = 1,
+    n_frames: int = 1,
+    sample_fn=None,
+) -> bytes:
+    """Emit genuine MPEG-1 Layer I frames (fixture encoder): real header,
+    4-bit allocations, 6-bit scalefactors, MSB-packed raw samples
+    (``samples[c][sb]`` lists of 12 ints, or ``sample_fn(f, c, sb, s)``
+    for multi-frame streams), zero-padded to the exact frame length."""
+    out = bytearray()
+    rate = _RATES[3][sr_idx]
+    bitrate = _BITRATES[(0, 0)][br_idx] * 1000
+    fb = (12 * bitrate // rate) * 4
+    mode = 3 if channels == 1 else 0
+    h = (
+        (0x7FF << 21) | (3 << 19) | (3 << 17) | (1 << 16)
+        | (br_idx << 12) | (sr_idx << 10) | (mode << 6)
+    )
+    for f in range(n_frames):
+        bits = bytearray()
+        acc = 0
+        nacc = 0
+
+        def put(v: int, n: int):
+            nonlocal acc, nacc
+            acc = (acc << n) | (v & ((1 << n) - 1))
+            nacc += n
+            while nacc >= 8:
+                bits.append((acc >> (nacc - 8)) & 0xFF)
+                nacc -= 8
+
+        for c in range(channels):
+            for sb in range(32):
+                put(alloc[c][sb], 4)
+        for c in range(channels):
+            for sb in range(32):
+                if alloc[c][sb]:
+                    put(scf_idx[c][sb], 6)
+        for s in range(12):
+            for sb in range(32):
+                for c in range(channels):
+                    a = alloc[c][sb]
+                    if a:
+                        raw = (
+                            sample_fn(f, c, sb, s)
+                            if sample_fn is not None
+                            else samples[c][sb][s]
+                        )
+                        put(raw, a + 1)
+        if nacc:
+            bits.append((acc << (8 - nacc)) & 0xFF)
+        frame = struct.pack(">I", h) + bytes(bits)
+        if len(frame) > fb:
+            raise ValueError("frame payload exceeds frame length")
+        out += frame + bytes(fb - len(frame))
+    return bytes(out)

@@ -12758,6 +12758,135 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mp1_oracle() -> str:
+    # replay of ISO 11172-3 §2.4.3.3 Layer I requantization with the
+    # fixture's parameter functions; every step is IEEE-deterministic
+    # (dyadic scalefactors, one division + two multiplies per sample)
+    val = """
+      (2.0 / CAST(1 << ((doc_id + sb + c) % 21) AS DOUBLE))
+      * (CAST(1 << (((doc_id + sb + 2*c) % 3) + 1) AS DOUBLE)
+         / CAST((1 << (((doc_id + sb + 2*c) % 3) + 1)) - 1 AS DOUBLE))
+      * (CAST(xor((doc_id + f*7 + c*3 + sb*5 + s*11)
+                  % (1 << (((doc_id + sb + 2*c) % 3) + 1)),
+              1 << ((doc_id + sb + 2*c) % 3)) AS DOUBLE)
+           / CAST(1 << ((doc_id + sb + 2*c) % 3) AS DOUBLE)
+         - 1.0
+         + 1.0 / CAST(1 << (((doc_id + sb + 2*c) % 3) + 1) AS DOUBLE))
+    """
+    w = "(((f * (1 + doc_id % 2) + c) * 32 + sb) * 12 + s + 1)"
+    body = f"""
+      flatten(list_transform(range(0, doc_id % 4 + 1), f ->
+        flatten(list_transform(range(0, 1 + doc_id % 2), c ->
+          flatten(list_transform(range(0, 32), sb ->
+            CASE WHEN (doc_id + sb + 2*c) % 3 = 0
+                 THEN CAST([] AS DOUBLE[])
+                 ELSE list_transform(range(0, 12), s -> {{expr}})
+            END))))))
+    """
+    return f"""
+    SELECT doc_id,
+           CAST([44100, 48000, 32000][doc_id % 3 + 1] AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(doc_id % 4 + 1 AS INT) AS n_frames,
+           round(coalesce(list_sum({body.format(expr=val)}), 0.0), 6)
+             AS sample_sum,
+           round(coalesce(list_sum({body.format(expr=f"({val}) * {w}")}),
+                          0.0), 6) AS weighted_sum
+    FROM documents ORDER BY doc_id
+    """
+
+
+@_register("multimodal_mp1_decode", _mp1_oracle())
+def multimodal_mp1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer I SAMPLE decode through the multimodal seam
+    (``functions/mp3.py::decode_mp1_subbands``): genuine Layer I frames —
+    4-bit allocations, 6-bit scalefactors, MSB-packed raw samples — are
+    requantized per ISO 11172-3 §2.4.3.3 in the subband domain. The
+    fixture keeps every arithmetic step IEEE-deterministic (scalefactor
+    indices are multiples of 3, so scf = 2·2^-k is an exact dyadic), and
+    the oracle replays the requantization formula term-for-term; the
+    position-WEIGHTED sum pins bit order, channel interleave, and frame
+    order. The synthesis filterbank (the perceptual half) is documented
+    out of scope — subband samples are the bitstream's exact content."""
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mp3 import encode_mp1
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ch = 1 + d % 2
+                alloc = [
+                    [(d + sb + 2 * c) % 3 for sb in range(32)]
+                    for c in range(ch)
+                ]
+                scf = [
+                    [3 * ((d + sb + c) % 21) for sb in range(32)]
+                    for c in range(ch)
+                ]
+
+                def sample_fn(f, c, sb, s, d=d, alloc=alloc):
+                    nb = alloc[c][sb] + 1
+                    return (d + f * 7 + c * 3 + sb * 5 + s * 11) % (1 << nb)
+
+                payloads.append(
+                    encode_mp1(
+                        alloc, scf, None,
+                        sr_idx=d % 3, br_idx=14, channels=ch,
+                        n_frames=d % 4 + 1, sample_fn=sample_fn,
+                    )
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mp3 import decode_mp1_subbands
+
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("sample_rate", "channels", "n_frames", "sample_sum",
+                     "weighted_sum")}
+            for payload in pdf["media"]:
+                rate, ch, nf, frames = decode_mp1_subbands(bytes(payload))
+                ss = 0.0
+                ws = 0.0
+                for f, chans in enumerate(frames):
+                    for c, sbs in enumerate(chans):
+                        for sb, vals in enumerate(sbs):
+                            for s, v in enumerate(vals):
+                                ss += v
+                                ws += v * (
+                                    ((f * ch + c) * 32 + sb) * 12 + s + 1
+                                )
+                cols["sample_rate"].append(rate)
+                cols["channels"].append(ch)
+                cols["n_frames"].append(nf)
+                cols["sample_sum"].append(round(ss, 6))
+                cols["weighted_sum"].append(round(ws, 6))
+            out = pdf.copy()
+            for k in ("sample_rate", "channels", "n_frames"):
+                out[k] = pd.array(cols[k], dtype="Int32")
+            for k in ("sample_sum", "weighted_sum"):
+                out[k] = pd.array(cols[k], dtype="float64")
+            yield out
+
+    return (
+        media.mapInPandas(
+            decode,
+            "doc_id bigint, media binary, sample_rate int, channels int,"
+            " n_frames int, sample_sum double, weighted_sum double",
+        )
+        .select("doc_id", "sample_rate", "channels", "n_frames",
+                "sample_sum", "weighted_sum")
+        .orderBy("doc_id")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

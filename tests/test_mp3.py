@@ -107,3 +107,101 @@ def test_seam_routing(spark):
     assert rows[2].n_frames is None  # nulls out, job survives
     kinds = {r.id: r.kind for r in with_media_meta(df).collect()}
     assert kinds[1] == "mp3"
+
+
+# --- Layer I sample decode ---------------------------------------------------
+
+
+def test_mp1_requantization_known_values():
+    from ohsome_planet_spark.functions.mp3 import (
+        SCALEFACTORS,
+        decode_mp1_subbands,
+        encode_mp1,
+    )
+
+    # published scalefactor law: scf(0)=2.0, scf(3)=1.0, scf(6)=0.5
+    assert SCALEFACTORS[0] == 2.0 and SCALEFACTORS[3] == 1.0
+    assert SCALEFACTORS[6] == 0.5
+    # nb=2: raw 0..3 -> fraction -1+1/2 .. 1/2+... ; hand-check extremes
+    alloc = [[0] * 32]
+    alloc[0][0] = 1  # nb = 2
+    scf = [[0] * 32]
+    scf[0][0] = 3  # scf = 1.0
+    samples = [[[0] * 12 for _ in range(32)]]
+    samples[0][0] = [0, 1, 2, 3] * 3
+    _, _, _, frames = decode_mp1_subbands(
+        encode_mp1(alloc, scf, samples, channels=1)
+    )
+    got = frames[0][0][0][:4]
+    # s = (4/3) * ((raw ^ 2)/2 - 1 + 1/4): the exact symmetric grid
+    want = [(4.0 / 3.0) * ((r ^ 2) / 2.0 - 1.0 + 0.25) for r in (0, 1, 2, 3)]
+    assert got == want
+    assert want == [1.0 / 3.0, 1.0, -1.0, -1.0 / 3.0]
+    # ISO property: codes land on the exact symmetric [-1, +1] range
+    assert max(got) == 1.0 and min(got) == -1.0
+    assert sorted(got) == sorted(-v for v in got)
+
+
+def test_mp1_bit_order_and_interleave():
+    from ohsome_planet_spark.functions.mp3 import (
+        decode_mp1_subbands,
+        encode_mp1,
+    )
+
+    # stereo: samples interleave (s, sb, ch) — flipping one channel's raw
+    # must change only that channel's value
+    alloc = [[1] + [0] * 31, [1] + [0] * 31]
+    scf = [[3] + [0] * 31, [3] + [0] * 31]
+    base = [[[1] * 12 for _ in range(32)], [[1] * 12 for _ in range(32)]]
+    import copy
+
+    mod = copy.deepcopy(base)
+    mod[1][0][5] = 3  # channel 1, subband 0, sample 5
+    _, _, _, fa = decode_mp1_subbands(encode_mp1(alloc, scf, base, channels=2))
+    _, _, _, fb = decode_mp1_subbands(encode_mp1(alloc, scf, mod, channels=2))
+    assert fa[0][0][0] == fb[0][0][0]  # channel 0 untouched
+    diffs = [s for s in range(12) if fa[0][1][0][s] != fb[0][1][0][s]]
+    assert diffs == [5]
+
+
+def test_mp1_rejects_out_of_scope():
+    from ohsome_planet_spark.functions.mp3 import (
+        Mp3FormatError,
+        decode_mp1_subbands,
+        encode_mp1,
+        encode_mp3,
+    )
+
+    with pytest.raises(Mp3FormatError):  # Layer III stream
+        decode_mp1_subbands(encode_mp3(3, 2, [9], 0))
+    good = encode_mp1(
+        [[1] + [0] * 31], [[3] + [0] * 31],
+        [[[1] * 12 for _ in range(32)]], channels=1,
+    )
+    with pytest.raises(Mp3FormatError):
+        decode_mp1_subbands(good[: len(good) - 30])  # truncated frame
+    # forbidden allocation value 15
+    bad = bytearray(good)
+    bad[4] = 0xFF  # first two 4-bit allocations -> 15,15
+    with pytest.raises(Mp3FormatError):
+        decode_mp1_subbands(bytes(bad))
+
+
+def test_mp1_geometry_agrees_with_probe():
+    from ohsome_planet_spark.functions.mp3 import (
+        decode_mp1_subbands,
+        encode_mp1,
+        probe_mp3,
+    )
+
+    b = encode_mp1(
+        [[2] * 32], [[0] * 32], None,
+        sr_idx=1, br_idx=14, channels=1, n_frames=4,
+        sample_fn=lambda f, c, sb, s: (f + sb + s) % 8,
+    )
+    probe = probe_mp3(b)
+    rate, ch, nf, _ = decode_mp1_subbands(b)
+    assert (probe["sample_rate"], probe["channels"], probe["n_frames"]) == (
+        rate, ch, nf,
+    )
+    assert probe["layer"] == 1 and probe["bitrate_kbps"] == 448
