@@ -536,6 +536,78 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_ingest_warc(args) -> int:
+    """Common Crawl front half as a user entrypoint: a directory of WARC
+    archives (plain or per-record gzip) → one parquet row per HTTP
+    response with the extracted main text plus C4-style line filtering
+    and quality columns — the documents table the curation funnel then
+    consumes (`sources/warc.py`, `functions/html.py`, `operators/web.py`).
+    Prints a one-line JSON ingest report."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from .functions.text import quality_score_expr, token_count_expr
+    from .operators.curation import c4_line_filter
+    from .operators.web import extract_main_text, warc_records
+    from .session import get_spark
+
+    spark = get_spark(app_name="ingest-warc")
+    paths = sorted(_glob.glob(os.path.join(args.input, "*.warc*")))
+    if not paths:
+        print(json.dumps({"error": "no .warc files found", "dir": args.input}))
+        return 2
+    files = (
+        spark.read.format("binaryFile")
+        .load(paths)
+        .select(
+            F.col("path").alias("warc_path"), F.col("content").alias("warc")
+        )
+    )
+    responses = warc_records(files, "warc").filter(
+        F.col("warc_type") == "response"
+    )
+    extracted = (
+        extract_main_text(responses, "payload", http=True)
+        .filter(F.col("extracted_text").isNotNull())
+        .withColumn(
+            "uid", F.concat_ws("#", F.col("warc_path"), F.col("rec_idx"))
+        )
+    )
+    filtered = c4_line_filter(
+        extracted,
+        "uid",
+        "extracted_text",
+        min_words_per_line=args.min_words_per_line,
+        require_terminal_punct=not args.no_terminal_punct,
+        min_kept_lines=args.min_kept_lines,
+    ).join(
+        extracted.select("uid", "warc_path", "rec_idx", "target_uri"),
+        F.col("doc") == F.col("uid"),
+    )
+    out = filtered.select(
+        "warc_path",
+        "rec_idx",
+        "target_uri",
+        F.col("kept_text").alias("text"),
+        "n_lines",
+        "n_kept_lines",
+        "keep_doc",
+        token_count_expr(F.col("kept_text")).alias("n_tokens"),
+        F.round(quality_score_expr(F.col("kept_text")), 6).alias("quality"),
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    report = {
+        "archives": len(paths),
+        "responses": back.count(),
+        "kept": back.filter("keep_doc").count(),
+        "out": args.out,
+    }
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Concat-and-chunk packing of a documents parquet into training
     shards: per-shard parquet (hive ``shard=`` partitions) holding the
@@ -801,6 +873,18 @@ def main(argv=None) -> int:
     cu.add_argument("--max-dup-token-frac", type=float, default=0.7)
     cu.add_argument("--contamination-max", type=float, default=0.8)
     cu.set_defaults(fn=cmd_curate)
+
+    iw = sub.add_parser(
+        "ingest-warc",
+        help="WARC archives -> extracted-text documents parquet (CC front half)",
+    )
+    iw.add_argument("--input", required=True, help="directory of .warc / .warc.gz files")
+    iw.add_argument("--out", required=True)
+    iw.add_argument("--min-words-per-line", type=int, default=5)
+    iw.add_argument("--min-kept-lines", type=int, default=3)
+    iw.add_argument("--no-terminal-punct", action="store_true",
+                    help="drop the terminal-punctuation line rule")
+    iw.set_defaults(fn=cmd_ingest_warc)
 
     pk = sub.add_parser(
         "pack",

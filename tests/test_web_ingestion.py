@@ -179,3 +179,56 @@ def test_extract_main_text_operator(spark):
             for r in extract_main_text(df, "payload", http=True).collect()}
     assert rows[1] == "T\na & b"
     assert rows[2] is None and rows[3] is None
+
+
+def test_ingest_warc_cli_e2e(spark, tmp_path):
+    """End-to-end user flow: WARC files on disk -> cli ingest-warc ->
+    documents parquet with extracted text + C4/quality columns."""
+    import json
+    import subprocess
+    import sys
+
+    body1 = (
+        b"<html><body><p>This is a fine long sentence that ends properly.</p>"
+        b"<p>Another keeper sentence with enough words to pass!</p>"
+        b"<p>Third good sentence so the document clears the floor?</p>"
+        b"</body></html>"
+    )
+    body2 = b"<html><body><p>too short.</p></body></html>"
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    (wdir / "a.warc").write_bytes(
+        encode_warc(
+            [
+                {"warc_type": "warcinfo", "payload": b"sw"},
+                {"warc_type": "response", "target_uri": "http://x/1",
+                 "payload": http_response_wrap(body1)},
+            ]
+        )
+    )
+    (wdir / "b.warc.gz").write_bytes(
+        encode_warc(
+            [
+                {"warc_type": "response", "target_uri": "http://x/2",
+                 "payload": http_response_wrap(body2)},
+                {"warc_type": "request", "target_uri": "http://x/2",
+                 "payload": b"GET /2"},
+            ],
+            gzip_records=True,
+        )
+    )
+    out = tmp_path / "docs_out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "ohsome_planet_spark.cli", "ingest-warc",
+         "--input", str(wdir), "--out", str(out)],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["archives"] == 2 and report["responses"] == 2
+    assert report["kept"] == 1  # body2 fails the line rules
+    rows = {r.target_uri: r for r in spark.read.parquet(str(out)).collect()}
+    assert rows["http://x/1"].keep_doc and rows["http://x/1"].n_kept_lines == 3
+    assert "fine long sentence" in rows["http://x/1"].text
+    assert not rows["http://x/2"].keep_doc
