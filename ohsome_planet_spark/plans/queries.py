@@ -12887,6 +12887,67 @@ def multimodal_mp1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hilbert_oracle() -> str:
+    from ..functions.zorder import hilbert_key_sql
+
+    inner = """
+      SELECT (datediff('day', DATE '1992-01-01',
+                       CAST(o_orderdate AS DATE)) & 4095) AS hx,
+             (o_custkey & 4095) AS hy,
+             (datediff('day', DATE '1992-01-01',
+                       CAST(o_orderdate AS DATE)) & 4095) AS qd,
+             (o_custkey & 4095) AS qc
+      FROM orders
+    """
+    keyed = hilbert_key_sql(inner, bits=12)
+    return f"""
+    WITH k AS (SELECT qd, qc, hd FROM {keyed})
+    SELECT CAST(hd >> 18 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(qd) AS BIGINT) AS min_qd,
+           CAST(max(qd) AS BIGINT) AS max_qd,
+           CAST(min(qc) AS BIGINT) AS min_qc,
+           CAST(max(qc) AS BIGINT) AS max_qc,
+           CAST(sum(hd) AS BIGINT) AS key_checksum
+    FROM k GROUP BY bucket ORDER BY bucket
+    """
+
+
+@_register("hilbert_layout", _hilbert_oracle())
+def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys — the 2-D clustering key Iceberg prefers
+    over Morton (no quadrant seam jumps): the classical per-level
+    rotate/reflect fold in NAMED per-level columns
+    (``functions/zorder.py::with_hilbert_key`` — the pure-expression form
+    grows a ~4^bits tree, the repo's documented exponential-unroll trap,
+    so the frame form keeps the tree linear). Orders map (order date
+    days, customer id) onto the 12-bit curve; per-bucket spans of both
+    dimensions plus a full-key checksum pin every level of the fold; the
+    oracle replays the identical unrolled transform in SQL."""
+    from ..functions.zorder import with_hilbert_key
+
+    ords = fan_out(_t(spark, sf_dir, "orders"))
+    qd = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+    ).cast("long").bitwiseAND(F.lit(4095))
+    qc = F.col("o_custkey").bitwiseAND(F.lit(4095))
+    keyed = with_hilbert_key(
+        ords.select(qd.alias("qd"), qc.alias("qc")), "qd", "qc", bits=12
+    )
+    return (
+        keyed.groupBy(F.shiftright("hd", 18).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("qd").cast("bigint").alias("min_qd"),
+            F.max("qd").cast("bigint").alias("max_qd"),
+            F.min("qc").cast("bigint").alias("min_qc"),
+            F.max("qc").cast("bigint").alias("max_qc"),
+            F.sum("hd").cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

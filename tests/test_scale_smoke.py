@@ -331,6 +331,18 @@ def test_dedup_clusters_scales(spark, scaled_dirs):
     _smoke_query(spark, "dedup_clusters", scaled_dirs, check_exchanges=False)
 
 
+def test_exact_substr_dedup_scales(spark, scaled_dirs):
+    # ExactSubstr removal: (doc, pos, span_hash) frame is linear in
+    # corpus tokens; replicas are letter-rotated so cross-replica spans
+    # differ and duplicated-span density stays 1x-like
+    _smoke_query(spark, "exact_substr_dedup", scaled_dirs, check_exchanges=True)
+
+
+def test_warc_html_extract_scales(spark, scaled_dirs):
+    # WARC walk + HTML extraction: pure narrow mapInPandas chain
+    _smoke_query(spark, "warc_html_extract", scaled_dirs, check_exchanges=True)
+
+
 def test_streaming_dedup_scales(spark, scaled_dirs):
     # returned frame is a memory-sink table — plan comparison is
     # meaningless; the bound covers the micro-batch execution itself

@@ -142,3 +142,81 @@ def test_write_zordered_file_stats_prune_both_dims(spark, tmp_path):
     # and the data survives the round trip
     back = spark.read.parquet(zdir)
     assert back.count() == len(rows)
+
+
+# --- Hilbert curve ------------------------------------------------------------
+
+
+def _rot(n, x, y, rx, ry):
+    if ry == 0:
+        if rx == 1:
+            x, y = n - 1 - x, n - 1 - y
+        x, y = y, x
+    return x, y
+
+
+def _xy2d(bits, x, y):
+    n = 1 << bits
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        x, y = _rot(n, x, y, rx, ry)
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_canonical_referee(spark):
+    from ohsome_planet_spark.functions.zorder import (
+        hilbert_key_expr,
+        with_hilbert_key,
+    )
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "a long, b long")
+    # frame form at a real key width
+    got = {(r.a, r.b): r.hd for r in with_hilbert_key(df, "a", "b", bits=10).collect()}
+    assert got == {(x, y): _xy2d(10, x, y) for x, y in pts}
+    # expression form agrees at small widths
+    got_e = {
+        (r.a, r.b): r.hd
+        for r in df.select(
+            "a", "b",
+            hilbert_key_expr(F.col("a"), F.col("b"), bits=4).alias("hd"),
+        ).collect()
+    }
+    assert got_e == {(x, y): _xy2d(4, x, y) for x, y in pts}
+    # the exponential-unroll trap is fenced
+    import pytest
+
+    with pytest.raises(ValueError):
+        hilbert_key_expr(F.col("a"), F.col("b"), bits=12)
+
+
+def test_hilbert_adjacency_and_locality():
+    # the property Hilbert buys: consecutive keys are ALWAYS grid
+    # neighbors (Morton jumps quadrants), so chunk spans tighten
+    bits = 5
+    n = 1 << bits
+    d2xy = {}
+    for x in range(n):
+        for y in range(n):
+            d2xy[_xy2d(bits, x, y)] = (x, y)
+    assert len(d2xy) == n * n  # bijective
+    for d in range(n * n - 1):
+        (x0, y0), (x1, y1) = d2xy[d], d2xy[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1  # unit step, every time
+    # chunked spans at least as tight as Morton on the same grid
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    def spans(sorted_pts, chunk=64):
+        tot = 0
+        for i in range(0, len(sorted_pts), chunk):
+            c = sorted_pts[i : i + chunk]
+            tot += (max(p[0] for p in c) - min(p[0] for p in c)) + (
+                max(p[1] for p in c) - min(p[1] for p in c)
+            )
+        return tot
+    by_h = sorted(pts, key=lambda p: _xy2d(bits, p[0], p[1]))
+    by_z = sorted(pts, key=lambda p: _ref_interleave([p[0], p[1]], bits))
+    assert spans(by_h) <= spans(by_z)
