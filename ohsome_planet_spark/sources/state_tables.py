@@ -56,6 +56,7 @@ def write_zordered(
     dims: tuple[str, ...],
     bits: int = 16,
     n_files: int = 8,
+    curve: str = "morton",
 ) -> None:
     """Write ``df`` clustered by the Z-order key of ``dims`` (non-negative
     integer columns) — the OPTIMIZE ZORDER BY layout: range-partition by
@@ -65,14 +66,24 @@ def write_zordered(
     any one of them prunes files/row groups at scan time (the multi-dim
     generalization of a single sort key). The key column itself is not
     persisted — the layout is the artifact.
+
+    ``curve``: ``morton`` (any dimension count) or ``hilbert`` (2-D only,
+    tighter chunk spans — no quadrant seam jumps).
     """
     from pyspark.sql import functions as F
 
-    from ..functions.zorder import zorder_key_expr
+    from ..functions.zorder import with_hilbert_key, zorder_key_expr
 
-    keyed = df.withColumn(
-        "_zkey", zorder_key_expr([F.col(d) for d in dims], bits=bits)
-    )
+    if curve == "hilbert":
+        if len(dims) != 2:
+            raise ValueError("hilbert layout is 2-D")
+        keyed = with_hilbert_key(df, dims[0], dims[1], bits=bits, out="_zkey")
+    elif curve == "morton":
+        keyed = df.withColumn(
+            "_zkey", zorder_key_expr([F.col(d) for d in dims], bits=bits)
+        )
+    else:
+        raise ValueError(f"unknown curve {curve!r}")
     (
         keyed.repartitionByRange(n_files, "_zkey")
         .sortWithinPartitions("_zkey")

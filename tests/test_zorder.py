@@ -220,3 +220,25 @@ def test_hilbert_adjacency_and_locality():
     by_h = sorted(pts, key=lambda p: _xy2d(bits, p[0], p[1]))
     by_z = sorted(pts, key=lambda p: _ref_interleave([p[0], p[1]], bits))
     assert spans(by_h) <= spans(by_z)
+
+
+def test_write_hilbert_layout(spark, tmp_path):
+    import random
+
+    from ohsome_planet_spark.sources.state_tables import write_zordered
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(1 << 8), rng.randrange(1 << 8)) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    hdir = str(tmp_path / "h")
+    write_zordered(df, hdir, dims=("a", "b"), bits=8, n_files=4,
+                   curve="hilbert")
+    back = spark.read.parquet(hdir)
+    assert back.count() == len(rows)
+    assert sorted(back.columns) == ["a", "b"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_zordered(df, hdir, dims=("a", "b", "a"), curve="hilbert")
+    with pytest.raises(ValueError):
+        write_zordered(df, hdir, dims=("a", "b"), curve="peano")
