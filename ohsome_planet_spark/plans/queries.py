@@ -12948,6 +12948,104 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRIPT_ORACLE = """
+WITH inp AS (
+  SELECT doc_id,
+         text || CASE doc_id % 5
+           WHEN 1 THEN ' ' || chr(19990) || chr(30028) || chr(21644) || chr(24179)
+           WHEN 2 THEN ' ' || chr(1084) || chr(1080) || chr(1088)
+           WHEN 3 THEN ' ' || chr(1587) || chr(1604) || chr(1575) || chr(1605)
+           WHEN 4 THEN ' ' || chr(949) || chr(953) || chr(961) || chr(951)
+           ELSE '' END AS s
+  FROM documents
+),
+counts AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(s, '\\p{Latin}')) AS BIGINT) AS n_latin,
+         CAST(len(regexp_extract_all(s, '\\p{Han}')) AS BIGINT) AS n_han,
+         CAST(len(regexp_extract_all(s, '\\p{Cyrillic}')) AS BIGINT)
+           AS n_cyrillic,
+         CAST(len(regexp_extract_all(s, '\\p{Arabic}')) AS BIGINT) AS n_arabic,
+         CAST(len(regexp_extract_all(s, '\\p{Greek}')) AS BIGINT) AS n_greek
+  FROM inp
+)
+SELECT doc_id, n_latin, n_han, n_cyrillic, n_arabic, n_greek,
+       CASE
+         WHEN n_latin >= n_han AND n_latin >= n_cyrillic
+              AND n_latin >= n_arabic AND n_latin >= n_greek THEN 'latin'
+         WHEN n_han >= n_cyrillic AND n_han >= n_arabic
+              AND n_han >= n_greek THEN 'han'
+         WHEN n_cyrillic >= n_arabic AND n_cyrillic >= n_greek
+              THEN 'cyrillic'
+         WHEN n_arabic >= n_greek THEN 'arabic'
+         ELSE 'greek'
+       END AS dominant_script
+FROM counts ORDER BY doc_id
+"""
+
+
+@_register("script_profile", _SCRIPT_ORACLE)
+def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system detection — the pre-tokenizer routing signal a
+    multilingual pipeline needs before language-ID: per-script character
+    counts via Unicode script property classes, entirely native regex on
+    BOTH engines but through genuinely different regex implementations
+    (Java's ``\\p{script=...}`` vs RE2's ``\\p{...}``), so the two
+    engines' Unicode script tables referee each other. The corpus is
+    ASCII, so planted Han/Cyrillic/Arabic/Greek suffixes drive the
+    non-latin counts."""
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    suffix = (
+        F.when(F.col("doc_id") % 5 == 1, F.lit(" 世界和平"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" мир"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" سلام"))
+        .when(F.col("doc_id") % 5 == 4, F.lit(" ειρη"))
+        .otherwise(F.lit(""))
+    )
+    s = F.concat("text", suffix)
+    counts = docs.select(
+        "doc_id",
+        F.regexp_count(s, F.lit(r"\p{script=Latin}")).cast("bigint").alias(
+            "n_latin"
+        ),
+        F.regexp_count(s, F.lit(r"\p{script=Han}")).cast("bigint").alias(
+            "n_han"
+        ),
+        F.regexp_count(s, F.lit(r"\p{script=Cyrillic}")).cast("bigint").alias(
+            "n_cyrillic"
+        ),
+        F.regexp_count(s, F.lit(r"\p{script=Arabic}")).cast("bigint").alias(
+            "n_arabic"
+        ),
+        F.regexp_count(s, F.lit(r"\p{script=Greek}")).cast("bigint").alias(
+            "n_greek"
+        ),
+    )
+    dom = (
+        F.when(
+            (F.col("n_latin") >= F.col("n_han"))
+            & (F.col("n_latin") >= F.col("n_cyrillic"))
+            & (F.col("n_latin") >= F.col("n_arabic"))
+            & (F.col("n_latin") >= F.col("n_greek")),
+            F.lit("latin"),
+        )
+        .when(
+            (F.col("n_han") >= F.col("n_cyrillic"))
+            & (F.col("n_han") >= F.col("n_arabic"))
+            & (F.col("n_han") >= F.col("n_greek")),
+            F.lit("han"),
+        )
+        .when(
+            (F.col("n_cyrillic") >= F.col("n_arabic"))
+            & (F.col("n_cyrillic") >= F.col("n_greek")),
+            F.lit("cyrillic"),
+        )
+        .when(F.col("n_arabic") >= F.col("n_greek"), F.lit("arabic"))
+        .otherwise(F.lit("greek"))
+    )
+    return counts.withColumn("dominant_script", dom).orderBy("doc_id")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
