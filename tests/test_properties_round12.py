@@ -153,3 +153,52 @@ def test_mp3_walk_matches_formula(version, layer, sr_idx, channels, brs, padpat)
     assert r["n_frames"] == len(brs)
     assert r["total_frame_bytes"] == total
     assert r["sample_rate"] == rate and r["channels"] == channels
+
+
+@SET
+@given(
+    bits=st.integers(2, 8),
+    data=st.data(),
+)
+def test_hilbert_sql_matches_canonical(bits, data):
+    import duckdb
+
+    from ohsome_planet_spark.functions.zorder import hilbert_key_sql
+    from tests.test_zorder import _xy2d
+
+    n = 1 << bits
+    pts = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+            min_size=1, max_size=20,
+        )
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", pts)
+    sql = hilbert_key_sql("SELECT a AS hx, b AS hy, a, b FROM pts", bits)
+    rows = con.execute(f"SELECT a, b, hd FROM {sql}").fetchall()
+    for a, b, hd in rows:
+        assert hd == _xy2d(bits, a, b)
+
+
+@SET
+@given(
+    ids_a=st.sets(st.integers(0, 10_000), min_size=1, max_size=300),
+    ids_b=st.sets(st.integers(0, 10_000), min_size=1, max_size=300),
+)
+def test_kmv_merge_commutes_with_union(ids_a, ids_b):
+    # pure-Python twin of the sketch invariant: k smallest of the union
+    # equals the merge of per-side k smallest
+    import hashlib
+
+    k = 32
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    sk_a = sorted({h(i) for i in ids_a})[:k]
+    sk_b = sorted({h(i) for i in ids_b})[:k]
+    merged = sorted(set(sk_a) | set(sk_b))[:k]
+    truth = sorted({h(i) for i in ids_a | ids_b})[:k]
+    assert merged == truth
