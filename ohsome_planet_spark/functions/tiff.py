@@ -2,7 +2,7 @@
 decoder behind the multimodal seam (PNG/GIF/JPEG in their sibling
 modules).
 
-Scope: baseline TIFF 6.0 strip-based images —
+Scope: baseline TIFF 6.0 images —
 
 - both byte orders (``II`` little-endian, ``MM`` big-endian);
 - photometric 0/1 (grayscale, incl. WhiteIsZero inversion), 2 (RGB8)
@@ -11,9 +11,11 @@ Scope: baseline TIFF 6.0 strip-based images —
   packing WITH the spec's "early change" quirk: the code width bumps one
   code before the table actually fills, at 510/1022/2046) plus the
   horizontal differencing predictor (tag 317 = 2);
-- multiple strips via RowsPerStrip/StripOffsets/StripByteCounts.
+- multiple strips via RowsPerStrip/StripOffsets/StripByteCounts, AND
+  the tiled organization (TileWidth/TileLength/TileOffsets/TileByteCounts,
+  multiple-of-16 tiles, zero-padded edge tiles cropped on decode).
 
-Anything outside this scope (tiles, 16-bit samples, planar config 2,
+Anything outside this scope (16-bit samples, planar config 2,
 JPEG-in-TIFF, ...) raises :class:`TiffFormatError`; callers fall back to
 the deterministic stub, mirroring the JPEG header-only fallback.
 
@@ -270,6 +272,68 @@ def decode_tiff(payload: bytes):
         if not cmap or len(cmap) != 3 * 256:
             raise TiffFormatError("palette image without 3x256 ColorMap")
 
+    def _decode_chunk(chunk: bytes, expected: int, n_rows: int,
+                      row_bytes: int) -> bytes:
+        if compression == 1:
+            data = chunk[:expected]
+            if len(data) < expected:
+                raise TiffFormatError("uncompressed chunk underrun")
+        elif compression == 32773:
+            data = _packbits_decode(chunk, expected)
+        else:
+            data = _lzw_decode(chunk)
+            if len(data) < expected:
+                raise TiffFormatError("LZW chunk underrun")
+            data = data[:expected]
+        if predictor == 2:
+            d = bytearray(data)
+            for r in range(n_rows):
+                base = r * row_bytes
+                for i in range(spp, row_bytes):
+                    d[base + i] = (d[base + i] + d[base + i - spp]) & 0xFF
+            return bytes(d)
+        if predictor != 1:
+            raise TiffFormatError(f"predictor {predictor} unsupported")
+        return data
+
+    if 322 in tags:  # tiled organization (tags 322-325)
+        tw = one(322)
+        th = one(323)
+        t_offsets = tags.get(324)
+        t_counts = tags.get(325)
+        if not tw or not th:
+            raise TiffFormatError("zero tile dimensions")
+        if tw % 16 or th % 16:
+            raise TiffFormatError("tile dimensions must be multiples of 16")
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        if (
+            not t_offsets
+            or not t_counts
+            or len(t_offsets) != len(t_counts)
+            or len(t_offsets) != across * down
+        ):
+            raise TiffFormatError("tile offsets/counts missing or mismatched")
+        row_bytes = width * spp
+        tile_row_bytes = tw * spp
+        raw = bytearray(height * row_bytes)
+        for ti, (so, sc) in enumerate(zip(t_offsets, t_counts)):
+            chunk = buf[so : so + sc]
+            if len(chunk) != sc:
+                raise TiffFormatError("tile extends past end of file")
+            data = _decode_chunk(chunk, th * tile_row_bytes, th,
+                                 tile_row_bytes)
+            ty, tx = divmod(ti, across)
+            y0 = ty * th
+            x0 = tx * tw
+            copy_rows = min(th, height - y0)
+            copy_bytes = min(tw, width - x0) * spp
+            for r in range(copy_rows):
+                dst = (y0 + r) * row_bytes + x0 * spp
+                src = r * tile_row_bytes
+                raw[dst : dst + copy_bytes] = data[src : src + copy_bytes]
+        return _assemble(width, height, spp, photometric, tags, bytes(raw))
+
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -285,33 +349,18 @@ def decode_tiff(payload: bytes):
         chunk = buf[so : so + sc]
         if len(chunk) != sc:
             raise TiffFormatError("strip extends past end of file")
-        if compression == 1:
-            data = chunk[:expected]
-            if len(data) < expected:
-                raise TiffFormatError("uncompressed strip underrun")
-        elif compression == 32773:
-            data = _packbits_decode(chunk, expected)
-        else:
-            data = _lzw_decode(chunk)
-            if len(data) < expected:
-                raise TiffFormatError("LZW strip underrun")
-            data = data[:expected]
-        if predictor == 2:
-            d = bytearray(data)
-            for r in range(strip_rows):
-                base = r * row_bytes
-                for i in range(spp, row_bytes):
-                    d[base + i] = (d[base + i] + d[base + i - spp]) & 0xFF
-            data = bytes(d)
-        elif predictor != 1:
-            raise TiffFormatError(f"predictor {predictor} unsupported")
-        raw += data
+        raw += _decode_chunk(chunk, expected, strip_rows, row_bytes)
     if len(raw) != height * row_bytes:
         raise TiffFormatError("decoded size mismatch")
+    return _assemble(width, height, spp, photometric, tags, bytes(raw))
 
+
+def _assemble(width, height, spp, photometric, tags, raw: bytes):
+    """Shared final stage for strip and tile paths: palette fold or
+    WhiteIsZero inversion, then packed 8-bit rows."""
+    row_bytes = width * spp
     if photometric == 3:
         cmap = tags[320]
-        channels = 3
         rows = []
         for r in range(height):
             row = bytearray()
@@ -325,15 +374,14 @@ def decode_tiff(payload: bytes):
                     )
                 )
             rows.append(bytes(row))
-        return width, height, channels, rows
+        return width, height, 3, rows
 
     if photometric == 0:  # WhiteIsZero: invert to BlackIsZero convention
-        raw = bytearray(255 - b for b in raw)
-    channels = spp
+        raw = bytes(255 - b for b in raw)
     rows = [
-        bytes(raw[r * row_bytes : (r + 1) * row_bytes]) for r in range(height)
+        raw[r * row_bytes : (r + 1) * row_bytes] for r in range(height)
     ]
-    return width, height, channels, rows
+    return width, height, spp, rows
 
 
 # --- fixture encoder ----------------------------------------------------------
@@ -350,10 +398,13 @@ def encode_tiff(
     predictor: int = 1,
     photometric: int | None = None,
     colormap: list[int] | None = None,
+    tile_size: tuple[int, int] | None = None,
 ) -> bytes:
     """Emit genuine baseline-TIFF bytes (fixture encoder). ``rows`` are
     packed 8-bit sample rows; for palette images pass the index rows plus
-    a flat 3*256 16-bit ``colormap``."""
+    a flat 3*256 16-bit ``colormap``. ``tile_size=(tw, th)`` switches to
+    the tiled organization (tags 322-325, multiples of 16, edge tiles
+    zero-padded per spec) instead of strips."""
     e = "<" if not big_endian else ">"
     if photometric is None:
         photometric = 2 if channels >= 3 else 1
@@ -362,29 +413,48 @@ def encode_tiff(
     if rows_per_strip is None:
         rows_per_strip = height if height else 1
 
-    strips: list[bytes] = []
-    r = 0
-    while r < height:
-        sr = min(rows_per_strip, height - r)
-        data = b"".join(rows[r : r + sr])
-        if len(data) != sr * row_bytes:
-            raise ValueError("row byte length mismatch")
+    def _compress(data: bytes, n_rows: int, rb: int) -> bytes:
         if predictor == 2:
             d = bytearray(data)
-            for rr in range(sr):
-                base = rr * row_bytes
-                for i in range(row_bytes - 1, spp - 1, -1):
+            for rr in range(n_rows):
+                base = rr * rb
+                for i in range(rb - 1, spp - 1, -1):
                     d[base + i] = (d[base + i] - d[base + i - spp]) & 0xFF
             data = bytes(d)
         if compression == 1:
-            strips.append(data)
-        elif compression == 32773:
-            strips.append(_packbits_encode(data))
-        elif compression == 5:
-            strips.append(_lzw_encode(data))
-        else:
-            raise ValueError(f"compression {compression} unsupported")
-        r += sr
+            return data
+        if compression == 32773:
+            return _packbits_encode(data)
+        if compression == 5:
+            return _lzw_encode(data)
+        raise ValueError(f"compression {compression} unsupported")
+
+    strips: list[bytes] = []
+    if tile_size is not None:
+        tw, th = tile_size
+        if tw % 16 or th % 16:
+            raise ValueError("tile dimensions must be multiples of 16")
+        trb = tw * spp
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        for ty in range(down):
+            for tx in range(across):
+                tile = bytearray(th * trb)
+                for r in range(min(th, height - ty * th)):
+                    src = rows[ty * th + r]
+                    x0 = tx * tw * spp
+                    seg = src[x0 : x0 + trb]
+                    tile[r * trb : r * trb + len(seg)] = seg
+                strips.append(_compress(bytes(tile), th, trb))
+    else:
+        r = 0
+        while r < height:
+            sr = min(rows_per_strip, height - r)
+            data = b"".join(rows[r : r + sr])
+            if len(data) != sr * row_bytes:
+                raise ValueError("row byte length mismatch")
+            strips.append(_compress(data, sr, row_bytes))
+            r += sr
 
     tags: list[tuple[int, int, list[int]]] = [
         (256, 4, [width]),
@@ -393,8 +463,12 @@ def encode_tiff(
         (259, 3, [compression]),
         (262, 3, [photometric]),
         (277, 3, [spp]),
-        (278, 4, [rows_per_strip]),
     ]
+    if tile_size is not None:
+        tags.append((322, 4, [tile_size[0]]))
+        tags.append((323, 4, [tile_size[1]]))
+    else:
+        tags.append((278, 4, [rows_per_strip]))
     if predictor != 1:
         tags.append((317, 3, [predictor]))
     if photometric == 3:
@@ -448,8 +522,9 @@ def encode_tiff(
         so_field = struct.pack(e + "I", so_field_off)
     else:
         so_field = struct.pack(e + "I", strip_offsets[0])
-    entries.append((273, 4, n_strips, so_field))
-    entries.append((279, 4, n_strips, sc_field))
+    off_tag, cnt_tag = (324, 325) if tile_size is not None else (273, 279)
+    entries.append((off_tag, 4, n_strips, so_field))
+    entries.append((cnt_tag, 4, n_strips, sc_field))
     entries.sort(key=lambda t: t[0])
 
     out = bytearray()

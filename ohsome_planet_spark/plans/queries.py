@@ -4668,6 +4668,10 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         rows_per_strip=d % 3 + 1,
                         predictor=pred, photometric=photo,
                         colormap=pal if mode == 3 else None,
+                        # every 5th doc uses the TILED organization
+                        # (16x16, zero-padded edges) — the oracle is
+                        # organization-independent pixel arithmetic
+                        tile_size=(16, 16) if d % 5 == 0 else None,
                     )
                 )
             out = pdf.copy()

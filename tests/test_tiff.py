@@ -235,3 +235,33 @@ def test_multimodal_seam_routes_tiff(spark):
     assert row.pixel_sum == sum(
         (x * 10 + y) % 256 for x in range(4) for y in range(3)
     )
+
+
+@pytest.mark.parametrize("compression", [1, 32773, 5])
+def test_tiled_organization(compression):
+    rng = random.Random(compression)
+    # 37x21 is not a multiple of 16: right/bottom tiles are zero-padded
+    # on encode and must crop back exactly on decode
+    w, h, ch = 37, 21, 3
+    rows = [bytes(rng.randrange(256) for _ in range(w * ch)) for _ in range(h)]
+    t = encode_tiff(
+        w, h, rows, channels=ch, compression=compression,
+        predictor=2 if compression == 5 else 1, tile_size=(16, 16),
+    )
+    W, H, C, out = decode_tiff(t)
+    assert (W, H, C) == (w, h, ch)
+    assert out == rows
+    # tiled and strip encodings of the same pixels decode identically
+    t2 = encode_tiff(w, h, rows, channels=ch, compression=compression,
+                     rows_per_strip=5)
+    assert decode_tiff(t2)[3] == out
+
+
+def test_tiled_rejects_bad_geometry():
+    rows = [bytes(range(16))] * 16
+    with pytest.raises(ValueError):
+        encode_tiff(16, 16, rows, channels=1, tile_size=(10, 16))
+    good = encode_tiff(16, 16, rows, channels=1, tile_size=(16, 16))
+    # corrupt the tile count: drop the final bytes so a tile runs off the end
+    with pytest.raises(TiffFormatError):
+        decode_tiff(good[:-8])
