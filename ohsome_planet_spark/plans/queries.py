@@ -13050,6 +13050,59 @@ def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("dominant_script", dom).orderBy("doc_id")
 
 
+_JSONL_ORACLE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum({hash60_sql('text')} % 1000003) AS BIGINT) AS text_hash_sum,
+       CAST(sum({hash60_sql("lang || '|' || source")} % 1000003) AS BIGINT)
+         AS meta_hash_sum,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
+FROM documents
+"""
+
+
+@_register("jsonl_roundtrip", _JSONL_ORACLE)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink round-trip (``sources/jsonl.py``) — the
+    interchange format training corpora ship in: documents → gzip JSONL
+    via native ``to_json``/text sink → back through ``spark.read.json``
+    with an explicit schema and FAILFAST — then content fingerprints over
+    the ROUND-TRIPPED frame. The oracle computes the same fingerprints
+    from the original parquet table, so any JSON escaping loss, encoding slip,
+    or dropped/duplicated line breaks the hash."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.jsonl import read_jsonl, write_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"jsonl_rt_{key}")
+    write_jsonl(docs, path, gzip=True, n_files=4)
+    back = read_jsonl(
+        spark, path, "doc_id bigint, text string, lang string, source string"
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum(F.pmod(hash60_expr(F.col("text")), F.lit(1000003)))
+        .cast("bigint")
+        .alias("text_hash_sum"),
+        F.sum(
+            F.pmod(
+                hash60_expr(F.concat_ws("|", "lang", "source")),
+                F.lit(1000003),
+            )
+        )
+        .cast("bigint")
+        .alias("meta_hash_sum"),
+        F.count_distinct("doc_id").alias("n_ids"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
