@@ -235,22 +235,34 @@ def kmv_sketch(df, key: Column, k: int = 256) -> "DataFrame":
     (deterministic md5-based hash, so the sketch is bit-reproducible and
     SQL-replayable). Returns a 1-row frame (ks array<long>, n_keys long).
 
-    Scale shape: a map-side-combinable agg — Spark's TypedImperative
-    would be ideal, but sort_array(collect_set)[0:k] over the DISTINCT
-    hash set stays exact and shuffle-light because the distinct set is
-    pre-shrunk per partition by partial aggregation. For corpus-scale
-    keys use the two-stage form: per-partition top-k (groupBy
-    spark_partition_id + slice) then a final merge — same result by the
-    order-statistic property: the global k smallest are among the union
-    of per-partition k smallest.
+    Scale shape — the TWO-STAGE order-statistic form: the distinct hash
+    frame first reduces to k candidates PER PARTITION (groupBy
+    spark_partition_id, sorted slice), and only those ≤ k·partitions
+    survivors reach the final single-row agg. The global k smallest are
+    guaranteed to be among the per-partition k smallest, so the result
+    is exact; no stage ever materializes the full distinct set on one
+    task (a single-row collect_list over a 10⁹-key corpus would). The
+    exact distinct count rides the same distinct frame as a separate
+    map-side-combinable count.
     """
     from ..functions.text import hash60_expr
 
     h = hash60_expr(key.cast("string"))
-    return df.select(h.alias("_h")).distinct().select(
-        F.slice(F.sort_array(F.collect_list("_h")), 1, k).alias("ks"),
-        F.count(F.lit(1)).alias("n_keys"),
+    hashes = df.select(h.alias("_h")).distinct()
+    per_part = (
+        hashes.withColumn("_p", F.spark_partition_id())
+        .groupBy("_p")
+        .agg(F.slice(F.sort_array(F.collect_list("_h")), 1, k).alias("_ks"))
+        .select(F.explode("_ks").alias("_h"))
     )
+    topk = per_part.select(
+        F.slice(F.sort_array(F.collect_list("_h")), 1, k).alias("ks"),
+        F.lit(1).alias("_j"),
+    )
+    counts = hashes.agg(F.count(F.lit(1)).alias("n_keys")).withColumn(
+        "_j", F.lit(1)
+    )
+    return topk.join(F.broadcast(counts), "_j").select("ks", "n_keys")
 
 
 def kmv_estimate_expr(ks: Column, k: int) -> Column:
