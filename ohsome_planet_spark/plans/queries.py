@@ -13103,6 +13103,97 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_merge_oracle(k: int = 128) -> str:
+    h = hash60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH seg AS (
+      SELECT date_trunc('month', ts) AS month_ts, {h} AS h
+      FROM events GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT month_ts, list_sort(list(h))[1:{k}] AS ks,
+             count(*) AS n_keys
+      FROM seg GROUP BY month_ts
+    ),
+    allh AS (SELECT DISTINCT h FROM seg),
+    merged AS (
+      SELECT list_sort(list_distinct(flatten(list(ks))))[1:{k}] AS mks
+      FROM per
+    )
+    SELECT CAST((SELECT count(*) FROM per) AS BIGINT) AS n_segments,
+           CAST((SELECT sum(n_keys) FROM per) AS BIGINT) AS sum_segment_keys,
+           CAST((SELECT count(*) FROM allh) AS BIGINT) AS true_distinct,
+           round((SELECT CASE WHEN len(mks) < {k}
+                  THEN CAST(len(mks) AS DOUBLE)
+                  ELSE CAST({k - 1} AS DOUBLE) * {float(1 << 60)!r}
+                       / CAST(mks[{k}] AS DOUBLE) END FROM merged), 4)
+             AS merged_estimate
+    """
+
+
+@_register("kmv_merge_segments", _kmv_merge_oracle())
+def kmv_merge_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY end-to-end — the operational point of KMV:
+    per-month user sketches (built independently, as a daily/segment
+    pipeline would materialize them) merge through one array-fold into a
+    global distinct estimate WITHOUT touching the raw events again. The
+    merged estimate is compared in-row against the true distinct count;
+    the fold is ``F.aggregate`` over the collected segment sketches —
+    k-sized state, broadcastable, the same merge a 1000-segment 100 TB
+    corpus would run on sketch tables alone."""
+    from ..operators.sketches import KMV_SPACE
+
+    k = 128
+    ev = fan_out(_t(spark, sf_dir, "events"))
+    seg = (
+        ev.select(
+            F.date_trunc("month", "ts").alias("month_ts"),
+            hash60_expr(F.col("user_id").cast("string")).alias("_h"),
+        )
+        .distinct()
+    )
+    per = seg.groupBy("month_ts").agg(
+        F.slice(F.sort_array(F.collect_list("_h")), 1, k).alias("ks"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    true_d = seg.select("_h").distinct().agg(
+        F.count(F.lit(1)).alias("true_distinct")
+    ).withColumn("_j", F.lit(1))
+    merged = (
+        per.agg(
+            F.collect_list("ks").alias("all_ks"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("n_keys").alias("sum_segment_keys"),
+        )
+        .select(
+            "n_segments",
+            "sum_segment_keys",
+            F.slice(
+                F.sort_array(
+                    F.array_distinct(F.flatten(F.col("all_ks")))
+                ),
+                1,
+                k,
+            ).alias("mks"),
+        )
+        .withColumn("_j", F.lit(1))
+    )
+    est = (
+        F.when(F.size("mks") < k, F.size("mks").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1))
+            * F.lit(KMV_SPACE)
+            / F.element_at("mks", k).cast("double")
+        )
+    )
+    return merged.join(F.broadcast(true_d), "_j").select(
+        F.col("n_segments").cast("bigint").alias("n_segments"),
+        F.col("sum_segment_keys").cast("bigint").alias("sum_segment_keys"),
+        F.col("true_distinct").cast("bigint").alias("true_distinct"),
+        F.round(est, 4).alias("merged_estimate"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
