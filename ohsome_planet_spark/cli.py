@@ -525,6 +525,7 @@ def cmd_curate(args) -> int:
         docs,
         args.out,
         holdout,
+        exact_substr_n=args.exact_substr_n,
         min_quality=args.min_quality,
         min_tokens=args.min_tokens,
         max_tokens=args.max_tokens,
@@ -866,6 +867,8 @@ def main(argv=None) -> int:
     cu.add_argument("--input", required=True, help="documents parquet (doc_id, text, ...)")
     cu.add_argument("--out", required=True)
     cu.add_argument("--holdout", help="eval-corpus parquet to decontaminate against")
+    cu.add_argument("--exact-substr-n", type=int, default=None,
+                    help="cut cross-corpus duplicated n-gram spans from text before the gates")
     cu.add_argument("--min-quality", type=float, default=0.4)
     cu.add_argument("--min-tokens", type=int, default=10)
     cu.add_argument("--max-tokens", type=int, default=5000)

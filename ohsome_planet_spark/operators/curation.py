@@ -147,12 +147,33 @@ def curate(
     docs: DataFrame,
     out_dir: str,
     holdout: DataFrame | None = None,
+    exact_substr_n: int | None = None,
     **thresholds,
 ) -> dict:
     """Run the funnel and write the curated dataset partitioned by split.
 
+    ``exact_substr_n`` prepends the ExactSubstr REWRITE stage (Lee et al.
+    2022, ``operators/dedup.py::exact_substr_dedup``): cross-corpus
+    duplicated n-gram spans are cut from each document's text BEFORE the
+    quality/dedup gates, so boilerplate both disappears from the output
+    and stops shielding near-identical documents from the exact-dup hash.
+
     Returns the funnel report. The write sorts within partitions by
     doc_id so the parquet row groups stay range-queryable by id."""
+    if exact_substr_n:
+        from .dedup import exact_substr_dedup
+
+        rewritten = exact_substr_dedup(
+            docs, "doc_id", "text", n=exact_substr_n
+        ).select(
+            F.col("doc").alias("doc_id"),
+            F.col("dedup_text").alias("_new_text"),
+        )
+        docs = (
+            docs.join(rewritten, "doc_id")
+            .withColumn("text", F.col("_new_text"))
+            .drop("_new_text")
+        )
     flagged = flag_documents(docs, holdout, **thresholds)
     # flags are recomputed by the two actions below (report + write) —
     # cheaper than persisting the whole corpus for a one-pass-each pair

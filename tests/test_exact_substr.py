@@ -124,3 +124,39 @@ def test_randomized_vs_referee(spark, seed):
         for d in range(20)
     }
     _check(spark, docs, n=3, min_docs=2)
+
+
+def test_curate_funnel_integration(spark, tmp_path):
+    """exact_substr_n in the curation funnel: the boilerplate passage is
+    cut from the WRITTEN text, and without it the two carrier docs
+    become exact duplicates that the dedup stage then catches."""
+    from ohsome_planet_spark.operators.curation import curate
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    body = " ".join(f"w{i}" for i in range(30))
+    keeper = (
+        "the cat and the dog are in the house with a friend and they "
+        "stay for the day and this is a fine plain sentence to keep"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"{body} {boiler}"),
+            (2, f"{body} {boiler}"),
+            (3, keeper),
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "curated")
+    report = curate(
+        docs, out, exact_substr_n=4,
+        min_quality=0.0, min_tokens=1, max_tokens=10_000,
+        max_punct=1.0, max_dup_token_frac=1.0,
+    )
+    # both the boilerplate AND the shared body are cross-doc duplicated
+    # spans -> docs 1/2 collapse to empty text and become exact dups
+    # (one flagged); only the untouched English doc survives quality
+    assert report["total"] == 3 and report["exact_dups"] == 1
+    assert report["kept"] == 1
+    back = spark.read.parquet(out)
+    texts = {r.doc_id: r.text for r in back.collect()}
+    assert set(texts) == {3} and texts[3] == keeper
