@@ -118,6 +118,11 @@ def probe_mp3(payload: bytes):
             xo = _xing_offset(version, channels)
             tag = buf[pos + xo : pos + xo + 4]
             if tag in (b"Xing", b"Info"):
+                # bounds-check BEFORE unpacking: a truncated first frame
+                # with a Xing tag must raise Mp3FormatError (the module's
+                # declared error contract), not struct.error
+                if pos + xo + 12 > len(buf):
+                    raise Mp3FormatError("truncated Xing/Info header")
                 flags = struct.unpack_from(">I", buf, pos + xo + 4)[0]
                 if flags & 1:
                     xing_frames = struct.unpack_from(

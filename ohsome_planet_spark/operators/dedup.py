@@ -102,7 +102,11 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_df)
             .drop("_df")
         )
-    sh = sh.cache()
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import register_cached
+
+    sh = register_cached(sh.persist(StorageLevel.MEMORY_AND_DISK))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.alias("a")

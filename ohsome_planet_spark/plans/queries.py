@@ -12415,6 +12415,84 @@ def warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _warc_fixture_encode_enveloped(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Same archive content as ``_warc_fixture_encode`` but the response
+    record's HTTP envelope varies per doc — plain Content-Length, chunked
+    (doc-dependent chunk sizes), gzip, chunked+deflate — the real-crawl
+    wire forms the Content-Length-only fixture never exercised. Gate rows
+    built on this encoder reuse the SAME oracle as their plain twins:
+    the envelope must be invisible to extraction."""
+    from ..sources.warc import encode_warc, http_response_wrap
+
+    for pdf in batches:
+        payloads = []
+        for _, r in pdf.iterrows():
+            d = int(r["doc_id"])
+            html = _tpl_html(d, r["text"], r["lang"], r["source"]).encode()
+            mode = d % 4
+            if mode == 0:
+                resp = http_response_wrap(html)
+            elif mode == 1:
+                resp = http_response_wrap(
+                    html, chunked=True, chunk_size=1 + d % 97
+                )
+            elif mode == 2:
+                resp = http_response_wrap(html, content_encoding="gzip")
+            else:
+                resp = http_response_wrap(
+                    html,
+                    chunked=True,
+                    chunk_size=1 + d % 53,
+                    content_encoding="deflate",
+                )
+            recs = [
+                {"warc_type": "warcinfo",
+                 "payload": _WARC_INFO_PAYLOAD.encode()},
+                {"warc_type": "response",
+                 "target_uri": f"http://example.test/{d}",
+                 "content_type": "application/http;msgtype=response",
+                 "payload": resp},
+            ]
+            payloads.append(encode_warc(recs, gzip_records=d % 2 == 1))
+        out = pdf[["doc_id"]].copy()
+        out["warc"] = payloads
+        yield out
+
+
+@_register("warc_html_extract_enveloped", _WARC_HTML_ORACLE)
+def warc_html_extract_enveloped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``warc_html_extract``'s differential twin over REAL-crawl HTTP
+    envelopes: the same documents wrapped as Transfer-Encoding: chunked
+    (doc-dependent chunk sizes), Content-Encoding: gzip, and
+    chunked+deflate (`sources/warc.py::http_response_body` de-chunks then
+    decompresses). The oracle is byte-identical to the plain-envelope
+    row's — one leaked chunk-size line or compressed byte breaks the
+    hash, which is exactly the bug class the verdict flagged
+    (Content-Length-only envelope handling)."""
+    from ..operators.web import extract_main_text, warc_records
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang", "source"
+    )
+    archives = docs.mapInPandas(
+        _warc_fixture_encode_enveloped, "doc_id bigint, warc binary"
+    )
+    responses = warc_records(archives, "warc").filter(
+        F.col("warc_type") == "response"
+    )
+    extracted = extract_main_text(responses, "payload", http=True)
+    return extracted.select(
+        "doc_id",
+        "extracted_text",
+        F.size(F.split("extracted_text", "\n")).cast("bigint").alias(
+            "n_lines"
+        ),
+        F.length("extracted_text").cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 _UNICODE_ORACLE = """
 WITH inp AS (
   SELECT doc_id,
@@ -12518,6 +12596,45 @@ def cc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     archives = docs.mapInPandas(
         _warc_fixture_encode, "doc_id bigint, warc binary"
+    )
+    responses = warc_records(archives, "warc").filter(
+        F.col("warc_type") == "response"
+    )
+    extracted = extract_main_text(responses, "payload", http=True)
+    filtered = c4_line_filter(
+        extracted,
+        "doc_id",
+        "extracted_text",
+        min_words_per_line=2,
+        require_terminal_punct=False,
+        min_kept_lines=2,
+    )
+    return filtered.select(
+        F.col("doc").alias("doc_id"),
+        "n_lines",
+        "n_kept_lines",
+        "keep_doc",
+        token_count_expr(F.col("kept_text")).cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+@_register("cc_ingest_envelope_invariance", _CC_PIPELINE_ORACLE)
+def cc_ingest_envelope_invariance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composed CC ingest funnel over the ENVELOPED fixture (chunked /
+    gzip / chunked+deflate HTTP wire forms) with the byte-identical oracle
+    of ``cc_ingest_pipeline`` — the chunked-vs-content-length differential
+    referee as a hash-gate row: the HTTP framing must be invisible to the
+    whole funnel (extraction, C4 line rules, token accounting)."""
+    from ..operators.curation import c4_line_filter
+    from ..operators.web import extract_main_text, warc_records
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang", "source"
+    )
+    archives = docs.mapInPandas(
+        _warc_fixture_encode_enveloped, "doc_id bigint, warc binary"
     )
     responses = warc_records(archives, "warc").filter(
         F.col("warc_type") == "response"

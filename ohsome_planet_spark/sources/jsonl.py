@@ -53,12 +53,27 @@ def read_jsonl(
 ) -> DataFrame:
     """Read JSONL written by :func:`write_jsonl` (or any NDJSON corpus).
     ``schema`` is required — inference costs a full extra scan at 100 TB.
+
+    With ``permissive=True`` the result carries one EXTRA column,
+    ``_corrupt_record string``, holding the raw line for rows that failed
+    to parse (all data columns null on those rows). Spark only populates
+    the corrupt-record column when it is present in the explicit schema,
+    so it is appended here — without it corrupt lines would silently
+    become all-null rows instead of being quarantined.
     """
-    reader = spark.read.schema(schema)
     if permissive:
-        reader = reader.option("mode", "PERMISSIVE").option(
-            "columnNameOfCorruptRecord", "_corrupt_record"
+        st = (
+            StructType.fromDDL(schema) if isinstance(schema, str) else schema
+        )
+        if "_corrupt_record" not in st.fieldNames():
+            # copy — StructType.add mutates in place, and the caller's
+            # schema object must not grow a column behind their back
+            st = StructType(list(st.fields)).add("_corrupt_record", "string")
+        reader = (
+            spark.read.schema(st)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
         )
     else:
-        reader = reader.option("mode", "FAILFAST")
+        reader = spark.read.schema(schema).option("mode", "FAILFAST")
     return reader.json(path)

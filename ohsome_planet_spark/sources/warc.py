@@ -35,11 +35,25 @@ class WarcFormatError(ValueError):
     pass
 
 
-def _split_members(data: bytes) -> list[bytes]:
+# per-member decompressed-size ceiling: a single gzip-bomb member in an
+# untrusted crawl must not be allowed to expand to gigabytes inside one
+# executor task. 256 MiB is far above any legitimate WARC record.
+MAX_MEMBER_DECOMPRESSED = 256 * 1024 * 1024
+_DECOMP_CHUNK = 1 << 20
+
+
+def _split_members(
+    data: bytes, max_member_bytes: int = MAX_MEMBER_DECOMPRESSED
+) -> list[bytes]:
     """Split multi-member gzip (per-record compression) or return the
     raw bytes as a single pseudo-member when not gzipped. GzipFile
     transparently concatenates consecutive members, so member boundaries
-    come from ``zlib.decompressobj(31)`` + ``unused_data`` instead."""
+    come from ``zlib.decompressobj(31)`` + ``unused_data`` instead.
+
+    Decompression is chunked via zlib ``max_length`` and capped at
+    ``max_member_bytes`` per member — untrusted crawl bytes may contain
+    gzip bombs, and an unbounded ``decompress`` call turns one such
+    member into an executor OOM."""
     import zlib
 
     if data[:2] != b"\x1f\x8b":
@@ -52,12 +66,28 @@ def _split_members(data: bytes) -> list[bytes]:
                 f"garbage between gzip members at offset {len(data) - len(rest)}"
             )
         d = zlib.decompressobj(31)
+        chunks: list[bytes] = []
+        size = 0
+        tail = rest
         try:
-            out.append(d.decompress(rest))
+            while not d.eof:
+                chunk = d.decompress(tail, _DECOMP_CHUNK)
+                tail = d.unconsumed_tail
+                if chunk:
+                    size += len(chunk)
+                    if size > max_member_bytes:
+                        raise WarcFormatError(
+                            f"gzip member expands past {max_member_bytes} "
+                            "bytes — refusing (bomb guard)"
+                        )
+                    chunks.append(chunk)
+                elif not tail:
+                    break
         except zlib.error as exc:
             raise WarcFormatError(f"corrupt gzip member: {exc}") from exc
         if not d.eof:
             raise WarcFormatError("truncated gzip member")
+        out.append(b"".join(chunks))
         rest = d.unused_data
     return out
 
@@ -122,14 +152,102 @@ def parse_warc(data: bytes) -> list[dict]:
     return records
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 ``Transfer-Encoding: chunked`` framing (RFC 9112
+    §7.1): hex size line (optional ``;ext`` chunk extensions) CRLF, chunk
+    octets, CRLF, ... terminated by a zero-size chunk; trailer fields
+    after the last chunk are ignored."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise WarcFormatError("unterminated chunk-size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise WarcFormatError(f"bad chunk size {size_tok!r}")
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) ignored
+        if pos + size + 2 > n:
+            raise WarcFormatError("chunk extends past end of body")
+        out += body[pos : pos + size]
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            raise WarcFormatError("chunk data not CRLF-terminated")
+        pos += size + 2
+
+
+def _decode_content(body: bytes, encoding: str) -> bytes:
+    """Undo ``Content-Encoding`` (gzip / x-gzip / deflate / identity),
+    bounded by the same bomb guard as the WARC member walk. ``deflate``
+    accepts both the RFC-correct zlib wrapper and the bare-deflate form
+    real servers ship."""
+    import zlib
+
+    enc = encoding.strip().lower()
+    if enc in ("", "identity", "none"):
+        return body
+    if enc in ("gzip", "x-gzip"):
+        wbits = 31
+    elif enc == "deflate":
+        wbits = 15 if body[:1] == b"\x78" else -15
+    else:
+        raise WarcFormatError(f"unsupported Content-Encoding {encoding!r}")
+    d = zlib.decompressobj(wbits)
+    chunks: list[bytes] = []
+    size = 0
+    tail = body
+    try:
+        while not d.eof:
+            chunk = d.decompress(tail, _DECOMP_CHUNK)
+            tail = d.unconsumed_tail
+            if chunk:
+                size += len(chunk)
+                if size > MAX_MEMBER_DECOMPRESSED:
+                    raise WarcFormatError(
+                        "HTTP body expands past the bomb guard ceiling"
+                    )
+                chunks.append(chunk)
+            elif not tail:
+                break
+    except zlib.error as exc:
+        raise WarcFormatError(f"corrupt {enc} body: {exc}") from exc
+    if not d.eof:
+        raise WarcFormatError(f"truncated {enc} body")
+    return b"".join(chunks)
+
+
 def http_response_body(payload: bytes) -> bytes:
     """Strip the HTTP response envelope from a ``response`` record's
     payload (status line + headers + blank line → body), the step between
-    a WARC response record and its HTML."""
+    a WARC response record and its HTML.
+
+    Real Common Crawl payloads carry both ``Transfer-Encoding: chunked``
+    (chunk-size lines would otherwise leak into "main text") and
+    ``Content-Encoding: gzip``/``deflate`` (compressed bytes would
+    otherwise hit the HTML parser), so both envelopes are undone here —
+    de-chunk first (transfer encoding is outermost on the wire), then
+    decompress. The framing must be invisible downstream: the same
+    document encoded chunked, gzipped, or Content-Length-plain yields
+    byte-identical output (property-tested)."""
     sep = payload.find(b"\r\n\r\n")
     if sep < 0 or not payload[:5] == b"HTTP/":
         raise WarcFormatError("payload is not an HTTP response")
-    return payload[sep + 4 :]
+    headers: dict[str, str] = {}
+    for line in payload[:sep].split(b"\r\n")[1:]:
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.decode("ascii", "replace").strip().lower()] = (
+                v.decode("ascii", "replace").strip()
+            )
+    body = payload[sep + 4 :]
+    te = headers.get("transfer-encoding", "").lower()
+    if "chunked" in te:
+        body = _dechunk(body)
+    return _decode_content(body, headers.get("content-encoding", ""))
 
 
 # --- fixture encoder ----------------------------------------------------------
@@ -168,14 +286,43 @@ def encode_warc(
     return bytes(out)
 
 
-def http_response_wrap(body: bytes, content_type: str = "text/html") -> bytes:
-    """Wrap a body in a minimal HTTP/1.1 response envelope (fixture side
-    of :func:`http_response_body`)."""
-    head = (
-        b"HTTP/1.1 200 OK\r\nContent-Type: "
-        + content_type.encode()
-        + b"\r\nContent-Length: "
-        + str(len(body)).encode()
-        + b"\r\n\r\n"
-    )
-    return head + body
+def http_response_wrap(
+    body: bytes,
+    content_type: str = "text/html",
+    chunked: bool = False,
+    chunk_size: int = 64,
+    content_encoding: str | None = None,
+) -> bytes:
+    """Wrap a body in an HTTP/1.1 response envelope (fixture side of
+    :func:`http_response_body`). ``content_encoding`` (``gzip`` or
+    ``deflate``) compresses the body first; ``chunked`` then frames the
+    (possibly compressed) octets as Transfer-Encoding: chunked with
+    ``chunk_size``-byte chunks — the two real-crawl envelope forms the
+    Content-Length-only fixture never exercised."""
+    wire = bytes(body)
+    lines = [b"HTTP/1.1 200 OK", b"Content-Type: " + content_type.encode()]
+    if content_encoding:
+        enc = content_encoding.lower()
+        if enc == "gzip":
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(wire)
+            wire = buf.getvalue()
+        elif enc == "deflate":
+            import zlib
+
+            wire = zlib.compress(wire)
+        else:
+            raise ValueError(f"fixture encoder: unknown encoding {enc!r}")
+        lines.append(b"Content-Encoding: " + enc.encode())
+    if chunked:
+        lines.append(b"Transfer-Encoding: chunked")
+        framed = bytearray()
+        for i in range(0, len(wire), chunk_size):
+            piece = wire[i : i + chunk_size]
+            framed += b"%x\r\n" % len(piece) + piece + b"\r\n"
+        framed += b"0\r\n\r\n"
+        wire = bytes(framed)
+    else:
+        lines.append(b"Content-Length: " + str(len(wire)).encode())
+    return b"\r\n".join(lines) + b"\r\n\r\n" + wire

@@ -66,6 +66,35 @@ def test_failfast_vs_permissive(spark, tmp_path):
     assert bad[0]._corrupt_record.startswith("THIS IS NOT")
 
 
+def test_permissive_appends_corrupt_column(spark, tmp_path):
+    """permissive=True must quarantine bad lines even when the caller's
+    schema does NOT name _corrupt_record — Spark only populates the
+    corrupt-record column when it is in the explicit schema, so
+    read_jsonl appends it (ADVICE round 10: without this, corrupt lines
+    silently became all-null rows)."""
+    import os
+
+    path = str(tmp_path / "dirty2")
+    os.makedirs(path)
+    with open(path + "/a.jsonl", "w") as f:
+        f.write('{"doc_id": 7, "text": "fine"}\n')
+        f.write("{broken\n")
+    back = read_jsonl(spark, path, "doc_id bigint, text string",
+                      permissive=True)
+    assert "_corrupt_record" in back.columns  # appended, not silent
+    rows = back.collect()
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and bad[0]._corrupt_record.startswith("{broken")
+    assert {r.doc_id for r in rows if r.doc_id is not None} == {7}
+    # StructType schema path too
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL("doc_id bigint, text string")
+    back2 = read_jsonl(spark, path, st, permissive=True)
+    assert "_corrupt_record" in back2.columns
+    assert len(st.fields) == 2  # caller's schema object not mutated
+
+
 def test_binary_rejected(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, blob binary")
     with pytest.raises(ValueError, match="binary"):

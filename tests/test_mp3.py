@@ -91,6 +91,17 @@ def test_corrupt_rejection():
         probe_mp3(a + b)
 
 
+def test_truncated_xing_raises_format_error():
+    # a first frame cut INSIDE the Xing words must raise Mp3FormatError
+    # (the module's declared contract), never a bare struct.error —
+    # direct probe_mp3 callers don't route through probe_audio_stream
+    full = encode_mp3(3, 2, [9, 10, 11], 0, channels=2, xing=True)
+    assert full[36:40] == b"Xing"
+    for cut in (38, 40, 41, 43, 47):  # tag visible, words truncated
+        with pytest.raises(Mp3FormatError):
+            probe_mp3(full[:cut])
+
+
 def test_seam_routing(spark):
     from ohsome_planet_spark.operators.multimodal import (
         probe_audio_stream,

@@ -102,6 +102,89 @@ def test_http_envelope():
         http_response_body(b"not an http response")
 
 
+def test_http_envelope_invariance_property():
+    """The framing must be invisible: randomized bodies through every
+    envelope form (plain / chunked at many chunk sizes / gzip / deflate /
+    chunked+compressed) decode byte-identically."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(60):
+        n = rng.randrange(0, 4000)
+        body = bytes(rng.randrange(256) for _ in range(n))
+        forms = [
+            http_response_wrap(body),
+            http_response_wrap(body, chunked=True,
+                               chunk_size=rng.randrange(1, 300)),
+            http_response_wrap(body, content_encoding="gzip"),
+            http_response_wrap(body, content_encoding="deflate"),
+            http_response_wrap(body, chunked=True,
+                               chunk_size=rng.randrange(1, 50),
+                               content_encoding="gzip"),
+            http_response_wrap(body, chunked=True,
+                               chunk_size=rng.randrange(1, 50),
+                               content_encoding="deflate"),
+        ]
+        for wire in forms:
+            assert http_response_body(wire) == body
+
+
+def test_http_chunked_details():
+    # chunk extensions are tolerated, trailers ignored, bad framing raises
+    wire = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"5;ext=1\r\nhello\r\n1\r\n!\r\n0\r\nX-Trailer: t\r\n\r\n")
+    assert http_response_body(wire) == b"hello!"
+    bad_size = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+                b"zz\r\nhello\r\n0\r\n\r\n")
+    with pytest.raises(WarcFormatError):
+        http_response_body(bad_size)
+    truncated = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+                 b"ff\r\nshort\r\n")
+    with pytest.raises(WarcFormatError):
+        http_response_body(truncated)
+    no_crlf = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+               b"5\r\nhelloXX0\r\n\r\n")
+    with pytest.raises(WarcFormatError):
+        http_response_body(no_crlf)
+
+
+def test_http_content_encoding_errors():
+    with pytest.raises(WarcFormatError):
+        http_response_body(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxxx"
+        )
+    with pytest.raises(WarcFormatError):  # garbage gzip
+        http_response_body(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip"
+        )
+    with pytest.raises(WarcFormatError):  # truncated gzip
+        good = http_response_wrap(b"x" * 1000, content_encoding="gzip")
+        http_response_body(good[:-5])
+
+
+def test_gzip_bomb_guard():
+    """A single bomb member must raise, not OOM the task (ADVICE round
+    10): 1 MiB ceiling vs a member expanding to 4 MiB."""
+    import zlib
+
+    from ohsome_planet_spark.sources.warc import _split_members
+
+    bomb_plain = b"\x00" * (4 << 20)
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(bomb_plain)
+    with pytest.raises(WarcFormatError, match="bomb guard"):
+        _split_members(buf.getvalue(), max_member_bytes=1 << 20)
+    # the same guard bounds Content-Encoding bodies
+    comp = zlib.compress(b"\x00" * (300 << 20), 9)
+    wire = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + comp)
+    with pytest.raises(WarcFormatError, match="bomb guard"):
+        http_response_body(wire)
+    # non-bomb members still split fine under the default ceiling
+    recs = [{"warc_type": "resource", "payload": b"ok"}]
+    assert parse_warc(encode_warc(recs, gzip_records=True))[0]["payload"] == b"ok"
+
+
 HTML_CASES = [
     # raw-text element: the </div> inside script must not close anything
     (
