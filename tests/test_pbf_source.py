@@ -99,3 +99,63 @@ def test_spark_read_pbf(spark, tmp_path):
     assert r.members[0].asDict() == {"type": "way", "id": 100, "role": "outer"}
     # partition pruning by entity type
     assert read_pbf(spark, path, entity_type="node").count() == 3
+
+
+def test_granularity_offset_roundtrip_property():
+    """Randomized non-default (granularity, lat/lon offset,
+    date_granularity) blocks decode exactly: the (off + gran*x)/1e9 and
+    ts*date_gran replays (Block.java:88-97) on real inputs, not just the
+    defaults the old fixtures always used (round-10 verdict)."""
+    import random
+
+    rng = random.Random(0x0FF5E7)
+    for _ in range(40):
+        gran = rng.choice([1, 2, 5, 10, 25, 50, 100, 250, 1000, 12345])
+        lat_off = rng.randrange(0, 10**9) // gran * gran  # keep on-grid
+        lon_off = rng.randrange(0, 10**9) // gran * gran
+        dg = rng.choice([1, 10, 1000, 2000, 60000])
+        nodes = []
+        for i in range(rng.randrange(1, 30)):
+            klat = rng.randrange(-10**6, 10**6)
+            klon = rng.randrange(-10**6, 10**6)
+            nodes.append(
+                dict(
+                    osm_id=i + 1,
+                    version=1 + i % 3,
+                    ts_ms=rng.randrange(0, 10**9) * dg,
+                    changeset=i,
+                    uid=i,
+                    user=f"u{i % 4}",
+                    visible=i % 5 != 0,
+                    tags={"k": str(i)},
+                    lat=(lat_off + gran * klat) / 1e9,
+                    lon=(lon_off + gran * klon) / 1e9,
+                )
+            )
+        block = encode_block(
+            dense_nodes=nodes,
+            granularity=gran,
+            lat_offset=lat_off,
+            lon_offset=lon_off,
+            date_granularity=dg,
+        )
+        ents = decode_block(block)
+        assert len(ents) == len(nodes)
+        for want, got in zip(nodes, ents):
+            assert got["osm_id"] == want["osm_id"]
+            assert got["ts_ms"] == want["ts_ms"]
+            assert got["visible"] == want["visible"]
+            # exact equality, not approx: the decode replay must land on
+            # the identical IEEE double the fixture computed on-grid
+            assert got["lat"] == want["lat"] and got["lon"] == want["lon"]
+
+
+def test_default_encoding_bytes_unchanged():
+    # the parametrized encoder must keep default-parameter output
+    # byte-identical — every existing golden/fixture depends on it
+    b1 = encode_block(dense_nodes=NODES, ways=WAYS, relations=RELS)
+    b2 = encode_block(
+        dense_nodes=NODES, ways=WAYS, relations=RELS,
+        granularity=100, lat_offset=0, lon_offset=0, date_granularity=1000,
+    )
+    assert b1 == b2
