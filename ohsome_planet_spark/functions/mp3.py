@@ -384,3 +384,250 @@ def encode_mp1(
             raise ValueError("frame payload exceeds frame length")
         out += frame + bytes(fb - len(frame))
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Layer II sample decode (subband domain)
+# ---------------------------------------------------------------------------
+# ISO 11172-3 Annex B allocation tables. Each subband's entry lists the
+# possible quantization step counts; the allocation index read from the
+# bitstream picks one. List length fixes the allocation field width
+# (16 -> 4 bits, 8 -> 3, 4 -> 2). Published table values (B.2a-d).
+
+_L16A = (0, 3, 7, 15, 31, 63, 127, 255, 511, 1023,
+         2047, 4095, 8191, 16383, 32767, 65535)
+_L16B = (0, 3, 5, 7, 9, 15, 31, 63, 127, 255,
+         511, 1023, 2047, 4095, 8191, 65535)
+_L8 = (0, 3, 5, 7, 9, 15, 31, 65535)
+_L4 = (0, 3, 5, 65535)
+_LC16 = (0, 3, 5, 9, 15, 31, 63, 127, 255, 511,
+         1023, 2047, 4095, 8191, 16383, 32767)
+_LC8 = (0, 3, 5, 9, 15, 31, 63, 127)
+
+# steps -> group code bits for the three GROUPED quantizations (three
+# consecutive samples share one code word: 3^3<=2^5, 5^3<=2^7, 9^3<=2^10)
+_MP2_GROUP_BITS = {3: 5, 5: 7, 9: 10}
+# steps -> per-sample code width nb (ungrouped: steps = 2^nb - 1;
+# grouped: width each sample would need, used by the C/D closed forms)
+_MP2_NB = {3: 2, 5: 3, 7: 3, 9: 4, 15: 4, 31: 5, 63: 6, 127: 7, 255: 8,
+           511: 9, 1023: 10, 2047: 11, 4095: 12, 8191: 13, 16383: 14,
+           32767: 15, 65535: 16}
+# scfsi (2 bits) -> which TRANSMITTED scalefactor each of the three
+# 12-granule parts uses (ISO 11172-3 2.4.2.3: 0 -> three transmitted,
+# 1 -> first shared by parts 0-1, 2 -> one for all, 3 -> second shared
+# by parts 1-2)
+_MP2_SCFSI_PARTS = {0: (0, 1, 2), 1: (0, 0, 1), 2: (0, 0, 0), 3: (0, 1, 1)}
+_MP2_SCFSI_COUNT = {0: 3, 1: 2, 2: 1, 3: 2}
+
+
+def mp2_alloc_table(name: str) -> list[tuple[int, ...]]:
+    """Annex B table name ('a'|'b'|'c'|'d') -> per-subband step tuples
+    (the list length IS sblimit: 27 / 30 / 8 / 12)."""
+    if name == "a":
+        return [_L16A] * 3 + [_L16B] * 8 + [_L8] * 12 + [_L4] * 4
+    if name == "b":
+        return [_L16A] * 3 + [_L16B] * 8 + [_L8] * 12 + [_L4] * 7
+    if name == "c":
+        return [_LC16] * 2 + [_LC8] * 6
+    if name == "d":
+        return [_LC16] * 2 + [_LC8] * 10
+    raise ValueError(name)
+
+
+def mp2_table_for(rate: int, kbps_per_channel: int) -> str:
+    """Allocation-table selection per ISO 11172-3 2.4.2.3 (MPEG-1 rates
+    only): low per-channel bitrates use the 8/12-subband tables, mid uses
+    B.2a, high uses B.2b except at 48 kHz where B.2a always applies."""
+    if kbps_per_channel <= 48:
+        return "d" if rate == 32000 else "c"
+    if kbps_per_channel <= 80:
+        return "a"
+    return "a" if rate == 48000 else "b"
+
+
+def _mp2_nbal(steps: tuple[int, ...]) -> int:
+    return {16: 4, 8: 3, 4: 2}[len(steps)]
+
+
+def decode_mp2_subbands(payload: bytes):
+    """REAL MPEG-1 Layer II sample decode, subband domain: walk every
+    frame, read the table-selected allocations, scfsi, shared
+    scalefactors and (de)grouped sample codes from the genuine
+    bitstream, and requantize per ISO 11172-3 §2.4.3.4:
+
+        s''' = c / 2^(nb-1) - 1        (code fraction; no code is
+                                        all-ones for ungrouped steps)
+        s''  = C * (s''' + D)          C = 2^nb / steps
+                                       D = (2^nb - steps + 1) / 2^nb
+        s    = scf * s''
+
+    C and D reproduce the published Table 3-C.3 constants exactly
+    (refereed in tests against the printed decimals), and the closed
+    form collapses to the symmetric odd grid (2c - steps + 1)/steps —
+    the independent referee path. Grouped quantizations (3/5/9 steps)
+    carry three samples per code word, degrouped least-significant
+    first.
+
+    Output: (sample_rate, channels, n_frames, frames) with
+    ``frames[f][ch][sb]`` a list of 36 subband samples (12 granules x 3).
+    Like the Layer I decoder the synthesis filterbank is deliberately
+    NOT applied — subband samples are the bitstream's exact decodable
+    content and every step above is IEEE-deterministic, so the result is
+    oracle-replayable bit-for-bit. Scope: MPEG-1 Layer II mono/stereo
+    without CRC; joint stereo (the intensity bound machinery) raises."""
+    buf = bytes(payload)
+    pos = 0
+    if buf[:3] == b"ID3":
+        pos = 10 + _syncsafe(buf[6:10])
+    first = None
+    frames = []
+    while pos + 4 <= len(buf):
+        (h,) = struct.unpack_from(">I", buf, pos)
+        version, layer, bitrate, rate, _pad, channels, fb, _spf = _parse_header(h)
+        if layer != 1 or version != 3:
+            raise Mp3FormatError("only MPEG-1 Layer II sample decode")
+        if not (h >> 16) & 1:
+            raise Mp3FormatError("CRC-protected Layer II not supported")
+        if (h >> 6) & 3 == 1:
+            raise Mp3FormatError("joint stereo not supported")
+        if first is None:
+            first = (rate, channels, bitrate)
+        elif (rate, channels, bitrate) != first:
+            raise Mp3FormatError("stream parameters change mid-file")
+        if pos + fb > len(buf):
+            raise Mp3FormatError("truncated frame")
+        table = mp2_alloc_table(mp2_table_for(rate, bitrate // 1000 // channels))
+        sblimit = len(table)
+        rd = _BitReader(buf[pos : pos + fb], pos_bits=32)
+        alloc = [[0] * sblimit for _ in range(channels)]
+        for sb in range(sblimit):
+            for c in range(channels):
+                alloc[c][sb] = rd.read(_mp2_nbal(table[sb]))
+        scfsi = [[0] * sblimit for _ in range(channels)]
+        for sb in range(sblimit):
+            for c in range(channels):
+                if alloc[c][sb]:
+                    scfsi[c][sb] = rd.read(2)
+        scf = [[(0.0, 0.0, 0.0)] * sblimit for _ in range(channels)]
+        for sb in range(sblimit):
+            for c in range(channels):
+                if alloc[c][sb]:
+                    si = scfsi[c][sb]
+                    vals = [rd.read(6) for _ in range(_MP2_SCFSI_COUNT[si])]
+                    scf[c][sb] = tuple(
+                        SCALEFACTORS[vals[i]] for i in _MP2_SCFSI_PARTS[si]
+                    )
+        chans = [
+            [[0.0] * 36 for _ in range(sblimit)] for _ in range(channels)
+        ]
+        for g in range(12):
+            for sb in range(sblimit):
+                for c in range(channels):
+                    a = alloc[c][sb]
+                    if not a:
+                        continue
+                    m = table[sb][a]
+                    nb = _MP2_NB[m]
+                    half = 1 << (nb - 1)
+                    C = float(1 << nb) / float(m)
+                    D = float((1 << nb) - m + 1) / float(1 << nb)
+                    if m in _MP2_GROUP_BITS:
+                        v = rd.read(_MP2_GROUP_BITS[m])
+                        if v >= m * m * m:
+                            raise Mp3FormatError("group code out of range")
+                        codes = (v % m, (v // m) % m, v // (m * m))
+                    else:
+                        codes = tuple(rd.read(nb) for _ in range(3))
+                        if any(cd >= m for cd in codes):
+                            raise Mp3FormatError(
+                                "forbidden all-ones sample code"
+                            )
+                    scfv = scf[c][sb][g // 4]
+                    for k in range(3):
+                        s3 = codes[k] / float(half) - 1.0
+                        chans[c][sb][g * 3 + k] = scfv * (C * (s3 + D))
+        frames.append(chans)
+        pos += fb
+    if first is None:
+        raise Mp3FormatError("no frames")
+    rate, channels, _ = first
+    return rate, channels, len(frames), frames
+
+
+def encode_mp2(
+    alloc_idx: list[list[int]],
+    scfsi: list[list[int]],
+    scf_fn,
+    code_fn,
+    sr_idx: int = 0,
+    br_idx: int = 4,
+    channels: int = 1,
+    n_frames: int = 1,
+) -> bytes:
+    """Emit genuine MPEG-1 Layer II frames (fixture encoder): real
+    header, table-width allocations, scfsi, shared scalefactors, and
+    grouped/ungrouped sample codes. ``scf_fn(c, sb, i)`` returns the
+    i-th TRANSMITTED 6-bit scalefactor index; ``code_fn(f, c, sb, g, k)``
+    the raw sample code in [0, steps-1] (grouping is applied here,
+    least-significant first, matching §2.4.3.4's degrouping)."""
+    rate = _RATES[3][sr_idx]
+    bitrate = _BITRATES[(0, 1)][br_idx] * 1000
+    fb = 144 * bitrate // rate
+    table = mp2_alloc_table(mp2_table_for(rate, bitrate // 1000 // channels))
+    sblimit = len(table)
+    mode = 3 if channels == 1 else 0
+    h = (
+        (0x7FF << 21) | (3 << 19) | (2 << 17) | (1 << 16)
+        | (br_idx << 12) | (sr_idx << 10) | (mode << 6)
+    )
+    out = bytearray()
+    for f in range(n_frames):
+        bits = bytearray()
+        acc = 0
+        nacc = 0
+
+        def put(v: int, n: int):
+            nonlocal acc, nacc
+            acc = (acc << n) | (v & ((1 << n) - 1))
+            nacc += n
+            while nacc >= 8:
+                bits.append((acc >> (nacc - 8)) & 0xFF)
+                nacc -= 8
+
+        for sb in range(sblimit):
+            for c in range(channels):
+                put(alloc_idx[c][sb], _mp2_nbal(table[sb]))
+        for sb in range(sblimit):
+            for c in range(channels):
+                if alloc_idx[c][sb]:
+                    put(scfsi[c][sb], 2)
+        for sb in range(sblimit):
+            for c in range(channels):
+                if alloc_idx[c][sb]:
+                    for i in range(_MP2_SCFSI_COUNT[scfsi[c][sb]]):
+                        put(scf_fn(c, sb, i), 6)
+        for g in range(12):
+            for sb in range(sblimit):
+                for c in range(channels):
+                    a = alloc_idx[c][sb]
+                    if not a:
+                        continue
+                    m = table[sb][a]
+                    codes = [code_fn(f, c, sb, g, k) for k in range(3)]
+                    if any(cd < 0 or cd >= m for cd in codes):
+                        raise ValueError(f"sample code out of [0,{m})")
+                    if m in _MP2_GROUP_BITS:
+                        v = codes[0] + m * codes[1] + m * m * codes[2]
+                        put(v, _MP2_GROUP_BITS[m])
+                    else:
+                        for cd in codes:
+                            put(cd, _MP2_NB[m])
+        if nacc:
+            bits.append((acc << (8 - nacc)) & 0xFF)
+        frame = struct.pack(">I", h) + bytes(bits)
+        if len(frame) > fb:
+            raise ValueError(
+                f"frame payload {len(frame)} exceeds frame length {fb}"
+            )
+        out += frame + bytes(fb - len(frame))
+    return bytes(out)

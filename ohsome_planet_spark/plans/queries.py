@@ -2393,23 +2393,40 @@ def _lsh_table_sig_sql(nbits: int, salt: str, dim: int = 64) -> str:
 
 
 def _knn_lsh_pairs_sql(
-    nbits: int = 8, ntables: int = 2, source: str = "embeddings", pre: str = ""
+    nbits: int = 8,
+    ntables: int = 2,
+    source: str = "embeddings",
+    pre: str = "",
+    bucket_cap: int | None = None,
 ) -> str:
     """CTE chain ending in ``lshpairs`` = the distinct candidate pairs of
     the multi-table LSH self-join (over ``source``, which must expose
     vec_id + embedding; ``pre`` prepends extra CTEs, e.g. an augmented
-    corpus)."""
+    corpus). ``bucket_cap`` replays the operator's deterministic
+    sub-bucket split (hash60 of ``vec_id:cap<t>:`` mod
+    ceil(|bucket|/cap)) so the capped scale path is hash-gated too."""
     sigs = []
     for t in range(ntables):
         sig = _lsh_table_sig_sql(nbits, salt=f"t{t}:")
         sigs.append(
-            f"sig{t} AS (SELECT vec_id, CAST({sig} AS BIGINT) AS sig"
+            f"rawsig{t} AS (SELECT vec_id, CAST({sig} AS BIGINT) AS sig"
             f" FROM {source})"
         )
+        if bucket_cap:
+            sigs.append(
+                f"sig{t} AS (SELECT vec_id, sig,"
+                f" ('0x' || substr(md5(CAST(vec_id AS VARCHAR)"
+                f" || ':cap{t}:'), 1, 15))::BIGINT"
+                f" % CAST(ceil(COUNT(*) OVER (PARTITION BY sig)"
+                f" / {bucket_cap}.0) AS BIGINT) AS sub"
+                f" FROM rawsig{t})"
+            )
+        else:
+            sigs.append(f"sig{t} AS (SELECT *, 0 AS sub FROM rawsig{t})")
     unions = "\n      UNION\n".join(
         f"      SELECT a.vec_id, b.vec_id AS neighbor_id"
         f" FROM sig{t} a JOIN sig{t} b"
-        f" ON a.sig = b.sig AND a.vec_id <> b.vec_id"
+        f" ON a.sig = b.sig AND a.sub = b.sub AND a.vec_id <> b.vec_id"
         for t in range(ntables)
     )
     return (
@@ -2423,12 +2440,15 @@ def _knn_lsh_pairs_sql(
     )
 
 
-def _knn_lsh_oracle(nbits: int = 8, ntables: int = 2, k: int = 3) -> str:
+def _knn_lsh_oracle(
+    nbits: int = 8, ntables: int = 2, k: int = 3,
+    bucket_cap: int | None = None,
+) -> str:
     cos = (
         "round(list_dot_product({a}, {b})"
         " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
     )
-    return _knn_lsh_pairs_sql(nbits, ntables) + f""",
+    return _knn_lsh_pairs_sql(nbits, ntables, bucket_cap=bucket_cap) + f""",
     scored AS (
       SELECT p.vec_id, p.neighbor_id,
              {cos.format(a="va.embedding::DOUBLE[]", b="vb.embedding::DOUBLE[]")}
@@ -2459,6 +2479,25 @@ def knn_self_join_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_self_join_lsh(emb, k=3, nbits=8, ntables=2).orderBy(
         "vec_id", "rank"
     )
+
+
+@_register("knn_self_join_lsh_capped", _knn_lsh_oracle(bucket_cap=4))
+def knn_self_join_lsh_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPPED scale configuration of the LSH self-join, hash-gated:
+    each (table, signature) bucket splits into ceil(|bucket|/4)
+    sub-buckets by a deterministic id hash before pair generation, the
+    structural fix for hot-cluster Σ|bucket|² blow-up that pair-count
+    measurement exposed (SCALE_SMOKE ``knn_self_join_lsh_pair_counts``:
+    uncapped density 17.7 → 2806 pairs/vec across 1x/30x, capped
+    saturates ≤ 2·ntables·cap). cap=4 on the gate corpus forces real
+    splits; the oracle replays signature, sub-bucket hash, modulus, and
+    re-rank exactly."""
+    from ..operators.similarity import knn_self_join_lsh
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    return knn_self_join_lsh(
+        emb, k=3, nbits=8, ntables=2, bucket_cap=4
+    ).orderBy("vec_id", "rank")
 
 
 _LSH_TWIN_BASE = 1_000_000
@@ -13123,6 +13162,224 @@ def multimodal_mp1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ss += v
                                 ws += v * (
                                     ((f * ch + c) * 32 + sb) * 12 + s + 1
+                                )
+                cols["sample_rate"].append(rate)
+                cols["channels"].append(ch)
+                cols["n_frames"].append(nf)
+                cols["sample_sum"].append(round(ss, 6))
+                cols["weighted_sum"].append(round(ws, 6))
+            out = pdf.copy()
+            for k in ("sample_rate", "channels", "n_frames"):
+                out[k] = pd.array(cols[k], dtype="Int32")
+            for k in ("sample_sum", "weighted_sum"):
+                out[k] = pd.array(cols[k], dtype="float64")
+            yield out
+
+    return (
+        media.mapInPandas(
+            decode,
+            "doc_id bigint, media binary, sample_rate int, channels int,"
+            " n_frames int, sample_sum double, weighted_sum double",
+        )
+        .select("doc_id", "sample_rate", "channels", "n_frames",
+                "sample_sum", "weighted_sum")
+        .orderBy("doc_id")
+    )
+
+
+def _mp2_oracle() -> str:
+    """DuckDB replay of the Layer II fixture: allocation-table selection,
+    per-(c,sb) allocation/scfsi/scalefactor derivation, group-code
+    degrouping, and the §2.4.3.4 requantization — term-for-term the same
+    IEEE arithmetic as ``decode_mp2_subbands`` (C = 2^nb/m and the
+    dyadic D/scf/s''' terms are exact; the two multiplies round
+    identically)."""
+    from ..functions.mp3 import (
+        _MP2_NB,
+        mp2_alloc_table,
+        mp2_table_for,
+    )
+
+    rates = [44100, 48000, 32000]
+    per_ch_kbps = [48, 64, 96, 160]
+    tbl_names = []
+    sblimits = []
+    for r24 in range(24):
+        rate = rates[r24 % 3]
+        ch = 1 + r24 % 2
+        name = mp2_table_for(rate, per_ch_kbps[r24 % 4])
+        tbl_names.append("abcd".index(name))
+        sblimits.append(len(mp2_alloc_table(name)))
+    steps_all = "[" + ",".join(
+        "[" + ",".join(
+            "[" + ",".join(str(m) for m in sb_steps) + "]"
+            for sb_steps in mp2_alloc_table(n)
+        ) + "]"
+        for n in "abcd"
+    ) + "]"
+    nb_case = ("CASE m " + " ".join(
+        f"WHEN {m} THEN {nb}" for m, nb in sorted(_MP2_NB.items())
+    ) + " END")
+
+    idx_expr = """
+      CASE WHEN (doc_id + sb + c) % 2 <> 0 THEN 0
+           WHEN sb = doc_id % 3 THEN 3
+           WHEN sb = 24 AND doc_id % 4 >= 2 AND (doc_id + c) % 5 = 2 THEN 3
+           ELSE 1 + (doc_id + sb + 2*c) % 2 END
+    """
+    # part -> transmitted scalefactor slot under scfsi=(d+sb+c)%4
+    trans_idx = """
+      CASE (doc_id + sb + c) % 4
+        WHEN 0 THEN (s // 12)
+        WHEN 1 THEN (CASE WHEN s // 12 <= 1 THEN 0 ELSE 1 END)
+        WHEN 2 THEN 0
+        ELSE (CASE WHEN s // 12 = 0 THEN 0 ELSE 1 END) END
+    """
+    scf = f"""
+      (2.0 / CAST(1 << ((doc_id + sb + c + ({trans_idx})) % 21) AS DOUBLE))
+    """
+    code = """
+      CASE WHEN m IN (3, 5, 9)
+           THEN ((doc_id + f*7 + (s//3)*5 + sb*11 + c*13) % (m*m*m))
+                // CASE s % 3 WHEN 0 THEN 1 WHEN 1 THEN m ELSE m*m END % m
+           ELSE (doc_id + f*7 + (s//3)*5 + (s%3)*3 + sb*11 + c*13) % m END
+    """
+    val = f"""
+      ({scf}) * (
+        (CAST(1 << nb AS DOUBLE) / CAST(m AS DOUBLE)) * (
+          CAST(({code}) AS DOUBLE) / CAST(1 << (nb - 1) AS DOUBLE) - 1.0
+          + CAST((1 << nb) - m + 1 AS DOUBLE) / CAST(1 << nb AS DOUBLE)
+        )
+      )
+    """
+    w = "(((f * (1 + doc_id % 2) + c) * 30 + sb) * 36 + s + 1)"
+    body = f"""
+      flatten(list_transform(range(0, doc_id % 3 + 1), f ->
+        flatten(list_transform(range(0, 1 + doc_id % 2), c ->
+          flatten(list_transform(
+            range(0, [{",".join(map(str, sblimits))}][doc_id % 24 + 1]),
+            sb ->
+            flatten(list_transform([{idx_expr}], idx ->
+              CASE WHEN idx = 0
+                   THEN list_transform(range(0, 36), s -> 0.0)
+                   ELSE flatten(list_transform(
+                     [({steps_all})
+                       [[{",".join(map(str, tbl_names))}][doc_id % 24 + 1]
+                        + 1][sb + 1][idx + 1]], m ->
+                     flatten(list_transform([{nb_case}], nb ->
+                       list_transform(range(0, 36), s -> {{expr}})
+                     ))))
+              END))))))))
+    """
+    return f"""
+    SELECT doc_id,
+           CAST([44100, 48000, 32000][doc_id % 3 + 1] AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(doc_id % 3 + 1 AS INT) AS n_frames,
+           round(coalesce(list_sum({body.format(expr=val)}), 0.0), 6)
+             AS sample_sum,
+           round(coalesce(list_sum({body.format(expr=f"({val}) * {w}")}),
+                          0.0), 6) AS weighted_sum
+    FROM documents ORDER BY doc_id
+    """
+
+
+@_register("multimodal_mp2_decode", _mp2_oracle())
+def multimodal_mp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer II SAMPLE decode through the multimodal seam
+    (``functions/mp3.py::decode_mp2_subbands``): genuine Layer II frames
+    — Annex-B table-selected allocations (all four tables B.2a-d are hit
+    across the doc grid), scfsi-shared scalefactors, GROUPED 3/5/9-step
+    codes degrouped least-significant-first, and ungrouped codes up to
+    the 16-bit 65535-step class — requantized per ISO 11172-3 §2.4.3.4.
+    Scalefactor indices are multiples of 3 (exact dyadics) and C/D are
+    exact closed forms of the published Table 3-C.3 constants, so every
+    arithmetic step is IEEE-deterministic; the oracle replays the decode
+    term-for-term and the position-weighted sum pins bit order, channel
+    interleave, scfsi sharing, and frame order."""
+    from ..functions.mp3 import mp2_alloc_table, mp2_table_for
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+    _BR_IDX = {(0, 1): 2, (0, 2): 6, (1, 1): 4, (1, 2): 8,
+               (2, 1): 6, (2, 2): 10, (3, 1): 9, (3, 2): 13}
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mp3 import encode_mp2
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ch = 1 + d % 2
+                rate = [44100, 48000, 32000][d % 3]
+                p = d % 4
+                table = mp2_alloc_table(
+                    mp2_table_for(rate, [48, 64, 96, 160][p])
+                )
+                sblimit = len(table)
+
+                def idx_fn(c, sb, d=d, p=p):
+                    if (d + sb + c) % 2 != 0:
+                        return 0
+                    if sb == d % 3:
+                        return 3
+                    if sb == 24 and p >= 2 and (d + c) % 5 == 2:
+                        return 3
+                    return 1 + (d + sb + 2 * c) % 2
+
+                alloc = [
+                    [idx_fn(c, sb) for sb in range(sblimit)]
+                    for c in range(ch)
+                ]
+                scfsi = [
+                    [(d + sb + c) % 4 for sb in range(sblimit)]
+                    for c in range(ch)
+                ]
+
+                def code_fn(f, c, sb, g, k, d=d, table=table, alloc=alloc):
+                    m = table[sb][alloc[c][sb]]
+                    if m in (3, 5, 9):
+                        v = (d + f * 7 + g * 5 + sb * 11 + c * 13) % (
+                            m * m * m
+                        )
+                        return (v // (m**k)) % m
+                    return (
+                        d + f * 7 + g * 5 + k * 3 + sb * 11 + c * 13
+                    ) % m
+
+                payloads.append(
+                    encode_mp2(
+                        alloc, scfsi,
+                        lambda c, sb, i, d=d: 3 * ((d + sb + c + i) % 21),
+                        code_fn,
+                        sr_idx=d % 3, br_idx=_BR_IDX[(p, ch)],
+                        channels=ch, n_frames=1 + d % 3,
+                    )
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mp3 import decode_mp2_subbands
+
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("sample_rate", "channels", "n_frames", "sample_sum",
+                     "weighted_sum")}
+            for payload in pdf["media"]:
+                rate, ch, nf, frames = decode_mp2_subbands(bytes(payload))
+                ss = 0.0
+                ws = 0.0
+                for f, chans in enumerate(frames):
+                    for c, sbs in enumerate(chans):
+                        for sb, vals in enumerate(sbs):
+                            for s, v in enumerate(vals):
+                                ss += v
+                                ws += v * (
+                                    ((f * ch + c) * 30 + sb) * 36 + s + 1
                                 )
                 cols["sample_rate"].append(rate)
                 cols["channels"].append(ch)
