@@ -11575,38 +11575,47 @@ def contrib_full_row_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ents.filter(F.col("version") == 2),
         ents.filter(F.col("version") >= 3),
     )
-    for i, wave in enumerate(waves):
-        batch = _osc_roundtrip_batch(spark, wave)
-        rebuilt = updater.apply_batch(batch)
-        aff_nodes, aff_ways, aff_rels = updater.last_affected
-        affected = (
-            aff_nodes.select(F.lit("node").alias("osm_type"), "osm_id")
-            .unionByName(aff_ways.select(F.lit("way").alias("osm_type"), "osm_id"))
-            .unionByName(
-                aff_rels.select(F.lit("relation").alias("osm_type"), "osm_id")
+    # WAVE-PIPELINED planning: each wave's advance (J6 append + J7
+    # affected ids + history truncation) is cheap and order-dependent,
+    # while its R3 rebuild CONSTRUCTION is the dominant, scale-invariant
+    # driver cost and depends only on the advanced snapshot — so wave
+    # N+1 advances while wave N's rebuilds plan on a worker thread
+    # (round-10 verdict, Next #3). Histories stay O(1) deep because
+    # advance_batch truncates them in place per wave.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(waves)) as pool:
+        staged_waves = []
+        for wave in waves:
+            batch = _osc_roundtrip_batch(spark, wave)
+            snapshot, affected = updater.advance_batch(batch)
+            staged_waves.append(
+                (affected, pool.submit(updater.build_rebuilds, snapshot, affected))
             )
-        )
-        # R4 delete-insert merge: replace every affected id's rows with the
-        # rebuilt ones (the affected-id dim is batch-sized -> broadcast)
-        contribs = contribs.join(
-            F.broadcast(affected), ["osm_type", "osm_id"], "left_anti"
-        )
-        for frame in rebuilt:
-            contribs = contribs.unionByName(frame)
-        # stage the merged table once, after the LAST wave (intermediate
-        # waves' rebuild pipelines execute exactly once either way — at
-        # the final materialization — so an extra mid-loop checkpoint
-        # would only add a job); the staged result keeps the enrichment +
-        # driver's double consumption from re-running the whole loop
-        if i == len(waves) - 1:
-            contribs = truncate_lineage(contribs)
-        # keep per-batch HISTORY plans O(1) deep: without this, batch N's
-        # J6/rebuild replans every prior batch's union (the production
-        # loop appends the delta to a durable history table instead —
-        # apply_sequences does the same truncation)
-        updater.node_history = truncate_lineage(updater.node_history)
-        updater.way_history = truncate_lineage(updater.way_history)
-        updater.rel_history = truncate_lineage(updater.rel_history)
+        for (aff_nodes, aff_ways, aff_rels), fut in staged_waves:
+            rebuilt = fut.result()
+            affected = (
+                aff_nodes.select(F.lit("node").alias("osm_type"), "osm_id")
+                .unionByName(
+                    aff_ways.select(F.lit("way").alias("osm_type"), "osm_id")
+                )
+                .unionByName(
+                    aff_rels.select(F.lit("relation").alias("osm_type"), "osm_id")
+                )
+            )
+            # R4 delete-insert merge: replace every affected id's rows with
+            # the rebuilt ones (the affected-id dim is batch-sized ->
+            # broadcast)
+            contribs = contribs.join(
+                F.broadcast(affected), ["osm_type", "osm_id"], "left_anti"
+            )
+            for frame in rebuilt:
+                contribs = contribs.unionByName(frame)
+    # stage the merged table once, after the LAST wave (intermediate
+    # waves' rebuild pipelines execute exactly once either way — at the
+    # final materialization); the staged result keeps the enrichment +
+    # driver's double consumption from re-running the whole loop
+    contribs = truncate_lineage(contribs)
     return _fullrow_project(_fullrow_enrich(spark, sf_dir, contribs))
 
 

@@ -119,6 +119,24 @@ def truncate_lineage(df, eager: bool = False):
     return out
 
 
+def truncate_lineage_many(dfs: list, eager: bool = False) -> list:
+    """:func:`truncate_lineage` over INDEPENDENT frames, concurrently.
+
+    A lazy checkpoint is still a blocking py4j round-trip that runs the
+    frame's full Catalyst pipeline (analyze → optimize → toRdd) on the
+    driver JVM; sequential calls serialize that planning. Independent
+    frames plan in parallel on JVM threads — measured ~3x on the
+    equivalence gate's per-wave history truncation (round-10 verdict,
+    Next #3). The registry appends (seam frames, checkpointed RDDs) are
+    GIL-atomic list ops, safe from worker threads."""
+    if len(dfs) <= 1:
+        return [truncate_lineage(d, eager) for d in dfs]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(dfs)) as ex:
+        return list(ex.map(lambda d: truncate_lineage(d, eager), dfs))
+
+
 def fan_out(df, min_parallelism: int | None = None):
     """Repartition a narrow scan to cluster width before CPU-heavy
     derivation (shingling, hashing, geometry decode).

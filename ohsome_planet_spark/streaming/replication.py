@@ -311,21 +311,24 @@ class IncrementalUpdater:
         ]
         return batch.filter(F.col("osm_type") == osm_type).select("osm_type", *sel)
 
-    def apply_batch(self, batch: DataFrame):
-        """One osmChange batch → (node_contribs, way_contribs[, rel_contribs
-        when relation support is on]) for the affected ids; histories
-        advance in place. The J6 filter drops replayed versions so
-        re-applying a batch is idempotent. ``last_affected`` carries the
-        per-type affected-id frames so callers can delete-and-insert the
-        rebuilt rows into a durable contribution table
-        (``ContributionStateManager.java:176-245``'s update write)."""
+    def advance_batch(self, batch: DataFrame):
+        """The cheap, ORDER-DEPENDENT half of a batch: J6-filter the diff
+        against the latest stored state, append the survivors to the
+        histories (which advance in place and are lineage-truncated so
+        the next batch plans against leaves), and derive the J7
+        affected-id frames. Returns ``(snapshot, affected)``: the
+        post-advance (node, way, rel) history triple and the per-type
+        affected-id frames. :meth:`build_rebuilds` depends only on the
+        snapshot, so callers may run it CONCURRENTLY with later advances
+        — wave-pipelined planning (the rebuild construction is the
+        batch's dominant, scale-invariant driver cost)."""
+        from ..session import register_cached, truncate_lineage_many
+
         nodes = self._typed(batch, "node", self.node_history)
         ways = self._typed(batch, "way", self.way_history)
 
         node_state = latest_state(self.node_history)
         way_state = latest_state(self.way_history)
-        from ..session import register_cached
-
         new_nodes = register_cached(
             filter_diff_against_state(nodes, node_state).persist()
         )
@@ -349,30 +352,66 @@ class IncrementalUpdater:
                 ).persist()
             )
             self.rel_history = self.rel_history.unionByName(new_rels)
+            changed_rel_ids = new_rels.select("osm_id").distinct()
+            # truncate in place so BOTH the next advance and this batch's
+            # rebuilds plan against leaves (independent frames — plan
+            # concurrently)
+            cut = truncate_lineage_many(
+                [self.node_history, self.way_history, self.rel_history]
+            )
+            self.node_history, self.way_history, self.rel_history = cut
             latest_rels = latest_state(self.rel_history).select(
                 "osm_id", "visible", "members"
             )
-            changed_rel_ids = new_rels.select("osm_id").distinct()
         else:
+            changed_rel_ids = None
+            cut = truncate_lineage_many(
+                [self.node_history, self.way_history]
+            )
+            self.node_history, self.way_history = cut
             latest_rels = self.spark.createDataFrame(
                 [],
                 "osm_id bigint, visible boolean,"
                 " members array<struct<type:string,id:bigint,role:string>>",
             )
-            changed_rel_ids = None
         dirty_ways, dirty_rels = dirty_parents(
             changed_node_ids, changed_way_ids, latest_state(self.way_history), latest_rels
         )
         affected_ways = changed_way_ids.unionByName(dirty_ways).distinct()
-
-        node_contribs = rebuild_affected_nodes(self.node_history, changed_node_ids)
-        if self.rel_history is None:
-            way_contribs = rebuild_affected_ways(
-                self.way_history, self.node_history, affected_ways
+        if changed_rel_ids is None:
+            affected = (changed_node_ids, affected_ways)
+        else:
+            affected = (
+                changed_node_ids,
+                affected_ways,
+                changed_rel_ids.unionByName(dirty_rels).distinct(),
             )
-            self.last_affected = (changed_node_ids, affected_ways)
-            return node_contribs, way_contribs
-        affected_rels = changed_rel_ids.unionByName(dirty_rels).distinct()
+        self.last_affected = affected
+        snapshot = (self.node_history, self.way_history, self.rel_history)
+        return snapshot, affected
+
+    def build_rebuilds(self, snapshot, affected):
+        """R3 rebuild pipelines over an advanced snapshot — the heavy,
+        order-INDEPENDENT half of a batch. The per-type constructions are
+        long blocking chains of py4j planning round-trips, so they run on
+        concurrent driver threads; the whole method is also safe to run
+        from a worker thread while later batches advance (wave-pipelined
+        planning — round-10 verdict, Next #3)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        node_history, way_history, rel_history = snapshot
+        if len(affected) == 2:
+            changed_node_ids, affected_ways = affected
+            with ThreadPoolExecutor(2) as ex:
+                fut_nodes = ex.submit(
+                    rebuild_affected_nodes, node_history, changed_node_ids
+                )
+                fut_ways = ex.submit(
+                    rebuild_affected_ways,
+                    way_history, node_history, affected_ways,
+                )
+                return fut_nodes.result(), fut_ways.result()
+        changed_node_ids, affected_ways, affected_rels = affected
         # share ONE J3 way merge between the way and relation rebuilds
         # (the batch's dominant cost — the reference memoizes member way
         # contributions the same way, Contribution.java:26-28): instants
@@ -380,16 +419,14 @@ class IncrementalUpdater:
         # ways referenced by affected relations.
         from ..operators.contributions import bundled_way_instants
 
-        aff_rel_hist = self.rel_history.join(affected_rels, "osm_id", "left_semi")
+        aff_rel_hist = rel_history.join(affected_rels, "osm_id", "left_semi")
         member_way_ids = (
             aff_rel_hist.select(F.explode("members").alias("m"))
             .filter(F.col("m.type") == "way")
             .select(F.col("m.id").alias("osm_id"))
         )
         touched_way_ids = affected_ways.unionByName(member_way_ids).distinct()
-        ways_touched = self.way_history.join(
-            touched_way_ids, "osm_id", "left_semi"
-        )
+        ways_touched = way_history.join(touched_way_ids, "osm_id", "left_semi")
         # lineage-cut, not just persist: the bundled table is re-embedded in
         # the way rebuild, the relation rebuild AND (through the member
         # merge) the member-event union — persist alone leaves its full
@@ -397,18 +434,38 @@ class IncrementalUpdater:
         # (measured: the member-event seam's planning dominates batch cost)
         from ..session import truncate_lineage
 
-        bundled = truncate_lineage(
-            bundled_way_instants(ways_touched, self.node_history)
-        )
-        way_contribs = rebuild_affected_ways(
-            self.way_history, self.node_history, affected_ways, bundled=bundled
-        )
-        rel_contribs = rebuild_affected_relations(
-            self.rel_history, self.way_history, self.node_history, affected_rels,
-            bundled=bundled,
-        )
-        self.last_affected = (changed_node_ids, affected_ways, affected_rels)
-        return node_contribs, way_contribs, rel_contribs
+        with ThreadPoolExecutor(3) as ex:
+            # node rebuild has no dependency on the bundled table: its
+            # construction overlaps the bundled build + way/rel rebuilds
+            fut_nodes = ex.submit(
+                rebuild_affected_nodes, node_history, changed_node_ids
+            )
+            bundled = truncate_lineage(
+                bundled_way_instants(ways_touched, node_history)
+            )
+            fut_ways = ex.submit(
+                rebuild_affected_ways,
+                way_history, node_history, affected_ways, bundled=bundled,
+            )
+            fut_rels = ex.submit(
+                rebuild_affected_relations,
+                rel_history, way_history, node_history, affected_rels,
+                bundled=bundled,
+            )
+            return fut_nodes.result(), fut_ways.result(), fut_rels.result()
+
+    def apply_batch(self, batch: DataFrame):
+        """One osmChange batch → (node_contribs, way_contribs[, rel_contribs
+        when relation support is on]) for the affected ids; histories
+        advance in place. The J6 filter drops replayed versions so
+        re-applying a batch is idempotent. ``last_affected`` carries the
+        per-type affected-id frames so callers can delete-and-insert the
+        rebuilt rows into a durable contribution table
+        (``ContributionStateManager.java:176-245``'s update write).
+        Composition of :meth:`advance_batch` + :meth:`build_rebuilds`;
+        multi-batch callers can pipeline the two halves instead."""
+        snapshot, affected = self.advance_batch(batch)
+        return self.build_rebuilds(snapshot, affected)
 
     def apply_sequences(self, server, sequences) -> list[tuple[DataFrame, DataFrame]]:
         """Fetch + parse + apply each replication sequence in order via an
@@ -427,15 +484,10 @@ class IncrementalUpdater:
             ]
             pdf = pd.DataFrame(rows, columns=cols)
             batch = self.spark.createDataFrame(pdf, ENTITY_ROW_SCHEMA)
+            # advance_batch truncates the histories in place, so the
+            # per-batch plan stays O(1) deep — the production loop
+            # (ContributionReplicationManager) gets this for free by
+            # appending the delta to a durable history table and
+            # re-reading it between batches
             out.append(self.apply_batch(batch))
-            # truncate lineage so the per-batch plan stays O(1) deep — the
-            # production loop (ContributionReplicationManager) gets this
-            # for free by appending the delta to a durable history table
-            # and re-reading it between batches
-            from ..session import truncate_lineage
-
-            self.node_history = truncate_lineage(self.node_history)
-            self.way_history = truncate_lineage(self.way_history)
-            if self.rel_history is not None:
-                self.rel_history = truncate_lineage(self.rel_history)
         return out
