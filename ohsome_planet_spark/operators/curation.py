@@ -153,21 +153,25 @@ def curate(
     """Run the funnel and write the curated dataset partitioned by split.
 
     ``exact_substr_n`` prepends the ExactSubstr REWRITE stage (Lee et al.
-    2022, ``operators/dedup.py::exact_substr_dedup``): cross-corpus
-    duplicated n-gram spans are cut from each document's text BEFORE the
+    2022, ``operators/dedup.py::exact_substr_rewrite``): cross-corpus
+    duplicated n-gram spans are cut OUT OF THE ORIGINAL TEXT before the
     quality/dedup gates, so boilerplate both disappears from the output
-    and stops shielding near-identical documents from the exact-dup hash.
+    and stops shielding near-identical documents from the exact-dup
+    hash. Documents with no duplicated span pass through byte-for-byte —
+    casing and punctuation survive, so the downstream punct_ratio
+    quality gate still sees real punctuation (ADVICE round 10: the old
+    normalized-space rewrite silently zeroed punct_ratio for every doc).
 
     Returns the funnel report. The write sorts within partitions by
     doc_id so the parquet row groups stay range-queryable by id."""
     if exact_substr_n:
-        from .dedup import exact_substr_dedup
+        from .dedup import exact_substr_rewrite
 
-        rewritten = exact_substr_dedup(
+        rewritten = exact_substr_rewrite(
             docs, "doc_id", "text", n=exact_substr_n
         ).select(
             F.col("doc").alias("doc_id"),
-            F.col("dedup_text").alias("_new_text"),
+            F.col("text").alias("_new_text"),
         )
         docs = (
             docs.join(rewritten, "doc_id")

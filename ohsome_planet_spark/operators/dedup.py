@@ -584,43 +584,13 @@ def span_duplication(
     )
 
 
-def exact_substr_dedup(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 8,
-    min_docs: int = 2,
-) -> DataFrame:
-    """ExactSubstr REMOVAL (Lee et al. 2022 §4.1): rewrite each document
-    with its cross-corpus duplicated spans cut out. ``span_duplication``
-    only *scores* the duplication; this operator produces the deduplicated
-    text itself — the other half of the reference pipeline.
-
-    Policy (documented divergence from the suffix-array tool): a
-    positional token ``n``-gram is duplicated when its hash occurs in at
-    least ``min_docs`` DISTINCT documents, and *every* occurrence is
-    removed (symmetric cut — no arbitrary canonical survivor). Overlapping
-    and adjacent duplicated spans merge into maximal token intervals
-    (gaps-and-islands), so a 40-token mirrored passage is cut once as one
-    range, exactly like the byte-range merging in the reference tool.
-    Removal happens in normalized-token space (lowercase, ``\\W+`` split),
-    the same space the duplication is detected in.
-
-    Output: (doc, n_tokens, n_removed, dedup_text), one row per input
-    document (documents with nothing removed pass through intact).
-
-    Scale: the heavy frame is (doc, pos, span_hash) at ~corpus-token rows;
-    it shuffles on the hash key (doc-frequency agg + semi-join back) and
-    then on doc (islands window + interval collect) — both keys are
-    high-cardinality and skew-free. The islands window partitions by doc,
-    so its state is bounded by one document's span count, never the
-    corpus. No all-pairs stage and no global sort: this is the linear
-    pipeline that replaces the suffix array at 100 TB, where a global
-    suffix sort is the bottleneck.
-    """
-    toks = tokens_expr(F.col(text_col))
-    docs = df.select(F.col(id_col).alias("doc"), toks.alias("_toks"))
-
+def _span_islands(docs: DataFrame, n: int, min_docs: int) -> DataFrame:
+    """(doc, _toks) → (doc, _ivs): maximal duplicated-token intervals
+    [s, e) in 0-based token positions — positional n-gram hashes with
+    doc-frequency ≥ min_docs, overlapping/adjacent spans merged by the
+    gaps-and-islands window. Shared by :func:`exact_substr_dedup`
+    (normalized-space output) and :func:`exact_substr_rewrite`
+    (original-text output)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n))
@@ -646,7 +616,7 @@ def exact_substr_dedup(
     w_run = (
         W.partitionBy("doc").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
     )
-    islands = (
+    return (
         dup_spans.withColumn("_pe", F.max(F.col("pos") + n).over(w_prev))
         .withColumn(
             "_new",
@@ -668,6 +638,50 @@ def exact_substr_dedup(
         )
     )
 
+
+def exact_substr_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022 §4.1): rewrite each document
+    with its cross-corpus duplicated spans cut out. ``span_duplication``
+    only *scores* the duplication; this operator produces the deduplicated
+    text itself — the other half of the reference pipeline.
+
+    Policy (documented divergence from the suffix-array tool): a
+    positional token ``n``-gram is duplicated when its hash occurs in at
+    least ``min_docs`` DISTINCT documents, and *every* occurrence is
+    removed (symmetric cut — no arbitrary canonical survivor). Overlapping
+    and adjacent duplicated spans merge into maximal token intervals
+    (gaps-and-islands), so a 40-token mirrored passage is cut once as one
+    range, exactly like the byte-range merging in the reference tool.
+    Removal happens in normalized-token space (lowercase, ``\\W+`` split),
+    the same space the duplication is detected in.
+
+    Output: (doc, n_tokens, n_removed, dedup_text), one row per input
+    document. NOTE: ``dedup_text`` lives in NORMALIZED-TOKEN space for
+    every row — lowercased, ``\\W+``-split, space-joined — including
+    documents with nothing removed (their token SET passes through
+    intact, their casing/punctuation does not). Callers rewriting a
+    corpus should use :func:`exact_substr_rewrite`, which cuts the same
+    spans out of the ORIGINAL text (ADVICE round 10).
+
+    Scale: the heavy frame is (doc, pos, span_hash) at ~corpus-token rows;
+    it shuffles on the hash key (doc-frequency agg + semi-join back) and
+    then on doc (islands window + interval collect) — both keys are
+    high-cardinality and skew-free. The islands window partitions by doc,
+    so its state is bounded by one document's span count, never the
+    corpus. No all-pairs stage and no global sort: this is the linear
+    pipeline that replaces the suffix array at 100 TB, where a global
+    suffix sort is the bottleneck.
+    """
+    toks = tokens_expr(F.col(text_col))
+    docs = df.select(F.col(id_col).alias("doc"), toks.alias("_toks"))
+    islands = _span_islands(docs, n, min_docs)
+
     joined = docs.join(islands, "doc", "left").withColumn(
         "_ivs", F.coalesce(F.col("_ivs"), F.array())
     )
@@ -680,4 +694,109 @@ def exact_substr_dedup(
         F.size("_toks").cast("bigint").alias("n_tokens"),
         (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_removed"),
         F.concat_ws(" ", kept).alias("dedup_text"),
+    )
+
+
+def exact_substr_rewrite(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr removal over the ORIGINAL text (Lee et al. 2022):
+    cross-corpus duplicated spans are cut out of the original string, so
+    casing and punctuation outside the cut spans survive verbatim —
+    matching the reference tool's byte-range cuts
+    (deduplicate-text-datasets), where :func:`exact_substr_dedup`'s
+    output lives in normalized-token space (ADVICE round 10).
+
+    Mechanics: the text splits into alternating word/separator segments
+    (``(\\W+|\\w+)`` — every character lands in exactly one segment);
+    duplication is detected on the lowercased word segments (identical
+    to ``tokens_expr`` on ASCII; documented divergence for code points
+    whose lowercase form changes ``\\w`` membership, e.g. U+0130). For
+    each maximal duplicated token interval [s, e): cut the word segments
+    s..e-1 and the separator segments strictly BETWEEN them; separators
+    bordering the cut survive (' a DUP DUP b ' → ' a  b ', like the
+    reference's byte-range cut). Documents with no duplicated span
+    return their text byte-for-byte.
+
+    Output: (doc, n_tokens, n_removed, text).
+
+    Scale: segments explode to ~2x corpus-token rows; every window and
+    join keys on doc or the span hash (high-cardinality, skew-free); no
+    all-pairs stage and no global sort — the same linear pipeline as
+    :func:`exact_substr_dedup` plus one segment pass.
+    """
+    seg_re = r"(\W+|\w+)"
+    docs = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("_text"),
+        F.regexp_extract_all(F.col(text_col), F.lit(seg_re), 1).alias("_segs"),
+    )
+    docs_t = docs.select(
+        "doc",
+        "_text",
+        "_segs",
+        F.transform(
+            F.filter("_segs", lambda s: s.rlike(r"^\w")), F.lower
+        ).alias("_toks"),
+    )
+    islands = _span_islands(docs_t.select("doc", "_toks"), n, min_docs)
+
+    segrows = docs.select("doc", F.posexplode("_segs").alias("_i", "_seg"))
+    wcum = W.partitionBy("doc").orderBy("_i").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    segrows = segrows.withColumn(
+        "_isw", F.col("_seg").rlike(r"^\w")
+    ).withColumn(
+        # words: own 0-based token index; separators: index of the
+        # PRECEDING word (-1 before the first word)
+        "_t", F.sum(F.col("_isw").cast("int")).over(wcum) - 1
+    )
+    j = segrows.join(islands, "doc", "left").withColumn(
+        "_ivs", F.coalesce(F.col("_ivs"), F.array())
+    )
+    cut = F.exists(
+        "_ivs",
+        lambda iv: F.when(
+            F.col("_isw"),
+            (F.col("_t") >= iv["s"]) & (F.col("_t") < iv["e"]),
+        ).otherwise(
+            (F.col("_t") >= iv["s"]) & (F.col("_t") < iv["e"] - 1)
+        ),
+    )
+    rebuilt = (
+        j.filter(~cut)
+        .groupBy("doc")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_i", "_seg"))),
+                    lambda x: x["_seg"],
+                ),
+            ).alias("_kept")
+        )
+    )
+    stats = docs_t.join(islands, "doc", "left").withColumn(
+        "_ivs", F.coalesce(F.col("_ivs"), F.array())
+    )
+    return stats.join(rebuilt, "doc", "left").select(
+        "doc",
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            "_ivs",
+            F.lit(0).cast("bigint"),
+            lambda a, iv: a + (iv["e"] - iv["s"]).cast("bigint"),
+        ).alias("n_removed"),
+        # a FULLY-cut doc has zero kept segments, so the rebuilt groupBy
+        # yields no row at all for it (empty groups don't aggregate) and
+        # _kept is null -> its text is the empty string, NOT the original;
+        # only zero-segment docs (text == '') fall back to the original
+        F.when(F.size("_segs") == 0, F.col("_text"))
+        .otherwise(F.coalesce("_kept", F.lit("")))
+        .alias("text"),
     )

@@ -1646,6 +1646,116 @@ def exact_substr_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_substr_rewrite_oracle(n: int = 8, min_docs: int = 2) -> str:
+    h = hash60_sql("span")
+    return f"""
+    WITH raw AS (
+      SELECT doc_id AS doc, text,
+             regexp_extract_all(text, '(\\W+|\\w+)', 1) AS segs
+      FROM documents
+    ),
+    docs AS (
+      SELECT doc, text, segs,
+             list_transform(
+               list_filter(segs, s -> regexp_matches(s, '^\\w')),
+               s -> lower(s)) AS toks
+      FROM raw
+    ),
+    sp AS (
+      SELECT doc, i, {h} AS h FROM (
+        SELECT doc, i, array_to_string(toks[i : i + {n} - 1], ' ') AS span
+        FROM docs, UNNEST(range(1, greatest(len(toks) - {n} + 2, 1))) AS t(i)
+        WHERE len(toks) >= i + {n} - 1
+      )
+    ),
+    duph AS (
+      SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc) >= {min_docs}
+    ),
+    dupsp AS (SELECT doc, i FROM sp JOIN duph USING (h)),
+    isl0 AS (
+      SELECT doc, i,
+             max(i + {n}) OVER (PARTITION BY doc ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+      FROM dupsp
+    ),
+    isl1 AS (
+      SELECT doc, i,
+             CASE WHEN pe IS NULL OR i > pe THEN 1 ELSE 0 END AS ni
+      FROM isl0
+    ),
+    isl2 AS (
+      SELECT doc, i,
+             sum(ni) OVER (PARTITION BY doc ORDER BY i
+               ROWS UNBOUNDED PRECEDING) AS isl
+      FROM isl1
+    ),
+    iv AS (
+      SELECT doc, min(i) AS s, max(i) + {n} AS e
+      FROM isl2 GROUP BY doc, isl
+    ),
+    ivs AS (
+      SELECT doc, list(struct_pack(s := s, e := e) ORDER BY s) AS ivl
+      FROM iv GROUP BY doc
+    ),
+    segrows AS (
+      SELECT doc, i, segs[i] AS seg
+      FROM docs, UNNEST(range(1, len(segs) + 1)) AS t(i)
+    ),
+    segcum AS (
+      SELECT doc, i, seg, regexp_matches(seg, '^\\w') AS isw,
+             sum(CASE WHEN regexp_matches(seg, '^\\w') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc ORDER BY i
+                     ROWS UNBOUNDED PRECEDING) AS cw
+      FROM segrows
+    ),
+    -- 1-based: a word's token index is cw; a separator's preceding-word
+    -- index is cw (0 before the first word). Cut words with cw in [s,e),
+    -- separators strictly between cut words (cw in [s, e-2]).
+    flag AS (
+      SELECT c.doc, c.i, c.seg,
+             len(list_filter(coalesce(v.ivl, []), iv ->
+               CASE WHEN c.isw THEN c.cw >= iv.s AND c.cw < iv.e
+                    ELSE c.cw >= iv.s AND c.cw < iv.e - 1 END)) > 0 AS cut
+      FROM segcum c LEFT JOIN ivs v USING (doc)
+    ),
+    rebuilt AS (
+      SELECT doc,
+             coalesce(string_agg(seg, '' ORDER BY i)
+                        FILTER (WHERE NOT cut), '') AS kept
+      FROM flag GROUP BY doc
+    )
+    SELECT d.doc,
+           CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(list_sum(list_transform(v.ivl, iv -> iv.e - iv.s)),
+                         0) AS BIGINT) AS n_removed,
+           coalesce(r.kept, d.text) AS text
+    FROM docs d
+      LEFT JOIN ivs v USING (doc)
+      LEFT JOIN rebuilt r USING (doc)
+    ORDER BY d.doc
+    """
+
+
+@_register(
+    "exact_substr_rewrite", _exact_substr_rewrite_oracle(n=8, min_docs=2)
+)
+def exact_substr_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal over the ORIGINAL text (the reference tool's
+    byte-range-cut semantics, Lee et al. 2022): duplicated 8-gram token
+    spans are cut out of the original string — word segments plus the
+    separators strictly between them — so casing/punctuation outside cut
+    spans survive byte-for-byte (``exact_substr_dedup`` returns the
+    normalized-token join instead; ADVICE round 10). The oracle replays
+    segmentation, island merge, the segment cut rule, and string
+    reassembly; one mis-kept separator or lost capital breaks the hash."""
+    from ..operators.dedup import exact_substr_rewrite
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    return exact_substr_rewrite(
+        docs, "doc_id", "text", n=8, min_docs=2
+    ).orderBy("doc")
+
+
 _C4_ORACLE = """
 WITH base AS (
   SELECT doc_id AS doc, text, string_split(text, chr(10)) AS lines

@@ -160,3 +160,93 @@ def test_curate_funnel_integration(spark, tmp_path):
     back = spark.read.parquet(out)
     texts = {r.doc_id: r.text for r in back.collect()}
     assert set(texts) == {3} and texts[3] == keeper
+
+
+# --- exact_substr_rewrite (original-text cuts, ADVICE round 10) ------------
+
+
+def test_rewrite_preserves_untouched_docs_byte_for_byte(spark):
+    from ohsome_planet_spark.operators.dedup import exact_substr_rewrite
+
+    dup = "the quick brown fox jumps over the lazy dog"
+    originals = [
+        "No Duplicates HERE: punctuation! (and CASING) survive -- 100%.",
+        f"Lead-in, THEN {dup}; trailing tail.",
+        f"Second copy: {dup} -- end.",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(originals)), "doc_id long, text string"
+    )
+    out = {
+        r.doc: r
+        for r in exact_substr_rewrite(df, "doc_id", "text", n=8).collect()
+    }
+    # untouched doc: BYTE-identical original (the old normalized-space
+    # rewrite lowercased and stripped it)
+    assert out[0].text == originals[0] and out[0].n_removed == 0
+    # cut docs keep their casing/punctuation outside the cut span, and
+    # the separators BORDERING the cut survive
+    assert out[1].text == "Lead-in, THEN ; trailing tail."
+    assert out[2].text == "Second copy:  -- end."
+    assert out[1].n_removed == 9 and out[2].n_removed == 9
+
+
+def test_rewrite_differential_vs_dedup_tokens(spark):
+    """Independent cross-check: lowercased tokens of the rewrite output
+    must equal exact_substr_dedup's dedup_text tokens on every doc (the
+    two operators share island semantics, differ only in output space)."""
+    import re as _re
+
+    from ohsome_planet_spark.operators.dedup import exact_substr_rewrite
+
+    rng = random.Random(0xE5)
+    words = ["alpha", "Bravo", "charlie", "DELTA", "echo", "fox", "golf"]
+    boiler = "SHARED boiler plate chunk run sequence block nine ten"
+    docs = []
+    for d in range(40):
+        toks = [rng.choice(words) for _ in range(rng.randrange(0, 30))]
+        if d % 3 == 0:
+            pos = rng.randrange(0, len(toks) + 1)
+            toks = toks[:pos] + boiler.split() + toks[pos:]
+        sep = lambda: rng.choice([" ", ", ", "! ", " -- ", "  "])  # noqa: E731
+        text = "".join(t + sep() for t in toks)
+        docs.append((d, text))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rw = {
+        r.doc: r
+        for r in exact_substr_rewrite(df, "doc_id", "text", n=4).collect()
+    }
+    dd = {
+        r.doc: r
+        for r in exact_substr_dedup(df, "doc_id", "text", n=4).collect()
+    }
+    for d, _ in docs:
+        got = [t for t in _re.split(r"\W+", rw[d].text.lower()) if t]
+        want = [t for t in dd[d].dedup_text.split(" ") if t]
+        assert got == want, (d, got, want)
+        assert rw[d].n_tokens == dd[d].n_tokens
+        assert rw[d].n_removed == dd[d].n_removed
+
+
+def test_curate_rewrite_keeps_punctuation_for_quality_gate(spark, tmp_path):
+    """The ADVICE bug: curate(exact_substr_n=...) used to replace EVERY
+    doc's text with the normalized join, zeroing punct_ratio corpus-wide.
+    Now untouched docs flow through byte-identical and a high-punct doc
+    still fails the punctuation gate."""
+    from ohsome_planet_spark.operators.curation import curate
+
+    good = "This is a perfectly normal sentence with modest punctuation."
+    punchy = "w!!! h??? a!!! t??? i!!! s!!! t!!! h!!! i!!! s!!!"
+    docs = spark.createDataFrame(
+        [(1, good), (2, punchy)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "curated2")
+    report = curate(
+        docs, out, exact_substr_n=4,
+        min_quality=0.0, min_tokens=1, max_tokens=10_000,
+        max_punct=0.3, max_dup_token_frac=1.0,
+    )
+    assert report["fail_quality"] == 1 and report["kept"] == 1
+    back = spark.read.parquet(out)
+    texts = {r.doc_id: r.text for r in back.collect()}
+    assert texts == {1: good}  # byte-identical, punctuation intact
