@@ -473,8 +473,14 @@ def decode_mp2_subbands(payload: bytes):
     Like the Layer I decoder the synthesis filterbank is deliberately
     NOT applied — subband samples are the bitstream's exact decodable
     content and every step above is IEEE-deterministic, so the result is
-    oracle-replayable bit-for-bit. Scope: MPEG-1 Layer II mono/stereo
-    without CRC; joint stereo (the intensity bound machinery) raises."""
+    oracle-replayable bit-for-bit. Scope: MPEG-1 Layer II mono, stereo,
+    and JOINT (intensity) stereo without CRC. In joint stereo
+    (mode 01) the bound is 4·(mode_extension+1) subbands: below it
+    everything is per-channel; from the bound up each subband carries
+    ONE allocation and ONE set of sample codes shared by both channels,
+    while scfsi/scalefactors stay per-channel — each channel applies its
+    own scalefactor to the shared codes (ISO 11172-3 §2.4.1.6,
+    §A.2.2.2)."""
     buf = bytes(payload)
     pos = 0
     if buf[:3] == b"ID3":
@@ -488,21 +494,29 @@ def decode_mp2_subbands(payload: bytes):
             raise Mp3FormatError("only MPEG-1 Layer II sample decode")
         if not (h >> 16) & 1:
             raise Mp3FormatError("CRC-protected Layer II not supported")
-        if (h >> 6) & 3 == 1:
-            raise Mp3FormatError("joint stereo not supported")
+        mode = (h >> 6) & 3
         if first is None:
-            first = (rate, channels, bitrate)
-        elif (rate, channels, bitrate) != first:
+            first = (rate, channels, bitrate, mode, (h >> 4) & 3)
+        elif (rate, channels, bitrate, mode, (h >> 4) & 3) != first:
             raise Mp3FormatError("stream parameters change mid-file")
         if pos + fb > len(buf):
             raise Mp3FormatError("truncated frame")
         table = mp2_alloc_table(mp2_table_for(rate, bitrate // 1000 // channels))
         sblimit = len(table)
+        # intensity-stereo bound: shared allocation + sample codes at and
+        # above it (joint stereo only; else every subband is per-channel)
+        bound = 4 * (((h >> 4) & 3) + 1) if mode == 1 else sblimit
+        bound = min(bound, sblimit)
         rd = _BitReader(buf[pos : pos + fb], pos_bits=32)
         alloc = [[0] * sblimit for _ in range(channels)]
         for sb in range(sblimit):
-            for c in range(channels):
-                alloc[c][sb] = rd.read(_mp2_nbal(table[sb]))
+            if sb < bound:
+                for c in range(channels):
+                    alloc[c][sb] = rd.read(_mp2_nbal(table[sb]))
+            else:
+                shared = rd.read(_mp2_nbal(table[sb]))
+                for c in range(channels):
+                    alloc[c][sb] = shared
         scfsi = [[0] * sblimit for _ in range(channels)]
         for sb in range(sblimit):
             for c in range(channels):
@@ -520,8 +534,20 @@ def decode_mp2_subbands(payload: bytes):
         chans = [
             [[0.0] * 36 for _ in range(sblimit)] for _ in range(channels)
         ]
+        def read_codes(m, nb):
+            if m in _MP2_GROUP_BITS:
+                v = rd.read(_MP2_GROUP_BITS[m])
+                if v >= m * m * m:
+                    raise Mp3FormatError("group code out of range")
+                return (v % m, (v // m) % m, v // (m * m))
+            codes = tuple(rd.read(nb) for _ in range(3))
+            if any(cd >= m for cd in codes):
+                raise Mp3FormatError("forbidden all-ones sample code")
+            return codes
+
         for g in range(12):
             for sb in range(sblimit):
+                shared_codes = None
                 for c in range(channels):
                     a = alloc[c][sb]
                     if not a:
@@ -531,17 +557,14 @@ def decode_mp2_subbands(payload: bytes):
                     half = 1 << (nb - 1)
                     C = float(1 << nb) / float(m)
                     D = float((1 << nb) - m + 1) / float(1 << nb)
-                    if m in _MP2_GROUP_BITS:
-                        v = rd.read(_MP2_GROUP_BITS[m])
-                        if v >= m * m * m:
-                            raise Mp3FormatError("group code out of range")
-                        codes = (v % m, (v // m) % m, v // (m * m))
+                    if sb >= bound:
+                        # intensity: ONE code set per subband, each
+                        # channel scales it with its own scalefactor
+                        if shared_codes is None:
+                            shared_codes = read_codes(m, nb)
+                        codes = shared_codes
                     else:
-                        codes = tuple(rd.read(nb) for _ in range(3))
-                        if any(cd >= m for cd in codes):
-                            raise Mp3FormatError(
-                                "forbidden all-ones sample code"
-                            )
+                        codes = read_codes(m, nb)
                     scfv = scf[c][sb][g // 4]
                     for k in range(3):
                         s3 = codes[k] / float(half) - 1.0
@@ -550,7 +573,7 @@ def decode_mp2_subbands(payload: bytes):
         pos += fb
     if first is None:
         raise Mp3FormatError("no frames")
-    rate, channels, _ = first
+    rate, channels = first[0], first[1]
     return rate, channels, len(frames), frames
 
 
@@ -563,22 +586,40 @@ def encode_mp2(
     br_idx: int = 4,
     channels: int = 1,
     n_frames: int = 1,
+    joint_ext: int | None = None,
 ) -> bytes:
     """Emit genuine MPEG-1 Layer II frames (fixture encoder): real
     header, table-width allocations, scfsi, shared scalefactors, and
     grouped/ungrouped sample codes. ``scf_fn(c, sb, i)`` returns the
     i-th TRANSMITTED 6-bit scalefactor index; ``code_fn(f, c, sb, g, k)``
     the raw sample code in [0, steps-1] (grouping is applied here,
-    least-significant first, matching §2.4.3.4's degrouping)."""
+    least-significant first, matching §2.4.3.4's degrouping).
+    ``joint_ext`` (0-3, stereo only) emits JOINT stereo with bound
+    4·(joint_ext+1): above the bound one allocation and one code set per
+    subband (taken from channel 0 — ``alloc_idx`` must agree across
+    channels there), scalefactors still per-channel."""
     rate = _RATES[3][sr_idx]
     bitrate = _BITRATES[(0, 1)][br_idx] * 1000
     fb = 144 * bitrate // rate
     table = mp2_alloc_table(mp2_table_for(rate, bitrate // 1000 // channels))
     sblimit = len(table)
-    mode = 3 if channels == 1 else 0
+    if joint_ext is not None:
+        if channels != 2:
+            raise ValueError("joint stereo needs channels=2")
+        mode = 1
+        bound = min(4 * (joint_ext + 1), sblimit)
+        for sb in range(bound, sblimit):
+            if alloc_idx[0][sb] != alloc_idx[1][sb]:
+                raise ValueError(
+                    f"intensity subband {sb}: allocations must agree"
+                )
+    else:
+        mode = 3 if channels == 1 else 0
+        bound = sblimit
     h = (
         (0x7FF << 21) | (3 << 19) | (2 << 17) | (1 << 16)
         | (br_idx << 12) | (sr_idx << 10) | (mode << 6)
+        | ((joint_ext or 0) << 4)
     )
     out = bytearray()
     for f in range(n_frames):
@@ -595,7 +636,7 @@ def encode_mp2(
                 nacc -= 8
 
         for sb in range(sblimit):
-            for c in range(channels):
+            for c in range(channels if sb < bound else 1):
                 put(alloc_idx[c][sb], _mp2_nbal(table[sb]))
         for sb in range(sblimit):
             for c in range(channels):
@@ -608,7 +649,7 @@ def encode_mp2(
                         put(scf_fn(c, sb, i), 6)
         for g in range(12):
             for sb in range(sblimit):
-                for c in range(channels):
+                for c in range(channels if sb < bound else 1):
                     a = alloc_idx[c][sb]
                     if not a:
                         continue

@@ -13524,6 +13524,198 @@ def multimodal_mp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mp2_joint_oracle() -> str:
+    """DuckDB replay of the JOINT-stereo Layer II fixture: fixed table
+    B.2a (48 kHz / 192 kbps-per-channel), per-doc intensity bound
+    4·(doc%4+1). Below the bound everything is per-channel; at/above it
+    allocation and sample codes drop their channel term (ONE shared code
+    set) while scalefactors stay per-channel — the §A.2.2.2 sharing
+    rule, hash-pinned."""
+    from ..functions.mp3 import _MP2_NB, mp2_alloc_table
+
+    steps_a = "[" + ",".join(
+        "[" + ",".join(str(m) for m in sb_steps) + "]"
+        for sb_steps in mp2_alloc_table("a")
+    ) + "]"
+    nb_case = ("CASE m " + " ".join(
+        f"WHEN {m} THEN {nb}" for m, nb in sorted(_MP2_NB.items())
+    ) + " END")
+    bound = "(4 * (doc_id % 4) + 4)"
+    idx_expr = f"""
+      CASE WHEN sb < {bound}
+           THEN CASE WHEN (doc_id + sb + c) % 2 <> 0 THEN 0
+                     ELSE 1 + (doc_id + sb + 2*c) % 2 END
+           ELSE CASE WHEN (doc_id + sb) % 2 <> 0 THEN 0
+                     ELSE 1 + (doc_id + sb) % 2 END END
+    """
+    trans_idx = """
+      CASE (doc_id + sb + c) % 4
+        WHEN 0 THEN (s // 12)
+        WHEN 1 THEN (CASE WHEN s // 12 <= 1 THEN 0 ELSE 1 END)
+        WHEN 2 THEN 0
+        ELSE (CASE WHEN s // 12 = 0 THEN 0 ELSE 1 END) END
+    """
+    scf = f"""
+      (2.0 / CAST(1 << ((doc_id + sb + c + ({trans_idx})) % 21) AS DOUBLE))
+    """
+    cc = f"(CASE WHEN sb < {bound} THEN c ELSE 0 END)"
+    code = f"""
+      CASE WHEN m IN (3, 5, 9)
+           THEN ((doc_id + f*7 + (s//3)*5 + sb*11 + {cc}*13) % (m*m*m))
+                // CASE s % 3 WHEN 0 THEN 1 WHEN 1 THEN m ELSE m*m END % m
+           ELSE (doc_id + f*7 + (s//3)*5 + (s%3)*3 + sb*11 + {cc}*13) % m
+      END
+    """
+    val = f"""
+      ({scf}) * (
+        (CAST(1 << nb AS DOUBLE) / CAST(m AS DOUBLE)) * (
+          CAST(({code}) AS DOUBLE) / CAST(1 << (nb - 1) AS DOUBLE) - 1.0
+          + CAST((1 << nb) - m + 1 AS DOUBLE) / CAST(1 << nb AS DOUBLE)
+        )
+      )
+    """
+    w = "(((f * 2 + c) * 30 + sb) * 36 + s + 1)"
+    body = f"""
+      flatten(list_transform(range(0, doc_id % 2 + 1), f ->
+        flatten(list_transform(range(0, 2), c ->
+          flatten(list_transform(range(0, 27), sb ->
+            flatten(list_transform([{idx_expr}], idx ->
+              CASE WHEN idx = 0
+                   THEN list_transform(range(0, 36), s -> 0.0)
+                   ELSE flatten(list_transform(
+                     [({steps_a})[sb + 1][idx + 1]], m ->
+                     flatten(list_transform([{nb_case}], nb ->
+                       list_transform(range(0, 36), s -> {{expr}})
+                     ))))
+              END))))))))
+    """
+    return f"""
+    SELECT doc_id,
+           CAST(48000 AS INT) AS sample_rate,
+           CAST(2 AS INT) AS channels,
+           CAST(doc_id % 2 + 1 AS INT) AS n_frames,
+           round(coalesce(list_sum({body.format(expr=val)}), 0.0), 6)
+             AS sample_sum,
+           round(coalesce(list_sum({body.format(expr=f"({val}) * {w}")}),
+                          0.0), 6) AS weighted_sum
+    FROM documents ORDER BY doc_id
+    """
+
+
+@_register("multimodal_mp2_joint_decode", _mp2_joint_oracle())
+def multimodal_mp2_joint_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOINT (intensity) stereo Layer II decode through the multimodal
+    seam — mode 01, the dominant real-world stereo MP2 form: at and
+    above the bound 4·(mode_extension+1) each subband carries ONE
+    allocation and ONE code set shared by both channels while each
+    channel applies its own scalefactors (ISO 11172-3 §A.2.2.2). The
+    fixture varies the bound per doc (ext = doc%4) with per-channel
+    content below it and shared content above; the oracle replays both
+    regimes and the position-weighted sum pins exactly where the sharing
+    starts — an off-by-one bound reads the whole rest of the frame
+    desynced."""
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mp3 import encode_mp2, mp2_alloc_table
+
+        table = mp2_alloc_table("a")
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ext = d % 4
+                bound = 4 * (ext + 1)
+
+                def idx_fn(c, sb, d=d, bound=bound):
+                    if sb < bound:
+                        if (d + sb + c) % 2 != 0:
+                            return 0
+                        return 1 + (d + sb + 2 * c) % 2
+                    if (d + sb) % 2 != 0:
+                        return 0
+                    return 1 + (d + sb) % 2
+
+                alloc = [
+                    [idx_fn(c, sb) for sb in range(27)] for c in range(2)
+                ]
+                scfsi = [
+                    [(d + sb + c) % 4 for sb in range(27)] for c in range(2)
+                ]
+
+                def code_fn(f, c, sb, g, k, d=d, table=table, alloc=alloc,
+                            bound=bound):
+                    # the encoder calls with c=0 for shared subbands; the
+                    # cc term mirrors the oracle's CASE
+                    cc = c if sb < bound else 0
+                    m = table[sb][alloc[c][sb]]
+                    if m in (3, 5, 9):
+                        v = (d + f * 7 + g * 5 + sb * 11 + cc * 13) % (
+                            m * m * m
+                        )
+                        return (v // (m**k)) % m
+                    return (
+                        d + f * 7 + g * 5 + k * 3 + sb * 11 + cc * 13
+                    ) % m
+
+                payloads.append(
+                    encode_mp2(
+                        alloc, scfsi,
+                        lambda c, sb, i, d=d: 3 * ((d + sb + c + i) % 21),
+                        code_fn,
+                        sr_idx=1, br_idx=13, channels=2,
+                        n_frames=1 + d % 2, joint_ext=ext,
+                    )
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mp3 import decode_mp2_subbands
+
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("sample_rate", "channels", "n_frames", "sample_sum",
+                     "weighted_sum")}
+            for payload in pdf["media"]:
+                rate, ch, nf, frames = decode_mp2_subbands(bytes(payload))
+                ss = 0.0
+                ws = 0.0
+                for f, chans in enumerate(frames):
+                    for c, sbs in enumerate(chans):
+                        for sb, vals in enumerate(sbs):
+                            for s, v in enumerate(vals):
+                                ss += v
+                                ws += v * (
+                                    ((f * ch + c) * 30 + sb) * 36 + s + 1
+                                )
+                cols["sample_rate"].append(rate)
+                cols["channels"].append(ch)
+                cols["n_frames"].append(nf)
+                cols["sample_sum"].append(round(ss, 6))
+                cols["weighted_sum"].append(round(ws, 6))
+            out = pdf.copy()
+            for k in ("sample_rate", "channels", "n_frames"):
+                out[k] = pd.array(cols[k], dtype="Int32")
+            for k in ("sample_sum", "weighted_sum"):
+                out[k] = pd.array(cols[k], dtype="float64")
+            yield out
+
+    return (
+        media.mapInPandas(
+            decode,
+            "doc_id bigint, media binary, sample_rate int, channels int,"
+            " n_frames int, sample_sum double, weighted_sum double",
+        )
+        .select("doc_id", "sample_rate", "channels", "n_frames",
+                "sample_sum", "weighted_sum")
+        .orderBy("doc_id")
+    )
+
+
 def _hilbert_oracle() -> str:
     from ..functions.zorder import hilbert_key_sql
 

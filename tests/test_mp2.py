@@ -238,3 +238,113 @@ def test_rejections():
         decode_mp2_subbands(good[:-8])
     with pytest.raises(Mp3FormatError):
         decode_mp2_subbands(b"\x00" * 16)
+
+
+def test_joint_stereo_intensity_bound():
+    """Joint stereo (mode 01, ISO 11172-3 §A.2.2.2): above the bound
+    4·(ext+1) one allocation + one code set per subband is SHARED by both
+    channels, each applying its OWN scalefactors; below the bound pure
+    per-channel stereo."""
+    for ext in (0, 1, 2, 3):
+        bound = 4 * (ext + 1)
+        sblimit = 27  # 48 kHz, 192 kbps/ch total 384 -> table A
+        alloc = [[0] * sblimit for _ in range(2)]
+        # one stereo subband below bound, one intensity subband above
+        lo, hi = 1, min(bound + 1, sblimit - 1)
+        alloc[0][lo] = alloc[1][lo] = 1
+        alloc[0][hi] = alloc[1][hi] = 1
+        scfsi = [[2] * sblimit for _ in range(2)]  # one scf for all parts
+
+        def scf_fn(c, sb, i):
+            return 3 * (1 + c)  # ch0 scf=1.0, ch1 scf=0.5
+
+        def code_fn(f, c, sb, g, k):
+            # per-channel codes below bound; shared (c arrives as 0) above
+            return (g + k + c + sb) % 3
+
+        b = encode_mp2(alloc, scfsi, scf_fn, code_fn,
+                       sr_idx=1, br_idx=13, channels=2, joint_ext=ext)
+        rate, ch, nf, frames = decode_mp2_subbands(b)
+        assert (rate, ch, nf) == (48000, 2, 1)
+        grid = {0: -2.0 / 3.0, 1: 0.0, 2: 2.0 / 3.0}
+        for g in range(12):
+            for k in range(3):
+                s = g * 3 + k
+                # below bound: channels carry DIFFERENT codes
+                want0 = grid[(g + k + 0 + lo) % 3] * 1.0
+                want1 = grid[(g + k + 1 + lo) % 3] * 0.5
+                assert frames[0][0][lo][s] == pytest.approx(want0, abs=1e-15)
+                assert frames[0][1][lo][s] == pytest.approx(want1, abs=1e-15)
+                # above bound: SAME code (channel-0 derivation), own scf —
+                # ch1 is exactly half of ch0 everywhere
+                shared = grid[(g + k + 0 + hi) % 3]
+                assert frames[0][0][hi][s] == pytest.approx(shared * 1.0,
+                                                            abs=1e-15)
+                assert frames[0][1][hi][s] == pytest.approx(shared * 0.5,
+                                                            abs=1e-15)
+
+
+def test_joint_stereo_roundtrip_randomized():
+    import random
+
+    from ohsome_planet_spark.functions.mp3 import (
+        _BITRATES,
+        _MP2_SCFSI_PARTS,
+        _RATES,
+    )
+
+    rng = random.Random(0xA222)
+    for _ in range(10):
+        ext = rng.randrange(4)
+        sr_idx = rng.randrange(3)
+        br_idx = rng.choice([10, 12, 13])
+        rate = _RATES[3][sr_idx]
+        kbps = _BITRATES[(0, 1)][br_idx] // 2
+        table = mp2_alloc_table(mp2_table_for(rate, kbps))
+        sblimit = len(table)
+        bound = min(4 * (ext + 1), sblimit)
+        alloc = [[0] * sblimit for _ in range(2)]
+        for sb in range(sblimit):
+            if rng.random() < 0.3:
+                a = rng.randrange(1, min(4, len(table[sb])))
+                alloc[0][sb] = a
+                alloc[1][sb] = (
+                    a if sb >= bound
+                    else (rng.randrange(1, min(4, len(table[sb])))
+                          if rng.random() < 0.7 else 0)
+                )
+        scfsi = [[rng.randrange(4) for _ in range(sblimit)] for _ in range(2)]
+        scf_tbl = {(c, sb, i): 3 * rng.randrange(21)
+                   for c in range(2) for sb in range(sblimit)
+                   for i in range(3)}
+        codes = {}
+
+        def code_fn(f, c, sb, g, k):
+            m = table[sb][alloc[c][sb]]
+            codes[(f, c, sb, g, k)] = rng.randrange(m)
+            return codes[(f, c, sb, g, k)]
+
+        b = encode_mp2(alloc, scfsi,
+                       lambda c, sb, i: scf_tbl[(c, sb, i)], code_fn,
+                       sr_idx=sr_idx, br_idx=br_idx, channels=2,
+                       n_frames=1, joint_ext=ext)
+        _, _, _, frames = decode_mp2_subbands(b)
+        for c in range(2):
+            for sb in range(sblimit):
+                a = alloc[c][sb]
+                for g in range(12):
+                    for k in range(3):
+                        got = frames[0][c][sb][g * 3 + k]
+                        if not a:
+                            assert got == 0.0
+                            continue
+                        m = table[sb][a]
+                        # shared codes above the bound come from the
+                        # encoder's c=0 calls
+                        src_c = 0 if sb >= bound else c
+                        cd = codes[(0, src_c, sb, g, k)]
+                        parts = _MP2_SCFSI_PARTS[scfsi[c][sb]]
+                        scf = SCALEFACTORS[scf_tbl[(c, sb, parts[g // 4])]]
+                        want = scf * (2 * cd - m + 1) / m
+                        assert got == pytest.approx(want, rel=1e-12,
+                                                    abs=1e-15)
