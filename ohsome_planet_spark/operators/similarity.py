@@ -924,6 +924,100 @@ def lsh_candidate_pair_counts(
     return out
 
 
+def _lsh_candidates(
+    vectors: DataFrame,
+    nbits: int,
+    ntables: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    bucket_cap: int | None,
+) -> DataFrame:
+    """Distinct candidate pairs (_ida, _idb, _va, _vb) of the multi-table
+    sign-LSH self-join, optionally under the deterministic bucket-cap
+    sub-split — shared by :func:`knn_self_join_lsh` (top-k re-rank) and
+    :func:`semantic_dup_pairs` (threshold filter)."""
+    from ..functions.text import hash60_expr
+
+    dvec = F.col(vec_col).cast("array<double>")
+    cands = None
+    for t in range(ntables):
+        planes = _hyperplanes(dim, nbits, salt=f"t{t}:")
+        tagged = vectors.select(
+            F.col(id_col), F.col(vec_col), signature_expr(dvec, planes).alias("_sig")
+        )
+        keys = ["_sig"]
+        if bucket_cap:
+            nsub = F.ceil(
+                F.count(F.lit(1)).over(W.partitionBy("_sig"))
+                / F.lit(bucket_cap)
+            ).cast("bigint")
+            sub = hash60_expr(
+                F.concat(F.col(id_col).cast("string"), F.lit(f":cap{t}:"))
+            ) % nsub
+            tagged = tagged.withColumn("_sub", sub)
+            keys = ["_sig", "_sub"]
+        a = tagged.select(
+            F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), *keys
+        )
+        b = tagged.select(
+            F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), *keys
+        )
+        pairs = (
+            a.join(b, keys)
+            .filter(F.col("_ida") != F.col("_idb"))
+            .select("_ida", "_idb", "_va", "_vb")
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    # a pair found in several tables ranks once; duplicate rows carry the
+    # same vectors, so which copy survives is value-irrelevant
+    return cands.dropDuplicates(["_ida", "_idb"])
+
+
+def semantic_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    nbits: int = 8,
+    ntables: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Semantic near-duplicate pairs — the SemDeDup front half (Abbas et
+    al. 2023): ALL candidate pairs whose exact cosine clears
+    ``threshold``, not a per-vector top-k. Candidates come from the same
+    multi-table sign-LSH (optionally bucket-capped) as
+    :func:`knn_self_join_lsh`; the pairs feed
+    :func:`..dedup.connected_components` for cluster collapse.
+
+    Output: (doc_a, doc_b, cosine) with doc_a < doc_b.
+
+    Scale shape: within-bucket pair generation bounded by the cap
+    (~N·cap per table), one exact-cosine re-check per candidate, no
+    corpus broadcast — embedding-space dedup that shards like every
+    other banded dedup in this package."""
+    cands = _lsh_candidates(
+        vectors, nbits, ntables, dim, id_col, vec_col, bucket_cap
+    )
+    sim = F.round(
+        cosine_expr(
+            F.col("_va").cast("array<double>"),
+            F.col("_vb").cast("array<double>"),
+        ),
+        6,
+    )
+    return (
+        cands.filter(F.col("_ida") < F.col("_idb"))
+        .select(
+            F.col("_ida").alias("doc_a"),
+            F.col("_idb").alias("doc_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def knn_self_join_lsh(
     vectors: DataFrame,
     k: int = 3,
@@ -959,41 +1053,9 @@ def knn_self_join_lsh(
     fixed-width gate rows pin the base semantics.
 
     Output: (vec_id, neighbor_id, cosine, rank ≤ k)."""
-    from ..functions.text import hash60_expr
-
-    dvec = F.col(vec_col).cast("array<double>")
-    cands = None
-    for t in range(ntables):
-        planes = _hyperplanes(dim, nbits, salt=f"t{t}:")
-        tagged = vectors.select(
-            F.col(id_col), F.col(vec_col), signature_expr(dvec, planes).alias("_sig")
-        )
-        keys = ["_sig"]
-        if bucket_cap:
-            nsub = F.ceil(
-                F.count(F.lit(1)).over(W.partitionBy("_sig"))
-                / F.lit(bucket_cap)
-            ).cast("bigint")
-            sub = hash60_expr(
-                F.concat(F.col(id_col).cast("string"), F.lit(f":cap{t}:"))
-            ) % nsub
-            tagged = tagged.withColumn("_sub", sub)
-            keys = ["_sig", "_sub"]
-        a = tagged.select(
-            F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), *keys
-        )
-        b = tagged.select(
-            F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), *keys
-        )
-        pairs = (
-            a.join(b, keys)
-            .filter(F.col("_ida") != F.col("_idb"))
-            .select("_ida", "_idb", "_va", "_vb")
-        )
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    # a pair found in several tables ranks once; duplicate rows carry the
-    # same vectors, so which copy survives is value-irrelevant
-    cands = cands.dropDuplicates(["_ida", "_idb"])
+    cands = _lsh_candidates(
+        vectors, nbits, ntables, dim, id_col, vec_col, bucket_cap
+    )
     sim = F.round(
         cosine_expr(
             F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")

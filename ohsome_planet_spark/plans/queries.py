@@ -2684,6 +2684,91 @@ def knn_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_oracle(graded: int = 60, threshold: float = 0.99) -> str:
+    aug = f"""aug AS (
+      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_LSH_TWIN_BASE},
+             list_transform(range(0, 64), d ->
+               embedding[d + 1]::DOUBLE * {_LSH_TWIN_JITTER})
+      FROM embeddings WHERE vec_id < {graded}
+    )"""
+    cos = (
+        "round(list_dot_product(a.embedding, b.embedding)"
+        " / (sqrt(list_dot_product(a.embedding, a.embedding))"
+        " * sqrt(list_dot_product(b.embedding, b.embedding))), 6)"
+    )
+    pairs = _knn_lsh_pairs_sql(source="aug", pre=aug, bucket_cap=4).replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    )
+    return f"""
+    {pairs},
+    sem AS (
+      SELECT p.vec_id AS u, p.neighbor_id AS v
+      FROM lshpairs p
+        JOIN aug a ON a.vec_id = p.vec_id
+        JOIN aug b ON b.vec_id = p.neighbor_id
+      WHERE p.vec_id < p.neighbor_id AND {cos} >= {threshold}
+    ),
+    semedges AS (SELECT u, v FROM sem UNION SELECT v, u FROM sem),
+    reach(u, v) AS (
+      SELECT u, v FROM semedges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN semedges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+    ),
+    labeled AS (
+      SELECT a.vec_id, coalesce(c.component, a.vec_id) AS cluster_id
+      FROM aug a LEFT JOIN comp c ON a.vec_id = c.node
+    )
+    SELECT vec_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs,
+           vec_id = cluster_id AS is_canonical
+    FROM labeled ORDER BY vec_id
+    """
+
+
+@_register("semantic_dedup_canonical", _semantic_dedup_oracle())
+def semantic_dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space SEMANTIC dedup end-to-end (SemDeDup, Abbas et al.
+    2023): planted ±4% twins → bucket-capped multi-table sign-LSH
+    candidates → exact-cosine threshold (``semantic_dup_pairs``, all
+    pairs ≥ 0.99, not top-k) → large-star/small-star connected
+    components → per-vector cluster id + canonical flag. Composes the
+    capped similarity path with the dedup clustering machinery — the
+    100 TB shape for "drop semantically identical training docs": pair
+    work bounded by N·cap, CC in O(log n) shuffle rounds, texts never
+    move. The oracle replays signatures, the sub-bucket split, the
+    cosine gate, and transitive closure."""
+    from ..operators.dedup import dedup_clusters
+    from ..operators.similarity import semantic_dup_pairs
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    vid = F.col("vec_id")
+    twins = emb.filter(vid < 60).select(
+        (vid + _LSH_TWIN_BASE).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, d: x * (1.0 + ((d * 7 + vid) % 5 - 2) / 50.0),
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(twins)
+    pairs = semantic_dup_pairs(
+        aug, threshold=0.99, nbits=8, ntables=2, bucket_cap=4
+    )
+    clusters = dedup_clusters(
+        aug.select(F.col("vec_id").alias("doc_id")), pairs, id_col="doc_id"
+    )
+    return clusters.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "n_docs",
+        "is_canonical",
+    ).orderBy("vec_id")
+
+
 def _mmr_oracle(qid: int = 0, pool: int = 20, k: int = 5, lam: float = 0.7) -> str:
     lt = round(lam * 10)  # lam in tenths -> exact integer scoring
     cos = (
