@@ -716,6 +716,60 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_dedup_embeddings(args) -> int:
+    """Semantic (embedding-space) dedup over an embeddings parquet — the
+    SemDeDup pipeline (Abbas et al. 2023) as a user surface: bucket-capped
+    multi-table sign-LSH candidates → exact cosine ≥ threshold →
+    connected components → per-vector cluster table written to
+    ``<out>/clusters`` plus the canonical (keep) id set to
+    ``<out>/keep``. Prints a one-line JSON summary. Pair work is bounded
+    at ~N·cap per LSH table regardless of how the corpus clusters
+    (SCALE_SMOKE pair-count evidence), so the same invocation shape holds
+    at planet scale."""
+    from .operators.dedup import dedup_clusters
+    from .operators.similarity import lsh_nbits_for, semantic_dup_pairs
+    from .session import get_spark
+
+    spark = get_spark(app_name="dedup_embeddings")
+    emb = spark.read.parquet(args.input)
+    n = emb.count()
+    nbits = args.nbits if args.nbits is not None else lsh_nbits_for(n)
+    pairs = semantic_dup_pairs(
+        emb,
+        threshold=args.threshold,
+        nbits=nbits,
+        ntables=args.ntables,
+        dim=args.dim,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        bucket_cap=args.bucket_cap,
+    )
+    clusters = dedup_clusters(
+        emb.select(F.col(args.id_col).alias("doc_id")), pairs, id_col="doc_id"
+    ).withColumnRenamed("doc_id", args.id_col)
+    clusters.write.mode("overwrite").parquet(
+        os.path.join(args.out, "clusters")
+    )
+    clusters = spark.read.parquet(os.path.join(args.out, "clusters"))
+    keep = clusters.filter("is_canonical").select(args.id_col)
+    keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep"))
+    n_keep = spark.read.parquet(os.path.join(args.out, "keep")).count()
+    print(
+        json.dumps(
+            {
+                "n_vectors": n,
+                "nbits": nbits,
+                "threshold": args.threshold,
+                "bucket_cap": args.bucket_cap,
+                "n_kept": n_keep,
+                "n_dropped": n - n_keep,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_sql(args) -> int:
     """Run SQL over a written contributions dataset — the tutorial's
     'explore the produced parquet with DuckDB' workflow
@@ -915,6 +969,23 @@ def main(argv=None) -> int:
     ix.add_argument("--id-col", default="vec_id")
     ix.add_argument("--vec-col", default="embedding")
     ix.set_defaults(fn=cmd_index)
+
+    de = sub.add_parser(
+        "dedup-embeddings",
+        help="embeddings parquet -> semantic-dedup cluster + keep tables"
+        " (capped LSH + cosine threshold + connected components)",
+    )
+    de.add_argument("--input", required=True)
+    de.add_argument("--out", required=True)
+    de.add_argument("--threshold", type=float, default=0.99)
+    de.add_argument("--nbits", type=int, default=None,
+                    help="signature width (default: occupancy-scaled)")
+    de.add_argument("--ntables", type=int, default=2)
+    de.add_argument("--bucket-cap", type=int, default=32)
+    de.add_argument("--dim", type=int, default=64)
+    de.add_argument("--id-col", default="vec_id")
+    de.add_argument("--vec-col", default="embedding")
+    de.set_defaults(fn=cmd_dedup_embeddings)
 
     sq = sub.add_parser(
         "sql",
