@@ -800,3 +800,74 @@ def exact_substr_rewrite(
         .otherwise(F.coalesce("_kept", F.lit("")))
         .alias("text"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """CCNet-style cross-corpus LINE (paragraph) dedup (Wenzek et al.
+    2020 §3.1 — the other half of the pipeline whose LM-perplexity
+    filter is ``ccnet_lm_filter``): every line is hashed after
+    normalization (lowercase, trim, digit runs → '0', whitespace runs
+    collapsed) and only the corpus-FIRST occurrence of each normalized
+    line survives — boilerplate (cookie banners, nav menus, copyright
+    lines) appears once in the whole corpus instead of once per page.
+    "First" is deterministic: minimum (doc, line position), not shard
+    order. Lines that normalize to '' (blank/whitespace) are always
+    kept — they are structure, not content.
+
+    Output: (doc, n_lines, n_kept, text) — text is the kept lines
+    re-joined with newlines, original bytes preserved.
+
+    Scale: the dedup frame holds only NON-empty normalized lines (empty
+    lines would all share one hash — a guaranteed skew partition at
+    100 TB — so they bypass the shuffle entirely); the first-occurrence
+    winner comes from one map-side-combinable groupBy(hash).min plus an
+    equi-join back, both keyed on the high-cardinality line hash. The
+    order key packs (doc, pos) into one BIGINT (doc·2^20 + pos,
+    documents bounded at 2^20 lines), so the min is a plain long min in
+    both engines."""
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("line"))), r"\d+", "0"),
+        r"\s+",
+        " ",
+    )
+    lines = lines.withColumn("_norm", norm).withColumn(
+        "_key", F.col("doc") * F.lit(1 << 20) + F.col("pos")
+    )
+    dedup = lines.filter(F.col("_norm") != "").select(
+        "doc", "pos", "_key", hash60_expr(F.col("_norm")).alias("_h")
+    )
+    first = dedup.groupBy("_h").agg(F.min("_key").alias("_first"))
+    flags = dedup.join(first, "_h").select(
+        "doc", "pos", (F.col("_key") == F.col("_first")).alias("_keep")
+    )
+    flagged = lines.join(flags, ["doc", "pos"], "left").withColumn(
+        "_keep", F.coalesce(F.col("_keep"), F.lit(True))  # empty lines
+    )
+    return (
+        flagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("_keep").cast("long")).cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"), F.struct("pos", "line")
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            ).alias("text"),
+        )
+    )

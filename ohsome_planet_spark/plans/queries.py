@@ -1756,6 +1756,89 @@ def exact_substr_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc")
 
 
+def _line_dedup_oracle() -> str:
+    h = hash60_sql("nrm")
+    return f"""
+    WITH docs AS (
+      SELECT doc_id AS doc,
+             concat_ws(chr(10),
+               'Doc ' || CAST(doc_id AS VARCHAR),
+               text,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'Subscribe to our Newsletter!' END,
+               CASE WHEN doc_id % 4 = 1
+                    THEN '(c) 2024 All Rights Reserved. Page 1 of 10' END,
+               lang) AS t
+      FROM documents
+    ),
+    lns AS (
+      SELECT doc, i - 1 AS pos, ls[i] AS line
+      FROM (SELECT doc, string_split(t, chr(10)) AS ls FROM docs),
+           UNNEST(range(1, len(ls) + 1)) AS u(i)
+    ),
+    nrm AS (
+      SELECT doc, pos, line,
+             regexp_replace(regexp_replace(lower(trim(line)),
+               '\\d+', '0', 'g'), '\\s+', ' ', 'g') AS nrm,
+             doc * 1048576 + pos AS key
+      FROM lns
+    ),
+    hashed AS (
+      SELECT doc, pos, line, nrm, key,
+             CASE WHEN nrm = '' THEN NULL ELSE {h} END AS hh
+      FROM nrm
+    ),
+    firsts AS (
+      SELECT hh, min(key) AS fkey FROM hashed
+      WHERE hh IS NOT NULL GROUP BY hh
+    ),
+    flags AS (
+      SELECT n.doc, n.pos, n.line,
+             CASE WHEN n.hh IS NULL THEN TRUE
+                  ELSE n.key = f.fkey END AS keep
+      FROM hashed n LEFT JOIN firsts f ON n.hh = f.hh
+    )
+    SELECT doc,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE keep), '') AS text
+    FROM flags GROUP BY doc ORDER BY doc
+    """
+
+
+@_register("ccnet_line_dedup", _line_dedup_oracle())
+def ccnet_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-corpus line dedup (Wenzek et al. 2020 §3.1 —
+    the pipeline half whose LM-perplexity filter is ``ccnet_lm_filter``):
+    only the corpus-FIRST occurrence (min doc, pos — deterministic, not
+    shard order) of each normalized line survives. The fixture plants
+    real boilerplate shapes — a newsletter line on every third doc, a
+    digit-bearing copyright line on every fourth (digit runs normalize
+    to '0', so '2024' and 'Page 1 of 10' dedup across numbering), and
+    the lang field as a low-cardinality shared line — among unique
+    per-doc lines. The oracle replays normalization, hashing,
+    first-occurrence selection, and line reassembly."""
+    from ..operators.dedup import line_dedup
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    ftxt = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("Subscribe to our Newsletter!")
+        ),
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.lit("(c) 2024 All Rights Reserved. Page 1 of 10"),
+        ),
+        F.col("lang"),
+    )
+    inp = docs.select("doc_id", ftxt.alias("ftxt"))
+    return line_dedup(inp, "doc_id", "ftxt").orderBy("doc")
+
+
 _C4_ORACLE = """
 WITH base AS (
   SELECT doc_id AS doc, text, string_split(text, chr(10)) AS lines

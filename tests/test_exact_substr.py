@@ -250,3 +250,50 @@ def test_curate_rewrite_keeps_punctuation_for_quality_gate(spark, tmp_path):
     back = spark.read.parquet(out)
     texts = {r.doc_id: r.text for r in back.collect()}
     assert texts == {1: good}  # byte-identical, punctuation intact
+
+
+# --- CCNet line dedup -------------------------------------------------------
+
+
+def test_line_dedup_first_occurrence_and_normalization(spark):
+    from ohsome_planet_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Unique alpha.\nSubscribe NOW!\n\nBody one."),
+            (2, "Body two.\nsubscribe   now!\nUnique beta."),
+            (3, "Page 3 of 10\nUnique gamma."),
+            (4, "Page 7 of 99\nUnique delta.\n\n"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in line_dedup(docs, "doc_id", "text").collect()}
+    # first occurrence (min doc, pos) wins; normalization folds case and
+    # whitespace runs, so doc 2's variant drops
+    assert out[1].text == "Unique alpha.\nSubscribe NOW!\n\nBody one."
+    assert out[2].text == "Body two.\nUnique beta."
+    assert out[2].n_lines == 3 and out[2].n_kept == 2
+    # digit runs normalize to '0': 'Page 3 of 10' == 'Page 7 of 99'
+    assert out[3].text == "Page 3 of 10\nUnique gamma."
+    assert out[4].text == "Unique delta.\n\n"
+    # trailing "\n\n" splits into TWO empty lines: 4 lines total, the
+    # duplicated 'Page N of M' dropped, both empties kept
+    assert out[4].n_lines == 4 and out[4].n_kept == 3
+    # blank lines always survive (doc 1 keeps its empty line; doc 4
+    # keeps both trailing empties); empty doc passes through
+    assert out[5].text == "" and out[5].n_lines == 1 and out[5].n_kept == 1
+
+
+def test_line_dedup_within_doc_repeats(spark):
+    from ohsome_planet_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(7, "same line\nsame line\nsame line\nother")],
+        "doc_id long, text string",
+    )
+    r = line_dedup(docs, "doc_id", "text").collect()[0]
+    # global first-occurrence applies WITHIN a doc too (CCNet hashes the
+    # whole corpus's paragraphs into one table)
+    assert r.text == "same line\nother"
+    assert r.n_lines == 4 and r.n_kept == 2
