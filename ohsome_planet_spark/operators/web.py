@@ -104,3 +104,83 @@ def extract_main_text(
 
     schema = df.schema.simpleString()[7:-1] + f",{out_col} string"
     return df.mapInPandas(extract, schema)
+
+
+# --- URL canonicalization + dedup ------------------------------------------
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tracking parameters stripped during canonicalization (the usual crawl
+# hygiene set: UTM campaign tags + click identifiers)
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)="
+
+
+def canonical_url_expr(url: Column) -> Column:
+    """Canonical form of a URL as a native Column expression — the
+    dedup key for crawl-level URL dedup (one fetch of the same page per
+    corpus): scheme and host case-folded, default ports (:80 http,
+    :443 https) stripped, empty path normalized to '/', tracking
+    parameters dropped, remaining query parameters SORTED (param order
+    never changes page identity), fragment discarded. Pure
+    regexp/array ops, no UDF; the same grammar is replayable in SQL."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == "80"))
+        & ~((scheme == F.lit("https")) & (port == "443"))
+    )
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.concat_ws("&", params)),
+        ).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    df: DataFrame, id_col: str, url_col: str
+) -> DataFrame:
+    """Crawl URL dedup: one surviving fetch per canonical URL — the
+    step upstream of content dedup in a CC-style pipeline (the same page
+    recrawled with tracking tags, shuffled params, a fragment, or
+    host-case noise must not enter the corpus twice). Winner is the
+    minimum id (deterministic, not crawl order).
+
+    Output: (id, canonical_url, n_fetches, keep).
+
+    Scale: one map-side-combinable groupBy(canonical) min + an equi-join
+    back on the canonical key — high-cardinality, skew-free; bytes never
+    shuffle, only (id, canonical) pairs."""
+    canon = df.select(
+        F.col(id_col), canonical_url_expr(F.col(url_col)).alias("canonical_url")
+    )
+    groups = canon.groupBy("canonical_url").agg(
+        F.min(id_col).alias("_win"),
+        F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+    )
+    return canon.join(groups, "canonical_url").select(
+        id_col,
+        "canonical_url",
+        "n_fetches",
+        (F.col(id_col) == F.col("_win")).alias("keep"),
+    )

@@ -12959,6 +12959,63 @@ def warc_html_extract_enveloped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_URL_DEDUP_ORACLE = """
+WITH f AS (
+  SELECT doc_id, (doc_id // 5) % 40 AS p, doc_id % 5 AS v FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         CASE WHEN v <= 3
+              THEN 'http://host' || p || '.com/page/' || p || '?a=1&b=2'
+              ELSE 'https://host' || p || '.com:8443/?a=1' END
+           AS canonical_url
+  FROM f
+)
+SELECT doc_id, canonical_url,
+       CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+         AS n_fetches,
+       doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS keep
+FROM canon ORDER BY doc_id
+"""
+
+
+@_register("url_dedup", _URL_DEDUP_ORACLE)
+def url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL dedup through the canonicalization grammar
+    (``operators/web.py::canonical_url_expr``): the same page fetched as
+    case-noisy host + default port + fragment, shuffled query params, or
+    tracking-tagged (utm_*/gclid) must collapse to ONE canonical URL
+    with the minimum doc as the surviving fetch; a genuinely different
+    page (https + non-default port + different params, path-less form)
+    must not. The oracle is INDEPENDENT of the grammar — it asserts the
+    expected canonical string in closed form from the fixture
+    parameters, so any canonicalization bug (kept fragment, unsorted
+    params, surviving tracking tag, mangled port) breaks the hash."""
+    from ..operators.web import url_dedup
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+    p = (F.floor(F.col("doc_id") / 5) % 40).cast("string")
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("http://host"), p, F.lit(".com/page/"), p,
+            F.lit("?a=1&b=2")))
+        .when(v == 1, F.concat(
+            F.lit("HTTP://HOST"), p, F.lit(".COM:80/page/"), p,
+            F.lit("?a=1&b=2#frag")))
+        .when(v == 2, F.concat(
+            F.lit("http://host"), p, F.lit(".com/page/"), p,
+            F.lit("?b=2&a=1&utm_source=x")))
+        .when(v == 3, F.concat(
+            F.lit("http://host"), p, F.lit(".com/page/"), p,
+            F.lit("?utm_campaign=y&gclid=z&a=1&b=2")))
+        .otherwise(F.concat(
+            F.lit("https://host"), p, F.lit(".com:8443?a=1")))
+    )
+    inp = docs.select("doc_id", url.alias("url"))
+    return url_dedup(inp, "doc_id", "url").orderBy("doc_id")
+
+
 _UNICODE_ORACLE = """
 WITH inp AS (
   SELECT doc_id,

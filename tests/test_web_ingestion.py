@@ -315,3 +315,30 @@ def test_ingest_warc_cli_e2e(spark, tmp_path):
     assert rows["http://x/1"].keep_doc and rows["http://x/1"].n_kept_lines == 3
     assert "fine long sentence" in rows["http://x/1"].text
     assert not rows["http://x/2"].keep_doc
+
+
+def test_canonical_url_grammar(spark):
+    from ohsome_planet_spark.operators.web import canonical_url_expr
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("HTTP://ExAmPlE.COM:80/A/B?z=1&a=2#frag", "http://example.com/A/B?a=2&z=1"),
+        ("https://h.com:443/x", "https://h.com/x"),
+        ("https://h.com:8443/x", "https://h.com:8443/x"),
+        ("http://h.com", "http://h.com/"),
+        ("http://h.com?utm_source=a&gclid=b&fbclid=c", "http://h.com/"),
+        ("http://h.com/p?utm_x=1&real=2", "http://h.com/p?real=2"),
+        # path case preserved; only scheme/host fold
+        ("http://H.com/CaSe", "http://h.com/CaSe"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string"
+    )
+    got = {
+        r.id: r.c
+        for r in df.select(
+            "id", canonical_url_expr(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
