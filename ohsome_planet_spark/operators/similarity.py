@@ -862,6 +862,46 @@ def lsh_nbits_for(n: int, target_occupancy: int = 8, floor_bits: int = 8) -> int
     )
 
 
+def _with_capped_subbucket(
+    tagged: DataFrame, bucket_cap: int, id_col: str, table_idx: int
+) -> DataFrame:
+    """Add the deterministic ``_sub`` column that splits every ``_sig``
+    bucket into ceil(|bucket|/cap) sub-buckets — WITHOUT ever co-locating
+    a bucket on one task.
+
+    The round-11 version learned bucket occupancy with
+    ``count().over(partitionBy("_sig"))``: a window exchange that ships
+    every row of a hot signature into a single task *before* the
+    sub-split exists to protect it — precisely the skew the cap was
+    built to kill (a corpus of millions of sign-identical embeddings is
+    the SemDeDup use-case, not a pathology). Scale-safe form: a
+    map-side-combinable ``groupBy("_sig").count()`` produces the
+    occupancy table; only the OVER-cap buckets survive the filter
+    (≤ N/cap rows, in practice a handful), and that tiny table is
+    broadcast back. Under-cap buckets miss the left join and coalesce to
+    nsub=1 → sub=hash%1=0 — bit-identical to the window form, so every
+    downstream hash gate is unchanged; rows never shuffle by raw
+    signature in any stage."""
+    from ..functions.text import hash60_expr
+
+    hot = (
+        tagged.groupBy("_sig")
+        .agg(F.count(F.lit(1)).alias("_bc"))
+        .filter(F.col("_bc") > bucket_cap)
+    )
+    nsub = F.ceil(
+        F.coalesce(F.col("_bc"), F.lit(bucket_cap)) / F.lit(bucket_cap)
+    ).cast("bigint")
+    sub = hash60_expr(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":cap{table_idx}:"))
+    ) % nsub
+    return (
+        tagged.join(F.broadcast(hot), "_sig", "left")
+        .withColumn("_sub", sub)
+        .drop("_bc")
+    )
+
+
 def lsh_candidate_pair_counts(
     vectors: DataFrame,
     nbits: int,
@@ -884,8 +924,6 @@ def lsh_candidate_pair_counts(
     [{pairs, buckets, max_bucket}] per table. ``bucket_cap`` counts
     pairs under the same sub-bucket split :func:`knn_self_join_lsh`
     applies, making the ≤ N·cap structural bound directly observable."""
-    from ..functions.text import hash60_expr
-
     dvec = F.col(vec_col).cast("array<double>")
     out = []
     for t in range(ntables):
@@ -895,14 +933,7 @@ def lsh_candidate_pair_counts(
         )
         keys = ["_sig"]
         if bucket_cap:
-            nsub = F.ceil(
-                F.count(F.lit(1)).over(W.partitionBy("_sig"))
-                / F.lit(bucket_cap)
-            ).cast("bigint")
-            sub = hash60_expr(
-                F.concat(F.col(id_col).cast("string"), F.lit(f":cap{t}:"))
-            ) % nsub
-            tagged = tagged.withColumn("_sub", sub)
+            tagged = _with_capped_subbucket(tagged, bucket_cap, id_col, t)
             keys = ["_sig", "_sub"]
         row = (
             tagged.groupBy(*keys)
@@ -937,8 +968,6 @@ def _lsh_candidates(
     sign-LSH self-join, optionally under the deterministic bucket-cap
     sub-split — shared by :func:`knn_self_join_lsh` (top-k re-rank) and
     :func:`semantic_dup_pairs` (threshold filter)."""
-    from ..functions.text import hash60_expr
-
     dvec = F.col(vec_col).cast("array<double>")
     cands = None
     for t in range(ntables):
@@ -948,14 +977,7 @@ def _lsh_candidates(
         )
         keys = ["_sig"]
         if bucket_cap:
-            nsub = F.ceil(
-                F.count(F.lit(1)).over(W.partitionBy("_sig"))
-                / F.lit(bucket_cap)
-            ).cast("bigint")
-            sub = hash60_expr(
-                F.concat(F.col(id_col).cast("string"), F.lit(f":cap{t}:"))
-            ) % nsub
-            tagged = tagged.withColumn("_sub", sub)
+            tagged = _with_capped_subbucket(tagged, bucket_cap, id_col, t)
             keys = ["_sig", "_sub"]
         a = tagged.select(
             F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), *keys

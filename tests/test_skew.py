@@ -65,3 +65,84 @@ def test_salted_join_with_map_columns(spark):
     out = salted_join(fact, dim, ["k"], n_salt=4)
     assert out.count() == 50
     assert out.columns == ["k", "tags", "v", "name"]
+
+
+# --- round-12: bucket_cap under a planted adversarial hot signature --------
+#
+# The round-11 verdict's one remaining skew funnel: bucket_cap learned
+# bucket occupancy with count().over(partitionBy("_sig")) — a window
+# exchange that co-locates every row of a hot signature on ONE task
+# before the sub-split exists to protect it. The fix computes occupancy
+# with a map-side-combinable groupBy("_sig").count(), filters to the
+# over-cap buckets, and BROADCASTS that tiny table back. These tests
+# plant the adversarial corpus the verdict named (one signature holding
+# >=50% of N — exact-copy embeddings, the SemDeDup use-case) and assert
+# the structural bound + the plan shape at two scales.
+
+
+def _planted_hot(spark, n: int, dim: int = 16):
+    """n vectors, n/2 of them EXACT copies of one vector (identical sign
+    signature in every LSH table), the rest pseudo-random."""
+    hot = spark.range(n // 2).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {dim}), "
+            "j -> cast(0.4 + 0.01 * j as double))"
+        ).alias("embedding"),
+    )
+    cold = spark.range(n // 2, n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {dim}), "
+            "j -> cast(sin(cast(id as double) * j + j) as double))"
+        ).alias("embedding"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_bucket_cap_bounds_hot_bucket_pair_work(spark):
+    """Pair work under the cap is bounded per sub-bucket and grows
+    ~linearly in N even when ONE signature holds half the corpus: the
+    noise-free integer evidence that no task sees the whole hot bucket."""
+    from ohsome_planet_spark.operators.similarity import (
+        lsh_candidate_pair_counts,
+    )
+
+    CAP = 8
+    stats = {}
+    for n in (1000, 10000):
+        per_table = lsh_candidate_pair_counts(
+            _planted_hot(spark, n), nbits=8, ntables=2, dim=16,
+            vec_col="embedding", id_col="vec_id", bucket_cap=CAP,
+        )
+        stats[n] = {
+            "pairs": sum(t["pairs"] for t in per_table),
+            "max_bucket": max(t["max_bucket"] for t in per_table),
+        }
+        # the id-hash split is uniform-in-expectation, not exact; 3x cap
+        # is a generous ceiling that a co-located hot bucket (n/2 rows)
+        # would exceed by orders of magnitude
+        assert stats[n]["max_bucket"] <= 3 * CAP, stats
+    # pairs/vec must be ~flat (<=2x drift) between 1x and 10x; the
+    # uncapped hot bucket would grow it ~N/4 per vec (quadratic total)
+    ppv1 = stats[1000]["pairs"] / 1000
+    ppv10 = stats[10000]["pairs"] / 10000
+    assert ppv10 <= 2.0 * max(ppv1, 1.0), stats
+
+
+def test_bucket_cap_occupancy_is_broadcast_not_window(spark):
+    """Plan-shape contract: the occupancy stage must be a broadcast join
+    (groupBy-count + broadcast back), NEVER a window over the raw
+    signature — no exchange may partition by _sig without _sub."""
+    from ohsome_planet_spark.operators.similarity import semantic_dup_pairs
+
+    df = semantic_dup_pairs(
+        _planted_hot(spark, 1000), threshold=0.99, nbits=8, ntables=2,
+        dim=16, bucket_cap=8,
+    )
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "_sig" in line:
+            assert "_sub" in line, f"exchange on raw signature: {line}"
