@@ -333,3 +333,175 @@ def normalize_unicode(
         f",{lf}_text string" for lf in lower
     )
     return df.mapInPandas(norm, schema)
+
+
+def ccnet_lm_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    k: float = 0.5,
+    train_pct: int = 80,
+    bucket_mode: str = "rank",
+) -> DataFrame:
+    """CCNet's LM-perplexity filter (Wenzek et al. 2020 §4.3) — the
+    companion of :func:`..dedup.line_dedup`'s paragraph dedup: score
+    every document with a PER-LANGUAGE add-k-smoothed bigram LM
+    (bigrams never cross paragraph boundaries — CCNet scores paragraph
+    by paragraph), then split each language's corpus into equal
+    head / middle / tail thirds by perplexity. "head" is the cleanest
+    (most Wikipedia-like) third; CCNet-style curation keeps head+middle
+    and drops tail.
+
+    The LM trains on the deterministic hash-derived train split (same
+    ``:split`` convention as ``bigram_logprob_scores``: hash60(doc)%100
+    < ``train_pct``), standing in for CCNet's external Wikipedia LM —
+    the arithmetic (add-k bigram NLL, length-weighted over paragraphs)
+    is the paper's. Document score = Σ nll / Σ bigrams over all its
+    paragraphs; ``log_ppl`` is that mean NLL (log of perplexity),
+    ``ppl = exp(log_ppl)``. Docs that produce no bigrams (blank/short)
+    or whose language has no trained LM go straight to ``tail``.
+
+    ``bucket_mode``:
+
+    - ``"rank"`` (gate/default): exact equal thirds via ``ntile(3)``
+      over (lang, log_ppl, doc) — deterministic, SQL-replayable; the
+      window sorts one skinny row per DOCUMENT (not per token), so even
+      at 100 TB the sorted relation is ~1e10 short rows, but it is
+      still a per-language global sort.
+    - ``"cutoff"`` (scale path): per-language cutoff scores from
+      ``percentile_approx`` on the doc-score table, BROADCAST back —
+      no global sort anywhere, the production shape when exact
+      equal-thirds membership doesn't matter (CCNet itself computes
+      cutoffs on a sample).
+
+    Output: (doc, lang, n_paragraphs, n_bigrams, log_ppl, ppl, bucket,
+    keep).
+
+    Scale shape: bigram construction is a native array transform inside
+    the scan; LM count tables are map-side-combined aggs keyed by
+    (lang, w1[, w2]); scoring is two equi-joins plus a broadcast of the
+    per-language vocab row; the only corpus-sized exchange is the
+    per-doc aggregation."""
+    from ..functions.text import hash60_expr, tokens_expr
+
+    split_bucket = F.pmod(
+        hash60_expr(
+            F.concat(F.col(id_col).cast("string"), F.lit(":split"))
+        ),
+        F.lit(100),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(lang_col).alias("lang"),
+        F.col(text_col).alias("_text"),
+        (split_bucket < train_pct).alias("_is_train"),
+    )
+    paras = base.select(
+        "doc",
+        "lang",
+        "_is_train",
+        F.posexplode(F.split("_text", "\n")).alias("pno", "para"),
+    ).withColumn("toks", tokens_expr(F.col("para")))
+    bg = paras.select(
+        "doc",
+        "lang",
+        "_is_train",
+        F.explode(
+            # sequence(1, n-1) counts DOWN for n < 2 (INVALID_ARRAY_INDEX);
+            # one-token / blank paragraphs emit no bigrams, matching the
+            # oracle's empty range(1, len(toks))
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                " ELSE array() END"
+            )
+        ).alias("b"),
+    ).select("doc", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"), "_is_train")
+    c2 = (
+        bg.filter(F.col("_is_train"))
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = c2.groupBy("lang", "w1").agg(F.sum("c2").alias("c1"))
+    vocab = c2.groupBy("lang").agg(F.countDistinct("w2").alias("vocab"))
+    nll = -F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("vocab"))
+    )
+    scored = (
+        bg.join(c2, ["lang", "w1", "w2"], "left")
+        .join(c1, ["lang", "w1"], "left")
+        # inner join: a language absent from the train split has no LM —
+        # its docs keep NULL scores and fall to 'tail' below
+        .join(F.broadcast(vocab), "lang")
+        .select("doc", nll.alias("nll"))
+    )
+    doc_scores = scored.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("nll").alias("_sum_nll"),
+    )
+    doc_paras = paras.groupBy("doc").agg(
+        F.sum((F.trim("para") != "").cast("long"))
+        .cast("bigint")
+        .alias("n_paragraphs")
+    )
+    lp = F.round(F.col("_sum_nll") / F.col("n_bigrams"), 6)
+    out = (
+        base.select("doc", "lang")
+        .join(doc_paras, "doc", "left")
+        .join(doc_scores, "doc", "left")
+        .select(
+            "doc",
+            "lang",
+            F.coalesce("n_paragraphs", F.lit(0).cast("bigint")).alias(
+                "n_paragraphs"
+            ),
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias(
+                "n_bigrams"
+            ),
+            lp.alias("log_ppl"),
+            # exp of the ALREADY-6dp-rounded mean: a stable input gives a
+            # bit-identical double in both engines, so 4dp output is safe
+            F.round(F.exp(lp), 4).alias("ppl"),
+        )
+    )
+    if bucket_mode == "rank":
+        # NULL scores are excluded from the window (Spark sorts nulls
+        # first ASC, DuckDB last — splitting them out keeps both engines'
+        # ntile over the identical ordered relation) and assigned 'tail'
+        w = W.partitionBy("lang").orderBy(F.col("log_ppl").asc(), F.col("doc").asc())
+        tile = F.ntile(3).over(w)
+        names = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+        ranked = out.filter(F.col("log_ppl").isNotNull()).withColumn(
+            "bucket", F.element_at(names, tile)
+        )
+        nulls = out.filter(F.col("log_ppl").isNull()).withColumn(
+            "bucket", F.lit("tail")
+        )
+        out = ranked.unionByName(nulls)
+    elif bucket_mode == "cutoff":
+        cuts = (
+            out.filter(F.col("log_ppl").isNotNull())
+            .groupBy("lang")
+            .agg(
+                F.percentile_approx(
+                    "log_ppl", [1.0 / 3, 2.0 / 3], 10000
+                ).alias("_cut")
+            )
+        )
+        out = (
+            out.join(F.broadcast(cuts), "lang", "left")
+            .withColumn(
+                "bucket",
+                F.when(F.col("log_ppl").isNull(), F.lit("tail"))
+                .when(F.col("log_ppl") <= F.col("_cut")[0], F.lit("head"))
+                .when(F.col("log_ppl") <= F.col("_cut")[1], F.lit("middle"))
+                .otherwise(F.lit("tail")),
+            )
+            .drop("_cut")
+        )
+    else:
+        raise ValueError(f"unknown bucket_mode: {bucket_mode!r}")
+    return out.withColumn("keep", F.col("bucket") != F.lit("tail"))

@@ -809,7 +809,7 @@ def line_dedup(
 ) -> DataFrame:
     """CCNet-style cross-corpus LINE (paragraph) dedup (Wenzek et al.
     2020 §3.1 — the other half of the pipeline whose LM-perplexity
-    filter is ``ccnet_lm_filter``): every line is hashed after
+    filter is :func:`..curation.ccnet_lm_filter`): every line is hashed after
     normalization (lowercase, trim, digit runs → '0', whitespace runs
     collapsed) and only the corpus-FIRST occurrence of each normalized
     line survives — boilerplate (cookie banners, nav menus, copyright

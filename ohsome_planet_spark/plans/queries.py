@@ -1810,7 +1810,8 @@ def _line_dedup_oracle() -> str:
 @_register("ccnet_line_dedup", _line_dedup_oracle())
 def ccnet_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style cross-corpus line dedup (Wenzek et al. 2020 §3.1 —
-    the pipeline half whose LM-perplexity filter is ``ccnet_lm_filter``):
+    the pipeline half whose LM-perplexity filter is the `ccnet_lm_filter`
+    gate row below / :func:`..operators.curation.ccnet_lm_filter`):
     only the corpus-FIRST occurrence (min doc, pos — deterministic, not
     shard order) of each normalized line survives. The fixture plants
     real boilerplate shapes — a newsletter line on every third doc, a
@@ -1837,6 +1838,111 @@ def ccnet_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inp = docs.select("doc_id", ftxt.alias("ftxt"))
     return line_dedup(inp, "doc_id", "ftxt").orderBy("doc")
+
+
+def _ccnet_lm_oracle(k: float = 0.5, train_pct: int = 80) -> str:
+    split = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id AS doc, lang,
+             concat_ws(chr(10), text,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'the the the of of and the end' END,
+               CASE WHEN doc_id % 7 = 2
+                    THEN 'zq kjw xvv qqp zzkrp wq' END) AS t,
+             ({split}) < {train_pct} AS is_train
+      FROM documents
+    ), para AS (
+      SELECT doc, lang, is_train, ls[i] AS para
+      FROM (SELECT doc, lang, is_train,
+                   string_split(t, chr(10)) AS ls FROM docs),
+           UNNEST(range(1, len(ls) + 1)) AS u(i)
+    ), ptoks AS (
+      SELECT doc, lang, is_train, para,
+             list_filter(regexp_split_to_array(lower(para), '\W+'),
+                         x -> x <> '') AS toks
+      FROM para
+    ), bg0 AS (
+      SELECT doc, lang, is_train,
+             unnest(list_transform(range(1, len(toks)),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+      FROM ptoks
+    ), bg AS (
+      SELECT doc, lang, is_train, (p).w1 AS w1, (p).w2 AS w2 FROM bg0
+    ), c2 AS (
+      SELECT lang, w1, w2, count(*) AS c2 FROM bg
+      WHERE is_train GROUP BY 1, 2, 3
+    ), c1 AS (
+      SELECT lang, w1, sum(c2) AS c1 FROM c2 GROUP BY 1, 2
+    ), v AS (
+      SELECT lang, count(DISTINCT w2) AS vocab FROM c2 GROUP BY 1
+    ), scored AS (
+      SELECT t.doc,
+             -ln((coalesce(p.c2, 0) + {k}) /
+                 (coalesce(u.c1, 0) + {k} * v.vocab)) AS nll
+      FROM bg t
+        LEFT JOIN c2 p ON p.lang = t.lang AND p.w1 = t.w1 AND p.w2 = t.w2
+        LEFT JOIN c1 u ON u.lang = t.lang AND u.w1 = t.w1
+        JOIN v ON v.lang = t.lang
+    ), ds AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_bigrams, sum(nll) AS s
+      FROM scored GROUP BY doc
+    ), np AS (
+      SELECT doc,
+             CAST(count(*) FILTER (WHERE trim(para) <> '') AS BIGINT)
+               AS n_paragraphs
+      FROM para GROUP BY doc
+    ), outq AS (
+      SELECT d.doc, d.lang,
+             coalesce(np.n_paragraphs, 0) AS n_paragraphs,
+             coalesce(ds.n_bigrams, 0) AS n_bigrams,
+             round(ds.s / ds.n_bigrams, 6) AS log_ppl,
+             round(exp(round(ds.s / ds.n_bigrams, 6)), 4) AS ppl
+      FROM docs d LEFT JOIN np ON np.doc = d.doc LEFT JOIN ds ON ds.doc = d.doc
+    ), bucketed AS (
+      SELECT doc, lang, n_paragraphs, n_bigrams, log_ppl, ppl,
+             CASE ntile(3) OVER (PARTITION BY lang ORDER BY log_ppl, doc)
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM outq WHERE log_ppl IS NOT NULL
+      UNION ALL
+      SELECT doc, lang, n_paragraphs, n_bigrams, log_ppl, ppl, 'tail'
+      FROM outq WHERE log_ppl IS NULL
+    )
+    SELECT doc, lang, n_paragraphs, n_bigrams, log_ppl, ppl, bucket,
+           bucket <> 'tail' AS keep
+    FROM bucketed ORDER BY doc
+    """
+
+
+@_register("ccnet_lm_filter", _ccnet_lm_oracle())
+def ccnet_lm_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's LM-perplexity filter (Wenzek et al. 2020 §4.3) — the
+    pipeline half `ccnet_line_dedup` feeds: per-LANGUAGE add-k bigram
+    LM fit on the deterministic train split, every doc scored paragraph
+    by paragraph (bigrams never cross the newline), then equal
+    head/middle/tail thirds per language by mean NLL (ntile over one
+    skinny row per doc). The fixture plants a stopword-soup paragraph
+    on every 5th doc (pulls log_ppl DOWN — frequent bigrams) and a
+    gibberish paragraph on every 7th (pushes it UP — unseen bigrams
+    back off to k/(0+k·vocab)), so buckets move on planted evidence.
+    The oracle replays split, tokenization, both count tables, the
+    smoothing arithmetic, and the ntile bucketing term-for-term."""
+    from ..operators.curation import ccnet_lm_filter
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    ftxt = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("the the the of of and the end")
+        ),
+        F.when(F.col("doc_id") % 7 == 2, F.lit("zq kjw xvv qqp zzkrp wq")),
+    )
+    inp = docs.select("doc_id", "lang", ftxt.alias("ftxt"))
+    return ccnet_lm_filter(
+        inp, id_col="doc_id", text_col="ftxt", lang_col="lang"
+    ).orderBy("doc")
 
 
 _C4_ORACLE = """
