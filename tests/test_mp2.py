@@ -348,3 +348,57 @@ def test_joint_stereo_roundtrip_randomized():
                         want = scf * (2 * cd - m + 1) / m
                         assert got == pytest.approx(want, rel=1e-12,
                                                     abs=1e-15)
+
+
+def test_gate_grid_coverage_at_120():
+    """The gate rows trim their doc grid to doc_id < 120 (round-11
+    verdict item 6). This referee re-derives the grid and asserts the
+    trim loses NO coverage dimension: all four allocation tables, both
+    channel modes, all three sample rates, all scfsi modes, grouped
+    (3/5/9) and each table's max step class, and the high-subband
+    4th-allocation-slot case all still occur."""
+    rates = [44100, 48000, 32000]
+    per_ch_kbps = [48, 64, 96, 160]
+    def grid(n):
+        tables, chans, srs, scfsis, steps = set(), set(), set(), set(), set()
+        slots, slot4_hi = set(), set()
+        for d in range(n):
+            ch = 1 + d % 2
+            rate = rates[d % 3]
+            p = d % 4
+            name = mp2_table_for(rate, per_ch_kbps[p])
+            table = mp2_alloc_table(name)
+            sblimit = len(table)
+            tables.add(name)
+            chans.add(ch)
+            srs.add(rate)
+            for c in range(ch):
+                for sb in range(sblimit):
+                    scfsis.add((d + sb + c) % 4)
+                    if (d + sb + c) % 2 != 0:
+                        idx = 0
+                    elif sb == d % 3:
+                        idx = 3
+                    elif sb == 24 and p >= 2 and (d + c) % 5 == 2:
+                        idx = 3
+                        slot4_hi.add((name, sb))
+                    else:
+                        idx = 1 + (d + sb + 2 * c) % 2
+                    slots.add((name, sb, idx))
+                    if idx:
+                        steps.add(table[sb][idx])
+        return tables, chans, srs, scfsis, steps, slots, slot4_hi
+
+    t120, t500 = grid(120), grid(500)
+    # the strong property: the trim loses NOTHING the 500-doc grid had —
+    # every (table, subband, allocation-slot) combo, every step class,
+    # every scfsi mode, every rate/channel mode
+    assert t120 == t500
+    tables, chans, srs, scfsis, steps, _, slot4_hi = t120
+    assert tables == {"a", "b", "c", "d"}
+    assert chans == {1, 2} and srs == set(rates)
+    assert scfsis == {0, 1, 2, 3}
+    assert {3, 5, 9} <= steps          # every grouped class
+    assert slot4_hi                     # the sb-24 4th-slot branch fires
+    # joint-stereo row: bounds 4*(ext+1) for ext = d%4 all occur below 120
+    assert {4 * (d % 4 + 1) for d in range(120)} == {4, 8, 12, 16}
