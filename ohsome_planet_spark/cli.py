@@ -732,7 +732,14 @@ def cmd_dedup_embeddings(args) -> int:
 
     spark = get_spark(app_name="dedup_embeddings")
     emb = spark.read.parquet(args.input)
-    n = emb.count()
+    # row count from parquet FOOTERS (no Spark scan job — ADVICE r11);
+    # falls back to a count() job only for stores pyarrow can't reach
+    try:
+        import pyarrow.dataset as _ds
+
+        n = _ds.dataset(args.input, format="parquet").count_rows()
+    except Exception:
+        n = emb.count()
     nbits = args.nbits if args.nbits is not None else lsh_nbits_for(n)
     pairs = semantic_dup_pairs(
         emb,
@@ -750,10 +757,21 @@ def cmd_dedup_embeddings(args) -> int:
     clusters.write.mode("overwrite").parquet(
         os.path.join(args.out, "clusters")
     )
+    # re-read is deliberate: the keep write scans the materialized table
+    # instead of recomputing the CC iteration's whole lineage
     clusters = spark.read.parquet(os.path.join(args.out, "clusters"))
-    keep = clusters.filter("is_canonical").select(args.id_col)
+    from pyspark.sql import Observation
+
+    obs = Observation("keep_count")
+    keep = (
+        clusters.filter("is_canonical")
+        .select(args.id_col)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+    )
+    # n_kept rides the SAME job that writes 'keep' (ADVICE r11: no
+    # re-read + re-count of what this job just produced)
     keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep"))
-    n_keep = spark.read.parquet(os.path.join(args.out, "keep")).count()
+    n_keep = obs.get["n"]
     print(
         json.dumps(
             {

@@ -826,9 +826,10 @@ def line_dedup(
     100 TB — so they bypass the shuffle entirely); the first-occurrence
     winner comes from one map-side-combinable groupBy(hash).min plus an
     equi-join back, both keyed on the high-cardinality line hash. The
-    order key packs (doc, pos) into one BIGINT (doc·2^20 + pos,
-    documents bounded at 2^20 lines), so the min is a plain long min in
-    both engines."""
+    order key is a lexicographic STRUCT min over (doc, pos) — a packed
+    doc·2^20+pos bigint (rounds ≤11) silently collides for documents
+    with ≥2^20 lines or hash-derived doc ids ≥ ~2^43 (ADVICE r11); the
+    struct min is just as combinable with no domain assumption."""
     lines = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -838,15 +839,20 @@ def line_dedup(
         r"\s+",
         " ",
     )
-    lines = lines.withColumn("_norm", norm).withColumn(
-        "_key", F.col("doc") * F.lit(1 << 20) + F.col("pos")
-    )
+    lines = lines.withColumn("_norm", norm)
     dedup = lines.filter(F.col("_norm") != "").select(
-        "doc", "pos", "_key", hash60_expr(F.col("_norm")).alias("_h")
+        "doc", "pos", hash60_expr(F.col("_norm")).alias("_h")
     )
-    first = dedup.groupBy("_h").agg(F.min("_key").alias("_first"))
+    first = dedup.groupBy("_h").agg(
+        F.min(F.struct("doc", "pos")).alias("_first")
+    )
     flags = dedup.join(first, "_h").select(
-        "doc", "pos", (F.col("_key") == F.col("_first")).alias("_keep")
+        "doc",
+        "pos",
+        (
+            (F.col("doc") == F.col("_first.doc"))
+            & (F.col("pos") == F.col("_first.pos"))
+        ).alias("_keep"),
     )
     flagged = lines.join(flags, ["doc", "pos"], "left").withColumn(
         "_keep", F.coalesce(F.col("_keep"), F.lit(True))  # empty lines

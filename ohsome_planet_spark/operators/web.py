@@ -119,25 +119,38 @@ _TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)="
 def canonical_url_expr(url: Column) -> Column:
     """Canonical form of a URL as a native Column expression — the
     dedup key for crawl-level URL dedup (one fetch of the same page per
-    corpus): scheme and host case-folded, default ports (:80 http,
-    :443 https) stripped, empty path normalized to '/', tracking
-    parameters dropped, remaining query parameters SORTED (param order
-    never changes page identity), fragment discarded. Pure
+    corpus): fragment discarded FIRST (so a '?' inside the fragment can
+    never masquerade as a query — ADVICE r11), scheme and host
+    case-folded, userinfo ('u:p@') dropped, bracketed IPv6 hosts kept
+    whole, default ports (:80 http, :443 https) stripped, empty path
+    normalized to '/', tracking parameters dropped, remaining query
+    parameters SORTED (param order never changes page identity). Pure
     regexp/array ops, no UDF; the same grammar is replayable in SQL."""
-    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    auth = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
-    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    # everything after the first '#' is fragment — strip before ANY other
+    # component parse so the query/path regexes can only see pre-'#' text
+    pre = F.regexp_extract(url, r"^([^#]*)", 1)
+    scheme = F.lower(F.regexp_extract(pre, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.regexp_extract(pre, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    # userinfo never keys page identity; '[v6]' hosts contain ':' so the
+    # host/port split must respect brackets
+    hostport = F.regexp_replace(auth, r"^[^@]*@", "")
+    host = F.lower(
+        F.when(
+            hostport.startswith("["),
+            F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1),
+        ).otherwise(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     keep_port = (
         (port != "")
         & ~((scheme == F.lit("http")) & (port == "80"))
         & ~((scheme == F.lit("https")) & (port == "443"))
     )
     path = F.regexp_extract(
-        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+        pre, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
     )
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    query = F.regexp_extract(pre, r"\?(.*)", 1)
     params = F.array_sort(
         F.filter(
             F.split(query, "&"),

@@ -1779,23 +1779,22 @@ def _line_dedup_oracle() -> str:
     nrm AS (
       SELECT doc, pos, line,
              regexp_replace(regexp_replace(lower(trim(line)),
-               '\\d+', '0', 'g'), '\\s+', ' ', 'g') AS nrm,
-             doc * 1048576 + pos AS key
+               '\\d+', '0', 'g'), '\\s+', ' ', 'g') AS nrm
       FROM lns
     ),
     hashed AS (
-      SELECT doc, pos, line, nrm, key,
+      SELECT doc, pos, line, nrm,
              CASE WHEN nrm = '' THEN NULL ELSE {h} END AS hh
       FROM nrm
     ),
     firsts AS (
-      SELECT hh, min(key) AS fkey FROM hashed
-      WHERE hh IS NOT NULL GROUP BY hh
+      SELECT hh, min(struct_pack(doc := doc, pos := pos)) AS fkey
+      FROM hashed WHERE hh IS NOT NULL GROUP BY hh
     ),
     flags AS (
       SELECT n.doc, n.pos, n.line,
              CASE WHEN n.hh IS NULL THEN TRUE
-                  ELSE n.key = f.fkey END AS keep
+                  ELSE n.doc = f.fkey.doc AND n.pos = f.fkey.pos END AS keep
       FROM hashed n LEFT JOIN firsts f ON n.hh = f.hh
     )
     SELECT doc,
@@ -13067,13 +13066,15 @@ def warc_html_extract_enveloped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _URL_DEDUP_ORACLE = """
 WITH f AS (
-  SELECT doc_id, (doc_id // 5) % 40 AS p, doc_id % 5 AS v FROM documents
+  SELECT doc_id, (doc_id // 8) % 40 AS p, doc_id % 8 AS v FROM documents
 ),
 canon AS (
   SELECT doc_id,
-         CASE WHEN v <= 3
+         CASE WHEN v IN (0, 1, 2, 3, 5, 6)
               THEN 'http://host' || p || '.com/page/' || p || '?a=1&b=2'
-              ELSE 'https://host' || p || '.com:8443/?a=1' END
+              WHEN v = 4
+              THEN 'https://host' || p || '.com:8443/?a=1'
+              ELSE 'http://[2001:db8::' || p || ']:8080/x?a=1' END
            AS canonical_url
   FROM f
 )
@@ -13092,16 +13093,21 @@ def url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     case-noisy host + default port + fragment, shuffled query params, or
     tracking-tagged (utm_*/gclid) must collapse to ONE canonical URL
     with the minimum doc as the surviving fetch; a genuinely different
-    page (https + non-default port + different params, path-less form)
-    must not. The oracle is INDEPENDENT of the grammar — it asserts the
-    expected canonical string in closed form from the fixture
-    parameters, so any canonicalization bug (kept fragment, unsorted
-    params, surviving tracking tag, mangled port) breaks the hash."""
+    page (https + non-default port + different params, path-less form,
+    a distinct IPv6 origin) must not. ADVICE-r11 adversaries included:
+    a '?' INSIDE the fragment with a real query present (v=5 — the old
+    first-'?' grammar read fragment text as params), userinfo + uppercase
+    host + default port (v=6), and a bracketed IPv6 host with kept
+    non-default port (v=7). The oracle is INDEPENDENT of the grammar —
+    it asserts the expected canonical string in closed form from the
+    fixture parameters, so any canonicalization bug (kept fragment,
+    unsorted params, surviving tracking tag, mangled port, userinfo or
+    bracket leak) breaks the hash."""
     from ..operators.web import url_dedup
 
     docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-    p = (F.floor(F.col("doc_id") / 5) % 40).cast("string")
-    v = F.col("doc_id") % 5
+    p = (F.floor(F.col("doc_id") / 8) % 40).cast("string")
+    v = F.col("doc_id") % 8
     url = (
         F.when(v == 0, F.concat(
             F.lit("http://host"), p, F.lit(".com/page/"), p,
@@ -13115,8 +13121,16 @@ def url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(v == 3, F.concat(
             F.lit("http://host"), p, F.lit(".com/page/"), p,
             F.lit("?utm_campaign=y&gclid=z&a=1&b=2")))
-        .otherwise(F.concat(
+        .when(v == 4, F.concat(
             F.lit("https://host"), p, F.lit(".com:8443?a=1")))
+        .when(v == 5, F.concat(
+            F.lit("http://host"), p, F.lit(".com/page/"), p,
+            F.lit("?b=2&a=1#frag?c=3&utm_source=t")))
+        .when(v == 6, F.concat(
+            F.lit("http://u:pw@HOST"), p, F.lit(".com:80/page/"), p,
+            F.lit("?a=1&b=2")))
+        .otherwise(F.concat(
+            F.lit("http://[2001:DB8::"), p, F.lit("]:8080/x?a=1#sec")))
     )
     inp = docs.select("doc_id", url.alias("url"))
     return url_dedup(inp, "doc_id", "url").orderBy("doc_id")

@@ -35,6 +35,19 @@ class WarcFormatError(ValueError):
     pass
 
 
+class UnsupportedEncodingError(WarcFormatError):
+    """A Content-Encoding this build cannot decode (e.g. br/zstd without
+    their optional codec libraries). Distinct so extraction layers can
+    quarantine the record — one exotic encoding in a crawl batch must
+    not abort the task (ADVICE r11)."""
+
+
+def _bounded(data: bytes) -> bytes:
+    if len(data) > MAX_MEMBER_DECOMPRESSED:
+        raise WarcFormatError("HTTP body expands past the bomb guard ceiling")
+    return data
+
+
 # per-member decompressed-size ceiling: a single gzip-bomb member in an
 # untrusted crawl must not be allowed to expand to gigabytes inside one
 # executor task. 256 MiB is far above any legitimate WARC record.
@@ -181,21 +194,56 @@ def _dechunk(body: bytes) -> bytes:
 
 
 def _decode_content(body: bytes, encoding: str) -> bytes:
-    """Undo ``Content-Encoding`` (gzip / x-gzip / deflate / identity),
-    bounded by the same bomb guard as the WARC member walk. ``deflate``
-    accepts both the RFC-correct zlib wrapper and the bare-deflate form
-    real servers ship."""
+    """Undo ``Content-Encoding``, bounded by the same bomb guard as the
+    WARC member walk. Handles gzip / x-gzip / deflate / identity
+    natively (``deflate`` accepts both the RFC-correct zlib wrapper and
+    the bare-deflate form real servers ship) plus COMMA-SEPARATED coding
+    lists ('gzip, identity' — applied in reverse header order, the RFC
+    9110 stacking rule; ADVICE r11). br / zstd decode when the optional
+    codec libraries are importable; otherwise they raise
+    :class:`UnsupportedEncodingError`, a distinct subclass callers can
+    quarantine per record instead of failing a batch."""
+    codings = [
+        c.strip().lower() for c in encoding.split(",") if c.strip()
+    ]
+    for enc in reversed(codings):
+        body = _decode_one(body, enc)
+    return body
+
+
+def _decode_one(body: bytes, enc: str) -> bytes:
     import zlib
 
-    enc = encoding.strip().lower()
     if enc in ("", "identity", "none"):
         return body
+    if enc == "br":
+        try:
+            import brotli  # optional, absent in the base environment
+        except ImportError:
+            raise UnsupportedEncodingError(
+                "Content-Encoding 'br' needs the brotli library"
+            ) from None
+        return _bounded(brotli.decompress(body))
+    if enc == "zstd":
+        try:
+            import zstandard  # optional, absent in the base environment
+        except ImportError:
+            raise UnsupportedEncodingError(
+                "Content-Encoding 'zstd' needs the zstandard library"
+            ) from None
+        return _bounded(
+            zstandard.ZstdDecompressor().decompress(
+                body, max_output_size=MAX_MEMBER_DECOMPRESSED
+            )
+        )
     if enc in ("gzip", "x-gzip"):
         wbits = 31
     elif enc == "deflate":
         wbits = 15 if body[:1] == b"\x78" else -15
     else:
-        raise WarcFormatError(f"unsupported Content-Encoding {encoding!r}")
+        raise UnsupportedEncodingError(
+            f"unsupported Content-Encoding {enc!r}"
+        )
     d = zlib.decompressobj(wbits)
     chunks: list[bytes] = []
     size = 0

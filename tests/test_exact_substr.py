@@ -297,3 +297,19 @@ def test_line_dedup_within_doc_repeats(spark):
     # whole corpus's paragraphs into one table)
     assert r.text == "same line\nother"
     assert r.n_lines == 4 and r.n_kept == 2
+
+
+def test_line_dedup_huge_doc_ids(spark):
+    """ADVICE r11: the old packed order key (doc*2^20+pos) overflowed /
+    collided for hash-derived doc ids >= ~2^43. The struct-min key must
+    pick the true minimum (doc, pos) winner at any id magnitude."""
+    from ohsome_planet_spark.operators.dedup import line_dedup
+
+    hi, lo = (1 << 50) + 7, (1 << 50) + 3
+    docs = spark.createDataFrame(
+        [(hi, "shared line\nonly hi"), (lo, "shared line\nonly lo")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc: r for r in line_dedup(docs, "doc_id", "text").collect()}
+    assert out[lo].n_kept == 2 and out[lo].text == "shared line\nonly lo"
+    assert out[hi].n_kept == 1 and out[hi].text == "only hi"

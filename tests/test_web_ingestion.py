@@ -149,10 +149,19 @@ def test_http_chunked_details():
 
 
 def test_http_content_encoding_errors():
-    with pytest.raises(WarcFormatError):
+    # br without the optional brotli lib: the DISTINCT quarantine class,
+    # still a WarcFormatError (ADVICE r11)
+    from ohsome_planet_spark.sources.warc import UnsupportedEncodingError
+
+    with pytest.raises(UnsupportedEncodingError):
         http_response_body(
             b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxxx"
         )
+    with pytest.raises(UnsupportedEncodingError):
+        http_response_body(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\nxxxx"
+        )
+    assert issubclass(UnsupportedEncodingError, WarcFormatError)
     with pytest.raises(WarcFormatError):  # garbage gzip
         http_response_body(
             b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip"
@@ -330,6 +339,18 @@ def test_canonical_url_grammar(spark):
         ("http://h.com/p?utm_x=1&real=2", "http://h.com/p?real=2"),
         # path case preserved; only scheme/host fold
         ("http://H.com/CaSe", "http://h.com/CaSe"),
+        # ADVICE r11: '?' inside the fragment is NOT a query — the whole
+        # fragment goes, no bogus params survive
+        ("http://h.com/p#frag?a=1", "http://h.com/p"),
+        ("http://h.com/p?real=1#frag?bogus=2", "http://h.com/p?real=1"),
+        # userinfo dropped; host behind it still case-folds, port strips
+        ("http://u:pw@H.com:80/p?a=1", "http://h.com/p?a=1"),
+        ("https://token@h.com/p", "https://h.com/p"),
+        # bracketed IPv6: host kept whole (colons inside brackets are not
+        # a port), case-folded; non-default port kept, default stripped
+        ("http://[2001:DB8::1]:8080/x", "http://[2001:db8::1]:8080/x"),
+        ("http://[2001:DB8::1]:80/x", "http://[2001:db8::1]/x"),
+        ("http://u@[::1]/x?b=2&a=1", "http://[::1]/x?a=1&b=2"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string"
@@ -342,3 +363,41 @@ def test_canonical_url_grammar(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i])
+
+
+def test_content_encoding_lists_and_quarantine(spark):
+    """ADVICE r11: list-valued Content-Encoding ('gzip, identity') must
+    decode (RFC 9110 stacking, applied in reverse header order), and one
+    exotic-encoding record in a batch must null out WITHOUT aborting the
+    task or the neighboring rows."""
+    import gzip as _gzip
+
+    from ohsome_planet_spark.sources.warc import http_response_body
+
+    html = b"<html><body><p>hello stacked world</p></body></html>"
+    gz = _gzip.compress(html, mtime=0)
+    listed = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip, identity\r\n\r\n" + gz
+    )
+    assert http_response_body(listed) == html
+    spaced = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding:  identity , gzip \r\n\r\n"
+        + gz
+    )
+    assert http_response_body(spaced) == html
+
+    # batch with one br record: only that row quarantines
+    from ohsome_planet_spark.operators.web import extract_main_text
+
+    rows = [
+        (0, b"HTTP/1.1 200 OK\r\n\r\n" + html),
+        (1, b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n\x1b*N"),
+        (2, listed),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {
+        r.doc_id: r.extracted_text
+        for r in extract_main_text(df, "payload", http=True).collect()
+    }
+    assert out[1] is None
+    assert out[0] == out[2] == "hello stacked world"
