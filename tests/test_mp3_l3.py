@@ -1,0 +1,497 @@
+"""Referees for the MPEG-1 Layer III decode (functions/mp3_l3.py).
+
+The central discipline (same as the MP1/MP2 rows): the BITSTREAM path
+(encode_mp3_l3 → real frames → decode_mp3_subbands) is checked against
+an INDEPENDENT parameter path — a numpy re-derivation in this file that
+never touches the bitstream: requantization from the granule dicts,
+reorder, MS stereo, alias butterflies, IMDCT/window matrices built from
+the printed formulas, the overlap-add chain, frequency inversion.
+Any bit-packing or table bug desynchronizes the two paths.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from ohsome_planet_spark.functions.mp3 import Mp3FormatError
+from ohsome_planet_spark.functions.mp3_l3 import (
+    ALIAS_C,
+    PRETAB,
+    SFB_LONG,
+    SFB_SHORT,
+    SLEN,
+    TABLE_SHAPES,
+    _CODEBOOKS,
+    _COUNT1_CODEBOOKS,
+    decode_mp3_subbands,
+    encode_mp3_l3,
+)
+
+# --- independent parameter-path decoder (numpy, no bitstream) ---------------
+
+
+def _np_imdct_matrix(bt: int) -> np.ndarray:
+    """Re-derived from ISO §2.4.3.4.12 formulas — NOT imported from the
+    module under test."""
+    M = np.zeros((36, 18))
+    if bt != 2:
+        n = np.arange(36)
+        if bt == 0:
+            w = np.sin(np.pi / 36 * (n + 0.5))
+        elif bt == 1:
+            # right half mates with the NEXT short block's rise, so it
+            # falls: sin(pi/12 (n - 18 + 0.5)) for n = 24..29 descends
+            # from ~1 to ~0 (arguments 6.5..11.5)
+            w = np.concatenate([
+                np.sin(np.pi / 36 * (np.arange(18) + 0.5)),
+                np.ones(6),
+                np.sin(np.pi / 12 * (np.arange(24, 30) - 18 + 0.5)),
+                np.zeros(6),
+            ])
+        else:  # stop
+            w = np.concatenate([
+                np.zeros(6),
+                np.sin(np.pi / 12 * (np.arange(6) + 0.5)),
+                np.ones(6),
+                np.sin(np.pi / 36 * (np.arange(18, 36) + 0.5)),
+            ])
+        for nn in range(36):
+            for k in range(18):
+                M[nn, k] = w[nn] * math.cos(
+                    math.pi / 72 * (2 * nn + 1 + 18) * (2 * k + 1)
+                )
+        return M
+    for win in range(3):
+        for m in range(12):
+            wv = math.sin(math.pi / 12 * (m + 0.5))
+            for k in range(6):
+                M[6 + win * 6 + m, win * 6 + k] += wv * math.cos(
+                    math.pi / 24 * (2 * m + 1 + 6) * (2 * k + 1)
+                )
+    return M
+
+
+def _np_expected(granules_params, sr_idx, channels, ms):
+    """granules_params: list over global granule index of per-channel
+    granule dicts (the exact dicts fed to encode_mp3_l3). Returns
+    expected [g][ch][sb][18] samples."""
+    long_bands = SFB_LONG[sr_idx]
+    short_bands = SFB_SHORT[sr_idx]
+    sfb_long = np.zeros(576, dtype=int)
+    for sfb in range(22):
+        sfb_long[long_bands[sfb]:long_bands[sfb + 1]] = sfb
+    sfb_short = np.zeros(192, dtype=int)
+    for sfb in range(13):
+        sfb_short[short_bands[sfb]:short_bands[sfb + 1]] = sfb
+
+    mats = {bt: _np_imdct_matrix(bt) for bt in range(4)}
+    cs = 1.0 / np.sqrt(1.0 + np.array(ALIAS_C) ** 2)
+    ca = np.array(ALIAS_C) / np.sqrt(1.0 + np.array(ALIAS_C) ** 2)
+
+    tails = np.zeros((channels, 32, 18))
+    out = []
+    for gparams in granules_params:
+        xr_ch = []
+        for g in gparams:
+            # is values in huffman order: big-values lines then quads
+            is_h = np.zeros(576)
+            lines = g["lines"]
+            is_h[:len(lines)] = lines
+            qflat = [q for quad in g["quads"] for q in quad]
+            is_h[len(lines):len(lines) + len(qflat)] = qflat
+            bt = g["block_type"]
+            mult = 0.5 * (1 + g["scalefac_scale"])
+            xr = np.zeros(576)
+            if bt == 2:
+                # reorder + short requant
+                hpos = 0
+                for sfb in range(13):
+                    width = short_bands[sfb + 1] - short_bands[sfb]
+                    for w in range(3):
+                        for j in range(width):
+                            s = short_bands[sfb] + j
+                            nat = (s // 6) * 18 + w * 6 + (s % 6)
+                            v = is_h[hpos]
+                            hpos += 1
+                            if v == 0:
+                                continue
+                            scf = g["sf"][sfb][w] if sfb < 12 else 0
+                            gain = (
+                                0.25 * (g["global_gain"] - 210)
+                                - 2.0 * g["subblock_gain"][w]
+                                - mult * scf
+                            )
+                            xr[nat] = (
+                                math.copysign(abs(v) ** (4 / 3), v)
+                                * 2.0 ** gain
+                            )
+            else:
+                for i in range(576):
+                    v = is_h[i]
+                    if v == 0:
+                        continue
+                    sfb = sfb_long[i]
+                    scf = (
+                        g["sf"][sfb] + g["preflag"] * PRETAB[sfb]
+                        if sfb < 21 else 0
+                    )
+                    gain = 0.25 * (g["global_gain"] - 210) - mult * scf
+                    xr[i] = math.copysign(abs(v) ** (4 / 3), v) * 2.0 ** gain
+            xr_ch.append(xr)
+        if ms and channels == 2:
+            m, s = xr_ch
+            xr_ch = [(m + s) / math.sqrt(2), (m - s) / math.sqrt(2)]
+        gout = []
+        for c in range(channels):
+            g = gparams[c]
+            xr = xr_ch[c].copy()
+            if g["block_type"] != 2:
+                for sb in range(1, 32):
+                    for t in range(8):
+                        lo, hi = 18 * sb - 1 - t, 18 * sb + t
+                        a, b = xr[lo], xr[hi]
+                        xr[lo] = a * cs[t] - b * ca[t]
+                        xr[hi] = b * cs[t] + a * ca[t]
+            M = mats[g["block_type"]]
+            sbs = []
+            for sb in range(32):
+                raw = M @ xr[18 * sb:18 * (sb + 1)]
+                s = raw[:18] + tails[c, sb]
+                tails[c, sb] = raw[18:]
+                if sb % 2:
+                    s[1::2] = -s[1::2]
+                sbs.append(s)
+            gout.append(sbs)
+        out.append(gout)
+    return out
+
+
+# --- fixtures ----------------------------------------------------------------
+
+
+def _mk_granule(rng, bt, sr_idx, allow_esc=True):
+    sc = rng.randrange(16)
+    slen1, slen2 = SLEN[sc]
+    # region tables: [r0, r1, (r2)]; keep magnitudes legal per table
+    if bt == 0:
+        tsel = [rng.choice([1, 2, 5, 7, 13]) for _ in range(2)]
+        tsel.append(rng.choice([0, 1, 5]))
+        if allow_esc and rng.random() < 0.5:
+            tsel[rng.randrange(2)] = rng.choice([16, 24])
+    else:
+        tsel = [rng.choice([1, 5, 13] + ([16, 24] if allow_esc else []))
+                for _ in range(2)] + [0]
+    npairs = rng.randrange(4, 30)
+    lines = []
+    # region ends in huffman lines (mirror of _region_ends)
+    if bt == 0:
+        bands = SFB_LONG[sr_idx]
+        r0e = bands[8]  # region0_count default 7
+        r1e = bands[14]  # +region1_count default 5 -> index 14
+    else:
+        r0e, r1e = 36, 10 ** 9
+    for i in range(npairs * 2):
+        region = 0 if i < r0e else (1 if i < r1e else 2)
+        tid = tsel[region]
+        xlen, _, linbits = TABLE_SHAPES[tid] if tid else (1, 1, 0)
+        if tid == 0:
+            lines.append(0)
+            continue
+        mx = xlen - 1
+        v = rng.randrange(-mx, mx + 1)
+        if abs(v) == 15 and linbits:
+            v = int(math.copysign(15 + rng.randrange(1 << linbits), v or 1))
+        lines.append(v)
+    quads = [tuple(rng.choice([-1, 0, 1]) for _ in range(4))
+             for _ in range(rng.randrange(0, 8))]
+    g = dict(
+        block_type=bt,
+        global_gain=rng.randrange(190, 220),
+        scalefac_compress=sc,
+        preflag=rng.randrange(2) if bt != 2 else 0,
+        scalefac_scale=rng.randrange(2),
+        subblock_gain=[rng.randrange(4) for _ in range(3)]
+        if bt == 2 else [0, 0, 0],
+        table_select=tsel,
+        count1table_select=rng.randrange(2),
+        lines=lines,
+        quads=quads,
+    )
+    if bt == 2:
+        g["sf"] = [
+            [rng.randrange(1 << (slen1 if sfb < 6 else slen2))
+             for _ in range(3)]
+            for sfb in range(12)
+        ]
+    else:
+        g["sf"] = [
+            rng.randrange(1 << (slen1 if sfb < 11 else slen2))
+            for sfb in range(21)
+        ]
+    return g
+
+
+def _roundtrip_case(seed, sr_idx, channels, n_frames, ms, with_short=True):
+    rng = random.Random(seed)
+    plan = {}
+
+    def granule_fn(f, gr, ch):
+        key = (f, gr, ch)
+        if key not in plan:
+            bts = [0, 1, 2, 3] if with_short else [0, 1, 3]
+            bt = rng.choice(bts)
+            if ms:  # keep channel block types aligned under MS
+                bt = rng.choice(bts) if ch == 0 else plan[(f, gr, 0)]["block_type"]
+            plan[key] = _mk_granule(rng, bt, sr_idx)
+        return plan[key]
+
+    payload = encode_mp3_l3(
+        granule_fn, sr_idx=sr_idx, br_idx=14, channels=channels,
+        n_frames=n_frames, ms_stereo=ms,
+    )
+    rate, ch, ng, got = decode_mp3_subbands(payload)
+    assert ch == channels and ng == 2 * n_frames
+    gparams = [
+        [plan[(f, gr, c)] for c in range(channels)]
+        for f in range(n_frames) for gr in range(2)
+    ]
+    want = _np_expected(gparams, sr_idx, channels, ms)
+    for g in range(ng):
+        for c in range(channels):
+            for sb in range(32):
+                np.testing.assert_allclose(
+                    got[g][c][sb], want[g][c][sb], atol=1e-10,
+                    err_msg=f"granule {g} ch {c} sb {sb}",
+                )
+
+
+# --- tests --------------------------------------------------------------------
+
+
+def test_printed_structural_tables():
+    for sr in range(3):
+        lb, sb = SFB_LONG[sr], SFB_SHORT[sr]
+        assert lb[0] == 0 and lb[-1] == 576 and len(lb) == 23
+        assert sb[0] == 0 and sb[-1] == 192 and len(sb) == 14
+        assert all(a < b for a, b in zip(lb, lb[1:]))
+        assert all(a < b for a, b in zip(sb, sb[1:]))
+        # every MPEG-1 rate has long_bands[8] == 36 — the fixed split
+        # point for window-switching granules
+        assert lb[8] == 36
+    assert len(PRETAB) == 21 and PRETAB[:11] == [0] * 11
+    assert len(SLEN) == 16 and SLEN[0] == (0, 0) and SLEN[15] == (4, 3)
+    assert [round(c, 4) for c in ALIAS_C] == [
+        -0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037]
+
+
+def test_codebooks_prefix_free_and_complete():
+    """Kraft equality == complete prefix code: every bit sequence decodes
+    uniquely with no dead branches — the property a real Annex B.7 drop-in
+    must also satisfy."""
+    from fractions import Fraction
+
+    for tid, cb in _CODEBOOKS.items():
+        total = sum(Fraction(1, 2 ** ln) for ln, _ in cb.values())
+        assert total == 1, f"table {tid} not complete"
+        codes = sorted((ln, code) for ln, code in cb.values())
+        for i, (l1, c1) in enumerate(codes):
+            for l2, c2 in codes[i + 1:]:
+                assert c2 >> (l2 - l1) != c1, f"table {tid} prefix clash"
+    for k, cb in _COUNT1_CODEBOOKS.items():
+        total = sum(Fraction(1, 2 ** ln) for ln, _ in cb.values())
+        assert total == 1, f"count1 {k} not complete"
+
+
+def test_imdct_matrices_match_independent_derivation():
+    from ohsome_planet_spark.functions.mp3_l3 import imdct_matrix
+
+    for bt in range(4):
+        np.testing.assert_allclose(
+            np.array(imdct_matrix(bt)), _np_imdct_matrix(bt), atol=1e-12)
+
+
+def test_single_line_impulse_known_answer():
+    """One nonzero spectral line: the first granule's output must be
+    exactly xr · M[:, k] (no overlap history), with the hand-computed
+    requantization — pins requant, IMDCT, window, and freq inversion in
+    one closed form."""
+    k_line = 40  # subband 2, k=4
+    sf = [0] * 21
+
+    def granule_fn(f, gr, ch):
+        lines = [0] * 40 + [3, 0]  # pair (3, 0) at positions 40, 41
+        return dict(
+            block_type=0, global_gain=210, scalefac_compress=0,
+            preflag=0, scalefac_scale=0, subblock_gain=[0, 0, 0],
+            # region 0 widened to cover line 41 (bands[9] = 44)
+            region0_count=8, region1_count=5,
+            table_select=[5, 0, 0], count1table_select=0,
+            lines=lines, quads=[], sf=sf,
+        )
+
+    payload = encode_mp3_l3(granule_fn, sr_idx=0, channels=1, n_frames=1)
+    _, _, _, got = decode_mp3_subbands(payload)
+    xr = 3.0 ** (4 / 3)  # 2^0 gains
+    # alias reduction at the sb1/sb2 boundary mixes line 36+t / 35-t,
+    # t<8: line 40 participates (hi side, t=4)
+    cs4 = 1 / math.sqrt(1 + ALIAS_C[4] ** 2)
+    M = _np_imdct_matrix(0)
+    # butterfly at the sb1/sb2 boundary, hi side t=4: out[40] = xr·cs4,
+    # out[31] = -xr·ca4 (k = 31-18 = 13 within sb1)
+    ca4 = ALIAS_C[4] / math.sqrt(1 + ALIAS_C[4] ** 2)
+    exp_sb2 = M[:18, 4] * (xr * cs4)
+    exp_sb1 = M[:18, 13] * (-xr * ca4)
+    got_sb2 = np.array(got[0][0][2])
+    got_sb1 = np.array(got[0][0][1])
+    # freq inversion on odd sb (sb1): odd samples negated
+    exp_sb1[1::2] = -exp_sb1[1::2]
+    np.testing.assert_allclose(got_sb2, exp_sb2, atol=1e-12)
+    np.testing.assert_allclose(got_sb1, exp_sb1, atol=1e-12)
+    assert abs(got[0][0][5][0]) < 1e-15  # untouched subband silent
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_roundtrip_randomized(seed):
+    rng = random.Random(seed * 31 + 7)
+    sr = rng.randrange(3)
+    channels = rng.choice([1, 2])
+    ms = channels == 2 and rng.random() < 0.5
+    _roundtrip_case(seed, sr, channels, rng.randrange(1, 4), ms)
+
+
+def test_scfsi_shares_granule0_scalefactors():
+    plan = {}
+    rng = random.Random(99)
+
+    def granule_fn(f, gr, ch):
+        key = (f, gr, ch)
+        if key not in plan:
+            plan[key] = _mk_granule(rng, 0, 0)  # both granules LONG
+        return plan[key]
+
+    payload = encode_mp3_l3(
+        granule_fn, sr_idx=0, channels=1, n_frames=1,
+        scfsi_fn=lambda c: [1, 0, 1, 0],
+    )
+    _, _, _, got = decode_mp3_subbands(payload)
+    # expected: granule 1's effective sf in shared bands = granule 0's
+    eff = dict(plan[(0, 1, 0)])
+    sf = list(eff["sf"])
+    g0sf = plan[(0, 0, 0)]["sf"]
+    for band, (lo, hi) in zip([1, 0, 1, 0], [(0, 6), (6, 11), (11, 16), (16, 21)]):
+        if band:
+            sf[lo:hi] = g0sf[lo:hi]
+    eff["sf"] = sf
+    want = _np_expected(
+        [[plan[(0, 0, 0)]], [eff]], 0, 1, False)
+    for g in range(2):
+        for sb in range(32):
+            np.testing.assert_allclose(
+                got[g][0][sb], want[g][0][sb], atol=1e-10)
+
+
+def test_bit_reservoir_backpointer():
+    """main_data_begin > 0: frame 2's granule data starts inside frame
+    1's padding. Hand-packed from encoder internals; must decode
+    identically to the begin=0 stream."""
+    import struct as _struct
+
+    from ohsome_planet_spark.functions.mp3_l3 import (
+        _BitWriter, _encode_granule)
+
+    rng = random.Random(5)
+    gdicts = [[_mk_granule(rng, 0, 0) for _gr in range(2)]
+              for _f in range(2)]
+
+    def granule_fn(f, gr, ch):
+        return gdicts[f][gr]
+
+    # smallest bitrate that fits keeps the frame padding (and so the
+    # 9-bit main_data_begin) small
+    for br_idx in range(1, 15):
+        try:
+            plain = encode_mp3_l3(
+                granule_fn, sr_idx=0, channels=1, n_frames=2,
+                br_idx=br_idx)
+        except ValueError:
+            continue
+        # one step of headroom so frame 1 has padding to park bytes in
+        br_idx = min(br_idx + 1, 14)
+        plain = encode_mp3_l3(
+            granule_fn, sr_idx=0, channels=1, n_frames=2, br_idx=br_idx)
+        break
+    want = decode_mp3_subbands(plain)
+
+    # rebuild with frame 2's main data shifted back into frame 1
+    def build_frame(gr_dicts, begin):
+        w = _BitWriter()
+        p23s = [_encode_granule(w, g, 0, gr, [0, 0, 0, 0])
+                for gr, g in enumerate(gr_dicts)]
+        main = w.flush()
+        sw = _BitWriter()
+        sw.put(begin, 9)
+        sw.put(0, 5)
+        for _ in range(4):
+            sw.put(0, 1)
+        for g, p23 in zip(gr_dicts, p23s):
+            sw.put(p23, 12)
+            sw.put(len(g["lines"]) // 2, 9)
+            sw.put(g["global_gain"], 8)
+            sw.put(g["scalefac_compress"], 4)
+            sw.put(0, 1)
+            for t in g["table_select"]:
+                sw.put(t, 5)
+            sw.put(7, 4)
+            sw.put(5, 3)
+            sw.put(g["preflag"], 1)
+            sw.put(g["scalefac_scale"], 1)
+            sw.put(g["count1table_select"], 1)
+        return sw.flush(), main
+
+    h = _struct.unpack(">I", plain[:4])[0]
+    fb = len(plain) // 2
+    side1, main1 = build_frame(gdicts[0], 0)
+    _, main2 = build_frame(gdicts[1], 0)
+    # park as many of frame 2's bytes in frame 1 as fit (<= 40)
+    k = min(40, fb - 4 - len(side1) - len(main1))
+    assert k > 0, "no reservoir headroom — widen br_idx"
+    area1 = main1 + main2[:k]
+    assert 4 + len(side1) + len(area1) <= fb
+    f1 = _struct.pack(">I", h) + side1 + area1
+    f1 += bytes(fb - len(f1))
+    # main_data_begin counts back over the POOL (concatenated areas)
+    # from this frame's own area start: the k parked bytes plus frame
+    # 1's zero padding after them
+    pad1 = fb - 4 - len(side1) - len(area1)
+    side2b, _ = build_frame(gdicts[1], k + pad1)
+    f2 = _struct.pack(">I", h) + side2b + main2[k:]
+    f2 += bytes(fb - len(f2))
+    rate, ch, ng, got = decode_mp3_subbands(bytes(f1 + f2))
+    assert ng == want[2]
+    for g in range(ng):
+        for sb in range(32):
+            np.testing.assert_allclose(
+                got[g][0][sb], want[3][g][0][sb], atol=0)
+
+
+def test_fences():
+    from ohsome_planet_spark.functions.mp3 import encode_mp3
+
+    # MPEG-2 Layer III
+    with pytest.raises(Mp3FormatError):
+        decode_mp3_subbands(encode_mp3(2, 2, [8], 0, channels=1))
+    # Layer II stream into the L3 decoder
+    with pytest.raises(Mp3FormatError):
+        decode_mp3_subbands(encode_mp3(3, 1, [8], 0, channels=1))
+    # reservoir underrun: main_data_begin points before the pool
+    def granule_fn(f, gr, ch):
+        return _mk_granule(random.Random(1), 0, 0)
+
+    p = bytearray(encode_mp3_l3(granule_fn, sr_idx=0, channels=1))
+    p[4] = 0x01  # main_data_begin high bit of the 9-bit field
+    with pytest.raises(Mp3FormatError):
+        decode_mp3_subbands(bytes(p))
