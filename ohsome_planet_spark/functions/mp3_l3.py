@@ -135,8 +135,11 @@ def _build_pair_codebook(xlen: int, ylen: int) -> dict:
     exponentially larger weights, so the canonical code is genuinely
     variable-length with realistic shape (short codes at (0,0))."""
     symbols = [(x, y) for x in range(xlen) for y in range(ylen)]
-    top = 2 * (xlen + ylen)
-    weights = [1 << (2 * (top - x - y)) for (x, y) in symbols]
+    top = xlen + ylen
+    # quadratic (not exponential) decay keeps the rarest symbol's code
+    # ~16 bits — exponential weights drove (15,15) past 60 bits and
+    # overflowed real frame budgets
+    weights = [(1 + top - x - y) ** 2 for (x, y) in symbols]
     codes = _canonical_code(weights)
     enc = {sym: codes[i] for i, sym in enumerate(symbols)}
     return enc

@@ -456,18 +456,17 @@ def test_bit_reservoir_backpointer():
     fb = len(plain) // 2
     side1, main1 = build_frame(gdicts[0], 0)
     _, main2 = build_frame(gdicts[1], 0)
-    # park as many of frame 2's bytes in frame 1 as fit (<= 40)
-    k = min(40, fb - 4 - len(side1) - len(main1))
+    # park as many of frame 2's bytes in frame 1 as fit (<= 40) — at the
+    # END of frame 1's area, contiguous with frame 2's area (the pool is
+    # the concatenation of whole areas, so reservoir bytes must touch
+    # the next area; stuffing lives BETWEEN frame 1's own data and them)
+    area_cap = fb - 4 - len(side1)
+    k = min(40, area_cap - len(main1))
     assert k > 0, "no reservoir headroom — widen br_idx"
-    area1 = main1 + main2[:k]
-    assert 4 + len(side1) + len(area1) <= fb
+    area1 = main1 + bytes(area_cap - len(main1) - k) + main2[:k]
     f1 = _struct.pack(">I", h) + side1 + area1
-    f1 += bytes(fb - len(f1))
-    # main_data_begin counts back over the POOL (concatenated areas)
-    # from this frame's own area start: the k parked bytes plus frame
-    # 1's zero padding after them
-    pad1 = fb - 4 - len(side1) - len(area1)
-    side2b, _ = build_frame(gdicts[1], k + pad1)
+    assert len(f1) == fb
+    side2b, _ = build_frame(gdicts[1], k)
     f2 = _struct.pack(">I", h) + side2b + main2[k:]
     f2 += bytes(fb - len(f2))
     rate, ch, ng, got = decode_mp3_subbands(bytes(f1 + f2))
