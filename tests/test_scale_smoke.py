@@ -433,6 +433,99 @@ def test_warc_html_extract_scales(spark, scaled_dirs):
     _smoke_query(spark, "warc_html_extract", scaled_dirs, check_exchanges=True)
 
 
+def test_semantic_dedup_canonical_scales(spark, scaled_dirs):
+    # capped LSH -> exact cosine -> driver-looped CC rounds (lineage
+    # truncation changes plan shape round-to-round) — wall only
+    _smoke_query(
+        spark, "semantic_dedup_canonical", scaled_dirs,
+        check_exchanges=False,
+    )
+
+
+def test_exact_substr_rewrite_scales(spark, scaled_dirs):
+    # heavier than the dedup it wraps: the segment frame explodes ~2x
+    # (word segments + separators), then gaps-and-islands reassembly
+    _smoke_query(
+        spark, "exact_substr_rewrite", scaled_dirs, check_exchanges=True
+    )
+
+
+def test_cc_ingest_envelope_invariance_scales(spark, scaled_dirs):
+    # two full WARC ingests (plain + enveloped) joined for the hash
+    # equality — the narrow mapInPandas chains dominate
+    _smoke_query(
+        spark, "cc_ingest_envelope_invariance", scaled_dirs,
+        check_exchanges=True,
+    )
+
+
+def test_ccnet_line_dedup_scales(spark, scaled_dirs):
+    _smoke_query(
+        spark, "ccnet_line_dedup", scaled_dirs, check_exchanges=True
+    )
+
+
+def test_ccnet_lm_filter_scales(spark, scaled_dirs):
+    # per-language bigram LM + ntile bucketing; count tables are
+    # map-side-combined aggs, the ntile window sorts one row per doc
+    _smoke_query(
+        spark, "ccnet_lm_filter", scaled_dirs, check_exchanges=True
+    )
+
+
+def test_url_dedup_scales(spark, scaled_dirs):
+    _smoke_query(spark, "url_dedup", scaled_dirs, check_exchanges=True)
+
+
+def test_ccnet_line_dedup_blank_heavy(spark, scaled_dirs, tmp_path):
+    """The blank-line bypass is the 100-TB skew story: every blank line
+    normalizes to '' and would land in ONE shuffle partition. On a
+    corpus where half of all lines are blank, the bypass keeps the 10x
+    ratio in the same sub-quadratic band as the normal corpus — and the
+    counts prove the blanks never entered the dedup frame."""
+    from ohsome_planet_spark.operators.dedup import line_dedup
+    from ohsome_planet_spark.sources.testdata import load_table
+
+    paths = {}
+    for k, src in ((1, scaled_dirs[1]), (10, scaled_dirs[10])):
+        docs = load_table(spark, src, "documents").select(
+            "doc_id",
+            # every second line blank: text lines interleaved with ''
+            F.concat_ws(
+                "\n",
+                F.col("text"),
+                F.lit(""),
+                F.concat(F.lit("tail "), F.col("doc_id").cast("string")),
+                F.lit(""),
+            ).alias("text"),
+        )
+        p = str(tmp_path / f"blank{k}.parquet")
+        docs.write.mode("overwrite").parquet(p)
+        paths[k] = p
+
+    def mk(k):
+        inp = spark.read.parquet(paths[k])
+        return line_dedup(inp, "doc_id", "text")
+
+    t1, runs1 = _run_median(lambda: mk(1))
+    t10, runs10 = _run_median(lambda: mk(10))
+    ratio = t10 / max(t1, 0.05)
+    # structural assertion: blank lines bypass the dedup frame entirely
+    inp = spark.read.parquet(paths[1])
+    from ohsome_planet_spark.operators.dedup import line_dedup as _ld
+    out = _ld(inp, "doc_id", "text")
+    row = out.agg(
+        F.sum("n_lines").alias("nl"), F.sum("n_kept").alias("nk")
+    ).first()
+    # blanks (half the corpus lines) are always kept — never deduped
+    assert row.nk >= row.nl / 2
+    _record({"name": "ccnet_line_dedup_blank_heavy",
+             "wall_1x": round(t1, 2), "wall_10x": round(t10, 2),
+             "runs_1x": runs1, "runs_10x": runs10, "n_runs": N_RUNS,
+             "ratio": round(ratio, 2), "k": K})
+    assert ratio < 30.0, f"blank-heavy 10x cost {ratio:.1f}x"
+
+
 def test_streaming_dedup_scales(spark, scaled_dirs):
     # returned frame is a memory-sink table — plan comparison is
     # meaningless; the bound covers the micro-batch execution itself
