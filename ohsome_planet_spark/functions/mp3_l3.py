@@ -28,7 +28,11 @@ Scope and honesty
   :func:`encode_mp3_l3` exercise the full real decode path but are not
   bit-interoperable with external decoders until that swap.
 - Fenced (raise, never wrong): MPEG-2/2.5 LSF, mixed blocks,
-  intensity stereo, CRC-protected frames.
+  intensity stereo on SHORT blocks, CRC-protected frames. Long-block
+  intensity stereo (§2.4.3.4.9.3) is implemented: the right channel's
+  zero region sets the bound, its scalefactor slots carry is_pos,
+  ratios tan(is_pos·π/12), is_pos 7 falls back to MS/LR, and the MS
+  flag still governs the region below the bound.
 
 Everything downstream of the Huffman symbols follows the printed spec
 arithmetic exactly and is referee'd in tests/test_mp3_l3.py against
@@ -384,7 +388,7 @@ def _decode_huffman(r: _BitReader, g: _GranuleInfo, sr_idx: int,
     if r.pos > end_bit:
         raise Mp3FormatError("huffman data overruns part2_3_length")
     r.pos = end_bit  # stuffing bits
-    return xs
+    return xs, pos
 
 
 # --- requantize / reorder / stereo / alias ----------------------------------
@@ -471,6 +475,18 @@ def _alias_reduce(xr: list[float]) -> list[float]:
     return out
 
 
+# §2.4.3.4.9.3 intensity-stereo ratios for is_pos 0..6 (7 = illegal ->
+# no intensity; falls back to MS when the MS flag is also set). p = 6 is
+# the tan(pi/2) limit: all energy left.
+_IS_KL = [0.0] + [
+    math.tan(p * math.pi / 12) / (1.0 + math.tan(p * math.pi / 12))
+    for p in range(1, 6)
+] + [1.0]
+_IS_KR = [1.0] + [
+    1.0 / (1.0 + math.tan(p * math.pi / 12)) for p in range(1, 6)
+] + [0.0]
+
+
 # --- full decode -------------------------------------------------------------
 
 
@@ -497,8 +513,7 @@ def decode_mp3_subbands(payload: bytes):
         mode = (h >> 6) & 3
         mode_ext = (h >> 4) & 3
         ms = mode == 1 and bool(mode_ext & 2)
-        if mode == 1 and mode_ext & 1:
-            raise Mp3FormatError("intensity stereo not supported")
+        intensity = mode == 1 and bool(mode_ext & 1)
         if sr_idx is None:
             sr_idx = (h >> 10) & 3
             channels = ch
@@ -508,7 +523,7 @@ def decode_mp3_subbands(payload: bytes):
         side_len = 17 if ch == 1 else 32
         side = payload[pos + 4:pos + 4 + side_len]
         main = payload[pos + 4 + side_len:pos + fb]
-        frames.append((side, main, ms))
+        frames.append((side, main, ms, intensity))
         pos += fb
     if not frames:
         raise Mp3FormatError("no Layer III frames found")
@@ -517,7 +532,7 @@ def decode_mp3_subbands(payload: bytes):
     granules = []
     prev_tail = [[[0.0] * 18 for _ in range(32)] for _ in range(channels)]
     sqrt2 = math.sqrt(2.0)
-    for side, main, ms in frames:
+    for side, main, ms, intensity in frames:
         offset_before = len(pool)
         pool += main
         main_data_begin, scfsi, grs = _read_side_info(side, channels)
@@ -528,6 +543,8 @@ def decode_mp3_subbands(payload: bytes):
         prev_sf = [None] * channels
         for gr in range(2):
             xr_ch = []
+            sf_ch = []
+            rzero_ch = []
             for c in range(channels):
                 g = grs[gr][c]
                 part_start = r.pos
@@ -535,9 +552,47 @@ def decode_mp3_subbands(payload: bytes):
                 if not (g.window_switching and g.block_type == 2):
                     prev_sf[c] = sf
                 end_bit = part_start + g.part2_3_length
-                xs = _decode_huffman(r, g, sr_idx, end_bit)
+                xs, nlines = _decode_huffman(r, g, sr_idx, end_bit)
+                sf_ch.append(sf)
+                rzero_ch.append(nlines)
                 xr_ch.append(_requantize(xs, g, sf, sr_idx))
-            if ms and channels == 2:
+            if intensity and channels == 2:
+                # long-block intensity (§2.4.3.4.9.3): bands at/above the
+                # right channel's zero region carry a POSITION in the
+                # right channel's scalefactor slot; below it MS applies
+                # when the MS flag is also set. Short blocks stay fenced.
+                if any(
+                    grs[gr][cc].window_switching
+                    and grs[gr][cc].block_type == 2
+                    for cc in range(2)
+                ):
+                    raise Mp3FormatError(
+                        "intensity stereo with short blocks not supported"
+                    )
+                bands = SFB_LONG[sr_idx]
+                rz = rzero_ch[1]
+                bound_idx = next(
+                    ix for ix in range(23) if bands[ix] >= rz
+                )
+                bound_line = bands[bound_idx]
+                L, R = xr_ch
+                new_l, new_r = list(L), list(R)
+                if ms:
+                    for i in range(bound_line):
+                        new_l[i] = (L[i] + R[i]) / sqrt2
+                        new_r[i] = (L[i] - R[i]) / sqrt2
+                for sfb in range(bound_idx, 22):
+                    is_pos = sf_ch[1][sfb] if sfb < 21 else 7
+                    for i in range(bands[sfb], bands[sfb + 1]):
+                        if is_pos == 7:
+                            if ms:
+                                new_l[i] = (L[i] + R[i]) / sqrt2
+                                new_r[i] = (L[i] - R[i]) / sqrt2
+                        else:
+                            new_l[i] = L[i] * _IS_KL[is_pos]
+                            new_r[i] = L[i] * _IS_KR[is_pos]
+                xr_ch = [new_l, new_r]
+            elif ms and channels == 2:
                 mid, side_x = xr_ch
                 xr_ch = [
                     [(m + s) / sqrt2 for m, s in zip(mid, side_x)],
@@ -683,6 +738,7 @@ def encode_mp3_l3(
     channels: int = 1,
     n_frames: int = 1,
     ms_stereo: bool = False,
+    intensity: bool = False,
     scfsi_fn=None,
 ) -> bytes:
     """Emit genuine MPEG-1 Layer III frames (fixture encoder).
@@ -697,8 +753,9 @@ def encode_mp3_l3(
 
     rate = _RATES[3][sr_idx]
     bitrate = _BITRATES[(0, 2)][br_idx] * 1000  # MPEG-1 LAYER III table
-    mode = 3 if channels == 1 else (1 if ms_stereo else 0)
-    mode_ext = 2 if ms_stereo else 0
+    joint = ms_stereo or intensity
+    mode = 3 if channels == 1 else (1 if joint else 0)
+    mode_ext = (2 if ms_stereo else 0) | (1 if intensity else 0)
     h = ((0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
          | (br_idx << 12) | (sr_idx << 10) | (mode << 6) | (mode_ext << 4))
     fb = 144 * bitrate // rate

@@ -14719,6 +14719,349 @@ def multimodal_mp3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _l3_intensity_granule(d: int, f: int, gr: int, c: int, sr: int) -> dict:
+    """Intensity-row grid: all long blocks, stereo. The LEFT channel is a
+    normal granule; the RIGHT channel's lines stop exactly at band
+    boundary ``bound_sfb = 8 + d%6`` (its zero region starts there) and
+    its scalefactor slots carry is_pos = (d + sfb + gr) % 8 — value 7
+    exercises the illegal-position MS/LR fallback."""
+    from ..functions.mp3_l3 import SFB_LONG, SLEN
+
+    bands = SFB_LONG[sr]
+    if c == 0:
+        sc = (d + gr) % 16
+        slen1, slen2 = SLEN[sc]
+        tsel = list(_L3_TSETS[(d + gr) % 6])
+        npairs = 12 + ((d + gr) * 7) % 40
+        nquads = (d + gr) % 6
+        r0e, r1e = bands[8], bands[14]
+        lines = []
+        for i in range(2 * npairs):
+            region = 0 if i < r0e else (1 if i < r1e else 2)
+            vmax = _L3_VMAX[tsel[region]] if tsel[region] else 0
+            m = (d + 11 * i + 3 * gr + f) % (vmax + 1)
+            lines.append(-m if (d + i + gr) % 2 == 1 else m)
+        return {
+            "block_type": 0,
+            "global_gain": 200 + (d + 3 * f + 5 * gr) % 16,
+            "scalefac_compress": sc,
+            "preflag": (d + gr) % 2,
+            "scalefac_scale": d % 2,
+            "subblock_gain": [0, 0, 0],
+            "table_select": tsel,
+            "count1table_select": (d + gr) % 2,
+            "lines": lines,
+            "quads": [
+                tuple(((d + 5 * i + j + gr) % 3) - 1 for j in range(4))
+                for i in range(nquads)
+            ],
+            "sf": [
+                (d + 3 * sfb + gr)
+                % (1 << (slen1 if sfb < 11 else slen2))
+                for sfb in range(21)
+            ],
+        }
+    bound_sfb = 8 + d % 6
+    npairs = bands[bound_sfb] // 2
+    tsel = list(_L3_TSETS[(d + gr + 3) % 6])
+    r0e, r1e = bands[8], bands[14]
+    lines = []
+    for i in range(2 * npairs):
+        region = 0 if i < r0e else (1 if i < r1e else 2)
+        vmax = _L3_VMAX[tsel[region]] if tsel[region] else 0
+        m = (d + 7 * i + 3 * gr + f + 1) % (vmax + 1)
+        lines.append(-m if (d + i + gr + 1) % 2 == 1 else m)
+    return {
+        "block_type": 0,
+        "global_gain": 200 + (d + 3 * f + 5 * gr + 7) % 16,
+        # (3, 3) slens: every is_pos 0..7 fits the scalefactor slots
+        "scalefac_compress": 13,
+        "preflag": 0,
+        "scalefac_scale": (d + 1) % 2,
+        "subblock_gain": [0, 0, 0],
+        "table_select": tsel,
+        "count1table_select": 0,
+        "lines": lines,
+        "quads": [],
+        "sf": [(d + sfb + gr) % 8 for sfb in range(21)],
+    }
+
+
+def _mp3_intensity_oracle() -> str:
+    """Relational DuckDB replay of the intensity-stereo Layer III grid:
+    both channels requantized (the right channel's scalefactors act as
+    REAL scalefactors below its zero bound and as is_pos ABOVE it),
+    then per line: MS below the bound when the MS flag is set, the
+    tan(is_pos·π/12) energy split at/above it, is_pos 7 falling back to
+    MS/LR — then the shared alias/IMDCT/overlap/inversion tail."""
+    import math as _math
+
+    from ..functions.mp3_l3 import (
+        ALIAS_CA,
+        ALIAS_CS,
+        PRETAB,
+        SFB_LONG,
+        SLEN,
+        imdct_matrix,
+    )
+
+    def lit(xs):
+        return "[" + ",".join(
+            repr(x) if isinstance(x, float) else str(x) for x in xs
+        ) + "]"
+
+    def lit2(xss):
+        return "[" + ",".join(lit(xs) for xs in xss) + "]"
+
+    def sfb_of(bands, n):
+        out = []
+        for sfb in range(len(bands) - 1):
+            out += [sfb] * (bands[sfb + 1] - bands[sfb])
+        assert len(out) == n
+        return out
+
+    sfl = lit2([sfb_of(SFB_LONG[sr], 576) for sr in range(3)])
+    m0 = lit2(imdct_matrix(0))
+    cs, ca = lit(ALIAS_CS), lit(ALIAS_CA)
+    pre = lit(PRETAB)
+    slen1 = lit([s[0] for s in SLEN])
+    slen2 = lit([s[1] for s in SLEN])
+    tset_v = lit2([[_L3_VMAX.get(t, 0) for t in ts] for ts in _L3_TSETS])
+    r1e_long = lit([SFB_LONG[sr][14] for sr in range(3)])
+    bounds = lit2([[SFB_LONG[sr][8 + rem] for rem in range(6)]
+                   for sr in range(3)])
+    tan = [_math.tan(p * _math.pi / 12) for p in range(6)]
+    kl = lit([t / (1 + t) for t in tan] + [1.0])
+    kr = lit([1 / (1 + t) for t in tan] + [0.0])
+
+    return f"""
+    WITH params AS (
+      SELECT doc_id AS d,
+             CAST(doc_id % 3 AS INT) AS sr,
+             CAST(1 + (doc_id // 2) % 2 AS INT) AS nf,
+             (doc_id % 2 = 0) AS ms
+      FROM documents WHERE doc_id < 120
+    ), base AS (
+      SELECT d, sr, nf, ms, g, g // 2 AS f, g % 2 AS gr, c,
+             ({bounds})[sr + 1][CAST(d % 6 AS INT) + 1] AS bound_line,
+             CASE WHEN c = 0
+                  THEN 200 + (d + 3 * (g // 2) + 5 * (g % 2)) % 16
+                  ELSE 200 + (d + 3 * (g // 2) + 5 * (g % 2) + 7) % 16
+             END AS gg,
+             CASE WHEN c = 0 THEN CAST((d + g % 2) % 16 AS INT)
+                  ELSE 13 END AS sc,
+             CASE WHEN c = 0 THEN d % 2 ELSE (d + 1) % 2 END AS sfs_flag,
+             CASE WHEN c = 0 THEN (d + g % 2) % 2 ELSE 0 END AS preflag,
+             CASE WHEN c = 0 THEN 12 + ((d + g % 2) * 7) % 40
+                  ELSE ({bounds})[sr + 1][CAST(d % 6 AS INT) + 1] // 2
+             END AS npairs,
+             CASE WHEN c = 0 THEN (d + g % 2) % 6 ELSE 0 END AS nquads,
+             CASE WHEN c = 0 THEN CAST((d + g % 2) % 6 AS INT)
+                  ELSE CAST((d + g % 2 + 3) % 6 AS INT) END AS tset
+      FROM params,
+           UNNEST(range(0, 2 * nf)) AS tg(g),
+           UNNEST(range(0, 2)) AS tc(c)
+    ), symv AS (
+      SELECT b.*, i,
+        CASE
+          WHEN i < 2 * npairs THEN
+            (CASE WHEN (d + i + gr + c) % 2 = 1 THEN -1 ELSE 1 END)
+            * ((d + (CASE WHEN c = 0 THEN 11 ELSE 7 END) * i
+                + 3 * gr + (CASE WHEN c = 0 THEN f ELSE f + 1 END))
+               % (({tset_v})[tset + 1][
+                    CASE WHEN i < 36 THEN 1
+                         WHEN i < ({r1e_long})[sr + 1] THEN 2
+                         ELSE 3 END] + 1))
+          WHEN c = 0 AND i < 2 * npairs + 4 * nquads THEN
+            ((d + 5 * ((i - 2 * npairs) // 4)
+              + ((i - 2 * npairs) % 4) + gr) % 3) - 1
+          ELSE 0 END AS isv
+      FROM base b, UNNEST(range(0, 576)) AS ti(i)
+    ), xr0 AS (
+      SELECT d, sr, nf, ms, g, gr, c, i, bound_line,
+        CASE WHEN isv = 0 THEN 0.0 ELSE
+          (CASE WHEN isv < 0 THEN -1.0 ELSE 1.0 END)
+          * pow(abs(CAST(isv AS DOUBLE)), 4.0 / 3.0)
+          * pow(2.0,
+              0.25 * (gg - 210)
+              - 0.5 * (1 + sfs_flag) * (
+                  CASE WHEN ({sfl})[sr + 1][CAST(i AS INT) + 1] < 21
+                  THEN (CASE WHEN c = 0
+                        THEN (d + 3 * ({sfl})[sr + 1][CAST(i AS INT) + 1]
+                              + gr)
+                             % (1 << (CASE WHEN ({sfl})[sr + 1]
+                                           [CAST(i AS INT) + 1] < 11
+                                      THEN ({slen1})[sc + 1]
+                                      ELSE ({slen2})[sc + 1] END))
+                        ELSE (d + ({sfl})[sr + 1][CAST(i AS INT) + 1]
+                              + gr) % 8 END)
+                       + preflag * ({pre})[({sfl})[sr + 1]
+                                           [CAST(i AS INT) + 1] + 1]
+                  ELSE 0 END))
+        END AS xr
+      FROM symv
+    ), st AS (
+      SELECT a.d, a.sr, a.nf, a.g, a.i, cc.c,
+        CASE
+          WHEN a.i >= a.bound_line THEN
+            CASE WHEN (CASE WHEN ({sfl})[a.sr + 1]
+                                 [CAST(a.i AS INT) + 1] < 21
+                       THEN (a.d + ({sfl})[a.sr + 1]
+                                   [CAST(a.i AS INT) + 1] + a.gr) % 8
+                       ELSE 7 END) = 7
+            THEN CASE WHEN a.ms
+                 THEN CASE WHEN cc.c = 0
+                      THEN (a.xr + b.xr) / sqrt(2.0)
+                      ELSE (a.xr - b.xr) / sqrt(2.0) END
+                 ELSE CASE WHEN cc.c = 0 THEN a.xr ELSE b.xr END END
+            ELSE a.xr * (CASE WHEN cc.c = 0
+                 THEN ({kl})[(CASE WHEN ({sfl})[a.sr + 1]
+                                        [CAST(a.i AS INT) + 1] < 21
+                              THEN (a.d + ({sfl})[a.sr + 1]
+                                    [CAST(a.i AS INT) + 1] + a.gr) % 8
+                              ELSE 7 END) + 1]
+                 ELSE ({kr})[(CASE WHEN ({sfl})[a.sr + 1]
+                                        [CAST(a.i AS INT) + 1] < 21
+                              THEN (a.d + ({sfl})[a.sr + 1]
+                                    [CAST(a.i AS INT) + 1] + a.gr) % 8
+                              ELSE 7 END) + 1] END)
+          END
+          WHEN a.ms THEN
+            CASE WHEN cc.c = 0 THEN (a.xr + b.xr) / sqrt(2.0)
+                 ELSE (a.xr - b.xr) / sqrt(2.0) END
+          ELSE CASE WHEN cc.c = 0 THEN a.xr ELSE b.xr END
+        END AS xr
+      FROM xr0 a
+      JOIN xr0 b ON a.d = b.d AND a.g = b.g AND a.i = b.i
+                AND a.c = 0 AND b.c = 1,
+           UNNEST(range(0, 2)) AS cc(c)
+    ), aax AS (
+      SELECT x.d, x.sr, x.nf, x.g, x.c, x.i,
+        CASE
+          WHEN (x.i % 18) >= 10 AND (x.i // 18) < 31 THEN
+            x.xr * ({cs})[18 - CAST(x.i % 18 AS INT)]
+            - hi.xr * ({ca})[18 - CAST(x.i % 18 AS INT)]
+          WHEN (x.i % 18) <= 7 AND (x.i // 18) > 0 THEN
+            x.xr * ({cs})[CAST(x.i % 18 AS INT) + 1]
+            + lo.xr * ({ca})[CAST(x.i % 18 AS INT) + 1]
+          ELSE x.xr END AS aa
+      FROM st x
+      LEFT JOIN st hi
+        ON hi.d = x.d AND hi.g = x.g AND hi.c = x.c
+       AND hi.i = x.i + 2 * (17 - (x.i % 18)) + 1
+      LEFT JOIN st lo
+        ON lo.d = x.d AND lo.g = x.g AND lo.c = x.c
+       AND lo.i = x.i - (2 * (x.i % 18) + 1)
+    ), mmt AS (
+      SELECT n, k,
+             ({m0})[CAST(n AS INT) + 1][CAST(k AS INT) + 1] AS m
+      FROM UNNEST(range(0, 36)) AS tn(n), UNNEST(range(0, 18)) AS tk(k)
+    ), hyb AS (
+      SELECT a.d, a.sr, a.nf, a.g, a.c, a.i // 18 AS sb, t.n,
+             sum(t.m * a.aa) AS raw
+      FROM aax a JOIN mmt t ON t.k = a.i % 18
+      GROUP BY 1, 2, 3, 4, 5, 6, 7
+    ), ov AS (
+      SELECT h.d, h.sr, h.nf, h.g, h.c, h.sb, h.n,
+             h.raw + coalesce(p.raw, 0.0) AS s
+      FROM hyb h LEFT JOIN hyb p
+        ON p.d = h.d AND p.c = h.c AND p.sb = h.sb
+       AND p.n = h.n + 18 AND p.g = h.g - 1
+      WHERE h.n < 18
+    ), vals AS (
+      SELECT d, sr, nf, g, c, sb, n,
+             CASE WHEN sb % 2 = 1 AND n % 2 = 1 THEN -s ELSE s END AS v
+      FROM ov
+    )
+    SELECT d AS doc_id,
+           CAST(CASE max(sr) WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS INT) AS sample_rate,
+           CAST(2 AS INT) AS channels,
+           CAST(2 * max(nf) AS INT) AS n_granules,
+           round(sum(v), 6) AS sample_sum,
+           round(sum(v * (((g * 2 + c) * 32 + sb) * 18 + n + 1)), 6)
+             AS weighted_sum
+    FROM vals GROUP BY d ORDER BY d
+    """
+
+
+@_register("multimodal_mp3_intensity_decode", _mp3_intensity_oracle())
+def multimodal_mp3_intensity_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Layer III INTENSITY stereo decode (§2.4.3.4.9.3), the MP2 joint
+    row's Layer III counterpart: every doc is a stereo long-block stream
+    where the right channel's genuine lines stop exactly at a per-doc
+    band boundary (bound_sfb = 8 + d%6) and its scalefactor slots above
+    carry is_pos ∈ 0..7 — 7 exercising the illegal-position MS/LR
+    fallback; half the docs also set the MS flag (mode_ext = 3), so the
+    region below the bound processes as MS while the region above takes
+    the tan(is_pos·π/12) energy split. The oracle replays both
+    channels' requantization (the SAME right-channel scalefactor field
+    acting as a real scalefactor below the bound and as a position
+    above it), the per-line stereo decision, and the shared
+    alias/IMDCT/overlap/inversion tail."""
+    docs = (
+        fan_out(_t(spark, sf_dir, "documents"))
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mp3_l3 import decode_mp3_subbands, encode_mp3_l3
+
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("sample_rate", "channels", "n_granules", "sample_sum",
+                     "weighted_sum")}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                sr = d % 3
+
+                def granule_fn(f, gr, c, d=d, sr=sr):
+                    return _l3_intensity_granule(d, f, gr, c, sr)
+
+                payload = encode_mp3_l3(
+                    granule_fn,
+                    sr_idx=sr,
+                    br_idx=14,
+                    channels=2,
+                    n_frames=1 + (d // 2) % 2,
+                    ms_stereo=d % 2 == 0,
+                    intensity=True,
+                )
+                rate, ch, ng, grans = decode_mp3_subbands(payload)
+                ss = ws = 0.0
+                for g, chans_out in enumerate(grans):
+                    for c, sbs in enumerate(chans_out):
+                        for sb, vals in enumerate(sbs):
+                            for n, v in enumerate(vals):
+                                ss += v
+                                ws += v * (
+                                    ((g * ch + c) * 32 + sb) * 18 + n + 1
+                                )
+                cols["sample_rate"].append(rate)
+                cols["channels"].append(ch)
+                cols["n_granules"].append(ng)
+                cols["sample_sum"].append(round(ss, 6))
+                cols["weighted_sum"].append(round(ws, 6))
+            out = pdf[["doc_id"]].copy()
+            for k in ("sample_rate", "channels", "n_granules"):
+                out[k] = pd.array(cols[k], dtype="Int32")
+            for k in ("sample_sum", "weighted_sum"):
+                out[k] = pd.array(cols[k], dtype="float64")
+            yield out
+
+    return (
+        docs.mapInPandas(
+            run,
+            "doc_id bigint, sample_rate int, channels int,"
+            " n_granules int, sample_sum double, weighted_sum double",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

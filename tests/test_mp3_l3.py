@@ -494,3 +494,128 @@ def test_fences():
     p[4] = 0x01  # main_data_begin high bit of the 9-bit field
     with pytest.raises(Mp3FormatError):
         decode_mp3_subbands(bytes(p))
+
+
+# --- long-block intensity stereo (§2.4.3.4.9.3) ------------------------------
+
+
+def _intensity_pair(is_pos, ms=False, right_sf_value=None):
+    """Stereo stream: left carries an impulse, right is all-zero (bound
+    = 0 -> every band intensity); right's scalefactor slots carry
+    ``is_pos``. Returns (intensity decode, plain-stereo decode) of the
+    same left-channel content."""
+    sfv = is_pos if right_sf_value is None else right_sf_value
+
+    def granule_fn(f, gr, c):
+        if c == 0:
+            return dict(
+                block_type=0, global_gain=210, scalefac_compress=0,
+                preflag=0, scalefac_scale=0, subblock_gain=[0, 0, 0],
+                region0_count=8, region1_count=5,
+                table_select=[5, 0, 0], count1table_select=0,
+                lines=[0] * 40 + [3, 0], quads=[], sf=[0] * 21,
+            )
+        return dict(
+            block_type=0, global_gain=210, scalefac_compress=13,
+            preflag=0, scalefac_scale=0, subblock_gain=[0, 0, 0],
+            table_select=[0, 0, 0], count1table_select=0,
+            lines=[], quads=[], sf=[sfv] * 21,
+        )
+
+    kw = dict(sr_idx=0, br_idx=14, channels=2, n_frames=1)
+    got_i = decode_mp3_subbands(
+        encode_mp3_l3(granule_fn, intensity=True, ms_stereo=ms, **kw))
+    got_p = decode_mp3_subbands(encode_mp3_l3(granule_fn, **kw))
+    return got_i, got_p
+
+
+@pytest.mark.parametrize("is_pos", range(7))
+def test_intensity_ratio_scales_both_channels(is_pos):
+    """Everything after the stereo stage is linear per channel, so the
+    intensity decode must equal the plain decode's LEFT channel scaled
+    by tan-ratio kl on the left and kr on the right — for every legal
+    is_pos including the p=6 all-left limit."""
+    (_, _, _, gi), (_, _, _, gp) = _intensity_pair(is_pos)
+    t = math.tan(is_pos * math.pi / 12)
+    kl, kr = (1.0, 0.0) if is_pos == 6 else (t / (1 + t), 1 / (1 + t))
+    for g in range(2):
+        for sb in range(32):
+            base = np.array(gp[g][0][sb])
+            np.testing.assert_allclose(gi[g][0][sb], base * kl, atol=1e-12)
+            np.testing.assert_allclose(gi[g][1][sb], base * kr, atol=1e-12)
+
+
+def test_intensity_illegal_position_falls_back():
+    # is_pos 7, no MS flag: left/right pass through untouched
+    (_, _, _, gi), (_, _, _, gp) = _intensity_pair(7)
+    for g in range(2):
+        for sb in range(32):
+            np.testing.assert_allclose(gi[g][0][sb], gp[g][0][sb], atol=0)
+            np.testing.assert_allclose(gi[g][1][sb], gp[g][1][sb], atol=0)
+    # is_pos 7 WITH the MS flag: the illegal band processes as MS
+    (_, _, _, gm), _ = _intensity_pair(7, ms=True)
+    for g in range(2):
+        for sb in range(32):
+            base = np.array(gp[g][0][sb])  # right channel is silent
+            np.testing.assert_allclose(
+                gm[g][0][sb], base / math.sqrt(2), atol=1e-12)
+            np.testing.assert_allclose(
+                gm[g][1][sb], base / math.sqrt(2), atol=1e-12)
+
+
+def test_intensity_bound_splits_ms_and_intensity_regions():
+    """mode_ext = 3: below the right channel's zero bound MS applies, at
+    and above it intensity does. Right channel carries genuine lines up
+    to band boundary 36 (bound_sfb = 8), sf slots above carry is_pos 3."""
+    def granule_fn(f, gr, c):
+        if c == 0:
+            return dict(
+                block_type=0, global_gain=210, scalefac_compress=0,
+                preflag=0, scalefac_scale=0, subblock_gain=[0, 0, 0],
+                table_select=[5, 5, 0], count1table_select=0,
+                # impulses below (line 4) and above (line 100) the bound
+                lines=[0, 0, 0, 0, 2, 0] + [0] * 30
+                + [0] * 64 + [3, 0], quads=[], sf=[0] * 21,
+            )
+        return dict(
+            block_type=0, global_gain=210, scalefac_compress=13,
+            preflag=0, scalefac_scale=0, subblock_gain=[0, 0, 0],
+            table_select=[5, 5, 0], count1table_select=0,
+            # 18 pairs = 36 lines -> rzero = 36 = bands[8]
+            lines=[1 if i == 4 else 0 for i in range(36)],
+            quads=[], sf=[3] * 21,
+        )
+
+    kw = dict(sr_idx=0, br_idx=14, channels=2, n_frames=1)
+    got = decode_mp3_subbands(
+        encode_mp3_l3(granule_fn, intensity=True, ms_stereo=True, **kw))
+    plain = decode_mp3_subbands(encode_mp3_l3(granule_fn, **kw))
+    t = math.tan(3 * math.pi / 12)
+    kl, kr = t / (1 + t), 1 / (1 + t)
+    # subband 5+ carry only the line-100 impulse (sb 5): intensity
+    base5 = np.array(plain[3][0][0][5])
+    np.testing.assert_allclose(got[3][0][0][5], base5 * kl, atol=1e-12)
+    np.testing.assert_allclose(got[3][0][1][5], base5 * kr, atol=1e-12)
+    # subband 0 carries the below-bound impulses of BOTH channels: MS
+    l0 = np.array(plain[3][0][0][0])
+    r0 = np.array(plain[3][0][1][0])
+    np.testing.assert_allclose(
+        got[3][0][0][0], (l0 + r0) / math.sqrt(2), atol=1e-12)
+    np.testing.assert_allclose(
+        got[3][0][1][0], (l0 - r0) / math.sqrt(2), atol=1e-12)
+
+
+def test_intensity_short_blocks_fenced():
+    def granule_fn(f, gr, c):
+        return dict(
+            block_type=2, global_gain=210, scalefac_compress=13,
+            preflag=0, scalefac_scale=0, subblock_gain=[0, 0, 0],
+            table_select=[1, 1, 0], count1table_select=0,
+            lines=[], quads=[],
+            sf=[[0] * 3 for _ in range(12)],
+        )
+
+    p = encode_mp3_l3(granule_fn, sr_idx=0, channels=2, n_frames=1,
+                      intensity=True)
+    with pytest.raises(Mp3FormatError, match="short"):
+        decode_mp3_subbands(p)
