@@ -1,0 +1,2604 @@
+"""Slice 4/6 of the former plans/queries.py (round-11 verdict
+item 7: mechanical, zero-semantic split by CONTIGUOUS line range,
+so definition order — and therefore import-time oracle
+construction — is preserved exactly). Families in this slice:
+retrieval (BM25/RRF/chunking/hard negatives), sketches (HLL/CMS/KMV), funnels, PageRank, sampling, DSIR, bigram LM.
+
+Each slice star-imports its predecessor (cumulative namespace
+chain), so cross-slice helper references resolve identically to
+the original single file; ``plans/queries.py`` re-exports the
+final namespace."""
+
+from __future__ import annotations
+
+from ._q03 import *  # noqa: F401,F403
+
+def _semantic_dedup_oracle(threshold: float = 0.3) -> str:
+    cos = (
+        "round(list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    dist = (
+        "round(list_sum(list_transform(range(1, 65), "
+        "i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))), 6)"
+    )
+    return _kmeans_cte_chain(every=64, iters=2) + f"""
+    , d3 AS (
+      SELECT v.vec_id, c.cid, {dist} AS d FROM v, c2 c
+    ), a3 AS (
+      SELECT d.vec_id, min(d.cid) AS cid
+      FROM d3 d
+        JOIN (SELECT vec_id, min(d) AS md FROM d3 GROUP BY vec_id) m
+          ON m.vec_id = d.vec_id AND d.d = m.md
+      GROUP BY d.vec_id
+    ), dup AS (
+      SELECT DISTINCT a.vec_id
+      FROM a3 a JOIN a3 b ON a.cid = b.cid AND b.vec_id < a.vec_id
+        JOIN v x ON x.vec_id = a.vec_id
+        JOIN v y ON y.vec_id = b.vec_id
+      WHERE {cos} >= {threshold!r}
+    )
+    SELECT a3.vec_id, a3.cid, (dup.vec_id IS NULL) AS kept
+    FROM a3 LEFT JOIN dup ON dup.vec_id = a3.vec_id
+    ORDER BY a3.vec_id
+    """
+
+
+@_register("semantic_dedup", _semantic_dedup_oracle())
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: k-means cluster the
+    embedding space (2 reproducible Lloyd rounds), then inside each
+    cluster drop any vector that has a lower-id neighbor with cosine ≥
+    0.3 — the keep-one-per-near-duplicate-set rule, but the candidate
+    pairs are confined to a cluster instead of all-pairs. Scale shape:
+    assignment is a broadcast E-step (one row per vector shuffles), the
+    pair join is an equi-join on the cluster id — the coarse quantizer
+    caps the pair blowup exactly like the IVF list join."""
+    from ..operators.similarity import assign_nearest, cosine_expr
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    cents = _trained_centroids_table(spark, sf_dir)
+    # the E-step output feeds both pair-join sides and the final keep list;
+    # persist it once (any real SemDeDup run materializes assignments)
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import register_cached
+
+    assigned = register_cached(
+        assign_nearest(emb, cents).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    a = assigned.select(
+        F.col("vec_id"), F.col("cid"), F.col("embedding").alias("_va")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("_vb_id"), F.col("cid"), F.col("embedding").alias("_vb")
+    )
+    cos = F.round(
+        cosine_expr(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")),
+        6,
+    )
+    dup_ids = (
+        a.join(b, "cid")
+        .filter(F.col("_vb_id") < F.col("vec_id"))
+        .filter(cos >= 0.3)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        assigned.select("vec_id", "cid")
+        .join(dup_ids, "vec_id", "left")
+        .select("vec_id", "cid", F.col("_dup").isNull().alias("kept"))
+        .orderBy("vec_id")
+    )
+
+
+@_register(
+    "tagged_history_filter",
+    """
+    WITH h AS (
+      SELECT user_id AS osm_id, ts, event_id,
+             CASE WHEN event_type = 'error' AND value > 90 THEN event_type
+                  ELSE NULL END AS tagv
+      FROM events
+    ), keep AS (
+      SELECT osm_id FROM h GROUP BY osm_id HAVING count(tagv) > 0
+    )
+    SELECT h.osm_id,
+           CAST(count(*) AS BIGINT)    AS n_versions,
+           CAST(count(tagv) AS BIGINT) AS n_tagged
+    FROM h JOIN keep USING (osm_id)
+    GROUP BY h.osm_id ORDER BY h.osm_id
+    """,
+)
+def tagged_history_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (hasNoTags OSH filter) as an oracle-checked query: histories
+    where EVERY version is untagged are dropped whole; any single tagged
+    version keeps the full history (``util/Utils.java:21-23``). The
+    window-max formulation shares the (osm_id) partitioning with the
+    synthesis windows — no self-join, no extra shuffle."""
+    from ..operators.contributions import filter_tagged_histories
+
+    ev = _t(spark, sf_dir, "events")
+    # 'tagged' is rare (≈10% of users have none), so the drop path really
+    # triggers — an always-true predicate would never exercise the filter
+    hist = ev.select(
+        F.col("user_id").alias("osm_id"),
+        "ts",
+        "event_id",
+        F.when(
+            (F.col("event_type") == "error") & (F.col("value") > 90),
+            F.create_map(F.lit("t"), F.col("event_type")),
+        )
+        .otherwise(F.create_map().cast("map<string,string>"))
+        .alias("tags"),
+    )
+    kept = filter_tagged_histories(hist)
+    return (
+        kept.groupBy("osm_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum((F.size("tags") > 0).cast("bigint")).alias("n_tagged"),
+        )
+        .orderBy("osm_id")
+    )
+
+
+@_register(
+    "relation_tag_key_filter",
+    """
+    WITH h AS (
+      SELECT user_id AS osm_id, event_id,
+             (event_type = 'purchase' AND value > 95)
+               OR (event_type = 'error' AND value > 99) AS haskey
+      FROM events
+    ), keep AS (
+      SELECT osm_id FROM h GROUP BY osm_id
+      HAVING max(CAST(haskey AS INT)) > 0
+    )
+    SELECT h.osm_id,
+           CAST(count(*) AS BIGINT)                  AS n_versions,
+           CAST(sum(CAST(haskey AS INT)) AS BIGINT)  AS n_keyed
+    FROM h JOIN keep USING (osm_id)
+    GROUP BY h.osm_id ORDER BY h.osm_id
+    """,
+)
+def relation_tag_key_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (``--filter-relation-tag-keys``) as an oracle-checked query: a
+    relation history survives only if ANY version carries ANY of the
+    listed tag keys (``util/Utils.java:25-32``). Tag maps here carry a
+    'type' or 'boundary' key on rare versions so the drop path triggers;
+    the filter is the same window-max shape as F1 (no self-join)."""
+    from ..operators.contributions import filter_relation_tag_keys
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.col("user_id").alias("osm_id"),
+        "event_id",
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 95),
+            F.create_map(F.lit("type"), F.lit("route")),
+        )
+        .when(
+            (F.col("event_type") == "error") & (F.col("value") > 99),
+            F.create_map(F.lit("boundary"), F.lit("administrative")),
+        )
+        .otherwise(F.create_map(F.lit("other"), F.col("event_type")))
+        .alias("tags"),
+    )
+    kept = filter_relation_tag_keys(hist, ["type", "boundary"])
+    has_key = F.exists(
+        F.map_keys("tags"), lambda k: k.isin("type", "boundary")
+    )
+    return (
+        kept.groupBy("osm_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(has_key.cast("bigint")).alias("n_keyed"),
+        )
+        .orderBy("osm_id")
+    )
+
+
+_OHSOME_FILTER = (
+    "(building=* or highway in (residential, primary))"
+    " and not oneway=yes and geometry:polygon and area:(10..5000)"
+    " or type:node and highway=*"
+)
+
+
+@_register(
+    "ohsome_filter_query",
+    """
+    WITH f AS (
+      SELECT event_id AS osm_id,
+             CASE event_id % 3 WHEN 0 THEN 'node' WHEN 1 THEN 'way'
+                  ELSE 'relation' END AS osm_type,
+             CASE WHEN event_id % 5 < 2 THEN
+               CASE event_id % 4 WHEN 0 THEN 'residential'
+                    WHEN 1 THEN 'primary' WHEN 2 THEN 'service'
+                    ELSE 'track' END END AS hw,
+             CASE WHEN event_id % 7 = 0 THEN
+               CASE WHEN event_id % 14 = 0 THEN 'residential'
+                    ELSE 'yes' END END AS bld,
+             CASE WHEN event_id % 11 = 0 THEN 'yes' END AS ow,
+             CASE WHEN event_id % 3 = 0 THEN 'Point'
+                  WHEN event_id % 3 = 1 THEN
+                    CASE WHEN event_id % 2 = 0 THEN 'LineString'
+                         ELSE 'Polygon' END
+                  ELSE
+                    CASE WHEN event_id % 2 = 0 THEN 'MultiPolygon'
+                         ELSE 'GeometryCollection' END
+             END AS geometry_type,
+             round(value * 100, 3) AS area
+      FROM events
+    )
+    SELECT osm_id, osm_type, geometry_type, area
+    FROM f
+    WHERE (bld IS NOT NULL OR hw IN ('residential', 'primary'))
+      AND NOT coalesce(ow = 'yes', false)
+      AND geometry_type IN ('Polygon', 'MultiPolygon')
+      AND area BETWEEN 10 AND 5000
+       OR osm_type = 'node' AND hw IS NOT NULL
+    ORDER BY osm_id
+    """,
+)
+def ohsome_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The public ohsome filter DSL end-to-end: a composite filter string
+    (tag wildcard/in-list, null-safe not, geometry class, area range,
+    type meta-filter, and/or precedence) is PARSED AND COMPILED by
+    ``functions/ohsome_filter.py`` into one native Catalyst predicate,
+    then run over an OSM-feature-shaped frame derived deterministically
+    from events. The oracle hand-translates the same predicate to SQL —
+    so it checks the parser+compiler, not just Spark's filter operator.
+    This is the query language the reference's output tables are consumed
+    with downstream (docs.ohsome.org filter parameter); the reference
+    itself ships no evaluator. Whole plan is JVM-side (plan-hygiene test
+    covers the registry): the DSL adds zero Python seams."""
+    from ..functions.ohsome_filter import compile_filter
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    hw = F.when(
+        eid % 5 < 2,
+        F.element_at(
+            F.array(
+                F.lit("residential"), F.lit("primary"),
+                F.lit("service"), F.lit("track"),
+            ),
+            (eid % 4 + 1).cast("int"),
+        ),
+    )
+    bld = F.when(
+        eid % 7 == 0, F.when(eid % 14 == 0, "residential").otherwise("yes")
+    )
+    ow = F.when(eid % 11 == 0, "yes")
+    feats = ev.select(
+        eid.alias("osm_id"),
+        F.when(eid % 3 == 0, "node")
+        .when(eid % 3 == 1, "way")
+        .otherwise("relation")
+        .alias("osm_type"),
+        F.map_from_entries(
+            F.filter(
+                F.array(
+                    F.struct(F.lit("highway").alias("key"), hw.alias("value")),
+                    F.struct(F.lit("building").alias("key"), bld.alias("value")),
+                    F.struct(F.lit("oneway").alias("key"), ow.alias("value")),
+                ),
+                lambda e: e["value"].isNotNull(),
+            )
+        ).alias("tags"),
+        F.when(eid % 3 == 0, "Point")
+        .when(
+            eid % 3 == 1,
+            F.when(eid % 2 == 0, "LineString").otherwise("Polygon"),
+        )
+        .otherwise(
+            F.when(eid % 2 == 0, "MultiPolygon").otherwise(
+                "GeometryCollection"
+            )
+        )
+        .alias("geometry_type"),
+        F.round(F.col("value") * 100, 3).alias("area"),
+    )
+    return (
+        feats.filter(compile_filter(_OHSOME_FILTER))
+        .select("osm_id", "osm_type", "geometry_type", "area")
+        .orderBy("osm_id")
+    )
+
+
+def _dataset_bbox_oracle() -> str:
+    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
+    return (
+        _CONTRIB_ORACLE[:cut]
+        + """
+    SELECT round(min((eff).lon), 6) AS xmin, round(min((eff).lat), 6) AS ymin,
+           round(max((eff).lon), 6) AS xmax, round(max((eff).lat), 6) AS ymax,
+           CAST(count(*) AS BIGINT)  AS n_rows
+    FROM final WHERE visible
+    """
+    )
+
+
+@_register("contrib_dataset_bbox", _dataset_bbox_oracle())
+def contrib_dataset_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (dataset summary stats) as an oracle-checked query: the
+    accumulated bbox + row count the GeoParquet sink stamps into the
+    ``geo`` footer metadata (``AvroGeoParquetWriter.java:122-133``),
+    computed the sink's way — one aggregation over the per-row bbox
+    struct of the staged contributions table (map-side combinable; at
+    100 TB this is a metadata-priced scan of four pruned columns)."""
+    contribs = _node_contribs_table(spark, sf_dir)
+    live = contribs.filter(F.col("status") != "deleted")
+    return live.agg(
+        F.round(F.min("bbox.xmin"), 6).alias("xmin"),
+        F.round(F.min("bbox.ymin"), 6).alias("ymin"),
+        F.round(F.max("bbox.xmax"), 6).alias("xmax"),
+        F.round(F.max("bbox.ymax"), 6).alias("ymax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ===========================================================================
+# training-data curation #2: repetition gates, PII scrubbing, corpus profiling
+# ===========================================================================
+
+_TOKS_CTE = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+"""
+
+
+@_register(
+    "gopher_repetition",
+    _TOKS_CTE
+    + """
+    , stats AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             round(CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE 1.0 - len(list_distinct(toks)) / len(toks) END,
+                   6) AS dup_token_frac
+      FROM tok
+    ), ng AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 0)),
+               i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+      FROM tok
+    ), cnt AS (
+      SELECT doc_id, ngram, count(*) AS c FROM ng GROUP BY doc_id, ngram
+    ), top AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_2gram_count
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens, s.dup_token_frac,
+           coalesce(t.top_2gram_count, 0) AS top_2gram_count,
+           round(coalesce(t.top_2gram_count, 0)
+                 / greatest(s.n_tokens - 1, 1), 6) AS top_2gram_frac,
+           (s.dup_token_frac <= 0.7
+            AND coalesce(t.top_2gram_count, 0)
+                / greatest(s.n_tokens - 1, 1) <= 0.2) AS keep
+    FROM stats s LEFT JOIN top t USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (Rae et al. 2021 §A1.1): duplicate-token
+    fraction and top-2-gram coverage per document, plus the keep/drop
+    verdict. The per-document metrics are pure array expressions (codegen,
+    no shuffle); the top-n-gram is an explode → two-phase count keyed by
+    (doc_id, ngram) — at 100 TB that is one shuffle of n-gram counts (far
+    smaller than the corpus after map-side combine), and the doc-level join
+    back is AQE-broadcastable per partition of doc stats."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    t = F.col("text")
+    stats = docs.select(
+        "doc_id",
+        token_count_expr(t).alias("n_tokens"),
+        F.round(dup_token_fraction_expr(t), 6).alias("dup_token_frac"),
+    )
+    ng = docs.select("doc_id", F.explode(ngrams_expr(t, 2)).alias("ngram"))
+    top = (
+        ng.groupBy("doc_id", "ngram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_2gram_count"))
+    )
+    denom = F.greatest(F.col("n_tokens") - F.lit(1), F.lit(1))
+    frac = F.coalesce(F.col("top_2gram_count"), F.lit(0)) / denom
+    return (
+        stats.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            F.coalesce(F.col("top_2gram_count"), F.lit(0)).alias(
+                "top_2gram_count"
+            ),
+            F.round(frac, 6).alias("top_2gram_frac"),
+            ((F.col("dup_token_frac") <= 0.7) & (frac <= 0.2)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pii_oracle() -> str:
+    pats = {
+        "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+        "phone": r"\b\d{3}-\d{4}\b",
+    }
+    derived = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR)"
+        " || '.7 call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    )
+    red = "raw"
+    for pat, token in (
+        (pats["email"], "<EMAIL>"),
+        (pats["ip"], "<IP>"),
+        (pats["phone"], "<PHONE>"),
+    ):
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {derived} AS raw FROM documents
+    ), r AS (
+      SELECT doc_id, raw, {red} AS redacted FROM d
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{pats["email"]}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{pats["ip"]}')) AS INT)    AS n_ips,
+           CAST(len(regexp_extract_all(raw, '{pats["phone"]}')) AS INT) AS n_phones,
+           CAST(length(redacted) AS INT) AS redacted_len,
+           {hash60_sql("redacted")} AS redacted_h
+    FROM r ORDER BY doc_id
+    """
+
+
+@_register("pii_redaction", _pii_oracle())
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact emails / IPv4s / phone suffixes
+    with placeholder tokens. The corpus is synthetic word-soup with no PII,
+    so the query first derives a PII-bearing column from doc_id (derivation
+    mirrored in the oracle, like the OSM histories derived from events) and
+    the redacted output is content-verified via its 60-bit hash. All
+    regexp work is JVM codegen on one scan — embarrassingly parallel, the
+    ideal 100 TB map-only shape."""
+    from ..functions.text import PII_PATTERNS
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 call 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    d = docs.select("doc_id", raw.alias("raw"))
+    red = redact_pii_expr(F.col("raw"))
+    return d.select(
+        "doc_id",
+        pii_count_expr(F.col("raw"), PII_PATTERNS[0][0]).alias("n_emails"),
+        pii_count_expr(F.col("raw"), PII_PATTERNS[1][0]).alias("n_ips"),
+        pii_count_expr(F.col("raw"), PII_PATTERNS[2][0]).alias("n_phones"),
+        F.length(red).alias("redacted_len"),
+        hash60_expr(red).alias("redacted_h"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "source_quantiles",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           round(quantile_cont(n_chars, 0.5), 6)  AS chars_p50,
+           round(quantile_cont(n_chars, 0.9), 6)  AS chars_p90,
+           round(quantile_cont(n_chars, 0.99), 6) AS chars_p99
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def source_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: per-source document-length distribution (exact
+    interpolated p50/p90/p99 — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share linear interpolation, so values hash-match).
+    At 100 TB the exact percentile is a single shuffle on the source key
+    with per-partition partial state; swap in ``percentile_approx`` for a
+    fixed-size sketch when sources are huge — same plan shape."""
+    docs = _t(spark, sf_dir, "documents")
+    v = F.col("n_chars").cast("double")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.percentile(v, F.lit(0.5)), 6).alias("chars_p50"),
+            F.round(F.percentile(v, F.lit(0.9)), 6).alias("chars_p90"),
+            F.round(F.percentile(v, F.lit(0.99)), 6).alias("chars_p99"),
+        )
+        .orderBy("source")
+    )
+
+
+def _decontamination_oracle() -> str:
+    # split bucket identical to dataset_split's
+    bucket = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
+    return rf"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CASE WHEN {bucket} < 80 THEN 'train'
+                  WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, split,
+             list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> x <> '') AS toks
+      FROM b WHERE split IN ('train', 'test')
+    ), sh AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 4, 0)),
+               i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
+      FROM tok
+    ), train_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE split = 'train'
+    ), test_tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM sh WHERE split = 'test' GROUP BY doc_id
+    ), hits AS (
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+      FROM sh s JOIN train_sh t USING (shingle)
+      WHERE s.split = 'test' GROUP BY s.doc_id
+    )
+    SELECT tt.doc_id, tt.n_shingles,
+           coalesce(h.n_overlap, 0) AS n_overlap,
+           round(coalesce(h.n_overlap, 0) / tt.n_shingles, 6)
+             AS contamination,
+           (coalesce(h.n_overlap, 0) / tt.n_shingles > 0.8) AS drop_doc
+    FROM test_tot tt LEFT JOIN hits h USING (doc_id)
+    ORDER BY tt.doc_id
+    """
+
+
+@_register("decontamination", _decontamination_oracle())
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (Brown et al. 2020 appendix C; standard
+    in every LLM data pipeline): flag evaluation documents whose 5-gram
+    shingles leak from the training split. Reuses dataset_split's
+    deterministic hash bucketing, dedupes the train side to DISTINCT
+    shingles (the big-but-combinable shuffle), and equi-joins test shingles
+    against it — at 100 TB this is the canonical inverted-index shape: no
+    all-pairs comparison, one shuffle keyed on the shingle, and the
+    test side is typically 100× smaller so AQE broadcasts it."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    bucket = F.pmod(
+        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    sh = (
+        docs.select("doc_id", split.alias("split"), "text")
+        .filter(F.col("split").isin("train", "test"))
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.array_distinct(ngrams_expr(F.col("text"), 5))
+            ).alias("shingle"),
+        )
+    )
+    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
+    test_sh = sh.filter(F.col("split") == "test")
+    totals = test_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        test_sh.join(train_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_shingles")
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(frac, 6).alias("contamination"),
+            (frac > 0.8).alias("drop_doc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "embedding_quantize",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, label, scale,
+             CAST(len(v) AS INT) AS n_dims,
+             list_transform(v, x -> round(x / scale)) AS qv,
+             list_sum(list_transform(
+               generate_series(1, len(v)),
+               i -> (v[i] - round(v[i] / scale) * scale)
+                    * (v[i] - round(v[i] / scale) * scale))) AS sse,
+             list_max(list_transform(
+               generate_series(1, len(v)),
+               i -> abs(v[i] - round(v[i] / scale) * scale))) AS max_err
+      FROM q
+    )
+    SELECT vec_id, label, n_dims,
+           round(scale, 9) AS scale,
+           CAST(list_max(list_transform(qv, x -> abs(x))) AS INT) AS q_max,
+           round(sse / n_dims, 9) AS mse,
+           round(max_err, 9)      AS max_abs_err
+    FROM e ORDER BY vec_id
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (the 4× storage/bandwidth
+    lever every 100 TB embedding store pulls before ANN): scale =
+    max|v|/127, q = round(v/scale), plus reconstruction-error stats that
+    certify the codec round-trips. Everything is JVM array expressions on
+    one scan — map-only, no shuffle, no UDF; the quantized vectors feed
+    the same IVF/LSH paths (`operators/similarity.py`) unchanged since
+    the dot-product kernels take any numeric array."""
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # NB: the internal raw scale must NOT share a name with the rounded
+    # output column — Spark's lateral column alias resolution would bind
+    # the quantization expressions to the *rounded* scale and silently
+    # change every error metric (caught by the DuckDB oracle).
+    d = emb.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        (
+            F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+        ).alias("_scale"),
+    )
+    sc = F.col("_scale")
+    err = F.transform(F.col("v"), lambda x: x - F.round(x / sc) * sc)
+    return d.select(
+        "vec_id",
+        "label",
+        F.size("v").alias("n_dims"),
+        F.round(sc, 9).alias("scale"),
+        F.array_max(
+            F.transform(
+                F.col("v"), lambda x: F.abs(F.round(x / sc)).cast("int")
+            )
+        ).alias("q_max"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e)
+            / F.size("v"),
+            9,
+        ).alias("mse"),
+        F.round(
+            F.array_max(F.transform(err, lambda e: F.abs(e))), 9
+        ).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
+def _curation_funnel_oracle() -> str:
+    stop20 = "['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on']"
+    bucket = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> x <> '') AS toks,
+             length(text) AS nct,
+             length(regexp_replace(text, '[^\w\s]', '', 'g')) AS npn
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_tokens,
+             (nct - npn) / greatest(nct, 1) AS punct_ratio,
+             len(list_filter(toks, x -> list_contains({stop20}, x)))
+               / greatest(len(toks), 1) AS stop_ratio,
+             list_sum(list_transform(toks, t -> length(t)))
+               / greatest(len(toks), 1) AS mtl,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) / greatest(len(toks), 1) AS s_en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))) / greatest(len(toks), 1) AS s_de,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','des','que','pas','pour'], x))) / greatest(len(toks), 1) AS s_fr,
+             len(list_filter(toks, x -> list_contains(['el','la','los','las','es','una','que','por','con','para'], x))) / greatest(len(toks), 1) AS s_es
+      FROM t
+    ), q AS (
+      SELECT *,
+             round(
+               least(n_tokens / 64.0, 1.0) * 0.4
+               + least(stop_ratio * 4.0, 1.0) * 0.2
+               + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
+                 * (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
+               + (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+             6) AS quality,
+             greatest(s_en, s_de, s_fr, s_es) AS best,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(toks)) / len(toks) END AS dup_frac,
+             row_number() OVER (
+               PARTITION BY {hash60_sql("text")} ORDER BY doc_id) AS rn
+      FROM m
+    ), f AS (
+      SELECT doc_id,
+             (quality >= 0.4 AND n_tokens BETWEEN 10 AND 5000
+              AND punct_ratio < 0.25 AND best >= 0.05) AS pass_quality,
+             (rn > 1)          AS is_exact_dup,
+             (dup_frac > 0.7)  AS is_repetitive,
+             CASE WHEN {bucket} < 80 THEN 'train'
+                  WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
+      FROM q
+    )
+    SELECT CAST(count(*) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN NOT pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS fail_quality,
+           CAST(sum(CASE WHEN is_exact_dup THEN 1 ELSE 0 END) AS BIGINT)  AS exact_dups,
+           CAST(sum(CASE WHEN is_repetitive THEN 1 ELSE 0 END) AS BIGINT) AS repetitive,
+           CAST(sum(CASE WHEN pass_quality AND NOT is_exact_dup
+                          AND NOT is_repetitive THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(CASE WHEN pass_quality AND NOT is_exact_dup
+                          AND NOT is_repetitive AND split = 'train'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_train,
+           CAST(sum(CASE WHEN pass_quality AND NOT is_exact_dup
+                          AND NOT is_repetitive AND split = 'val'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_val,
+           CAST(sum(CASE WHEN pass_quality AND NOT is_exact_dup
+                          AND NOT is_repetitive AND split = 'test'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_test
+    FROM f
+    """
+
+
+@_register("curation_funnel", _curation_funnel_oracle())
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``curate`` CLI's funnel report as an oracle-verified query
+    (`operators/curation.py::flag_documents`): every gate becomes a flag
+    column computed in one scan + one dedup window, and the whole funnel
+    reduces to a single aggregation row. This certifies the CLI's exact
+    keep/drop arithmetic, not just its pieces."""
+    from ..operators.curation import flag_documents
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    flagged = flag_documents(docs)
+    kept = F.col("keep")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((~F.col("pass_quality")).cast("long")).alias("fail_quality"),
+        F.sum(F.col("is_exact_dup").cast("long")).alias("exact_dups"),
+        F.sum(F.col("is_repetitive").cast("long")).alias("repetitive"),
+        F.sum(kept.cast("long")).alias("kept"),
+        *[
+            F.sum((kept & (F.col("split") == s)).cast("long")).alias(
+                f"kept_{s}"
+            )
+            for s in ("train", "val", "test")
+        ],
+    )
+
+
+_STREAM_SEQ = iter(range(1, 1 << 30))
+_STREAM_DIRS: dict[str, str] = {}
+
+
+@_register(
+    "streaming_window_counts",
+    """
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP)
+             AS window_start,
+           CAST(to_timestamp(floor(epoch(ts) / 600) * 600 + 600) AS TIMESTAMP)
+             AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3 ORDER BY 1, 3
+    """,
+)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 through the ACTUAL streaming engine, oracle-verified: the
+    events parquet becomes a file-source stream, the shared
+    ``windowed_event_counts`` transformation (watermarked tumbling
+    windows) runs under an ``availableNow`` trigger into a memory sink,
+    and the materialized sink table is returned. Bounded replay makes the
+    streaming run bit-identical to the batch/SQL twin — the unified-API
+    guarantee the module's docstring claims, here certified by the DuckDB
+    oracle instead of a unit test. At scale the same query tails a
+    landing directory continuously; availableNow is the catch-up mode."""
+    from ..streaming.windows import windowed_event_counts
+
+    # same session normalization as the batch loader
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    raw = _events_stream(spark, sf_dir)
+    out = windowed_event_counts(raw)
+    name = f"stream_win_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over the events parquet (landing-dir staging
+    shared with streaming_window_counts)."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    land = _STREAM_DIRS.get(sf_dir)
+    if land is None or not os.path.isdir(land):
+        import tempfile
+
+        land = tempfile.mkdtemp(prefix="opc_stream_events_")
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(land, "events.parquet"),
+        )
+        _STREAM_DIRS[sf_dir] = land
+    return spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    ).parquet(land)
+
+
+@_register(
+    "streaming_latest_state",
+    """
+    SELECT user_id, event_id, ts, event_type, round(value, 6) AS value
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4's latest-state upsert as a REAL stateful streaming run,
+    oracle-verified: ``applyInPandasWithState`` keeps one fixed-width
+    state row per key (`streaming/stateful.py::latest_state_stream`) and
+    emits only version advances; bounded ``availableNow`` replay over the
+    events stream (version = event_id per user) must land exactly on the
+    SQL last-version-per-key answer. State is sharded by the grouping
+    key — the same O(live keys)/executor budget a 1000-node cluster
+    relies on."""
+    from ..streaming.stateful import latest_state_stream
+
+    raw = _events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = latest_state_stream(raw, ["user_id"], "event_id")
+    name = f"stream_latest_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _unigram_logprob_oracle() -> str:
+    bucket = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
+    return rf"""
+    WITH b AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> x <> '') AS toks,
+             CASE WHEN {bucket} < 80 THEN 'train'
+                  WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    ), train_tok AS (
+      SELECT unnest(toks) AS token FROM b WHERE split = 'train'
+    ), vocab AS (
+      SELECT token, count(*) AS c FROM train_tok GROUP BY token
+    ), n AS (
+      SELECT sum(c) AS total, count(*) AS v FROM vocab
+    ), test_tok AS (
+      SELECT doc_id, unnest(toks) AS token FROM b WHERE split = 'test'
+    ), scored AS (
+      SELECT t.doc_id,
+             -ln((coalesce(vb.c, 0) + 1.0) / (n.total + n.v + 1.0)) AS nll
+      FROM test_tok t LEFT JOIN vocab vb USING (token) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(nll), 6) AS avg_nll,
+           round(max(nll), 6) AS max_nll
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@_register("unigram_logprob_scores", _unigram_logprob_oracle())
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM filtering (Wenzek et al. 2020), unigram form: fit
+    add-one-smoothed token frequencies on the train split, score every
+    test-split document by mean negative log-likelihood — the screen
+    that drops gibberish the rule-based gates miss. Plan shape at
+    100 TB: one word-count shuffle for the vocab (map-side combined),
+    the two scalar normalizers ride along as a broadcast cross join of
+    one row, and scoring is a token→vocab equi-join + per-doc agg; the
+    vocab (~10^7 rows) broadcasts, so the corpus-sized side never
+    shuffles twice."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    bucket = F.pmod(
+        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tok = docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.explode(tokens_expr(F.col("text"))).alias("token"),
+    )
+    vocab = (
+        tok.filter(F.col("split") == "train")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = vocab.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        tok.filter(F.col("split") == "test")
+        .join(vocab, "token", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("total") + F.col("v") + F.lit(1.0))
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.round(F.max("nll"), 6).alias("max_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "corpus_drift",
+    r"""
+    WITH tok AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), lc AS (
+      SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token
+    ), tc AS (
+      SELECT token, sum(c) AS c_all FROM lc GROUP BY token
+    ), v AS (
+      SELECT count(*) AS vocab, sum(c_all) AS n_all FROM tc
+    ), ln_ AS (
+      SELECT lang, sum(c) AS n_lang FROM lc GROUP BY lang
+    ), grid AS (
+      SELECT l.lang, t.token, t.c_all, coalesce(x.c, 0) AS c_lang
+      FROM (SELECT DISTINCT lang FROM lc) l
+      CROSS JOIN tc t
+      LEFT JOIN lc x ON x.lang = l.lang AND x.token = t.token
+    )
+    SELECT g.lang,
+           CAST(ln_.n_lang AS BIGINT) AS n_tokens,
+           round(sum(
+             ((g.c_lang + 1.0) / (ln_.n_lang + v.vocab))
+             * ln(((g.c_lang + 1.0) / (ln_.n_lang + v.vocab))
+                  / ((g.c_all + 1.0) / (v.n_all + v.vocab)))
+           ), 6) AS kl_vs_corpus
+    FROM grid g JOIN ln_ USING (lang) CROSS JOIN v
+    GROUP BY g.lang, ln_.n_lang ORDER BY g.lang
+    """,
+)
+def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitoring: add-one-smoothed KL divergence of
+    each language slice's token distribution against the whole corpus —
+    the alarm a continuously-ingesting pipeline raises when one source
+    starts feeding off-distribution text. Plan shape: one token-count
+    shuffle (map-side combined), then a slices×vocab grid built by
+    cross-joining the DISTINCT slice keys (a handful of rows, broadcast)
+    with the vocab table — the corpus-sized token stream is never
+    shuffled a second time."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "lang", F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    lc = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    tc = lc.groupBy("token").agg(F.sum("c").alias("c_all"))
+    v = tc.agg(
+        F.count(F.lit(1)).alias("vocab"), F.sum("c_all").alias("n_all")
+    )
+    n_lang = lc.groupBy("lang").agg(F.sum("c").alias("n_lang"))
+    langs = lc.select("lang").distinct()
+    grid = (
+        F.broadcast(langs)
+        .crossJoin(tc)
+        .join(lc, ["lang", "token"], "left")
+        .select(
+            "lang", "c_all", F.coalesce(F.col("c"), F.lit(0)).alias("c_lang")
+        )
+    )
+    p = (F.col("c_lang") + F.lit(1.0)) / (F.col("n_lang") + F.col("vocab"))
+    q = (F.col("c_all") + F.lit(1.0)) / (F.col("n_all") + F.col("vocab"))
+    return (
+        grid.join(F.broadcast(n_lang), "lang")
+        .crossJoin(F.broadcast(v))
+        .groupBy("lang", "n_lang")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"))
+        .select(
+            "lang",
+            F.col("n_lang").alias("n_tokens"),
+            "kl_vs_corpus",
+        )
+        .orderBy("lang")
+    )
+
+
+def _lsh_verified_oracle(
+    num_perm: int = 16, bands: int = 4, n: int = 3, threshold: float = 0.5
+) -> str:
+    lsh = _lsh_oracle(num_perm, bands, n).replace("ORDER BY doc_a, doc_b", "")
+    sh = _SHINGLE_SQL.format(n=n)
+    return f"""
+    WITH cand AS ({lsh}
+    ), shv AS (
+      SELECT DISTINCT doc, {hash60_sql('shingle')} AS shingle_hash FROM ({sh})
+    ), sizes AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_sh FROM shv GROUP BY doc
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM cand c
+        JOIN shv a ON a.doc = c.doc_a
+        JOIN shv b ON b.doc = c.doc_b AND b.shingle_hash = a.shingle_hash
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+    FROM inter i
+      JOIN sizes sa ON sa.doc = i.doc_a
+      JOIN sizes sb ON sb.doc = i.doc_b
+    WHERE round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6)
+          >= {threshold!r}
+    ORDER BY i.doc_a, i.doc_b
+    """
+
+
+@_register("lsh_verified_pairs", _lsh_verified_oracle())
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full candidate-then-verify fuzzy-dedup pattern in one plan:
+    MinHash-LSH banding proposes candidate pairs (recall), then exact
+    3-gram Jaccard is computed ONLY for those pairs (precision) by
+    joining the candidates back to both shingle sets. This is THE shape
+    a 100 TB fuzzy dedup runs: the quadratic all-pairs comparison never
+    exists; verification cost is proportional to the candidates' shingle
+    mass, and both stages reuse one shingle table."""
+    from ..operators.dedup import verify_candidate_pairs
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    sh = shingles(docs, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, num_perm=16)
+    cand = lsh_candidate_pairs(sig, num_perm=16, bands=4)
+    return verify_candidate_pairs(cand, sh, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@_register(
+    "streaming_session_windows",
+    """
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *, sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts, new_s
+        ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           min(ts)                       AS session_start,
+           max(ts) + INTERVAL 30 MINUTE  AS session_end,
+           CAST(count(*) AS BIGINT)      AS n_events
+    FROM g GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (``F.session_window``, 30-min gap) through
+    the ACTUAL streaming engine — the streaming twin of the batch
+    ``user_sessions`` gap-sessionization, oracle-checked against the
+    classic gap-and-island SQL. Boundary semantics pinned by probe: an
+    exactly-gap-sized step MERGES (inclusive), so the oracle's new-session
+    test is strictly ``>``; a session's end is last event + gap. State per
+    key is the open session only — the watermark closes and evicts
+    sessions in continuous mode."""
+    from ..streaming.windows import session_windows
+
+    raw = _events_stream(spark, sf_dir)
+    out = session_windows(raw, gap="30 minutes", key="user_id")
+    name = f"stream_sess_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+# --- sequence packing (concat-and-chunk training-data assignment) -----------
+
+_PACK_SEQ_LEN = 512
+_PACK_SHARDS = 16
+
+
+def _packing_base_sql() -> str:
+    return f"""
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {_PACK_SHARDS} AS shard,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+               AS BIGINT) AS n_tokens
+      FROM documents
+    """
+
+
+def _packing_oracle() -> str:
+    return f"""
+    WITH t AS ({_packing_base_sql()}),
+    o AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens, start_off,
+           start_off // {_PACK_SEQ_LEN} AS first_seq,
+           greatest(start_off + n_tokens - 1, start_off) // {_PACK_SEQ_LEN} AS last_seq,
+           greatest(start_off + n_tokens - 1, start_off) // {_PACK_SEQ_LEN}
+             - start_off // {_PACK_SEQ_LEN} AS n_splits,
+           start_off % {_PACK_SEQ_LEN} AS seq_offset
+    FROM o ORDER BY doc_id
+    """
+
+
+@_register("sequence_packing", _packing_oracle())
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing assignment: which fixed-length training
+    sequence(s) each document occupies. Shard-local prefix sums (hash
+    shard = the write-parallelism unit), so the window partitions by
+    shard — no global sort at any scale."""
+    from ..operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS
+    ).orderBy("doc_id")
+
+
+@_register(
+    "packing_stats",
+    f"""
+    WITH t AS ({_packing_base_sql()})
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(ceil(sum(n_tokens) / {_PACK_SEQ_LEN}.0) AS BIGINT) AS n_sequences,
+           CAST(CASE WHEN sum(n_tokens) % {_PACK_SEQ_LEN} = 0
+                      AND sum(n_tokens) > 0
+                     THEN {_PACK_SEQ_LEN}
+                     ELSE sum(n_tokens) % {_PACK_SEQ_LEN} END AS BIGINT)
+             AS tail_fill,
+           CAST(sum(CASE WHEN
+                 greatest(start_off + n_tokens - 1, start_off) // {_PACK_SEQ_LEN}
+                   > start_off // {_PACK_SEQ_LEN} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_split_docs
+    FROM (
+      SELECT *,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      FROM t
+    ) GROUP BY shard ORDER BY shard
+    """,
+)
+def packing_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing yield: sequences emitted, tail fill, boundary-
+    split document count — the numbers a tokenizer-sharding job reports."""
+    from ..operators.packing import pack_sequences, packing_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS)
+    return packing_stats(packed, seq_len=_PACK_SEQ_LEN).orderBy("shard")
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "vector", "stream"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle(k: int = 10) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+      FROM documents
+    ), d AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM toks
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d
+    ), tf AS (
+      SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM d, UNNEST(toks) AS u(term)
+      WHERE term IN ({terms})
+      GROUP BY doc_id, dl, term
+    ), dfc AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id, round(sum(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+             * tf * ({_BM25_K1} + 1)
+             / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dfc USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {k}
+    """
+
+
+@_register("bm25_topk", _bm25_oracle())
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a bag-of-terms query: broadcast term dim +
+    broadcast corpus stats, the only wide stage is the (doc, query-term)
+    partial count (``operators/retrieval.py``)."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    return bm25_topk(docs, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B)
+
+
+# --- cross-document duplicated-passage detection -----------------------------
+
+
+def _dup_passage_oracle(n: int = 5) -> str:
+    sh = _SHINGLE_SQL.format(n=n)
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc, {hash60_sql('shingle')} AS shingle_hash FROM ({sh})
+    ), freq AS (
+      SELECT shingle_hash, count(*) AS n_docs FROM sh GROUP BY shingle_hash
+    ), per_doc AS (
+      SELECT doc,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM sh JOIN freq USING (shingle_hash) GROUP BY doc
+    )
+    SELECT d.doc_id,
+           COALESCE(n_shingles, 0) AS n_shingles,
+           COALESCE(n_shared, 0) AS n_shared,
+           round(COALESCE(n_shared, 0) / greatest(COALESCE(n_shingles, 0), 1), 6)
+             AS dup_fraction
+    FROM documents d LEFT JOIN per_doc ON per_doc.doc = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@_register("dup_passage_fraction", _dup_passage_oracle())
+def dup_passage_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplication (the Lee et al. 2022 exact-substring
+    signal at shingle granularity): per document, the fraction of its
+    distinct word-5-grams that also occur in at least one other document.
+    Inverted-index shape — shingle-hash frequency is one map-side-combined
+    aggregation, joined back to the per-doc shingle stream; no pairwise
+    comparison anywhere, so it scales as total shingle volume, not docs²."""
+    from ..operators.dedup import shingles
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    sh = shingles(docs, "doc_id", "text", n=5)
+    freq = sh.groupBy("shingle_hash").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        sh.join(freq, "shingle_hash")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("n_docs") >= 2).cast("bigint")).alias("n_shared"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, docs.doc_id == per_doc.doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0))
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- Bloom-filter decontamination --------------------------------------------
+
+_BLOOM_M = 1 << 20
+_BLOOM_K = 3
+
+
+def _bloom_decon_oracle() -> str:
+    from ..operators.bloom import positions_sql
+
+    bucket = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
+    pos = positions_sql("h", _BLOOM_M, _BLOOM_K)
+    return rf"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CASE WHEN {bucket} < 80 THEN 'train'
+                  WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, split,
+             list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> x <> '') AS toks
+      FROM b WHERE split IN ('train', 'test')
+    ), sh AS (
+      SELECT DISTINCT doc_id, split, {hash60_sql('shingle')} AS h
+      FROM (
+        SELECT doc_id, split,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 3, 2)),
+                 i -> array_to_string(toks[i : i + 4], ' ')))) AS shingle
+        FROM tok
+      ) WHERE len(string_split(shingle, ' ')) = 5
+    ), bloom AS (
+      SELECT DISTINCT unnest({pos}) AS pos FROM sh WHERE split = 'test'
+    ), probe AS (
+      SELECT doc_id, h FROM sh WHERE split = 'train'
+    ), slots AS (
+      SELECT doc_id, h, unnest({pos}) AS pos FROM probe
+    ), hitc AS (
+      SELECT s.doc_id, s.h, count(*) AS nh
+      FROM slots s JOIN bloom USING (pos) GROUP BY 1, 2
+    ), flagged AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+      FROM hitc WHERE nh = {_BLOOM_K} GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM probe GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(f.n_flagged, 0) AS n_flagged,
+           round(COALESCE(f.n_flagged, 0) / t.n_shingles, 6) AS flagged_fraction
+    FROM tot t LEFT JOIN flagged f USING (doc_id)
+    ORDER BY t.doc_id
+    """
+
+
+@_register("bloom_decontamination", _bloom_decon_oracle())
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout decontamination through a real Bloom filter: the benchmark
+    (test-split) shingles fold into ≤ m set-bit positions, broadcast, and
+    the big training side is probed map-side — the scale inversion of the
+    exact ``decontamination`` join (which shuffles every training shingle).
+    False positives only, never false negatives: the flagged set is a
+    certified superset of the exact overlap (asserted in
+    tests/test_bloom.py). Same split, tokenization, and hash60 bridge as
+    the exact query, so the two are directly comparable."""
+    from ..operators.bloom import build_bloom, probe_bloom
+    from ..operators.dedup import shingles
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    bucket = F.pmod(
+        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = docs.select("doc_id", "text", split.alias("split"))
+    test_sh = shingles(
+        tagged.filter(F.col("split") == "test"), "doc_id", "text", n=5
+    ).select("shingle_hash").distinct()
+    bloom = build_bloom(test_sh, "shingle_hash", m=_BLOOM_M, k=_BLOOM_K)
+    probe = shingles(
+        tagged.filter(F.col("split") == "train"), "doc_id", "text", n=5
+    )
+    probed = probe_bloom(probe, "shingle_hash", bloom, m=_BLOOM_M, k=_BLOOM_K)
+    return (
+        probed.groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("maybe_member").cast("bigint")).alias("n_flagged"),
+        )
+        .withColumn(
+            "flagged_fraction",
+            F.round(F.col("n_flagged") / F.col("n_shingles"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- temperature-weighted domain mixture resampling --------------------------
+
+_MIX_ALPHA = 0.5      # temperature: 1 = proportional, 0 = uniform over sources
+_MIX_TARGET = 200.0   # token-free doc budget for the mixed corpus
+
+
+def _mixture_oracle() -> str:
+    h = hash60_sql("CAST(doc_id AS VARCHAR) || ':mix'")
+    return f"""
+    WITH n AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n_docs FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs,
+             pow(n_docs, {_MIX_ALPHA}) / sum(pow(n_docs, {_MIX_ALPHA})) OVER () AS weight
+      FROM n
+    ), r AS (
+      SELECT source, n_docs, weight,
+             least(1.0, {_MIX_TARGET} * weight / n_docs) AS rate
+      FROM w
+    ), s AS (
+      SELECT d.source, count(*) FILTER (
+               WHERE ({h}) % 1000000 < r.rate * 1000000) AS n_sampled
+      FROM documents d JOIN r USING (source) GROUP BY d.source
+    )
+    SELECT r.source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           round(r.weight, 6) AS weight,
+           round(r.rate, 6) AS rate,
+           CAST(s.n_sampled AS BIGINT) AS n_sampled
+    FROM r JOIN s USING (source)
+    ORDER BY r.source
+    """
+
+
+@_register("mixture_resample", _mixture_oracle())
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing (the multilingual-sampling rule
+    of Conneau & Lample 2019, standard for balancing web-corpus sources):
+    per-source weight ∝ count^alpha, per-source sampling rate capped at 1,
+    membership decided by a deterministic hash bucket so the sample is
+    reproducible at any scale and cluster size. Source dimension is tiny:
+    the rate table broadcasts, the doc side is map-only until the final
+    per-source count."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # scalar denominator via broadcast 1-row crossJoin (not an unpartitioned
+    # window: that plans a single-partition WindowExec even on a tiny dim)
+    denom = n.agg(F.sum(F.pow("n_docs", _MIX_ALPHA)).alias("_denom"))
+    rates = (
+        n.crossJoin(F.broadcast(denom))
+        .withColumn("weight", F.pow("n_docs", _MIX_ALPHA) / F.col("_denom"))
+        .withColumn(
+            "rate", F.least(F.lit(1.0), _MIX_TARGET * F.col("weight") / F.col("n_docs"))
+        )
+        .drop("_denom")
+    )
+    bucket = F.pmod(
+        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+        F.lit(1000000),
+    )
+    sampled = (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.sum((bucket < F.col("rate") * 1000000).cast("bigint")).alias("n_sampled")
+        )
+    )
+    return (
+        rates.join(sampled, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round("weight", 6).alias("weight"),
+            F.round("rate", 6).alias("rate"),
+            "n_sampled",
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "streaming_dedup_keys",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-wins cross-batch dedup through the ACTUAL streaming
+    engine (``streaming/stateful.py::dedup_stream``,
+    ``applyInPandasWithState``). Which physical row wins depends on
+    partition arrival order, so the certified deterministic contract is
+    the emitted KEY SET — exactly one row per (user_id, event_type),
+    equal to batch DISTINCT. State per key is one boolean row."""
+    from ..streaming.stateful import dedup_stream
+
+    raw = _events_stream(spark, sf_dir)
+    out = dedup_stream(raw, ["user_id", "event_type"], state_ttl=None).select(
+        "user_id", "event_type"
+    )
+    name = f"stream_dedup_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "event_type")
+
+
+@_register(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT DISTINCT user_id, event_type,
+           date_trunc('hour', ts) AS ts_hour
+    FROM events
+    ORDER BY user_id, event_type, ts_hour
+    """,
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps one state row per key and —
+    unlike plain streaming ``dropDuplicates``, whose state grows with the
+    number of distinct keys FOREVER — evicts a key once the watermark
+    passes its event time + delay, so state is O(keys per watermark
+    window), the only shape that survives an unbounded stream. Dedup key
+    is (user_id, event_type, hour-truncated ts); emitting the key columns
+    only keeps the output independent of which physical row won (partition
+    arrival order), the same certification contract as
+    ``streaming_dedup_keys``. Single-source replay means batch 1 runs at
+    watermark 0 (nothing evicted mid-batch), so the emitted key set equals
+    batch DISTINCT exactly — value-oracled, not just row-counted."""
+    raw = _events_stream(spark, sf_dir)
+    out = (
+        raw.select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+            F.col("ts"),
+        )
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "ts_hour"])
+        .select("user_id", "event_type", "ts_hour")
+    )
+    name = f"stream_dedup_wm_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "event_type", "ts_hour")
+
+
+# --- dataset snapshot diff ---------------------------------------------------
+
+
+def _dataset_diff_oracle() -> str:
+    vb = hash60_sql("CAST(doc_id AS VARCHAR) || ':ver'") + " % 10"
+    h = hash60_sql("text")
+    hu = hash60_sql("upper(text)")
+    return f"""
+    WITH d AS (SELECT doc_id, text, {vb} AS vb FROM documents),
+    v1 AS (SELECT doc_id, {h} AS h1 FROM d WHERE vb < 9),
+    v2 AS (
+      SELECT doc_id, CASE WHEN vb % 3 = 1 THEN {hu} ELSE {h} END AS h2
+      FROM d WHERE vb > 0
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN h1 = h2 THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    ORDER BY doc_id
+    """
+
+
+@_register("dataset_diff", _dataset_diff_oracle())
+def dataset_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-over-release corpus changelog: two snapshot versions are
+    derived deterministically from the documents table (bucket 0 leaves,
+    bucket 9 arrives, every third bucket's text mutates), then diffed by
+    content hash through ``operators/versioning.py`` — one id-keyed
+    full-outer join whose exchange carries (id, hash) only."""
+    from ..operators.versioning import dataset_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    vb = F.pmod(
+        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":ver"))),
+        F.lit(10),
+    )
+    d = docs.select("doc_id", "text", vb.alias("vb"))
+    v1 = d.filter(F.col("vb") < 9).select("doc_id", "text")
+    v2 = d.filter(F.col("vb") > 0).select(
+        "doc_id",
+        F.when(F.col("vb") % 3 == 1, F.upper("text")).otherwise(F.col("text")).alias("text"),
+    )
+    return dataset_diff(v1, v2).orderBy("doc_id")
+
+
+_DELETED_ORACLE = (
+    "WITH contribs AS (" + _CONTRIB_ORACLE.replace("ORDER BY osm_id, osm_edits", "") + ")"
+    + """
+    SELECT osm_id, osm_version, valid_from, contrib_type, cx, cy
+    FROM contribs
+    WHERE status = 'deleted'
+      AND cx BETWEEN -90 AND 90 AND cy BETWEEN 0 AND 90
+    ORDER BY osm_id, valid_from
+    """
+)
+
+
+@_register("deleted_features", _DELETED_ORACLE)
+def deleted_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAQ's deleted-elements contract (``docs/faq.md:19-23``): raw
+    OSM has no geometry for a deletion, but contributions carry the
+    previous version's geometry forward, so deletions are spatially
+    filterable — here by bounding box on the inherited centroid. Served
+    from the staged contributions table; the status + bbox predicates
+    push into the parquet scan."""
+    contribs = _node_contribs_table(spark, sf_dir)
+    # filter on the rounded coordinate (what the oracle's cx/cy hold) so a
+    # value knife-edged at the bbox boundary can't diverge between engines
+    return (
+        contribs.select(
+            "osm_id",
+            "osm_version",
+            "valid_from",
+            "contrib_type",
+            "status",
+            F.round("centroid.x", 6).alias("cx"),
+            F.round("centroid.y", 6).alias("cy"),
+        )
+        .filter(
+            (F.col("status") == "deleted")
+            & F.col("cx").between(-90, 90)
+            & F.col("cy").between(0, 90)
+        )
+        .drop("status")
+        .orderBy("osm_id", "valid_from")
+    )
+
+
+# --- HyperLogLog distinct sketch ---------------------------------------------
+
+_HLL_P = 8
+
+
+def _hll_oracle() -> str:
+    from ..operators.sketches import HLL_HASH_BITS, estimate_sql, registers_sql
+
+    m = 1 << _HLL_P
+    h = hash60_sql("text")
+    bucket, rho = registers_sql("h", m, HLL_HASH_BITS - _HLL_P)
+    return f"""
+    WITH hsh AS (SELECT lang, {h} AS h FROM documents),
+    rows0 AS (SELECT lang, {bucket} AS bucket, {rho} AS rho FROM hsh),
+    r AS (SELECT lang, bucket, max(rho) AS register FROM rows0 GROUP BY lang, bucket),
+    a AS (
+      SELECT lang, sum(pow(2.0, -register)) AS _sum_present,
+             CAST(count(*) AS BIGINT) AS _n_present
+      FROM r GROUP BY lang
+    ),
+    e AS (SELECT lang, {estimate_sql(m)} AS hll_estimate,
+                 _n_present AS n_registers FROM a),
+    x AS (SELECT lang, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+          FROM hsh GROUP BY lang)
+    SELECT lang, n_exact, hll_estimate, n_registers,
+           round(abs(hll_estimate - n_exact) / n_exact, 6) AS rel_error
+    FROM x JOIN e USING (lang)
+    ORDER BY lang
+    """
+
+
+@_register("hll_distinct", _hll_oracle())
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog per-language distinct-content estimate,
+    next to the exact count and its relative error. The sketch shape is
+    the scale story: registers are ≤ 2^p rows per group however large the
+    corpus, built by one map-side-combinable max — unlike count(DISTINCT),
+    which shuffles every distinct value (``operators/sketches.py``)."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select("lang", hash60_expr(F.col("text")).alias("h"))
+    regs = hll_registers(hashed, ["lang"], "h", p=_HLL_P)
+    est = hll_estimate(regs, ["lang"], p=_HLL_P)
+    exact = hashed.groupBy("lang").agg(F.countDistinct("h").alias("n_exact"))
+    return (
+        exact.join(est, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            "hll_estimate",
+            "n_registers",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_error"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _hll_union_oracle() -> str:
+    from ..operators.sketches import HLL_HASH_BITS, estimate_sql, registers_sql
+
+    m = 1 << _HLL_P
+    h = hash60_sql("text")
+    bucket, rho = registers_sql("h", m, HLL_HASH_BITS - _HLL_P)
+    return f"""
+    WITH hsh AS (SELECT source, {h} AS h FROM documents),
+    rows0 AS (SELECT source, {bucket} AS bucket, {rho} AS rho FROM hsh),
+    rs AS (SELECT source, bucket, max(rho) AS register
+           FROM rows0 GROUP BY source, bucket),
+    mg AS (SELECT bucket, max(register) AS register FROM rs GROUP BY bucket),
+    dg AS (SELECT bucket, max(rho) AS register FROM rows0 GROUP BY bucket),
+    am AS (SELECT sum(pow(2.0, -register)) AS _sum_present,
+                  CAST(count(*) AS BIGINT) AS _n_present FROM mg),
+    ad AS (SELECT sum(pow(2.0, -register)) AS _sum_present,
+                  CAST(count(*) AS BIGINT) AS _n_present FROM dg),
+    em AS (SELECT {estimate_sql(m)} AS hll_merged FROM am),
+    ed AS (SELECT {estimate_sql(m)} AS hll_direct FROM ad),
+    x AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_exact,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM hsh)
+    SELECT x.n_exact, x.n_sources, ed.hll_direct, em.hll_merged,
+           ed.hll_direct = em.hll_merged AS merged_equals_direct
+    FROM x, em, ed
+    """
+
+
+@_register("hll_union", _hll_union_oracle())
+def hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY, the property that makes HLL distributed: per-
+    source register tables are unioned by a bucket-wise max and must yield
+    exactly the sketch built over the whole corpus in one pass. This is
+    how a 100 TB pipeline monitors distincts — per-shard sketches rolled
+    up without re-reading data; the merge moves ≤ 2^p rows per shard."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select("source", hash60_expr(F.col("text")).alias("h"))
+    per_src = hll_registers(hashed, ["source"], "h", p=_HLL_P)
+    merged_regs = per_src.groupBy("bucket").agg(F.max("register").alias("register"))
+    direct_regs = hll_registers(hashed, [], "h", p=_HLL_P)
+    merged = hll_estimate(merged_regs, [], p=_HLL_P).select(
+        F.col("hll_estimate").alias("hll_merged")
+    )
+    direct = hll_estimate(direct_regs, [], p=_HLL_P).select(
+        F.col("hll_estimate").alias("hll_direct")
+    )
+    exact = hashed.agg(
+        F.countDistinct("h").alias("n_exact"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return exact.crossJoin(direct).crossJoin(merged).select(
+        "n_exact",
+        "n_sources",
+        "hll_direct",
+        "hll_merged",
+        (F.col("hll_direct") == F.col("hll_merged")).alias("merged_equals_direct"),
+    )
+
+
+# --- Count-Min heavy hitters -------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def _cms_oracle(topk: int = 20) -> str:
+    from ..operators.sketches import cms_bucket_sql
+
+    h = hash60_sql("tok")
+    cells_build = " UNION ALL ".join(
+        f"SELECT {i} AS row, {cms_bucket_sql('h', i, _CMS_W)} AS bucket, h FROM toks"
+        for i in range(_CMS_D)
+    )
+    cells_query = " UNION ALL ".join(
+        f"SELECT tok, {i} AS row, {cms_bucket_sql('h', i, _CMS_W)} AS bucket"
+        " FROM top" for i in range(_CMS_D)
+    )
+    return f"""
+    WITH toks0 AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), toks AS (SELECT tok, {h} AS h FROM toks0),
+    cms AS (
+      SELECT row, bucket, CAST(count(*) AS BIGINT) AS counter
+      FROM ({cells_build}) GROUP BY row, bucket
+    ),
+    top AS (
+      SELECT tok, {h} AS h, CAST(count(*) AS BIGINT) AS n_exact
+      FROM toks GROUP BY tok ORDER BY n_exact DESC, tok LIMIT {topk}
+    ),
+    probe AS ({cells_query}),
+    est AS (
+      SELECT p.tok, min(COALESCE(c.counter, 0)) AS cms_estimate
+      FROM probe p LEFT JOIN cms c USING (row, bucket) GROUP BY p.tok
+    )
+    SELECT t.tok, t.n_exact, e.cms_estimate,
+           e.cms_estimate - t.n_exact AS overestimate
+    FROM top t JOIN est e USING (tok)
+    ORDER BY t.n_exact DESC, t.tok
+    """
+
+
+@_register("cms_heavy_hitters", _cms_oracle())
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the corpus's top-20 tokens, next
+    to exact counts and the (always ≥ 0) overestimate. The sketch build
+    collapses to ≤ d·w cells per partition before its one exchange, and
+    the point queries broadcast the counter table
+    (``operators/sketches.py::cms_build/cms_query``)."""
+    from ..operators.sketches import cms_build, cms_query
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens_expr(F.col("text"))).alias("tok")).withColumn(
+        "h", hash60_expr(F.col("tok"))
+    )
+    cms = cms_build(toks, "h", d=_CMS_D, w=_CMS_W)
+    top = (
+        toks.groupBy("tok", "h")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "tok")
+        .limit(20)
+    )
+    est = cms_query(top, "h", cms, d=_CMS_D, w=_CMS_W)
+    return est.select(
+        "tok",
+        "n_exact",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
+    ).orderBy(F.desc("n_exact"), "tok")
+
+
+# --- ordered event funnel ----------------------------------------------------
+
+
+@_register(
+    "event_funnel",
+    """
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ), u2 AS (
+      SELECT e.user_id, u.t1,
+             min(CASE WHEN e.event_type = 'click' AND e.ts > u.t1
+                      THEN e.ts END) AS t2
+      FROM events e JOIN u USING (user_id) GROUP BY e.user_id, u.t1
+    ), u3 AS (
+      SELECT e.user_id, u2.t1, u2.t2,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > u2.t2
+                      THEN e.ts END) AS t3
+      FROM events e JOIN u2 USING (user_id) GROUP BY e.user_id, u2.t1, u2.t2
+    ), steps AS (
+      SELECT 1 AS step, 'signup' AS name,
+             CAST(count(t1) AS BIGINT) AS n_users,
+             round(median(epoch_us(t2) - epoch_us(t1)) / 1e6, 6) AS median_next_lag_s
+      FROM u3
+      UNION ALL
+      SELECT 2, 'click_after_signup', CAST(count(t2) AS BIGINT),
+             round(median(epoch_us(t3) - epoch_us(t2)) / 1e6, 6)
+      FROM u3
+      UNION ALL
+      SELECT 3, 'purchase_after_click', CAST(count(t3) AS BIGINT), NULL
+      FROM u3
+    )
+    SELECT * FROM steps ORDER BY step
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → first later click → first
+    later purchase) — the classic product-analytics sequence query. One
+    exchange on user_id; the three "first event after X" stages are
+    successive full-partition window minima over that same clustering,
+    so no self-joins and no re-shuffle. Counts + median step latency."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        staged.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3"))
+    )
+    lag12 = (F.unix_micros("t2") - F.unix_micros("t1")).cast("double")
+    lag23 = (F.unix_micros("t3") - F.unix_micros("t2")).cast("double")
+    steps = [
+        per_user.agg(
+            F.lit(1).alias("step"),
+            F.lit("signup").alias("name"),
+            F.count("t1").alias("n_users"),
+            F.round(F.percentile(lag12, F.lit(0.5)) / 1e6, 6).alias(
+                "median_next_lag_s"
+            ),
+        ),
+        per_user.agg(
+            F.lit(2).alias("step"),
+            F.lit("click_after_signup").alias("name"),
+            F.count("t2").alias("n_users"),
+            F.round(F.percentile(lag23, F.lit(0.5)) / 1e6, 6).alias(
+                "median_next_lag_s"
+            ),
+        ),
+        per_user.agg(
+            F.lit(3).alias("step"),
+            F.lit("purchase_after_click").alias("name"),
+            F.count("t3").alias("n_users"),
+            F.lit(None).cast("double").alias("median_next_lag_s"),
+        ),
+    ]
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")
+
+
+@_register(
+    "streaming_attribution_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the ACTUAL streaming engine:
+    click→purchase attribution within a 2-hour window. Both sides are
+    watermarked streams; the range condition bounds each side's state so
+    the engine evicts rows older than watermark − window (Spark's
+    canonical stream-stream join shape — state is O(window), not
+    O(stream)). Inner interval joins emit every matching pair exactly
+    once, so the full pair set is deterministic and value-oracled."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "4 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "4 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id")
+    name = f"stream_attr_{next(_STREAM_SEQ)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("click_id", "purchase_id")
+
+
+@_register(
+    "streaming_louter_attribution",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least(date_trunc('milliseconds', (SELECT max(click_ts) FROM c)),
+                        date_trunc('milliseconds', (SELECT max(purchase_ts) FROM p)))
+                  - INTERVAL 4 HOUR AS w),
+    matched AS (
+      SELECT c.click_id, p.purchase_id, c.user_id FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.purchase_ts > c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 2 HOUR
+    ),
+    unmatched AS (
+      SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id
+      FROM c, wm
+      WHERE c.click_ts + INTERVAL 2 HOUR < wm.w
+        AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+    )
+    SELECT click_id, purchase_id, user_id FROM matched
+    UNION ALL SELECT click_id, purchase_id, user_id FROM unmatched
+    ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_louter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join through the actual streaming
+    engine: every click emits either its attributed purchases (within 2 h)
+    or, once the watermark proves no match can arrive, a single null-padded
+    row. State stays O(join window) — the range condition lets the engine
+    evict both sides past watermark − window, and unmatched left rows are
+    emitted at eviction (Spark's canonical outer stream-stream join).
+
+    The oracle reproduces the engine's emission rule exactly, empirically
+    pinned at sf0.001/sf0.01 (set-equal outputs): the final no-data batch
+    (spark.sql.streaming.noDataMicroBatches, default on) advances the
+    global watermark to min over BOTH watermarked inputs of
+    floor_ms(max event ts) − 4 h delay — the per-input maxima differ
+    because each side is filtered to its event_type BEFORE withWatermark —
+    and a click is emitted unmatched iff click_ts + 2 h < that watermark;
+    later unmatched clicks are discarded with the state at query end.
+    Reference has no streaming outer join; this extends its replication
+    update loop (ReplicationUpdater.java) the way Spark users would."""
+    # the oracle's emission rule requires the final no-data batch (default
+    # on; pinned against environment config drift)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "4 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "4 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id")
+    name = f"stream_louter_{next(_STREAM_SEQ)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("click_id", "purchase_id")
+
+
+# --- PageRank over the near-dup graph ----------------------------------------
+
+_PR_DAMPING = 0.85
+
+
+def _pagerank_oracle() -> str:
+    pairs = _jaccard_oracle(n=2, threshold=0.12, max_df=64)
+    return f"""
+    WITH pairs AS ({pairs}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+               FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+    i1 AS (
+      SELECT e.dst, sum(r.rank / o.outdeg) AS inbound
+      FROM edges e JOIN r0 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT nodes.node,
+             (1.0 - {_PR_DAMPING}) / n
+               + {_PR_DAMPING} * COALESCE(i1.inbound, 0.0) AS rank
+      FROM nodes CROSS JOIN nn LEFT JOIN i1 ON nodes.node = i1.dst
+    ),
+    i2 AS (
+      SELECT e.dst, sum(r.rank / o.outdeg) AS inbound
+      FROM edges e JOIN r1 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT nodes.node,
+             (1.0 - {_PR_DAMPING}) / n
+               + {_PR_DAMPING} * COALESCE(i2.inbound, 0.0) AS rank
+      FROM nodes CROSS JOIN nn LEFT JOIN i2 ON nodes.node = i2.dst
+    )
+    SELECT node, round(rank, 6) AS rank FROM r2 ORDER BY node
+    """
+
+
+@_register("dup_graph_pagerank", _pagerank_oracle())
+def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power iterations of PageRank over the symmetrized 2-gram
+    Jaccard near-dup graph — duplicate-cluster centrality, and the proof
+    that iterative graph algorithms run as driver-looped DataFrame
+    rounds with per-round lineage truncation (``operators/graph.py``,
+    same discipline as the connected-components rounds). The oracle
+    replays both iterations in SQL."""
+    from ..operators.graph import pagerank, symmetrize
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.12, max_df=64
+    )
+    edges = symmetrize(pairs, "doc_a", "doc_b")
+    ranks = pagerank(edges, iterations=2, damping=_PR_DAMPING)
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+# --- weighted sampling without replacement -----------------------------------
+
+_WS_K = 25
+
+
+def _weighted_sample_oracle() -> str:
+    h = hash60_sql("CAST(doc_id AS VARCHAR) || ':ws'")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             (({h}) + 1) / 1152921504606846977.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+           round(ln(u) / weight, 6) AS sort_key
+    FROM d
+    ORDER BY ln(u) / weight DESC, doc_id
+    LIMIT {_WS_K}
+    """
+
+
+@_register("weighted_sample", _weighted_sample_oracle())
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): each row gets key ``u^(1/w)`` — taken in log space,
+    ``ln(u)/w`` — from a deterministic per-row uniform, and the sample is
+    the top-k by key. On a cluster this is a map-only key computation
+    plus a top-k (per-partition heads, then a k-row merge): no shuffle of
+    the corpus, reproducible at any partitioning, and the inclusion
+    probabilities are exactly weight-proportional."""
+    docs = _t(spark, sf_dir, "documents")
+    h = hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":ws")))
+    # (h+1) / (2^60 + 1): strictly inside (0, 1) so ln() is finite
+    u = (h + 1) / F.lit(float((1 << 60) + 1))
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            key.alias("_key"),
+        )
+        .orderBy(F.desc("_key"), "doc_id")
+        .limit(_WS_K)
+        .select("doc_id", "weight", F.round("_key", 6).alias("sort_key"))
+    )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of BM25 and ANN ----------------
+
+_RRF_C = 60
+
+
+def _rrf_oracle() -> str:
+    bm25 = _bm25_oracle(k=20)
+    return f"""
+    WITH bm AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM ({bm25})
+    ), emb AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (SELECT v AS qv FROM emb WHERE doc_id = 0),
+    sims AS (
+      SELECT e.doc_id,
+             list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+      FROM emb e CROSS JOIN q WHERE e.doc_id <> 0
+    ), ann AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+      FROM (SELECT * FROM sims ORDER BY cosine DESC, doc_id LIMIT 20)
+    ), fused AS (
+      SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+             round(COALESCE(1.0 / ({_RRF_C} + bm.r), 0)
+                 + COALESCE(1.0 / ({_RRF_C} + ann.r), 0), 6) AS rrf
+      FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+    )
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+@_register("hybrid_retrieval_rrf", _rrf_oracle())
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    ``1/(c + rank)``) of the BM25 lexical top-20 and the exact-cosine
+    embedding top-20 (query = vector 0). Composes two existing operators
+    — each side is its own top-k (k-row results), so the fusion join is
+    trivially broadcast; ranks, not scores, cross the fusion boundary,
+    which is what makes RRF scale-calibration-free."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    bm = bm25_topk(docs, _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B)
+    w_bm = W.orderBy(F.desc("bm25"), "doc_id")
+    bm_r = bm.select("doc_id", F.row_number().over(w_bm).alias("r_bm"))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    # exact cosine top-20 inline (broadcast 1-row query side, JVM fold)
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sims = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot / (norm(F.col("embedding")) * norm(F.col("qv")))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(20)
+    )
+    w_ann = W.orderBy(F.desc("cosine"), "doc_id")
+    ann_r = sims.select("doc_id", F.row_number().over(w_ann).alias("r_ann"))
+
+    fused = (
+        bm_r.join(ann_r, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_C + F.col("r_bm")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_C + F.col("r_ann")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )
+    return fused
+
+
+# --- overlapping document chunking (RAG indexing shape) ----------------------
+
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48  # 16-token overlap
+
+
+@_register(
+    "doc_chunking",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CAST(i - 1 AS BIGINT) // {_CHUNK_STRIDE} AS chunk_idx,
+             array_to_string(toks[i : i + {_CHUNK_LEN} - 1], ' ') AS chunk
+      FROM t, UNNEST(range(1, greatest(len(toks), 1) + 1, {_CHUNK_STRIDE})) AS u(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+           {hash60_sql('chunk')} AS chunk_hash
+    FROM c WHERE chunk <> ''
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking (the RAG-indexing prep step):
+    64-token windows at a 48-token stride, one output row per chunk with
+    its token count and content hash. Pure codegen — sequence/slice/
+    transform expressions, a map-only plan with no shuffle at all until
+    the presentation sort."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    toks = tokens_expr(F.col("text"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(_CHUNK_STRIDE)
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            ((i - 1) / _CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i, _CHUNK_LEN)).alias("chunk"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk")
+        .filter(F.col("chunk") != "")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(F.split(F.col("chunk"), " ")).cast("bigint").alias("n_tokens"),
+            hash60_expr(F.col("chunk")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# --- hard-negative mining ----------------------------------------------------
+
+
+@_register(
+    "hard_negatives",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id AS neg_id,
+             round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+               AS cosine,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                 e.vec_id) AS rnk
+      FROM e JOIN q ON e.label <> q.qlabel
+    )
+    SELECT qid, neg_id, cosine FROM scored WHERE rnk <= 5
+    ORDER BY qid, cosine DESC, neg_id
+    """,
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the 5 most-similar vectors with a DIFFERENT label — similar
+    enough to be hard, wrong by supervision. Query side is tiny and
+    broadcast; the corpus side computes cosines in one codegen pass and
+    a per-query top-k window. No corpus self-join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", "label", d.alias("v"))
+    q = (
+        e.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neg_id"),
+            (dot / (norm(F.col("v")) * norm(F.col("qv")))).alias("_cos"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("_cos"), "neg_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "neg_id", F.round("_cos", 6).alias("cosine"))
+        .orderBy("qid", F.desc("cosine"), "neg_id")
+    )
+
+
+# --- distributed BPE merge training ------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One BPE round as CTEs over s{r-1}(word, freq, symbols):
+    pair counts → deterministic argmax → leftmost-greedy merge.
+
+    Greedy-in-SQL: a match may overlap its neighbor only when
+    left = right (proof: matches at i and i+1 force symbols[i+1] to be
+    both right and left), so overlap chains are runs of consecutive
+    matches; leftmost-greedy = take even offsets within each run
+    (gaps-and-islands)."""
+    prev = f"s{r - 1}"
+    return f"""
+    p{r} AS (
+      SELECT symbols[i] AS l, symbols[i + 1] AS r, sum(freq) AS pair_count
+      FROM {prev}, UNNEST(range(1, len(symbols))) AS u(i)
+      GROUP BY 1, 2
+    ),
+    b{r} AS (
+      SELECT l, r, pair_count FROM p{r}
+      ORDER BY pair_count DESC, l, r LIMIT 1
+    ),
+    e{r} AS (
+      SELECT word, freq, i, symbols[i] AS sym,
+             COALESCE(symbols[i] = b.l AND i < len(symbols)
+                      AND symbols[i + 1] = b.r, FALSE) AS m
+      FROM {prev} CROSS JOIN b{r} b,
+           UNNEST(range(1, len(symbols) + 1)) AS u(i)
+    ),
+    g{r} AS (
+      SELECT *, CASE WHEN m THEN i - row_number()
+                 OVER (PARTITION BY word, m ORDER BY i) END AS isl
+      FROM e{r}
+    ),
+    t{r} AS (
+      SELECT *, CASE WHEN m THEN
+                 (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0
+               ELSE FALSE END AS take
+      FROM g{r}
+    ),
+    s{r} AS (
+      SELECT word, freq,
+             list(CASE WHEN take THEN b.l || b.r ELSE sym END ORDER BY i)
+               AS symbols
+      FROM (
+        SELECT *, COALESCE(
+          lag(take) OVER (PARTITION BY word ORDER BY i), FALSE) AS consumed
+        FROM t{r}
+      ) CROSS JOIN b{r} b
+      WHERE NOT consumed
+      GROUP BY word, freq
+    )"""
+
+
+def _bpe_oracle() -> str:
+    rounds = ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    finals = " UNION ALL ".join(
+        f"""SELECT {r} AS round, b{r}.l AS left, b{r}.r AS right,
+            CAST(b{r}.pair_count AS BIGINT) AS pair_count,
+            CAST((SELECT sum(freq * len(symbols)) FROM s{r}) AS BIGINT)
+              AS n_symbols_after
+            FROM b{r}"""
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH w AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    s0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             list_filter(string_split(word, ''), x -> x <> '') AS symbols
+      FROM w GROUP BY word
+    ),
+    {rounds}
+    SELECT * FROM ({finals}) ORDER BY round
+    """
+
+
+@_register("bpe_merges", _bpe_oracle())
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of distributed BPE training (Sennrich et al. 2016)
+    over the corpus word-frequency table: per round, the argmax adjacent
+    pair (count-desc, lexicographic tiebreak) and the corpus-weighted
+    symbol total after the leftmost-greedy merge — a checksum that every
+    occurrence was rewritten. Spark merges via a native array fold; the
+    oracle replays each round with the gaps-and-islands greedy trick
+    (``operators/bpe.py``)."""
+    from ..operators.bpe import bpe_train, word_freqs
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    recs = bpe_train(word_freqs(docs), rounds=_BPE_ROUNDS)
+    return spark.createDataFrame(
+        [
+            (r["round"], r["left"], r["right"], r["pair_count"], r["n_symbols_after"])
+            for r in recs
+        ],
+        "round int, left string, right string, pair_count bigint, n_symbols_after bigint",
+    ).orderBy("round")
+
+
+
+__all__ = [n for n in dict(globals()) if not n.startswith("__")]

@@ -1,0 +1,95 @@
+"""Query registry: every operator from SURVEY.md §2 surfaced as a
+(spark, sf_dir) -> DataFrame callable plus an equivalent DuckDB oracle SQL.
+
+Each query exercises real engine code (operators/functions modules), not
+ad-hoc SQL: the point is that the driver's DuckDB comparison certifies the
+operator implementations. Column names are aligned between both sides;
+floating-point outputs are rounded on both sides so value hashes are stable.
+
+The OSM-domain operators run on histories DERIVED deterministically from the
+driver's ``events`` table (TESTDATA.md) — the derivation is part of each
+query and mirrored in its oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.geodesic import SPHERE_FACT, segment_length_expr
+from ..functions.hashtags import hashtags_expr
+from ..functions.text import (
+    FP_MOD,
+    dup_token_fraction_expr,
+    fingerprint_expr,
+    ngrams_expr,
+    pii_count_expr,
+    redact_pii_expr,
+    hash60_expr,
+    hash60_sql,
+    lang_guess_expr,
+    mean_token_len_expr,
+    punct_ratio_expr,
+    quality_score_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+    tokens_expr,
+)
+from ..functions.xz import G_DEFAULT, _n_elem, xz_code_expr, xz_level_expr
+from ..operators.asof import asof_join
+from ..session import fan_out
+from ..operators.contributions import (
+    node_contribution_events,
+    relation_contribution_events,
+    synthesize_contributions,
+    way_contribution_events,
+)
+from ..operators.dedup import (
+    MINHASH_PRIME,
+    _perm_coeff,
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from ..operators.similarity import cosine_topk, kmeans_iterate, lsh_bucket_topk
+from ..operators.spatial import join_countries, rect_feature
+from ..sources.testdata import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLES)
+
+
+__all__ = [n for n in dict(globals()) if not n.startswith("__")]

@@ -1,15070 +1,8 @@
-"""Query registry: every operator from SURVEY.md §2 surfaced as a
-(spark, sf_dir) -> DataFrame callable plus an equivalent DuckDB oracle SQL.
-
-Each query exercises real engine code (operators/functions modules), not
-ad-hoc SQL: the point is that the driver's DuckDB comparison certifies the
-operator implementations. Column names are aligned between both sides;
-floating-point outputs are rounded on both sides so value hashes are stable.
-
-The OSM-domain operators run on histories DERIVED deterministically from the
-driver's ``events`` table (TESTDATA.md) — the derivation is part of each
-query and mirrored in its oracle.
+"""Query/oracle registry for the driver contract — now a thin
+re-export over six mechanical line-range slices (_q01.._q06, chained
+namespaces over plans/_qshared.py which owns QUERIES/ORACLES/_register).
+The public surface is unchanged: every name importable from this module
+before the split (including underscore helpers used by tests) still is.
 """
 
-from __future__ import annotations
-
-from collections.abc import Callable, Iterator
-
-import pandas as pd
-
-from pyspark.sql import DataFrame, SparkSession, Window as W
-from pyspark.sql import functions as F
-
-from ..functions.geodesic import SPHERE_FACT, segment_length_expr
-from ..functions.hashtags import hashtags_expr
-from ..functions.text import (
-    FP_MOD,
-    dup_token_fraction_expr,
-    fingerprint_expr,
-    ngrams_expr,
-    pii_count_expr,
-    redact_pii_expr,
-    hash60_expr,
-    hash60_sql,
-    lang_guess_expr,
-    mean_token_len_expr,
-    punct_ratio_expr,
-    quality_score_expr,
-    stopword_ratio_expr,
-    token_count_expr,
-    tokens_expr,
-)
-from ..functions.xz import G_DEFAULT, _n_elem, xz_code_expr, xz_level_expr
-from ..operators.asof import asof_join
-from ..session import fan_out
-from ..operators.contributions import (
-    node_contribution_events,
-    relation_contribution_events,
-    synthesize_contributions,
-    way_contribution_events,
-)
-from ..operators.dedup import (
-    MINHASH_PRIME,
-    _perm_coeff,
-    exact_dup_groups,
-    lsh_candidate_pairs,
-    minhash_signatures,
-    ngram_jaccard_pairs,
-    shingles,
-    simhash,
-)
-from ..operators.similarity import cosine_topk, kmeans_iterate, lsh_bucket_topk
-from ..operators.spatial import join_countries, rect_feature
-from ..sources.testdata import load_table
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
-
-
-def _register(name: str, oracle: str | None = None):
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
-
-
-# --- produce-then-query: shared materialized contributions ------------------
-#
-# The reference's user contract is produce-then-query: the contribution
-# pipeline writes a GeoParquet dataset ONCE and every downstream query
-# (snapshots, tag stats, member unnesting — docs/useful_queries.md) reads
-# the stored table. Re-deriving the full pipeline inside each downstream
-# query (as rounds 1-5 did) models the wrong thing and at 100 TB would
-# re-run the planet build per query. The first downstream query in a
-# session materializes the stream to parquet; the rest scan it with
-# column pruning + predicate pushdown, exactly like a real deployment.
-_MATERIALIZED: dict[tuple[str, str], str] = {}
-
-
-def _produce_then_query(
-    spark: SparkSession, sf_dir: str, kind: str, build: Callable[[], DataFrame]
-) -> DataFrame:
-    import os
-    import tempfile
-
-    path = _MATERIALIZED.get((kind, sf_dir))
-    if path is None or not os.path.isdir(path):
-        path = os.path.join(
-            tempfile.mkdtemp(prefix=f"opc_stage_{kind}_"), "contribs"
-        )
-        build().write.mode("overwrite").parquet(path)
-        _MATERIALIZED[(kind, sf_dir)] = path
-    return spark.read.parquet(path)
-
-
-def _node_contribs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _produce_then_query(
-        spark, sf_dir, "nodes",
-        lambda: synthesize_contributions(
-            node_contribution_events(_derived_nodes(spark, sf_dir))
-        ),
-    )
-
-
-def _way_contribs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def build() -> DataFrame:
-        ways, nodes = _derived_way_inputs(spark, sf_dir)
-        return synthesize_contributions(way_contribution_events(ways, nodes))
-
-    return _produce_then_query(spark, sf_dir, "ways", build)
-
-
-def _relation_contribs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def build() -> DataFrame:
-        ways, nodes = _derived_way_inputs(spark, sf_dir)
-        rels = _derived_relations(spark, sf_dir)
-        return synthesize_contributions(
-            relation_contribution_events(rels, ways, nodes)
-        )
-
-    return _produce_then_query(spark, sf_dir, "relations", build)
-
-
-def _pq_codebook_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ codebooks (m=4, every=64, 1 Lloyd round) trained once per
-    session — the stored-index contract: `pq_codes` is the verified
-    trainer+encoder op and re-derives per run; the search queries
-    (`pq_adc_topk`, `ann_ivfpq_topk`) read the staged codebook table,
-    exactly as a deployed ANN service reads its trained index rather than
-    retraining per query."""
-    from ..operators.similarity import pq_codebooks
-
-    return _produce_then_query(
-        spark, sf_dir, "pq_cb_m4_e64",
-        lambda: pq_codebooks(
-            fan_out(_t(spark, sf_dir, "embeddings")), m=4, dim=64, every=64,
-            iters=1,
-        ),
-    )
-
-
-def _pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The encoded PQ code matrix, staged once per session (the stored
-    index's data half; see :func:`_pq_codebook_table`)."""
-    from ..operators.similarity import pq_encode
-
-    def build() -> DataFrame:
-        cb = _pq_codebook_table(spark, sf_dir)
-        return pq_encode(
-            fan_out(_t(spark, sf_dir, "embeddings")), cb, m=4, dim=64
-        )
-
-    return _produce_then_query(spark, sf_dir, "pq_codes_m4_e64", build)
-
-
-def _pq_residual_codebook_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Residual PQ codebooks (FAISS IVFADC ``by_residual`` default):
-    trained on x − coarse_centroid(x) instead of raw vectors, staged once
-    per session like the raw-vector index tables. The coarse quantizer is
-    the k-means-TRAINED centroid table (:func:`_trained_centroids_table`),
-    not the sampled seeds: residual encoding only pays off when the
-    coarse centroids actually sit inside the data (see
-    :func:`_residual_v_cte` for the measured energies)."""
-    from ..operators.similarity import pq_codebooks, residual_vectors
-
-    def build() -> DataFrame:
-        emb = fan_out(_t(spark, sf_dir, "embeddings"))
-        res = residual_vectors(emb, _trained_centroids_table(spark, sf_dir))
-        return pq_codebooks(res, m=4, dim=64, every=64, iters=1)
-
-    return _produce_then_query(spark, sf_dir, "pq_res_cb_m4_e64", build)
-
-
-def _pq_residual_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Residual PQ code matrix WITH the list id per row — in a stored
-    IVFADC index the code and its inverted-list membership live in the
-    same entry, so the staged table carries both."""
-    from ..operators.similarity import pq_encode, residual_vectors
-
-    def build() -> DataFrame:
-        emb = fan_out(_t(spark, sf_dir, "embeddings"))
-        res = residual_vectors(emb, _trained_centroids_table(spark, sf_dir))
-        cb = _pq_residual_codebook_table(spark, sf_dir)
-        return pq_encode(res, cb, m=4, dim=64).join(
-            res.select("vec_id", "_list"), "vec_id"
-        )
-
-    return _produce_then_query(spark, sf_dir, "pq_res_codes_m4_e64", build)
-
-
-def _trained_centroids_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means centroids (every=64, iters=2) trained once per session —
-    the IVF train-once/reuse contract: the trainer (`kmeans_centroids`)
-    re-derives per run to stay the verified op, consumers (IVF probing,
-    semantic dedup) read the stored table."""
-    return _produce_then_query(
-        spark, sf_dir, "kmeans_e64_i2",
-        lambda: kmeans_iterate(
-            fan_out(_t(spark, sf_dir, "embeddings")), every=64, iters=2
-        ).select("cid", "cv"),
-    )
-
-
-def _dedup_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup clusters (doc_id, cluster_id, n_docs,
-    is_canonical) staged once per session — the trainer-vs-consumer split
-    of the k-means/PQ index tables applied to the dedup family
-    (round-6 verdict item #8): ``dedup_clusters`` is the verified trainer
-    and re-derives SimHash→banding→connected-components per run; consumers
-    (``dedup_canonical``) read the stored cluster table, exactly as a
-    deduplication service reads its precomputed cluster assignments rather
-    than re-clustering the corpus per request."""
-    from ..operators.dedup import dedup_clusters, simhash_near_dup_pairs
-
-    def build() -> DataFrame:
-        docs = fan_out(_t(spark, sf_dir, "documents"))
-        sigs = simhash(docs, "doc_id", "text", bits=32)
-        pairs = simhash_near_dup_pairs(sigs, bits=32, bands=4, max_hamming=3)
-        return dedup_clusters(docs, pairs, id_col="doc_id")
-
-    return _produce_then_query(spark, sf_dir, "simhash_clusters_b4_h3", build)
-
-
-# ===========================================================================
-# relational surface (joins/aggregations/sorts — SURVEY.md §2.3/2.4/2.6)
-# ===========================================================================
-
-
-@_register(
-    "pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                       AS sum_qty,
-           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-           round(avg(l_quantity), 6)                                       AS avg_qty,
-           round(avg(l_extendedprice), 6)                                  AS avg_price,
-           round(avg(l_discount), 6)                                       AS avg_disc,
-           CAST(count(*) AS BIGINT)                                        AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
-    """,
-)
-def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan-side filter + map-side-combinable aggregation."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-@_register(
-    "topk_order_revenue",
-    """
-    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, o_orderkey
-    LIMIT 10
-    """,
-)
-def topk_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: dimension filter pushed below a 3-way join, top-k.
-
-    customer is broadcast (dimension-sized); lineitem⨝orders shuffles on the
-    order key only."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
-        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
-        .limit(10)
-    )
-
-
-@_register(
-    "region_nation_revenue",
-    """
-    SELECT r.r_name, n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           CAST(count(DISTINCT o.o_orderkey) AS BIGINT)          AS n_orders
-    FROM region r
-      JOIN nation n   ON n.n_regionkey = r.r_regionkey
-      JOIN customer c ON c.c_nationkey = n.n_nationkey
-      JOIN orders o   ON o.o_custkey  = c.c_custkey
-      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    GROUP BY r.r_name, n.n_name
-    ORDER BY r.r_name, n.n_name
-    """,
-)
-def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: snowflake join; all dimensions broadcast, facts
-    shuffle once on the order key."""
-    r = _t(spark, sf_dir, "region")
-    n = _t(spark, sf_dir, "nation")
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    dim = F.broadcast(
-        c.join(n, c.c_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
-    )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(dim, o.o_custkey == dim.c_custkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-        )
-        .orderBy("r_name", "n_name")
-    )
-
-
-@_register(
-    "order_priority_counts",
-    """
-    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
-    FROM orders o
-    WHERE EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
-    GROUP BY o_orderpriority ORDER BY o_orderpriority
-    """,
-)
-def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: EXISTS = left-semi join."""
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    semi = o.join(
-        li,
-        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
-        "left_semi",
-    )
-    return (
-        semi.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
-
-
-@_register(
-    "sales_rollup",
-    """
-    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
-           coalesce(o_orderpriority, 'ALL') AS priority,
-           round(sum(o_totalprice), 2)      AS total,
-           CAST(count(*) AS BIGINT)         AS n
-    FROM orders
-    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    ORDER BY status, priority
-    """,
-)
-def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical aggregate (ROLLUP) — free in Spark, absent in the
-    reference engine (SURVEY.md §2.4 note)."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            "total",
-            "n",
-        )
-        .orderBy("status", "priority")
-    )
-
-
-# ===========================================================================
-# window surface (SURVEY.md §2.5 / A1-A6 analogs on the events stream)
-# ===========================================================================
-
-
-@_register(
-    "events_windows",
-    """
-    SELECT event_id, user_id,
-           CAST(row_number() OVER w AS BIGINT)                  AS seq,
-           round(value - coalesce(lag(value) OVER w, 0.0), 2)    AS delta,
-           coalesce(lead(ts) OVER w, TIMESTAMP '2222-01-01')     AS valid_to,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ORDER BY user_id, seq
-    """,
-)
-def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead/row_number/running-sum — the A1-A6 window family in one
-    pass; all four specs share one partitioning → single shuffle."""
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        ev.select(
-            "event_id",
-            "user_id",
-            F.row_number().over(w).cast("bigint").alias("seq"),
-            F.round(F.col("value") - F.lag("value", 1, 0.0).over(w), 2).alias("delta"),
-            F.coalesce(
-                F.lead("ts").over(w), F.lit("2222-01-01").cast("timestamp")
-            ).alias("valid_to"),
-            F.round(
-                F.sum("value").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
-            ).alias("running_value"),
-        )
-        .orderBy("user_id", "seq")
-    )
-
-
-@_register(
-    "user_sessions",
-    """
-    WITH marked AS (
-      SELECT user_id, ts, value,
-             CASE WHEN ts - coalesce(lag(ts) OVER w, ts - INTERVAL 9999 MINUTE)
-                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sess AS (
-      SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM marked
-    )
-    SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
-    FROM sess GROUP BY user_id ORDER BY user_id
-    """,
-)
-def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization (gap > 30 min) via cumulative-sum-of-boundaries — the
-    batch equivalent of a session window."""
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ, so the
-    # gap test is immune to parquet NTZ-inference drift (round-5 red row)
-    prev = F.lag("ts").over(w)
-    gap_over = (F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTES")
-    marked = ev.withColumn(
-        "new_session",
-        F.when(prev.isNull() | gap_over, F.lit(1)).otherwise(F.lit(0)),
-    )
-    # first row of each user: lag null -> new session (oracle encodes the
-    # same via the sentinel interval)
-    sess = marked.withColumn(
-        "session_id",
-        F.sum("new_session").over(
-            W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
-    )
-    return (
-        sess.groupBy("user_id")
-        .agg(
-            F.countDistinct("session_id").alias("n_sessions"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .orderBy("user_id")
-    )
-
-
-@_register(
-    "latest_state",
-    """
-    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
-           round(value, 2) AS last_value
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-    ) WHERE rn = 1 ORDER BY user_id
-    """,
-)
-def latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R4 analog: latest-value-per-key state table (the Spark replacement of
-    the reference's replication RocksDB store)."""
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("event_type").alias("last_event_type"),
-            F.round("value", 2).alias("last_value"),
-        )
-        .orderBy("user_id")
-    )
-
-
-@_register(
-    "asof_purchase_view",
-    """
-    SELECT p.event_id, p.user_id, p.ts,
-           v.ts AS view_ts, round(v.value, 2) AS view_value
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-      ON p.user_id = v.user_id AND v.ts <= p.ts
-    ORDER BY p.event_id
-    """,
-)
-def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (J3's relational core): each purchase picks up the latest
-    preceding view per user. Union + last-value window — one shuffle, no
-    interval explosion (operators/asof.py)."""
-    ev = _t(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .select(
-            "user_id",
-            F.col("ts").alias("view_ts"),
-            F.round("value", 2).alias("view_value"),
-        )
-    )
-    out = asof_join(
-        purchases,
-        views,
-        on="user_id",
-        left_ts="ts",
-        right_ts="view_ts",
-        value_cols=["view_ts", "view_value"],
-    )
-    return out.select("event_id", "user_id", "ts", "view_ts", "view_value").orderBy("event_id")
-
-
-# ===========================================================================
-# OSM contribution pipeline on derived histories (flagship)
-# ===========================================================================
-
-def _contrib_oracle_sql(ent_cte: str) -> str:
-    """The node-contribution window-SQL oracle, parameterized over the
-    entity-derivation CTE (``contrib_nodes`` derives float coords and raw
-    event timestamps; ``contrib_from_pbf`` derives PBF-representable
-    second-resolution timestamps and 1e-7-exact coordinates)."""
-    return _CONTRIB_ORACLE_BODY.replace("__ENT_CTE__", ent_cte)
-
-
-_CONTRIB_ORACLE_BODY = """
-__ENT_CTE__, raw AS (
-  SELECT *,
-         lag(ts)       OVER w AS prev_ts,
-         lag(tagv)     OVER w AS prev_tagv,
-         lag(visible)  OVER w AS prev_visible,
-         lead(version)   OVER w AS next_version,
-         lead(changeset) OVER w AS next_changeset
-  FROM ent WINDOW w AS (PARTITION BY osm_id ORDER BY ts, version, changeset)
-), squashed AS (
-  SELECT * FROM raw
-  WHERE next_version IS NULL
-     OR NOT (next_version = version AND next_changeset = changeset)
-), emitted AS (
-  SELECT *,
-         lead(ts) OVER w AS next_ts,
-         last_value(CASE WHEN visible THEN struct_pack(lon := lon, lat := lat) END IGNORE NULLS)
-           OVER (PARTITION BY osm_id ORDER BY ts, version, changeset
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)     AS eff,
-         CAST(row_number() OVER (PARTITION BY osm_id, version ORDER BY ts, changeset) - 1 AS INT) AS osm_minor_version,
-         CAST(row_number() OVER w AS INT) AS osm_edits
-  FROM squashed WINDOW w AS (PARTITION BY osm_id ORDER BY ts, version, changeset)
-), final AS (
-  SELECT *, lag(eff) OVER (PARTITION BY osm_id ORDER BY ts, version, changeset) AS prev_eff
-  FROM emitted
-)
-SELECT
-  CASE WHEN NOT visible THEN 'deleted'
-       WHEN eff IS NULL THEN 'invalid'
-       WHEN next_ts IS NOT NULL THEN 'history'
-       ELSE 'latest' END                                  AS status,
-  ts                                                      AS valid_from,
-  coalesce(next_ts, TIMESTAMP '2222-01-01')               AS valid_to,
-  osm_id, version AS osm_version, osm_minor_version, osm_edits,
-  prev_ts                                                 AS osm_last_edit,
-  CASE WHEN NOT visible THEN 'DELETION'
-       WHEN NOT coalesce(prev_visible, FALSE) THEN 'CREATION'
-       ELSE nullif(concat_ws('_',
-              CASE WHEN tagv IS DISTINCT FROM prev_tagv THEN 'TAG' END,
-              CASE WHEN (eff).lon IS DISTINCT FROM (prev_eff).lon
-                     OR (eff).lat IS DISTINCT FROM (prev_eff).lat THEN 'GEOMETRY' END), '')
-  END                                                     AS contrib_type,
-  round((eff).lon, 6)                                     AS cx,
-  round((eff).lat, 6)                                     AS cy
-FROM final
-ORDER BY osm_id, osm_edits
-"""
-
-_CONTRIB_ORACLE = _contrib_oracle_sql("""
-WITH base AS (
-  SELECT user_id AS osm_id, ts,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
-         event_type, value
-  FROM events
-), ent AS (
-  SELECT osm_id, ts,
-         CAST(((seq - 1) // 2) + 1 AS INT)            AS version,
-         CAST((((seq - 1) // 2) + 1) % 7 AS BIGINT)   AS changeset,
-         event_type <> 'error'                        AS visible,
-         event_type                                   AS tagv,
-         (value % 360.0) - 180.0                      AS lon,
-         ((value * 7.0) % 180.0) - 90.0               AS lat
-  FROM base
-)""")
-
-# contrib_from_pbf: same history, but every value must survive the PBF
-# wire format exactly — timestamps at whole seconds (date_granularity
-# 1000), coordinates on the half/quarter-degree grid (exact doubles,
-# lossless through the 1e-7 nanodegree encoding).
-_CONTRIB_FROM_PBF_ORACLE = _contrib_oracle_sql("""
-WITH base AS (
-  SELECT user_id AS osm_id,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
-         event_type, value
-  FROM events WHERE user_id % 4 = 0
-), ent AS (
-  SELECT osm_id,
-         TIMESTAMP '2015-01-01' + INTERVAL 1 MINUTE * seq              AS ts,
-         CAST(((seq - 1) // 2) + 1 AS INT)            AS version,
-         CAST((((seq - 1) // 2) + 1) % 7 AS BIGINT)   AS changeset,
-         event_type <> 'error'                        AS visible,
-         event_type                                   AS tagv,
-         (abs(CAST(floor(value) AS BIGINT)) % 360) - 180 + 0.5         AS lon,
-         (abs(CAST(floor(value * 7.0) AS BIGINT)) % 180) - 90 + 0.25   AS lat
-  FROM base
-)""")
-
-
-def _derived_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic node-history derivation from the events table: two
-    events per version (so same-changeset squash triggers), 'error' events
-    are deletions."""
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = F.row_number().over(w)
-    version = (F.floor((seq - 1) / 2) + 1).cast("int")
-    return ev.select(
-        F.col("user_id").alias("osm_id"),
-        version.alias("version"),
-        "ts",
-        (version % 7).cast("bigint").alias("changeset"),
-        F.lit(0).alias("user_id"),
-        F.lit("u").alias("user_name"),
-        (F.col("event_type") != "error").alias("visible"),
-        F.create_map(F.lit("t"), F.col("event_type")).alias("tags"),
-        ((F.col("value") % 360.0) - 180.0).alias("lon"),
-        (((F.col("value") * 7.0) % 180.0) - 90.0).alias("lat"),
-    )
-
-
-@_register("contrib_nodes", _CONTRIB_ORACLE)
-def contrib_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: the full node contribution pipeline (A1-A6, F3, F4) on
-    derived histories, checked column-by-column against a window-SQL oracle."""
-    nodes = _derived_nodes(spark, sf_dir)
-    contribs = synthesize_contributions(node_contribution_events(nodes))
-    return contribs.select(
-        "status",
-        "valid_from",
-        "valid_to",
-        "osm_id",
-        "osm_version",
-        "osm_minor_version",
-        "osm_edits",
-        "osm_last_edit",
-        "contrib_type",
-        F.round("centroid.x", 6).alias("cx"),
-        F.round("centroid.y", 6).alias("cy"),
-    ).orderBy("osm_id", "osm_edits")
-
-
-_PBF_FIXTURES: dict[str, str] = {}
-
-
-def _pbf_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Build the deterministic ``.osh.pbf`` fixture for contrib_from_pbf:
-    derive a bounded node history from events (25% of users), collect it,
-    and encode real DenseNodes wire bytes. The collect is fixture
-    construction, not pipeline shape — at 100 TB the PBF already exists
-    (it is the planet dump); only the decode side below is the engine."""
-    import os
-
-    path = _PBF_FIXTURES.get(sf_dir)
-    if path is not None and os.path.exists(path):
-        return path
-    from ..sources.pbf_encoder import write_node_history_pbf
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 4 == 0)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = F.row_number().over(w)
-    version = (F.floor((seq - F.lit(1)) / 2) + 1).cast("int")
-    rows = ev.select(
-        F.col("user_id").alias("osm_id"),
-        version.alias("version"),
-        (F.lit(1420070400) + 60 * seq).alias("ts_s"),
-        (version % 7).cast("bigint").alias("changeset"),
-        (F.col("event_type") != "error").alias("visible"),
-        F.col("event_type").alias("tagv"),
-        (F.abs(F.floor("value").cast("bigint")) % 360 - 180 + 0.5).alias("lon"),
-        (F.abs(F.floor(F.col("value") * 7.0).cast("bigint")) % 180 - 90 + 0.25).alias("lat"),
-    ).orderBy("osm_id", "version", "ts_s").collect()
-    nodes = [
-        dict(
-            osm_id=r.osm_id, version=r.version, ts_ms=r.ts_s * 1000,
-            changeset=r.changeset, uid=0, user="u", visible=r.visible,
-            tags={"t": r.tagv}, lon=r.lon, lat=r.lat,
-        )
-        for r in rows
-    ]
-    import hashlib
-    import tempfile
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"opc_fixture_nodes_{key}.osh.pbf"
-    )
-    write_node_history_pbf(path, nodes)
-    _PBF_FIXTURES[sf_dir] = path
-    return path
-
-
-@_register("contrib_from_pbf", _CONTRIB_FROM_PBF_ORACLE)
-def contrib_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end S1-S6 + A1-A6 seam: real ``.osh.pbf`` bytes → distributed
-    blob decode (``read_pbf``, mapInPandas over the blob index) → node
-    contribution synthesis — the `Contributions2Parquet.call()` path
-    (``Contributions2Parquet.java:125-207``) inside the hash-match gate.
-    The oracle replays the same history from the events table in pure SQL;
-    any decode bug (delta/zigzag, string table, info fields, granularity)
-    breaks the hash."""
-    from ..sources.pbf import read_pbf
-
-    path = _pbf_fixture(spark, sf_dir)
-    ents = read_pbf(spark, path).filter(F.col("osm_type") == "node")
-    nodes = ents.select(
-        "osm_id", "version", "ts", "changeset", "user_id", "user_name",
-        "visible", "tags", "lon", "lat",
-    )
-    contribs = synthesize_contributions(node_contribution_events(nodes))
-    return contribs.select(
-        "status",
-        "valid_from",
-        "valid_to",
-        "osm_id",
-        "osm_version",
-        "osm_minor_version",
-        "osm_edits",
-        "osm_last_edit",
-        "contrib_type",
-        F.round("centroid.x", 6).alias("cx"),
-        F.round("centroid.y", 6).alias("cy"),
-    ).orderBy("osm_id", "osm_edits")
-
-
-# contrib_from_pbf_offset_grid: the SAME contribution semantics, but the
-# wire bytes carry non-default granularity / lat_offset / lon_offset /
-# date_granularity VARYING PER BLOCK (osm_id%3 picks the combo). The
-# decoder's (off + gran*x)/1e9 replay (pbf.py, matching Block.java:88-97)
-# was implemented-but-untested until this row: every fixture before it
-# used the defaults (round-10 verdict, What's missing #1). Coordinates
-# are multiples of 250 nanodegrees on each block's grid, so encode →
-# decode → round(·,6) is lossless on both engines; timestamps are
-# multiples of every date_granularity used.
-_GRID_GRAN = "CASE osm_id % 3 WHEN 0 THEN 250 WHEN 1 THEN 500 ELSE 1250 END"
-_GRID_LATO = "CASE osm_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 250000 ELSE 500000 END"
-_GRID_LONO = "CASE osm_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1250000 ELSE 750000 END"
-_CONTRIB_PBF_OFFSET_ORACLE = _contrib_oracle_sql(f"""
-WITH base AS (
-  SELECT user_id AS osm_id,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
-         event_type
-  FROM events WHERE user_id % 4 = 0
-), grid AS (
-  SELECT osm_id, seq, event_type,
-         ((osm_id * 37 + seq * 11) % 720001) - 360000 AS klon,
-         ((osm_id * 53 + seq * 13) % 360001) - 180000 AS klat
-  FROM base
-), ent AS (
-  SELECT osm_id,
-         TIMESTAMP '2015-01-01' + INTERVAL 1 MINUTE * seq              AS ts,
-         CAST(((seq - 1) // 2) + 1 AS INT)            AS version,
-         CAST((((seq - 1) // 2) + 1) % 7 AS BIGINT)   AS changeset,
-         event_type <> 'error'                        AS visible,
-         event_type                                   AS tagv,
-         (({_GRID_LONO}) + ({_GRID_GRAN}) * klon) / 1e9 AS lon,
-         (({_GRID_LATO}) + ({_GRID_GRAN}) * klat) / 1e9 AS lat
-  FROM grid
-)""")
-
-_GRID_COMBOS = {
-    # osm_id%3 → (granularity, lat_offset, lon_offset, date_granularity)
-    0: (250, 0, 0, 1000),
-    1: (500, 250_000, 1_250_000, 2000),
-    2: (1250, 500_000, 750_000, 5000),
-}
-
-
-def _pbf_offset_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Encode the offset-grid ``.osh.pbf``: three interleaved block
-    families, each with its own granularity/offsets/date_granularity
-    (fields 17-20 on the wire). Coordinates are constructed ON the grid,
-    so encoding is exact and the oracle recomputes them in closed form."""
-    import hashlib
-    import os
-    import tempfile
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"opc_fixture_offset_grid_{key}.osh.pbf"
-    )
-    if _PBF_FIXTURES.get(("grid", sf_dir)) == path and os.path.exists(path):
-        return path
-    from ..sources.pbf_encoder import encode_block, write_pbf
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 4 == 0)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = F.row_number().over(w)
-    version = (F.floor((seq - F.lit(1)) / 2) + 1).cast("int")
-    rows = ev.select(
-        F.col("user_id").alias("osm_id"),
-        version.alias("version"),
-        (F.lit(1420070400) + 60 * seq).alias("ts_s"),
-        (version % 7).cast("bigint").alias("changeset"),
-        (F.col("event_type") != "error").alias("visible"),
-        F.col("event_type").alias("tagv"),
-        ((F.col("user_id") * 37 + seq * 11) % 720001 - 360000).alias("klon"),
-        ((F.col("user_id") * 53 + seq * 13) % 360001 - 180000).alias("klat"),
-    ).orderBy("osm_id", "version", "ts_s").collect()
-    by_combo: dict[int, list[dict]] = {0: [], 1: [], 2: []}
-    for r in rows:
-        gran, lat_o, lon_o, _dg = _GRID_COMBOS[r.osm_id % 3]
-        by_combo[r.osm_id % 3].append(
-            dict(
-                osm_id=r.osm_id, version=r.version, ts_ms=r.ts_s * 1000,
-                changeset=r.changeset, uid=0, user="u", visible=r.visible,
-                tags={"t": r.tagv},
-                lon=(lon_o + gran * r.klon) / 1e9,
-                lat=(lat_o + gran * r.klat) / 1e9,
-            )
-        )
-    blocks = []
-    for c, nodes in by_combo.items():
-        gran, lat_o, lon_o, dg = _GRID_COMBOS[c]
-        for i in range(0, max(len(nodes), 1), 4000):
-            blocks.append(
-                encode_block(
-                    dense_nodes=nodes[i : i + 4000],
-                    granularity=gran,
-                    lat_offset=lat_o,
-                    lon_offset=lon_o,
-                    date_granularity=dg,
-                )
-            )
-    fd, tmp = tempfile.mkstemp(dir=tempfile.gettempdir(), suffix=".pbf.tmp")
-    os.close(fd)
-    write_pbf(tmp, blocks)
-    os.replace(tmp, path)
-    _PBF_FIXTURES[("grid", sf_dir)] = path
-    return path
-
-
-@_register("contrib_from_pbf_offset_grid", _CONTRIB_PBF_OFFSET_ORACLE)
-def contrib_from_pbf_offset_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``contrib_from_pbf``'s wire-format-hardening twin: the same
-    decode → synthesis pipeline over blocks that carry NON-DEFAULT
-    granularity (250/500/1250), lat/lon offsets, and date_granularity
-    (1000/2000/5000), varying per block. One wrong term in the
-    ``(off + gran*x)/1e9`` or ``ts*date_gran`` replay (``sources/pbf.py``
-    vs Block.java:88-97) shifts every coordinate/timestamp and breaks
-    the hash."""
-    from ..sources.pbf import read_pbf
-
-    path = _pbf_offset_fixture(spark, sf_dir)
-    ents = read_pbf(spark, path).filter(F.col("osm_type") == "node")
-    nodes = ents.select(
-        "osm_id", "version", "ts", "changeset", "user_id", "user_name",
-        "visible", "tags", "lon", "lat",
-    )
-    contribs = synthesize_contributions(node_contribution_events(nodes))
-    return contribs.select(
-        "status",
-        "valid_from",
-        "valid_to",
-        "osm_id",
-        "osm_version",
-        "osm_minor_version",
-        "osm_edits",
-        "osm_last_edit",
-        "contrib_type",
-        F.round("centroid.x", 6).alias("cx"),
-        F.round("centroid.y", 6).alias("cy"),
-    ).orderBy("osm_id", "osm_edits")
-
-
-_CONTRIB_CHANGESETS_ORACLE = """
-WITH contribs AS (
-  SELECT o_orderkey AS contrib_id, CAST(o_custkey AS BIGINT) AS changeset_id
-  FROM orders
-), cs AS (
-  SELECT CAST(c_custkey AS BIGINT) AS id,
-         TIMESTAMP '2020-01-01' + INTERVAL 1 MINUTE * c_custkey AS created_at,
-         TIMESTAMP '2020-01-01' + INTERVAL 1 MINUTE * (c_custkey + 120) AS closed_at,
-         c_mktsegment AS editor,
-         concat('h', CAST(c_custkey % 10 AS VARCHAR), ',',
-                lower(c_mktsegment))                         AS hashtags
-  FROM customer WHERE c_custkey % 3 <> 0
-)
-SELECT contrib_id,
-       changeset_id,
-       coalesce(cs.created_at, TIMESTAMP '1970-01-01')       AS cs_created_at,
-       cs.closed_at                                          AS cs_closed_at,
-       cs.editor                                             AS editor,
-       coalesce(cs.hashtags, '')                             AS hashtags
-FROM contribs LEFT JOIN cs ON contribs.changeset_id = cs.id
-ORDER BY contrib_id
-"""
-
-
-@_register("contrib_changesets", _CONTRIB_CHANGESETS_ORACLE)
-def contrib_changesets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4 changeset enrichment: left join with the reference's default
-    record for missing ids (``util/Utils.java:50-66``), editor from
-    tags['created_by'] (A11, ``ChangesetDb.java:50``). Every third
-    changeset id is withheld so the default-record path is exercised.
-    Scale shape: semi-join-pruned build side, AQE-picked broadcast
-    (see ``with_changesets``)."""
-    from ..operators.contributions import with_changesets
-
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    contribs = orders.select(
-        F.col("o_orderkey").alias("contrib_id"),
-        F.col("o_custkey").cast("bigint").alias("changeset_id"),
-    )
-    changesets = customer.filter(F.col("c_custkey") % 3 != 0).select(
-        F.col("c_custkey").cast("bigint").alias("id"),
-        F.expr(
-            "timestamp'2020-01-01' + make_interval(0,0,0,0,0, c_custkey, 0)"
-        ).alias("created_at"),
-        F.expr(
-            "timestamp'2020-01-01' + make_interval(0,0,0,0,0, c_custkey + 120, 0)"
-        ).alias("closed_at"),
-        F.create_map(F.lit("created_by"), F.col("c_mktsegment")).alias("tags"),
-        F.array(
-            F.concat(F.lit("h"), (F.col("c_custkey") % 10).cast("string")),
-            F.lower("c_mktsegment"),
-        ).alias("hashtags"),
-    )
-    out = with_changesets(contribs, changesets)
-    return out.select(
-        "contrib_id",
-        F.col("changeset.id").alias("changeset_id"),
-        F.col("changeset.created_at").alias("cs_created_at"),
-        F.col("changeset.closed_at").alias("cs_closed_at"),
-        F.col("changeset.editor").alias("editor"),
-        F.concat_ws(",", "changeset.hashtags").alias("hashtags"),
-    ).orderBy("contrib_id")
-
-
-# ===========================================================================
-# scalar function surface: hashtags, xz, geodesic (A8-A11)
-# ===========================================================================
-
-
-_CAMPAIGN_ORACLE = """
-WITH contribs AS (
-  SELECT o_orderkey AS contrib_id, CAST(o_custkey AS BIGINT) AS changeset_id
-  FROM orders
-), cs AS (
-  SELECT CAST(c_custkey AS BIGINT) AS id,
-         TIMESTAMP '2020-01-01' + INTERVAL 1 MINUTE * c_custkey AS created_at,
-         [concat('h', CAST(c_custkey % 10 AS VARCHAR)),
-          lower(c_mktsegment)]                                AS hashtags
-  FROM customer WHERE c_custkey % 3 <> 0
-), j AS (
-  SELECT contrib_id, cs.id AS cs_id, cs.created_at,
-         unnest(cs.hashtags) AS hashtag
-  FROM contribs JOIN cs ON contribs.changeset_id = cs.id
-)
-SELECT hashtag,
-       CAST(count(*) AS BIGINT)              AS n_contribs,
-       CAST(count(DISTINCT cs_id) AS BIGINT) AS n_changesets,
-       min(created_at)                       AS first_at,
-       max(created_at)                       AS last_at
-FROM j GROUP BY hashtag ORDER BY hashtag
-"""
-
-
-@_register("hashtag_campaign_stats", _CAMPAIGN_ORACLE)
-def hashtag_campaign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Campaign (mapathon) monitoring — the ohsome hashtag analytic the
-    reference's changeset hashtags exist to serve: per hashtag, the
-    contribution count, distinct changesets, and first/last changeset
-    time. One explode + one map-side-combinable groupBy downstream of the
-    J4 enrichment join; missing changesets carry the default record's
-    empty hashtag list, so they drop out at the explode, matching the
-    oracle's inner join."""
-    from ..operators.contributions import with_changesets
-
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    contribs = orders.select(
-        F.col("o_orderkey").alias("contrib_id"),
-        F.col("o_custkey").cast("bigint").alias("changeset_id"),
-    )
-    changesets = customer.filter(F.col("c_custkey") % 3 != 0).select(
-        F.col("c_custkey").cast("bigint").alias("id"),
-        F.expr(
-            "timestamp'2020-01-01' + make_interval(0,0,0,0,0, c_custkey, 0)"
-        ).alias("created_at"),
-        F.expr(
-            "timestamp'2020-01-01' + make_interval(0,0,0,0,0, c_custkey + 120, 0)"
-        ).alias("closed_at"),
-        F.create_map(F.lit("created_by"), F.col("c_mktsegment")).alias("tags"),
-        F.array(
-            F.concat(F.lit("h"), (F.col("c_custkey") % 10).cast("string")),
-            F.lower("c_mktsegment"),
-        ).alias("hashtags"),
-    )
-    enriched = with_changesets(contribs, changesets)
-    tagged = enriched.select(
-        "contrib_id",
-        F.col("changeset.id").alias("cs_id"),
-        F.col("changeset.created_at").alias("created_at"),
-        F.explode("changeset.hashtags").alias("hashtag"),
-    )
-    return (
-        tagged.groupBy("hashtag")
-        .agg(
-            F.count(F.lit(1)).alias("n_contribs"),
-            F.countDistinct("cs_id").alias("n_changesets"),
-            F.min("created_at").alias("first_at"),
-            F.max("created_at").alias("last_at"),
-        )
-        .orderBy("hashtag")
-    )
-
-
-def _hashtags_oracle() -> str:
-    from ..functions.hashtags import HASHTAG_RE, URL_RE
-
-    # HASHTAG_RE is built from literal codepoints, so it is valid RE2 as-is;
-    # escape single quotes for the SQL literal
-    pat = HASHTAG_RE.replace("'", "''")
-    url = URL_RE
-    return f"""
-    WITH comments AS (
-      SELECT doc_id,
-             concat('Edit #', source, ' and #', lang, 'map see http://x.io/#ign ',
-                    '#', CAST(doc_id % 100 AS VARCHAR), ' #ok') AS comment
-      FROM documents
-    ), extracted AS (
-      SELECT doc_id,
-             list_sort(list_distinct(list_filter(
-               list_transform(
-                 regexp_extract_all(regexp_replace(comment, '{url}', '', 'g'),
-                   '{pat}'),
-                 t -> t[2:]),
-               t -> len(t) >= 2 AND NOT regexp_matches(t, '^[0-9]+$')))) AS hashtags
-      FROM comments
-    )
-    SELECT doc_id, array_to_string(hashtags, ',') AS hashtags
-    FROM extracted ORDER BY doc_id
-    """
-
-
-@_register("changeset_hashtags", _hashtags_oracle())
-def changeset_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: hashtag derivation (URL stripping, ≥2 chars, non-numeric,
-    distinct+sorted) on synthesized comment strings."""
-    docs = _t(spark, sf_dir, "documents")
-    comment = F.concat(
-        F.lit("Edit #"),
-        F.col("source"),
-        F.lit(" and #"),
-        F.col("lang"),
-        F.lit("map see http://x.io/#ign "),
-        F.lit("#"),
-        (F.col("doc_id") % 100).cast("string"),
-        F.lit(" #ok"),
-    )
-    # The driver's canonicalizer sorts the result frame and cannot hash
-    # array cells, so emit the hashtag list as a canonical comma-joined
-    # string on both engines.
-    return docs.select(
-        "doc_id", F.concat_ws(",", hashtags_expr(comment)).alias("hashtags")
-    ).orderBy("doc_id")
-
-
-def _xz_oracle() -> str:
-    g = G_DEFAULT
-    n_elem = _n_elem(g)
-    terms = []
-    for i in range(g):
-        scale = float(2 ** (i + 1))
-        cap = 2 ** (i + 1) - 1
-        bx = f"(least(CAST(floor(nx * {scale}) AS BIGINT), {cap}) % 2)"
-        by = f"(least(CAST(floor(ny * {scale}) AS BIGINT), {cap}) % 2)"
-        terms.append(
-            f"CASE WHEN {i} < lvl THEN ({bx} + 2 * {by}) * {int(n_elem[i])} + 1 ELSE 0 END"
-        )
-    code_sum = " + ".join(terms)
-    return f"""
-    WITH boxes AS (
-      SELECT c_custkey,
-             CAST((c_custkey % 340) - 170 AS DOUBLE)      AS xmin,
-             CAST(((c_custkey * 3) % 160) - 80 AS DOUBLE) AS ymin,
-             CAST((c_custkey % 340) - 170 AS DOUBLE) + (abs(c_acctbal) % 10.0)      AS xmax,
-             CAST(((c_custkey * 3) % 160) - 80 AS DOUBLE) + ((abs(c_acctbal) * 2.0) % 8.0) AS ymax
-      FROM customer
-    ), norm AS (
-      SELECT c_custkey,
-             (180.0 + xmin) / 360.0 AS nx, (90.0 + ymin) / 360.0 AS ny,
-             (180.0 + xmax) / 360.0 AS nx2, (90.0 + ymax) / 360.0 AS ny2
-      FROM boxes
-    ), lvl1 AS (
-      SELECT *, greatest(nx2 - nx, ny2 - ny) AS ext FROM norm
-    ), lvl2 AS (
-      SELECT *,
-        CASE WHEN ext <= 0 THEN {g}
-             ELSE CAST(floor(ln(ext) / ln(0.5)) AS BIGINT) END AS l1
-      FROM lvl1
-    ), lvl3 AS (
-      SELECT *, power(0.5, l1 + 1) AS w2 FROM lvl2
-    ), leveled AS (
-      SELECT *,
-        CAST(CASE WHEN l1 >= {g} THEN {g}
-             WHEN (nx2 <= floor(nx / w2) * w2 + 2 * w2) AND (ny2 <= floor(ny / w2) * w2 + 2 * w2)
-               THEN l1 + 1 ELSE l1 END AS INT) AS lvl
-      FROM lvl3
-    )
-    SELECT c_custkey, lvl AS xz_level, CAST({code_sum} AS BIGINT) AS xz_code
-    FROM leveled ORDER BY c_custkey
-    """
-
-
-@_register("xz_codes", _xz_oracle())
-def xz_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9: XZ-ordering codes as pure codegen expressions on derived bboxes."""
-    c = _t(spark, sf_dir, "customer")
-    xmin = ((F.col("c_custkey") % 340) - 170).cast("double")
-    ymin = (((F.col("c_custkey") * 3) % 160) - 80).cast("double")
-    xmax = xmin + (F.abs(F.col("c_acctbal")) % 10.0)
-    ymax = ymin + ((F.abs(F.col("c_acctbal")) * 2.0) % 8.0)
-    return c.select(
-        "c_custkey",
-        xz_level_expr(xmin, ymin, xmax, ymax).alias("xz_level"),
-        xz_code_expr(xmin, ymin, xmax, ymax).alias("xz_code"),
-    ).orderBy("c_custkey")
-
-
-@_register(
-    "geodesic_tracks",
-    f"""
-    WITH pts AS (
-      SELECT user_id, ts, event_id,
-             (value % 360.0) - 180.0        AS lon,
-             ((value * 7.0) % 180.0) - 90.0 AS lat
-      FROM events
-    ), segs AS (
-      SELECT user_id,
-             lag(lon) OVER w AS lon1, lag(lat) OVER w AS lat1, lon AS lon2, lat AS lat2
-      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    )
-    SELECT user_id,
-           round(sum(
-             6371000.0 * sqrt(
-               pow((radians(lon2) - radians(lon1))
-                   * cos((atan({SPHERE_FACT!r} * tan(radians(lat1)))
-                        + atan({SPHERE_FACT!r} * tan(radians(lat2)))) / 2), 2)
-             + pow(atan({SPHERE_FACT!r} * tan(radians(lat2)))
-                 - atan({SPHERE_FACT!r} * tan(radians(lat1))), 2))
-           ) / 1000.0, 3) AS track_km,
-           CAST(count(*) AS BIGINT) AS n_segments
-    FROM segs WHERE lon1 IS NOT NULL
-    GROUP BY user_id ORDER BY user_id
-    """,
-)
-def geodesic_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8: geodesic track length per user (WGS84-corrected spherical
-    formula as native expressions + lag window)."""
-    ev = _t(spark, sf_dir, "events")
-    pts = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        ((F.col("value") % 360.0) - 180.0).alias("lon"),
-        (((F.col("value") * 7.0) % 180.0) - 90.0).alias("lat"),
-    )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    segs = pts.select(
-        "user_id",
-        F.lag("lon").over(w).alias("lon1"),
-        F.lag("lat").over(w).alias("lat1"),
-        F.col("lon").alias("lon2"),
-        F.col("lat").alias("lat2"),
-    ).filter(F.col("lon1").isNotNull())
-    seg_len = segment_length_expr(
-        F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
-    )
-    return (
-        segs.groupBy("user_id")
-        .agg(
-            F.round(F.sum(seg_len) / 1000.0, 3).alias("track_km"),
-            F.count(F.lit(1)).alias("n_segments"),
-        )
-        .orderBy("user_id")
-    )
-
-
-# ===========================================================================
-# spatial join (J5)
-# ===========================================================================
-
-_GRID_FEATURES = [
-    ("AAA", -170.0, -80.0, -50.0, 0.0),
-    ("BBB", -50.0, -80.0, 60.0, 0.0),
-    ("CCC", 60.0, -80.0, 170.0, 0.0),
-    ("DDD", -170.0, 0.0, -50.0, 80.0),
-    ("EEE", -50.0, 0.0, 60.0, 80.0),
-    ("FFF", 60.0, 0.0, 170.0, 80.0),
-]
-
-
-def _spatial_oracle() -> str:
-    cases = " || ".join(
-        f"CASE WHEN lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r} "
-        f"THEN ['{fid}'] ELSE [] END"
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    )
-    return f"""
-    WITH pts AS (
-      SELECT c_custkey,
-             (c_custkey % 330) - 165.0 + 0.25        AS lon,
-             ((c_custkey * 7) % 158) - 79.0 + 0.25   AS lat
-      FROM customer
-    )
-    SELECT c_custkey, round(lon, 6) AS lon, round(lat, 6) AS lat,
-           array_to_string(list_sort({cases}), ',') AS countries
-    FROM pts ORDER BY c_custkey
-    """
-
-
-@_register("spatial_join_countries", _spatial_oracle())
-def spatial_join_countries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: broadcast spatial join of derived points against rectangular
-    'countries' (shared borders → points on the border match both sides)."""
-    feats = [rect_feature(fid, x0, y0, x1, y1) for fid, x0, y0, x1, y1 in _GRID_FEATURES]
-    c = _t(spark, sf_dir, "customer")
-    pts = c.select(
-        "c_custkey",
-        ((F.col("c_custkey") % 330) - 165.0 + 0.25).alias("lon"),
-        (((F.col("c_custkey") * 7) % 158) - 79.0 + 0.25).alias("lat"),
-    )
-    out = join_countries(pts, feats, "lon", "lat")
-    # Array columns break the driver-side canonicalizer: join to a string.
-    return out.select(
-        "c_custkey",
-        F.round("lon", 6).alias("lon"),
-        F.round("lat", 6).alias("lat"),
-        F.concat_ws(",", "countries").alias("countries"),
-    ).orderBy("c_custkey")
-
-
-# ===========================================================================
-# dedup family
-# ===========================================================================
-
-
-@_register(
-    "dedup_exact",
-    f"""
-    SELECT {hash60_sql('text')} AS content_hash,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           min(doc_id) AS canonical_id
-    FROM documents GROUP BY 1 ORDER BY content_hash
-    """,
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return exact_dup_groups(docs, "doc_id", "text").orderBy("content_hash")
-
-
-_SHINGLE_SQL = """
-  SELECT doc_id AS doc, shingle
-  FROM (
-    SELECT doc_id,
-           list_distinct(list_transform(
-             range(1, greatest(len(toks) - {n} + 2, 2)),
-             i -> array_to_string(toks[i : i + {n} - 1], ' '))) AS grams
-    FROM (SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
-          FROM documents)
-  ), UNNEST(grams) AS t(shingle)
-  WHERE len(string_split(shingle, ' ')) = {n}
-"""
-
-
-def _jaccard_oracle(n: int = 3, threshold: float = 0.5, max_df: int = 64) -> str:
-    sh = _SHINGLE_SQL.format(n=n)
-    return f"""
-    WITH sh0 AS (
-      SELECT DISTINCT doc, {hash60_sql('shingle')} AS shingle_hash FROM ({sh})
-    ), sh AS (
-      SELECT * FROM (
-        SELECT *, count(*) OVER (PARTITION BY shingle_hash) AS _df FROM sh0
-      ) WHERE _df <= {max_df}
-    ), sizes AS (
-      SELECT doc, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc
-    ), inter AS (
-      SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS n_common
-      FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash AND a.doc < b.doc
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-    FROM inter
-      JOIN sizes sa ON sa.doc = doc_a
-      JOIN sizes sb ON sb.doc = doc_b
-    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold!r}
-    ORDER BY doc_a, doc_b
-    """
-
-
-def _lr_oracle(iters: int = 3, lr: float = 0.5) -> str:
-    from ..functions.text import STOPWORDS
-
-    k = 5
-    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
-    xs = [f"x{j}" for j in range(k)]
-
-    def z(wref: str | None) -> str:
-        if wref is None:
-            terms = [f"0.0 * {x}" for x in xs]
-        else:
-            terms = [f"{wref}.w{j} * {xs[j]}" for j in range(k)]
-        return " + ".join(terms)
-
-    def grads(name: str, wref: str | None, extra_from: str) -> str:
-        p = f"1.0/(1.0+exp(-({z(wref)})))"
-        cols = ", ".join(
-            f"sum(CAST(round((({p} - y) * {x}) * 1e9) AS BIGINT)) AS g{j}"
-            for j, x in enumerate(xs)
-        )
-        return f"{name} AS (SELECT {cols} FROM f{extra_from})"
-
-    parts = [
-        f"""WITH f AS (
-      SELECT 1.0 AS x0,
-             ln(1.0 + n_chars) - ln(300.0) AS x1,
-             len(list_filter(toks, t -> t IN ({stops})))
-               / greatest(len(toks), 1) AS x2,
-             (n_chars / greatest(len(toks), 1)) / 10.0 - 0.55 AS x3,
-             len(toks) / 100.0 - 0.55 AS x4,
-             CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
-      FROM (SELECT n_chars,
-                   list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                               x -> x <> '') AS toks
-            FROM documents)
-    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)"""
-    ]
-    for t in range(1, iters + 1):
-        wprev = None if t == 1 else f"w{t - 1}"
-        parts.append(grads(f"g{t}", wprev, "" if t == 1 else f", w{t - 1}"))
-        upd = ", ".join(
-            (
-                f"0.0 - {lr!r} * (g{j} / 1e9) / nn.n AS w{j}"
-                if t == 1
-                else f"w.w{j} - {lr!r} * (g{j} / 1e9) / nn.n AS w{j}"
-            )
-            for j in range(k)
-        )
-        src = f"g{t}, nn" if t == 1 else f"g{t}, w{t - 1} w, nn"
-        parts.append(f"w{t} AS (SELECT {upd} FROM {src})")
-    wf = f"w{iters}"
-    pz = f"1.0/(1.0+exp(-({z('w')})))"
-    weight_rows = " UNION ALL ".join(
-        f"SELECT 'x{j}' AS feature, round(w.w{j}, 9) AS weight FROM {wf} w"
-        for j in range(k)
-    )
-    return (
-        ",\n".join(parts)
-        + f"""
-    {weight_rows}
-    UNION ALL
-    SELECT 'accuracy' AS feature,
-           round((SELECT avg(CASE WHEN ({pz} >= 0.5) = (y >= 0.5)
-                                  THEN 1.0 ELSE 0.0 END)
-                  FROM f, {wf} w), 9) AS weight
-    ORDER BY feature
-    """
-    )
-
-
-@_register("quality_lr_train", _lr_oracle(iters=3, lr=0.5))
-def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed logistic-regression TRAINING, oracle-replayed: 3 rounds
-    of full-batch gradient descent over per-document quality features
-    (bias, log length, stopword ratio, mean word length, token count)
-    against a synthetic linearly-separable label (n_chars ≥ 300; features
-    centered at the boundary so 3 full-batch rounds reach ~98% train
-    accuracy — the verified artifact is the TRAINING LOOP, not a
-    production classifier).
-    The gradient is quantized to int64 per row before the sum (the
-    k-means trainer's order-independence trick), so the aggregated
-    gradient is exact integer arithmetic under any partitioning and the
-    DuckDB oracle replays every round bit-for-bit — weights AND final
-    train accuracy. Scale shape: one map-side-combinable agg per round;
-    the driver sees 5 integers per round (``operators/curation.py::
-    train_logreg``). This is the fastText-style quality-classifier
-    training stage of a curation pipeline, Spark-shaped."""
-    from ..operators.curation import train_logreg
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    toks = tokens_expr(F.col("text"))
-    feats = docs.select(
-        F.lit(1.0).alias("x0"),
-        (F.log(F.lit(1.0) + F.col("n_chars")) - F.log(F.lit(300.0))).alias(
-            "x1"
-        ),
-        stopword_ratio_expr(F.col("text")).alias("x2"),
-        (
-            (F.col("n_chars") / F.greatest(F.size(toks), F.lit(1))) / 10.0
-            - 0.55
-        ).alias("x3"),
-        (F.size(toks) / 100.0 - 0.55).alias("x4"),
-        F.when(F.col("n_chars") >= 300, 1.0).otherwise(0.0).alias("y"),
-    )
-    w, acc = train_logreg(feats, n_features=5, iters=3, lr=0.5)
-    rows = [(f"x{j}", w[j]) for j in range(5)] + [("accuracy", acc)]
-    out = spark.createDataFrame(rows, "feature string, weight double")
-    return out.select(
-        "feature", F.round("weight", 9).alias("weight")
-    ).orderBy("feature")
-
-
-def _chunk_oracle(max_tokens: int = 16, overlap: int = 4) -> str:
-    stride = max_tokens - overlap
-    return f"""
-    WITH base AS (
-      SELECT doc_id AS doc, toks, len(toks) AS n
-      FROM (SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                               x -> x <> '') AS toks
-            FROM documents)
-      WHERE len(toks) > 0
-    )
-    SELECT doc, i AS chunk_idx,
-           array_to_string(toks[i * {stride} + 1 : i * {stride} + {max_tokens}],
-                           ' ') AS chunk_text,
-           least(n - i * {stride}, {max_tokens}) AS n_tokens
-    FROM base, UNNEST(range(0,
-      CAST(ceil(greatest(n - {overlap}, 1) / CAST({stride} AS DOUBLE))
-           AS BIGINT))) AS t(i)
-    ORDER BY doc, chunk_idx
-    """
-
-
-@_register("document_chunks", _chunk_oracle(max_tokens=16, overlap=4))
-def document_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window chunking for embedding/RAG/long-context prep:
-    each document's token stream becomes windows of 16 tokens with 4
-    tokens of overlap carried between consecutive chunks
-    (``operators/packing.py::chunk_documents``). Pure narrow transform —
-    one sequence/slice expression and an explode, zero shuffles — so it
-    composes with any downstream embedding stage at full scan speed."""
-    from ..operators.packing import chunk_documents
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    return chunk_documents(docs, max_tokens=16, overlap=4).orderBy(
-        "doc", "chunk_idx"
-    )
-
-
-_SPAN_SQL = """
-  SELECT doc, {h} AS h
-  FROM (
-    SELECT doc_id AS doc,
-           list_transform(range(1, greatest(len(toks) - {n} + 2, 2)),
-                          i -> array_to_string(toks[i : i + {n} - 1], ' ')) AS grams
-    FROM (SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
-          FROM documents)
-  ), UNNEST(grams) AS t(span)
-  WHERE len(string_split(span, ' ')) = {n}
-"""
-
-
-def _span_dup_oracle(n: int = 8, min_docs: int = 2) -> str:
-    sp = _SPAN_SQL.format(n=n, h=hash60_sql("span"))
-    return f"""
-    WITH sp AS ({sp}),
-    dph AS (SELECT h, count(DISTINCT doc) AS nd FROM sp GROUP BY h)
-    SELECT doc, CAST(count(*) AS BIGINT) AS n_spans,
-           CAST(sum(CASE WHEN nd >= {min_docs} THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_dup_spans,
-           round(sum(CASE WHEN nd >= {min_docs} THEN 1 ELSE 0 END)
-                 / count(*), 6) AS dup_fraction
-    FROM sp JOIN dph USING (h)
-    GROUP BY doc ORDER BY doc
-    """
-
-
-@_register("span_duplication", _span_dup_oracle(n=8, min_docs=2))
-def span_duplication_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr-style span dedup (Lee et al. 2022) as the scalable
-    Spark composition: per document, the fraction of positional token
-    8-gram spans (multiplicity kept, unlike the distinct shingle set)
-    shared with ≥2 distinct documents — the signal used to cut
-    boilerplate/mirrored passages that survive document-level near-dup
-    filters. Linear in corpus tokens (hash-keyed agg + join back), no
-    all-pairs stage and no global sort — the 100 TB substitute for a
-    suffix array."""
-    from ..operators.dedup import span_duplication
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    return span_duplication(docs, "doc_id", "text", n=8, min_docs=2).orderBy(
-        "doc"
-    )
-
-
-def _exact_substr_oracle(n: int = 8, min_docs: int = 2) -> str:
-    h = hash60_sql("span")
-    return f"""
-    WITH docs AS (
-      SELECT doc_id AS doc,
-             list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                         x -> x <> '') AS toks
-      FROM documents
-    ),
-    sp AS (
-      SELECT doc, i, {h} AS h FROM (
-        SELECT doc, i, array_to_string(toks[i : i + {n} - 1], ' ') AS span
-        FROM docs, UNNEST(range(1, greatest(len(toks) - {n} + 2, 1))) AS t(i)
-        WHERE len(toks) >= i + {n} - 1
-      )
-    ),
-    duph AS (
-      SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc) >= {min_docs}
-    ),
-    dupsp AS (SELECT doc, i FROM sp JOIN duph USING (h)),
-    isl0 AS (
-      SELECT doc, i,
-             max(i + {n}) OVER (PARTITION BY doc ORDER BY i
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
-      FROM dupsp
-    ),
-    isl1 AS (
-      SELECT doc, i,
-             CASE WHEN pe IS NULL OR i > pe THEN 1 ELSE 0 END AS ni
-      FROM isl0
-    ),
-    isl2 AS (
-      SELECT doc, i,
-             sum(ni) OVER (PARTITION BY doc ORDER BY i
-               ROWS UNBOUNDED PRECEDING) AS isl
-      FROM isl1
-    ),
-    iv AS (
-      SELECT doc, min(i) AS s, max(i) + {n} AS e
-      FROM isl2 GROUP BY doc, isl
-    ),
-    ivs AS (
-      SELECT doc, list(struct_pack(s := s, e := e) ORDER BY s) AS ivl
-      FROM iv GROUP BY doc
-    ),
-    fin AS (
-      SELECT d.doc, d.toks, coalesce(v.ivl, []) AS ivl
-      FROM docs d LEFT JOIN ivs v USING (doc)
-    )
-    SELECT doc,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
-           coalesce(array_to_string(list_transform(kept, j -> toks[j]), ' '),
-                    '') AS dedup_text
-    FROM (
-      SELECT doc, toks,
-             list_filter(range(1, len(toks) + 1),
-               j -> len(list_filter(ivl,
-                      iv -> j >= iv.s AND j < iv.e)) = 0) AS kept
-      FROM fin
-    )
-    ORDER BY doc
-    """
-
-
-@_register("exact_substr_dedup", _exact_substr_oracle(n=8, min_docs=2))
-def exact_substr_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr removal (Lee et al. 2022 §4.1): rewrite documents with
-    every cross-corpus duplicated 8-gram span cut out, overlapping spans
-    merged to maximal ranges (gaps-and-islands window). The removal half
-    of the pipeline whose scoring half is ``span_duplication`` — linear in
-    corpus tokens, no suffix-array global sort."""
-    from ..operators.dedup import exact_substr_dedup
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    return exact_substr_dedup(docs, "doc_id", "text", n=8, min_docs=2).orderBy(
-        "doc"
-    )
-
-
-def _exact_substr_rewrite_oracle(n: int = 8, min_docs: int = 2) -> str:
-    h = hash60_sql("span")
-    return f"""
-    WITH raw AS (
-      SELECT doc_id AS doc, text,
-             regexp_extract_all(text, '(\\W+|\\w+)', 1) AS segs
-      FROM documents
-    ),
-    docs AS (
-      SELECT doc, text, segs,
-             list_transform(
-               list_filter(segs, s -> regexp_matches(s, '^\\w')),
-               s -> lower(s)) AS toks
-      FROM raw
-    ),
-    sp AS (
-      SELECT doc, i, {h} AS h FROM (
-        SELECT doc, i, array_to_string(toks[i : i + {n} - 1], ' ') AS span
-        FROM docs, UNNEST(range(1, greatest(len(toks) - {n} + 2, 1))) AS t(i)
-        WHERE len(toks) >= i + {n} - 1
-      )
-    ),
-    duph AS (
-      SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc) >= {min_docs}
-    ),
-    dupsp AS (SELECT doc, i FROM sp JOIN duph USING (h)),
-    isl0 AS (
-      SELECT doc, i,
-             max(i + {n}) OVER (PARTITION BY doc ORDER BY i
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
-      FROM dupsp
-    ),
-    isl1 AS (
-      SELECT doc, i,
-             CASE WHEN pe IS NULL OR i > pe THEN 1 ELSE 0 END AS ni
-      FROM isl0
-    ),
-    isl2 AS (
-      SELECT doc, i,
-             sum(ni) OVER (PARTITION BY doc ORDER BY i
-               ROWS UNBOUNDED PRECEDING) AS isl
-      FROM isl1
-    ),
-    iv AS (
-      SELECT doc, min(i) AS s, max(i) + {n} AS e
-      FROM isl2 GROUP BY doc, isl
-    ),
-    ivs AS (
-      SELECT doc, list(struct_pack(s := s, e := e) ORDER BY s) AS ivl
-      FROM iv GROUP BY doc
-    ),
-    segrows AS (
-      SELECT doc, i, segs[i] AS seg
-      FROM docs, UNNEST(range(1, len(segs) + 1)) AS t(i)
-    ),
-    segcum AS (
-      SELECT doc, i, seg, regexp_matches(seg, '^\\w') AS isw,
-             sum(CASE WHEN regexp_matches(seg, '^\\w') THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc ORDER BY i
-                     ROWS UNBOUNDED PRECEDING) AS cw
-      FROM segrows
-    ),
-    -- 1-based: a word's token index is cw; a separator's preceding-word
-    -- index is cw (0 before the first word). Cut words with cw in [s,e),
-    -- separators strictly between cut words (cw in [s, e-2]).
-    flag AS (
-      SELECT c.doc, c.i, c.seg,
-             len(list_filter(coalesce(v.ivl, []), iv ->
-               CASE WHEN c.isw THEN c.cw >= iv.s AND c.cw < iv.e
-                    ELSE c.cw >= iv.s AND c.cw < iv.e - 1 END)) > 0 AS cut
-      FROM segcum c LEFT JOIN ivs v USING (doc)
-    ),
-    rebuilt AS (
-      SELECT doc,
-             coalesce(string_agg(seg, '' ORDER BY i)
-                        FILTER (WHERE NOT cut), '') AS kept
-      FROM flag GROUP BY doc
-    )
-    SELECT d.doc,
-           CAST(len(d.toks) AS BIGINT) AS n_tokens,
-           CAST(coalesce(list_sum(list_transform(v.ivl, iv -> iv.e - iv.s)),
-                         0) AS BIGINT) AS n_removed,
-           coalesce(r.kept, d.text) AS text
-    FROM docs d
-      LEFT JOIN ivs v USING (doc)
-      LEFT JOIN rebuilt r USING (doc)
-    ORDER BY d.doc
-    """
-
-
-@_register(
-    "exact_substr_rewrite", _exact_substr_rewrite_oracle(n=8, min_docs=2)
-)
-def exact_substr_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr removal over the ORIGINAL text (the reference tool's
-    byte-range-cut semantics, Lee et al. 2022): duplicated 8-gram token
-    spans are cut out of the original string — word segments plus the
-    separators strictly between them — so casing/punctuation outside cut
-    spans survive byte-for-byte (``exact_substr_dedup`` returns the
-    normalized-token join instead; ADVICE round 10). The oracle replays
-    segmentation, island merge, the segment cut rule, and string
-    reassembly; one mis-kept separator or lost capital breaks the hash."""
-    from ..operators.dedup import exact_substr_rewrite
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    return exact_substr_rewrite(
-        docs, "doc_id", "text", n=8, min_docs=2
-    ).orderBy("doc")
-
-
-def _line_dedup_oracle() -> str:
-    h = hash60_sql("nrm")
-    return f"""
-    WITH docs AS (
-      SELECT doc_id AS doc,
-             concat_ws(chr(10),
-               'Doc ' || CAST(doc_id AS VARCHAR),
-               text,
-               CASE WHEN doc_id % 3 = 0
-                    THEN 'Subscribe to our Newsletter!' END,
-               CASE WHEN doc_id % 4 = 1
-                    THEN '(c) 2024 All Rights Reserved. Page 1 of 10' END,
-               lang) AS t
-      FROM documents
-    ),
-    lns AS (
-      SELECT doc, i - 1 AS pos, ls[i] AS line
-      FROM (SELECT doc, string_split(t, chr(10)) AS ls FROM docs),
-           UNNEST(range(1, len(ls) + 1)) AS u(i)
-    ),
-    nrm AS (
-      SELECT doc, pos, line,
-             regexp_replace(regexp_replace(lower(trim(line)),
-               '\\d+', '0', 'g'), '\\s+', ' ', 'g') AS nrm
-      FROM lns
-    ),
-    hashed AS (
-      SELECT doc, pos, line, nrm,
-             CASE WHEN nrm = '' THEN NULL ELSE {h} END AS hh
-      FROM nrm
-    ),
-    firsts AS (
-      SELECT hh, min(struct_pack(doc := doc, pos := pos)) AS fkey
-      FROM hashed WHERE hh IS NOT NULL GROUP BY hh
-    ),
-    flags AS (
-      SELECT n.doc, n.pos, n.line,
-             CASE WHEN n.hh IS NULL THEN TRUE
-                  ELSE n.doc = f.fkey.doc AND n.pos = f.fkey.pos END AS keep
-      FROM hashed n LEFT JOIN firsts f ON n.hh = f.hh
-    )
-    SELECT doc,
-           CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           coalesce(string_agg(line, chr(10) ORDER BY pos)
-                      FILTER (WHERE keep), '') AS text
-    FROM flags GROUP BY doc ORDER BY doc
-    """
-
-
-@_register("ccnet_line_dedup", _line_dedup_oracle())
-def ccnet_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style cross-corpus line dedup (Wenzek et al. 2020 §3.1 —
-    the pipeline half whose LM-perplexity filter is the `ccnet_lm_filter`
-    gate row below / :func:`..operators.curation.ccnet_lm_filter`):
-    only the corpus-FIRST occurrence (min doc, pos — deterministic, not
-    shard order) of each normalized line survives. The fixture plants
-    real boilerplate shapes — a newsletter line on every third doc, a
-    digit-bearing copyright line on every fourth (digit runs normalize
-    to '0', so '2024' and 'Page 1 of 10' dedup across numbering), and
-    the lang field as a low-cardinality shared line — among unique
-    per-doc lines. The oracle replays normalization, hashing,
-    first-occurrence selection, and line reassembly."""
-    from ..operators.dedup import line_dedup
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    ftxt = F.concat_ws(
-        "\n",
-        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")),
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 3 == 0, F.lit("Subscribe to our Newsletter!")
-        ),
-        F.when(
-            F.col("doc_id") % 4 == 1,
-            F.lit("(c) 2024 All Rights Reserved. Page 1 of 10"),
-        ),
-        F.col("lang"),
-    )
-    inp = docs.select("doc_id", ftxt.alias("ftxt"))
-    return line_dedup(inp, "doc_id", "ftxt").orderBy("doc")
-
-
-def _ccnet_lm_oracle(k: float = 0.5, train_pct: int = 80) -> str:
-    split = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
-    return rf"""
-    WITH docs AS (
-      SELECT doc_id AS doc, lang,
-             concat_ws(chr(10), text,
-               CASE WHEN doc_id % 5 = 0
-                    THEN 'the the the of of and the end' END,
-               CASE WHEN doc_id % 7 = 2
-                    THEN 'zq kjw xvv qqp zzkrp wq' END) AS t,
-             ({split}) < {train_pct} AS is_train
-      FROM documents
-    ), para AS (
-      SELECT doc, lang, is_train, ls[i] AS para
-      FROM (SELECT doc, lang, is_train,
-                   string_split(t, chr(10)) AS ls FROM docs),
-           UNNEST(range(1, len(ls) + 1)) AS u(i)
-    ), ptoks AS (
-      SELECT doc, lang, is_train, para,
-             list_filter(regexp_split_to_array(lower(para), '\W+'),
-                         x -> x <> '') AS toks
-      FROM para
-    ), bg0 AS (
-      SELECT doc, lang, is_train,
-             unnest(list_transform(range(1, len(toks)),
-               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
-      FROM ptoks
-    ), bg AS (
-      SELECT doc, lang, is_train, (p).w1 AS w1, (p).w2 AS w2 FROM bg0
-    ), c2 AS (
-      SELECT lang, w1, w2, count(*) AS c2 FROM bg
-      WHERE is_train GROUP BY 1, 2, 3
-    ), c1 AS (
-      SELECT lang, w1, sum(c2) AS c1 FROM c2 GROUP BY 1, 2
-    ), v AS (
-      SELECT lang, count(DISTINCT w2) AS vocab FROM c2 GROUP BY 1
-    ), scored AS (
-      SELECT t.doc,
-             -ln((coalesce(p.c2, 0) + {k}) /
-                 (coalesce(u.c1, 0) + {k} * v.vocab)) AS nll
-      FROM bg t
-        LEFT JOIN c2 p ON p.lang = t.lang AND p.w1 = t.w1 AND p.w2 = t.w2
-        LEFT JOIN c1 u ON u.lang = t.lang AND u.w1 = t.w1
-        JOIN v ON v.lang = t.lang
-    ), ds AS (
-      SELECT doc, CAST(count(*) AS BIGINT) AS n_bigrams, sum(nll) AS s
-      FROM scored GROUP BY doc
-    ), np AS (
-      SELECT doc,
-             CAST(count(*) FILTER (WHERE trim(para) <> '') AS BIGINT)
-               AS n_paragraphs
-      FROM para GROUP BY doc
-    ), outq AS (
-      SELECT d.doc, d.lang,
-             coalesce(np.n_paragraphs, 0) AS n_paragraphs,
-             coalesce(ds.n_bigrams, 0) AS n_bigrams,
-             round(ds.s / ds.n_bigrams, 6) AS log_ppl,
-             round(exp(round(ds.s / ds.n_bigrams, 6)), 4) AS ppl
-      FROM docs d LEFT JOIN np ON np.doc = d.doc LEFT JOIN ds ON ds.doc = d.doc
-    ), bucketed AS (
-      SELECT doc, lang, n_paragraphs, n_bigrams, log_ppl, ppl,
-             CASE ntile(3) OVER (PARTITION BY lang ORDER BY log_ppl, doc)
-                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                  ELSE 'tail' END AS bucket
-      FROM outq WHERE log_ppl IS NOT NULL
-      UNION ALL
-      SELECT doc, lang, n_paragraphs, n_bigrams, log_ppl, ppl, 'tail'
-      FROM outq WHERE log_ppl IS NULL
-    )
-    SELECT doc, lang, n_paragraphs, n_bigrams, log_ppl, ppl, bucket,
-           bucket <> 'tail' AS keep
-    FROM bucketed ORDER BY doc
-    """
-
-
-@_register("ccnet_lm_filter", _ccnet_lm_oracle())
-def ccnet_lm_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet's LM-perplexity filter (Wenzek et al. 2020 §4.3) — the
-    pipeline half `ccnet_line_dedup` feeds: per-LANGUAGE add-k bigram
-    LM fit on the deterministic train split, every doc scored paragraph
-    by paragraph (bigrams never cross the newline), then equal
-    head/middle/tail thirds per language by mean NLL (ntile over one
-    skinny row per doc). The fixture plants a stopword-soup paragraph
-    on every 5th doc (pulls log_ppl DOWN — frequent bigrams) and a
-    gibberish paragraph on every 7th (pushes it UP — unseen bigrams
-    back off to k/(0+k·vocab)), so buckets move on planted evidence.
-    The oracle replays split, tokenization, both count tables, the
-    smoothing arithmetic, and the ntile bucketing term-for-term."""
-    from ..operators.curation import ccnet_lm_filter
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    ftxt = F.concat_ws(
-        "\n",
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 5 == 0, F.lit("the the the of of and the end")
-        ),
-        F.when(F.col("doc_id") % 7 == 2, F.lit("zq kjw xvv qqp zzkrp wq")),
-    )
-    inp = docs.select("doc_id", "lang", ftxt.alias("ftxt"))
-    return ccnet_lm_filter(
-        inp, id_col="doc_id", text_col="ftxt", lang_col="lang"
-    ).orderBy("doc")
-
-
-_C4_ORACLE = """
-WITH base AS (
-  SELECT doc_id AS doc, text, string_split(text, chr(10)) AS lines
-  FROM documents
-),
-k AS (
-  SELECT doc, text, lines,
-         list_filter(lines, l ->
-           len(list_filter(string_split_regex(trim(l), '\\s+'),
-                           w -> w <> '')) >= 30
-           AND NOT contains(lower(l), 'javascript')) AS kept
-  FROM base
-)
-SELECT doc,
-       CAST(len(lines) AS BIGINT) AS n_lines,
-       CAST(len(kept) AS BIGINT) AS n_kept_lines,
-       coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
-       (NOT contains(lower(text), 'lorem ipsum')
-        AND NOT contains(lower(text), '{')
-        AND len(kept) >= 1) AS keep_doc
-FROM k ORDER BY doc
-"""
-
-
-@_register("c4_line_filter", _C4_ORACLE)
-def c4_line_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): per-line
-    word-count/marker rules rewrite the document, doc-level markers and a
-    kept-line floor decide keep_doc. The corpus is single-line, so the
-    gate exercises the doc-level split (terminal-punct rule off,
-    30-word floor); the line-granular semantics are refereed by
-    tests/test_c4_filter.py on multi-line fixtures. Pure narrow map —
-    zero shuffles, full codegen."""
-    from ..operators.curation import c4_line_filter
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    return c4_line_filter(
-        docs,
-        "doc_id",
-        "text",
-        min_words_per_line=30,
-        require_terminal_punct=False,
-        min_kept_lines=1,
-    ).orderBy("doc")
-
-
-def _contamination_oracle(n: int = 8, mod: int = 97, threshold: float = 0.05) -> str:
-    sh = _SHINGLE_SQL.format(n=n)
-    return f"""
-    WITH sh0 AS (
-      SELECT DISTINCT doc, {hash60_sql('shingle')} AS h FROM ({sh})
-    ),
-    ev AS (SELECT DISTINCT h FROM sh0 WHERE doc % {mod} = 0),
-    tr AS (SELECT * FROM sh0 WHERE doc % {mod} <> 0)
-    SELECT doc, CAST(count(*) AS BIGINT) AS n_shingles,
-           CAST(count(ev.h) AS BIGINT) AS n_overlap,
-           round(count(ev.h) / count(*), 6) AS overlap_fraction,
-           count(ev.h) / count(*) >= {threshold!r} AS contaminated
-    FROM tr LEFT JOIN ev USING (h)
-    GROUP BY doc ORDER BY doc
-    """
-
-
-@_register("eval_contamination", _contamination_oracle(n=8, mod=10, threshold=0.05))
-def eval_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-3-style benchmark-contamination scoring: per TRAIN document,
-    the fraction of its distinct token 8-gram shingles that also occur
-    anywhere in the EVAL split (docs with doc_id % 10 == 0 stand in for
-    a held-out benchmark), plus a ≥5% contamination flag. Complements
-    bloom_decontamination (exact-key membership) with the published
-    n-gram-overlap protocol. Scale shape: the eval shingle set is
-    benchmark-sized (MBs against a 100 TB corpus), so it BROADCASTS —
-    the train side is scanned once, map-side joined, and aggregated on
-    the doc key; no shuffle of the corpus on the shingle key at all."""
-    from ..operators.dedup import shingles
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    is_eval = F.col("doc_id") % 10 == 0
-    ev_sh = (
-        shingles(docs.filter(is_eval), "doc_id", "text", n=8)
-        .select("shingle_hash")
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
-    tr_sh = shingles(docs.filter(~is_eval), "doc_id", "text", n=8)
-    return (
-        tr_sh.join(F.broadcast(ev_sh), "shingle_hash", "left")
-        .groupBy("doc")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count("_hit").alias("n_overlap"),
-        )
-        .select(
-            "doc",
-            "n_shingles",
-            "n_overlap",
-            F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias(
-                "overlap_fraction"
-            ),
-            (F.col("n_overlap") / F.col("n_shingles") >= 0.05).alias(
-                "contaminated"
-            ),
-        )
-        .orderBy("doc")
-    )
-
-
-@_register("ngram_jaccard_dups", _jaccard_oracle(n=2, threshold=0.12, max_df=64))
-def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word-2-gram Jaccard ≥ 0.12 over shingles with
-    document frequency ≤ 64 (stop-shingle cap keeps the inverted-index
-    self-join from exploding quadratically on hot shingles)."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    return ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=2, threshold=0.12, max_df=64
-    ).orderBy("doc_a", "doc_b")
-
-
-def _minhash_oracle(num_perm: int = 16, n: int = 3) -> str:
-    sh = _SHINGLE_SQL.format(n=n)
-    mins = ",\n           ".join(
-        f"min(({_perm_coeff(i, 'a')} * (shingle_hash % {MINHASH_PRIME}) + {_perm_coeff(i, 'b')}) % {MINHASH_PRIME}) AS mh_{i}"
-        for i in range(num_perm)
-    )
-    sig = ", ".join(f"mh_{i}" for i in range(num_perm))
-    return f"""
-    WITH sh AS (
-      SELECT DISTINCT doc, {hash60_sql('shingle')} AS shingle_hash FROM ({sh})
-    )
-    SELECT doc, concat_ws(',', {sig}) AS signature
-    FROM (SELECT doc, {mins} FROM sh GROUP BY doc)
-    ORDER BY doc
-    """
-
-
-@_register("minhash_signatures", _minhash_oracle())
-def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (16 affine permutations mod 2^31-1 over md5
-    shingle hashes) — deterministic, so the SQL oracle reproduces it bit
-    for bit. The scan fans out first: a single small parquet file reads
-    as one task, and the shingle construction is the CPU-heavy part."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    sh = shingles(docs, "doc_id", "text", n=3)
-    sig = minhash_signatures(sh, num_perm=16)
-    return sig.select(
-        "doc", F.concat_ws(",", *[F.col("signature")[i] for i in range(16)]).alias("signature")
-    ).orderBy("doc")
-
-
-def _lsh_oracle(num_perm: int = 16, bands: int = 4, n: int = 3) -> str:
-    sh = _SHINGLE_SQL.format(n=n)
-    mins = ",\n           ".join(
-        f"min(({_perm_coeff(i, 'a')} * (shingle_hash % {MINHASH_PRIME}) + {_perm_coeff(i, 'b')}) % {MINHASH_PRIME}) AS mh_{i}"
-        for i in range(num_perm)
-    )
-    rows = num_perm // bands
-    band_rows = ", ".join(
-        "({b}, concat_ws(',', {cols}))".format(
-            b=b, cols=", ".join(f"mh_{b * rows + r}" for r in range(rows))
-        )
-        for b in range(bands)
-    )
-    return f"""
-    WITH sh AS (
-      SELECT DISTINCT doc, {hash60_sql('shingle')} AS shingle_hash FROM ({sh})
-    ), sig AS (
-      SELECT doc, {mins} FROM sh GROUP BY doc
-    ), banded AS (
-      SELECT doc, b.band, b.bucket
-      FROM sig, (VALUES {band_rows}) AS b(band, bucket)
-    )
-    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
-    ORDER BY doc_a, doc_b
-    """
-
-
-@_register("lsh_candidate_pairs", _lsh_oracle())
-def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH banding (16 perms, 4 bands × 4 rows): candidate pairs
-    share at least one band bucket."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    sh = shingles(docs, "doc_id", "text", n=3)
-    sig = minhash_signatures(sh, num_perm=16)
-    return lsh_candidate_pairs(sig, num_perm=16, bands=4).orderBy("doc_a", "doc_b")
-
-
-def _dedup_recall_oracle(threshold: float = 0.5) -> str:
-    truth = _jaccard_oracle(n=3, threshold=threshold, max_df=64)
-    cand = _lsh_oracle()
-    return f"""
-    WITH truth AS (SELECT doc_a, doc_b FROM ({truth})),
-    cand AS (SELECT doc_a, doc_b FROM ({cand})),
-    hit AS (SELECT doc_a, doc_b FROM truth INTERSECT SELECT doc_a, doc_b FROM cand)
-    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
-           CAST((SELECT count(*) FROM cand) AS BIGINT)  AS n_candidates,
-           CAST((SELECT count(*) FROM hit) AS BIGINT)   AS n_hit,
-           round((SELECT count(*) FROM hit)
-                 / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall,
-           round((SELECT count(*) FROM hit)
-                 / CAST((SELECT count(*) FROM cand) AS DOUBLE), 6)  AS precision
-    """
-
-
-@_register("dedup_recall_eval", _dedup_recall_oracle())
-def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup-quality evaluation — ann_recall_eval's sibling for the text
-    side: MinHash-LSH candidate pairs (16 perms, 4×4 bands) graded
-    against exact 3-gram Jaccard ≥ 0.5 ground truth (stop-shingle
-    max_df=64 cap on the exact index, stated in the metric's contract).
-    Output is one row: truth/candidate/hit counts, recall, and candidate
-    precision — the number a pipeline owner tunes bands/rows against.
-    Scale shape: both sides are the already-bounded pair generators; the
-    grading join is pair-keyed (tiny) and the aggregate is one row."""
-    from ..operators.dedup import minhash_signatures as mh_sigs
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    truth = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5, max_df=64
-    ).select("doc_a", "doc_b")
-    sh = shingles(docs, "doc_id", "text", n=3)
-    cand = lsh_candidate_pairs(
-        mh_sigs(sh, num_perm=16), num_perm=16, bands=4
-    ).select("doc_a", "doc_b")
-    hit = truth.intersect(cand)
-    n_truth = truth.count()
-    n_cand = cand.count()
-    n_hit = hit.count()
-    row = [(
-        n_truth, n_cand, n_hit,
-        round(n_hit / n_truth, 6) if n_truth else None,
-        round(n_hit / n_cand, 6) if n_cand else None,
-    )]
-    return spark.createDataFrame(
-        row,
-        "n_truth bigint, n_candidates bigint, n_hit bigint,"
-        " recall double, precision double",
-    )
-
-
-def _simhash_oracle(bits: int = 32) -> str:
-    votes = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
-        for b in range(bits)
-    )
-    return f"""
-    WITH tok AS (
-      SELECT doc_id AS doc,
-             list_transform(
-               list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> ''),
-               t -> {hash60_sql('t')}) AS th
-      FROM documents
-    )
-    SELECT doc, CAST({votes} AS BIGINT) AS simhash FROM tok ORDER BY doc
-    """
-
-
-@_register("simhash_signatures", _simhash_oracle())
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Charikar SimHash (32-bit majority-vote signature), shuffle-free."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    return simhash(docs, "doc_id", "text", bits=32).orderBy("doc")
-
-
-def _simhash_pairs_oracle(bits: int = 32, bands: int = 4, max_hamming: int = 3) -> str:
-    band_bits = bits // bands
-    mask = (1 << band_bits) - 1
-    sig_cte = _simhash_oracle(bits).replace("ORDER BY doc", "").strip()
-    band_rows = ", ".join(
-        f"({b}, (simhash >> {b * band_bits}) % {mask + 1})" for b in range(bands)
-    )
-    return f"""
-    WITH sigs AS ({sig_cte}
-    ), banded AS (
-      SELECT doc, simhash, b.band, b.bucket
-      FROM sigs, (VALUES {band_rows}) AS b(band, bucket)
-    )
-    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
-    ORDER BY doc_a, doc_b
-    """
-
-
-@_register("simhash_near_dups", _simhash_pairs_oracle())
-def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: band-bucket candidates + exact Hamming
-    re-rank (bit_count(xor)), everything native."""
-    from ..operators.dedup import simhash_near_dup_pairs
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    sigs = simhash(docs, "doc_id", "text", bits=32)
-    return (
-        simhash_near_dup_pairs(sigs, bits=32, bands=4, max_hamming=3)
-        .withColumn("hamming", F.col("hamming").cast("int"))
-        .orderBy("doc_a", "doc_b")
-    )
-
-
-def _cc_labeled_ctes() -> str:
-    """The recursive transitive-closure CTE chain ending in ``labeled``
-    (doc_id, cluster_id) — shared by the cluster and canonical-selection
-    oracles so the two can't drift apart."""
-    base = _simhash_pairs_oracle()
-    tail = "ORDER BY doc_a, doc_b"
-    assert base.count(tail) == 1, "simhash pairs oracle drifted"
-    pairs_sql = base.replace(tail, "").strip()
-    return f"""
-    WITH RECURSIVE pairs AS (
-      SELECT doc_a, doc_b FROM ({pairs_sql})
-    ), edges AS (
-      SELECT doc_a AS u, doc_b AS v FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-    ), reach(u, v) AS (
-      SELECT u, v FROM edges
-      UNION
-      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    ), comp AS (
-      SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
-    ), labeled AS (
-      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
-      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
-    )"""
-
-
-def _dedup_clusters_oracle() -> str:
-    return f"""
-    {_cc_labeled_ctes()}
-    SELECT doc_id, cluster_id,
-           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs,
-           doc_id = cluster_id AS is_canonical
-    FROM labeled ORDER BY doc_id
-    """
-
-
-@_register("dedup_clusters", _dedup_clusters_oracle())
-def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters: SimHash near-dup pairs → alternating
-    large-star/small-star connected components (O(log n) shuffle rounds)
-    → per-document cluster id, size, and canonical flag. The oracle
-    replays the grouping with a recursive transitive-closure CTE — fine
-    at oracle scale, quadratic in component size at planet scale, which
-    is exactly why the Spark side uses the star algorithm instead."""
-    from ..operators.dedup import dedup_clusters, simhash_near_dup_pairs
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    sigs = simhash(docs, "doc_id", "text", bits=32)
-    pairs = simhash_near_dup_pairs(sigs, bits=32, bands=4, max_hamming=3)
-    return dedup_clusters(docs, pairs, id_col="doc_id").orderBy("doc_id")
-
-
-def _dedup_canonical_oracle() -> str:
-    return f"""
-    {_cc_labeled_ctes()}
-    , sized AS (
-      SELECT doc_id, cluster_id,
-             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs
-      FROM labeled
-    ), scored AS (
-      SELECT s.doc_id, s.cluster_id, s.n_docs, d.n_chars AS score,
-             row_number() OVER (PARTITION BY s.cluster_id
-                                ORDER BY d.n_chars DESC, s.doc_id ASC) AS rnk,
-             first_value(s.doc_id) OVER (PARTITION BY s.cluster_id
-                                ORDER BY d.n_chars DESC, s.doc_id ASC) AS best_doc
-      FROM sized s JOIN documents d USING (doc_id)
-    )
-    SELECT doc_id, cluster_id, n_docs, score, rnk = 1 AS keep, best_doc
-    FROM scored ORDER BY doc_id
-    """
-
-
-@_register("dedup_canonical", _dedup_canonical_oracle())
-def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep-best canonical selection over near-dup clusters: SimHash
-    banding → connected components → per-cluster argmax(n_chars) exemplar
-    (ties to the smallest id). The curation behavior real pipelines ship —
-    retain the longest/best duplicate, not the min-id one. Spark side is
-    one join + one window over ``cluster_id``; only the small cluster
-    frame moves, never the texts. Reads the staged cluster table
-    (:func:`_dedup_cluster_table`) — the trainer is ``dedup_clusters``."""
-    from ..operators.dedup import keep_best
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    clusters = _dedup_cluster_table(spark, sf_dir)
-    return keep_best(clusters, docs, id_col="doc_id", score_col="n_chars").orderBy(
-        "doc_id"
-    )
-
-
-# ===========================================================================
-# text analysis
-# ===========================================================================
-
-
-@_register(
-    "text_quality",
-    """
-    WITH t AS (
-      SELECT doc_id, text,
-             list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks,
-             length(text) AS n_chars_total,
-             length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nonpunct
-      FROM documents
-    ), m AS (
-      SELECT doc_id,
-             CAST(len(toks) AS INT) AS n_tokens,
-             (n_chars_total - n_nonpunct) / greatest(n_chars_total, 1) AS punct_ratio,
-             len(list_filter(toks, x -> list_contains(
-                ['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on'], x)))
-               / greatest(len(toks), 1) AS stop_ratio,
-             list_sum(list_transform(toks, t -> length(t))) / greatest(len(toks), 1) AS mtl
-      FROM t
-    )
-    SELECT doc_id, n_tokens,
-           round(punct_ratio, 6) AS punct_ratio,
-           round(stop_ratio, 6)  AS stopword_ratio,
-           round(mtl, 6)         AS mean_token_len,
-           round(
-             least(n_tokens / 64.0, 1.0) * 0.4
-             + least(stop_ratio * 4.0, 1.0) * 0.2
-             + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
-               * (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
-             + (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
-    FROM m ORDER BY doc_id
-    """,
-)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: token count, punctuation ratio, stopword ratio,
-    mean token length, composite score — all codegen expressions."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        token_count_expr(t).alias("n_tokens"),
-        F.round(punct_ratio_expr(t), 6).alias("punct_ratio"),
-        F.round(stopword_ratio_expr(t), 6).alias("stopword_ratio"),
-        F.round(mean_token_len_expr(t), 6).alias("mean_token_len"),
-        quality_score_expr(t).alias("quality"),
-    ).orderBy("doc_id")
-
-
-# the BPE-ish pre-tokenizer: letter runs, single digits, single punctuation
-# marks — the piece boundaries every byte-pair encoder starts from. Plain
-# POSIX classes so Java regex (Spark) and RE2 (DuckDB) agree exactly.
-_BPE_PIECE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
-
-
-@_register(
-    "token_counts",
-    f"""
-    SELECT doc_id,
-           len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
-             AS n_ws_tokens,
-           len(regexp_extract_all(text, '{_BPE_PIECE_RE}')) AS n_bpe_pieces,
-           round(strlen(text)
-                 / greatest(len(regexp_extract_all(text, '{_BPE_PIECE_RE}')), 1), 6)
-             AS bytes_per_piece
-    FROM documents ORDER BY doc_id
-    """,
-)
-def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting for training-data budgeting: whitespace tokens and
-    BPE-ish pre-tokenizer pieces per document, plus bytes-per-piece (the
-    compression-ratio proxy used to spot boilerplate/binary junk). All
-    codegen regexp expressions, no UDFs."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    t = F.col("text")
-    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
-    pieces = F.size(F.regexp_extract_all(t, F.lit(_BPE_PIECE_RE), F.lit(0)))
-    return docs.select(
-        "doc_id",
-        ws.cast("bigint").alias("n_ws_tokens"),
-        pieces.cast("bigint").alias("n_bpe_pieces"),
-        F.round(
-            F.octet_length(t) / F.greatest(pieces, F.lit(1)), 6
-        ).alias("bytes_per_piece"),
-    ).orderBy("doc_id")
-
-
-@_register(
-    "lang_id",
-    """
-    WITH t AS (
-      SELECT doc_id, lang,
-             list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
-      FROM documents
-    ), s AS (
-      SELECT doc_id, lang, greatest(len(toks), 1) AS n,
-        len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) / greatest(len(toks), 1) AS s_en,
-        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))) / greatest(len(toks), 1) AS s_de,
-        len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','des','que','pas','pour'], x))) / greatest(len(toks), 1) AS s_fr,
-        len(list_filter(toks, x -> list_contains(['el','la','los','las','es','una','que','por','con','para'], x))) / greatest(len(toks), 1) AS s_es
-      FROM t
-    ), g AS (
-      SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
-             greatest(s_en, s_de, s_fr, s_es) AS best
-      FROM s
-    )
-    SELECT doc_id, lang AS labeled_lang,
-           CASE WHEN best < 0.05 THEN 'und'
-                WHEN s_fr = best THEN 'fr'
-                WHEN s_es = best THEN 'es'
-                WHEN s_en = best THEN 'en'
-                ELSE 'de' END AS guessed_lang
-    FROM g ORDER BY doc_id
-    """,
-)
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic: marker-stopword ratios per language; ties
-    break toward the lexicographically-largest language code (array_max on
-    (score, lang) structs — mirrored in the oracle's CASE order)."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        lang_guess_expr(F.col("text")).alias("guessed_lang"),
-    ).orderBy("doc_id")
-
-
-@_register(
-    "doc_fingerprints",
-    f"""
-    WITH t AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
-      FROM documents
-    )
-    SELECT doc_id,
-           list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(toks, t -> {hash60_sql('t')} % {FP_MOD})),
-             (a, b) -> (a * 31 + b) % {FP_MOD}) AS fingerprint
-    FROM t ORDER BY doc_id
-    """,
-)
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash fingerprint over token hashes."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id", fingerprint_expr(F.col("text")).alias("fingerprint")
-    ).orderBy("doc_id")
-
-
-# ===========================================================================
-# similarity search
-# ===========================================================================
-
-
-_ANN_COSINE_ORACLE = """
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
-    ), sims AS (
-      SELECT q.query_id, e.vec_id,
-             round(
-               list_dot_product(e.embedding::DOUBLE[], q.qv)
-               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
-      FROM embeddings e, q WHERE e.vec_id <> q.query_id
-    )
-    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-          FROM sims)
-    WHERE rank <= 5 ORDER BY query_id, rank
-    """
-
-
-@_register("ann_cosine_topk", _ANN_COSINE_ORACLE)
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-5 for 5 query vectors (broadcast query
-    side; JVM-side dot products via aggregate/zip_with)."""
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = cosine_topk(emb, queries, k=5)
-    return out.select(
-        "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
-    ).orderBy("query_id", "rank")
-
-
-def _ann_lsh_oracle(dim: int = 64, nbits: int = 8, k: int = 5) -> str:
-    from ..operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(dim, nbits)
-    # signature: explicit left-assoc dot sums so the fp evaluation order
-    # matches Spark's aggregate fold exactly
-    bit_terms = []
-    for b, plane in enumerate(planes):
-        dot = " + ".join(
-            f"(embedding[{d + 1}]::DOUBLE * {plane[d]!r})" for d in range(dim)
-        )
-        bit_terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << b} ELSE 0 END)")
-    sig = " + ".join(bit_terms)
-    return f"""
-    WITH sigs AS (
-      SELECT vec_id, embedding, CAST({sig} AS BIGINT) AS sig FROM embeddings
-    ), q AS (
-      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, sig AS qsig
-      FROM sigs WHERE vec_id < 5
-    ), cand AS (
-      SELECT q.query_id, s.vec_id,
-             round(
-               list_dot_product(s.embedding::DOUBLE[], q.qv)
-               / (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
-      FROM sigs s JOIN q ON s.sig = q.qsig AND s.vec_id <> q.query_id
-    )
-    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-          FROM cand)
-    WHERE rank <= {k} ORDER BY query_id, rank
-    """
-
-
-@_register("ann_lsh_topk", _ann_lsh_oracle())
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN: random-hyperplane LSH bucketing + exact re-rank
-    within bucket (the scale path; recall traded for a bucket equi-join).
-    The 8×64 hyperplane weights are deterministic md5-derived literals, so
-    the oracle reproduces the signatures bit-for-bit."""
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = lsh_bucket_topk(emb, queries, dim=64, k=5, nbits=8)
-    return out.select(
-        "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
-    ).orderBy("query_id", "rank")
-
-
-def _ann_ivf_oracle(every: int = 25, nprobe: int = 4, k: int = 5, cents_cte: str | None = None) -> str:
-    """IVF oracle; ``cents_cte`` overrides the centroid source with a full
-    WITH-chain ending in a CTE named ``cents`` (the k-means-trained
-    variant); default is the every-Nth sampled centroid table."""
-    cos = (
-        "round(list_dot_product({a}, {b})"
-        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
-    )
-    head = cents_cte or f"""
-    WITH cents AS (
-      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % {every} = 0
-    )"""
-    return head + f""", assigned AS (
-      SELECT vec_id, embedding, cid AS list_id FROM (
-        SELECT e.vec_id, e.embedding, c.cid,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY {cos.format(a="e.embedding::DOUBLE[]", b="c.cv")} DESC, c.cid
-               ) AS rn
-        FROM embeddings e CROSS JOIN cents c
-      ) WHERE rn = 1
-    ), q AS (
-      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
-    ), probes AS (
-      SELECT query_id, qv, cid FROM (
-        SELECT q.query_id, q.qv, c.cid,
-               row_number() OVER (
-                 PARTITION BY q.query_id
-                 ORDER BY {cos.format(a="q.qv", b="c.cv")} DESC, c.cid
-               ) AS rn
-        FROM q CROSS JOIN cents c
-      ) WHERE rn <= {nprobe}
-    ), cand AS (
-      SELECT p.query_id, a.vec_id,
-             {cos.format(a="a.embedding::DOUBLE[]", b="p.qv")} AS cosine
-      FROM probes p JOIN assigned a
-        ON a.list_id = p.cid AND a.vec_id <> p.query_id
-    )
-    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-          FROM cand)
-    WHERE rank <= {k} ORDER BY query_id, rank
-    """
-
-
-def _knn_self_join_oracle(min_every: int = 25, k: int = 3) -> str:
-    cos = (
-        "round(list_dot_product({a}, {b})"
-        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
-    )
-    return f"""
-    WITH ev AS (
-      SELECT greatest({min_every}, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS e
-      FROM embeddings
-    ), cents AS (
-      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-      FROM embeddings, ev WHERE vec_id % ev.e = 0
-    ), assigned AS (
-      SELECT vec_id, embedding, cid AS list_id FROM (
-        SELECT e.vec_id, e.embedding, c.cid,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY {cos.format(a="e.embedding::DOUBLE[]", b="c.cv")} DESC, c.cid
-               ) AS rn
-        FROM embeddings e CROSS JOIN cents c
-      ) WHERE rn = 1
-    ), pairs AS (
-      SELECT a.vec_id, b.vec_id AS neighbor_id,
-             {cos.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")} AS cosine
-      FROM assigned a JOIN assigned b
-        ON a.list_id = b.list_id AND a.vec_id <> b.vec_id
-    )
-    SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
-    FROM (SELECT *, row_number() OVER (
-            PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
-          FROM pairs)
-    WHERE rank <= {k} ORDER BY vec_id, rank
-    """
-
-
-@_register("knn_self_join", _knn_self_join_oracle(min_every=25, k=3))
-def knn_self_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-corpus kNN self-join (every vector's top-3 cosine neighbors),
-    IVF-blocked — the building block under semantic dedup, near-dup
-    clustering, and diversity-aware sampling where the query set IS the
-    corpus. Unlike the query-side ANN ops this cannot broadcast either
-    side: the assignment table equi-joins with ITSELF on the list id
-    (both sides shuffle once, co-partitioned). The centroid count scales
-    as √N (``centroids_df_sqrt``) so assignment and candidate-pair work
-    are both N·√N — a fixed sampling rate made assignment quadratic
-    (measured 10x wall ratio ~9 in round 8; see SCALE_SMOKE.json)."""
-    from ..operators.similarity import centroids_df_sqrt, knn_self_join
-
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    cents = centroids_df_sqrt(emb, min_every=25)
-    return knn_self_join(emb, cents, k=3).orderBy("vec_id", "rank")
-
-
-def _lsh_table_sig_sql(nbits: int, salt: str, dim: int = 64) -> str:
-    """One table's sign-LSH signature as explicit left-assoc SQL (same
-    fp evaluation order as Spark's aggregate fold)."""
-    from ..operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(dim, nbits, salt=salt)
-    bit_terms = []
-    for b, plane in enumerate(planes):
-        dot = " + ".join(
-            f"(embedding[{d + 1}]::DOUBLE * {plane[d]!r})" for d in range(dim)
-        )
-        bit_terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << b} ELSE 0 END)")
-    return " + ".join(bit_terms)
-
-
-def _knn_lsh_pairs_sql(
-    nbits: int = 8,
-    ntables: int = 2,
-    source: str = "embeddings",
-    pre: str = "",
-    bucket_cap: int | None = None,
-) -> str:
-    """CTE chain ending in ``lshpairs`` = the distinct candidate pairs of
-    the multi-table LSH self-join (over ``source``, which must expose
-    vec_id + embedding; ``pre`` prepends extra CTEs, e.g. an augmented
-    corpus). ``bucket_cap`` replays the operator's deterministic
-    sub-bucket split (hash60 of ``vec_id:cap<t>:`` mod
-    ceil(|bucket|/cap)) so the capped scale path is hash-gated too."""
-    sigs = []
-    for t in range(ntables):
-        sig = _lsh_table_sig_sql(nbits, salt=f"t{t}:")
-        sigs.append(
-            f"rawsig{t} AS (SELECT vec_id, CAST({sig} AS BIGINT) AS sig"
-            f" FROM {source})"
-        )
-        if bucket_cap:
-            sigs.append(
-                f"sig{t} AS (SELECT vec_id, sig,"
-                f" ('0x' || substr(md5(CAST(vec_id AS VARCHAR)"
-                f" || ':cap{t}:'), 1, 15))::BIGINT"
-                f" % CAST(ceil(COUNT(*) OVER (PARTITION BY sig)"
-                f" / {bucket_cap}.0) AS BIGINT) AS sub"
-                f" FROM rawsig{t})"
-            )
-        else:
-            sigs.append(f"sig{t} AS (SELECT *, 0 AS sub FROM rawsig{t})")
-    unions = "\n      UNION\n".join(
-        f"      SELECT a.vec_id, b.vec_id AS neighbor_id"
-        f" FROM sig{t} a JOIN sig{t} b"
-        f" ON a.sig = b.sig AND a.sub = b.sub AND a.vec_id <> b.vec_id"
-        for t in range(ntables)
-    )
-    return (
-        "WITH "
-        + (pre + ",\n    " if pre else "")
-        + ",\n    ".join(sigs)
-        + f""",
-    lshpairs AS (
-{unions}
-    )"""
-    )
-
-
-def _knn_lsh_oracle(
-    nbits: int = 8, ntables: int = 2, k: int = 3,
-    bucket_cap: int | None = None,
-) -> str:
-    cos = (
-        "round(list_dot_product({a}, {b})"
-        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
-    )
-    return _knn_lsh_pairs_sql(nbits, ntables, bucket_cap=bucket_cap) + f""",
-    scored AS (
-      SELECT p.vec_id, p.neighbor_id,
-             {cos.format(a="va.embedding::DOUBLE[]", b="vb.embedding::DOUBLE[]")}
-               AS cosine
-      FROM lshpairs p
-        JOIN embeddings va ON va.vec_id = p.vec_id
-        JOIN embeddings vb ON vb.vec_id = p.neighbor_id
-    )
-    SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
-    FROM (SELECT *, row_number() OVER (
-            PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
-          FROM scored)
-    WHERE rank <= {k} ORDER BY vec_id, rank
-    """
-
-
-@_register("knn_self_join_lsh", _knn_lsh_oracle())
-def knn_self_join_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-corpus kNN self-join on the LINEAR scale path: multi-table
-    sign-LSH bucketing (table-salted deterministic hyperplanes) instead
-    of IVF lists. Hashing is O(N·ntables·nbits) and pair work is
-    within-bucket only, so with occupancy held constant by nbits the
-    total stays ~linear where the √N-centroid IVF variant grows N^1.5.
-    Recall graded by ``knn_lsh_recall_eval``."""
-    from ..operators.similarity import knn_self_join_lsh
-
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    return knn_self_join_lsh(emb, k=3, nbits=8, ntables=2).orderBy(
-        "vec_id", "rank"
-    )
-
-
-@_register("knn_self_join_lsh_capped", _knn_lsh_oracle(bucket_cap=4))
-def knn_self_join_lsh_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CAPPED scale configuration of the LSH self-join, hash-gated:
-    each (table, signature) bucket splits into ceil(|bucket|/4)
-    sub-buckets by a deterministic id hash before pair generation, the
-    structural fix for hot-cluster Σ|bucket|² blow-up that pair-count
-    measurement exposed (SCALE_SMOKE ``knn_self_join_lsh_pair_counts``:
-    uncapped density 17.7 → 2806 pairs/vec across 1x/30x, capped
-    saturates ≤ 2·ntables·cap). cap=4 on the gate corpus forces real
-    splits; the oracle replays signature, sub-bucket hash, modulus, and
-    re-rank exactly."""
-    from ..operators.similarity import knn_self_join_lsh
-
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    return knn_self_join_lsh(
-        emb, k=3, nbits=8, ntables=2, bucket_cap=4
-    ).orderBy("vec_id", "rank")
-
-
-_LSH_TWIN_BASE = 1_000_000
-_LSH_TWIN_JITTER = (
-    "(1.0 + ((d * 7 + vec_id) % 5 - 2) / 50.0)"  # ±4% multiplicative
-)
-
-
-def _knn_lsh_recall_oracle(graded: int = 30) -> str:
-    aug = f"""aug AS (
-      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
-      UNION ALL
-      SELECT vec_id + {_LSH_TWIN_BASE},
-             list_transform(range(0, 64), d ->
-               embedding[d + 1]::DOUBLE * {_LSH_TWIN_JITTER})
-      FROM embeddings WHERE vec_id < {graded}
-    )"""
-    return _knn_lsh_pairs_sql(source="aug", pre=aug) + f"""
-    SELECT g.vec_id,
-           CAST(max(CASE WHEN p.neighbor_id = g.vec_id + {_LSH_TWIN_BASE}
-                         THEN 1 ELSE 0 END) AS INT) AS twin_found
-    FROM (SELECT vec_id FROM embeddings WHERE vec_id < {graded}) g
-      LEFT JOIN lshpairs p ON p.vec_id = g.vec_id
-    GROUP BY g.vec_id ORDER BY g.vec_id
-    """
-
-
-@_register("knn_lsh_recall_eval", _knn_lsh_recall_oracle())
-def knn_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Planted-twin recall of the LSH self-join — the measurement that
-    prices the linear path's multi-table tradeoff on its ACTUAL use case
-    (near-duplicate mining): each graded vector gets a deterministic
-    ±4%-jittered twin appended to the corpus, and the row reports
-    whether the twin surfaced as a candidate pair. Multiplicative jitter
-    preserves hyperplane signs except at low margins, so measured recall
-    is ~1.0 at these settings (64-dim dots sit far from the hyperplanes)
-    — the eval exists so a settings change that breaks this shows up as
-    red rows, not silently. Generic top-3 recall on this corpus's
-    near-orthogonal vectors (max pairwise cosine 0.51) would grade the
-    geometry of the data, not the operator."""
-    from ..operators.similarity import knn_self_join_lsh
-
-    emb = fan_out(_t(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    graded = emb.filter(F.col("vec_id") < 30)
-    vid = F.col("vec_id")
-    twins = graded.select(
-        (vid + _LSH_TWIN_BASE).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, d: x * (1.0 + ((d * 7 + vid) % 5 - 2) / 50.0),
-        ).alias("embedding"),
-    )
-    aug = emb.unionByName(twins)
-    pairs = knn_self_join_lsh(aug, k=3, nbits=8, ntables=2).select(
-        "vec_id", "neighbor_id"
-    )
-    hit = (
-        F.max(
-            F.when(
-                F.col("neighbor_id") == F.col("vec_id") + _LSH_TWIN_BASE, 1
-            ).otherwise(0)
-        )
-        .cast("int")
-        .alias("twin_found")
-    )
-    return (
-        graded.select("vec_id")
-        .join(pairs, "vec_id", "left")
-        .groupBy("vec_id")
-        .agg(hit)
-        .orderBy("vec_id")
-    )
-
-
-def _semantic_dedup_oracle(graded: int = 60, threshold: float = 0.99) -> str:
-    aug = f"""aug AS (
-      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
-      UNION ALL
-      SELECT vec_id + {_LSH_TWIN_BASE},
-             list_transform(range(0, 64), d ->
-               embedding[d + 1]::DOUBLE * {_LSH_TWIN_JITTER})
-      FROM embeddings WHERE vec_id < {graded}
-    )"""
-    cos = (
-        "round(list_dot_product(a.embedding, b.embedding)"
-        " / (sqrt(list_dot_product(a.embedding, a.embedding))"
-        " * sqrt(list_dot_product(b.embedding, b.embedding))), 6)"
-    )
-    pairs = _knn_lsh_pairs_sql(source="aug", pre=aug, bucket_cap=4).replace(
-        "WITH ", "WITH RECURSIVE ", 1
-    )
-    return f"""
-    {pairs},
-    sem AS (
-      SELECT p.vec_id AS u, p.neighbor_id AS v
-      FROM lshpairs p
-        JOIN aug a ON a.vec_id = p.vec_id
-        JOIN aug b ON b.vec_id = p.neighbor_id
-      WHERE p.vec_id < p.neighbor_id AND {cos} >= {threshold}
-    ),
-    semedges AS (SELECT u, v FROM sem UNION SELECT v, u FROM sem),
-    reach(u, v) AS (
-      SELECT u, v FROM semedges
-      UNION
-      SELECT r.u, e.v FROM reach r JOIN semedges e ON r.v = e.u
-    ),
-    comp AS (
-      SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
-    ),
-    labeled AS (
-      SELECT a.vec_id, coalesce(c.component, a.vec_id) AS cluster_id
-      FROM aug a LEFT JOIN comp c ON a.vec_id = c.node
-    )
-    SELECT vec_id, cluster_id,
-           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs,
-           vec_id = cluster_id AS is_canonical
-    FROM labeled ORDER BY vec_id
-    """
-
-
-@_register("semantic_dedup_canonical", _semantic_dedup_oracle())
-def semantic_dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space SEMANTIC dedup end-to-end (SemDeDup, Abbas et al.
-    2023): planted ±4% twins → bucket-capped multi-table sign-LSH
-    candidates → exact-cosine threshold (``semantic_dup_pairs``, all
-    pairs ≥ 0.99, not top-k) → large-star/small-star connected
-    components → per-vector cluster id + canonical flag. Composes the
-    capped similarity path with the dedup clustering machinery — the
-    100 TB shape for "drop semantically identical training docs": pair
-    work bounded by N·cap, CC in O(log n) shuffle rounds, texts never
-    move. The oracle replays signatures, the sub-bucket split, the
-    cosine gate, and transitive closure."""
-    from ..operators.dedup import dedup_clusters
-    from ..operators.similarity import semantic_dup_pairs
-
-    emb = fan_out(_t(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    vid = F.col("vec_id")
-    twins = emb.filter(vid < 60).select(
-        (vid + _LSH_TWIN_BASE).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, d: x * (1.0 + ((d * 7 + vid) % 5 - 2) / 50.0),
-        ).alias("embedding"),
-    )
-    aug = emb.unionByName(twins)
-    pairs = semantic_dup_pairs(
-        aug, threshold=0.99, nbits=8, ntables=2, bucket_cap=4
-    )
-    clusters = dedup_clusters(
-        aug.select(F.col("vec_id").alias("doc_id")), pairs, id_col="doc_id"
-    )
-    return clusters.select(
-        F.col("doc_id").alias("vec_id"), "cluster_id", "n_docs",
-        "is_canonical",
-    ).orderBy("vec_id")
-
-
-def _mmr_oracle(qid: int = 0, pool: int = 20, k: int = 5, lam: float = 0.7) -> str:
-    lt = round(lam * 10)  # lam in tenths -> exact integer scoring
-    cos = (
-        "round(list_dot_product({a}, {b})"
-        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
-    )
-    parts = [
-        f"""WITH q AS (
-      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {qid}
-    ), cand AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v,
-             {cos.format(a="embedding::DOUBLE[]", b="qv")} AS rel
-      FROM embeddings, q WHERE vec_id <> {qid}
-      ORDER BY rel DESC, vec_id LIMIT {pool}
-    ), sim AS (
-      SELECT a.vec_id AS ia, b.vec_id AS ib,
-             {cos.format(a="a.v", b="b.v")} AS s
-      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
-    ), c1 AS (
-      SELECT vec_id, 1 AS rank,
-             ({lt} * CAST(round(rel * 1e6) AS BIGINT)) / 1e7 AS score
-      FROM cand
-      ORDER BY {lt} * CAST(round(rel * 1e6) AS BIGINT) DESC, vec_id LIMIT 1
-    ), p1 AS (SELECT vec_id FROM c1)"""
-    ]
-    for t in range(2, k + 1):
-        parts.append(
-            f"""s{t} AS (
-      SELECT c.vec_id,
-             {lt} * CAST(round(c.rel * 1e6) AS BIGINT)
-               - {10 - lt} * (SELECT max(CAST(round(s.s * 1e6) AS BIGINT))
-                              FROM sim s
-                              WHERE s.ia = c.vec_id
-                                AND s.ib IN (SELECT vec_id FROM p{t - 1}))
-               AS score_n
-      FROM cand c
-      WHERE c.vec_id NOT IN (SELECT vec_id FROM p{t - 1})
-    ), c{t} AS (
-      SELECT vec_id, {t} AS rank, score_n / 1e7 AS score FROM s{t}
-      ORDER BY score_n DESC, vec_id LIMIT 1
-    ), p{t} AS (SELECT vec_id FROM p{t - 1} UNION ALL SELECT vec_id FROM c{t})"""
-        )
-    union = " UNION ALL ".join(f"SELECT * FROM c{t}" for t in range(1, k + 1))
-    return (
-        ",\n".join(parts)
-        + f"""
-    SELECT CAST(rank AS INT) AS rank, vec_id, score
-    FROM ({union}) ORDER BY rank
-    """
-    )
-
-
-@_register("mmr_diverse_topk", _mmr_oracle(qid=0, pool=20, k=5, lam=0.7))
-def mmr_diverse_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998):
-    the diversity stage production retrieval runs after ANN — pick 5
-    results trading relevance to the query (λ=0.7) against redundancy
-    with the already-picked set. Stage 1 distributes (corpus → top-20
-    candidate pool, one cosine pass); the inherently-sequential greedy
-    argmax runs on the driver over the POOL-sized rounded similarity
-    matrix (the honest place — pool², never corpus-sized). The oracle
-    replays all 5 greedy steps exactly: scores are exact integer
-    micro-units (λ in tenths — float rounding would sit ON .5 boundaries
-    structurally), ties to the smaller id
-    (``operators/similarity.py::mmr_diverse_topk``)."""
-    from ..operators.similarity import mmr_diverse_topk
-
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    chosen = mmr_diverse_topk(emb, query_id=0, pool=20, k=5, lam=0.7)
-    return spark.createDataFrame(
-        chosen, "rank int, vec_id bigint, score double"
-    ).orderBy("rank")
-
-
-@_register("ann_ivf_topk", _ann_ivf_oracle())
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: deterministic data-sampled centroids (every 25th
-    vector — the reproducible stand-in for k-means training) as a broadcast
-    centroid table, map-side-combinable argmax list assignment, nprobe=4
-    probing, exact re-rank inside the probed lists. Only candidates hit
-    the per-query top-k window; no driver collect anywhere."""
-    from ..operators.similarity import centroids_df, ivf_topk
-
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    cents = centroids_df(emb, every=25)
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = ivf_topk(emb, queries, cents, k=5, nprobe=4)
-    return out.select(
-        "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
-    ).orderBy("query_id", "rank")
-
-
-# ===========================================================================
-# way contribution pipeline: temporal member merge J3 (flagship #2)
-# ===========================================================================
-
-_EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
-
-_WAY_INSTANT_CTES = f"""
-WITH params AS (
-  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u FROM events
-), nodes AS (
-  SELECT user_id AS nid,
-         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS n_version,
-         ts AS nts,
-         CAST(event_id % 13 AS BIGINT) AS ncs,
-         (value % 360.0) - 180.0        AS lon,
-         ((value * 7.0) % 180.0) - 90.0 AS lat
-  FROM events
-), ways AS (
-  SELECT CAST(n_nationkey AS BIGINT) AS wid, CAST(v AS INT) AS wv,
-         make_timestamp(({_EPOCH_2024} + v * 7 * 86400) * 1000000) AS wts,
-         CAST(1000 + n_nationkey * 10 + v AS BIGINT) AS wcs,
-         [CAST(n_nationkey % u AS BIGINT),
-          CAST((n_nationkey + 7) % u AS BIGINT),
-          CAST((n_nationkey + 13) % u AS BIGINT)] AS refs
-  FROM nation, params, (SELECT unnest(range(1, 4)) AS v)
-), majors AS (
-  SELECT *, lead(wts) OVER (PARTITION BY wid ORDER BY wts, wv) AS wts_end FROM ways
-), slots AS (
-  SELECT wid, wv, unnest(refs) AS nid, generate_subscripts(refs, 1) AS pos FROM majors
-), member_streams AS (
-  SELECT DISTINCT m.wid, m.wv, m.wts, m.wts_end, m.wcs, s.nid
-  FROM majors m JOIN slots s ON m.wid = s.wid AND m.wv = s.wv
-), ev AS (
-  -- node changesets < 13, way changesets >= 1000: the init changeset-fold
-  -- can never trigger, so init-consumed == (nts <= wts)
-  SELECT ms.*, n.n_version, n.nts, n.ncs, n.lon, n.lat,
-         n.nts <= ms.wts AS is_init,
-         n.nts > ms.wts AND (ms.wts_end IS NULL OR n.nts < ms.wts_end) AS is_minor
-  FROM member_streams ms JOIN nodes n USING (nid)
-), minor_ev AS (
-  SELECT *, sum(new_run) OVER (PARTITION BY wid, wv ORDER BY nts, ncs, nid
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_idx
-  FROM (
-    SELECT *, CASE WHEN ncs IS DISTINCT FROM
-                 lag(ncs) OVER (PARTITION BY wid, wv ORDER BY nts, ncs, nid)
-               THEN 1 ELSE 0 END AS new_run
-    FROM ev WHERE is_minor
-  )
-), runs AS (
-  SELECT wid, wv, run_idx, max(nts) AS inst_ts, min(ncs) AS inst_cs
-  FROM minor_ev GROUP BY 1, 2, 3
-), instants AS (
-  SELECT wid, wv, CAST(0 AS BIGINT) AS run_idx, wts AS inst_ts, wcs AS inst_cs FROM majors
-  UNION ALL
-  SELECT wid, wv, run_idx, inst_ts, inst_cs FROM runs
-), states AS (
-  SELECT wid, wv, nid, CAST(0 AS BIGINT) AS k, 0 AS probe, n_version AS ord_v,
-         struct_pack(vlon := lon, vlat := lat) AS st, CAST(NULL AS BIGINT) AS pos,
-         CAST(NULL AS TIMESTAMP) AS inst_ts, CAST(NULL AS BIGINT) AS inst_cs
-  FROM ev WHERE is_init
-  UNION ALL
-  SELECT wid, wv, nid, run_idx AS k, 0 AS probe, n_version AS ord_v,
-         struct_pack(vlon := lon, vlat := lat) AS st, CAST(NULL AS BIGINT) AS pos,
-         CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT)
-  FROM minor_ev
-), probes AS (
-  SELECT i.wid, i.wv, s.nid, i.run_idx AS k, 1 AS probe, 2147483647 AS ord_v,
-         CAST(NULL AS STRUCT(vlon DOUBLE, vlat DOUBLE)) AS st, s.pos,
-         i.inst_ts, i.inst_cs
-  FROM instants i JOIN slots s ON i.wid = s.wid AND i.wv = s.wv
-), resolved AS (
-  SELECT *, last_value(st IGNORE NULLS) OVER (
-           PARTITION BY wid, wv, nid ORDER BY k, probe, ord_v
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_st
-  FROM (SELECT * FROM states UNION ALL SELECT * FROM probes)
-), inst_members AS (
-  SELECT wid, wv, k, inst_ts, inst_cs,
-         list_transform(
-           list_sort(array_agg(struct_pack(pos := pos, st := asof_st))),
-           e -> e.st) AS sts
-  FROM resolved WHERE probe = 1
-  GROUP BY wid, wv, k, inst_ts, inst_cs
-), geoms AS (
-  SELECT wid, wv, k, inst_ts, inst_cs,
-         list_transform(list_filter(sts, s -> s IS NOT NULL), s -> s.vlon) AS xs,
-         list_transform(list_filter(sts, s -> s IS NOT NULL), s -> s.vlat) AS ys
-  FROM inst_members
-)"""
-
-
-_CONTRIB_WAYS_ORACLE = (
-    _WAY_INSTANT_CTES
-    + f"""
-, measured AS (
-  SELECT *, len(xs) AS nc,
-    CASE WHEN len(xs) >= 2 THEN
-      list_sum(list_transform(range(1, len(xs)), i -> 6371000.0 * sqrt(
-        pow((radians(xs[i + 1]) - radians(xs[i]))
-            * cos((atan({SPHERE_FACT!r} * tan(radians(ys[i])))
-                 + atan({SPHERE_FACT!r} * tan(radians(ys[i + 1])))) / 2), 2)
-        + pow(atan({SPHERE_FACT!r} * tan(radians(ys[i + 1])))
-            - atan({SPHERE_FACT!r} * tan(radians(ys[i]))), 2))))
-    ELSE 0.0 END AS length_m,
-    CASE WHEN len(xs) >= 2 THEN
-      list_sum(list_transform(range(1, len(xs)), i ->
-        sqrt(pow(xs[i+1]-xs[i], 2) + pow(ys[i+1]-ys[i], 2)) * (xs[i]+xs[i+1])/2))
-      / list_sum(list_transform(range(1, len(xs)), i ->
-        sqrt(pow(xs[i+1]-xs[i], 2) + pow(ys[i+1]-ys[i], 2))))
-    WHEN len(xs) = 1 THEN xs[1] ELSE NULL END AS cx,
-    CASE WHEN len(xs) >= 2 THEN
-      list_sum(list_transform(range(1, len(xs)), i ->
-        sqrt(pow(xs[i+1]-xs[i], 2) + pow(ys[i+1]-ys[i], 2)) * (ys[i]+ys[i+1])/2))
-      / list_sum(list_transform(range(1, len(xs)), i ->
-        sqrt(pow(xs[i+1]-xs[i], 2) + pow(ys[i+1]-ys[i], 2))))
-    WHEN len(xs) = 1 THEN ys[1] ELSE NULL END AS cy
-  FROM geoms
-), contribs AS (
-  SELECT *,
-    lead(inst_ts) OVER w AS next_ts,
-    CAST(row_number() OVER (PARTITION BY wid, wv ORDER BY inst_ts, inst_cs) - 1 AS INT) AS osm_minor_version,
-    CAST(row_number() OVER w AS INT) AS osm_edits,
-    lag(xs) OVER w AS prev_xs, lag(ys) OVER w AS prev_ys,
-    row_number() OVER w = 1 AS is_first
-  FROM measured WINDOW w AS (PARTITION BY wid ORDER BY inst_ts, wv, inst_cs)
-)
-SELECT wid AS osm_id, wv AS osm_version, osm_minor_version, osm_edits,
-       inst_ts AS valid_from,
-       coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to,
-       CASE WHEN nc = 0 THEN 'invalid'
-            WHEN next_ts IS NOT NULL THEN 'history' ELSE 'latest' END AS status,
-       CASE WHEN is_first THEN 'CREATION'
-            ELSE nullif(concat_ws('_',
-              CASE WHEN xs IS DISTINCT FROM prev_xs OR ys IS DISTINCT FROM prev_ys
-                   THEN 'GEOMETRY' END), '') END AS contrib_type,
-       CASE WHEN nc >= 2 THEN 'LineString' WHEN nc = 1 THEN 'Point' ELSE NULL END AS geometry_type,
-       round(length_m, 2) AS length_m,
-       round(cx, 6) AS cx, round(cy, 6) AS cy,
-       3 AS refs_count
-FROM contribs
-ORDER BY osm_id, osm_edits
-"""
-)
-
-
-def _derived_way_inputs(spark: SparkSession, sf_dir: str):
-    """Deterministic way/node histories: nodes from the events stream, one
-    3-version way per nation referencing 3 user-nodes. Node changesets
-    (< 13) are disjoint from way changesets (>= 1000), so the oracle can
-    skip the init changeset-fold branch (it provably never fires)."""
-    ev = _t(spark, sf_dir, "events")
-    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
-    nodes = ev.select(
-        F.col("user_id").alias("osm_id"),
-        F.row_number().over(wseq).cast("int").alias("version"),
-        "ts",
-        (F.col("event_id") % 13).cast("bigint").alias("changeset"),
-        F.lit(0).alias("user_id"),
-        F.lit("u").alias("user_name"),
-        F.lit(True).alias("visible"),
-        F.expr("cast(map() as map<string,string>)").alias("tags"),
-        ((F.col("value") % 360.0) - 180.0).alias("lon"),
-        (((F.col("value") * 7.0) % 180.0) - 90.0).alias("lat"),
-    )
-    # the user count enters as a broadcast 1-row scalar instead of an eager
-    # .first() — no blocking driver job, and the events scan it needs runs
-    # inside the query's own DAG
-    ucnt = ev.select(F.countDistinct("user_id").alias("_u"))
-    nat = _t(spark, sf_dir, "nation")
-    ways = (
-        nat.select(F.col("n_nationkey").cast("bigint").alias("wid"))
-        .crossJoin(F.broadcast(ucnt))
-        .crossJoin(spark.range(1, 4).select(F.col("id").alias("v")))
-        .select(
-            F.col("wid").alias("osm_id"),
-            F.col("v").cast("int").alias("version"),
-            F.timestamp_seconds(F.lit(_EPOCH_2024) + F.col("v") * 7 * 86400).alias("ts"),
-            (F.lit(1000) + F.col("wid") * 10 + F.col("v")).cast("bigint").alias("changeset"),
-            F.lit(0).alias("user_id"),
-            F.lit("u").alias("user_name"),
-            F.lit(True).alias("visible"),
-            F.create_map(F.lit("name"), F.concat(F.lit("w"), F.col("wid"))).alias("tags"),
-            F.array(
-                (F.col("wid") % F.col("_u")).cast("bigint"),
-                ((F.col("wid") + 7) % F.col("_u")).cast("bigint"),
-                ((F.col("wid") + 13) % F.col("_u")).cast("bigint"),
-            ).alias("refs"),
-        )
-    )
-    return ways, nodes
-
-
-@_register("contrib_ways", _CONTRIB_WAYS_ORACLE)
-def contrib_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship #2: the temporal member merge (J3) + way geometry + full
-    contribution synthesis, oracle-checked stage by stage — minor-version
-    instants, as-of member states, geodesic lengths, lineal centroids,
-    counters and contrib types."""
-    ways, nodes = _derived_way_inputs(spark, sf_dir)
-    contribs = synthesize_contributions(way_contribution_events(ways, nodes))
-    return contribs.select(
-        "osm_id",
-        "osm_version",
-        "osm_minor_version",
-        "osm_edits",
-        "valid_from",
-        "valid_to",
-        "status",
-        "contrib_type",
-        "geometry_type",
-        F.round("length", 2).alias("length_m"),
-        F.round("centroid.x", 6).alias("cx"),
-        F.round("centroid.y", 6).alias("cy"),
-        "refs_count",
-    ).orderBy("osm_id", "osm_edits")
-
-
-def _ohsome_length_series_oracle() -> str:
-    cut = _CONTRIB_WAYS_ORACLE.index("SELECT wid AS osm_id")
-    cases = " || ".join(
-        f"CASE WHEN lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r} "
-        f"THEN ['{fid}'] ELSE [] END"
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    )
-    return (
-        _CONTRIB_WAYS_ORACLE[:cut]
-        + f"""
-    SELECT country, snap_ts,
-           CAST(count(*) AS BIGINT) AS n_live,
-           round(sum(length_m), 2) AS total_length_m
-    FROM (
-      SELECT unnest({cases}) AS country, s.snap_ts, c.length_m
-      FROM (SELECT inst_ts AS valid_from,
-                   coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to,
-                   cx AS lon, cy AS lat, length_m
-            FROM contribs WHERE nc >= 2) c
-      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
-                                          TIMESTAMP '2024-02-01',
-                                          INTERVAL 7 DAY)) AS snap_ts) s
-        ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
-    )
-    GROUP BY country, snap_ts
-    ORDER BY country, snap_ts
-    """
-    )
-
-
-@_register("ohsome_length_series", _ohsome_length_series_oracle())
-def ohsome_length_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ohsome API /elements/length endpoint shape — total live way
-    length grouped by boundary and snapshot time — over the STAGED way
-    contributions table (produce-then-query: the expensive temporal
-    member merge runs once; consumers read the stored dataset, the
-    reference's docs/useful_queries.md contract). Lineal features only
-    (geometry_type = LineString ⇔ ≥2 resolved member nodes); geodesic
-    lengths come from the contribution synthesis itself. Same
-    never-shuffle-the-facts shape as ohsome_count_series: map-side
-    country tagging on the centroid, broadcast snapshot interval join,
-    one exchange on the (country, snap_ts) agg keys."""
-    contribs = _way_contribs_table(spark, sf_dir)
-    feats = [
-        rect_feature(fid, x0, y0, x1, y1)
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    ]
-    pts = contribs.filter(F.col("geometry_type") == "LineString").select(
-        "valid_from",
-        "valid_to",
-        F.col("length").alias("length_m"),
-        F.col("centroid.x").alias("lon"),
-        F.col("centroid.y").alias("lat"),
-    )
-    tagged = join_countries(pts, feats).select(
-        F.explode("countries").alias("country"),
-        "valid_from",
-        "valid_to",
-        "length_m",
-    )
-    snaps = spark.range(1).select(
-        F.explode(
-            F.expr(
-                "sequence(to_timestamp('2024-01-04'), "
-                "to_timestamp('2024-02-01'), interval 7 days)"
-            )
-        ).alias("snap_ts")
-    )
-    return (
-        tagged.join(
-            F.broadcast(snaps),
-            (F.col("valid_from") <= F.col("snap_ts"))
-            & (F.col("snap_ts") < F.col("valid_to")),
-        )
-        .groupBy("country", "snap_ts")
-        .agg(
-            F.count(F.lit(1)).alias("n_live"),
-            F.round(F.sum("length_m"), 2).alias("total_length_m"),
-        )
-        .orderBy("country", "snap_ts")
-    )
-
-
-# --- /elements/area + groupBy variants + /users/count ----------------------
-
-_EPOCH_2020 = 1577836800  # 2020-01-01T00:00:00Z
-
-
-def _derived_polygon_ways(spark: SparkSession, sf_dir: str):
-    """Closed-way (building) histories: one 3-version way per nation whose
-    5-slot ring [a,b,c,d,a] references single-version corner nodes on an
-    exact grid (integer degrees + 0.5/0.25 offsets — lossless doubles).
-    Odd versions use corner 3, even versions corner 4, so every version
-    is a GEOMETRY contribution and the ring is always simple & convex."""
-    nat = _t(spark, sf_dir, "nation")
-    wid = F.col("n_nationkey").cast("bigint")
-    base = nat.select(wid.alias("wid"))
-    x0 = (F.col("wid") * 7 % 340 - 170).cast("double")
-    y0 = (F.col("wid") * 11 % 160 - 80).cast("double")
-    dx = F.array(*[F.lit(v) for v in (0.0, 0.5, 0.5, 0.0, 0.0)])
-    dy = F.array(*[F.lit(v) for v in (0.0, 0.0, 0.25, 0.25, 0.5)])
-    k = F.col("k").cast("int")
-    nodes = (
-        base.crossJoin(
-            F.broadcast(spark.range(5).select(F.col("id").alias("k")))
-        )
-        .select(
-            (F.lit(10_000_000) + F.col("wid") * 8 + F.col("k")).alias("osm_id"),
-            F.lit(1).cast("int").alias("version"),
-            F.timestamp_seconds(F.lit(_EPOCH_2020)).alias("ts"),
-            F.lit(1).cast("bigint").alias("changeset"),
-            F.lit(0).alias("user_id"),
-            F.lit("u").alias("user_name"),
-            F.lit(True).alias("visible"),
-            F.expr("cast(map() as map<string,string>)").alias("tags"),
-            (x0 + F.element_at(dx, k + 1)).alias("lon"),
-            (y0 + F.element_at(dy, k + 1)).alias("lat"),
-        )
-    )
-    nid = F.lit(10_000_000) + F.col("wid") * 8
-    v = F.col("v")
-    ways = (
-        base.crossJoin(spark.range(1, 4).select(F.col("id").alias("v")))
-        .select(
-            F.col("wid").alias("osm_id"),
-            v.cast("int").alias("version"),
-            # wid in MINUTES keeps every (wid, v) instant globally unique
-            # (day-offset schemes collide across versions of different
-            # ways, which would make relation minor-run windows ambiguous)
-            F.timestamp_seconds(
-                F.lit(_EPOCH_2024)
-                + F.col("wid") * 60
-                + v * 7 * 86400
-            ).alias("ts"),
-            (F.lit(1000) + F.col("wid") * 10 + v).cast("bigint").alias("changeset"),
-            F.lit(0).alias("user_id"),
-            F.lit("u").alias("user_name"),
-            F.lit(True).alias("visible"),
-            F.create_map(F.lit("building"), F.lit("yes")).alias("tags"),
-            F.array(
-                nid, nid + 1, nid + 2,
-                nid + F.when(v % 2 == 1, F.lit(3)).otherwise(F.lit(4)),
-                nid,
-            ).alias("refs"),
-        )
-    )
-    return ways, nodes
-
-
-def _polygon_contribs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def build() -> DataFrame:
-        ways, nodes = _derived_polygon_ways(spark, sf_dir)
-        return synthesize_contributions(way_contribution_events(ways, nodes))
-
-    return _produce_then_query(spark, sf_dir, "polygons", build)
-
-
-def _polygon_area_ctes() -> str:
-    """Shared oracle CTEs for the derived closed-way corpus: ways →
-    per-version rings on the exact grid → spherical-excess areas
-    (term-for-term replay of ``functions/geodesic.py::ring_area``)."""
-    from ..functions.geodesic import (
-        EARTH_INVERSE_FLATTENING as INVF,
-        EARTH_RADIUS_EQUATOR as RE,
-        F_UNDERSCORE as FU,
-    )
-
-    sinlat = (
-        f"({FU!r} * tan(radians(ys[((i + 1) % 5) + 1]))"
-        f" / sqrt(({FU!r} * tan(radians(ys[((i + 1) % 5) + 1])))"
-        f" * ({FU!r} * tan(radians(ys[((i + 1) % 5) + 1]))) + 1.0))"
-    )
-    return f"""
-WITH ways AS (
-  SELECT CAST(n_nationkey AS BIGINT) AS wid, CAST(v AS INT) AS v,
-         make_timestamp(({_EPOCH_2024} + n_nationkey * 60
-                         + v * 7 * 86400) * 1000000) AS wts
-  FROM nation, (SELECT unnest(range(1, 4)) AS v)
-), rings AS (
-  SELECT wid, v, wts,
-         lead(wts) OVER (PARTITION BY wid ORDER BY wts, v) AS wts_end,
-         CAST((wid * 7) % 340 - 170 AS DOUBLE) AS x0,
-         CAST((wid * 11) % 160 - 80 AS DOUBLE) AS y0
-  FROM ways
-), coords AS (
-  SELECT *,
-         [x0, x0 + 0.5, x0 + 0.5, x0, x0] AS xs,
-         CASE WHEN v % 2 = 1
-              THEN [y0, y0, y0 + 0.25, y0 + 0.25, y0]
-              ELSE [y0, y0, y0 + 0.25, y0 + 0.5, y0] END AS ys
-  FROM rings
-), areas AS (
-  SELECT wid, v, wts, wts_end,
-    abs(
-      list_sum(list_transform(range(0, 5), i ->
-        radians(xs[((i + 2) % 5) + 1] - xs[(i % 5) + 1]) * {sinlat}))
-      * (0.5 * {RE!r} * {RE!r}
-         * (1.0 - 1.0 / {INVF!r}
-            * (cos(radians((list_max(ys) + list_min(ys)) / 2.0))
-               * cos(radians((list_max(ys) + list_min(ys)) / 2.0)))))
-    ) AS area_m2
-  FROM coords
-)"""
-
-
-def _ohsome_area_series_oracle() -> str:
-    return _polygon_area_ctes() + """
-SELECT s.snap_ts,
-       CAST(count(*) AS BIGINT) AS n_live,
-       round(sum(area_m2) / 1000000.0, 6) AS total_area_km2
-FROM areas a
-JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
-                                    TIMESTAMP '2024-02-01',
-                                    INTERVAL 7 DAY)) AS snap_ts) s
-  ON a.wts <= s.snap_ts AND (a.wts_end IS NULL OR s.snap_ts < a.wts_end)
-GROUP BY s.snap_ts
-ORDER BY s.snap_ts
-"""
-
-
-@_register("ohsome_area_series", _ohsome_area_series_oracle())
-def ohsome_area_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ohsome API /elements/area endpoint shape — total live polygon
-    area at weekly snapshots — over a STAGED closed-way contributions
-    table. Exercises the way-polygon branch end-to-end: polygon-feature
-    predicate (building=yes), ring closure + simplicity, Chamberlain &
-    Duquette spherical-excess area (A8), contribution validity windows,
-    and the broadcast snapshot interval join. The oracle replays the ring
-    area term-for-term (same summation order) in DuckDB. Scale shape:
-    facts never shuffle — the snapshot list is broadcast and the only
-    exchange is the final snap_ts aggregation."""
-    from ..functions.ohsome_filter import compile_filter
-
-    contribs = _polygon_contribs_table(spark, sf_dir)
-    live = contribs.filter(
-        F.col("status").isin("history", "latest")
-    ).filter(compile_filter("geometry:polygon and building=yes"))
-    snaps = spark.range(1).select(
-        F.explode(
-            F.expr(
-                "sequence(to_timestamp('2024-01-04'), "
-                "to_timestamp('2024-02-01'), interval 7 days)"
-            )
-        ).alias("snap_ts")
-    )
-    return (
-        live.select("valid_from", "valid_to", "area")
-        .join(
-            F.broadcast(snaps),
-            (F.col("valid_from") <= F.col("snap_ts"))
-            & (F.col("snap_ts") < F.col("valid_to")),
-        )
-        .groupBy("snap_ts")
-        .agg(
-            F.count(F.lit(1)).alias("n_live"),
-            F.round(F.sum("area") / 1e6, 6).alias("total_area_km2"),
-        )
-        .orderBy("snap_ts")
-    )
-
-
-def _pbf_polygon_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Encode the derived closed-way corpus (ways + corner nodes) into a
-    real ``.osh.pbf`` — per-type blocks, DenseNodes + way groups. Every
-    value is PBF-representable by construction (whole-second timestamps,
-    exact-grid coordinates), so the decode is lossless and the polygon
-    oracle applies unchanged."""
-    import hashlib
-    import os
-    import tempfile
-
-    key = "poly2_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"opc_fixture_{key}.osh.pbf")
-    if _PBF_FIXTURES.get(key) == path and os.path.exists(path):
-        return path
-    from ..sources.pbf_encoder import write_history_pbf
-
-    ways, nodes = _derived_polygon_ways(spark, sf_dir)
-    rels = _derived_polygon_relations(spark, sf_dir)
-    node_rows = [
-        dict(
-            osm_id=r.osm_id, version=r.version,
-            ts_ms=int(r.ts.timestamp()) * 1000, changeset=r.changeset,
-            uid=0, user="u", visible=True, tags={}, lon=r.lon, lat=r.lat,
-        )
-        for r in nodes.orderBy("osm_id").collect()
-    ]
-    way_rows = [
-        dict(
-            osm_id=r.osm_id, version=r.version,
-            ts_ms=int(r.ts.timestamp()) * 1000, changeset=r.changeset,
-            uid=0, user="u", visible=True, tags=dict(r.tags),
-            refs=list(r.refs),
-        )
-        for r in ways.orderBy("osm_id", "version").collect()
-    ]
-    rel_rows = [
-        dict(
-            osm_id=r.osm_id, version=r.version,
-            ts_ms=int(r.ts.timestamp()) * 1000, changeset=r.changeset,
-            uid=0, user="u", visible=True, tags=dict(r.tags),
-            members=[
-                {"type": m.type, "id": m.id, "role": m.role}
-                for m in r.members
-            ],
-        )
-        for r in rels.orderBy("osm_id").collect()
-    ]
-    write_history_pbf(path, node_rows, ways=way_rows, relations=rel_rows)
-    _PBF_FIXTURES[key] = path
-    return path
-
-
-def _contrib_polygons_from_pbf_oracle() -> str:
-    return _polygon_area_ctes() + """
-SELECT wid AS osm_id, v AS osm_version,
-       wts AS valid_from,
-       coalesce(wts_end, TIMESTAMP '2222-01-01') AS valid_to,
-       CASE WHEN wts_end IS NULL THEN 'latest' ELSE 'history' END AS status,
-       CASE WHEN v = 1 THEN 'CREATION' ELSE 'GEOMETRY' END AS contrib_type,
-       'Polygon' AS geometry_type,
-       round(area_m2 / 1000000.0, 6) AS area_km2
-FROM areas
-ORDER BY osm_id, osm_version
-"""
-
-
-@_register("contrib_polygons_from_pbf", _contrib_polygons_from_pbf_oracle())
-def contrib_polygons_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The WAY half of the Contributions2Parquet seam end-to-end from wire
-    bytes: real ``.osh.pbf`` (DenseNodes + way groups) → distributed blob
-    decode → temporal member merge → way-polygon geometry (ring closure,
-    polygon-feature predicate, spherical-excess area) → contribution
-    synthesis. Complements ``contrib_from_pbf`` (nodes): together the two
-    put decoder → J1/J3 merge → A2/A8 geometry inside the hash-match
-    gate. The oracle replays ring areas term-for-term."""
-    from ..sources.pbf import read_pbf
-
-    path = _pbf_polygon_fixture(spark, sf_dir)
-    ents = read_pbf(spark, path)
-    nodes = ents.filter(F.col("osm_type") == "node").select(
-        "osm_id", "version", "ts", "changeset", "user_id", "user_name",
-        "visible", "tags", "lon", "lat",
-    )
-    ways = ents.filter(F.col("osm_type") == "way").select(
-        "osm_id", "version", "ts", "changeset", "user_id", "user_name",
-        "visible", "tags", "refs",
-    )
-    contribs = synthesize_contributions(way_contribution_events(ways, nodes))
-    return contribs.select(
-        "osm_id",
-        "osm_version",
-        "valid_from",
-        "valid_to",
-        "status",
-        "contrib_type",
-        "geometry_type",
-        F.round(F.col("area") / 1e6, 6).alias("area_km2"),
-    ).orderBy("osm_id", "osm_version")
-
-
-def _derived_polygon_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One type=multipolygon relation per region: members are the region's
-    nations' closed ways (role outer), single relation version created
-    AFTER every member way's v1 (epoch+10d) — so creation resolves all
-    members and every later way version produces a relation minor."""
-    nat = _t(spark, sf_dir, "nation")
-    member_struct = F.transform(
-        F.col("member_ids"),
-        lambda i: F.struct(
-            F.lit("way").alias("type"), i.alias("id"), F.lit("outer").alias("role")
-        ),
-    )
-    return (
-        nat.groupBy(F.col("n_regionkey").cast("bigint").alias("osm_id"))
-        .agg(F.sort_array(F.collect_list(F.col("n_nationkey").cast("bigint"))).alias("member_ids"))
-        .select(
-            "osm_id",
-            F.lit(1).cast("int").alias("version"),
-            F.timestamp_seconds(F.lit(_EPOCH_2024) + 10 * 86400).alias("ts"),
-            (F.lit(5000) + F.col("osm_id")).cast("bigint").alias("changeset"),
-            F.lit(0).alias("user_id"),
-            F.lit("u").alias("user_name"),
-            F.lit(True).alias("visible"),
-            F.create_map(
-                F.lit("type"), F.lit("multipolygon"),
-                F.lit("landuse"), F.lit("forest"),
-            ).alias("tags"),
-            member_struct.alias("members"),
-        )
-    )
-
-
-def _contrib_multipolygons_from_pbf_oracle() -> str:
-    return _polygon_area_ctes() + f"""
-, members AS (
-  SELECT CAST(n_regionkey AS BIGINT) AS rid, CAST(n_nationkey AS BIGINT) AS wid
-  FROM nation
-), rel_instants AS (
-  SELECT DISTINCT rid,
-         make_timestamp({(_EPOCH_2024 + 10 * 86400) * 1000000}) AS inst_ts,
-         CAST(5000 + rid AS BIGINT) AS inst_cs
-  FROM members
-  UNION ALL
-  SELECT m.rid, a.wts AS inst_ts,
-         CAST(1000 + a.wid * 10 + a.v AS BIGINT) AS inst_cs
-  FROM members m JOIN areas a ON a.wid = m.wid
-  WHERE a.wts > make_timestamp({(_EPOCH_2024 + 10 * 86400) * 1000000})
-), assembled AS (
-  SELECT i.rid, i.inst_ts, i.inst_cs,
-         (SELECT sum(a.area_m2)
-          FROM members m JOIN areas a ON a.wid = m.wid
-          WHERE m.rid = i.rid AND a.wts <= i.inst_ts
-            AND (a.wts_end IS NULL OR i.inst_ts < a.wts_end)) AS area_m2,
-         lead(i.inst_ts) OVER (PARTITION BY i.rid
-                               ORDER BY i.inst_ts, i.inst_cs) AS next_ts,
-         row_number() OVER (PARTITION BY i.rid
-                            ORDER BY i.inst_ts, i.inst_cs) AS rn
-  FROM rel_instants i
-)
-SELECT rid AS osm_id, inst_ts AS valid_from,
-       coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to,
-       CASE WHEN next_ts IS NULL THEN 'latest' ELSE 'history' END AS status,
-       CASE WHEN rn = 1 THEN 'CREATION' ELSE 'GEOMETRY' END AS contrib_type,
-       'MultiPolygon' AS geometry_type,
-       round(area_m2 / 1000000.0, 6) AS area_km2
-FROM assembled
-ORDER BY osm_id, valid_from
-"""
-
-
-@_register(
-    "contrib_multipolygons_from_pbf", _contrib_multipolygons_from_pbf_oracle()
-)
-def contrib_multipolygons_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The RELATION third of the Contributions2Parquet seam from wire
-    bytes: ``.osh.pbf`` with DenseNodes + way + relation groups →
-    distributed decode → NESTED temporal merge (way streams feed relation
-    streams, J2+J3) → multipolygon assembly from member outers → A8 areas
-    → synthesis. Every member-way version lands as a relation minor whose
-    assembled area the oracle recomputes from as-of ring areas."""
-    from ..sources.pbf import read_pbf
-
-    path = _pbf_polygon_fixture(spark, sf_dir)
-    ents = read_pbf(spark, path)
-    nodes = ents.filter(F.col("osm_type") == "node").select(
-        "osm_id", "version", "ts", "changeset", "user_id", "user_name",
-        "visible", "tags", "lon", "lat",
-    )
-    ways = ents.filter(F.col("osm_type") == "way").select(
-        "osm_id", "version", "ts", "changeset", "user_id", "user_name",
-        "visible", "tags", "refs",
-    )
-    rels = ents.filter(F.col("osm_type") == "relation").select(
-        "osm_id", "version", "ts", "changeset", "user_id", "user_name",
-        "visible", "tags", "members",
-    )
-    contribs = synthesize_contributions(
-        relation_contribution_events(rels, ways, nodes)
-    )
-    return contribs.select(
-        "osm_id",
-        "valid_from",
-        "valid_to",
-        "status",
-        "contrib_type",
-        "geometry_type",
-        F.round(F.col("area") / 1e6, 6).alias("area_km2"),
-    ).orderBy("osm_id", "valid_from")
-
-
-def _polygon_perimeters_oracle() -> str:
-    seg = _perimeter_seg_sql()
-    return _polygon_area_ctes() + f"""
-SELECT wid AS osm_id,
-       round(list_sum(list_transform(range(1, 5), i -> {seg})), 2)
-         AS perimeter_m
-FROM coords WHERE v = 3
-ORDER BY osm_id
-"""
-
-
-def _ring_perimeter_udf():
-    """Pandas UDF: stored WKB polygon → geodesic exterior-ring length
-    (shared by the /elements/perimeter latest and series endpoints)."""
-
-    @F.pandas_udf("double")
-    def ring_perimeter(wkb: pd.Series) -> pd.Series:
-        import numpy as np
-
-        from ..functions import wkb as wkblib
-        from ..functions.geodesic import line_length
-
-        out = []
-        for buf in wkb:
-            if buf is None:
-                out.append(None)
-                continue
-            geom = wkblib.decode(bytes(buf))
-            if geom is None or geom["type"] != "Polygon":
-                out.append(None)
-                continue
-            ring = geom["coords"][0]
-            xs = np.array([p[0] for p in ring])
-            ys = np.array([p[1] for p in ring])
-            out.append(line_length(xs, ys))
-        return pd.Series(out, dtype="float64")
-
-    return ring_perimeter
-
-
-def _perimeter_seg_sql() -> str:
-    """DuckDB replay of ``functions/geodesic.py::line_length`` for one
-    exterior-ring segment of the derived polygon corpus (term-for-term,
-    same constants)."""
-    from ..functions.geodesic import SPHERE_FACT as SF
-
-    return (
-        f"6371000.0 * sqrt("
-        f"pow((radians(xs[i + 1]) - radians(xs[i]))"
-        f" * cos((atan({SF!r} * tan(radians(ys[i])))"
-        f" + atan({SF!r} * tan(radians(ys[i + 1])))) / 2), 2)"
-        f" + pow(atan({SF!r} * tan(radians(ys[i + 1])))"
-        f" - atan({SF!r} * tan(radians(ys[i]))), 2))"
-    )
-
-
-@_register("polygon_perimeters", _polygon_perimeters_oracle())
-def polygon_perimeters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """/elements/perimeter shape — geodesic exterior-ring length of the
-    latest polygon state, computed FROM THE STORED GeoParquet geometry:
-    the sink→decode seam (WKB written by the pipeline, decoded back,
-    ring walked with the engine's own geodesic) inside the hash-match
-    gate. Arrow-batched decode; the table is dimension-sized (one row
-    per latest way), so the UDF touches meters of data, not the corpus."""
-    ring_perimeter = _ring_perimeter_udf()
-
-    contribs = _polygon_contribs_table(spark, sf_dir)
-    latest = contribs.filter(F.col("status") == "latest").filter(
-        F.col("geometry_type") == "Polygon"
-    )
-    return (
-        latest.select(
-            "osm_id", F.round(ring_perimeter(F.col("geometry")), 2).alias("perimeter_m")
-        )
-        .orderBy("osm_id")
-    )
-
-
-def _ohsome_count_groupby_tag_oracle() -> str:
-    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
-    return (
-        _CONTRIB_ORACLE[:cut]
-        + """
-    SELECT tag_value, snap_ts,
-           CAST(count(*) AS BIGINT) AS n_live,
-           CAST(count(DISTINCT osm_id) AS BIGINT) AS n_elements
-    FROM (
-      SELECT c.tagv AS tag_value, s.snap_ts, c.osm_id
-      FROM (SELECT tagv, osm_id, ts AS valid_from,
-                   coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to
-            FROM final WHERE visible AND eff IS NOT NULL) c
-      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
-                                          TIMESTAMP '2024-02-01',
-                                          INTERVAL 7 DAY)) AS snap_ts) s
-        ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
-    )
-    GROUP BY tag_value, snap_ts
-    ORDER BY tag_value, snap_ts
-    """
-    )
-
-
-@_register("ohsome_count_groupby_tag", _ohsome_count_groupby_tag_oracle())
-def ohsome_count_groupby_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """/elements/count groupBy tag (groupByKey=t): live element counts per
-    tag value per weekly snapshot over the staged node contributions.
-    Same never-shuffle-the-facts shape as ohsome_count_series with the
-    boundary dimension swapped for the tag-value dimension (map lookup,
-    no explode needed for a single groupByKey)."""
-    contribs = _node_contribs_table(spark, sf_dir)
-    live = contribs.filter(F.col("status").isin("history", "latest"))
-    snaps = spark.range(1).select(
-        F.explode(
-            F.expr(
-                "sequence(to_timestamp('2024-01-04'), "
-                "to_timestamp('2024-02-01'), interval 7 days)"
-            )
-        ).alias("snap_ts")
-    )
-    return (
-        live.select(
-            F.col("tags")["t"].alias("tag_value"),
-            "osm_id",
-            "valid_from",
-            "valid_to",
-        )
-        .join(
-            F.broadcast(snaps),
-            (F.col("valid_from") <= F.col("snap_ts"))
-            & (F.col("snap_ts") < F.col("valid_to")),
-        )
-        .groupBy("tag_value", "snap_ts")
-        .agg(
-            F.count(F.lit(1)).alias("n_live"),
-            F.countDistinct("osm_id").alias("n_elements"),
-        )
-        .orderBy("tag_value", "snap_ts")
-    )
-
-
-def _ohsome_length_groupby_tag_oracle() -> str:
-    cut = _CONTRIB_WAYS_ORACLE.index("SELECT wid AS osm_id")
-    return (
-        _CONTRIB_WAYS_ORACLE[:cut]
-        + """
-    SELECT tag_value, snap_ts,
-           CAST(count(*) AS BIGINT) AS n_live,
-           round(sum(length_m), 2) AS total_length_m
-    FROM (
-      SELECT concat('w', c.wid) AS tag_value, s.snap_ts, c.length_m
-      FROM (SELECT wid, inst_ts AS valid_from,
-                   coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to,
-                   length_m
-            FROM contribs WHERE nc >= 2) c
-      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
-                                          TIMESTAMP '2024-02-01',
-                                          INTERVAL 7 DAY)) AS snap_ts) s
-        ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
-    )
-    GROUP BY tag_value, snap_ts
-    ORDER BY tag_value, snap_ts
-    """
-    )
-
-
-@_register("ohsome_length_groupby_tag", _ohsome_length_groupby_tag_oracle())
-def ohsome_length_groupby_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """/elements/length groupBy tag (groupByKey=name): live way length per
-    tag value per weekly snapshot over the staged way contributions —
-    the tag dimension comes straight from the stored tags map."""
-    contribs = _way_contribs_table(spark, sf_dir)
-    live = contribs.filter(F.col("geometry_type") == "LineString")
-    snaps = spark.range(1).select(
-        F.explode(
-            F.expr(
-                "sequence(to_timestamp('2024-01-04'), "
-                "to_timestamp('2024-02-01'), interval 7 days)"
-            )
-        ).alias("snap_ts")
-    )
-    return (
-        live.select(
-            F.col("tags")["name"].alias("tag_value"),
-            "valid_from",
-            "valid_to",
-            F.col("length").alias("length_m"),
-        )
-        .join(
-            F.broadcast(snaps),
-            (F.col("valid_from") <= F.col("snap_ts"))
-            & (F.col("snap_ts") < F.col("valid_to")),
-        )
-        .groupBy("tag_value", "snap_ts")
-        .agg(
-            F.count(F.lit(1)).alias("n_live"),
-            F.round(F.sum("length_m"), 2).alias("total_length_m"),
-        )
-        .orderBy("tag_value", "snap_ts")
-    )
-
-
-def _ohsome_count_ratio_oracle() -> str:
-    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
-    return (
-        _CONTRIB_ORACLE[:cut]
-        + """
-    SELECT snap_ts,
-           CAST(count(*) AS BIGINT) AS n_live,
-           CAST(count(*) FILTER (WHERE tagv = 'click') AS BIGINT) AS n_live2,
-           round(count(*) FILTER (WHERE tagv = 'click')
-                 / CAST(count(*) AS DOUBLE), 6) AS ratio
-    FROM (
-      SELECT c.tagv, s.snap_ts
-      FROM (SELECT tagv, ts AS valid_from,
-                   coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to
-            FROM final WHERE visible AND eff IS NOT NULL) c
-      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
-                                          TIMESTAMP '2024-02-01',
-                                          INTERVAL 7 DAY)) AS snap_ts) s
-        ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
-    )
-    GROUP BY snap_ts
-    ORDER BY snap_ts
-    """
-    )
-
-
-@_register("ohsome_count_ratio_series", _ohsome_count_ratio_oracle())
-def ohsome_count_ratio_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """/elements/count/ratio — the two-filter endpoint: live elements
-    matching filter2 (``t=click``, compiled by the DSL) over all live
-    elements, per weekly snapshot. One pass: the filter2 predicate
-    becomes a conditional count inside the same aggregation, so the
-    ratio costs nothing beyond the base count query."""
-    from ..functions.ohsome_filter import compile_filter
-
-    contribs = _node_contribs_table(spark, sf_dir)
-    live = contribs.filter(F.col("status").isin("history", "latest"))
-    snaps = spark.range(1).select(
-        F.explode(
-            F.expr(
-                "sequence(to_timestamp('2024-01-04'), "
-                "to_timestamp('2024-02-01'), interval 7 days)"
-            )
-        ).alias("snap_ts")
-    )
-    is2 = compile_filter("t=click")
-    return (
-        live.select("valid_from", "valid_to", is2.alias("m2"))
-        .join(
-            F.broadcast(snaps),
-            (F.col("valid_from") <= F.col("snap_ts"))
-            & (F.col("snap_ts") < F.col("valid_to")),
-        )
-        .groupBy("snap_ts")
-        .agg(
-            F.count(F.lit(1)).alias("n_live"),
-            F.sum(F.col("m2").cast("bigint")).alias("n_live2"),
-        )
-        .select(
-            "snap_ts",
-            "n_live",
-            "n_live2",
-            F.round(F.col("n_live2") / F.col("n_live").cast("double"), 6).alias(
-                "ratio"
-            ),
-        )
-        .orderBy("snap_ts")
-    )
-
-
-def _ohsome_count_boundary_tag_oracle() -> str:
-    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
-    cases = " || ".join(
-        f"CASE WHEN lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r} "
-        f"THEN ['{fid}'] ELSE [] END"
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    )
-    return (
-        _CONTRIB_ORACLE[:cut]
-        + f"""
-    SELECT country, tag_value, snap_ts, CAST(count(*) AS BIGINT) AS n_live
-    FROM (
-      SELECT unnest({cases}) AS country, c.tagv AS tag_value, s.snap_ts
-      FROM (SELECT (eff).lon AS lon, (eff).lat AS lat, tagv,
-                   ts AS valid_from,
-                   coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to
-            FROM final WHERE visible AND eff IS NOT NULL) c
-      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
-                                          TIMESTAMP '2024-02-01',
-                                          INTERVAL 7 DAY)) AS snap_ts) s
-        ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
-    )
-    GROUP BY country, tag_value, snap_ts
-    ORDER BY country, tag_value, snap_ts
-    """
-    )
-
-
-@_register(
-    "ohsome_count_groupby_boundary_tag", _ohsome_count_boundary_tag_oracle()
-)
-def ohsome_count_groupby_boundary_tag(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """/elements/count groupBy boundary groupBy tag — the two-dimension
-    grouping endpoint: live counts per (country, tag value, snapshot).
-    Same never-shuffle-the-facts shape; the extra dimension just widens
-    the final aggregation key."""
-    contribs = _node_contribs_table(spark, sf_dir)
-    live = contribs.filter(F.col("status").isin("history", "latest"))
-    feats = [
-        rect_feature(fid, x0, y0, x1, y1)
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    ]
-    pts = live.select(
-        "valid_from",
-        "valid_to",
-        F.col("tags")["t"].alias("tag_value"),
-        F.col("centroid.x").alias("lon"),
-        F.col("centroid.y").alias("lat"),
-    )
-    tagged = join_countries(pts, feats).select(
-        F.explode("countries").alias("country"),
-        "tag_value",
-        "valid_from",
-        "valid_to",
-    )
-    snaps = spark.range(1).select(
-        F.explode(
-            F.expr(
-                "sequence(to_timestamp('2024-01-04'), "
-                "to_timestamp('2024-02-01'), interval 7 days)"
-            )
-        ).alias("snap_ts")
-    )
-    return (
-        tagged.join(
-            F.broadcast(snaps),
-            (F.col("valid_from") <= F.col("snap_ts"))
-            & (F.col("snap_ts") < F.col("valid_to")),
-        )
-        .groupBy("country", "tag_value", "snap_ts")
-        .agg(F.count(F.lit(1)).alias("n_live"))
-        .orderBy("country", "tag_value", "snap_ts")
-    )
-
-
-_OHSOME_USERS_COUNT_ORACLE = """
-SELECT date_trunc('week', ts) AS period,
-       CAST(count(DISTINCT event_id % 40) AS BIGINT) AS n_users,
-       CAST(count(*) AS BIGINT) AS n_contribs
-FROM events
-WHERE event_type IN ('click', 'view')
-GROUP BY period
-ORDER BY period
-"""
-
-
-@_register("ohsome_users_count", _OHSOME_USERS_COUNT_ORACLE)
-def ohsome_users_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """/users/count — distinct contributors per week under an ohsome
-    filter DSL predicate. One map-side-combinable aggregation over the
-    edit stream; the DSL predicate (`t in (click, view)`) compiles to a
-    native tags-map lookup, so filter + bucket + distinct-count all run
-    inside whole-stage codegen before the single exchange."""
-    from ..functions.ohsome_filter import compile_filter
-
-    ev = _t(spark, sf_dir, "events")
-    edits = ev.select(
-        (F.col("event_id") % 40).alias("uid"),
-        "ts",
-        F.create_map(F.lit("t"), F.col("event_type")).alias("tags"),
-    ).filter(compile_filter("t in (click, view)"))
-    return (
-        edits.groupBy(F.date_trunc("week", "ts").alias("period"))
-        .agg(
-            F.countDistinct("uid").alias("n_users"),
-            F.count(F.lit(1)).alias("n_contribs"),
-        )
-        .orderBy("period")
-    )
-
-
-def _ohsome_perimeter_series_oracle() -> str:
-    seg = _perimeter_seg_sql()
-    return _polygon_area_ctes() + f"""
-SELECT s.snap_ts,
-       CAST(count(*) AS BIGINT) AS n_live,
-       round(sum(round(list_sum(list_transform(range(1, 5), i -> {seg})), 2)),
-             2) AS total_perimeter_m
-FROM coords a
-JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
-                                    TIMESTAMP '2024-02-01',
-                                    INTERVAL 7 DAY)) AS snap_ts) s
-  ON a.wts <= s.snap_ts AND (a.wts_end IS NULL OR s.snap_ts < a.wts_end)
-GROUP BY s.snap_ts
-ORDER BY s.snap_ts
-"""
-
-
-@_register("ohsome_perimeter_series", _ohsome_perimeter_series_oracle())
-def ohsome_perimeter_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ohsome API /elements/perimeter endpoint shape — total live
-    polygon perimeter at weekly snapshots — over the STAGED closed-way
-    contributions table, with the geodesic ring length computed FROM THE
-    STORED WKB geometry (sink→decode seam). Per-ring values round to 2dp
-    on both engines before summing so the hash can't drift on float sum
-    order. Scale shape: identical to ohsome_area_series — facts never
-    shuffle, the snapshot list broadcasts, one final exchange."""
-    from ..functions.ohsome_filter import compile_filter
-
-    ring_perimeter = _ring_perimeter_udf()
-    contribs = _polygon_contribs_table(spark, sf_dir)
-    live = contribs.filter(
-        F.col("status").isin("history", "latest")
-    ).filter(compile_filter("geometry:polygon and building=yes"))
-    snaps = spark.range(1).select(
-        F.explode(
-            F.expr(
-                "sequence(to_timestamp('2024-01-04'), "
-                "to_timestamp('2024-02-01'), interval 7 days)"
-            )
-        ).alias("snap_ts")
-    )
-    return (
-        live.select(
-            "valid_from", "valid_to",
-            F.round(ring_perimeter(F.col("geometry")), 2).alias("pm"),
-        )
-        .join(
-            F.broadcast(snaps),
-            (F.col("valid_from") <= F.col("snap_ts"))
-            & (F.col("snap_ts") < F.col("valid_to")),
-        )
-        .groupBy("snap_ts")
-        .agg(
-            F.count(F.lit(1)).alias("n_live"),
-            F.round(F.sum("pm"), 2).alias("total_perimeter_m"),
-        )
-        .orderBy("snap_ts")
-    )
-
-
-def _rect_area_sql(x0: float, y0: float, x1: float, y1: float) -> str:
-    """DuckDB replay of ``functions/geodesic.py::ring_area`` for one
-    literal-cornered rectangle ring (same term construction: dlon(p3,p1)
-    * sin(spherical_lat(p2)) with wrap-around, then the mid-latitude
-    ellipsoid correction)."""
-    from ..functions.geodesic import (
-        EARTH_INVERSE_FLATTENING as INVF,
-        EARTH_RADIUS_EQUATOR as RE,
-        F_UNDERSCORE as FU,
-    )
-
-    xs = [x0, x1, x1, x0, x0]
-    ys = [y0, y0, y1, y1, y0]
-    terms = []
-    for i in range(5):
-        ymid = ys[(i + 1) % 5]
-        sinlat = (
-            f"(({FU!r} * tan(radians({ymid!r})))"
-            f" / sqrt(({FU!r} * tan(radians({ymid!r})))"
-            f" * ({FU!r} * tan(radians({ymid!r}))) + 1.0))"
-        )
-        terms.append(f"radians({xs[(i + 2) % 5]!r} - {xs[i]!r}) * {sinlat}")
-    mid = (max(ys) + min(ys)) / 2.0
-    return (
-        f"abs(({' + '.join(terms)})"
-        f" * (0.5 * {RE!r} * {RE!r}"
-        f" * (1.0 - 1.0 / {INVF!r}"
-        f" * (cos(radians({mid!r})) * cos(radians({mid!r}))))))"
-    )
-
-
-def _ohsome_count_density_oracle() -> str:
-    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
-    cases = " || ".join(
-        f"CASE WHEN lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r} "
-        f"THEN ['{fid}'] ELSE [] END"
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    )
-    area_case = "CASE country " + " ".join(
-        f"WHEN '{fid}' THEN {_rect_area_sql(x0, y0, x1, y1)}"
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    ) + " END"
-    return (
-        _CONTRIB_ORACLE[:cut]
-        + f"""
-    SELECT country, snap_ts,
-           CAST(count(*) AS BIGINT) AS n_live,
-           round(count(*) / (({area_case}) / 1e6 / 1e6), 6)
-             AS density_per_mkm2
-    FROM (
-      SELECT unnest({cases}) AS country, s.snap_ts
-      FROM (SELECT (eff).lon AS lon, (eff).lat AS lat,
-                   ts AS valid_from,
-                   coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to
-            FROM final
-            WHERE visible AND eff IS NOT NULL
-              AND tagv IN ('click', 'view')) c
-      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
-                                          TIMESTAMP '2024-02-01',
-                                          INTERVAL 7 DAY)) AS snap_ts) s
-        ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
-    )
-    GROUP BY country, snap_ts
-    ORDER BY country, snap_ts
-    """
-    )
-
-
-@_register("ohsome_count_density_series", _ohsome_count_density_oracle())
-def ohsome_count_density_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ohsome API's density endpoint shape — /elements/count/density
-    grouped by boundary and snapshot: live count divided by the
-    boundary's geodesic area (per MILLION km² here, keeping the quotient
-    O(1-100) so 6dp rounding is meaningful). The boundary areas come from
-    the engine's own ``ring_area`` (A8) evaluated driver-side over the
-    dimension-sized boundary list and broadcast; the oracle replays the
-    spherical-excess arithmetic per rectangle. Scale shape: identical to
-    ohsome_count_series plus one broadcast dim join."""
-    import numpy as np
-
-    from ..functions.geodesic import ring_area
-    from ..functions.ohsome_filter import compile_filter
-    from ..operators.spatial import join_countries, rect_feature
-
-    contribs = _node_contribs_table(spark, sf_dir)
-    live = contribs.filter(F.col("status").isin("history", "latest")).filter(
-        compile_filter("t in (click, view)")
-    )
-    feats = [
-        rect_feature(fid, x0, y0, x1, y1)
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    ]
-    dim = spark.createDataFrame(
-        [
-            (
-                fid,
-                float(
-                    abs(
-                        ring_area(
-                            np.array([x0, x1, x1, x0, x0]),
-                            np.array([y0, y0, y1, y1, y0]),
-                        )
-                    )
-                )
-                / 1e6
-                / 1e6,
-            )
-            for fid, x0, y0, x1, y1 in _GRID_FEATURES
-        ],
-        "country string, area_mkm2 double",
-    )
-    pts = live.select(
-        "valid_from", "valid_to",
-        F.col("centroid.x").alias("lon"),
-        F.col("centroid.y").alias("lat"),
-    )
-    tagged = join_countries(pts, feats).select(
-        F.explode("countries").alias("country"), "valid_from", "valid_to"
-    )
-    snaps = spark.range(1).select(
-        F.explode(
-            F.expr(
-                "sequence(to_timestamp('2024-01-04'), "
-                "to_timestamp('2024-02-01'), interval 7 days)"
-            )
-        ).alias("snap_ts")
-    )
-    return (
-        tagged.join(
-            F.broadcast(snaps),
-            (F.col("valid_from") <= F.col("snap_ts"))
-            & (F.col("snap_ts") < F.col("valid_to")),
-        )
-        .groupBy("country", "snap_ts")
-        .agg(F.count(F.lit(1)).alias("n_live"))
-        .join(F.broadcast(dim), "country")
-        .select(
-            "country", "snap_ts", "n_live",
-            F.round(F.col("n_live") / F.col("area_mkm2"), 6).alias(
-                "density_per_mkm2"
-            ),
-        )
-        .orderBy("country", "snap_ts")
-    )
-
-
-def _ohsome_groupby_type_oracle() -> str:
-    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
-    poly = _polygon_area_ctes()
-    merged = _CONTRIB_ORACLE[:cut].rstrip() + ", " + poly.split("WITH ", 1)[1]
-    return merged + """
-, snaps AS (
-  SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
-                                TIMESTAMP '2024-02-01',
-                                INTERVAL 7 DAY)) AS snap_ts
-)
-SELECT osm_type, snap_ts, CAST(count(*) AS BIGINT) AS n_live
-FROM (
-  SELECT 'node' AS osm_type, s.snap_ts
-  FROM (SELECT ts AS valid_from,
-               coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to
-        FROM final WHERE visible AND eff IS NOT NULL) c
-  JOIN snaps s ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
-  UNION ALL
-  SELECT 'way' AS osm_type, s.snap_ts
-  FROM areas a
-  JOIN snaps s
-    ON a.wts <= s.snap_ts AND (a.wts_end IS NULL OR s.snap_ts < a.wts_end)
-)
-GROUP BY osm_type, snap_ts
-ORDER BY osm_type, snap_ts
-"""
-
-
-@_register("ohsome_count_groupby_type", _ohsome_groupby_type_oracle())
-def ohsome_count_groupby_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ohsome API /elements/count/groupBy/type endpoint shape — live
-    element counts split by OSM type at weekly snapshots, composed over
-    TWO staged contribution tables (the node stream and the closed-way
-    polygon stream) with one union. The oracle merges both tables' CTE
-    derivations into a single DuckDB statement. Scale shape: both fact
-    scans are map-side until the final (type, snap_ts) aggregation; the
-    snapshot dim broadcasts into each."""
-    snaps = spark.range(1).select(
-        F.explode(
-            F.expr(
-                "sequence(to_timestamp('2024-01-04'), "
-                "to_timestamp('2024-02-01'), interval 7 days)"
-            )
-        ).alias("snap_ts")
-    )
-    live = F.col("status").isin("history", "latest")
-    nodes = (
-        _node_contribs_table(spark, sf_dir)
-        .filter(live)
-        .select(F.lit("node").alias("osm_type"), "valid_from", "valid_to")
-    )
-    ways = (
-        _polygon_contribs_table(spark, sf_dir)
-        .filter(live)
-        .select(F.lit("way").alias("osm_type"), "valid_from", "valid_to")
-    )
-    return (
-        nodes.unionByName(ways)
-        .join(
-            F.broadcast(snaps),
-            (F.col("valid_from") <= F.col("snap_ts"))
-            & (F.col("snap_ts") < F.col("valid_to")),
-        )
-        .groupBy("osm_type", "snap_ts")
-        .agg(F.count(F.lit(1)).alias("n_live"))
-        .orderBy("osm_type", "snap_ts")
-    )
-
-
-# ===========================================================================
-# relation contribution pipeline (flagship #3): nested member streams
-# ===========================================================================
-
-_CONTRIB_RELS_ORACLE = (
-    _WAY_INSTANT_CTES
-    + f"""
-, way_events AS (
-  -- member way streams = the ways' own contribution instants (with minors)
-  SELECT wid, inst_ts AS wets, inst_cs AS wecs, xs, ys,
-         CAST(row_number() OVER (PARTITION BY wid ORDER BY inst_ts, wv, inst_cs) AS INT) AS seq
-  FROM geoms
-), rels AS (
-  SELECT CAST(n.n_regionkey AS BIGINT) AS rid,
-         make_timestamp(CAST({_EPOCH_2024} + 8 * 86400 + 3600 AS BIGINT) * 1000000) AS rts,
-         CAST(5000 + n.n_regionkey AS BIGINT) AS rcs,
-         list_sort(array_agg(CAST(n.n_nationkey AS BIGINT))) AS member_ids
-  FROM nation n GROUP BY n.n_regionkey
-), rel_ev AS (
-  -- relation cs (>= 5000) disjoint from every member cs -> no init fold
-  SELECT r.rid, r.rts, r.rcs, e.wid, e.wets, e.wecs, e.xs, e.ys, e.seq,
-         e.wets <= r.rts AS is_init
-  FROM rels r, UNNEST(r.member_ids) AS t(mw)
-  JOIN way_events e ON e.wid = t.mw
-), rminor AS (
-  SELECT *, sum(new_run) OVER (PARTITION BY rid ORDER BY wets, wecs, wid, seq
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_idx
-  FROM (
-    SELECT *, CASE WHEN wecs IS DISTINCT FROM
-                 lag(wecs) OVER (PARTITION BY rid ORDER BY wets, wecs, wid, seq)
-               THEN 1 ELSE 0 END AS new_run
-    FROM rel_ev WHERE NOT is_init
-  )
-), rruns AS (
-  SELECT rid, run_idx, max(wets) AS inst_ts, min(wecs) AS inst_cs
-  FROM rminor GROUP BY 1, 2
-), rinstants AS (
-  SELECT rid, CAST(0 AS BIGINT) AS run_idx, rts AS inst_ts, rcs AS inst_cs FROM rels
-  UNION ALL SELECT rid, run_idx, inst_ts, inst_cs FROM rruns
-), rstates AS (
-  SELECT rid, wid, CAST(0 AS BIGINT) AS k, 0 AS probe, seq AS ord_s,
-         struct_pack(sxs := xs, sys := ys) AS st
-  FROM rel_ev WHERE is_init
-  UNION ALL
-  SELECT rid, wid, run_idx AS k, 0 AS probe, seq AS ord_s,
-         struct_pack(sxs := xs, sys := ys) AS st
-  FROM rminor
-), rprobes AS (
-  SELECT i.rid, t.mw AS wid, i.run_idx AS k, 1 AS probe, 2147483647 AS ord_s,
-         CAST(NULL AS STRUCT(sxs DOUBLE[], sys DOUBLE[])) AS st
-  FROM rinstants i JOIN rels r ON r.rid = i.rid, UNNEST(r.member_ids) AS t(mw)
-), rresolved AS (
-  SELECT *, last_value(st IGNORE NULLS) OVER (
-           PARTITION BY rid, wid ORDER BY k, probe, ord_s
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_st
-  FROM (SELECT * FROM rstates UNION ALL SELECT * FROM rprobes)
-), rmembers AS (
-  SELECT rid, k,
-         CAST(count(*) AS INT) AS members_count,
-         CAST(count(CASE WHEN asof_st IS NOT NULL AND len((asof_st).sxs) > 0 THEN 1 END) AS INT) AS n_geoms,
-         min(list_min((asof_st).sxs)) AS bxmin,
-         min(list_min((asof_st).sys)) AS bymin,
-         max(list_max((asof_st).sxs)) AS bxmax,
-         max(list_max((asof_st).sys)) AS bymax
-  FROM rresolved WHERE probe = 1
-  GROUP BY rid, k
-), rcontribs AS (
-  SELECT i.rid, i.inst_ts, i.inst_cs, m.members_count, m.n_geoms,
-         m.bxmin, m.bymin, m.bxmax, m.bymax,
-         lead(i.inst_ts) OVER w AS next_ts,
-         CAST(row_number() OVER (PARTITION BY i.rid ORDER BY i.inst_ts, i.inst_cs) - 1 AS INT) AS osm_minor_version,
-         CAST(row_number() OVER w AS INT) AS osm_edits
-  FROM rinstants i JOIN rmembers m ON m.rid = i.rid AND m.k = i.run_idx
-  WINDOW w AS (PARTITION BY i.rid ORDER BY i.inst_ts, i.inst_cs)
-)
-SELECT rid AS osm_id, 1 AS osm_version, osm_minor_version, osm_edits,
-       inst_ts AS valid_from,
-       coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to,
-       CASE WHEN n_geoms = 0 THEN 'invalid'
-            WHEN next_ts IS NOT NULL THEN 'history' ELSE 'latest' END AS status,
-       members_count, n_geoms,
-       round(bxmin, 6) AS bxmin, round(bymin, 6) AS bymin,
-       round(bxmax, 6) AS bxmax, round(bymax, 6) AS bymax
-FROM rcontribs
-ORDER BY osm_id, osm_edits
-"""
-)
-
-
-def _derived_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One route-relation per region, its member ways the nations of that
-    region (relation changesets >= 5000, disjoint from member ranges)."""
-    nat = _t(spark, sf_dir, "nation")
-    member_struct = F.transform(
-        F.col("member_ids"),
-        lambda i: F.struct(
-            F.lit("way").alias("type"), i.alias("id"), F.lit("").alias("role")
-        ),
-    )
-    return (
-        nat.groupBy(F.col("n_regionkey").cast("bigint").alias("osm_id"))
-        .agg(F.sort_array(F.collect_list(F.col("n_nationkey").cast("bigint"))).alias("member_ids"))
-        .select(
-            "osm_id",
-            F.lit(1).cast("int").alias("version"),
-            F.timestamp_seconds(F.lit(_EPOCH_2024 + 8 * 86400 + 3600)).alias("ts"),
-            (F.lit(5000) + F.col("osm_id")).cast("bigint").alias("changeset"),
-            F.lit(0).alias("user_id"),
-            F.lit("u").alias("user_name"),
-            F.lit(True).alias("visible"),
-            F.expr("map('type','route')").alias("tags"),
-            member_struct.alias("members"),
-        )
-    )
-
-
-@_register("contrib_relations", _CONTRIB_RELS_ORACLE)
-def contrib_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship #3: the NESTED temporal merge — relations whose member way
-    streams carry their own minor versions, collection bbox/validity and
-    counters oracle-checked stage by stage."""
-    ways, nodes = _derived_way_inputs(spark, sf_dir)
-    rels = _derived_relations(spark, sf_dir)
-    contribs = synthesize_contributions(relation_contribution_events(rels, ways, nodes))
-    n_geoms = F.size(F.filter(F.col("members"), lambda m: m["geometry"].isNotNull()))
-    return contribs.select(
-        "osm_id",
-        "osm_version",
-        "osm_minor_version",
-        "osm_edits",
-        "valid_from",
-        "valid_to",
-        "status",
-        "members_count",
-        n_geoms.cast("int").alias("n_geoms"),
-        F.round("bbox.xmin", 6).alias("bxmin"),
-        F.round("bbox.ymin", 6).alias("bymin"),
-        F.round("bbox.xmax", 6).alias("bxmax"),
-        F.round("bbox.ymax", 6).alias("bymax"),
-    ).orderBy("osm_id", "osm_edits")
-
-
-# ===========================================================================
-# the queryability contract: temporal snapshot over contributions
-# (docs/useful_queries.md:7-19 — "elements visible on a date")
-# ===========================================================================
-
-_SNAPSHOT_ORACLE = (
-    "WITH contribs AS (" + _CONTRIB_ORACLE.replace("ORDER BY osm_id, osm_edits", "") + ")"
-    + """
-    SELECT osm_id, osm_version, osm_minor_version, contrib_type, cx, cy
-    FROM contribs
-    WHERE valid_from <= TIMESTAMP '2024-01-15'
-      AND TIMESTAMP '2024-01-15' < valid_to
-      AND status <> 'deleted'
-    ORDER BY osm_id
-    """
-)
-
-
-@_register("snapshot_at_date", _SNAPSHOT_ORACLE)
-def snapshot_at_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The output dataset's temporal-snapshot contract: one row per element
-    VISIBLE at the snapshot instant (validity interval covers it, not
-    deleted). This is the reference's canonical downstream query — served
-    from the staged contributions table (produce-then-query), so the scan
-    prunes to 6 columns and pushes the validity filter into parquet."""
-    contribs = _node_contribs_table(spark, sf_dir)
-    t = F.lit("2024-01-15").cast("timestamp")
-    return (
-        contribs.filter(
-            (F.col("valid_from") <= t)
-            & (t < F.col("valid_to"))
-            & (F.col("status") != "deleted")
-        )
-        .select(
-            "osm_id",
-            "osm_version",
-            "osm_minor_version",
-            "contrib_type",
-            F.round("centroid.x", 6).alias("cx"),
-            F.round("centroid.y", 6).alias("cy"),
-        )
-        .orderBy("osm_id")
-    )
-
-
-# ===========================================================================
-# embedding near-duplicate pairs (label-bucketed cosine)
-# ===========================================================================
-
-
-@_register(
-    "embedding_near_dups",
-    """
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-           round(
-             list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(
-             list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
-    ORDER BY vec_a, vec_b
-    """,
-)
-def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup detection, label-bucketed: the equi-join on
-    the cluster label prunes the candidate space (the IVF idea — at scale
-    the label comes from a coarse quantizer), exact cosine inside buckets."""
-    from ..operators.similarity import dot_expr, norm_expr
-
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    # precompute norms ONCE per vector before the pair join — recomputing
-    # them inside the pair-level cosine tripled the per-pair work
-    normed = emb.select(
-        "vec_id",
-        "label",
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("nrm", norm_expr(F.col("v")))
-    a = normed.select(
-        F.col("vec_id").alias("vec_a"),
-        "label",
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = normed.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = F.round(dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-    return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.3)
-        .select("vec_a", "vec_b", "label", "cosine")
-        .orderBy("vec_a", "vec_b")
-    )
-
-
-# ===========================================================================
-# multimodal plumbing (binary media columns, deterministic fake decode)
-# ===========================================================================
-
-
-@_register(
-    "multimodal_decode",
-    f"""
-    WITH media AS (
-      SELECT doc_id, encode(text) AS payload FROM documents
-    ), hashed AS (
-      SELECT doc_id,
-             CAST(octet_length(payload) AS INT) AS n_bytes,
-             {hash60_sql('hex(payload)')} AS h
-      FROM media
-    )
-    SELECT doc_id, n_bytes,
-           CAST(h % 1920 + 1 AS INT) AS fake_width,
-           CAST(h % 1080 + 1 AS INT) AS fake_height
-    FROM hashed ORDER BY doc_id
-    """,
-)
-def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal columns: text bytes as an opaque binary media column with
-    metadata + deterministic fake decode dims (the stubbed decode seam —
-    real image/audio decoders slot into operators/multimodal.py)."""
-    from ..operators.multimodal import fake_dims_expr
-
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("media")
-    )
-    w, h = fake_dims_expr(F.col("media"))
-    return media.select(
-        "doc_id",
-        F.length("media").cast("int").alias("n_bytes"),
-        w.alias("fake_width"),
-        h.alias("fake_height"),
-    ).orderBy("doc_id")
-
-
-@_register(
-    "multimodal_pipeline",
-    f"""
-    WITH media AS (
-      SELECT doc_id, encode(text) AS payload FROM documents
-    ), hashed AS (
-      SELECT doc_id,
-             CAST(octet_length(payload) AS INT) AS n_bytes,
-             {hash60_sql('hex(payload)')} AS h
-      FROM media
-    ), dims AS (
-      SELECT doc_id, n_bytes,
-             CAST(h % 1920 + 1 AS INT) AS fake_width,
-             CAST(h % 1080 + 1 AS INT) AS fake_height
-      FROM hashed
-    ), resized AS (
-      SELECT *, least(1.0, 512.0 / greatest(fake_width, fake_height)) AS scale
-      FROM dims
-    )
-    SELECT doc_id, fake_width, fake_height,
-           CAST(ceil(fake_width * scale) AS INT)  AS target_width,
-           CAST(ceil(fake_height * scale) AS INT) AS target_height,
-           CAST(n_bytes % 900 + 30 AS INT)        AS n_frames,
-           CAST(unnest(list_slice(range(0, n_bytes % 900 + 30, 30), 1, 8)) AS INT)
-                                                  AS frame_idx
-    FROM resized ORDER BY doc_id, frame_idx
-    """,
-)
-def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full multimodal chain: opaque binary media → ``mapInPandas``
-    decode (Arrow-batched stub kernel at the real-decoder seam) → native
-    resize targeting → per-frame sampling exploded one row per frame.
-    Everything except the stubbed pixel kernel is JVM-side; the decode
-    UDF sees exactly the batch shape a PIL/ffmpeg implementation would."""
-    from ..operators.multimodal import decode_stub, frame_sample_plan, resize_plan
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    media = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("media"))
-    frames = frame_sample_plan(resize_plan(decode_stub(media), max_side=512))
-    return frames.select(
-        "doc_id",
-        "fake_width",
-        "fake_height",
-        "target_width",
-        "target_height",
-        "n_frames",
-        F.col("frame_idx").cast("int").alias("frame_idx"),
-    ).orderBy("doc_id", "frame_idx")
-
-
-@_register(
-    "multimodal_png_decode",
-    """
-    SELECT doc_id,
-           CAST(doc_id % 16 + 1 AS INT) AS width,
-           CAST(doc_id % 12 + 1 AS INT) AS height,
-           CAST(1 AS INT) AS channels,
-           CAST(list_sum(flatten(list_transform(range(0, doc_id % 12 + 1),
-                 r -> list_transform(range(0, doc_id % 16 + 1),
-                   c -> (doc_id * 31 + r * 7 + c * 13) % 256)))) AS BIGINT)
-             AS pixel_sum
-    FROM documents ORDER BY doc_id
-    """,
-)
-def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode through the multimodal seam: deterministic
-    grayscale pixels are encoded to genuine PNG bytes (zlib + per-row
-    filters cycling through all five filter types), then decoded back by
-    the stdlib decoder behind ``_decode_media_real``. The oracle computes
-    the expected dimensions and whole-image pixel sum arithmetically —
-    a single wrong byte in filter reversal breaks the hash. Both kernels
-    are Arrow-batched ``mapInPandas``; media bytes never leave the
-    executors."""
-    from ..operators.multimodal import decode_media
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.png import encode_png
-
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = d % 16 + 1, d % 12 + 1
-                rows = [
-                    bytes((d * 31 + r * 7 + c * 13) % 256 for c in range(w))
-                    for r in range(h)
-                ]
-                payloads.append(
-                    encode_png(w, h, rows, row_filters=[(d + r) % 5 for r in range(h)])
-                )
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
-        decode_media(media)
-        .select("doc_id", "width", "height", "channels", "pixel_sum")
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "multimodal_resize",
-    """
-    WITH dims AS (
-      SELECT doc_id,
-             CAST(doc_id % 16 + 1 AS INT) AS w,
-             CAST(doc_id % 12 + 1 AS INT) AS h,
-             CAST(doc_id % 10 + 4 AS INT) AS ms
-      FROM documents
-    ), t AS (
-      SELECT doc_id, w, h,
-             CAST(ceil(w * least(1.0, CAST(ms AS DOUBLE) / greatest(w, h)))
-                  AS INT) AS tw,
-             CAST(ceil(h * least(1.0, CAST(ms AS DOUBLE) / greatest(w, h)))
-                  AS INT) AS th
-      FROM dims
-    )
-    SELECT doc_id, w AS width, h AS height,
-           tw AS target_width, th AS target_height,
-           CAST(list_sum(flatten(list_transform(range(0, th), y ->
-             list_transform(range(0, tw), x ->
-               (doc_id * 31 + ((y * h) // th) * 7 + ((x * w) // tw) * 13)
-                 % 256)))) AS BIGINT) AS resized_pixel_sum
-    FROM t ORDER BY doc_id
-    """,
-)
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image resize through the multimodal seam: the PNG-decode
-    fixture images (real zlib + filter-reversal decode) downscale to a
-    per-doc ``max_side`` budget with the exact-integer nearest-neighbor
-    kernel (``sx = (x_t*w)//tw``, floor mapping, never upscales). The
-    oracle replays the target-dimension float arithmetic and the resized
-    pixel sum arithmetically — a wrong scale clamp, ceil, source mapping
-    or decode defect breaks the hash."""
-    from ..operators.multimodal import resize_media
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.png import encode_png
-
-        for pdf in batches:
-            ids, payloads, budgets = [], [], []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = d % 16 + 1, d % 12 + 1
-                rows = [
-                    bytes((d * 31 + r * 7 + c * 13) % 256 for c in range(w))
-                    for r in range(h)
-                ]
-                ids.append(d)
-                payloads.append(
-                    encode_png(w, h, rows,
-                               row_filters=[(d + r) % 5 for r in range(h)])
-                )
-                budgets.append(d % 10 + 4)
-            yield pd.DataFrame(
-                {"doc_id": ids, "media": payloads, "ms": budgets}
-            )
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary, ms int")
-    return (
-        resize_media(media, max_side_col="ms")
-        .select("doc_id", "width", "height", "target_width", "target_height",
-                "resized_pixel_sum")
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "multimodal_jpeg_dims",
-    """
-    SELECT doc_id,
-           CAST(doc_id % 1919 + 1 AS INT) AS width,
-           CAST(doc_id % 1079 + 1 AS INT) AS height,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
-           CAST(NULL AS BIGINT) AS pixel_sum
-    FROM documents ORDER BY doc_id
-    """,
-)
-def multimodal_jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL JPEG header decode through the multimodal seam: deterministic
-    baseline/progressive JPEG byte streams (varying APPn padding segments
-    and COM markers, so the marker-walk is exercised) are parsed back by
-    the stdlib SOFn parser behind ``_decode_media_real``. Dimensions and
-    channel counts are genuine; pixel_sum is null — JPEG entropy decode
-    stays behind the documented external-library stub. The oracle replays
-    the dimensions arithmetically."""
-    from ..operators.multimodal import decode_media
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.jpeg import encode_jpeg_header
-
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                payloads.append(
-                    encode_jpeg_header(
-                        d % 1919 + 1,
-                        d % 1079 + 1,
-                        channels=3 if d % 2 == 0 else 1,
-                        progressive=d % 3 == 0,
-                        n_app_segments=d % 4 + 1,
-                        comment=b"c" * (d % 7),
-                    )
-                )
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
-        decode_media(media)
-        .select("doc_id", "width", "height", "channels", "pixel_sum")
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "multimodal_jpeg_pixels",
-    """
-    SELECT doc_id,
-           CAST((doc_id % 4 + 1) * 8 AS INT) AS width,
-           CAST((doc_id % 3 + 1) * 8 AS INT) AS height,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
-           CAST((CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END) *
-             list_sum(flatten(list_transform(range(0, doc_id % 3 + 1), by ->
-               list_transform(range(0, doc_id % 4 + 1), bx ->
-                 64 * ((doc_id * 37 + bx * 11 + by * 23) % 256)))))
-             AS BIGINT) AS pixel_sum
-    FROM documents ORDER BY doc_id
-    """,
-)
-def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-JPEG PIXEL decode through the multimodal seam
-    (VERDICT r9 item 3): deterministic flat-8×8-block images — grayscale
-    for odd docs, gray-content RGB through 4:2:0 subsampling for even
-    docs, restart markers every ``doc_id % 5`` MCUs — are encoded to
-    genuine SOF0 byte streams (``functions/jpeg.py::encode_jpeg``) and
-    decoded back by the full huffman+IDCT pipeline behind
-    ``_decode_media_real``. Flat blocks make the lossy codec bit-exact
-    (only the DC coefficient is nonzero and it is an exact multiple of 8
-    at quant=1; gray content pins the chroma planes at 128 so 4:2:0 and
-    the color transform are lossless too), so the oracle computes the
-    whole-image pixel sum arithmetically — one wrong huffman code, DC
-    predictor, dequant step, IDCT basis entry, restart re-sync, upsample
-    or color-convert constant breaks the hash. Both kernels are
-    Arrow-batched ``mapInPandas``; media bytes never leave the executors."""
-    from ..operators.multimodal import decode_media
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.jpeg import encode_jpeg
-
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                bw, bh = d % 4 + 1, d % 3 + 1
-                channels = 3 if d % 2 == 0 else 1
-                rows = []
-                for r in range(bh * 8):
-                    row = bytearray()
-                    for c in range(bw * 8):
-                        v = (d * 37 + (c // 8) * 11 + (r // 8) * 23) % 256
-                        row += bytes([v] * channels)
-                    rows.append(bytes(row))
-                payloads.append(
-                    encode_jpeg(
-                        bw * 8, bh * 8, rows,
-                        channels=channels, quant=1,
-                        subsample=channels == 3,
-                        restart_interval=d % 5,
-                    )
-                )
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
-        decode_media(media)
-        .select("doc_id", "width", "height", "channels", "pixel_sum")
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "multimodal_jpeg_progressive",
-    """
-    SELECT doc_id,
-           CAST((doc_id % 4 + 1) * 8 AS INT) AS width,
-           CAST((doc_id % 3 + 1) * 8 AS INT) AS height,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
-           CAST((CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END) *
-             list_sum(flatten(list_transform(range(0, doc_id % 3 + 1), by ->
-               list_transform(range(0, doc_id % 4 + 1), bx ->
-                 64 * ((doc_id * 41 + bx * 17 + by * 29) % 256)))))
-             AS BIGINT) AS pixel_sum
-    FROM documents ORDER BY doc_id
-    """,
-)
-def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PROGRESSIVE (SOF2) JPEG pixel decode through the multimodal
-    seam: the same flat-block corpus trick as ``multimodal_jpeg_pixels``
-    but encoded with the four-scan progressive script — DC first (Al=1),
-    DC refinement, per-component AC first, AC refinement with EOB runs —
-    so spectral selection AND successive approximation sit inside the
-    hash gate (one wrong refinement bit, EOBRUN count, or non-interleaved
-    block raster breaks it). Flat blocks keep the pipeline bit-exact, so
-    the oracle stays fully arithmetic."""
-    from ..operators.multimodal import decode_media
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.jpeg import encode_jpeg
-
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                bw, bh = d % 4 + 1, d % 3 + 1
-                channels = 3 if d % 2 == 0 else 1
-                rows = []
-                for r in range(bh * 8):
-                    row = bytearray()
-                    for c in range(bw * 8):
-                        v = (d * 41 + (c // 8) * 17 + (r // 8) * 29) % 256
-                        row += bytes([v] * channels)
-                    rows.append(bytes(row))
-                payloads.append(
-                    encode_jpeg(
-                        bw * 8, bh * 8, rows,
-                        channels=channels, quant=1,
-                        subsample=channels == 3, progressive=True,
-                    )
-                )
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
-        decode_media(media)
-        .select("doc_id", "width", "height", "channels", "pixel_sum")
-        .orderBy("doc_id")
-    )
-
-
-_GIF_PIX = (
-    "(((((doc_id*7 + x*3 + y*5) % 16) * 37) % 256)"
-    " + ((((doc_id*7 + x*3 + y*5) % 16) * 59) % 256)"
-    " + ((((doc_id*7 + x*3 + y*5) % 16) * 83) % 256))"
-)
-
-
-@_register(
-    "multimodal_gif_decode",
-    f"""
-    SELECT doc_id,
-           CAST(doc_id % 20 + 1 AS INT) AS width,
-           CAST(doc_id % 14 + 1 AS INT) AS height,
-           CAST(3 AS INT) AS channels,
-           CAST(list_sum(flatten(list_transform(range(0, doc_id % 14 + 1),
-             y -> list_transform(range(0, doc_id % 20 + 1),
-               x -> {_GIF_PIX})))) AS BIGINT) AS pixel_sum,
-           CAST(list_sum(flatten(list_transform(range(0, doc_id % 14 + 1),
-             y -> list_transform(range(0, doc_id % 20 + 1),
-               x -> (y * (doc_id % 20 + 1) + x + 1) * {_GIF_PIX}))))
-             AS BIGINT) AS weighted_sum
-    FROM documents ORDER BY doc_id
-    """,
-)
-def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL GIF decode through the multimodal seam: deterministic
-    16-color index grids are LZW-compressed into genuine GIF89a bytes
-    (interlaced for even docs, comment-extension padding so the block
-    walk is exercised) and decoded back by ``functions/gif.py``. GIF is
-    lossless, so the oracle computes BOTH the plain pixel sum and a
-    position-WEIGHTED sum arithmetically — the weighted column is
-    order-sensitive, so a wrong interlace de-scramble or row order
-    breaks the hash even though the plain sum wouldn't."""
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.gif import encode_gif
-
-        pal = [((i * 37) % 256, (i * 59) % 256, (i * 83) % 256) for i in range(16)]
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = d % 20 + 1, d % 14 + 1
-                idx = [
-                    (d * 7 + x * 3 + y * 5) % 16
-                    for y in range(h)
-                    for x in range(w)
-                ]
-                payloads.append(
-                    encode_gif(
-                        w, h, pal, idx,
-                        interlace=d % 2 == 0, n_extensions=d % 3,
-                    )
-                )
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.gif import decode_gif
-
-        for pdf in batches:
-            cols = {k: [] for k in
-                    ("width", "height", "channels", "pixel_sum", "weighted_sum")}
-            for payload in pdf["media"]:
-                w, h, c, rows = decode_gif(bytes(payload))
-                ps = 0
-                ws = 0
-                for y, row in enumerate(rows):
-                    for x in range(w):
-                        s = row[3 * x] + row[3 * x + 1] + row[3 * x + 2]
-                        ps += s
-                        ws += (y * w + x + 1) * s
-                cols["width"].append(w)
-                cols["height"].append(h)
-                cols["channels"].append(c)
-                cols["pixel_sum"].append(ps)
-                cols["weighted_sum"].append(ws)
-            out = pdf.copy()
-            for k in ("width", "height", "channels"):
-                out[k] = pd.array(cols[k], dtype="Int32")
-            for k in ("pixel_sum", "weighted_sum"):
-                out[k] = pd.array(cols[k], dtype="Int64")
-            yield out
-
-    return (
-        media.mapInPandas(
-            decode,
-            "doc_id bigint, media binary, width int, height int,"
-            " channels int, pixel_sum bigint, weighted_sum bigint",
-        )
-        .select("doc_id", "width", "height", "channels", "pixel_sum",
-                "weighted_sum")
-        .orderBy("doc_id")
-    )
-
-
-_TIFF_PIXSUM = """
-CASE doc_id % 4
-  WHEN 0 THEN (doc_id*41 + x*7 + y*13) % 256
-  WHEN 1 THEN ((doc_id*41 + x*7 + y*13) % 256)
-            + ((doc_id*41 + x*7 + y*13 + 19) % 256)
-            + ((doc_id*41 + x*7 + y*13 + 38) % 256)
-  WHEN 2 THEN 255 - ((doc_id*41 + x*7 + y*13) % 256)
-  ELSE (((doc_id*41 + x*7 + y*13) % 16) * 37) % 256
-     + (((doc_id*41 + x*7 + y*13) % 16) * 59) % 256
-     + (((doc_id*41 + x*7 + y*13) % 16) * 83) % 256
-END
-"""
-
-
-@_register(
-    "multimodal_tiff_decode",
-    f"""
-    SELECT doc_id,
-           CAST(doc_id % 13 + 1 AS INT) AS width,
-           CAST(doc_id % 9 + 1 AS INT) AS height,
-           CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 3 ELSE 1 END AS INT)
-             AS channels,
-           CAST(list_sum(flatten(list_transform(range(0, doc_id % 9 + 1),
-             y -> list_transform(range(0, doc_id % 13 + 1),
-               x -> {_TIFF_PIXSUM})))) AS BIGINT) AS pixel_sum,
-           CAST(list_sum(flatten(list_transform(range(0, doc_id % 9 + 1),
-             y -> list_transform(range(0, doc_id % 13 + 1),
-               x -> (y * (doc_id % 13 + 1) + x + 1) * ({_TIFF_PIXSUM})))))
-             AS BIGINT) AS weighted_sum
-    FROM documents ORDER BY doc_id
-    """,
-)
-def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-TIFF decode through the multimodal seam
-    (``functions/tiff.py``): deterministic pixel grids are written as
-    genuine TIFF bytes rotating through the format surface — photometric
-    gray/RGB/WhiteIsZero/palette by doc%4, compression none/PackBits/LZW
-    by doc%3 (LZW with horizontal-differencing predictor on even docs),
-    byte order II/MM by doc%2, multi-strip layout by doc%3 — and decoded
-    back. TIFF is lossless, so the oracle replays the pixel function
-    arithmetically; the position-WEIGHTED sum is order-sensitive, so a
-    wrong strip order, predictor direction, or palette fold breaks the
-    hash even when the plain sum survives."""
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.tiff import encode_tiff
-
-        pal = (
-            [((i * 37) % 256) << 8 for i in range(256)]
-            + [((i * 59) % 256) << 8 for i in range(256)]
-            + [((i * 83) % 256) << 8 for i in range(256)]
-        )
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = d % 13 + 1, d % 9 + 1
-                mode = d % 4
-                comp = (1, 32773, 5)[d % 3]
-                pred = 2 if (comp == 5 and d % 2 == 0 and mode != 3) else 1
-                if mode == 0:
-                    photo, ch = 1, 1
-                    val = lambda x, y, c: (d * 41 + x * 7 + y * 13) % 256  # noqa: E731
-                elif mode == 1:
-                    photo, ch = 2, 3
-                    val = lambda x, y, c: (d * 41 + x * 7 + y * 13 + 19 * c) % 256  # noqa: E731
-                elif mode == 2:
-                    photo, ch = 0, 1
-                    # stored sample v; WhiteIsZero decode yields 255 - v,
-                    # which is what the oracle replays
-                    val = lambda x, y, c: (d * 41 + x * 7 + y * 13) % 256  # noqa: E731
-                else:
-                    photo, ch = 3, 1
-                    val = lambda x, y, c: (d * 41 + x * 7 + y * 13) % 16  # noqa: E731
-                rows = [
-                    bytes(
-                        val(x, y, c)
-                        for x in range(w)
-                        for c in range(ch)
-                    )
-                    for y in range(h)
-                ]
-                payloads.append(
-                    encode_tiff(
-                        w, h, rows,
-                        channels=ch, compression=comp,
-                        big_endian=d % 2 == 1,
-                        rows_per_strip=d % 3 + 1,
-                        predictor=pred, photometric=photo,
-                        colormap=pal if mode == 3 else None,
-                        # every 5th doc uses the TILED organization
-                        # (16x16, zero-padded edges) — the oracle is
-                        # organization-independent pixel arithmetic
-                        tile_size=(16, 16) if d % 5 == 0 else None,
-                    )
-                )
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.tiff import decode_tiff
-
-        for pdf in batches:
-            cols = {k: [] for k in
-                    ("width", "height", "channels", "pixel_sum",
-                     "weighted_sum")}
-            for payload in pdf["media"]:
-                w, h, c, rows = decode_tiff(bytes(payload))
-                ps = 0
-                ws = 0
-                for y, row in enumerate(rows):
-                    for x in range(w):
-                        s = sum(row[c * x + i] for i in range(c))
-                        ps += s
-                        ws += (y * w + x + 1) * s
-                cols["width"].append(w)
-                cols["height"].append(h)
-                cols["channels"].append(c)
-                cols["pixel_sum"].append(ps)
-                cols["weighted_sum"].append(ws)
-            out = pdf.copy()
-            for k in ("width", "height", "channels"):
-                out[k] = pd.array(cols[k], dtype="Int32")
-            for k in ("pixel_sum", "weighted_sum"):
-                out[k] = pd.array(cols[k], dtype="Int64")
-            yield out
-
-    return (
-        media.mapInPandas(
-            decode,
-            "doc_id bigint, media binary, width int, height int,"
-            " channels int, pixel_sum bigint, weighted_sum bigint",
-        )
-        .select("doc_id", "width", "height", "channels", "pixel_sum",
-                "weighted_sum")
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "multimodal_wav_decode",
-    """
-    SELECT doc_id,
-           CAST(doc_id % 2 + 1 AS INT) AS channels,
-           CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
-           CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits,
-           CAST(doc_id % 50 + 1 AS INT) AS n_frames,
-           CAST(list_sum(flatten(list_transform(range(0, doc_id % 50 + 1), f ->
-             list_transform(range(0, doc_id % 2 + 1), c ->
-               CASE WHEN doc_id % 3 = 0
-                    THEN (doc_id * 13 + f * 7 + c * 3) % 256
-                    ELSE (doc_id * 13 + f * 7 + c * 3) % 200 - 100 END))))
-             AS BIGINT) AS sample_sum
-    FROM documents ORDER BY doc_id
-    """,
-)
-def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode through the multimodal seam: deterministic PCM
-    frames (8-bit unsigned / 16-bit signed, mono and stereo) are written
-    as genuine RIFF/WAVE bytes and decoded back by the stdlib parser
-    behind :func:`operators.multimodal.decode_audio`. PCM is lossless, so
-    the oracle computes the exact whole-stream sample sum arithmetically
-    — a wrong byte order, chunk walk, or sign convention breaks the hash.
-    Arrow-batched both ways; audio bytes never leave the executors."""
-    from ..operators.multimodal import decode_audio
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.wav import encode_wav
-
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                ch, n = d % 2 + 1, d % 50 + 1
-                bits = 8 if d % 3 == 0 else 16
-                frames = [
-                    tuple(
-                        (d * 13 + f * 7 + c * 3) % 256
-                        if bits == 8
-                        else (d * 13 + f * 7 + c * 3) % 200 - 100
-                        for c in range(ch)
-                    )
-                    for f in range(n)
-                ]
-                payloads.append(
-                    encode_wav(ch, 8000 + (d % 5) * 1000, bits, frames)
-                )
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
-        decode_audio(media)
-        .select("doc_id", "channels", "sample_rate", "bits", "n_frames",
-                "sample_sum")
-        .orderBy("doc_id")
-    )
-
-
-_G711_BYTE = "(doc_id * 13 + f * 11) % 256"
-_G711_ULAW = f"""(
-  CASE WHEN (255 - ({_G711_BYTE})) >= 128 THEN -1 ELSE 1 END *
-  ((((255 - ({_G711_BYTE})) % 16) * 8 + 132)
-    * (1 << (((255 - ({_G711_BYTE})) // 16) % 8)) - 132)
-)"""
-_G711_ALAW = f"""(
-  CASE WHEN xor({_G711_BYTE}, 85) >= 128 THEN 1 ELSE -1 END *
-  (CASE WHEN ((xor({_G711_BYTE}, 85) // 16) % 8) = 0
-        THEN (xor({_G711_BYTE}, 85) % 16) * 16 + 8
-        ELSE ((xor({_G711_BYTE}, 85) % 16) * 16 + 264)
-               * (1 << (((xor({_G711_BYTE}, 85) // 16) % 8) - 1)) END)
-)"""
-
-
-@_register(
-    "multimodal_g711_decode",
-    f"""
-    SELECT doc_id,
-           CAST(1 AS INT) AS channels,
-           CAST(8000 AS INT) AS sample_rate,
-           CAST(16 AS INT) AS bits,
-           CAST(doc_id % 40 + 1 AS INT) AS n_frames,
-           CAST(list_sum(list_transform(range(0, doc_id % 40 + 1), f ->
-             CASE WHEN doc_id % 2 = 0 THEN {_G711_ULAW}
-                  ELSE {_G711_ALAW} END)) AS BIGINT) AS sample_sum
-    FROM documents ORDER BY doc_id
-    """,
-)
-def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL compressed-telephony decode through the multimodal seam:
-    deterministic G.711 wire bytes wrap in RIFF/WAVE with format tag 7
-    (µ-law, even docs) or 6 (A-law, odd docs) and expand to linear PCM
-    through the stateless ITU segment/mantissa formulas inside the same
-    ``decode_audio`` kernel. The oracle replays both expansion formulas
-    byte-for-byte — a wrong complement mask, exponent shift or sign
-    convention on either law breaks the hash."""
-    from ..operators.multimodal import decode_audio
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.wav import TAG_ALAW, TAG_ULAW, encode_wav_g711
-
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                law = TAG_ULAW if d % 2 == 0 else TAG_ALAW
-                raw = bytes((d * 13 + f * 11) % 256 for f in range(d % 40 + 1))
-                payloads.append(encode_wav_g711(1, 8000, law, raw))
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
-        decode_audio(media)
-        .select("doc_id", "channels", "sample_rate", "bits", "n_frames",
-                "sample_sum")
-        .orderBy("doc_id")
-    )
-
-
-def _adpcm_oracle() -> str:
-    from ..functions.wav import _IMA_INDEX_TABLE, _IMA_STEP_TABLE
-
-    step_tbl = "[" + ", ".join(str(v) for v in _IMA_STEP_TABLE) + "]"
-    idx_tbl = "[" + ", ".join(str(v) for v in _IMA_INDEX_TABLE) + "]"
-    # the transition out of state f consumes nibble index f+1 - 0-based
-    nib = "((s.doc_id * 7 + (s.f + 1) * 5) % 16)"
-    step = f"({step_tbl}[s.idx + 1])"
-    diff = (
-        f"(({step} >> 3)"
-        f" + CASE WHEN {nib} & 4 <> 0 THEN {step} ELSE 0 END"
-        f" + CASE WHEN {nib} & 2 <> 0 THEN ({step} >> 1) ELSE 0 END"
-        f" + CASE WHEN {nib} & 1 <> 0 THEN ({step} >> 2) ELSE 0 END)"
-    )
-    pred2 = (
-        f"least(greatest(CASE WHEN {nib} & 8 <> 0"
-        f" THEN s.pred - {diff} ELSE s.pred + {diff} END, -32768), 32767)"
-    )
-    idx2 = f"least(greatest(s.idx + {idx_tbl}[({nib} % 8) + 1], 0), 88)"
-    return f"""
-    WITH RECURSIVE st AS (
-      SELECT doc_id,
-             CAST((doc_id % 5 + 1) * 8 AS INT) AS n,
-             -1 AS f,
-             CAST((doc_id * 31) % 200 - 100 AS INT) AS pred,
-             CAST((doc_id * 3) % 89 AS INT) AS idx,
-             CAST((doc_id * 31) % 200 - 100 AS BIGINT) AS total
-      FROM documents
-      UNION ALL
-      SELECT s.doc_id, s.n, s.f + 1,
-             CAST({pred2} AS INT),
-             CAST({idx2} AS INT),
-             s.total + {pred2}
-      FROM st s WHERE s.f + 1 < s.n
-    )
-    SELECT doc_id,
-           CAST(1 AS INT) AS channels,
-           CAST(8000 AS INT) AS sample_rate,
-           CAST(16 AS INT) AS bits,
-           CAST(n + 1 AS INT) AS n_frames,
-           CAST(total AS BIGINT) AS sample_sum
-    FROM st WHERE f = n - 1 ORDER BY doc_id
-    """
-
-
-@_register("multimodal_adpcm_decode", _adpcm_oracle())
-def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL lossy-compressed audio through the multimodal seam: IMA/DVI
-    ADPCM (WAV format tag 0x11) — deterministic 4-bit nibble streams
-    with per-doc seed (predictor, step index) decode through the exact
-    integer state machine (``functions/wav.py::ima_adpcm_step``, pinned
-    against stdlib audioop for every transition in tests). The oracle is
-    a RECURSIVE CTE replaying the state machine transition-for-
-    transition in DuckDB — the first sequential-state codec the gate
-    hashes end-to-end."""
-    from ..operators.multimodal import decode_audio
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.wav import encode_wav_ima
-
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                n = (d % 5 + 1) * 8
-                nibs = [(d * 7 + f * 5) % 16 for f in range(n)]
-                payloads.append(
-                    encode_wav_ima(
-                        8000, (d * 31) % 200 - 100, (d * 3) % 89, nibs
-                    )
-                )
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
-        decode_audio(media)
-        .select("doc_id", "channels", "sample_rate", "bits", "n_frames",
-                "sample_sum")
-        .orderBy("doc_id")
-    )
-
-
-_FLAC_SAMP = (
-    "(doc_id * 31 + f * 17 + c * 11) % (CASE WHEN doc_id % 3 = 0 THEN 256 "
-    "ELSE 65536 END) - (CASE WHEN doc_id % 3 = 0 THEN 128 ELSE 32768 END)"
-)
-
-
-@_register(
-    "multimodal_flac_decode",
-    f"""
-    SELECT doc_id,
-           CAST(doc_id % 2 + 1 AS INT) AS channels,
-           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                                WHEN 2 THEN 11025 ELSE 44100 END AS INT)
-             AS sample_rate,
-           CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits,
-           CAST(doc_id % 60 + 1 AS INT) AS n_frames,
-           CAST(list_sum(flatten(list_transform(range(0, doc_id % 60 + 1), f ->
-             list_transform(range(0, doc_id % 2 + 1), c -> {_FLAC_SAMP}))))
-             AS BIGINT) AS sample_sum,
-           CAST(list_sum(flatten(list_transform(range(0, doc_id % 60 + 1), f ->
-             list_transform(range(0, doc_id % 2 + 1), c ->
-               (f * (doc_id % 2 + 1) + c + 1) * ({_FLAC_SAMP})))))
-             AS BIGINT) AS weighted_sum
-    FROM documents ORDER BY doc_id
-    """,
-)
-def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL compressed-audio decode through the multimodal seam:
-    deterministic PCM signals are FLAC-encoded into genuine bitstreams —
-    fixed predictors + Rice-partitioned residuals (4- and 5-bit
-    parameters, raw-escape partitions), all four stereo channel
-    assignments, odd block sizes, PADDING metadata blocks — and decoded
-    back by ``functions/flac.py`` (CRC-8/CRC-16/MD5-verified). FLAC is
-    lossless, so the oracle computes the exact sums arithmetically; the
-    position-WEIGHTED sum is frame/channel-order-sensitive, so a wrong
-    channel de-correlation (left/side vs mid/side) or frame order breaks
-    the hash even though the plain sum wouldn't."""
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.flac import (
-            CH_LEFT_SIDE,
-            CH_MID_SIDE,
-            CH_RIGHT_SIDE,
-            encode_flac,
-        )
-
-        modes = [None, CH_LEFT_SIDE, CH_RIGHT_SIDE, CH_MID_SIDE]
-        rates = [8000, 16000, 11025, 44100]
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                ch, n = d % 2 + 1, d % 60 + 1
-                bits = 8 if d % 3 == 0 else 16
-                half = 1 << (bits - 1)
-                frames = [
-                    tuple(
-                        (d * 31 + f * 17 + c * 11) % (2 * half) - half
-                        for c in range(ch)
-                    )
-                    for f in range(n)
-                ]
-                payloads.append(
-                    encode_flac(
-                        ch, rates[d % 4], bits, frames,
-                        block_size=16 + d % 50,
-                        stereo_mode=modes[(d // 2) % 4] if ch == 2 else None,
-                        partition_order=d % 3,
-                        rice2=d % 5 == 0,
-                        force_escape=d % 7 == 0,
-                        pad_metadata=(d % 4) * 3,
-                    )
-                )
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.flac import decode_flac
-
-        for pdf in batches:
-            cols = {k: [] for k in
-                    ("channels", "sample_rate", "bits", "n_frames",
-                     "sample_sum", "weighted_sum")}
-            for payload in pdf["media"]:
-                ch, rate, bits, frames = decode_flac(bytes(payload))
-                ss = 0
-                ws = 0
-                for f, fr in enumerate(frames):
-                    for c, s in enumerate(fr):
-                        ss += s
-                        ws += (f * ch + c + 1) * s
-                cols["channels"].append(ch)
-                cols["sample_rate"].append(rate)
-                cols["bits"].append(bits)
-                cols["n_frames"].append(len(frames))
-                cols["sample_sum"].append(ss)
-                cols["weighted_sum"].append(ws)
-            out = pdf.copy()
-            for k in ("channels", "sample_rate", "bits", "n_frames"):
-                out[k] = pd.array(cols[k], dtype="Int32")
-            for k in ("sample_sum", "weighted_sum"):
-                out[k] = pd.array(cols[k], dtype="Int64")
-            yield out
-
-    return (
-        media.mapInPandas(
-            decode,
-            "doc_id bigint, media binary, channels int, sample_rate int,"
-            " bits int, n_frames int, sample_sum bigint, weighted_sum bigint",
-        )
-        .select("doc_id", "channels", "sample_rate", "bits", "n_frames",
-                "sample_sum", "weighted_sum")
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "multimodal_audio_features",
-    """
-    WITH base AS (
-      SELECT doc_id, doc_id % 2 + 1 AS ch, doc_id % 50 + 1 AS n
-      FROM documents
-    ), mono AS (
-      SELECT doc_id, ch, n,
-             list_transform(range(0, n), f ->
-               CAST(floor(list_sum(list_transform(range(0, ch), c ->
-                 (doc_id * 13 + f * 7 + c * 3) % 200 - 100))
-                 / CAST(ch AS DOUBLE)) AS BIGINT)) AS m
-      FROM base
-    )
-    SELECT doc_id,
-           CAST(ceil(n / 16.0) AS INT) AS n_analysis_frames,
-           CAST(list_sum(list_transform(m, v -> v * v)) AS BIGINT)
-             AS energy_total,
-           CAST(coalesce(list_sum(list_transform(range(1, n), i ->
-               CASE WHEN (m[i] < 0) <> (m[i + 1] < 0) THEN 1 ELSE 0 END)), 0)
-             AS INT) AS zero_crossings,
-           CAST(list_max(list_transform(m, v -> abs(v))) AS BIGINT)
-             AS peak_abs
-    FROM mono ORDER BY doc_id
-    """,
-)
-def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio feature extraction through the multimodal seam: the
-    same deterministic 16-bit PCM signal family travels as RIFF/WAVE for
-    even docs and as genuine FLAC (varying stereo decorrelation modes)
-    for odd docs — the feature kernel magic-sniffs and decodes both —
-    then integer-exact features: floor-downmixed mono lane, total energy
-    (Σ s²), zero-crossing count and peak amplitude. The oracle replays
-    every feature arithmetically; a wrong decode, downmix rounding or
-    sign convention on either codec path breaks the hash."""
-    from ..operators.multimodal import audio_features
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.flac import (
-            CH_LEFT_SIDE,
-            CH_MID_SIDE,
-            CH_RIGHT_SIDE,
-            encode_flac,
-        )
-        from ..functions.wav import encode_wav
-
-        modes = [None, CH_LEFT_SIDE, CH_RIGHT_SIDE, CH_MID_SIDE]
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                ch, n = d % 2 + 1, d % 50 + 1
-                frames = [
-                    tuple((d * 13 + f * 7 + c * 3) % 200 - 100
-                          for c in range(ch))
-                    for f in range(n)
-                ]
-                if d % 2 == 0:
-                    payloads.append(encode_wav(ch, 16000, 16, frames))
-                else:
-                    payloads.append(
-                        encode_flac(
-                            ch, 16000, 16, frames, block_size=16,
-                            stereo_mode=modes[(d // 2) % 4] if ch == 2 else None,
-                            partition_order=d % 2,
-                        )
-                    )
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
-        audio_features(media, frame_len=16)
-        .select("doc_id", "n_analysis_frames", "energy_total",
-                "zero_crossings", "peak_abs")
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "multimodal_mp4_probe",
-    """
-    SELECT doc_id,
-           CAST(doc_id % 1904 + 16 AS INT) AS width,
-           CAST(doc_id % 1064 + 16 AS INT) AS height,
-           CAST((doc_id % 9000 + 1000) * 1000
-                // (CASE WHEN doc_id % 2 = 1 THEN 600 ELSE 1000 END)
-             AS BIGINT) AS duration_ms
-    FROM documents ORDER BY doc_id
-    """,
-)
-def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video container probe through the multimodal seam:
-    deterministic ISO-BMFF streams (mvhd v0/v1, classic-MOV 600 and
-    1000 timescales, free-box padding so the box walk is exercised) are
-    parsed back by :func:`operators.multimodal.probe_video`. Dimensions
-    (16.16 fixed point) and duration_ms are genuine; frame decode stays
-    behind the documented external-codec stub. The oracle replays the
-    fixed-point and timescale arithmetic."""
-    from ..operators.multimodal import probe_video
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.isobmff import encode_mp4_header
-
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                payloads.append(
-                    encode_mp4_header(
-                        d % 1904 + 16,
-                        d % 1064 + 16,
-                        duration=d % 9000 + 1000,
-                        timescale=600 if d % 2 == 1 else 1000,
-                        version=d % 2,
-                        extra_boxes=d % 4,
-                    )
-                )
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
-        probe_video(media)
-        .select("doc_id", "width", "height", "duration_ms")
-        .orderBy("doc_id")
-    )
-
-
-_MP3_ORACLE = """
-WITH cfg AS (
-  SELECT doc_id,
-    CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0 END AS version,
-    (doc_id // 3) % 3 AS layer,
-    doc_id % 3 AS sr_idx,
-    CAST(1 + doc_id % 2 AS INT) AS channels,
-    CAST(doc_id % 25 + 1 AS INT) AS nf,
-    doc_id % 256 AS padpat,
-    doc_id % 4 = 0 AS vary
-  FROM documents
-),
-t AS (
-  SELECT *,
-    CASE WHEN version = 3 THEN 0 ELSE 1 END AS vgroup,
-    CAST(CASE version
-      WHEN 3 THEN [44100, 48000, 32000][sr_idx + 1]
-      WHEN 2 THEN [22050, 24000, 16000][sr_idx + 1]
-      ELSE [11025, 12000, 8000][sr_idx + 1] END AS INT) AS rate
-  FROM cfg
-),
-t2 AS (
-  SELECT *,
-    CASE
-      WHEN vgroup = 0 AND layer = 0 THEN
-        [0,32,64,96,128,160,192,224,256,288,320,352,384,416,448]
-      WHEN vgroup = 0 AND layer = 1 THEN
-        [0,32,48,56,64,80,96,112,128,160,192,224,256,320,384]
-      WHEN vgroup = 0 THEN
-        [0,32,40,48,56,64,80,96,112,128,160,192,224,256,320]
-      WHEN layer = 0 THEN
-        [0,32,48,56,64,80,96,112,128,144,160,176,192,224,256]
-      ELSE [0,8,16,24,32,40,48,56,64,80,96,112,128,144,160]
-    END AS brt,
-    CASE WHEN layer = 0 THEN 384
-         WHEN layer = 1 OR version = 3 THEN 1152
-         ELSE 576 END AS spf
-  FROM t
-),
-fr AS (
-  SELECT *,
-    list_transform(range(0, nf), k -> CASE
-      WHEN vary THEN brt[5 + (doc_id + k) % 10 + 1]
-      ELSE brt[1 + doc_id % 14 + 1] END * 1000) AS brs,
-    list_transform(range(0, nf), k -> (padpat >> (k % 8)) & 1) AS pads
-  FROM t2
-),
-fb AS (
-  SELECT *,
-    list_sum(list_transform(range(0, nf), k -> CASE
-      WHEN layer = 0 THEN (12 * brs[k + 1] // rate + pads[k + 1]) * 4
-      WHEN layer = 1 OR vgroup = 0 THEN 144 * brs[k + 1] // rate + pads[k + 1]
-      ELSE 72 * brs[k + 1] // rate + pads[k + 1] END)) AS total_bytes
-  FROM fr
-)
-SELECT doc_id, rate AS sample_rate, channels,
-       nf AS n_frames,
-       CAST(nf * (spf * 1000000 // rate) AS BIGINT) AS duration_us,
-       CAST(CASE WHEN NOT vary OR nf = 1 THEN brs[1] // 1000
-            ELSE total_bytes * 8 * rate // (nf * spf) // 1000
-       END AS INT) AS bitrate_kbps,
-       CASE WHEN vary AND nf >= 2 THEN true
-            WHEN vary AND nf = 1 AND layer = 2 THEN true
-            ELSE false END AS is_vbr
-FROM fb ORDER BY doc_id
-"""
-
-
-@_register("multimodal_mp3_probe", _MP3_ORACLE)
-def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL MPEG-audio frame walk through the multimodal seam
-    (``functions/mp3.py``): genuine sync-word frame sequences rotate the
-    published header tables — MPEG1/2/2.5 by doc%3, Layers I/II/III by
-    (doc//3)%3, all three sample-rate slots, mono/stereo, per-frame
-    padding bits from a doc-specific pattern, ID3v2 prefixes, and
-    varying-bitrate sequences with a first-frame Xing header on Layer III
-    — and the probe walks every frame (no size guessing). The oracle
-    replays the ISO 11172-3/13818-3 bitrate/rate/frame-size arithmetic
-    per frame, so one wrong table entry, slot rounding, or padding bit
-    breaks the hash."""
-    from ..operators.multimodal import probe_audio_stream
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.mp3 import encode_mp3
-
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                version = (3, 2, 0)[d % 3]
-                layer = (d // 3) % 3
-                nf = d % 25 + 1
-                vary = d % 4 == 0
-                if vary:
-                    brs = [5 + (d + k) % 10 for k in range(nf)]
-                else:
-                    brs = [1 + d % 14] * nf
-                payloads.append(
-                    encode_mp3(
-                        version, layer, brs, d % 3,
-                        channels=1 + d % 2,
-                        padding_pattern=d % 256,
-                        id3_bytes=(d % 5) * 11,
-                        xing=vary and layer == 2,
-                    )
-                )
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
-        probe_audio_stream(media)
-        .select("doc_id", "sample_rate", "channels", "n_frames",
-                "duration_us", "bitrate_kbps", "is_vbr")
-        .orderBy("doc_id")
-    )
-
-
-def _avi_jpeg_frame(d: int, f: int) -> "bytes":
-    """One deterministic flat-block grayscale JPEG frame (bit-exact at
-    quant=1, same construction as multimodal_jpeg_pixels)."""
-    from ..functions.jpeg import encode_jpeg
-
-    bw, bh = d % 3 + 1, d % 2 + 1
-    rows = []
-    for r in range(bh * 8):
-        rows.append(
-            bytes(
-                (d * 37 + f * 29 + (c // 8) * 11 + (r // 8) * 23) % 256
-                for c in range(bw * 8)
-            )
-        )
-    return encode_jpeg(bw * 8, bh * 8, rows, channels=1, quant=1)
-
-
-@_register(
-    "multimodal_avi_probe",
-    """
-    SELECT doc_id,
-           CAST((doc_id % 3 + 1) * 8 AS INT) AS width,
-           CAST((doc_id % 2 + 1) * 8 AS INT) AS height,
-           CAST((doc_id % 12 + 1) * 1000 // (15 + doc_id % 10) AS BIGINT)
-             AS duration_ms
-    FROM documents ORDER BY doc_id
-    """,
-)
-def multimodal_avi_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL AVI container probe: deterministic MJPEG AVIs (RIFF chunk
-    tree with strh/strf agreement checks, JUNK padding for odd docs,
-    idx1 index verified entry-by-entry against real chunk offsets) are
-    parsed back by ``functions/avi.py`` through the same ``probe_video``
-    seam as ISO-BMFF — the dispatcher sniffs the magic. The oracle
-    replays the rate/scale duration arithmetic."""
-    from ..operators.multimodal import probe_video
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.avi import encode_avi_mjpeg
-
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                n = d % 12 + 1
-                payloads.append(
-                    encode_avi_mjpeg(
-                        (d % 3 + 1) * 8, (d % 2 + 1) * 8,
-                        [_avi_jpeg_frame(d, f) for f in range(n)],
-                        rate=15 + d % 10, scale=1,
-                        write_index=d % 3 != 1,
-                        junk_bytes=(d % 2) * 12,
-                    )
-                )
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
-        probe_video(media)
-        .select("doc_id", "width", "height", "duration_ms")
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "multimodal_avi_frame_sample",
-    """
-    WITH s AS (
-      SELECT doc_id,
-             UNNEST(list_transform(
-               range(0, least(4, ((doc_id % 12 + 1) + (doc_id % 3))
-                                  // (doc_id % 3 + 1))),
-               i -> i * (doc_id % 3 + 1))) AS frame_idx
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(frame_idx AS INT) AS frame_idx,
-           CAST(doc_id % 12 + 1 AS INT) AS n_frames,
-           CAST((doc_id % 3 + 1) * 8 AS INT) AS width,
-           CAST((doc_id % 2 + 1) * 8 AS INT) AS height,
-           CAST(64 * list_sum(flatten(list_transform(range(0, doc_id % 2 + 1),
-             by -> list_transform(range(0, doc_id % 3 + 1), bx ->
-               (doc_id * 37 + frame_idx * 29 + bx * 11 + by * 23) % 256))))
-             AS BIGINT) AS pixel_sum
-    FROM s ORDER BY doc_id, frame_idx
-    """,
-)
-def multimodal_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL end-to-end video frame decode: MJPEG-in-AVI payloads →
-    RIFF container walk → every-``k``-th frame sampled (k = doc_id%3+1,
-    capped at 4) → full JPEG huffman+IDCT decode per sampled frame → one
-    row per frame with its exact pixel sum (flat blocks are bit-exact at
-    quant=1). The oracle enumerates the same sampled indices and replays
-    the per-frame block arithmetic — a wrong chunk walk, frame order,
-    sampling stride or cap, or any JPEG decode defect breaks the hash."""
-    from ..operators.multimodal import sample_video_frames
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.avi import encode_avi_mjpeg
-
-        for pdf in batches:
-            ids, payloads, strides = [], [], []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                n = d % 12 + 1
-                ids.append(d)
-                strides.append(d % 3 + 1)
-                payloads.append(
-                    encode_avi_mjpeg(
-                        (d % 3 + 1) * 8, (d % 2 + 1) * 8,
-                        [_avi_jpeg_frame(d, f) for f in range(n)],
-                        rate=24, scale=1, junk_bytes=(d % 2) * 8,
-                    )
-                )
-            yield pd.DataFrame(
-                {"doc_id": ids, "media": payloads, "stride": strides}
-            )
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary, stride int")
-    # the sampler takes one stride per call; fan the three stride classes
-    # through the operator and union (each class filters ITS payloads —
-    # at scale this is one pass per distinct sampling policy, the shape a
-    # real pipeline with per-collection policies has)
-    parts = [
-        sample_video_frames(
-            media.filter(F.col("stride") == k), every_n=k, max_frames=4
-        )
-        for k in (1, 2, 3)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return (
-        out.select("doc_id", "frame_idx", "n_frames", "width", "height",
-                   "pixel_sum")
-        .orderBy("doc_id", "frame_idx")
-    )
-
-
-@_register(
-    "event_time_windows",
-    """
-    SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS window_start,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
-    FROM events
-    GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-)
-def event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling event-time windows (the Structured-Streaming operator run
-    through the unified batch API — streaming/windows.py)."""
-    from ..streaming.windows import windowed_event_counts
-
-    ev = _t(spark, sf_dir, "events")
-    return (
-        windowed_event_counts(ev)
-        .drop("window_end")
-        .orderBy("window_start", "event_type")
-    )
-
-
-# ===========================================================================
-# replication surface (R5 upsert-merge + J6/J7/R3/R4 batch application)
-# ===========================================================================
-
-_CHANGESET_UPSERT_ORACLE = """
-WITH state AS (
-  SELECT CAST(c_custkey AS BIGINT)                                  AS id,
-         TIMESTAMP '2020-01-01' + INTERVAL 1 MINUTE * c_custkey     AS created_at,
-         (c_custkey % 3 = 0)                                        AS open,
-         c_mktsegment                                               AS user_name
-  FROM customer
-), batch AS (
-  SELECT CAST(o_custkey + CASE WHEN o_orderkey % 10 = 0 THEN 2000 ELSE 0 END
-              AS BIGINT)                                            AS id,
-         o_orderkey                                                 AS pos,
-         TIMESTAMP '2021-01-01' + INTERVAL 1 MINUTE * o_orderkey    AS created_at,
-         (o_orderstatus <> 'F')                                     AS open,
-         o_orderpriority                                            AS user_name
-  FROM orders
-), winner AS (
-  -- sequential ON CONFLICT application: first closing row freezes the id,
-  -- otherwise the last row wins
-  SELECT id, created_at, open, user_name FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY id
-      ORDER BY open, CASE WHEN open THEN -pos ELSE pos END
-    ) AS rn FROM batch
-  ) WHERE rn = 1
-)
-SELECT coalesce(s.id, w.id) AS id,
-       CASE WHEN s.id IS NOT NULL AND NOT s.open THEN s.created_at
-            WHEN w.id IS NOT NULL THEN w.created_at
-            ELSE s.created_at END                                   AS created_at,
-       CASE WHEN s.id IS NOT NULL AND NOT s.open THEN s.open
-            WHEN w.id IS NOT NULL THEN w.open
-            ELSE s.open END                                         AS open,
-       CASE WHEN s.id IS NOT NULL AND NOT s.open THEN s.user_name
-            WHEN w.id IS NOT NULL THEN w.user_name
-            ELSE s.user_name END                                    AS user_name
-FROM state s FULL OUTER JOIN winner w ON s.id = w.id
-ORDER BY id
-"""
-
-
-@_register("changeset_upsert", _CHANGESET_UPSERT_ORACLE)
-def changeset_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R5: the ``ON CONFLICT (id) DO UPDATE … WHERE changesets.open`` merge
-    (``ChangesetDB.java:131-160``) on derived tables — customers are the
-    stored changesets (every third one still open), orders are a
-    replication batch with ~10 rows per id (so the within-batch
-    first-close-wins path is exercised) and 10 % brand-new ids (the insert
-    path). Checked against a window+full-outer-join DuckDB replay."""
-    from ..streaming.changesets import upsert_changesets
-
-    customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    state = customer.select(
-        F.col("c_custkey").cast("bigint").alias("id"),
-        F.expr(
-            "timestamp'2020-01-01' + make_interval(0,0,0,0,0, c_custkey, 0)"
-        ).alias("created_at"),
-        (F.col("c_custkey") % 3 == 0).alias("open"),
-        F.col("c_mktsegment").alias("user_name"),
-    )
-    batch = orders.select(
-        (
-            F.col("o_custkey")
-            + F.when(F.col("o_orderkey") % 10 == 0, 2000).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("id"),
-        F.col("o_orderkey").alias("_pos"),
-        F.expr(
-            "timestamp'2021-01-01' + make_interval(0,0,0,0,0, o_orderkey, 0)"
-        ).alias("created_at"),
-        (F.col("o_orderstatus") != "F").alias("open"),
-        F.col("o_orderpriority").alias("user_name"),
-    )
-    return upsert_changesets(state, batch).orderBy("id")
-
-
-_REPLICATION_BATCH_ORACLE = """
-WITH hist AS (
-  SELECT CAST(event_id % 500 AS BIGINT) AS osm_id,
-         CAST(row_number() OVER (PARTITION BY event_id % 500
-                                 ORDER BY ts, event_id) AS INT) AS version,
-         ts,
-         (event_type <> 'error') AS visible
-  FROM events
-), state AS (
-  SELECT osm_id, version, ts, visible FROM (
-    SELECT *, row_number() OVER (PARTITION BY osm_id
-                                 ORDER BY version DESC, ts DESC) AS rn
-    FROM hist WHERE version <= 2
-  ) WHERE rn = 1
-), diff AS (
-  SELECT osm_id, version, ts, visible FROM hist WHERE version BETWEEN 2 AND 4
-  UNION ALL
-  SELECT osm_id + 1000, 1, ts, visible FROM hist WHERE version = 1
-), kept AS (
-  -- J6: replays (version <= stored) and deletes without before-state drop
-  SELECT d.osm_id, d.version, d.ts, d.visible
-  FROM diff d LEFT JOIN state s ON d.osm_id = s.osm_id
-  WHERE (s.osm_id IS NULL AND d.visible)
-     OR (s.osm_id IS NOT NULL AND d.version > s.version)
-), merged AS (
-  -- R4: newest version per id wins
-  SELECT osm_id, version, visible FROM (
-    SELECT *, row_number() OVER (PARTITION BY osm_id
-                                 ORDER BY version DESC, ts DESC) AS rn
-    FROM (SELECT * FROM state UNION ALL SELECT * FROM kept)
-  ) WHERE rn = 1
-), ways AS (
-  SELECT CAST(o_orderkey % 300 AS BIGINT) AS way_id,
-         CAST(o_custkey % 500 AS BIGINT) AS r1,
-         CAST((o_custkey + 7) % 500 AS BIGINT) AS r2
-  FROM orders
-), changed AS (
-  SELECT DISTINCT osm_id FROM kept
-), dirty_ways AS (
-  -- J7: changed node ids propagate to referencing ways
-  SELECT DISTINCT way_id FROM ways
-  WHERE r1 IN (SELECT osm_id FROM changed)
-     OR r2 IN (SELECT osm_id FROM changed)
-)
-SELECT 'node' AS kind, osm_id AS id, version, visible FROM merged
-UNION ALL
-SELECT 'way', way_id, CAST(NULL AS INT), CAST(NULL AS BOOLEAN) FROM dirty_ways
-ORDER BY kind, id
-"""
-
-
-@_register("replication_batch", _REPLICATION_BATCH_ORACLE)
-def replication_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One replication micro-batch end-to-end (J6 diff filter → R4 state
-    merge → J7 dirty propagation) on derived histories: the diff carries
-    replayed versions, genuine new versions, tombstone deletes, creates of
-    unknown ids, and deletes of unknown ids — every branch of
-    ``filter_diff_against_state``. Ways derived from orders pick up dirt
-    from the changed node ids (``streaming/replication.py:44-123``)."""
-    from ..streaming.replication import (
-        dirty_parents,
-        filter_diff_against_state,
-        latest_state,
-        merge_latest_state,
-    )
-
-    ev = _t(spark, sf_dir, "events")
-    orders = _t(spark, sf_dir, "orders")
-    base = ev.select(
-        (F.col("event_id") % 500).cast("bigint").alias("osm_id"),
-        "ts",
-        "event_id",
-        (F.col("event_type") != "error").alias("visible"),
-    )
-    w = W.partitionBy("osm_id").orderBy("ts", "event_id")
-    hist = base.select(
-        "osm_id",
-        F.row_number().over(w).cast("int").alias("version"),
-        "ts",
-        "visible",
-    ).withColumn("osm_type", F.lit("node"))
-    # hist feeds three branches (state / extra / diff), state and kept two
-    # consumers each — persist so the events window computes once
-    from pyspark.storagelevel import StorageLevel
-
-    from ..session import register_cached
-
-    hist = register_cached(hist.persist(StorageLevel.MEMORY_AND_DISK))
-
-    state = latest_state(hist.filter(F.col("version") <= 2))
-    state = register_cached(state.persist(StorageLevel.MEMORY_AND_DISK))
-    extra = hist.filter(F.col("version") == 1).select(
-        (F.col("osm_id") + 1000).alias("osm_id"),
-        F.lit(1).cast("int").alias("version"),
-        "ts",
-        "visible",
-        "osm_type",
-    )
-    diff = hist.filter(F.col("version").between(2, 4)).unionByName(extra)
-    kept = register_cached(
-        filter_diff_against_state(diff, state).persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    merged = merge_latest_state(state, kept)
-
-    ways = orders.select(
-        (F.col("o_orderkey") % 300).cast("bigint").alias("osm_id"),
-        F.lit(True).alias("visible"),
-        F.array(
-            (F.col("o_custkey") % 500).cast("bigint"),
-            ((F.col("o_custkey") + 7) % 500).cast("bigint"),
-        ).alias("refs"),
-    )
-    changed = kept.select("osm_id").distinct()
-    no_changed_ways = spark.createDataFrame([], "osm_id bigint")
-    no_relations = spark.createDataFrame(
-        [],
-        "osm_id bigint, visible boolean,"
-        " members array<struct<type:string,id:bigint,role:string>>",
-    )
-    dirty_ways, _ = dirty_parents(changed, no_changed_ways, ways, no_relations)
-
-    nodes_out = merged.select(
-        F.lit("node").alias("kind"),
-        F.col("osm_id").alias("id"),
-        "version",
-        "visible",
-    )
-    ways_out = dirty_ways.select(
-        F.lit("way").alias("kind"),
-        F.col("osm_id").alias("id"),
-        F.lit(None).cast("int").alias("version"),
-        F.lit(None).cast("boolean").alias("visible"),
-    )
-    return nodes_out.unionByName(ways_out).orderBy("kind", "id")
-
-
-# ===========================================================================
-# queryability contract #2: relation member unnesting
-# (docs/useful_queries.md:21-33 — "Extract relation member geometries")
-# ===========================================================================
-
-
-def _members_unnest_oracle() -> str:
-    # Reuse the relation-pipeline CTE stack but carry the member-instant
-    # timestamp in the as-of state struct, pick the latest instant per
-    # relation, and emit one row per (relation, member).
-    # str.replace would be a silent no-op if the base oracle text drifted
-    # (the sts field would vanish and only surface as a confusing DuckDB
-    # error at check time) — assert each fragment's occurrence count first
-    replacements = [
-        ("struct_pack(sxs := xs, sys := ys)", "struct_pack(sxs := xs, sys := ys, sts := wets)"),
-        (
-            "CAST(NULL AS STRUCT(sxs DOUBLE[], sys DOUBLE[]))",
-            "CAST(NULL AS STRUCT(sxs DOUBLE[], sys DOUBLE[], sts TIMESTAMP))",
-        ),
-    ]
-    base = _CONTRIB_RELS_ORACLE
-    for old, new in replacements:
-        n = base.count(old)
-        assert n >= 1, f"relation oracle drifted: {old!r} not found"
-        base = base.replace(old, new)
-    cut = base.index("SELECT rid AS osm_id, 1 AS osm_version")
-    return (
-        base[:cut]
-        + """
-, latest AS (
-  SELECT rid, run_idx FROM (
-    SELECT rid, run_idx,
-           row_number() OVER (PARTITION BY rid
-             ORDER BY inst_ts DESC, inst_cs DESC, run_idx DESC) AS rn
-    FROM rinstants) WHERE rn = 1
-)
-SELECT r.rid AS osm_id,
-       'way/' || CAST(r.wid AS VARCHAR) AS member_key,
-       '' AS role,
-       coalesce((r.asof_st).sts, TIMESTAMP '1970-01-01') AS member_ts,
-       coalesce((r.asof_st).sxs IS NOT NULL AND len((r.asof_st).sxs) > 0,
-                FALSE) AS has_geom
-FROM rresolved r JOIN latest l ON l.rid = r.rid AND l.run_idx = r.k
-WHERE r.probe = 1
-ORDER BY osm_id, member_key
-"""
-    )
-
-
-@_register("relation_members_unnest", _members_unnest_oracle())
-def relation_members_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's second canonical downstream query
-    (``docs/useful_queries.md:21-33``): filter latest relation
-    contributions by tag, unnest the members array into one row per
-    member with its ``type/id`` key, role, as-of member timestamp and
-    geometry presence. Exercises the nested-merge member states end to
-    end through the user-facing contract, served from the staged relation
-    contributions table (produce-then-query)."""
-    from ..schemas import VALID_TO_SENTINEL
-
-    contribs = _relation_contribs_table(spark, sf_dir)
-    return (
-        contribs.filter(F.col("tags")["type"] == "route")
-        .filter(F.col("valid_to") == F.lit(VALID_TO_SENTINEL))
-        .select("osm_id", F.explode("members").alias("m"))
-        .select(
-            "osm_id",
-            F.concat(F.col("m.type"), F.lit("/"), F.col("m.id").cast("string")).alias(
-                "member_key"
-            ),
-            F.col("m.role").alias("role"),
-            F.col("m.timestamp").alias("member_ts"),
-            F.col("m.geometry").isNotNull().alias("has_geom"),
-        )
-        .orderBy("osm_id", "member_key")
-    )
-
-
-# ===========================================================================
-# ohsome-style spatio-temporal aggregation: contributions per country/month
-# ===========================================================================
-
-
-def _country_month_oracle() -> str:
-    cases = " || ".join(
-        f"CASE WHEN lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r} "
-        f"THEN ['{fid}'] ELSE [] END"
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    )
-    return f"""
-    WITH pts AS (
-      SELECT user_id, ts, value,
-             (value % 360.0) - 180.0        AS lon,
-             ((value * 7.0) % 180.0) - 90.0 AS lat
-      FROM events
-    ), tagged AS (
-      SELECT user_id, date_trunc('month', ts) AS month, value,
-             unnest({cases}) AS country
-      FROM pts
-    )
-    SELECT country, month,
-           CAST(count(*) AS BIGINT)               AS n_points,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM tagged GROUP BY country, month
-    ORDER BY country, month
-    """
-
-
-@_register("country_month_stats", _country_month_oracle())
-def country_month_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The classic ohsome dashboard aggregation: events become points,
-    broadcast-spatial-joined to countries, then count + distinct-user per
-    (country, month). Scale shape: map-side country tagging (broadcast
-    grid), one shuffle on the (country, month) agg keys; the distinct
-    count is a two-phase partial aggregation."""
-    ev = _t(spark, sf_dir, "events")
-    feats = [rect_feature(fid, x0, y0, x1, y1) for fid, x0, y0, x1, y1 in _GRID_FEATURES]
-    pts = ev.select(
-        "user_id",
-        "ts",
-        ((F.col("value") % 360.0) - 180.0).alias("lon"),
-        (((F.col("value") * 7.0) % 180.0) - 90.0).alias("lat"),
-    )
-    tagged = join_countries(pts, feats, "lon", "lat").select(
-        "user_id",
-        F.date_trunc("month", F.col("ts")).alias("month"),
-        F.explode("countries").alias("country"),
-    )
-    return (
-        tagged.groupBy("country", "month")
-        .agg(
-            F.count(F.lit(1)).alias("n_points"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
-        .orderBy("country", "month")
-    )
-
-
-# ===========================================================================
-# training-data pipeline: sampling, vocabulary, end-to-end quality filter
-# ===========================================================================
-
-# per-language keep rates (percent); unknown languages keep everything
-_SAMPLE_RATES = (("en", 50), ("de", 30), ("fr", 20), ("es", 10))
-
-
-def _stratified_oracle() -> str:
-    h = hash60_sql("CAST(doc_id AS VARCHAR)")
-    case = " ".join(f"WHEN '{lang}' THEN {rate}" for lang, rate in _SAMPLE_RATES)
-    return f"""
-    SELECT doc_id, lang, {h} % 100 AS bucket
-    FROM documents
-    WHERE {h} % 100 < CASE lang {case} ELSE 100 END
-    ORDER BY doc_id
-    """
-
-
-@_register("stratified_sample", _stratified_oracle())
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling — the reproducible alternative to
-    ``df.sample()`` for training-data curation: a 60-bit content hash of
-    the stable id buckets every row into [0,100), and each stratum keeps
-    a configured share. Pure map-side filter: no shuffle, no RNG state,
-    re-runs produce the identical sample at any scale."""
-    docs = _t(spark, sf_dir, "documents")
-    bucket = F.pmod(hash60_expr(F.col("doc_id").cast("string")), F.lit(100))
-    rate = F.lit(100)
-    for lang, r in reversed(_SAMPLE_RATES):
-        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
-    return (
-        docs.withColumn("bucket", bucket)
-        .filter(F.col("bucket") < rate)
-        .select("doc_id", "lang", "bucket")
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "vocab_topk",
-    """
-    WITH tok AS (
-      SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                                x -> x <> '')) AS token
-      FROM documents
-    )
-    SELECT token,
-           CAST(count(*) AS BIGINT)            AS tf,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-    FROM tok GROUP BY token
-    ORDER BY df DESC, tf DESC, token
-    LIMIT 100
-    """,
-)
-def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary statistics (the first step of building a BPE/
-    unigram tokenizer): term frequency + document frequency per token,
-    top-100 by df. The 100 TB shape is the canonical word-count — map-side
-    partial counts per token, one shuffle on the token key, and a
-    distinct-doc count that Spark plans as a two-phase aggregate."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    tok = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
-    return (
-        tok.groupBy("token")
-        .agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.countDistinct("doc_id").alias("df"),
-        )
-        .orderBy(F.desc("df"), F.desc("tf"), "token")
-        .limit(100)
-    )
-
-
-def _quality_pipeline_oracle() -> str:
-    stop20 = "['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on']"
-    return f"""
-    WITH t AS (
-      SELECT doc_id, lang, text,
-             list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks,
-             length(text) AS nct,
-             length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS npn
-      FROM documents
-    ), m AS (
-      SELECT doc_id, lang, text,
-             CAST(len(toks) AS INT) AS n_tokens,
-             (nct - npn) / greatest(nct, 1) AS punct_ratio,
-             len(list_filter(toks, x -> list_contains({stop20}, x)))
-               / greatest(len(toks), 1) AS stop_ratio,
-             list_sum(list_transform(toks, t -> length(t)))
-               / greatest(len(toks), 1) AS mtl,
-             len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) / greatest(len(toks), 1) AS s_en,
-             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))) / greatest(len(toks), 1) AS s_de,
-             len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','des','que','pas','pour'], x))) / greatest(len(toks), 1) AS s_fr,
-             len(list_filter(toks, x -> list_contains(['el','la','los','las','es','una','que','por','con','para'], x))) / greatest(len(toks), 1) AS s_es
-      FROM t
-    ), q AS (
-      SELECT *,
-             round(
-               least(n_tokens / 64.0, 1.0) * 0.4
-               + least(stop_ratio * 4.0, 1.0) * 0.2
-               + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
-                 * (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
-               + (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
-             6) AS quality,
-             greatest(s_en, s_de, s_fr, s_es) AS best
-      FROM m
-    ), g AS (
-      SELECT *,
-             CASE WHEN best < 0.05 THEN 'und'
-                  WHEN s_fr = best THEN 'fr'
-                  WHEN s_es = best THEN 'es'
-                  WHEN s_en = best THEN 'en'
-                  ELSE 'de' END AS guessed_lang,
-             row_number() OVER (PARTITION BY {hash60_sql('text')} ORDER BY doc_id) AS rn
-      FROM q
-    )
-    SELECT doc_id, lang, guessed_lang, n_tokens,
-           round(punct_ratio, 6) AS punct_ratio, quality
-    FROM g
-    WHERE rn = 1 AND quality >= 0.4 AND n_tokens BETWEEN 10 AND 5000
-      AND punct_ratio < 0.25 AND guessed_lang <> 'und'
-    ORDER BY doc_id
-    """
-
-
-@_register("quality_filter_pipeline", _quality_pipeline_oracle())
-def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end C4-style cleaning pipeline in one plan: exact dedup
-    (first doc per content hash), quality-score floor, token-count band,
-    punctuation ceiling, and language-ID gate. Everything is codegen
-    expressions over one scan plus a single hash-partition window for the
-    dedup — the shape a 100 TB curation run wants."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    t = F.col("text")
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        token_count_expr(t).alias("n_tokens"),
-        punct_ratio_expr(t).alias("_punct"),
-        quality_score_expr(t).alias("quality"),
-        lang_guess_expr(t).alias("guessed_lang"),
-        hash60_expr(t).alias("_h"),
-    )
-    wdup = W.partitionBy("_h").orderBy("doc_id")
-    return (
-        scored.withColumn("_rn", F.row_number().over(wdup))
-        .filter(
-            (F.col("_rn") == 1)
-            & (F.col("quality") >= 0.4)
-            & F.col("n_tokens").between(10, 5000)
-            & (F.col("_punct") < 0.25)
-            & (F.col("guessed_lang") != "und")
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "guessed_lang",
-            "n_tokens",
-            F.round("_punct", 6).alias("punct_ratio"),
-            "quality",
-        )
-        .orderBy("doc_id")
-    )
-
-
-# ===========================================================================
-# queryability contract #3: snapshot time series + taginfo-style key stats
-# ===========================================================================
-
-_SNAPSHOT_SERIES_ORACLE = (
-    "WITH contribs AS ("
-    + _CONTRIB_ORACLE.replace("ORDER BY osm_id, osm_edits", "")
-    + """), snaps AS (
-      SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
-                                    TIMESTAMP '2024-02-01',
-                                    INTERVAL 7 DAY)) AS snap_ts
-    )
-    SELECT s.snap_ts,
-           CAST(count(*) AS BIGINT) AS n_live,
-           round(avg(c.osm_edits), 6) AS avg_edits
-    FROM contribs c JOIN snaps s
-      ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
-    WHERE c.status <> 'deleted'
-    GROUP BY s.snap_ts
-    ORDER BY s.snap_ts
-    """
-)
-
-
-_BACKLOG_ORACLE = """
-WITH iv AS (
-  SELECT o_orderdate AS open_d,
-         o_orderdate + INTERVAL 1 DAY * (o_orderkey % 90) AS close_d
-  FROM orders
-), ev AS (
-  SELECT open_d AS day, 1 AS delta FROM iv
-  UNION ALL
-  SELECT close_d AS day, -1 AS delta FROM iv
-), daily AS (
-  SELECT day, CAST(sum(delta) AS BIGINT) AS net_change FROM ev GROUP BY day
-)
-SELECT day, net_change,
-       CAST(sum(net_change) OVER (ORDER BY day) AS BIGINT) AS n_open
-FROM daily ORDER BY day
-"""
-
-
-@_register("order_backlog_interval", _BACKLOG_ORACLE)
-def order_backlog_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concurrent-interval counting — how many intervals are open on each
-    day — via the ±1 event-ization trick: each interval emits (+1 at
-    open, −1 at close), one day-keyed combinable aggregation, then a
-    running sum over the DAY table. The alternative (day × interval
-    range join) is O(days·rows); this is O(rows) with a days-sized
-    window — the shape that scales to billions of intervals. (Close
-    dates are synthesized deterministically from the order key.)"""
-    orders = _t(spark, sf_dir, "orders")
-    iv = orders.select(
-        F.col("o_orderdate").alias("open_d"),
-        F.expr(
-            "o_orderdate + make_interval(0,0,0, CAST(o_orderkey % 90 AS INT), 0,0,0)"
-        ).alias("close_d"),
-    )
-    ev = iv.select(F.col("open_d").alias("day"), F.lit(1).alias("delta")).unionAll(
-        iv.select(F.col("close_d").alias("day"), F.lit(-1).alias("delta"))
-    )
-    daily = ev.groupBy("day").agg(F.sum("delta").cast("bigint").alias("net_change"))
-    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        daily.withColumn("n_open", F.sum("net_change").over(w).cast("bigint"))
-        .orderBy("day")
-    )
-
-
-_EVENTS_CUBE_ORACLE = """
-SELECT event_type,
-       date_trunc('day', ts) AS day,
-       CAST(GROUPING_ID(event_type, date_trunc('day', ts)) AS BIGINT) AS gid,
-       CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 4) AS sum_value
-FROM events
-GROUP BY CUBE (event_type, date_trunc('day', ts))
-ORDER BY gid, event_type, day
-"""
-
-
-@_register("events_cube", _EVENTS_CUBE_ORACLE)
-def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE aggregation (SURVEY.md §2.4's grouping-sets family, next to
-    `sales_rollup`'s ROLLUP): all four (event_type × day) grouping
-    combinations in ONE pass — Spark expands the sets map-side and still
-    partial-aggregates, so the exchange carries one row per (set, group),
-    not one scan per set. ``grouping_id`` disambiguates real NULLs from
-    subtotal rows, same contract as the SQL standard."""
-    ev = _t(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts"))
-    return (
-        ev.select("event_type", day.alias("day"), "value")
-        .cube("event_type", "day")
-        .agg(
-            F.grouping_id().cast("bigint").alias("gid"),
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .orderBy("gid", "event_type", "day")
-    )
-
-
-_PROPS_JSON_ORACLE = """
-SELECT event_type,
-       CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS INT) AS k_decile,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
-       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max,
-       round(avg(value), 6) AS avg_value
-FROM events
-GROUP BY event_type, k_decile
-ORDER BY event_type, k_decile
-"""
-
-
-@_register("event_props_json", _PROPS_JSON_ORACLE)
-def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON property extraction (SURVEY.md §2.7 JSON functions): the
-    events' ``props`` JSON column parsed with a typed ``from_json``
-    schema (JVM-native, codegen — never a Python JSON loop), bucketed and
-    aggregated. Schema-on-read over a semi-structured column is the
-    everyday shape of event-log analytics; the parse happens in the scan
-    stage, so only (type, decile) rows reach the exchange."""
-    ev = _t(spark, sf_dir, "events")
-    k = F.from_json(F.col("props"), "k INT")["k"]
-    return (
-        ev.select(
-            "event_type",
-            F.floor(k / 10).cast("int").alias("k_decile"),
-            k.alias("_k"),
-            "value",
-        )
-        .groupBy("event_type", "k_decile")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("_k").cast("int").alias("k_min"),
-            F.max("_k").cast("int").alias("k_max"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-        )
-        .orderBy("event_type", "k_decile")
-    )
-
-
-_MIXTURE_BUDGET_ORACLE = """
-WITH toks AS (
-  SELECT source,
-         len(list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                         x -> x <> '')) AS n_tok
-  FROM documents
-), per AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-         CAST(substr(source, 4) AS INT) + 1 AS weight
-  FROM toks GROUP BY source
-), tot AS (
-  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
-         CAST(sum(weight) AS BIGINT) AS wsum FROM per
-)
-SELECT source, n_docs, n_tokens,
-       round(n_tokens / total, 6)                         AS natural_frac,
-       weight,
-       round(weight / wsum, 6)                            AS target_frac,
-       round(0.5 * total * weight / wsum, 6)              AS target_tokens,
-       round(0.5 * total * weight / wsum / n_tokens, 6)   AS epochs,
-       round(least(1.0, 0.5 * total * weight / wsum / n_tokens), 6)
-         AS sample_rate
-FROM per, tot ORDER BY source
-"""
-
-
-@_register("mixture_token_budget", _MIXTURE_BUDGET_ORACLE)
-def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mixture PLANNER behind every LLM data recipe: per-source token
-    inventory vs target weights → per-source token budget, epochs
-    (>1 = upsampling), and the downsampling rate actually applicable.
-    One source-keyed aggregation plus a broadcast one-row totals join —
-    the planning table is sources-sized however big the corpus; executing
-    the plan is what `mixture_resample` does."""
-    from ..functions.text import tokens_expr
-
-    docs = _t(spark, sf_dir, "documents")
-    per = (
-        docs.select("source", F.size(tokens_expr(F.col("text"))).alias("_n_tok"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_n_tok").cast("bigint").alias("n_tokens"),
-        )
-        .withColumn(
-            "weight", F.expr("CAST(substring(source, 4) AS INT) + 1")
-        )
-    )
-    tot = per.agg(
-        F.sum("n_tokens").cast("bigint").alias("_total"),
-        F.sum("weight").cast("bigint").alias("_wsum"),
-    )
-    target_tok = (
-        F.lit(0.5) * F.col("_total") * F.col("weight") / F.col("_wsum")
-    )
-    return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "n_docs",
-            "n_tokens",
-            F.round(F.col("n_tokens") / F.col("_total"), 6).alias("natural_frac"),
-            "weight",
-            F.round(F.col("weight") / F.col("_wsum"), 6).alias("target_frac"),
-            F.round(target_tok, 6).alias("target_tokens"),
-            F.round(target_tok / F.col("n_tokens"), 6).alias("epochs"),
-            F.round(
-                F.least(F.lit(1.0), target_tok / F.col("n_tokens")), 6
-            ).alias("sample_rate"),
-        )
-        .orderBy("source")
-    )
-
-
-_CONTRIBUTORS_ORACLE = """
-WITH act AS (
-  SELECT date_trunc('day', ts) AS period,
-         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
-  FROM events GROUP BY 1
-), fm AS (
-  SELECT user_id, min(date_trunc('day', ts)) AS period FROM events GROUP BY user_id
-), nw AS (
-  SELECT period, CAST(count(*) AS BIGINT) AS n_new FROM fm GROUP BY period
-)
-SELECT a.period, a.n_active,
-       CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new,
-       CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY a.period) AS BIGINT)
-         AS n_cumulative
-FROM act a LEFT JOIN nw ON nw.period = a.period
-ORDER BY a.period
-"""
-
-
-@_register("contributors_over_time", _CONTRIBUTORS_ORACLE)
-def contributors_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ohsome dashboard 'contributors over time' analytic: per
-    period (day here; month at planet scale), active distinct users,
-    first-seen (new) users, and the cumulative contributor count. Two
-    user-keyed aggregations (both map-side-combinable) and one join +
-    running sum over the PERIOD table — the global window orders the
-    handful of period rows, not the event stream, so the
-    single-partition window is free at any scale."""
-    ev = _t(spark, sf_dir, "events")
-    period = F.date_trunc("day", F.col("ts"))
-    act = ev.groupBy(period.alias("period")).agg(
-        F.countDistinct("user_id").alias("n_active")
-    )
-    fm = ev.groupBy("user_id").agg(F.min(period).alias("period"))
-    nw = fm.groupBy("period").agg(F.count(F.lit(1)).alias("n_new"))
-    w = W.orderBy("period").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        act.join(nw, "period", "left")
-        .select(
-            "period",
-            "n_active",
-            F.coalesce("n_new", F.lit(0)).alias("n_new"),
-        )
-        .withColumn("n_cumulative", F.sum("n_new").over(w))
-        .orderBy("period")
-    )
-
-
-_CURRENTNESS_ORACLE = (
-    "WITH contribs AS (" + _CONTRIB_ORACLE.replace("ORDER BY osm_id, osm_edits", "") + ")"
-    + """
-    SELECT osm_id,
-           CAST(count(*) AS BIGINT) AS n_edits,
-           min(valid_from) AS first_edit,
-           max(valid_from) AS last_edit,
-           CAST(count(DISTINCT CAST(valid_from AS DATE)) AS BIGINT) AS active_days,
-           CASE WHEN count(*) > 1 THEN
-             round((epoch_us(max(valid_from)) - epoch_us(min(valid_from)))
-                   / (count(*) - 1) / 86400000000.0, 6) END AS mean_gap_days,
-           round((epoch_us(TIMESTAMP '2024-03-01') - epoch_us(max(valid_from)))
-                 / 86400000000.0, 6) AS age_days
-    FROM contribs GROUP BY osm_id ORDER BY osm_id
-    """
-)
-
-
-@_register("contrib_currentness", _CURRENTNESS_ORACLE)
-def contrib_currentness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-element edit cadence — the ohsome 'currentness' analytic: edit
-    count, first/last edit, distinct active days, mean inter-edit gap, and
-    age at a reference date. One map-side-combinable groupBy on the
-    element id over the staged contributions table (produce-then-query);
-    every aggregate is algebraic, so partial aggregation does almost all
-    the work before the single exchange."""
-    contribs = _node_contribs_table(spark, sf_dir)
-    ref_us = F.unix_micros(F.lit("2024-03-01").cast("timestamp"))
-    day_us = 86400000000.0
-    agg = contribs.groupBy("osm_id").agg(
-        F.count(F.lit(1)).alias("n_edits"),
-        F.min("valid_from").alias("first_edit"),
-        F.max("valid_from").alias("last_edit"),
-        F.countDistinct(F.to_date("valid_from")).alias("active_days"),
-    )
-    gap = F.round(
-        (F.unix_micros("last_edit") - F.unix_micros("first_edit"))
-        / (F.col("n_edits") - 1)
-        / day_us,
-        6,
-    )
-    return agg.select(
-        "osm_id",
-        "n_edits",
-        "first_edit",
-        "last_edit",
-        "active_days",
-        F.when(F.col("n_edits") > 1, gap).alias("mean_gap_days"),
-        F.round((ref_us - F.unix_micros("last_edit")) / day_us, 6).alias("age_days"),
-    ).orderBy("osm_id")
-
-
-@_register("snapshot_series", _SNAPSHOT_SERIES_ORACLE)
-def snapshot_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The snapshot contract extended to a TIME SERIES — live-element
-    count and mean edit depth at weekly instants, the 'OSM growth chart'
-    every ohsome dashboard opens with. The snapshot list is generated,
-    broadcast, and interval-joined against the validity windows; at
-    planet scale the snapshot side stays tiny so the join never
-    shuffles the contributions. Reads the staged contributions table
-    (produce-then-query)."""
-    contribs = _node_contribs_table(spark, sf_dir)
-    snaps = spark.range(1).select(
-        F.explode(
-            F.expr(
-                "sequence(to_timestamp('2024-01-04'), "
-                "to_timestamp('2024-02-01'), interval 7 days)"
-            )
-        ).alias("snap_ts")
-    )
-    return (
-        contribs.filter(F.col("status") != "deleted")
-        .join(
-            F.broadcast(snaps),
-            (F.col("valid_from") <= F.col("snap_ts"))
-            & (F.col("snap_ts") < F.col("valid_to")),
-        )
-        .groupBy("snap_ts")
-        .agg(
-            F.count(F.lit(1)).alias("n_live"),
-            F.round(F.avg("osm_edits"), 6).alias("avg_edits"),
-        )
-        .orderBy("snap_ts")
-    )
-
-
-def _ohsome_count_series_oracle() -> str:
-    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
-    cases = " || ".join(
-        f"CASE WHEN lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r} "
-        f"THEN ['{fid}'] ELSE [] END"
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    )
-    return (
-        _CONTRIB_ORACLE[:cut]
-        + f"""
-    SELECT country, snap_ts,
-           CAST(count(*) AS BIGINT) AS n_live,
-           round(avg(osm_edits), 6) AS avg_edits
-    FROM (
-      SELECT unnest({cases}) AS country, s.snap_ts, osm_edits
-      FROM (SELECT (eff).lon AS lon, (eff).lat AS lat, osm_edits,
-                   ts AS valid_from,
-                   coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to
-            FROM final
-            WHERE visible AND eff IS NOT NULL
-              AND tagv IN ('click', 'view')) c
-      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
-                                          TIMESTAMP '2024-02-01',
-                                          INTERVAL 7 DAY)) AS snap_ts) s
-        ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
-    )
-    GROUP BY country, snap_ts
-    ORDER BY country, snap_ts
-    """
-    )
-
-
-@_register("ohsome_count_series", _ohsome_count_series_oracle())
-def ohsome_count_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ohsome API's headline endpoint shape — /elements/count grouped
-    by boundary AND snapshot time under a filter — composed end-to-end
-    from this engine's pieces: the staged contributions table, the ohsome
-    filter DSL (``t in (click, view)`` compiled by
-    ``functions/ohsome_filter.py``), broadcast country tagging on the
-    centroid, and a broadcast interval join against weekly snapshot
-    instants. Scale shape: the contributions side never shuffles — filter
-    and country tagging are map-side, the snapshot list is tiny and
-    broadcast, and the only exchange is the final (country, snap_ts)
-    aggregation."""
-    from ..functions.ohsome_filter import compile_filter
-    from ..operators.spatial import join_countries, rect_feature
-
-    contribs = _node_contribs_table(spark, sf_dir)
-    live = contribs.filter(F.col("status").isin("history", "latest")).filter(
-        compile_filter("t in (click, view)")
-    )
-    feats = [
-        rect_feature(fid, x0, y0, x1, y1)
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    ]
-    pts = live.select(
-        "valid_from",
-        "valid_to",
-        "osm_edits",
-        F.col("centroid.x").alias("lon"),
-        F.col("centroid.y").alias("lat"),
-    )
-    tagged = join_countries(pts, feats).select(
-        F.explode("countries").alias("country"),
-        "valid_from",
-        "valid_to",
-        "osm_edits",
-    )
-    snaps = spark.range(1).select(
-        F.explode(
-            F.expr(
-                "sequence(to_timestamp('2024-01-04'), "
-                "to_timestamp('2024-02-01'), interval 7 days)"
-            )
-        ).alias("snap_ts")
-    )
-    return (
-        tagged.join(
-            F.broadcast(snaps),
-            (F.col("valid_from") <= F.col("snap_ts"))
-            & (F.col("snap_ts") < F.col("valid_to")),
-        )
-        .groupBy("country", "snap_ts")
-        .agg(
-            F.count(F.lit(1)).alias("n_live"),
-            F.round(F.avg("osm_edits"), 6).alias("avg_edits"),
-        )
-        .orderBy("country", "snap_ts")
-    )
-
-
-def _tag_stats_oracle() -> str:
-    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
-    return (
-        _CONTRIB_ORACLE[:cut]
-        + """
-    SELECT 't' AS tag_key, tagv AS tag_value,
-           CAST(count(*) AS BIGINT) AS n_contribs,
-           CAST(count(DISTINCT osm_id) AS BIGINT) AS n_elements
-    FROM final WHERE visible
-    GROUP BY tagv
-    ORDER BY tag_value
-    """
-    )
-
-
-@_register("tag_key_stats", _tag_stats_oracle())
-def tag_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """taginfo-style tag statistics over the contribution stream: explode
-    the tags map of every visible contribution, count contributions and
-    distinct elements per (key, value). Map-explode + two-phase distinct
-    agg — the shape that serves planet-wide tag analytics. Reads the
-    staged contributions table (produce-then-query)."""
-    contribs = _node_contribs_table(spark, sf_dir)
-    return (
-        contribs.filter(F.col("status") != "deleted")
-        .select("osm_id", F.explode("tags").alias("tag_key", "tag_value"))
-        .groupBy("tag_key", "tag_value")
-        .agg(
-            F.count(F.lit(1)).alias("n_contribs"),
-            F.countDistinct("osm_id").alias("n_elements"),
-        )
-        .orderBy("tag_value")
-    )
-
-
-# ===========================================================================
-# embedding-space training ops: ANN quality eval + reproducible k-means
-# ===========================================================================
-
-
-def _kmeans_cte_chain(
-    every: int = 64,
-    iters: int = 2,
-    dim: int = 64,
-    scale: int = 1_000_000,
-    prefix: str = "",
-) -> str:
-    """The WITH-chain of the reproducible k-means replay, ending in CTE
-    ``{prefix}c{iters}`` = (cid, cv DOUBLE[]); shared by the centroid
-    oracle, the k-means-trained IVF oracle, and (prefixed, so its CTE
-    names don't collide with the PQ chain's) the residual-PQ oracle."""
-    p = prefix
-    dist = (
-        "round(list_sum(list_transform(range(1, {d}), "
-        "i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))), 6)"
-    ).format(d=dim + 1)
-    parts = [
-        f"""
-    WITH {p}v AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), {p}c0 AS (
-      SELECT vec_id AS cid, v AS cv FROM {p}v WHERE vec_id % {every} = 0
-    )"""
-    ]
-    prev = f"{p}c0"
-    for it in range(1, iters + 1):
-        parts.append(f"""
-    , {p}d{it} AS (
-      SELECT v.vec_id, c.cid, {dist} AS d
-      FROM {p}v v, {prev} c
-    ), {p}a{it} AS (
-      SELECT d.vec_id, min(d.cid) AS cid
-      FROM {p}d{it} d
-        JOIN (SELECT vec_id, min(d) AS md FROM {p}d{it} GROUP BY vec_id) m
-          ON m.vec_id = d.vec_id AND d.d = m.md
-      GROUP BY d.vec_id
-    ), {p}u{it} AS (
-      SELECT a.cid, t.i AS pos,
-             sum(CAST(round(v.v[t.i] * {scale}) AS BIGINT)) AS s,
-             CAST(count(*) AS BIGINT) AS n
-      FROM {p}a{it} a JOIN {p}v v ON v.vec_id = a.vec_id, range(1, {dim + 1}) t(i)
-      GROUP BY a.cid, t.i
-    ), {p}c{it} AS (
-      SELECT cid, list((s / n) / {scale}.0 ORDER BY pos) AS cv FROM {p}u{it} GROUP BY cid
-    )""")
-        prev = f"{p}c{it}"
-    return "".join(parts)
-
-
-def _kmeans_oracle(every: int = 64, iters: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
-    return _kmeans_cte_chain(every, iters, dim, scale) + f"""
-    SELECT cid, CAST(pos AS INT) AS pos, n AS n_assigned,
-           round((s / n) / {scale}.0, 6) AS c_val
-    FROM u{iters}
-    ORDER BY cid, pos
-    """
-
-
-@_register("kmeans_centroids", _kmeans_oracle())
-def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two Lloyd k-means iterations over the embeddings (IVF training as
-    a first-class distributed operator): broadcast-centroid assignment
-    with rounded-distance deterministic ties, order-independent
-    fixed-point means (int64 quantized sums), lineage truncated per
-    round. The oracle replays both iterations CTE by CTE — possible only
-    because the means are summation-order independent."""
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    cents = kmeans_iterate(emb, every=64, iters=2)
-    return (
-        cents.select("cid", "n", F.posexplode("cv").alias("pos0", "val"))
-        .select(
-            "cid",
-            (F.col("pos0") + 1).cast("int").alias("pos"),
-            F.col("n").alias("n_assigned"),
-            F.round("val", 6).alias("c_val"),
-        )
-        .orderBy("cid", "pos")
-    )
-
-
-def _ann_ivf_kmeans_oracle() -> str:
-    cents_cte = _kmeans_cte_chain(every=64, iters=2) + """
-    , cents AS (SELECT cid, cv FROM c2)"""
-    return _ann_ivf_oracle(nprobe=4, k=5, cents_cte=cents_cte)
-
-
-@_register("ann_ivf_kmeans_topk", _ann_ivf_kmeans_oracle())
-def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The closed IVF training loop: k-means-trained centroids
-    (:func:`kmeans_iterate`, 2 Lloyd rounds, bit-reproducible) feed the
-    IVF index directly — train → build lists → probe in one plan. The
-    oracle replays the training CTE-for-CTE and then the probe, which is
-    only possible because the means are summation-order independent."""
-    from ..operators.similarity import ivf_topk
-
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    cents = _trained_centroids_table(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = ivf_topk(emb, queries, cents, k=5, nprobe=4)
-    return out.select(
-        "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
-    ).orderBy("query_id", "rank")
-
-
-def _pq_ctes(
-    m: int = 4,
-    dim: int = 64,
-    every: int = 64,
-    scale: int = 1_000_000,
-    v_cte: str | None = None,
-) -> str:
-    """CTE chain replaying PQ training + encoding: per-subspace slice →
-    reproducible 1-round k-means (same int64-quantized means as
-    ``_kmeans_cte_chain``) → codebook union ``cb`` → sub-vector union
-    ``sv`` → argmin codes ``codes``.
-
-    ``v_cte``: optional replacement for the opening WITH chain; it must
-    end by defining CTE ``v`` = (vec_id, v DOUBLE[]) — the residual-PQ
-    oracle substitutes residuals against the coarse quantizer here and
-    the rest of the chain (training, encoding) replays unchanged.
-    """
-    ds = dim // m
-    dist = (
-        f"round(list_sum(list_transform(range(1, {ds + 1}), "
-        "i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))), 6)"
-    )
-    parts = [
-        v_cte
-        if v_cte is not None
-        else """
-    WITH v AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    )"""
-    ]
-    for s in range(m):
-        lo, hi = s * ds + 1, (s + 1) * ds
-        parts.append(f"""
-    , s{s}v AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM v)
-    , s{s}c0 AS (SELECT vec_id AS cid, v AS cv FROM s{s}v WHERE vec_id % {every} = 0)
-    , s{s}d AS (SELECT v.vec_id, c.cid, {dist} AS d FROM s{s}v v, s{s}c0 c)
-    , s{s}a AS (
-        SELECT d.vec_id, min(d.cid) AS cid FROM s{s}d d
-        JOIN (SELECT vec_id, min(d) AS md FROM s{s}d GROUP BY vec_id) mm
-          ON mm.vec_id = d.vec_id AND d.d = mm.md
-        GROUP BY d.vec_id)
-    , s{s}u AS (
-        SELECT a.cid, t.i AS pos,
-               sum(CAST(round(v.v[t.i] * {scale}) AS BIGINT)) AS s,
-               CAST(count(*) AS BIGINT) AS n
-        FROM s{s}a a JOIN s{s}v v ON v.vec_id = a.vec_id, range(1, {ds + 1}) t(i)
-        GROUP BY a.cid, t.i)
-    , s{s}c1 AS (SELECT cid, list((s / n) / {scale}.0 ORDER BY pos) AS cv FROM s{s}u GROUP BY cid)""")
-    cb_union = "\n      UNION ALL ".join(
-        f"SELECT {s} AS sub, cid, cv FROM s{s}c1" for s in range(m)
-    )
-    sv_union = "\n      UNION ALL ".join(
-        f"SELECT vec_id, {s} AS sub, v FROM s{s}v" for s in range(m)
-    )
-    parts.append(f"""
-    , cb AS ({cb_union})
-    , sv AS ({sv_union})
-    , enc AS (
-        SELECT sv.vec_id, sv.sub, cb.cid,
-               round(list_sum(list_transform(range(1, {ds + 1}),
-                 i -> (sv.v[i] - cb.cv[i]) * (sv.v[i] - cb.cv[i]))), 6) AS d
-        FROM sv JOIN cb ON cb.sub = sv.sub)
-    , codes AS (
-        SELECT e.vec_id, e.sub, min(e.cid) AS code, min(e.d) AS sub_dist
-        FROM enc e JOIN (SELECT vec_id, sub, min(d) AS md FROM enc GROUP BY vec_id, sub) b
-          ON b.vec_id = e.vec_id AND b.sub = e.sub AND e.d = b.md
-        GROUP BY e.vec_id, e.sub)""")
-    return "".join(parts)
-
-
-def _pq_codes_oracle() -> str:
-    return f"""
-    {_pq_ctes()}
-    SELECT vec_id, CAST(sub AS INT) AS sub, code, sub_dist
-    FROM codes ORDER BY vec_id, sub
-    """
-
-
-@_register("pq_codes", _pq_codes_oracle())
-def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization encode: per-subspace reproducible k-means
-    codebooks (train) + broadcast argmin code assignment (encode). PQ is
-    the memory-bound ANN scale path — a 100 TB embedding corpus's index
-    becomes m bytes/vector. The oracle replays training AND encoding
-    CTE-for-CTE, possible because the codebook means are
-    summation-order-independent."""
-    from ..operators.similarity import pq_codebooks, pq_encode
-
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    cb = pq_codebooks(emb, m=4, dim=64, every=64, iters=1)
-    return (
-        pq_encode(emb, cb, m=4, dim=64)
-        .select("vec_id", F.col("sub").cast("int").alias("sub"), "code", "sub_dist")
-        .orderBy("vec_id", "sub")
-    )
-
-
-def _pq_adc_oracle(qevery: int = 25, k: int = 5, ds: int = 16) -> str:
-    return f"""
-    {_pq_ctes()}
-    , q AS (SELECT vec_id AS qid, sub, v AS qv FROM sv WHERE vec_id % {qevery} = 0)
-    , lut AS (
-        SELECT q.qid, q.sub, cb.cid,
-               round(list_sum(list_transform(range(1, {ds + 1}),
-                 i -> (q.qv[i] - cb.cv[i]) * (q.qv[i] - cb.cv[i]))), 6) AS ld
-        FROM q JOIN cb ON cb.sub = q.sub)
-    , scored AS (
-        SELECT l.qid, c.vec_id, round(sum(l.ld), 6) AS adc_dist
-        FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.code AND c.vec_id <> l.qid
-        GROUP BY l.qid, c.vec_id)
-    , ranked AS (
-        SELECT qid AS query_id, vec_id, adc_dist,
-               row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
-        FROM scored)
-    SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
-    FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
-    """
-
-
-@_register("pq_adc_topk", _pq_adc_oracle())
-def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric-distance PQ search: per-query LUT against the trained
-    codebooks, corpus scanned as codes only (never raw vectors), per-query
-    top-k. With :func:`pq_codes` this closes the PQ loop —
-    train → encode → search — all oracle-replayed."""
-    from ..operators.similarity import pq_adc_topk
-
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    cb = _pq_codebook_table(spark, sf_dir)
-    codes = _pq_codes_table(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = pq_adc_topk(codes, cb, queries, k=5, m=4, dim=64)
-    return out.select(
-        "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "adc_dist"
-    ).orderBy("query_id", "rank")
-
-
-def _ivfpq_oracle(
-    cevery: int = 64, qevery: int = 25, nprobe: int = 2, k: int = 5,
-    m: int = 4, dim: int = 64, qwhere: str | None = None,
-) -> str:
-    qpred = qwhere or f"vec_id % {qevery} = 0"
-    ds = dim // m
-    l2 = (
-        "round(list_sum(list_transform(range(1, {n}), "
-        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
-    )
-    return f"""
-    {_pq_ctes(m=m, dim=dim)}
-    , coarse AS (SELECT vec_id AS ccid, v AS ccv FROM v WHERE vec_id % {cevery} = 0)
-    , vd AS (SELECT v.vec_id, c.ccid,
-                    {l2.format(n=dim + 1, a="v.v", b="c.ccv")} AS d
-             FROM v, coarse c)
-    , vass AS (
-        SELECT vd.vec_id, min(vd.ccid) AS list
-        FROM vd JOIN (SELECT vec_id, min(d) AS md FROM vd GROUP BY vec_id) t
-          ON t.vec_id = vd.vec_id AND vd.d = t.md
-        GROUP BY vd.vec_id)
-    , q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE {qpred})
-    , qd AS (SELECT q.qid, c.ccid,
-                    {l2.format(n=dim + 1, a="q.qv", b="c.ccv")} AS d
-             FROM q, coarse c)
-    , probes AS (
-        SELECT qid, ccid AS list FROM (
-          SELECT qid, ccid, row_number() OVER (PARTITION BY qid ORDER BY d, ccid) AS rn
-          FROM qd) WHERE rn <= {nprobe})
-    , qs AS (SELECT vec_id AS qid, sub, v AS qv FROM sv WHERE {qpred})
-    , lut AS (
-        SELECT qs.qid, qs.sub, cb.cid,
-               {l2.format(n=ds + 1, a="qs.qv", b="cb.cv")} AS ld
-        FROM qs JOIN cb ON cb.sub = qs.sub)
-    , cand AS (
-        SELECT p.qid, a.vec_id
-        FROM vass a JOIN probes p ON a.list = p.list AND a.vec_id <> p.qid)
-    , scored AS (
-        SELECT ca.qid, ca.vec_id, round(sum(l.ld), 6) AS adc_dist
-        FROM cand ca
-        JOIN codes c ON c.vec_id = ca.vec_id
-        JOIN lut l ON l.qid = ca.qid AND l.sub = c.sub AND l.cid = c.code
-        GROUP BY ca.qid, ca.vec_id)
-    , ranked AS (
-        SELECT qid AS query_id, vec_id, adc_dist,
-               row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
-        FROM scored)
-    SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
-    FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
-    """
-
-
-@_register("ann_ivfpq_topk", _ivfpq_oracle())
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ (FAISS-IVFADC shape): coarse inverted lists bound the
-    candidate set, ADC over PQ codes ranks it. The full billion-scale ANN
-    composition — coarse quantizer, per-subspace codebooks, code matrix,
-    probe tables — each stage oracle-replayed."""
-    from ..operators.similarity import centroids_df, ivfpq_topk
-
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    coarse = centroids_df(emb, every=64)
-    cb = _pq_codebook_table(spark, sf_dir)
-    codes = _pq_codes_table(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = ivfpq_topk(emb, queries, coarse, codes, cb, k=5, nprobe=2, m=4, dim=64)
-    return out.select(
-        "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "adc_dist"
-    ).orderBy("query_id", "rank")
-
-
-def _residual_v_cte(cevery: int = 64, citers: int = 2, dim: int = 64) -> str:
-    """Opening WITH chain for the residual-PQ oracle: replays the
-    k-means-TRAINED coarse quantizer (``_kmeans_cte_chain``, prefixed so
-    its CTE names don't collide with the PQ chain's), assigns every vector
-    to its coarse list, and defines CTE ``v`` as the residual
-    x − coarse_centroid — the rest of :func:`_pq_ctes` replays PQ
-    training/encoding over it unchanged.
-
-    The coarse quantizer MUST be trained for residual encoding to pay
-    off: against sampled raw-vector "centroids" the residual of a
-    near-isotropic embedding has MORE energy than the vector (measured
-    1.46× on the sf0.1 synthetic table — in 64-dim a random data point
-    is nearly orthogonal to everything), while two Lloyd rounds pull
-    mean residual energy to 0.90×.
-    """
-    l2 = (
-        f"round(list_sum(list_transform(range(1, {dim + 1}), "
-        "i -> (v0.v[i] - c.ccv[i]) * (v0.v[i] - c.ccv[i]))), 6)"
-    )
-    return _kmeans_cte_chain(every=cevery, iters=citers, dim=dim, prefix="k") + f"""
-    , rcoarse AS (
-      SELECT cid AS ccid, cv AS ccv FROM kc{citers}
-    ), v0 AS (
-      SELECT vec_id, v FROM kv
-    ), rvd AS (
-      SELECT v0.vec_id, c.ccid, {l2} AS d FROM v0, rcoarse c
-    ), rvass AS (
-      SELECT d.vec_id, min(d.ccid) AS list
-      FROM rvd d JOIN (SELECT vec_id, min(d) AS md FROM rvd GROUP BY vec_id) t
-        ON t.vec_id = d.vec_id AND d.d = t.md
-      GROUP BY d.vec_id
-    ), v AS (
-      SELECT v0.vec_id,
-             list_transform(range(1, {dim + 1}), i -> v0.v[i] - c.ccv[i]) AS v
-      FROM v0 JOIN rvass a ON a.vec_id = v0.vec_id
-              JOIN rcoarse c ON c.ccid = a.list
-    )"""
-
-
-def _ivfpq_residual_oracle(
-    cevery: int = 64, qevery: int = 25, nprobe: int = 2, k: int = 5,
-    m: int = 4, dim: int = 64, every: int = 64, qwhere: str | None = None,
-) -> str:
-    qpred = qwhere or f"vec_id % {qevery} = 0"
-    ds = dim // m
-    l2 = (
-        "round(list_sum(list_transform(range(1, {n}), "
-        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
-    )
-    qrs_union = "\n      UNION ALL ".join(
-        f"SELECT qid, list, {s} AS sub, qv[{s * ds + 1}:{(s + 1) * ds}] AS qv"
-        " FROM qres"
-        for s in range(m)
-    )
-    return f"""
-    {_pq_ctes(m=m, dim=dim, every=every, v_cte=_residual_v_cte(cevery, dim=dim))}
-    , q AS (SELECT vec_id AS qid, v AS qv FROM v0 WHERE {qpred})
-    , qd AS (SELECT q.qid, c.ccid,
-                    {l2.format(n=dim + 1, a="q.qv", b="c.ccv")} AS d
-             FROM q, rcoarse c)
-    , probes AS (
-        SELECT qid, ccid AS list FROM (
-          SELECT qid, ccid, row_number() OVER (PARTITION BY qid ORDER BY d, ccid) AS rn
-          FROM qd) WHERE rn <= {nprobe})
-    , qres AS (
-        SELECT p.qid, p.list,
-               list_transform(range(1, {dim + 1}), i -> q.qv[i] - c.ccv[i]) AS qv
-        FROM probes p JOIN q ON q.qid = p.qid
-                      JOIN rcoarse c ON c.ccid = p.list)
-    , qrs AS ({qrs_union})
-    , lut AS (
-        SELECT qrs.qid, qrs.list, qrs.sub, cb.cid,
-               {l2.format(n=ds + 1, a="qrs.qv", b="cb.cv")} AS ld
-        FROM qrs JOIN cb ON cb.sub = qrs.sub)
-    , cand AS (
-        SELECT p.qid, p.list, a.vec_id
-        FROM rvass a JOIN probes p ON a.list = p.list AND a.vec_id <> p.qid)
-    , scored AS (
-        SELECT ca.qid, ca.vec_id, round(sum(l.ld), 6) AS adc_dist
-        FROM cand ca
-        JOIN codes c ON c.vec_id = ca.vec_id
-        JOIN lut l ON l.qid = ca.qid AND l.list = ca.list
-                  AND l.sub = c.sub AND l.cid = c.code
-        GROUP BY ca.qid, ca.vec_id)
-    , ranked AS (
-        SELECT qid AS query_id, vec_id, adc_dist,
-               row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
-        FROM scored)
-    SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
-    FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
-    """
-
-
-def _materialize_ctes(sql: str, names: list[str]) -> str:
-    """Pin the named CTEs as MATERIALIZED. DuckDB inlines CTEs by
-    default; here the residual CTE ``v`` is itself a multi-stage chain
-    and is referenced once per subspace per training stage, so inlining
-    re-evaluates the whole residual derivation ~20× over — 229 s at
-    sf0.01, 0.2 s materialized (measured). Results are identical; this
-    is purely an oracle-side planning hint."""
-    for name in names:
-        sql = sql.replace(f" {name} AS (", f" {name} AS MATERIALIZED (")
-    return sql
-
-
-def _ivfpq_residual_oracle_fast(**kw) -> str:
-    return _materialize_ctes(
-        _ivfpq_residual_oracle(**kw),
-        ["kv", "kc2", "rvass", "v0", "v", "cb", "sv", "codes", "qres"],
-    )
-
-
-@_register("ann_ivfpq_residual_topk", _ivfpq_residual_oracle_fast())
-def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Residual-encoded IVF-PQ (FAISS IVFADC's ``by_residual`` default,
-    round-6 verdict item #5): PQ codebooks/codes quantize
-    x − coarse_centroid(x), and the ADC LUT is built per (query, probed
-    list) from the query's residual. Same index budget as
-    ``ann_ivfpq_topk`` (m code bytes/vector), materially better recall —
-    graded against the raw-vector variant inside ``ann_recall_eval``.
-    Reads the staged residual codebook/code tables (stored-index
-    contract); training/encoding/search all oracle-replayed."""
-    from ..operators.similarity import ivfpq_residual_topk
-
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    coarse = _trained_centroids_table(spark, sf_dir)
-    cb = _pq_residual_codebook_table(spark, sf_dir)
-    codes = _pq_residual_codes_table(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = ivfpq_residual_topk(
-        codes, cb, coarse, queries, k=5, nprobe=2, m=4, dim=64
-    )
-    return out.select(
-        "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "adc_dist"
-    ).orderBy("query_id", "rank")
-
-
-def _ann_recall_oracle() -> str:
-    exact = _ANN_COSINE_ORACLE.replace("ORDER BY query_id, rank", "")
-    lsh = _ann_lsh_oracle().replace("ORDER BY query_id, rank", "")
-    ivf = _ann_ivf_oracle().replace("ORDER BY query_id, rank", "")
-    ivfpq = _ivfpq_oracle(qwhere="vec_id < 5").replace(
-        "ORDER BY query_id, rank", ""
-    )
-    ivfpq_res = _ivfpq_residual_oracle_fast(qwhere="vec_id < 5").replace(
-        "ORDER BY query_id, rank", ""
-    )
-    return f"""
-    WITH exact AS (SELECT query_id, vec_id FROM ({exact})),
-         approx AS (
-           SELECT 'lsh' AS method, query_id, vec_id FROM ({lsh})
-           UNION ALL
-           SELECT 'ivf' AS method, query_id, vec_id FROM ({ivf})
-           UNION ALL
-           SELECT 'ivfpq' AS method, query_id, vec_id FROM ({ivfpq})
-           UNION ALL
-           SELECT 'ivfpq_res' AS method, query_id, vec_id FROM ({ivfpq_res})
-         ),
-         em AS (
-           SELECT m.method, e.query_id, e.vec_id
-           FROM exact e CROSS JOIN (VALUES ('lsh'), ('ivf'), ('ivfpq'),
-                                           ('ivfpq_res')) m(method)
-         )
-    SELECT em.query_id, em.method,
-           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
-           round(count(a.vec_id) / 5.0, 6) AS recall_at_5
-    FROM em
-      LEFT JOIN approx a ON a.method = em.method
-        AND a.query_id = em.query_id AND a.vec_id = em.vec_id
-    GROUP BY em.query_id, em.method
-    ORDER BY em.query_id, em.method
-    """
-
-
-@_register("ann_recall_eval", _ann_recall_oracle())
-def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality evaluation — recall@5 of each approximate path (LSH
-    buckets, IVF lists, IVF-PQ codes) against the exact brute-force
-    ground truth, per query and method. The eval harness every production
-    ANN deployment needs before trading recall for latency; all sides
-    reuse the engine's own operators. Note the metric asymmetry the eval
-    deliberately surfaces: LSH/IVF rank by cosine, IVF-PQ by quantized
-    L2 — on unnormalized embeddings its recall includes that
-    metric-mismatch cost, exactly what an operator needs to see."""
-    from ..operators.similarity import (
-        centroids_df,
-        ivf_topk,
-        ivfpq_residual_topk,
-        ivfpq_topk,
-    )
-
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    exact = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
-    lsh = lsh_bucket_topk(emb, queries, dim=64, k=5, nbits=8)
-    ivf = ivf_topk(emb, queries, centroids_df(emb, every=25), k=5, nprobe=4)
-    ivfpq = ivfpq_topk(
-        emb,
-        queries,
-        centroids_df(emb, every=64),
-        _pq_codes_table(spark, sf_dir),
-        _pq_codebook_table(spark, sf_dir),
-        k=5,
-        nprobe=2,
-        m=4,
-        dim=64,
-    )
-    ivfpq_res = ivfpq_residual_topk(
-        _pq_residual_codes_table(spark, sf_dir),
-        _pq_residual_codebook_table(spark, sf_dir),
-        _trained_centroids_table(spark, sf_dir),
-        queries,
-        k=5,
-        nprobe=2,
-        m=4,
-        dim=64,
-    )
-    approx = (
-        lsh.select(F.lit("lsh").alias("method"), "query_id", "vec_id")
-        .unionByName(ivf.select(F.lit("ivf").alias("method"), "query_id", "vec_id"))
-        .unionByName(
-            ivfpq.select(F.lit("ivfpq").alias("method"), "query_id", "vec_id")
-        )
-        .unionByName(
-            ivfpq_res.select(
-                F.lit("ivfpq_res").alias("method"), "query_id", "vec_id"
-            )
-        )
-        .withColumn("_hit", F.lit(1))
-    )
-    methods = spark.createDataFrame(
-        [("lsh",), ("ivf",), ("ivfpq",), ("ivfpq_res",)], "method string"
-    )
-    return (
-        exact.crossJoin(F.broadcast(methods))
-        .join(approx, ["method", "query_id", "vec_id"], "left")
-        .groupBy("query_id", "method")
-        .agg(
-            F.count("_hit").alias("n_hit"),
-            F.round(F.count("_hit") / 5.0, 6).alias("recall_at_5"),
-        )
-        .orderBy("query_id", "method")
-    )
-
-
-
-# ===========================================================================
-# training-data curation: deterministic splits, TF-IDF, semantic dedup
-# ===========================================================================
-
-
-@_register(
-    "dataset_split",
-    f"""
-    WITH b AS (
-      SELECT doc_id, lang, n_chars,
-             {hash60_sql("doc_id::VARCHAR || ':split'")} % 100 AS bucket
-      FROM documents
-    )
-    SELECT CASE WHEN bucket < 80 THEN 'train'
-                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-           lang,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(n_chars), 6)   AS avg_chars
-    FROM b GROUP BY 1, 2 ORDER BY split, lang
-    """,
-)
-def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test split (80/10/10) — the reproducible
-    alternative to random splits for training-data curation: a 60-bit
-    content hash of the stable id buckets every row, so any engine at any
-    scale reproduces the identical membership. Pure map-side bucketing +
-    one small aggregation; no RNG state, no shuffle of the documents."""
-    docs = _t(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
-        F.lit(100),
-    )
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    return (
-        docs.select(split.alias("split"), "lang", "n_chars")
-        .groupBy("split", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
-        )
-        .orderBy("split", "lang")
-    )
-
-
-@_register(
-    "tfidf_top_terms",
-    r"""
-    WITH tok AS (
-      SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
-                                x -> x <> '')) AS token
-      FROM documents
-    ), tf AS (
-      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-      FROM tok GROUP BY doc_id, token
-    ), df AS (
-      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
-    ), n AS (
-      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents
-    ), scored AS (
-      SELECT tf.doc_id, tf.token,
-             round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
-      FROM tf JOIN df ON df.token = tf.token, n
-    )
-    SELECT doc_id, token, tfidf, CAST(rank AS INT) AS rank
-    FROM (SELECT *, row_number() OVER (
-            PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
-          FROM scored)
-    WHERE rank <= 3 ORDER BY doc_id, rank
-    """,
-)
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document top-3 TF-IDF terms (keyword extraction / relevance
-    features). Scale shape: ONE tokenize pass — tf is a (doc, token)
-    aggregation, df a count window over tf's token partition (no second
-    aggregation over the raw token stream, no idf rejoin), then the
-    per-doc top-k window. Three shuffles over tf-sized data total; the
-    corpus-wide N is a broadcast scalar."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    tok = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    n = docs.agg(F.countDistinct("doc_id").alias("n"))
-    scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("token")))
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "token",
-            F.round(
-                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
-            ).alias("tfidf"),
-        )
-    )
-    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 3)
-        .orderBy("doc_id", "rank")
-    )
-
-
-def _semantic_dedup_oracle(threshold: float = 0.3) -> str:
-    cos = (
-        "round(list_dot_product(x.v, y.v)"
-        " / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)"
-    )
-    dist = (
-        "round(list_sum(list_transform(range(1, 65), "
-        "i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))), 6)"
-    )
-    return _kmeans_cte_chain(every=64, iters=2) + f"""
-    , d3 AS (
-      SELECT v.vec_id, c.cid, {dist} AS d FROM v, c2 c
-    ), a3 AS (
-      SELECT d.vec_id, min(d.cid) AS cid
-      FROM d3 d
-        JOIN (SELECT vec_id, min(d) AS md FROM d3 GROUP BY vec_id) m
-          ON m.vec_id = d.vec_id AND d.d = m.md
-      GROUP BY d.vec_id
-    ), dup AS (
-      SELECT DISTINCT a.vec_id
-      FROM a3 a JOIN a3 b ON a.cid = b.cid AND b.vec_id < a.vec_id
-        JOIN v x ON x.vec_id = a.vec_id
-        JOIN v y ON y.vec_id = b.vec_id
-      WHERE {cos} >= {threshold!r}
-    )
-    SELECT a3.vec_id, a3.cid, (dup.vec_id IS NULL) AS kept
-    FROM a3 LEFT JOIN dup ON dup.vec_id = a3.vec_id
-    ORDER BY a3.vec_id
-    """
-
-
-@_register("semantic_dedup", _semantic_dedup_oracle())
-def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-shaped semantic deduplication: k-means cluster the
-    embedding space (2 reproducible Lloyd rounds), then inside each
-    cluster drop any vector that has a lower-id neighbor with cosine ≥
-    0.3 — the keep-one-per-near-duplicate-set rule, but the candidate
-    pairs are confined to a cluster instead of all-pairs. Scale shape:
-    assignment is a broadcast E-step (one row per vector shuffles), the
-    pair join is an equi-join on the cluster id — the coarse quantizer
-    caps the pair blowup exactly like the IVF list join."""
-    from ..operators.similarity import assign_nearest, cosine_expr
-
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    cents = _trained_centroids_table(spark, sf_dir)
-    # the E-step output feeds both pair-join sides and the final keep list;
-    # persist it once (any real SemDeDup run materializes assignments)
-    from pyspark.storagelevel import StorageLevel
-
-    from ..session import register_cached
-
-    assigned = register_cached(
-        assign_nearest(emb, cents).persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
-    a = assigned.select(
-        F.col("vec_id"), F.col("cid"), F.col("embedding").alias("_va")
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("_vb_id"), F.col("cid"), F.col("embedding").alias("_vb")
-    )
-    cos = F.round(
-        cosine_expr(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")),
-        6,
-    )
-    dup_ids = (
-        a.join(b, "cid")
-        .filter(F.col("_vb_id") < F.col("vec_id"))
-        .filter(cos >= 0.3)
-        .select("vec_id")
-        .distinct()
-        .withColumn("_dup", F.lit(1))
-    )
-    return (
-        assigned.select("vec_id", "cid")
-        .join(dup_ids, "vec_id", "left")
-        .select("vec_id", "cid", F.col("_dup").isNull().alias("kept"))
-        .orderBy("vec_id")
-    )
-
-
-@_register(
-    "tagged_history_filter",
-    """
-    WITH h AS (
-      SELECT user_id AS osm_id, ts, event_id,
-             CASE WHEN event_type = 'error' AND value > 90 THEN event_type
-                  ELSE NULL END AS tagv
-      FROM events
-    ), keep AS (
-      SELECT osm_id FROM h GROUP BY osm_id HAVING count(tagv) > 0
-    )
-    SELECT h.osm_id,
-           CAST(count(*) AS BIGINT)    AS n_versions,
-           CAST(count(tagv) AS BIGINT) AS n_tagged
-    FROM h JOIN keep USING (osm_id)
-    GROUP BY h.osm_id ORDER BY h.osm_id
-    """,
-)
-def tagged_history_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 (hasNoTags OSH filter) as an oracle-checked query: histories
-    where EVERY version is untagged are dropped whole; any single tagged
-    version keeps the full history (``util/Utils.java:21-23``). The
-    window-max formulation shares the (osm_id) partitioning with the
-    synthesis windows — no self-join, no extra shuffle."""
-    from ..operators.contributions import filter_tagged_histories
-
-    ev = _t(spark, sf_dir, "events")
-    # 'tagged' is rare (≈10% of users have none), so the drop path really
-    # triggers — an always-true predicate would never exercise the filter
-    hist = ev.select(
-        F.col("user_id").alias("osm_id"),
-        "ts",
-        "event_id",
-        F.when(
-            (F.col("event_type") == "error") & (F.col("value") > 90),
-            F.create_map(F.lit("t"), F.col("event_type")),
-        )
-        .otherwise(F.create_map().cast("map<string,string>"))
-        .alias("tags"),
-    )
-    kept = filter_tagged_histories(hist)
-    return (
-        kept.groupBy("osm_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_versions"),
-            F.sum((F.size("tags") > 0).cast("bigint")).alias("n_tagged"),
-        )
-        .orderBy("osm_id")
-    )
-
-
-@_register(
-    "relation_tag_key_filter",
-    """
-    WITH h AS (
-      SELECT user_id AS osm_id, event_id,
-             (event_type = 'purchase' AND value > 95)
-               OR (event_type = 'error' AND value > 99) AS haskey
-      FROM events
-    ), keep AS (
-      SELECT osm_id FROM h GROUP BY osm_id
-      HAVING max(CAST(haskey AS INT)) > 0
-    )
-    SELECT h.osm_id,
-           CAST(count(*) AS BIGINT)                  AS n_versions,
-           CAST(sum(CAST(haskey AS INT)) AS BIGINT)  AS n_keyed
-    FROM h JOIN keep USING (osm_id)
-    GROUP BY h.osm_id ORDER BY h.osm_id
-    """,
-)
-def relation_tag_key_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 (``--filter-relation-tag-keys``) as an oracle-checked query: a
-    relation history survives only if ANY version carries ANY of the
-    listed tag keys (``util/Utils.java:25-32``). Tag maps here carry a
-    'type' or 'boundary' key on rare versions so the drop path triggers;
-    the filter is the same window-max shape as F1 (no self-join)."""
-    from ..operators.contributions import filter_relation_tag_keys
-
-    ev = _t(spark, sf_dir, "events")
-    hist = ev.select(
-        F.col("user_id").alias("osm_id"),
-        "event_id",
-        F.when(
-            (F.col("event_type") == "purchase") & (F.col("value") > 95),
-            F.create_map(F.lit("type"), F.lit("route")),
-        )
-        .when(
-            (F.col("event_type") == "error") & (F.col("value") > 99),
-            F.create_map(F.lit("boundary"), F.lit("administrative")),
-        )
-        .otherwise(F.create_map(F.lit("other"), F.col("event_type")))
-        .alias("tags"),
-    )
-    kept = filter_relation_tag_keys(hist, ["type", "boundary"])
-    has_key = F.exists(
-        F.map_keys("tags"), lambda k: k.isin("type", "boundary")
-    )
-    return (
-        kept.groupBy("osm_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_versions"),
-            F.sum(has_key.cast("bigint")).alias("n_keyed"),
-        )
-        .orderBy("osm_id")
-    )
-
-
-_OHSOME_FILTER = (
-    "(building=* or highway in (residential, primary))"
-    " and not oneway=yes and geometry:polygon and area:(10..5000)"
-    " or type:node and highway=*"
-)
-
-
-@_register(
-    "ohsome_filter_query",
-    """
-    WITH f AS (
-      SELECT event_id AS osm_id,
-             CASE event_id % 3 WHEN 0 THEN 'node' WHEN 1 THEN 'way'
-                  ELSE 'relation' END AS osm_type,
-             CASE WHEN event_id % 5 < 2 THEN
-               CASE event_id % 4 WHEN 0 THEN 'residential'
-                    WHEN 1 THEN 'primary' WHEN 2 THEN 'service'
-                    ELSE 'track' END END AS hw,
-             CASE WHEN event_id % 7 = 0 THEN
-               CASE WHEN event_id % 14 = 0 THEN 'residential'
-                    ELSE 'yes' END END AS bld,
-             CASE WHEN event_id % 11 = 0 THEN 'yes' END AS ow,
-             CASE WHEN event_id % 3 = 0 THEN 'Point'
-                  WHEN event_id % 3 = 1 THEN
-                    CASE WHEN event_id % 2 = 0 THEN 'LineString'
-                         ELSE 'Polygon' END
-                  ELSE
-                    CASE WHEN event_id % 2 = 0 THEN 'MultiPolygon'
-                         ELSE 'GeometryCollection' END
-             END AS geometry_type,
-             round(value * 100, 3) AS area
-      FROM events
-    )
-    SELECT osm_id, osm_type, geometry_type, area
-    FROM f
-    WHERE (bld IS NOT NULL OR hw IN ('residential', 'primary'))
-      AND NOT coalesce(ow = 'yes', false)
-      AND geometry_type IN ('Polygon', 'MultiPolygon')
-      AND area BETWEEN 10 AND 5000
-       OR osm_type = 'node' AND hw IS NOT NULL
-    ORDER BY osm_id
-    """,
-)
-def ohsome_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The public ohsome filter DSL end-to-end: a composite filter string
-    (tag wildcard/in-list, null-safe not, geometry class, area range,
-    type meta-filter, and/or precedence) is PARSED AND COMPILED by
-    ``functions/ohsome_filter.py`` into one native Catalyst predicate,
-    then run over an OSM-feature-shaped frame derived deterministically
-    from events. The oracle hand-translates the same predicate to SQL —
-    so it checks the parser+compiler, not just Spark's filter operator.
-    This is the query language the reference's output tables are consumed
-    with downstream (docs.ohsome.org filter parameter); the reference
-    itself ships no evaluator. Whole plan is JVM-side (plan-hygiene test
-    covers the registry): the DSL adds zero Python seams."""
-    from ..functions.ohsome_filter import compile_filter
-
-    ev = _t(spark, sf_dir, "events")
-    eid = F.col("event_id")
-    hw = F.when(
-        eid % 5 < 2,
-        F.element_at(
-            F.array(
-                F.lit("residential"), F.lit("primary"),
-                F.lit("service"), F.lit("track"),
-            ),
-            (eid % 4 + 1).cast("int"),
-        ),
-    )
-    bld = F.when(
-        eid % 7 == 0, F.when(eid % 14 == 0, "residential").otherwise("yes")
-    )
-    ow = F.when(eid % 11 == 0, "yes")
-    feats = ev.select(
-        eid.alias("osm_id"),
-        F.when(eid % 3 == 0, "node")
-        .when(eid % 3 == 1, "way")
-        .otherwise("relation")
-        .alias("osm_type"),
-        F.map_from_entries(
-            F.filter(
-                F.array(
-                    F.struct(F.lit("highway").alias("key"), hw.alias("value")),
-                    F.struct(F.lit("building").alias("key"), bld.alias("value")),
-                    F.struct(F.lit("oneway").alias("key"), ow.alias("value")),
-                ),
-                lambda e: e["value"].isNotNull(),
-            )
-        ).alias("tags"),
-        F.when(eid % 3 == 0, "Point")
-        .when(
-            eid % 3 == 1,
-            F.when(eid % 2 == 0, "LineString").otherwise("Polygon"),
-        )
-        .otherwise(
-            F.when(eid % 2 == 0, "MultiPolygon").otherwise(
-                "GeometryCollection"
-            )
-        )
-        .alias("geometry_type"),
-        F.round(F.col("value") * 100, 3).alias("area"),
-    )
-    return (
-        feats.filter(compile_filter(_OHSOME_FILTER))
-        .select("osm_id", "osm_type", "geometry_type", "area")
-        .orderBy("osm_id")
-    )
-
-
-def _dataset_bbox_oracle() -> str:
-    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
-    return (
-        _CONTRIB_ORACLE[:cut]
-        + """
-    SELECT round(min((eff).lon), 6) AS xmin, round(min((eff).lat), 6) AS ymin,
-           round(max((eff).lon), 6) AS xmax, round(max((eff).lat), 6) AS ymax,
-           CAST(count(*) AS BIGINT)  AS n_rows
-    FROM final WHERE visible
-    """
-    )
-
-
-@_register("contrib_dataset_bbox", _dataset_bbox_oracle())
-def contrib_dataset_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 (dataset summary stats) as an oracle-checked query: the
-    accumulated bbox + row count the GeoParquet sink stamps into the
-    ``geo`` footer metadata (``AvroGeoParquetWriter.java:122-133``),
-    computed the sink's way — one aggregation over the per-row bbox
-    struct of the staged contributions table (map-side combinable; at
-    100 TB this is a metadata-priced scan of four pruned columns)."""
-    contribs = _node_contribs_table(spark, sf_dir)
-    live = contribs.filter(F.col("status") != "deleted")
-    return live.agg(
-        F.round(F.min("bbox.xmin"), 6).alias("xmin"),
-        F.round(F.min("bbox.ymin"), 6).alias("ymin"),
-        F.round(F.max("bbox.xmax"), 6).alias("xmax"),
-        F.round(F.max("bbox.ymax"), 6).alias("ymax"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
-# ===========================================================================
-# training-data curation #2: repetition gates, PII scrubbing, corpus profiling
-# ===========================================================================
-
-_TOKS_CTE = r"""
-    WITH tok AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\W+'),
-                         x -> x <> '') AS toks
-      FROM documents
-    )
-"""
-
-
-@_register(
-    "gopher_repetition",
-    _TOKS_CTE
-    + """
-    , stats AS (
-      SELECT doc_id,
-             CAST(len(toks) AS INT) AS n_tokens,
-             round(CASE WHEN len(toks) = 0 THEN 0.0
-                        ELSE 1.0 - len(list_distinct(toks)) / len(toks) END,
-                   6) AS dup_token_frac
-      FROM tok
-    ), ng AS (
-      SELECT doc_id,
-             unnest(list_transform(
-               generate_series(1, greatest(len(toks) - 1, 0)),
-               i -> array_to_string(toks[i:i+1], ' '))) AS ngram
-      FROM tok
-    ), cnt AS (
-      SELECT doc_id, ngram, count(*) AS c FROM ng GROUP BY doc_id, ngram
-    ), top AS (
-      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_2gram_count
-      FROM cnt GROUP BY doc_id
-    )
-    SELECT s.doc_id, s.n_tokens, s.dup_token_frac,
-           coalesce(t.top_2gram_count, 0) AS top_2gram_count,
-           round(coalesce(t.top_2gram_count, 0)
-                 / greatest(s.n_tokens - 1, 1), 6) AS top_2gram_frac,
-           (s.dup_token_frac <= 0.7
-            AND coalesce(t.top_2gram_count, 0)
-                / greatest(s.n_tokens - 1, 1) <= 0.2) AS keep
-    FROM stats s LEFT JOIN top t USING (doc_id)
-    ORDER BY s.doc_id
-    """,
-)
-def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition gates (Rae et al. 2021 §A1.1): duplicate-token
-    fraction and top-2-gram coverage per document, plus the keep/drop
-    verdict. The per-document metrics are pure array expressions (codegen,
-    no shuffle); the top-n-gram is an explode → two-phase count keyed by
-    (doc_id, ngram) — at 100 TB that is one shuffle of n-gram counts (far
-    smaller than the corpus after map-side combine), and the doc-level join
-    back is AQE-broadcastable per partition of doc stats."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    t = F.col("text")
-    stats = docs.select(
-        "doc_id",
-        token_count_expr(t).alias("n_tokens"),
-        F.round(dup_token_fraction_expr(t), 6).alias("dup_token_frac"),
-    )
-    ng = docs.select("doc_id", F.explode(ngrams_expr(t, 2)).alias("ngram"))
-    top = (
-        ng.groupBy("doc_id", "ngram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_2gram_count"))
-    )
-    denom = F.greatest(F.col("n_tokens") - F.lit(1), F.lit(1))
-    frac = F.coalesce(F.col("top_2gram_count"), F.lit(0)) / denom
-    return (
-        stats.join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "dup_token_frac",
-            F.coalesce(F.col("top_2gram_count"), F.lit(0)).alias(
-                "top_2gram_count"
-            ),
-            F.round(frac, 6).alias("top_2gram_frac"),
-            ((F.col("dup_token_frac") <= 0.7) & (frac <= 0.2)).alias("keep"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-def _pii_oracle() -> str:
-    pats = {
-        "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-        "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
-        "phone": r"\b\d{3}-\d{4}\b",
-    }
-    derived = (
-        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
-        " || '@example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR)"
-        " || '.7 call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
-    )
-    red = "raw"
-    for pat, token in (
-        (pats["email"], "<EMAIL>"),
-        (pats["ip"], "<IP>"),
-        (pats["phone"], "<PHONE>"),
-    ):
-        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
-    return f"""
-    WITH d AS (
-      SELECT doc_id, {derived} AS raw FROM documents
-    ), r AS (
-      SELECT doc_id, raw, {red} AS redacted FROM d
-    )
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(raw, '{pats["email"]}')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(raw, '{pats["ip"]}')) AS INT)    AS n_ips,
-           CAST(len(regexp_extract_all(raw, '{pats["phone"]}')) AS INT) AS n_phones,
-           CAST(length(redacted) AS INT) AS redacted_len,
-           {hash60_sql("redacted")} AS redacted_h
-    FROM r ORDER BY doc_id
-    """
-
-
-@_register("pii_redaction", _pii_oracle())
-def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing pass: count and redact emails / IPv4s / phone suffixes
-    with placeholder tokens. The corpus is synthetic word-soup with no PII,
-    so the query first derives a PII-bearing column from doc_id (derivation
-    mirrored in the oracle, like the OSM histories derived from events) and
-    the redacted output is content-verified via its 60-bit hash. All
-    regexp work is JVM codegen on one scan — embarrassingly parallel, the
-    ideal 100 TB map-only shape."""
-    from ..functions.text import PII_PATTERNS
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    raw = F.concat(
-        F.col("text"),
-        F.lit(" contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com from 10.0."),
-        (F.col("doc_id") % 200).cast("string"),
-        F.lit(".7 call 555-01"),
-        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
-    )
-    d = docs.select("doc_id", raw.alias("raw"))
-    red = redact_pii_expr(F.col("raw"))
-    return d.select(
-        "doc_id",
-        pii_count_expr(F.col("raw"), PII_PATTERNS[0][0]).alias("n_emails"),
-        pii_count_expr(F.col("raw"), PII_PATTERNS[1][0]).alias("n_ips"),
-        pii_count_expr(F.col("raw"), PII_PATTERNS[2][0]).alias("n_phones"),
-        F.length(red).alias("redacted_len"),
-        hash60_expr(red).alias("redacted_h"),
-    ).orderBy("doc_id")
-
-
-@_register(
-    "source_quantiles",
-    """
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(n_chars), 6) AS avg_chars,
-           round(quantile_cont(n_chars, 0.5), 6)  AS chars_p50,
-           round(quantile_cont(n_chars, 0.9), 6)  AS chars_p90,
-           round(quantile_cont(n_chars, 0.99), 6) AS chars_p99
-    FROM documents GROUP BY source ORDER BY source
-    """,
-)
-def source_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus profiling: per-source document-length distribution (exact
-    interpolated p50/p90/p99 — Spark ``percentile`` and DuckDB
-    ``quantile_cont`` share linear interpolation, so values hash-match).
-    At 100 TB the exact percentile is a single shuffle on the source key
-    with per-partition partial state; swap in ``percentile_approx`` for a
-    fixed-size sketch when sources are huge — same plan shape."""
-    docs = _t(spark, sf_dir, "documents")
-    v = F.col("n_chars").cast("double")
-    return (
-        docs.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
-            F.round(F.percentile(v, F.lit(0.5)), 6).alias("chars_p50"),
-            F.round(F.percentile(v, F.lit(0.9)), 6).alias("chars_p90"),
-            F.round(F.percentile(v, F.lit(0.99)), 6).alias("chars_p99"),
-        )
-        .orderBy("source")
-    )
-
-
-def _decontamination_oracle() -> str:
-    # split bucket identical to dataset_split's
-    bucket = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
-    return rf"""
-    WITH b AS (
-      SELECT doc_id, text,
-             CASE WHEN {bucket} < 80 THEN 'train'
-                  WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
-      FROM documents
-    ), tok AS (
-      SELECT doc_id, split,
-             list_filter(regexp_split_to_array(lower(text), '\W+'),
-                         x -> x <> '') AS toks
-      FROM b WHERE split IN ('train', 'test')
-    ), sh AS (
-      SELECT doc_id, split,
-             unnest(list_distinct(list_transform(
-               generate_series(1, greatest(len(toks) - 4, 0)),
-               i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
-      FROM tok
-    ), train_sh AS (
-      SELECT DISTINCT shingle FROM sh WHERE split = 'train'
-    ), test_tot AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
-      FROM sh WHERE split = 'test' GROUP BY doc_id
-    ), hits AS (
-      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-      FROM sh s JOIN train_sh t USING (shingle)
-      WHERE s.split = 'test' GROUP BY s.doc_id
-    )
-    SELECT tt.doc_id, tt.n_shingles,
-           coalesce(h.n_overlap, 0) AS n_overlap,
-           round(coalesce(h.n_overlap, 0) / tt.n_shingles, 6)
-             AS contamination,
-           (coalesce(h.n_overlap, 0) / tt.n_shingles > 0.8) AS drop_doc
-    FROM test_tot tt LEFT JOIN hits h USING (doc_id)
-    ORDER BY tt.doc_id
-    """
-
-
-@_register("decontamination", _decontamination_oracle())
-def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/test decontamination (Brown et al. 2020 appendix C; standard
-    in every LLM data pipeline): flag evaluation documents whose 5-gram
-    shingles leak from the training split. Reuses dataset_split's
-    deterministic hash bucketing, dedupes the train side to DISTINCT
-    shingles (the big-but-combinable shuffle), and equi-joins test shingles
-    against it — at 100 TB this is the canonical inverted-index shape: no
-    all-pairs comparison, one shuffle keyed on the shingle, and the
-    test side is typically 100× smaller so AQE broadcasts it."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    bucket = F.pmod(
-        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
-        F.lit(100),
-    )
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    sh = (
-        docs.select("doc_id", split.alias("split"), "text")
-        .filter(F.col("split").isin("train", "test"))
-        .select(
-            "doc_id",
-            "split",
-            F.explode(
-                F.array_distinct(ngrams_expr(F.col("text"), 5))
-            ).alias("shingle"),
-        )
-    )
-    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
-    test_sh = sh.filter(F.col("split") == "test")
-    totals = test_sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    )
-    hits = (
-        test_sh.join(train_sh, "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    frac = F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_shingles")
-    return (
-        totals.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
-            F.round(frac, 6).alias("contamination"),
-            (frac > 0.8).alias("drop_doc"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "embedding_quantize",
-    """
-    WITH q AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-             list_max(list_transform(embedding,
-                                     x -> abs(CAST(x AS DOUBLE)))) / 127.0
-               AS scale
-      FROM embeddings
-    ), e AS (
-      SELECT vec_id, label, scale,
-             CAST(len(v) AS INT) AS n_dims,
-             list_transform(v, x -> round(x / scale)) AS qv,
-             list_sum(list_transform(
-               generate_series(1, len(v)),
-               i -> (v[i] - round(v[i] / scale) * scale)
-                    * (v[i] - round(v[i] / scale) * scale))) AS sse,
-             list_max(list_transform(
-               generate_series(1, len(v)),
-               i -> abs(v[i] - round(v[i] / scale) * scale))) AS max_err
-      FROM q
-    )
-    SELECT vec_id, label, n_dims,
-           round(scale, 9) AS scale,
-           CAST(list_max(list_transform(qv, x -> abs(x))) AS INT) AS q_max,
-           round(sse / n_dims, 9) AS mse,
-           round(max_err, 9)      AS max_abs_err
-    FROM e ORDER BY vec_id
-    """,
-)
-def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector symmetric int8 quantization (the 4× storage/bandwidth
-    lever every 100 TB embedding store pulls before ANN): scale =
-    max|v|/127, q = round(v/scale), plus reconstruction-error stats that
-    certify the codec round-trips. Everything is JVM array expressions on
-    one scan — map-only, no shuffle, no UDF; the quantized vectors feed
-    the same IVF/LSH paths (`operators/similarity.py`) unchanged since
-    the dot-product kernels take any numeric array."""
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    # NB: the internal raw scale must NOT share a name with the rounded
-    # output column — Spark's lateral column alias resolution would bind
-    # the quantization expressions to the *rounded* scale and silently
-    # change every error metric (caught by the DuckDB oracle).
-    d = emb.select(
-        "vec_id",
-        "label",
-        v.alias("v"),
-        (
-            F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
-        ).alias("_scale"),
-    )
-    sc = F.col("_scale")
-    err = F.transform(F.col("v"), lambda x: x - F.round(x / sc) * sc)
-    return d.select(
-        "vec_id",
-        "label",
-        F.size("v").alias("n_dims"),
-        F.round(sc, 9).alias("scale"),
-        F.array_max(
-            F.transform(
-                F.col("v"), lambda x: F.abs(F.round(x / sc)).cast("int")
-            )
-        ).alias("q_max"),
-        F.round(
-            F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e)
-            / F.size("v"),
-            9,
-        ).alias("mse"),
-        F.round(
-            F.array_max(F.transform(err, lambda e: F.abs(e))), 9
-        ).alias("max_abs_err"),
-    ).orderBy("vec_id")
-
-
-def _curation_funnel_oracle() -> str:
-    stop20 = "['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on']"
-    bucket = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
-    return rf"""
-    WITH t AS (
-      SELECT doc_id, text,
-             list_filter(regexp_split_to_array(lower(text), '\W+'),
-                         x -> x <> '') AS toks,
-             length(text) AS nct,
-             length(regexp_replace(text, '[^\w\s]', '', 'g')) AS npn
-      FROM documents
-    ), m AS (
-      SELECT doc_id, text, toks,
-             len(toks) AS n_tokens,
-             (nct - npn) / greatest(nct, 1) AS punct_ratio,
-             len(list_filter(toks, x -> list_contains({stop20}, x)))
-               / greatest(len(toks), 1) AS stop_ratio,
-             list_sum(list_transform(toks, t -> length(t)))
-               / greatest(len(toks), 1) AS mtl,
-             len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) / greatest(len(toks), 1) AS s_en,
-             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))) / greatest(len(toks), 1) AS s_de,
-             len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','des','que','pas','pour'], x))) / greatest(len(toks), 1) AS s_fr,
-             len(list_filter(toks, x -> list_contains(['el','la','los','las','es','una','que','por','con','para'], x))) / greatest(len(toks), 1) AS s_es
-      FROM t
-    ), q AS (
-      SELECT *,
-             round(
-               least(n_tokens / 64.0, 1.0) * 0.4
-               + least(stop_ratio * 4.0, 1.0) * 0.2
-               + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
-                 * (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
-               + (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
-             6) AS quality,
-             greatest(s_en, s_de, s_fr, s_es) AS best,
-             CASE WHEN len(toks) = 0 THEN 0.0
-                  ELSE 1.0 - len(list_distinct(toks)) / len(toks) END AS dup_frac,
-             row_number() OVER (
-               PARTITION BY {hash60_sql("text")} ORDER BY doc_id) AS rn
-      FROM m
-    ), f AS (
-      SELECT doc_id,
-             (quality >= 0.4 AND n_tokens BETWEEN 10 AND 5000
-              AND punct_ratio < 0.25 AND best >= 0.05) AS pass_quality,
-             (rn > 1)          AS is_exact_dup,
-             (dup_frac > 0.7)  AS is_repetitive,
-             CASE WHEN {bucket} < 80 THEN 'train'
-                  WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
-      FROM q
-    )
-    SELECT CAST(count(*) AS BIGINT) AS total,
-           CAST(sum(CASE WHEN NOT pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS fail_quality,
-           CAST(sum(CASE WHEN is_exact_dup THEN 1 ELSE 0 END) AS BIGINT)  AS exact_dups,
-           CAST(sum(CASE WHEN is_repetitive THEN 1 ELSE 0 END) AS BIGINT) AS repetitive,
-           CAST(sum(CASE WHEN pass_quality AND NOT is_exact_dup
-                          AND NOT is_repetitive THEN 1 ELSE 0 END) AS BIGINT) AS kept,
-           CAST(sum(CASE WHEN pass_quality AND NOT is_exact_dup
-                          AND NOT is_repetitive AND split = 'train'
-                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_train,
-           CAST(sum(CASE WHEN pass_quality AND NOT is_exact_dup
-                          AND NOT is_repetitive AND split = 'val'
-                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_val,
-           CAST(sum(CASE WHEN pass_quality AND NOT is_exact_dup
-                          AND NOT is_repetitive AND split = 'test'
-                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_test
-    FROM f
-    """
-
-
-@_register("curation_funnel", _curation_funnel_oracle())
-def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ``curate`` CLI's funnel report as an oracle-verified query
-    (`operators/curation.py::flag_documents`): every gate becomes a flag
-    column computed in one scan + one dedup window, and the whole funnel
-    reduces to a single aggregation row. This certifies the CLI's exact
-    keep/drop arithmetic, not just its pieces."""
-    from ..operators.curation import flag_documents
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    flagged = flag_documents(docs)
-    kept = F.col("keep")
-    return flagged.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.sum((~F.col("pass_quality")).cast("long")).alias("fail_quality"),
-        F.sum(F.col("is_exact_dup").cast("long")).alias("exact_dups"),
-        F.sum(F.col("is_repetitive").cast("long")).alias("repetitive"),
-        F.sum(kept.cast("long")).alias("kept"),
-        *[
-            F.sum((kept & (F.col("split") == s)).cast("long")).alias(
-                f"kept_{s}"
-            )
-            for s in ("train", "val", "test")
-        ],
-    )
-
-
-_STREAM_SEQ = iter(range(1, 1 << 30))
-_STREAM_DIRS: dict[str, str] = {}
-
-
-@_register(
-    "streaming_window_counts",
-    """
-    SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP)
-             AS window_start,
-           CAST(to_timestamp(floor(epoch(ts) / 600) * 600 + 600) AS TIMESTAMP)
-             AS window_end,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
-    FROM events
-    GROUP BY 1, 2, 3 ORDER BY 1, 3
-    """,
-)
-def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 through the ACTUAL streaming engine, oracle-verified: the
-    events parquet becomes a file-source stream, the shared
-    ``windowed_event_counts`` transformation (watermarked tumbling
-    windows) runs under an ``availableNow`` trigger into a memory sink,
-    and the materialized sink table is returned. Bounded replay makes the
-    streaming run bit-identical to the batch/SQL twin — the unified-API
-    guarantee the module's docstring claims, here certified by the DuckDB
-    oracle instead of a unit test. At scale the same query tails a
-    landing directory continuously; availableNow is the catch-up mode."""
-    from ..streaming.windows import windowed_event_counts
-
-    # same session normalization as the batch loader
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    raw = _events_stream(spark, sf_dir)
-    out = windowed_event_counts(raw)
-    name = f"stream_win_{next(_STREAM_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("window_start", "event_type")
-
-
-def _events_stream(spark: SparkSession, sf_dir: str):
-    """File-source stream over the events parquet (landing-dir staging
-    shared with streaming_window_counts)."""
-    import os
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    land = _STREAM_DIRS.get(sf_dir)
-    if land is None or not os.path.isdir(land):
-        import tempfile
-
-        land = tempfile.mkdtemp(prefix="opc_stream_events_")
-        os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(land, "events.parquet"),
-        )
-        _STREAM_DIRS[sf_dir] = land
-    return spark.readStream.schema(
-        "event_id bigint, ts timestamp, user_id bigint,"
-        " event_type string, value double, props string"
-    ).parquet(land)
-
-
-@_register(
-    "streaming_latest_state",
-    """
-    SELECT user_id, event_id, ts, event_type, round(value, 6) AS value
-    FROM (SELECT *, row_number() OVER (
-            PARTITION BY user_id ORDER BY event_id DESC) AS rn
-          FROM events)
-    WHERE rn = 1 ORDER BY user_id
-    """,
-)
-def streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R4's latest-state upsert as a REAL stateful streaming run,
-    oracle-verified: ``applyInPandasWithState`` keeps one fixed-width
-    state row per key (`streaming/stateful.py::latest_state_stream`) and
-    emits only version advances; bounded ``availableNow`` replay over the
-    events stream (version = event_id per user) must land exactly on the
-    SQL last-version-per-key answer. State is sharded by the grouping
-    key — the same O(live keys)/executor budget a 1000-node cluster
-    relies on."""
-    from ..streaming.stateful import latest_state_stream
-
-    raw = _events_stream(spark, sf_dir).select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    out = latest_state_stream(raw, ["user_id"], "event_id")
-    name = f"stream_latest_{next(_STREAM_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return (
-        spark.table(name)
-        .select(
-            "user_id",
-            "event_id",
-            "ts",
-            "event_type",
-            F.round("value", 6).alias("value"),
-        )
-        .orderBy("user_id")
-    )
-
-
-def _unigram_logprob_oracle() -> str:
-    bucket = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
-    return rf"""
-    WITH b AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\W+'),
-                         x -> x <> '') AS toks,
-             CASE WHEN {bucket} < 80 THEN 'train'
-                  WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
-      FROM documents
-    ), train_tok AS (
-      SELECT unnest(toks) AS token FROM b WHERE split = 'train'
-    ), vocab AS (
-      SELECT token, count(*) AS c FROM train_tok GROUP BY token
-    ), n AS (
-      SELECT sum(c) AS total, count(*) AS v FROM vocab
-    ), test_tok AS (
-      SELECT doc_id, unnest(toks) AS token FROM b WHERE split = 'test'
-    ), scored AS (
-      SELECT t.doc_id,
-             -ln((coalesce(vb.c, 0) + 1.0) / (n.total + n.v + 1.0)) AS nll
-      FROM test_tok t LEFT JOIN vocab vb USING (token) CROSS JOIN n
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           round(avg(nll), 6) AS avg_nll,
-           round(max(nll), 6) AS max_nll
-    FROM scored GROUP BY doc_id ORDER BY doc_id
-    """
-
-
-@_register("unigram_logprob_scores", _unigram_logprob_oracle())
-def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM filtering (Wenzek et al. 2020), unigram form: fit
-    add-one-smoothed token frequencies on the train split, score every
-    test-split document by mean negative log-likelihood — the screen
-    that drops gibberish the rule-based gates miss. Plan shape at
-    100 TB: one word-count shuffle for the vocab (map-side combined),
-    the two scalar normalizers ride along as a broadcast cross join of
-    one row, and scoring is a token→vocab equi-join + per-doc agg; the
-    vocab (~10^7 rows) broadcasts, so the corpus-sized side never
-    shuffles twice."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    bucket = F.pmod(
-        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
-        F.lit(100),
-    )
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    tok = docs.select(
-        "doc_id",
-        split.alias("split"),
-        F.explode(tokens_expr(F.col("text"))).alias("token"),
-    )
-    vocab = (
-        tok.filter(F.col("split") == "train")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    n = vocab.agg(
-        F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
-    )
-    scored = (
-        tok.filter(F.col("split") == "test")
-        .join(vocab, "token", "left")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            (
-                -F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("total") + F.col("v") + F.lit(1.0))
-                )
-            ).alias("nll"),
-        )
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("nll"), 6).alias("avg_nll"),
-            F.round(F.max("nll"), 6).alias("max_nll"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "corpus_drift",
-    r"""
-    WITH tok AS (
-      SELECT lang,
-             unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
-                                x -> x <> '')) AS token
-      FROM documents
-    ), lc AS (
-      SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token
-    ), tc AS (
-      SELECT token, sum(c) AS c_all FROM lc GROUP BY token
-    ), v AS (
-      SELECT count(*) AS vocab, sum(c_all) AS n_all FROM tc
-    ), ln_ AS (
-      SELECT lang, sum(c) AS n_lang FROM lc GROUP BY lang
-    ), grid AS (
-      SELECT l.lang, t.token, t.c_all, coalesce(x.c, 0) AS c_lang
-      FROM (SELECT DISTINCT lang FROM lc) l
-      CROSS JOIN tc t
-      LEFT JOIN lc x ON x.lang = l.lang AND x.token = t.token
-    )
-    SELECT g.lang,
-           CAST(ln_.n_lang AS BIGINT) AS n_tokens,
-           round(sum(
-             ((g.c_lang + 1.0) / (ln_.n_lang + v.vocab))
-             * ln(((g.c_lang + 1.0) / (ln_.n_lang + v.vocab))
-                  / ((g.c_all + 1.0) / (v.n_all + v.vocab)))
-           ), 6) AS kl_vs_corpus
-    FROM grid g JOIN ln_ USING (lang) CROSS JOIN v
-    GROUP BY g.lang, ln_.n_lang ORDER BY g.lang
-    """,
-)
-def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-shift monitoring: add-one-smoothed KL divergence of
-    each language slice's token distribution against the whole corpus —
-    the alarm a continuously-ingesting pipeline raises when one source
-    starts feeding off-distribution text. Plan shape: one token-count
-    shuffle (map-side combined), then a slices×vocab grid built by
-    cross-joining the DISTINCT slice keys (a handful of rows, broadcast)
-    with the vocab table — the corpus-sized token stream is never
-    shuffled a second time."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "lang", F.explode(tokens_expr(F.col("text"))).alias("token")
-    )
-    lc = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
-    tc = lc.groupBy("token").agg(F.sum("c").alias("c_all"))
-    v = tc.agg(
-        F.count(F.lit(1)).alias("vocab"), F.sum("c_all").alias("n_all")
-    )
-    n_lang = lc.groupBy("lang").agg(F.sum("c").alias("n_lang"))
-    langs = lc.select("lang").distinct()
-    grid = (
-        F.broadcast(langs)
-        .crossJoin(tc)
-        .join(lc, ["lang", "token"], "left")
-        .select(
-            "lang", "c_all", F.coalesce(F.col("c"), F.lit(0)).alias("c_lang")
-        )
-    )
-    p = (F.col("c_lang") + F.lit(1.0)) / (F.col("n_lang") + F.col("vocab"))
-    q = (F.col("c_all") + F.lit(1.0)) / (F.col("n_all") + F.col("vocab"))
-    return (
-        grid.join(F.broadcast(n_lang), "lang")
-        .crossJoin(F.broadcast(v))
-        .groupBy("lang", "n_lang")
-        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"))
-        .select(
-            "lang",
-            F.col("n_lang").alias("n_tokens"),
-            "kl_vs_corpus",
-        )
-        .orderBy("lang")
-    )
-
-
-def _lsh_verified_oracle(
-    num_perm: int = 16, bands: int = 4, n: int = 3, threshold: float = 0.5
-) -> str:
-    lsh = _lsh_oracle(num_perm, bands, n).replace("ORDER BY doc_a, doc_b", "")
-    sh = _SHINGLE_SQL.format(n=n)
-    return f"""
-    WITH cand AS ({lsh}
-    ), shv AS (
-      SELECT DISTINCT doc, {hash60_sql('shingle')} AS shingle_hash FROM ({sh})
-    ), sizes AS (
-      SELECT doc, CAST(count(*) AS BIGINT) AS n_sh FROM shv GROUP BY doc
-    ), inter AS (
-      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
-      FROM cand c
-        JOIN shv a ON a.doc = c.doc_a
-        JOIN shv b ON b.doc = c.doc_b AND b.shingle_hash = a.shingle_hash
-      GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT i.doc_a, i.doc_b,
-           round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
-    FROM inter i
-      JOIN sizes sa ON sa.doc = i.doc_a
-      JOIN sizes sb ON sb.doc = i.doc_b
-    WHERE round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6)
-          >= {threshold!r}
-    ORDER BY i.doc_a, i.doc_b
-    """
-
-
-@_register("lsh_verified_pairs", _lsh_verified_oracle())
-def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full candidate-then-verify fuzzy-dedup pattern in one plan:
-    MinHash-LSH banding proposes candidate pairs (recall), then exact
-    3-gram Jaccard is computed ONLY for those pairs (precision) by
-    joining the candidates back to both shingle sets. This is THE shape
-    a 100 TB fuzzy dedup runs: the quadratic all-pairs comparison never
-    exists; verification cost is proportional to the candidates' shingle
-    mass, and both stages reuse one shingle table."""
-    from ..operators.dedup import verify_candidate_pairs
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    sh = shingles(docs, "doc_id", "text", n=3)
-    sig = minhash_signatures(sh, num_perm=16)
-    cand = lsh_candidate_pairs(sig, num_perm=16, bands=4)
-    return verify_candidate_pairs(cand, sh, threshold=0.5).orderBy(
-        "doc_a", "doc_b"
-    )
-
-
-@_register(
-    "streaming_session_windows",
-    """
-    WITH m AS (
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS new_s
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), g AS (
-      SELECT *, sum(new_s) OVER (
-        PARTITION BY user_id ORDER BY ts, new_s
-        ROWS UNBOUNDED PRECEDING) AS sid
-      FROM m
-    )
-    SELECT user_id,
-           min(ts)                       AS session_start,
-           max(ts) + INTERVAL 30 MINUTE  AS session_end,
-           CAST(count(*) AS BIGINT)      AS n_events
-    FROM g GROUP BY user_id, sid
-    ORDER BY user_id, session_start
-    """,
-)
-def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session windows (``F.session_window``, 30-min gap) through
-    the ACTUAL streaming engine — the streaming twin of the batch
-    ``user_sessions`` gap-sessionization, oracle-checked against the
-    classic gap-and-island SQL. Boundary semantics pinned by probe: an
-    exactly-gap-sized step MERGES (inclusive), so the oracle's new-session
-    test is strictly ``>``; a session's end is last event + gap. State per
-    key is the open session only — the watermark closes and evicts
-    sessions in continuous mode."""
-    from ..streaming.windows import session_windows
-
-    raw = _events_stream(spark, sf_dir)
-    out = session_windows(raw, gap="30 minutes", key="user_id")
-    name = f"stream_sess_{next(_STREAM_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return (
-        spark.table(name)
-        .select("user_id", "session_start", "session_end", "n_events")
-        .orderBy("user_id", "session_start")
-    )
-
-
-# --- sequence packing (concat-and-chunk training-data assignment) -----------
-
-_PACK_SEQ_LEN = 512
-_PACK_SHARDS = 16
-
-
-def _packing_base_sql() -> str:
-    return f"""
-      SELECT doc_id,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-               % {_PACK_SHARDS} AS shard,
-             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
-               AS BIGINT) AS n_tokens
-      FROM documents
-    """
-
-
-def _packing_oracle() -> str:
-    return f"""
-    WITH t AS ({_packing_base_sql()}),
-    o AS (
-      SELECT doc_id, shard, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
-      FROM t
-    )
-    SELECT doc_id, shard, n_tokens, start_off,
-           start_off // {_PACK_SEQ_LEN} AS first_seq,
-           greatest(start_off + n_tokens - 1, start_off) // {_PACK_SEQ_LEN} AS last_seq,
-           greatest(start_off + n_tokens - 1, start_off) // {_PACK_SEQ_LEN}
-             - start_off // {_PACK_SEQ_LEN} AS n_splits,
-           start_off % {_PACK_SEQ_LEN} AS seq_offset
-    FROM o ORDER BY doc_id
-    """
-
-
-@_register("sequence_packing", _packing_oracle())
-def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk packing assignment: which fixed-length training
-    sequence(s) each document occupies. Shard-local prefix sums (hash
-    shard = the write-parallelism unit), so the window partitions by
-    shard — no global sort at any scale."""
-    from ..operators.packing import pack_sequences
-
-    docs = _t(spark, sf_dir, "documents")
-    return pack_sequences(
-        docs, seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS
-    ).orderBy("doc_id")
-
-
-@_register(
-    "packing_stats",
-    f"""
-    WITH t AS ({_packing_base_sql()})
-    SELECT shard,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(ceil(sum(n_tokens) / {_PACK_SEQ_LEN}.0) AS BIGINT) AS n_sequences,
-           CAST(CASE WHEN sum(n_tokens) % {_PACK_SEQ_LEN} = 0
-                      AND sum(n_tokens) > 0
-                     THEN {_PACK_SEQ_LEN}
-                     ELSE sum(n_tokens) % {_PACK_SEQ_LEN} END AS BIGINT)
-             AS tail_fill,
-           CAST(sum(CASE WHEN
-                 greatest(start_off + n_tokens - 1, start_off) // {_PACK_SEQ_LEN}
-                   > start_off // {_PACK_SEQ_LEN} THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_split_docs
-    FROM (
-      SELECT *,
-             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
-      FROM t
-    ) GROUP BY shard ORDER BY shard
-    """,
-)
-def packing_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-shard packing yield: sequences emitted, tail fill, boundary-
-    split document count — the numbers a tokenizer-sharding job reports."""
-    from ..operators.packing import pack_sequences, packing_stats
-
-    docs = _t(spark, sf_dir, "documents")
-    packed = pack_sequences(docs, seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS)
-    return packing_stats(packed, seq_len=_PACK_SEQ_LEN).orderBy("shard")
-
-
-# --- BM25 ranked retrieval ---------------------------------------------------
-
-_BM25_TERMS = ["spark", "join", "vector", "stream"]
-_BM25_K1 = 1.2
-_BM25_B = 0.75
-
-
-def _bm25_oracle(k: int = 10) -> str:
-    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
-    return f"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
-      FROM documents
-    ), d AS (
-      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM toks
-    ), stats AS (
-      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d
-    ), tf AS (
-      SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
-      FROM d, UNNEST(toks) AS u(term)
-      WHERE term IN ({terms})
-      GROUP BY doc_id, dl, term
-    ), dfc AS (
-      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term
-    )
-    SELECT doc_id, round(sum(
-             ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-             * tf * ({_BM25_K1} + 1)
-             / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
-           ), 6) AS bm25
-    FROM tf JOIN dfc USING (term) CROSS JOIN stats
-    GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id
-    LIMIT {k}
-    """
-
-
-@_register("bm25_topk", _bm25_oracle())
-def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-10 for a bag-of-terms query: broadcast term dim +
-    broadcast corpus stats, the only wide stage is the (doc, query-term)
-    partial count (``operators/retrieval.py``)."""
-    from ..operators.retrieval import bm25_topk
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    return bm25_topk(docs, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B)
-
-
-# --- cross-document duplicated-passage detection -----------------------------
-
-
-def _dup_passage_oracle(n: int = 5) -> str:
-    sh = _SHINGLE_SQL.format(n=n)
-    return f"""
-    WITH sh AS (
-      SELECT DISTINCT doc, {hash60_sql('shingle')} AS shingle_hash FROM ({sh})
-    ), freq AS (
-      SELECT shingle_hash, count(*) AS n_docs FROM sh GROUP BY shingle_hash
-    ), per_doc AS (
-      SELECT doc,
-             CAST(count(*) AS BIGINT) AS n_shingles,
-             CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
-      FROM sh JOIN freq USING (shingle_hash) GROUP BY doc
-    )
-    SELECT d.doc_id,
-           COALESCE(n_shingles, 0) AS n_shingles,
-           COALESCE(n_shared, 0) AS n_shared,
-           round(COALESCE(n_shared, 0) / greatest(COALESCE(n_shingles, 0), 1), 6)
-             AS dup_fraction
-    FROM documents d LEFT JOIN per_doc ON per_doc.doc = d.doc_id
-    ORDER BY d.doc_id
-    """
-
-
-@_register("dup_passage_fraction", _dup_passage_oracle())
-def dup_passage_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Passage-level duplication (the Lee et al. 2022 exact-substring
-    signal at shingle granularity): per document, the fraction of its
-    distinct word-5-grams that also occur in at least one other document.
-    Inverted-index shape — shingle-hash frequency is one map-side-combined
-    aggregation, joined back to the per-doc shingle stream; no pairwise
-    comparison anywhere, so it scales as total shingle volume, not docs²."""
-    from ..operators.dedup import shingles
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    sh = shingles(docs, "doc_id", "text", n=5)
-    freq = sh.groupBy("shingle_hash").agg(F.count(F.lit(1)).alias("n_docs"))
-    per_doc = (
-        sh.join(freq, "shingle_hash")
-        .groupBy("doc")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("n_docs") >= 2).cast("bigint")).alias("n_shared"),
-        )
-    )
-    return (
-        docs.select("doc_id")
-        .join(per_doc, docs.doc_id == per_doc.doc, "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
-            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-            F.round(
-                F.coalesce("n_shared", F.lit(0))
-                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
-                6,
-            ).alias("dup_fraction"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-# --- Bloom-filter decontamination --------------------------------------------
-
-_BLOOM_M = 1 << 20
-_BLOOM_K = 3
-
-
-def _bloom_decon_oracle() -> str:
-    from ..operators.bloom import positions_sql
-
-    bucket = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
-    pos = positions_sql("h", _BLOOM_M, _BLOOM_K)
-    return rf"""
-    WITH b AS (
-      SELECT doc_id, text,
-             CASE WHEN {bucket} < 80 THEN 'train'
-                  WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
-      FROM documents
-    ), tok AS (
-      SELECT doc_id, split,
-             list_filter(regexp_split_to_array(lower(text), '\W+'),
-                         x -> x <> '') AS toks
-      FROM b WHERE split IN ('train', 'test')
-    ), sh AS (
-      SELECT DISTINCT doc_id, split, {hash60_sql('shingle')} AS h
-      FROM (
-        SELECT doc_id, split,
-               unnest(list_distinct(list_transform(
-                 range(1, greatest(len(toks) - 3, 2)),
-                 i -> array_to_string(toks[i : i + 4], ' ')))) AS shingle
-        FROM tok
-      ) WHERE len(string_split(shingle, ' ')) = 5
-    ), bloom AS (
-      SELECT DISTINCT unnest({pos}) AS pos FROM sh WHERE split = 'test'
-    ), probe AS (
-      SELECT doc_id, h FROM sh WHERE split = 'train'
-    ), slots AS (
-      SELECT doc_id, h, unnest({pos}) AS pos FROM probe
-    ), hitc AS (
-      SELECT s.doc_id, s.h, count(*) AS nh
-      FROM slots s JOIN bloom USING (pos) GROUP BY 1, 2
-    ), flagged AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
-      FROM hitc WHERE nh = {_BLOOM_K} GROUP BY doc_id
-    ), tot AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
-      FROM probe GROUP BY doc_id
-    )
-    SELECT t.doc_id, t.n_shingles,
-           COALESCE(f.n_flagged, 0) AS n_flagged,
-           round(COALESCE(f.n_flagged, 0) / t.n_shingles, 6) AS flagged_fraction
-    FROM tot t LEFT JOIN flagged f USING (doc_id)
-    ORDER BY t.doc_id
-    """
-
-
-@_register("bloom_decontamination", _bloom_decon_oracle())
-def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holdout decontamination through a real Bloom filter: the benchmark
-    (test-split) shingles fold into ≤ m set-bit positions, broadcast, and
-    the big training side is probed map-side — the scale inversion of the
-    exact ``decontamination`` join (which shuffles every training shingle).
-    False positives only, never false negatives: the flagged set is a
-    certified superset of the exact overlap (asserted in
-    tests/test_bloom.py). Same split, tokenization, and hash60 bridge as
-    the exact query, so the two are directly comparable."""
-    from ..operators.bloom import build_bloom, probe_bloom
-    from ..operators.dedup import shingles
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    bucket = F.pmod(
-        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
-        F.lit(100),
-    )
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    tagged = docs.select("doc_id", "text", split.alias("split"))
-    test_sh = shingles(
-        tagged.filter(F.col("split") == "test"), "doc_id", "text", n=5
-    ).select("shingle_hash").distinct()
-    bloom = build_bloom(test_sh, "shingle_hash", m=_BLOOM_M, k=_BLOOM_K)
-    probe = shingles(
-        tagged.filter(F.col("split") == "train"), "doc_id", "text", n=5
-    )
-    probed = probe_bloom(probe, "shingle_hash", bloom, m=_BLOOM_M, k=_BLOOM_K)
-    return (
-        probed.groupBy(F.col("doc").alias("doc_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.col("maybe_member").cast("bigint")).alias("n_flagged"),
-        )
-        .withColumn(
-            "flagged_fraction",
-            F.round(F.col("n_flagged") / F.col("n_shingles"), 6),
-        )
-        .orderBy("doc_id")
-    )
-
-
-# --- temperature-weighted domain mixture resampling --------------------------
-
-_MIX_ALPHA = 0.5      # temperature: 1 = proportional, 0 = uniform over sources
-_MIX_TARGET = 200.0   # token-free doc budget for the mixed corpus
-
-
-def _mixture_oracle() -> str:
-    h = hash60_sql("CAST(doc_id AS VARCHAR) || ':mix'")
-    return f"""
-    WITH n AS (
-      SELECT source, CAST(count(*) AS DOUBLE) AS n_docs FROM documents GROUP BY source
-    ), w AS (
-      SELECT source, n_docs,
-             pow(n_docs, {_MIX_ALPHA}) / sum(pow(n_docs, {_MIX_ALPHA})) OVER () AS weight
-      FROM n
-    ), r AS (
-      SELECT source, n_docs, weight,
-             least(1.0, {_MIX_TARGET} * weight / n_docs) AS rate
-      FROM w
-    ), s AS (
-      SELECT d.source, count(*) FILTER (
-               WHERE ({h}) % 1000000 < r.rate * 1000000) AS n_sampled
-      FROM documents d JOIN r USING (source) GROUP BY d.source
-    )
-    SELECT r.source,
-           CAST(r.n_docs AS BIGINT) AS n_docs,
-           round(r.weight, 6) AS weight,
-           round(r.rate, 6) AS rate,
-           CAST(s.n_sampled AS BIGINT) AS n_sampled
-    FROM r JOIN s USING (source)
-    ORDER BY r.source
-    """
-
-
-@_register("mixture_resample", _mixture_oracle())
-def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-weighted domain mixing (the multilingual-sampling rule
-    of Conneau & Lample 2019, standard for balancing web-corpus sources):
-    per-source weight ∝ count^alpha, per-source sampling rate capped at 1,
-    membership decided by a deterministic hash bucket so the sample is
-    reproducible at any scale and cluster size. Source dimension is tiny:
-    the rate table broadcasts, the doc side is map-only until the final
-    per-source count."""
-    docs = _t(spark, sf_dir, "documents")
-    n = docs.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    # scalar denominator via broadcast 1-row crossJoin (not an unpartitioned
-    # window: that plans a single-partition WindowExec even on a tiny dim)
-    denom = n.agg(F.sum(F.pow("n_docs", _MIX_ALPHA)).alias("_denom"))
-    rates = (
-        n.crossJoin(F.broadcast(denom))
-        .withColumn("weight", F.pow("n_docs", _MIX_ALPHA) / F.col("_denom"))
-        .withColumn(
-            "rate", F.least(F.lit(1.0), _MIX_TARGET * F.col("weight") / F.col("n_docs"))
-        )
-        .drop("_denom")
-    )
-    bucket = F.pmod(
-        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
-        F.lit(1000000),
-    )
-    sampled = (
-        docs.join(F.broadcast(rates), "source")
-        .groupBy("source")
-        .agg(
-            F.sum((bucket < F.col("rate") * 1000000).cast("bigint")).alias("n_sampled")
-        )
-    )
-    return (
-        rates.join(sampled, "source")
-        .select(
-            "source",
-            F.col("n_docs").cast("bigint").alias("n_docs"),
-            F.round("weight", 6).alias("weight"),
-            F.round("rate", 6).alias("rate"),
-            "n_sampled",
-        )
-        .orderBy("source")
-    )
-
-
-@_register(
-    "streaming_dedup_keys",
-    """
-    SELECT DISTINCT user_id, event_type FROM events
-    ORDER BY user_id, event_type
-    """,
-)
-def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-seen-wins cross-batch dedup through the ACTUAL streaming
-    engine (``streaming/stateful.py::dedup_stream``,
-    ``applyInPandasWithState``). Which physical row wins depends on
-    partition arrival order, so the certified deterministic contract is
-    the emitted KEY SET — exactly one row per (user_id, event_type),
-    equal to batch DISTINCT. State per key is one boolean row."""
-    from ..streaming.stateful import dedup_stream
-
-    raw = _events_stream(spark, sf_dir)
-    out = dedup_stream(raw, ["user_id", "event_type"], state_ttl=None).select(
-        "user_id", "event_type"
-    )
-    name = f"stream_dedup_{next(_STREAM_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("user_id", "event_type")
-
-
-@_register(
-    "streaming_dedup_within_watermark",
-    """
-    SELECT DISTINCT user_id, event_type,
-           date_trunc('hour', ts) AS ts_hour
-    FROM events
-    ORDER BY user_id, event_type, ts_hour
-    """,
-)
-def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Built-in bounded-state streaming dedup:
-    ``dropDuplicatesWithinWatermark`` keeps one state row per key and —
-    unlike plain streaming ``dropDuplicates``, whose state grows with the
-    number of distinct keys FOREVER — evicts a key once the watermark
-    passes its event time + delay, so state is O(keys per watermark
-    window), the only shape that survives an unbounded stream. Dedup key
-    is (user_id, event_type, hour-truncated ts); emitting the key columns
-    only keeps the output independent of which physical row won (partition
-    arrival order), the same certification contract as
-    ``streaming_dedup_keys``. Single-source replay means batch 1 runs at
-    watermark 0 (nothing evicted mid-batch), so the emitted key set equals
-    batch DISTINCT exactly — value-oracled, not just row-counted."""
-    raw = _events_stream(spark, sf_dir)
-    out = (
-        raw.select(
-            "user_id",
-            "event_type",
-            F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
-            F.col("ts"),
-        )
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["user_id", "event_type", "ts_hour"])
-        .select("user_id", "event_type", "ts_hour")
-    )
-    name = f"stream_dedup_wm_{next(_STREAM_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("user_id", "event_type", "ts_hour")
-
-
-# --- dataset snapshot diff ---------------------------------------------------
-
-
-def _dataset_diff_oracle() -> str:
-    vb = hash60_sql("CAST(doc_id AS VARCHAR) || ':ver'") + " % 10"
-    h = hash60_sql("text")
-    hu = hash60_sql("upper(text)")
-    return f"""
-    WITH d AS (SELECT doc_id, text, {vb} AS vb FROM documents),
-    v1 AS (SELECT doc_id, {h} AS h1 FROM d WHERE vb < 9),
-    v2 AS (
-      SELECT doc_id, CASE WHEN vb % 3 = 1 THEN {hu} ELSE {h} END AS h2
-      FROM d WHERE vb > 0
-    )
-    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
-           CASE WHEN v1.doc_id IS NULL THEN 'added'
-                WHEN v2.doc_id IS NULL THEN 'removed'
-                WHEN h1 = h2 THEN 'unchanged'
-                ELSE 'changed' END AS status
-    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
-    ORDER BY doc_id
-    """
-
-
-@_register("dataset_diff", _dataset_diff_oracle())
-def dataset_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Release-over-release corpus changelog: two snapshot versions are
-    derived deterministically from the documents table (bucket 0 leaves,
-    bucket 9 arrives, every third bucket's text mutates), then diffed by
-    content hash through ``operators/versioning.py`` — one id-keyed
-    full-outer join whose exchange carries (id, hash) only."""
-    from ..operators.versioning import dataset_diff
-
-    docs = _t(spark, sf_dir, "documents")
-    vb = F.pmod(
-        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":ver"))),
-        F.lit(10),
-    )
-    d = docs.select("doc_id", "text", vb.alias("vb"))
-    v1 = d.filter(F.col("vb") < 9).select("doc_id", "text")
-    v2 = d.filter(F.col("vb") > 0).select(
-        "doc_id",
-        F.when(F.col("vb") % 3 == 1, F.upper("text")).otherwise(F.col("text")).alias("text"),
-    )
-    return dataset_diff(v1, v2).orderBy("doc_id")
-
-
-_DELETED_ORACLE = (
-    "WITH contribs AS (" + _CONTRIB_ORACLE.replace("ORDER BY osm_id, osm_edits", "") + ")"
-    + """
-    SELECT osm_id, osm_version, valid_from, contrib_type, cx, cy
-    FROM contribs
-    WHERE status = 'deleted'
-      AND cx BETWEEN -90 AND 90 AND cy BETWEEN 0 AND 90
-    ORDER BY osm_id, valid_from
-    """
-)
-
-
-@_register("deleted_features", _DELETED_ORACLE)
-def deleted_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FAQ's deleted-elements contract (``docs/faq.md:19-23``): raw
-    OSM has no geometry for a deletion, but contributions carry the
-    previous version's geometry forward, so deletions are spatially
-    filterable — here by bounding box on the inherited centroid. Served
-    from the staged contributions table; the status + bbox predicates
-    push into the parquet scan."""
-    contribs = _node_contribs_table(spark, sf_dir)
-    # filter on the rounded coordinate (what the oracle's cx/cy hold) so a
-    # value knife-edged at the bbox boundary can't diverge between engines
-    return (
-        contribs.select(
-            "osm_id",
-            "osm_version",
-            "valid_from",
-            "contrib_type",
-            "status",
-            F.round("centroid.x", 6).alias("cx"),
-            F.round("centroid.y", 6).alias("cy"),
-        )
-        .filter(
-            (F.col("status") == "deleted")
-            & F.col("cx").between(-90, 90)
-            & F.col("cy").between(0, 90)
-        )
-        .drop("status")
-        .orderBy("osm_id", "valid_from")
-    )
-
-
-# --- HyperLogLog distinct sketch ---------------------------------------------
-
-_HLL_P = 8
-
-
-def _hll_oracle() -> str:
-    from ..operators.sketches import HLL_HASH_BITS, estimate_sql, registers_sql
-
-    m = 1 << _HLL_P
-    h = hash60_sql("text")
-    bucket, rho = registers_sql("h", m, HLL_HASH_BITS - _HLL_P)
-    return f"""
-    WITH hsh AS (SELECT lang, {h} AS h FROM documents),
-    rows0 AS (SELECT lang, {bucket} AS bucket, {rho} AS rho FROM hsh),
-    r AS (SELECT lang, bucket, max(rho) AS register FROM rows0 GROUP BY lang, bucket),
-    a AS (
-      SELECT lang, sum(pow(2.0, -register)) AS _sum_present,
-             CAST(count(*) AS BIGINT) AS _n_present
-      FROM r GROUP BY lang
-    ),
-    e AS (SELECT lang, {estimate_sql(m)} AS hll_estimate,
-                 _n_present AS n_registers FROM a),
-    x AS (SELECT lang, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
-          FROM hsh GROUP BY lang)
-    SELECT lang, n_exact, hll_estimate, n_registers,
-           round(abs(hll_estimate - n_exact) / n_exact, 6) AS rel_error
-    FROM x JOIN e USING (lang)
-    ORDER BY lang
-    """
-
-
-@_register("hll_distinct", _hll_oracle())
-def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic HyperLogLog per-language distinct-content estimate,
-    next to the exact count and its relative error. The sketch shape is
-    the scale story: registers are ≤ 2^p rows per group however large the
-    corpus, built by one map-side-combinable max — unlike count(DISTINCT),
-    which shuffles every distinct value (``operators/sketches.py``)."""
-    from ..operators.sketches import hll_estimate, hll_registers
-
-    docs = _t(spark, sf_dir, "documents")
-    hashed = docs.select("lang", hash60_expr(F.col("text")).alias("h"))
-    regs = hll_registers(hashed, ["lang"], "h", p=_HLL_P)
-    est = hll_estimate(regs, ["lang"], p=_HLL_P)
-    exact = hashed.groupBy("lang").agg(F.countDistinct("h").alias("n_exact"))
-    return (
-        exact.join(est, "lang")
-        .select(
-            "lang",
-            "n_exact",
-            "hll_estimate",
-            "n_registers",
-            F.round(
-                F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 6
-            ).alias("rel_error"),
-        )
-        .orderBy("lang")
-    )
-
-
-def _hll_union_oracle() -> str:
-    from ..operators.sketches import HLL_HASH_BITS, estimate_sql, registers_sql
-
-    m = 1 << _HLL_P
-    h = hash60_sql("text")
-    bucket, rho = registers_sql("h", m, HLL_HASH_BITS - _HLL_P)
-    return f"""
-    WITH hsh AS (SELECT source, {h} AS h FROM documents),
-    rows0 AS (SELECT source, {bucket} AS bucket, {rho} AS rho FROM hsh),
-    rs AS (SELECT source, bucket, max(rho) AS register
-           FROM rows0 GROUP BY source, bucket),
-    mg AS (SELECT bucket, max(register) AS register FROM rs GROUP BY bucket),
-    dg AS (SELECT bucket, max(rho) AS register FROM rows0 GROUP BY bucket),
-    am AS (SELECT sum(pow(2.0, -register)) AS _sum_present,
-                  CAST(count(*) AS BIGINT) AS _n_present FROM mg),
-    ad AS (SELECT sum(pow(2.0, -register)) AS _sum_present,
-                  CAST(count(*) AS BIGINT) AS _n_present FROM dg),
-    em AS (SELECT {estimate_sql(m)} AS hll_merged FROM am),
-    ed AS (SELECT {estimate_sql(m)} AS hll_direct FROM ad),
-    x AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_exact,
-                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM hsh)
-    SELECT x.n_exact, x.n_sources, ed.hll_direct, em.hll_merged,
-           ed.hll_direct = em.hll_merged AS merged_equals_direct
-    FROM x, em, ed
-    """
-
-
-@_register("hll_union", _hll_union_oracle())
-def hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch MERGEABILITY, the property that makes HLL distributed: per-
-    source register tables are unioned by a bucket-wise max and must yield
-    exactly the sketch built over the whole corpus in one pass. This is
-    how a 100 TB pipeline monitors distincts — per-shard sketches rolled
-    up without re-reading data; the merge moves ≤ 2^p rows per shard."""
-    from ..operators.sketches import hll_estimate, hll_registers
-
-    docs = _t(spark, sf_dir, "documents")
-    hashed = docs.select("source", hash60_expr(F.col("text")).alias("h"))
-    per_src = hll_registers(hashed, ["source"], "h", p=_HLL_P)
-    merged_regs = per_src.groupBy("bucket").agg(F.max("register").alias("register"))
-    direct_regs = hll_registers(hashed, [], "h", p=_HLL_P)
-    merged = hll_estimate(merged_regs, [], p=_HLL_P).select(
-        F.col("hll_estimate").alias("hll_merged")
-    )
-    direct = hll_estimate(direct_regs, [], p=_HLL_P).select(
-        F.col("hll_estimate").alias("hll_direct")
-    )
-    exact = hashed.agg(
-        F.countDistinct("h").alias("n_exact"),
-        F.countDistinct("source").alias("n_sources"),
-    )
-    return exact.crossJoin(direct).crossJoin(merged).select(
-        "n_exact",
-        "n_sources",
-        "hll_direct",
-        "hll_merged",
-        (F.col("hll_direct") == F.col("hll_merged")).alias("merged_equals_direct"),
-    )
-
-
-# --- Count-Min heavy hitters -------------------------------------------------
-
-_CMS_D = 4
-_CMS_W = 1024
-
-
-def _cms_oracle(topk: int = 20) -> str:
-    from ..operators.sketches import cms_bucket_sql
-
-    h = hash60_sql("tok")
-    cells_build = " UNION ALL ".join(
-        f"SELECT {i} AS row, {cms_bucket_sql('h', i, _CMS_W)} AS bucket, h FROM toks"
-        for i in range(_CMS_D)
-    )
-    cells_query = " UNION ALL ".join(
-        f"SELECT tok, {i} AS row, {cms_bucket_sql('h', i, _CMS_W)} AS bucket"
-        " FROM top" for i in range(_CMS_D)
-    )
-    return f"""
-    WITH toks0 AS (
-      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                                x -> x <> '')) AS tok
-      FROM documents
-    ), toks AS (SELECT tok, {h} AS h FROM toks0),
-    cms AS (
-      SELECT row, bucket, CAST(count(*) AS BIGINT) AS counter
-      FROM ({cells_build}) GROUP BY row, bucket
-    ),
-    top AS (
-      SELECT tok, {h} AS h, CAST(count(*) AS BIGINT) AS n_exact
-      FROM toks GROUP BY tok ORDER BY n_exact DESC, tok LIMIT {topk}
-    ),
-    probe AS ({cells_query}),
-    est AS (
-      SELECT p.tok, min(COALESCE(c.counter, 0)) AS cms_estimate
-      FROM probe p LEFT JOIN cms c USING (row, bucket) GROUP BY p.tok
-    )
-    SELECT t.tok, t.n_exact, e.cms_estimate,
-           e.cms_estimate - t.n_exact AS overestimate
-    FROM top t JOIN est e USING (tok)
-    ORDER BY t.n_exact DESC, t.tok
-    """
-
-
-@_register("cms_heavy_hitters", _cms_oracle())
-def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min frequency estimates for the corpus's top-20 tokens, next
-    to exact counts and the (always ≥ 0) overestimate. The sketch build
-    collapses to ≤ d·w cells per partition before its one exchange, and
-    the point queries broadcast the counter table
-    (``operators/sketches.py::cms_build/cms_query``)."""
-    from ..operators.sketches import cms_build, cms_query
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    toks = docs.select(F.explode(tokens_expr(F.col("text"))).alias("tok")).withColumn(
-        "h", hash60_expr(F.col("tok"))
-    )
-    cms = cms_build(toks, "h", d=_CMS_D, w=_CMS_W)
-    top = (
-        toks.groupBy("tok", "h")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .orderBy(F.desc("n_exact"), "tok")
-        .limit(20)
-    )
-    est = cms_query(top, "h", cms, d=_CMS_D, w=_CMS_W)
-    return est.select(
-        "tok",
-        "n_exact",
-        "cms_estimate",
-        (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
-    ).orderBy(F.desc("n_exact"), "tok")
-
-
-# --- ordered event funnel ----------------------------------------------------
-
-
-@_register(
-    "event_funnel",
-    """
-    WITH u AS (
-      SELECT user_id,
-             min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
-      FROM events GROUP BY user_id
-    ), u2 AS (
-      SELECT e.user_id, u.t1,
-             min(CASE WHEN e.event_type = 'click' AND e.ts > u.t1
-                      THEN e.ts END) AS t2
-      FROM events e JOIN u USING (user_id) GROUP BY e.user_id, u.t1
-    ), u3 AS (
-      SELECT e.user_id, u2.t1, u2.t2,
-             min(CASE WHEN e.event_type = 'purchase' AND e.ts > u2.t2
-                      THEN e.ts END) AS t3
-      FROM events e JOIN u2 USING (user_id) GROUP BY e.user_id, u2.t1, u2.t2
-    ), steps AS (
-      SELECT 1 AS step, 'signup' AS name,
-             CAST(count(t1) AS BIGINT) AS n_users,
-             round(median(epoch_us(t2) - epoch_us(t1)) / 1e6, 6) AS median_next_lag_s
-      FROM u3
-      UNION ALL
-      SELECT 2, 'click_after_signup', CAST(count(t2) AS BIGINT),
-             round(median(epoch_us(t3) - epoch_us(t2)) / 1e6, 6)
-      FROM u3
-      UNION ALL
-      SELECT 3, 'purchase_after_click', CAST(count(t3) AS BIGINT), NULL
-      FROM u3
-    )
-    SELECT * FROM steps ORDER BY step
-    """,
-)
-def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel (signup → first later click → first
-    later purchase) — the classic product-analytics sequence query. One
-    exchange on user_id; the three "first event after X" stages are
-    successive full-partition window minima over that same clustering,
-    so no self-joins and no re-shuffle. Counts + median step latency."""
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
-    staged = ev.withColumn("t1", t1)
-    t2 = F.min(
-        F.when(
-            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
-            F.col("ts"),
-        )
-    ).over(w)
-    staged = staged.withColumn("t2", t2)
-    t3 = F.min(
-        F.when(
-            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
-            F.col("ts"),
-        )
-    ).over(w)
-    per_user = (
-        staged.withColumn("t3", t3)
-        .groupBy("user_id")
-        .agg(F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3"))
-    )
-    lag12 = (F.unix_micros("t2") - F.unix_micros("t1")).cast("double")
-    lag23 = (F.unix_micros("t3") - F.unix_micros("t2")).cast("double")
-    steps = [
-        per_user.agg(
-            F.lit(1).alias("step"),
-            F.lit("signup").alias("name"),
-            F.count("t1").alias("n_users"),
-            F.round(F.percentile(lag12, F.lit(0.5)) / 1e6, 6).alias(
-                "median_next_lag_s"
-            ),
-        ),
-        per_user.agg(
-            F.lit(2).alias("step"),
-            F.lit("click_after_signup").alias("name"),
-            F.count("t2").alias("n_users"),
-            F.round(F.percentile(lag23, F.lit(0.5)) / 1e6, 6).alias(
-                "median_next_lag_s"
-            ),
-        ),
-        per_user.agg(
-            F.lit(3).alias("step"),
-            F.lit("purchase_after_click").alias("name"),
-            F.count("t3").alias("n_users"),
-            F.lit(None).cast("double").alias("median_next_lag_s"),
-        ),
-    ]
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s)
-    return out.orderBy("step")
-
-
-@_register(
-    "streaming_attribution_join",
-    """
-    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
-    FROM events c JOIN events p
-      ON c.user_id = p.user_id
-     AND c.event_type = 'click' AND p.event_type = 'purchase'
-     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
-    ORDER BY click_id, purchase_id
-    """,
-)
-def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream interval join through the ACTUAL streaming engine:
-    click→purchase attribution within a 2-hour window. Both sides are
-    watermarked streams; the range condition bounds each side's state so
-    the engine evicts rows older than watermark − window (Spark's
-    canonical stream-stream join shape — state is O(window), not
-    O(stream)). Inner interval joins emit every matching pair exactly
-    once, so the full pair set is deterministic and value-oracled."""
-    clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "4 hours")
-    )
-    purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "4 hours")
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") > F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
-        "inner",
-    ).select("click_id", "purchase_id", "user_id")
-    name = f"stream_attr_{next(_STREAM_SEQ)}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("click_id", "purchase_id")
-
-
-@_register(
-    "streaming_louter_attribution",
-    """
-    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
-               FROM events WHERE event_type = 'click'),
-    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
-          FROM events WHERE event_type = 'purchase'),
-    wm AS (SELECT least(date_trunc('milliseconds', (SELECT max(click_ts) FROM c)),
-                        date_trunc('milliseconds', (SELECT max(purchase_ts) FROM p)))
-                  - INTERVAL 4 HOUR AS w),
-    matched AS (
-      SELECT c.click_id, p.purchase_id, c.user_id FROM c JOIN p
-        ON c.user_id = p.user_id
-       AND p.purchase_ts > c.click_ts
-       AND p.purchase_ts <= c.click_ts + INTERVAL 2 HOUR
-    ),
-    unmatched AS (
-      SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id
-      FROM c, wm
-      WHERE c.click_ts + INTERVAL 2 HOUR < wm.w
-        AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
-    )
-    SELECT click_id, purchase_id, user_id FROM matched
-    UNION ALL SELECT click_id, purchase_id, user_id FROM unmatched
-    ORDER BY click_id, purchase_id
-    """,
-)
-def streaming_louter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER stream-stream interval join through the actual streaming
-    engine: every click emits either its attributed purchases (within 2 h)
-    or, once the watermark proves no match can arrive, a single null-padded
-    row. State stays O(join window) — the range condition lets the engine
-    evict both sides past watermark − window, and unmatched left rows are
-    emitted at eviction (Spark's canonical outer stream-stream join).
-
-    The oracle reproduces the engine's emission rule exactly, empirically
-    pinned at sf0.001/sf0.01 (set-equal outputs): the final no-data batch
-    (spark.sql.streaming.noDataMicroBatches, default on) advances the
-    global watermark to min over BOTH watermarked inputs of
-    floor_ms(max event ts) − 4 h delay — the per-input maxima differ
-    because each side is filtered to its event_type BEFORE withWatermark —
-    and a click is emitted unmatched iff click_ts + 2 h < that watermark;
-    later unmatched clicks are discarded with the state at query end.
-    Reference has no streaming outer join; this extends its replication
-    update loop (ReplicationUpdater.java) the way Spark users would."""
-    # the oracle's emission rule requires the final no-data batch (default
-    # on; pinned against environment config drift)
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "4 hours")
-    )
-    purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "4 hours")
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") > F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
-        "left_outer",
-    ).select("click_id", "purchase_id", "user_id")
-    name = f"stream_louter_{next(_STREAM_SEQ)}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("click_id", "purchase_id")
-
-
-# --- PageRank over the near-dup graph ----------------------------------------
-
-_PR_DAMPING = 0.85
-
-
-def _pagerank_oracle() -> str:
-    pairs = _jaccard_oracle(n=2, threshold=0.12, max_df=64)
-    return f"""
-    WITH pairs AS ({pairs}),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL
-      SELECT doc_b AS src, doc_a AS dst FROM pairs
-    ),
-    nodes AS (
-      SELECT DISTINCT src AS node FROM edges
-      UNION SELECT DISTINCT dst FROM edges
-    ),
-    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-    outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
-               FROM edges GROUP BY src),
-    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
-    i1 AS (
-      SELECT e.dst, sum(r.rank / o.outdeg) AS inbound
-      FROM edges e JOIN r0 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
-      GROUP BY e.dst
-    ),
-    r1 AS (
-      SELECT nodes.node,
-             (1.0 - {_PR_DAMPING}) / n
-               + {_PR_DAMPING} * COALESCE(i1.inbound, 0.0) AS rank
-      FROM nodes CROSS JOIN nn LEFT JOIN i1 ON nodes.node = i1.dst
-    ),
-    i2 AS (
-      SELECT e.dst, sum(r.rank / o.outdeg) AS inbound
-      FROM edges e JOIN r1 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
-      GROUP BY e.dst
-    ),
-    r2 AS (
-      SELECT nodes.node,
-             (1.0 - {_PR_DAMPING}) / n
-               + {_PR_DAMPING} * COALESCE(i2.inbound, 0.0) AS rank
-      FROM nodes CROSS JOIN nn LEFT JOIN i2 ON nodes.node = i2.dst
-    )
-    SELECT node, round(rank, 6) AS rank FROM r2 ORDER BY node
-    """
-
-
-@_register("dup_graph_pagerank", _pagerank_oracle())
-def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two power iterations of PageRank over the symmetrized 2-gram
-    Jaccard near-dup graph — duplicate-cluster centrality, and the proof
-    that iterative graph algorithms run as driver-looped DataFrame
-    rounds with per-round lineage truncation (``operators/graph.py``,
-    same discipline as the connected-components rounds). The oracle
-    replays both iterations in SQL."""
-    from ..operators.graph import pagerank, symmetrize
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    pairs = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=2, threshold=0.12, max_df=64
-    )
-    edges = symmetrize(pairs, "doc_a", "doc_b")
-    ranks = pagerank(edges, iterations=2, damping=_PR_DAMPING)
-    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
-
-
-# --- weighted sampling without replacement -----------------------------------
-
-_WS_K = 25
-
-
-def _weighted_sample_oracle() -> str:
-    h = hash60_sql("CAST(doc_id AS VARCHAR) || ':ws'")
-    return f"""
-    WITH d AS (
-      SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
-             (({h}) + 1) / 1152921504606846977.0 AS u
-      FROM documents
-    )
-    SELECT doc_id, CAST(weight AS BIGINT) AS weight,
-           round(ln(u) / weight, 6) AS sort_key
-    FROM d
-    ORDER BY ln(u) / weight DESC, doc_id
-    LIMIT {_WS_K}
-    """
-
-
-@_register("weighted_sample", _weighted_sample_oracle())
-def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed weighted sampling without replacement (Efraimidis &
-    Spirakis 2006): each row gets key ``u^(1/w)`` — taken in log space,
-    ``ln(u)/w`` — from a deterministic per-row uniform, and the sample is
-    the top-k by key. On a cluster this is a map-only key computation
-    plus a top-k (per-partition heads, then a k-row merge): no shuffle of
-    the corpus, reproducible at any partitioning, and the inclusion
-    probabilities are exactly weight-proportional."""
-    docs = _t(spark, sf_dir, "documents")
-    h = hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":ws")))
-    # (h+1) / (2^60 + 1): strictly inside (0, 1) so ln() is finite
-    u = (h + 1) / F.lit(float((1 << 60) + 1))
-    key = F.log(u) / F.col("n_chars").cast("double")
-    return (
-        docs.select(
-            "doc_id",
-            F.col("n_chars").cast("bigint").alias("weight"),
-            key.alias("_key"),
-        )
-        .orderBy(F.desc("_key"), "doc_id")
-        .limit(_WS_K)
-        .select("doc_id", "weight", F.round("_key", 6).alias("sort_key"))
-    )
-
-
-# --- hybrid retrieval: reciprocal-rank fusion of BM25 and ANN ----------------
-
-_RRF_C = 60
-
-
-def _rrf_oracle() -> str:
-    bm25 = _bm25_oracle(k=20)
-    return f"""
-    WITH bm AS (
-      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
-      FROM ({bm25})
-    ), emb AS (
-      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), q AS (SELECT v AS qv FROM emb WHERE doc_id = 0),
-    sims AS (
-      SELECT e.doc_id,
-             list_dot_product(e.v, q.qv)
-             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
-      FROM emb e CROSS JOIN q WHERE e.doc_id <> 0
-    ), ann AS (
-      SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
-      FROM (SELECT * FROM sims ORDER BY cosine DESC, doc_id LIMIT 20)
-    ), fused AS (
-      SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
-             round(COALESCE(1.0 / ({_RRF_C} + bm.r), 0)
-                 + COALESCE(1.0 / ({_RRF_C} + ann.r), 0), 6) AS rrf
-      FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
-    )
-    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
-    """
-
-
-@_register("hybrid_retrieval_rrf", _rrf_oracle())
-def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
-    ``1/(c + rank)``) of the BM25 lexical top-20 and the exact-cosine
-    embedding top-20 (query = vector 0). Composes two existing operators
-    — each side is its own top-k (k-row results), so the fusion join is
-    trivially broadcast; ranks, not scores, cross the fusion boundary,
-    which is what makes RRF scale-calibration-free."""
-    from ..operators.retrieval import bm25_topk
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    bm = bm25_topk(docs, _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B)
-    w_bm = W.orderBy(F.desc("bm25"), "doc_id")
-    bm_r = bm.select("doc_id", F.row_number().over(w_bm).alias("r_bm"))
-
-    emb = _t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv")
-    )
-    # exact cosine top-20 inline (broadcast 1-row query side, JVM fold)
-    dot = F.aggregate(
-        F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    sims = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qv))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            (dot / (norm(F.col("embedding")) * norm(F.col("qv")))).alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), "doc_id")
-        .limit(20)
-    )
-    w_ann = W.orderBy(F.desc("cosine"), "doc_id")
-    ann_r = sims.select("doc_id", F.row_number().over(w_ann).alias("r_ann"))
-
-    fused = (
-        bm_r.join(ann_r, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            F.round(
-                F.coalesce(1.0 / (_RRF_C + F.col("r_bm")), F.lit(0.0))
-                + F.coalesce(1.0 / (_RRF_C + F.col("r_ann")), F.lit(0.0)),
-                6,
-            ).alias("rrf"),
-        )
-        .orderBy(F.desc("rrf"), "doc_id")
-        .limit(10)
-    )
-    return fused
-
-
-# --- overlapping document chunking (RAG indexing shape) ----------------------
-
-_CHUNK_LEN = 64
-_CHUNK_STRIDE = 48  # 16-token overlap
-
-
-@_register(
-    "doc_chunking",
-    f"""
-    WITH t AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
-      FROM documents
-    ), c AS (
-      SELECT doc_id,
-             CAST(i - 1 AS BIGINT) // {_CHUNK_STRIDE} AS chunk_idx,
-             array_to_string(toks[i : i + {_CHUNK_LEN} - 1], ' ') AS chunk
-      FROM t, UNNEST(range(1, greatest(len(toks), 1) + 1, {_CHUNK_STRIDE})) AS u(i)
-    )
-    SELECT doc_id, chunk_idx,
-           CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
-           {hash60_sql('chunk')} AS chunk_hash
-    FROM c WHERE chunk <> ''
-    ORDER BY doc_id, chunk_idx
-    """,
-)
-def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping fixed-width chunking (the RAG-indexing prep step):
-    64-token windows at a 48-token stride, one output row per chunk with
-    its token count and content hash. Pure codegen — sequence/slice/
-    transform expressions, a map-only plan with no shuffle at all until
-    the presentation sort."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    toks = tokens_expr(F.col("text"))
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(_CHUNK_STRIDE)
-    )
-    chunks = F.transform(
-        starts,
-        lambda i: F.struct(
-            ((i - 1) / _CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
-            F.concat_ws(" ", F.slice(toks, i, _CHUNK_LEN)).alias("chunk"),
-        ),
-    )
-    return (
-        docs.select("doc_id", F.explode(chunks).alias("c"))
-        .select("doc_id", "c.chunk_idx", "c.chunk")
-        .filter(F.col("chunk") != "")
-        .select(
-            "doc_id",
-            "chunk_idx",
-            F.size(F.split(F.col("chunk"), " ")).cast("bigint").alias("n_tokens"),
-            hash60_expr(F.col("chunk")).alias("chunk_hash"),
-        )
-        .orderBy("doc_id", "chunk_idx")
-    )
-
-
-# --- hard-negative mining ----------------------------------------------------
-
-
-@_register(
-    "hard_negatives",
-    """
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 5),
-    scored AS (
-      SELECT q.qid, e.vec_id AS neg_id,
-             round(list_dot_product(e.v, q.qv)
-               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
-               AS cosine,
-             row_number() OVER (
-               PARTITION BY q.qid
-               ORDER BY list_dot_product(e.v, q.qv)
-                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
-                 e.vec_id) AS rnk
-      FROM e JOIN q ON e.label <> q.qlabel
-    )
-    SELECT qid, neg_id, cosine FROM scored WHERE rnk <= 5
-    ORDER BY qid, cosine DESC, neg_id
-    """,
-)
-def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining for contrastive training: for each query
-    vector, the 5 most-similar vectors with a DIFFERENT label — similar
-    enough to be hard, wrong by supervision. Query side is tiny and
-    broadcast; the corpus side computes cosines in one codegen pass and
-    a per-query top-k window. No corpus self-join."""
-    emb = _t(spark, sf_dir, "embeddings")
-    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    e = emb.select("vec_id", "label", d.alias("v"))
-    q = (
-        e.filter(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("label").alias("qlabel"),
-            F.col("v").alias("qv"),
-        )
-    )
-    dot = F.aggregate(
-        F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    scored = (
-        e.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("neg_id"),
-            (dot / (norm(F.col("v")) * norm(F.col("qv")))).alias("_cos"),
-        )
-    )
-    w = W.partitionBy("qid").orderBy(F.desc("_cos"), "neg_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("qid", "neg_id", F.round("_cos", 6).alias("cosine"))
-        .orderBy("qid", F.desc("cosine"), "neg_id")
-    )
-
-
-# --- distributed BPE merge training ------------------------------------------
-
-_BPE_ROUNDS = 3
-
-
-def _bpe_round_sql(r: int) -> str:
-    """One BPE round as CTEs over s{r-1}(word, freq, symbols):
-    pair counts → deterministic argmax → leftmost-greedy merge.
-
-    Greedy-in-SQL: a match may overlap its neighbor only when
-    left = right (proof: matches at i and i+1 force symbols[i+1] to be
-    both right and left), so overlap chains are runs of consecutive
-    matches; leftmost-greedy = take even offsets within each run
-    (gaps-and-islands)."""
-    prev = f"s{r - 1}"
-    return f"""
-    p{r} AS (
-      SELECT symbols[i] AS l, symbols[i + 1] AS r, sum(freq) AS pair_count
-      FROM {prev}, UNNEST(range(1, len(symbols))) AS u(i)
-      GROUP BY 1, 2
-    ),
-    b{r} AS (
-      SELECT l, r, pair_count FROM p{r}
-      ORDER BY pair_count DESC, l, r LIMIT 1
-    ),
-    e{r} AS (
-      SELECT word, freq, i, symbols[i] AS sym,
-             COALESCE(symbols[i] = b.l AND i < len(symbols)
-                      AND symbols[i + 1] = b.r, FALSE) AS m
-      FROM {prev} CROSS JOIN b{r} b,
-           UNNEST(range(1, len(symbols) + 1)) AS u(i)
-    ),
-    g{r} AS (
-      SELECT *, CASE WHEN m THEN i - row_number()
-                 OVER (PARTITION BY word, m ORDER BY i) END AS isl
-      FROM e{r}
-    ),
-    t{r} AS (
-      SELECT *, CASE WHEN m THEN
-                 (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0
-               ELSE FALSE END AS take
-      FROM g{r}
-    ),
-    s{r} AS (
-      SELECT word, freq,
-             list(CASE WHEN take THEN b.l || b.r ELSE sym END ORDER BY i)
-               AS symbols
-      FROM (
-        SELECT *, COALESCE(
-          lag(take) OVER (PARTITION BY word ORDER BY i), FALSE) AS consumed
-        FROM t{r}
-      ) CROSS JOIN b{r} b
-      WHERE NOT consumed
-      GROUP BY word, freq
-    )"""
-
-
-def _bpe_oracle() -> str:
-    rounds = ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
-    finals = " UNION ALL ".join(
-        f"""SELECT {r} AS round, b{r}.l AS left, b{r}.r AS right,
-            CAST(b{r}.pair_count AS BIGINT) AS pair_count,
-            CAST((SELECT sum(freq * len(symbols)) FROM s{r}) AS BIGINT)
-              AS n_symbols_after
-            FROM b{r}"""
-        for r in range(1, _BPE_ROUNDS + 1)
-    )
-    return f"""
-    WITH w AS (
-      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                                x -> x <> '')) AS word
-      FROM documents
-    ),
-    s0 AS (
-      SELECT word, CAST(count(*) AS BIGINT) AS freq,
-             list_filter(string_split(word, ''), x -> x <> '') AS symbols
-      FROM w GROUP BY word
-    ),
-    {rounds}
-    SELECT * FROM ({finals}) ORDER BY round
-    """
-
-
-@_register("bpe_merges", _bpe_oracle())
-def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three rounds of distributed BPE training (Sennrich et al. 2016)
-    over the corpus word-frequency table: per round, the argmax adjacent
-    pair (count-desc, lexicographic tiebreak) and the corpus-weighted
-    symbol total after the leftmost-greedy merge — a checksum that every
-    occurrence was rewritten. Spark merges via a native array fold; the
-    oracle replays each round with the gaps-and-islands greedy trick
-    (``operators/bpe.py``)."""
-    from ..operators.bpe import bpe_train, word_freqs
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    recs = bpe_train(word_freqs(docs), rounds=_BPE_ROUNDS)
-    return spark.createDataFrame(
-        [
-            (r["round"], r["left"], r["right"], r["pair_count"], r["n_symbols_after"])
-            for r in recs
-        ],
-        "round int, left string, right string, pair_count bigint, n_symbols_after bigint",
-    ).orderBy("round")
-
-
-def _bpe_encode_oracle() -> str:
-    rounds = ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
-    return f"""
-    WITH dwords AS (
-      SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                                x -> x <> '')) AS word
-      FROM documents
-    ),
-    w AS (SELECT word FROM dwords),
-    s0 AS (
-      SELECT word, CAST(count(*) AS BIGINT) AS freq,
-             list_filter(string_split(word, ''), x -> x <> '') AS symbols
-      FROM w GROUP BY word
-    ),
-    {rounds}
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT)            AS n_words,
-           CAST(sum(len(word)) AS BIGINT)      AS n_chars,
-           CAST(sum(len(symbols)) AS BIGINT)   AS n_tokens,
-           round(sum(len(word)) * 1.0 / sum(len(symbols)), 6) AS compression
-    FROM dwords JOIN s{_BPE_ROUNDS} USING (word)
-    GROUP BY doc_id ORDER BY doc_id
-    """
-
-
-@_register("bpe_encode_stats", _bpe_encode_oracle())
-def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply the trained BPE merges: encode every document with the
-    final symbol table and report per-doc token count and compression.
-    The symbol table IS the tokenizer — vocab-sized, broadcast — so
-    encoding a 100 TB corpus is a map-side join of the word stream
-    against it plus one doc-keyed rollup; the training loop
-    (:func:`bpe_train_with_symbols`) runs once, not per document."""
-    from ..functions.text import tokens_expr
-    from ..operators.bpe import bpe_train_with_symbols, word_freqs
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    _, syms = bpe_train_with_symbols(word_freqs(docs), rounds=_BPE_ROUNDS)
-    dwords = docs.select(
-        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("word")
-    )
-    vocab = syms.select("word", F.size("symbols").alias("_n_sym"))
-    return (
-        dwords.join(F.broadcast(vocab), "word")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.length("word")).alias("n_chars"),
-            F.sum("_n_sym").cast("bigint").alias("n_tokens"),
-            F.round(
-                F.sum(F.length("word")) / F.sum("_n_sym"), 6
-            ).alias("compression"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-# --- XZ-cell spatial rollup --------------------------------------------------
-
-
-@_register(
-    "xz_cell_stats",
-    f"""
-    WITH codes AS ({{inner}}),
-    cells AS (
-      SELECT xz_level, xz_code, CAST(count(*) AS BIGINT) AS n
-      FROM codes GROUP BY xz_level, xz_code
-    )
-    SELECT xz_level,
-           CAST(sum(n) AS BIGINT) AS n_features,
-           CAST(count(*) AS BIGINT) AS n_cells,
-           CAST(max(n) AS BIGINT) AS max_cell,
-           round(avg(n), 6) AS avg_cell
-    FROM cells GROUP BY xz_level ORDER BY xz_level
-    """.format(inner=_xz_oracle().replace("ORDER BY c_custkey", "")),
-)
-def xz_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spatial rollup on the XZ space-filling curve: features per curve
-    cell, aggregated per level — the tiling histogram an OSM analytics
-    deployment uses for spatial partitioning decisions. One combinable
-    aggregation keyed on (level, code); the curve code itself is the
-    shuffle key, which is the whole point of XZ ordering at scale."""
-    c = _t(spark, sf_dir, "customer")
-    xmin = ((F.col("c_custkey") % 340) - 170).cast("double")
-    ymin = (((F.col("c_custkey") * 3) % 160) - 80).cast("double")
-    xmax = xmin + (F.abs(F.col("c_acctbal")) % 10.0)
-    ymax = ymin + ((F.abs(F.col("c_acctbal")) * 2.0) % 8.0)
-    codes = c.select(
-        xz_level_expr(xmin, ymin, xmax, ymax).alias("xz_level"),
-        xz_code_expr(xmin, ymin, xmax, ymax).alias("xz_code"),
-    )
-    cells = codes.groupBy("xz_level", "xz_code").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    return (
-        cells.groupBy("xz_level")
-        .agg(
-            F.sum("n").alias("n_features"),
-            F.count(F.lit(1)).alias("n_cells"),
-            F.max("n").alias("max_cell"),
-            F.round(F.avg("n"), 6).alias("avg_cell"),
-        )
-        .orderBy("xz_level")
-    )
-
-
-# --- incremental dedup (new batch vs historical index) -----------------------
-
-# fingerprint = the first 8 tokens (leading-content dedup: catches
-# boilerplate-prefixed near-copies that full-text hashing misses, and the
-# synthetic corpus actually collides on it, so both dup branches execute)
-_INC_HEAD_SQL = (
-    "array_to_string((list_filter(regexp_split_to_array(lower(text), '\\W+'),"
-    " x -> x <> ''))[1:8], ' ')"
-)
-
-
-@_register(
-    "incremental_dedup",
-    f"""
-    WITH d AS (
-      SELECT doc_id, text,
-             {hash60_sql("CAST(doc_id AS VARCHAR) || ':inc'")} % 10 AS b,
-             {hash60_sql(_INC_HEAD_SQL)} AS fp
-      FROM documents
-    ),
-    hist AS (SELECT DISTINCT fp FROM d WHERE b < 7),
-    batch AS (SELECT doc_id, fp FROM d WHERE b >= 7),
-    keep0 AS (
-      SELECT batch.doc_id, batch.fp,
-             hist.fp IS NOT NULL AS in_history,
-             row_number() OVER (PARTITION BY batch.fp ORDER BY batch.doc_id)
-               AS rn
-      FROM batch LEFT JOIN hist USING (fp)
-    )
-    SELECT doc_id,
-           CASE WHEN in_history THEN 'dup_of_history'
-                WHEN rn > 1 THEN 'dup_in_batch'
-                ELSE 'new' END AS verdict
-    FROM keep0 ORDER BY doc_id
-    """,
-)
-def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental exact dedup — the daily-crawl contract: a new batch is
-    checked against the historical fingerprint index (anti-join shape)
-    AND deduped within itself (first-by-id wins). At 100 TB the history
-    side is a bucketed fingerprint table (`sources/state_tables.py`
-    pattern) so the join is co-located; the batch is small, so AQE
-    broadcasts it — no history re-shuffle per day."""
-    docs = _t(spark, sf_dir, "documents")
-    b = F.pmod(
-        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":inc"))),
-        F.lit(10),
-    )
-    head = F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 8))
-    d = docs.select("doc_id", b.alias("b"), hash60_expr(head).alias("fp"))
-    hist = d.filter(F.col("b") < 7).select("fp").distinct()
-    batch = d.filter(F.col("b") >= 7).select("doc_id", "fp")
-    w = W.partitionBy("fp").orderBy("doc_id")
-    joined = (
-        batch.join(hist.withColumn("_h", F.lit(True)), "fp", "left")
-        .withColumn("rn", F.row_number().over(w))
-    )
-    verdict = (
-        F.when(F.col("_h").isNotNull(), F.lit("dup_of_history"))
-        .when(F.col("rn") > 1, F.lit("dup_in_batch"))
-        .otherwise(F.lit("new"))
-    )
-    return joined.select("doc_id", verdict.alias("verdict")).orderBy("doc_id")
-
-
-
-# ===========================================================================
-# round-7 additions: OSM analytics + training-data surface widening
-# ===========================================================================
-
-
-def _tag_change_oracle() -> str:
-    cut = _CONTRIB_ORACLE.find("SELECT\n  CASE WHEN NOT visible")
-    return (
-        _CONTRIB_ORACLE[:cut]
-        + """
-    SELECT prev_tagv AS old_value, tagv AS new_value,
-           CAST(count(*) AS BIGINT) AS n_changes,
-           CAST(count(DISTINCT osm_id) AS BIGINT) AS n_elements
-    FROM final
-    WHERE visible AND prev_tagv IS NOT NULL AND tagv IS DISTINCT FROM prev_tagv
-    GROUP BY 1, 2 ORDER BY old_value, new_value
-    """
-    )
-
-
-@_register("tag_change_matrix", _tag_change_oracle())
-def tag_change_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tag-transition matrix: how often each tag value changed into each
-    other value across the contribution stream (the 'how do features
-    evolve' analytics the taginfo/ohsome dashboards derive). One
-    two-column groupBy over the staged contributions table —
-    tags_before/tags are already materialized, so no window re-runs."""
-    contribs = _node_contribs_table(spark, sf_dir)
-    old_v, new_v = F.col("tags_before")["t"], F.col("tags")["t"]
-    return (
-        contribs.filter(F.col("status") != "deleted")
-        .filter(old_v.isNotNull() & ~old_v.eqNullSafe(new_v))
-        .groupBy(old_v.alias("old_value"), new_v.alias("new_value"))
-        .agg(
-            F.count(F.lit(1)).alias("n_changes"),
-            F.countDistinct("osm_id").alias("n_elements"),
-        )
-        .orderBy("old_value", "new_value")
-    )
-
-
-def _lifespan_oracle() -> str:
-    contribs = _CONTRIB_ORACLE.replace("ORDER BY osm_id, osm_edits", "")
-    return f"""
-    WITH contribs AS ({contribs})
-    SELECT osm_id,
-           CAST(max(osm_edits) AS INT) AS n_edits,
-           min(valid_from) AS first_edit,
-           max(valid_from) AS last_edit,
-           round(date_diff('second', min(valid_from), max(valid_from))
-                 / 86400.0, 6) AS lifespan_days,
-           arg_max(status, osm_edits) AS final_status
-    FROM contribs GROUP BY osm_id ORDER BY osm_id
-    """
-
-
-@_register("element_lifespans", _lifespan_oracle())
-def element_lifespans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-element lifecycle summary: edit count, first/last edit, days
-    alive, and the element's final status — the 'churn' profile OSM
-    completeness studies aggregate. A single combinable groupBy on the
-    staged contributions table (already hash-clustered by osm_id in the
-    stage write, so at 100 TB this aggregation is co-located)."""
-    contribs = _node_contribs_table(spark, sf_dir)
-    return (
-        contribs.groupBy("osm_id")
-        .agg(
-            F.max("osm_edits").cast("int").alias("n_edits"),
-            F.min("valid_from").alias("first_edit"),
-            F.max("valid_from").alias("last_edit"),
-            F.round(
-                (
-                    F.max("valid_from").cast("long")
-                    - F.min("valid_from").cast("long")
-                )
-                / 86400.0,
-                6,
-            ).alias("lifespan_days"),
-            F.max_by("status", "osm_edits").alias("final_status"),
-        )
-        .orderBy("osm_id")
-    )
-
-
-def _bigram_logprob_oracle(k: float = 0.5) -> str:
-    bucket = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
-    return rf"""
-    WITH b AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\W+'),
-                         x -> x <> '') AS toks,
-             CASE WHEN {bucket} < 80 THEN 'train'
-                  WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
-      FROM documents
-    ), bg0 AS (
-      SELECT doc_id, split,
-             unnest(list_transform(range(1, len(toks)),
-               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
-      FROM b
-    ), bg AS (
-      SELECT doc_id, split, (p).w1 AS w1, (p).w2 AS w2 FROM bg0
-    ), c2 AS (
-      SELECT w1, w2, count(*) AS c FROM bg WHERE split = 'train' GROUP BY 1, 2
-    ), c1 AS (
-      SELECT w1, sum(c) AS c FROM c2 GROUP BY 1
-    ), v AS (
-      SELECT count(DISTINCT w2) AS vocab FROM c2
-    ), scored AS (
-      SELECT t.doc_id,
-             -ln((coalesce(p.c, 0) + {k}) /
-                 (coalesce(u.c, 0) + {k} * v.vocab)) AS nll
-      FROM bg t
-        LEFT JOIN c2 p ON p.w1 = t.w1 AND p.w2 = t.w2
-        LEFT JOIN c1 u ON u.w1 = t.w1
-        CROSS JOIN v
-      WHERE t.split = 'test'
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(avg(nll), 6) AS avg_nll,
-           round(max(nll), 6) AS max_nll
-    FROM scored GROUP BY doc_id ORDER BY doc_id
-    """
-
-
-def _dsir_oracle(buckets: int = 1024) -> str:
-    h = hash60_sql("w1 || ' ' || w2")
-    return rf"""
-    WITH b AS (
-      SELECT doc_id, lang,
-             list_filter(regexp_split_to_array(lower(text), '\W+'),
-                         x -> x <> '') AS toks
-      FROM documents
-    ), bg0 AS (
-      SELECT doc_id, lang = 'en' AS is_target,
-             unnest(list_transform(range(1, len(toks)),
-               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
-      FROM b
-    ), bg AS (
-      SELECT doc_id, is_target,
-             {h} % {buckets} AS bucket
-      FROM (SELECT doc_id, is_target, (p).w1 AS w1, (p).w2 AS w2 FROM bg0)
-    ), counts AS (
-      SELECT bucket, CAST(count(*) AS BIGINT) AS raw_c,
-             CAST(count(*) FILTER (WHERE is_target) AS BIGINT) AS tgt_c
-      FROM bg GROUP BY bucket
-    ), totals AS (
-      SELECT sum(raw_c) AS r_total, sum(tgt_c) AS t_total FROM counts
-    ), ratios AS (
-      SELECT bucket,
-             ln((tgt_c + 0.5) / (t.t_total + 0.5 * {buckets}))
-             - ln((raw_c + 0.5) / (t.r_total + 0.5 * {buckets})) AS lr
-      FROM counts, totals t
-    )
-    SELECT bg.doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(sum(r.lr), 6) AS importance,
-           round(avg(r.lr), 6) AS importance_per_ngram
-    FROM bg JOIN ratios r USING (bucket)
-    GROUP BY bg.doc_id ORDER BY bg.doc_id
-    """
-
-
-def _dsir_weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared body of the DSIR family: per-doc (n_bigrams, UNROUNDED
-    importance sum) — consumed by the weights query (rounded projection)
-    and by the resampler (Gumbel keys)."""
-    buckets = 1024
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    base = docs.select(
-        "doc_id",
-        (F.col("lang") == "en").alias("is_target"),
-        tokens_expr(F.col("text")).alias("toks"),
-    )
-    bg = base.select(
-        "doc_id",
-        "is_target",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(toks) >= 2 THEN"
-                " transform(sequence(1, size(toks) - 1),"
-                " i -> concat(toks[i - 1], ' ', toks[i]))"
-                " ELSE array() END"
-            )
-        ).alias("ngram"),
-    ).select(
-        "doc_id",
-        "is_target",
-        F.pmod(hash60_expr(F.col("ngram")), F.lit(buckets)).alias("bucket"),
-    )
-    counts = bg.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("raw_c"),
-        F.sum(F.col("is_target").cast("bigint")).alias("tgt_c"),
-    )
-    totals = counts.agg(
-        F.sum("raw_c").alias("r_total"), F.sum("tgt_c").alias("t_total")
-    )
-    ratios = counts.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        (
-            F.log((F.col("tgt_c") + 0.5) / (F.col("t_total") + 0.5 * buckets))
-            - F.log((F.col("raw_c") + 0.5) / (F.col("r_total") + 0.5 * buckets))
-        ).alias("lr"),
-    )
-    return (
-        bg.join(F.broadcast(ratios), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("lr").alias("_importance_raw"),
-            F.avg("lr").alias("_ipn_raw"),
-        )
-    )
-
-
-@_register("dsir_importance_weights", _dsir_oracle())
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
-    for Language Models via Importance Resampling"): hashed word-bigram
-    features (1024 buckets), bag-of-ngrams log-likelihood ratio between
-    the target domain (lang=en) and the raw corpus, summed per document
-    — the score a curation pipeline resamples against to shift a raw
-    crawl toward a target distribution. Scale shape: the bucket count
-    table is fixed-size (1024 rows) and BROADCAST back onto the n-gram
-    stream; the only corpus-sized exchange is the per-doc aggregation."""
-    return (
-        _dsir_weights_df(spark, sf_dir)
-        .select(
-            "doc_id",
-            "n_bigrams",
-            F.round("_importance_raw", 6).alias("importance"),
-            F.round("_ipn_raw", 6).alias("importance_per_ngram"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-def _dsir_resample_oracle(m: int = 150, temp: float = 2.0) -> str:
-    h = hash60_sql("CAST(doc_id AS VARCHAR) || ':dsir'")
-    u = f"(({h}) + 1.0) / 1152921504606846977.0"
-    body = _dsir_oracle()
-    cut = body.index("SELECT bg.doc_id,")
-    return (
-        body[:cut]
-        + f""", weights AS (
-      SELECT bg.doc_id, sum(r.lr) AS imp
-      FROM bg JOIN ratios r USING (bucket)
-      GROUP BY bg.doc_id
-    ), keyed AS (
-      -- gkey rounded to 9dp BEFORE ordering (round-before-hash convention):
-      -- imp is a float aggregate sum whose low bits depend on partial-agg
-      -- order, so near-tie unrounded keys could flip selection between
-      -- engines/runs
-      SELECT doc_id, imp,
-             round(imp / {temp!r} + (-ln(-ln({u}))), 9) AS gkey
-      FROM weights
-    )
-    SELECT doc_id,
-           CAST(row_number() OVER (ORDER BY gkey DESC, doc_id) AS INT) AS rank,
-           round(imp, 6) AS importance
-    FROM keyed
-    ORDER BY gkey DESC, doc_id
-    LIMIT {m}
-    """
-    )
-
-
-@_register("dsir_resample", _dsir_resample_oracle())
-def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The RESAMPLING half of DSIR (Xie et al. 2023 §2): select M
-    documents without replacement with probability ∝ exp(importance/T)
-    via the Gumbel top-k trick — key = importance/T + Gumbel(0,1), take
-    the top M. The Gumbel noise is a deterministic hash-derived uniform
-    (u = (hash60(doc_id)+1)/(2^60+1)), so the draw is reproducible and
-    SQL-replayable. Scale shape: keys are computed map-side on the
-    weights table; the only coordination is the top-M (TakeOrdered — no
-    full sort shuffle)."""
-    m, temp = 150, 2.0
-    w = _dsir_weights_df(spark, sf_dir)
-    u = (
-        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":dsir")))
-        + F.lit(1.0)
-    ) / F.lit(1152921504606846977.0)
-    # gkey rounded to 9dp before ordering: the importance sum's low bits are
-    # partial-aggregation-order dependent, so the unrounded key could flip
-    # near-tie selections run-to-run / engine-to-engine
-    keyed = w.select(
-        "doc_id",
-        F.col("_importance_raw").alias("imp"),
-        F.round(
-            F.col("_importance_raw") / F.lit(temp) + (-F.log(-F.log(u))), 9
-        ).alias("gkey"),
-    )
-    from pyspark.sql import Window as _W
-
-    # TakeOrdered first (no full-sort shuffle at corpus scale), THEN the
-    # global rank window — it only ever sees the M selected rows
-    top = keyed.orderBy(F.desc("gkey"), F.col("doc_id")).limit(m)
-    return (
-        top.withColumn(
-            "rank",
-            F.row_number().over(_W.orderBy(F.desc("gkey"), F.col("doc_id"))).cast("int"),
-        )
-        .select("doc_id", "rank", F.round("imp", 6).alias("importance"))
-        .orderBy("rank")
-    )
-
-
-@_register("bigram_logprob_scores", _bigram_logprob_oracle())
-def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram LM perplexity filtering — the KenLM-shaped upgrade of
-    ``unigram_logprob_scores``: add-k-smoothed bigram probabilities fit
-    on the train split, test documents scored by mean negative
-    log-likelihood. Plan shape at 100 TB: bigram construction is a
-    native array transform (no shuffle), the count tables are two
-    map-side-combined aggs, scoring is one equi-join per table plus the
-    scalar vocab broadcast — the corpus-sized side shuffles once."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    bucket = F.pmod(
-        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
-        F.lit(100),
-    )
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    base = docs.select(
-        "doc_id", split.alias("split"), tokens_expr(F.col("text")).alias("toks")
-    )
-    bg = base.select(
-        "doc_id",
-        "split",
-        F.explode(
-            # guard: sequence(1, n-1) counts DOWN when n < 2 and toks[i]
-            # then throws INVALID_ARRAY_INDEX; short docs emit no bigrams
-            # (matching the oracle's empty range(1, len(toks)))
-            F.expr(
-                "CASE WHEN size(toks) >= 2 THEN"
-                " transform(sequence(1, size(toks) - 1),"
-                " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
-                " ELSE array() END"
-            )
-        ).alias("bgr"),
-    ).select("doc_id", "split", F.col("bgr.w1").alias("w1"), F.col("bgr.w2").alias("w2"))
-    c2 = (
-        bg.filter(F.col("split") == "train")
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c2"))
-    )
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    v = c2.agg(F.countDistinct("w2").alias("vocab"))
-    k = 0.5
-    scored = (
-        bg.filter(F.col("split") == "test")
-        .join(c2, ["w1", "w2"], "left")
-        .join(c1, "w1", "left")
-        .crossJoin(F.broadcast(v))
-        .select(
-            "doc_id",
-            (
-                -F.log(
-                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
-                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("vocab"))
-                )
-            ).alias("nll"),
-        )
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg("nll"), 6).alias("avg_nll"),
-            F.round(F.max("nll"), 6).alias("max_nll"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-def _vocab_coverage_oracle(top_k: int = 500) -> str:
-    return rf"""
-    WITH tok AS (
-      SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
-                                x -> x <> '')) AS token
-      FROM documents
-    ), vocab AS (
-      SELECT token FROM (
-        SELECT token, count(*) AS c FROM tok GROUP BY token
-        ORDER BY c DESC, token LIMIT {top_k})
-    )
-    SELECT t.doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_oov,
-           round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
-                 / count(*), 6) AS oov_rate
-    FROM tok t LEFT JOIN vocab v USING (token)
-    GROUP BY t.doc_id ORDER BY t.doc_id
-    """
-
-
-@_register("vocab_coverage", _vocab_coverage_oracle())
-def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-vocabulary coverage: per-document OOV rate against the
-    corpus top-500 token vocabulary (the sizing statistic that decides a
-    tokenizer's vocab budget). The vocab is orderBy+limit — Spark plans
-    TakeOrderedAndProject (per-partition top-k + driver merge of k rows,
-    NO global sort), then broadcasts; the corpus side aggregates once."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    tok = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
-    vocab = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), F.asc("token"))
-        .limit(500)
-        .select("token", F.lit(True).alias("_inv"))
-    )
-    return (
-        tok.join(F.broadcast(vocab), "token", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.col("_inv").isNull().cast("bigint")).alias("n_oov"),
-            F.round(
-                F.sum(F.col("_inv").isNull().cast("bigint")) / F.count(F.lit(1)), 6
-            ).alias("oov_rate"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-def _matryoshka_oracle(dims: tuple = (16, 32), k: int = 5) -> str:
-    def topk_cte(name: str, d: int | None) -> str:
-        vec = "v" if d is None else f"v[1:{d}]"
-        qvec = "qv" if d is None else f"qv[1:{d}]"
-        n = 65 if d is None else d + 1
-        return f"""
-    , {name}_d AS (
-      SELECT q.qid, v.vec_id,
-             round(
-               list_sum(list_transform(range(1, {n}),
-                 i -> (q.{qvec})[i] * (v.{vec})[i]))
-               / (sqrt(list_sum(list_transform(range(1, {n}),
-                    i -> (q.{qvec})[i] * (q.{qvec})[i])))
-                  * sqrt(list_sum(list_transform(range(1, {n}),
-                      i -> (v.{vec})[i] * (v.{vec})[i])))), 6) AS cosine
-      FROM q, v WHERE q.qid <> v.vec_id
-    ), {name} AS (
-      SELECT qid AS query_id, vec_id FROM (
-        SELECT qid, vec_id,
-               row_number() OVER (PARTITION BY qid
-                                  ORDER BY cosine DESC, vec_id) AS rank
-        FROM {name}_d) WHERE rank <= {k})"""
-
-    union = "\n      UNION ALL ".join(
-        f"SELECT 'trunc{d}' AS method, query_id, vec_id FROM t{d}" for d in dims
-    )
-    values = ", ".join(f"('trunc{d}')" for d in dims)
-    ctes = topk_cte("full_t", None) + "".join(
-        topk_cte(f"t{d}", d) for d in dims
-    )
-    return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 5)
-    {ctes}
-    , approx AS ({union})
-    , em AS (
-        SELECT m.method, e.query_id, e.vec_id
-        FROM full_t e CROSS JOIN (VALUES {values}) m(method))
-    SELECT em.query_id, em.method,
-           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
-           round(count(a.vec_id) / {k}.0, 6) AS recall_at_{k}
-    FROM em LEFT JOIN approx a ON a.method = em.method
-       AND a.query_id = em.query_id AND a.vec_id = em.vec_id
-    GROUP BY em.query_id, em.method
-    ORDER BY em.query_id, em.method
-    """
-
-
-@_register("matryoshka_recall_eval", _matryoshka_oracle())
-def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matryoshka truncation eval (Kusupati et al. 2022 MRL): recall@5 of
-    exact cosine search over the first 16/32 dims against full-64-dim
-    ground truth — the measurement that justifies serving truncated
-    embeddings (4×/2× memory cut) from an MRL-trained model. Same
-    broadcast-query brute-force shape as ``cosine_topk``; truncation is a
-    native slice, so the scan cost drops with the dimension."""
-    emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    exact = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
-    approx = None
-    for d in (16, 32):
-        te = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
-        tq = queries.select(
-            "query_id", F.slice("query_vec", 1, d).alias("query_vec")
-        )
-        t = cosine_topk(te, tq, k=5).select(
-            F.lit(f"trunc{d}").alias("method"), "query_id", "vec_id"
-        )
-        approx = t if approx is None else approx.unionByName(t)
-    approx = approx.withColumn("_hit", F.lit(1))
-    methods = spark.createDataFrame([("trunc16",), ("trunc32",)], "method string")
-    return (
-        exact.crossJoin(F.broadcast(methods))
-        .join(approx, ["method", "query_id", "vec_id"], "left")
-        .groupBy("query_id", "method")
-        .agg(
-            F.count("_hit").alias("n_hit"),
-            F.round(F.count("_hit") / 5.0, 6).alias("recall_at_5"),
-        )
-        .orderBy("query_id", "method")
-    )
-
-
-def _minhash_incremental_oracle(num_perm: int = 16, bands: int = 4, n: int = 3) -> str:
-    sh = _SHINGLE_SQL.format(n=n)
-    mins = ",\n           ".join(
-        f"min(({_perm_coeff(i, 'a')} * (shingle_hash % {MINHASH_PRIME}) + {_perm_coeff(i, 'b')}) % {MINHASH_PRIME}) AS mh_{i}"
-        for i in range(num_perm)
-    )
-    rows = num_perm // bands
-    band_rows = ", ".join(
-        "({b}, concat_ws(',', {cols}))".format(
-            b=b, cols=", ".join(f"mh_{b * rows + r}" for r in range(rows))
-        )
-        for b in range(bands)
-    )
-    bucket = hash60_sql("CAST(doc AS VARCHAR) || ':inc'") + " % 10"
-    return f"""
-    WITH sh AS (
-      SELECT DISTINCT doc, {hash60_sql('shingle')} AS shingle_hash FROM ({sh})
-    ), sig AS (
-      SELECT doc, {mins} FROM sh GROUP BY doc
-    ), banded AS (
-      SELECT doc, b.band, b.bucket, {bucket} AS split_b
-      FROM sig, (VALUES {band_rows}) AS b(band, bucket)
-    ), hist AS (
-      SELECT DISTINCT band, bucket FROM banded WHERE split_b < 7
-    ), batch AS (
-      SELECT * FROM banded WHERE split_b >= 7
-    ), hits AS (
-      SELECT DISTINCT batch.doc FROM batch JOIN hist USING (band, bucket)
-    )
-    SELECT d.doc AS doc_id,
-           CASE WHEN h.doc IS NOT NULL THEN 'near_dup_of_history'
-                ELSE 'new' END AS verdict
-    FROM (SELECT DISTINCT doc FROM batch) d LEFT JOIN hits h USING (doc)
-    ORDER BY doc_id
-    """
-
-
-@_register("minhash_incremental", _minhash_incremental_oracle())
-def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental NEAR-dup detection — the fuzzy companion of the exact
-    ``incremental_dedup``: the day's batch is banded with MinHash-LSH and
-    probed against the HISTORY's (band, bucket) table. At 100 TB the
-    history bucket table is a stored index (id-free, distinct buckets
-    only); the batch side is day-sized, so the probe is a broadcast or
-    co-bucketed equi-join — the historical corpus itself is never
-    re-shingled."""
-    from ..operators.dedup import lsh_bands
-
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    sig = minhash_signatures(shingles(docs, "doc_id", "text", n=3), num_perm=16)
-    banded = lsh_bands(sig, num_perm=16, bands=4).withColumn(
-        "split_b",
-        F.pmod(
-            hash60_expr(F.concat(F.col("doc").cast("string"), F.lit(":inc"))),
-            F.lit(10),
-        ),
-    )
-    from pyspark.storagelevel import StorageLevel
-
-    from ..session import register_cached
-
-    banded = register_cached(banded.persist(StorageLevel.MEMORY_AND_DISK))
-    hist = banded.filter(F.col("split_b") < 7).select("band", "bucket").distinct()
-    batch = banded.filter(F.col("split_b") >= 7)
-    hits = (
-        batch.join(hist, ["band", "bucket"], "left_semi").select("doc").distinct()
-        .withColumn("_h", F.lit(True))
-    )
-    return (
-        batch.select("doc").distinct()
-        .join(hits, "doc", "left")
-        .select(
-            F.col("doc").alias("doc_id"),
-            F.when(F.col("_h").isNotNull(), F.lit("near_dup_of_history"))
-            .otherwise(F.lit("new"))
-            .alias("verdict"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-# ===========================================================================
-# contrib_full_row_from_pbf — the 29-column Contrib-row parity gate
-# (VERDICT r8 item 1): PBF wire bytes → decode → J1/J2/J3 merge → geometry →
-# synthesis → J4 changesets → J5 countries → EVERY contrib.avsc column
-# (contrib.avsc:1-387) hashed, WKB geometry as hex, maps/arrays/structs via
-# canonical scalar encodings (the driver hash compares scalar cells).
-# ===========================================================================
-
-_FULLROW_MOVE = _EPOCH_2024 + 17 * 86400  # corner-2 node move instant base
-_FULLROW_REL_TS = _EPOCH_2024 + 10 * 86400  # relation v1 creation
-
-
-def _derived_fullrow_corpus(spark: SparkSession, sf_dir: str):
-    """Full-variance history corpus derived from nation (25 ways, 5
-    multipolygon relations, 150 node versions) with every contrib.avsc
-    field exercised: per-version users/changesets, a node move (way+relation
-    minor versions), a tag-only edit (TAG contrib), deletions (status
-    'deleted' with inherited geometry), empty refs/tags on deleted versions.
-    All values PBF-representable exactly: whole-second timestamps,
-    coordinates on the {int, int+0.25, int+0.5, int+1.0} grid."""
-    nat = _t(spark, sf_dir, "nation")
-    base = nat.select(
-        F.col("n_nationkey").cast("bigint").alias("w"),
-        F.col("n_regionkey").cast("bigint").alias("r"),
-    )
-    wb = base.select(
-        "w",
-        "r",
-        (F.col("w") * 7 % 340 - 170).cast("double").alias("x0"),
-        (F.col("w") * 11 % 160 - 80).cast("double").alias("y0"),
-    )
-    nid = F.lit(10_000_000) + F.col("w") * 8
-
-    # --- nodes: 5 ring corners per way; corner 2 moves at +17d ------------
-    k = F.col("k")
-    dx = F.array(F.lit(0.0), F.lit(0.5), F.lit(0.5), F.lit(0.0), F.lit(0.0))
-    dy = F.array(F.lit(0.0), F.lit(0.0), F.lit(0.25), F.lit(0.25), F.lit(0.5))
-    corners = wb.crossJoin(
-        F.broadcast(spark.range(5).select(F.col("id").cast("int").alias("k")))
-    )
-    uid1 = (F.lit(10) + k).cast("bigint")
-    nodes_v1 = corners.select(
-        (nid + k).alias("osm_id"),
-        F.lit(1).cast("int").alias("version"),
-        F.timestamp_seconds(F.lit(_EPOCH_2020)).alias("ts"),
-        F.lit(900).cast("bigint").alias("changeset"),
-        uid1.alias("user_id"),
-        F.concat(F.lit("u"), uid1.cast("string")).alias("user_name"),
-        F.lit(True).alias("visible"),
-        F.expr("cast(map() as map<string,string>)").alias("tags"),
-        (F.col("x0") + F.element_at(dx, k + 1)).alias("lon"),
-        (F.col("y0") + F.element_at(dy, k + 1)).alias("lat"),
-    )
-    uid2 = (F.lit(200) + F.col("w") % 5).cast("bigint")
-    movers_v2 = wb.select(
-        (nid + 2).alias("osm_id"),
-        F.lit(2).cast("int").alias("version"),
-        F.timestamp_seconds(F.lit(_FULLROW_MOVE) + F.col("w") * 60).alias("ts"),
-        (F.lit(7000) + F.col("w")).cast("bigint").alias("changeset"),
-        uid2.alias("user_id"),
-        F.concat(F.lit("u"), uid2.cast("string")).alias("user_name"),
-        F.lit(True).alias("visible"),
-        F.expr("cast(map() as map<string,string>)").alias("tags"),
-        (F.col("x0") + 1.0).alias("lon"),
-        (F.col("y0") + 0.25).alias("lat"),
-    )
-    nodes = nodes_v1.unionByName(movers_v2)
-
-    # --- ways: v1 create, v2 geometry, v3 tag-only, v4 delete (w%5==0) ----
-    vs = spark.range(1, 5).select(F.col("id").cast("int").alias("v"))
-    wv = wb.crossJoin(F.broadcast(vs)).filter(
-        (F.col("v") <= 3) | (F.col("w") % 5 == 0)
-    )
-    v = F.col("v")
-    uidw = (F.lit(100) + (F.col("w") + v) % 7).cast("bigint")
-    ways = wv.select(
-        F.col("w").alias("osm_id"),
-        v.alias("version"),
-        F.timestamp_seconds(
-            F.lit(_EPOCH_2024) + F.col("w") * 60 + v * 7 * 86400
-        ).alias("ts"),
-        (F.lit(1000) + F.col("w") * 10 + v).cast("bigint").alias("changeset"),
-        uidw.alias("user_id"),
-        F.concat(F.lit("u"), uidw.cast("string")).alias("user_name"),
-        (v < 4).alias("visible"),
-        F.when(
-            v == 3,
-            F.create_map(
-                F.lit("building"), F.lit("yes"),
-                F.lit("name"), F.concat(F.lit("w"), F.col("w").cast("string")),
-            ),
-        )
-        .when(v == 4, F.expr("cast(map() as map<string,string>)"))
-        .otherwise(F.create_map(F.lit("building"), F.lit("yes")))
-        .alias("tags"),
-        F.when(v == 1, F.array(nid, nid + 1, nid + 2, nid + 3, nid))
-        .when(v == 4, F.array().cast("array<bigint>"))
-        .otherwise(F.array(nid, nid + 1, nid + 2, nid + 4, nid))
-        .alias("refs"),
-    )
-
-    # --- relations: one multipolygon per region over its nations' ways ----
-    ruid = (F.lit(50) + F.col("osm_id")).cast("bigint")
-    rels = (
-        base.groupBy(F.col("r").alias("osm_id"))
-        .agg(F.sort_array(F.collect_list("w")).alias("member_ids"))
-        .select(
-            "osm_id",
-            F.lit(1).cast("int").alias("version"),
-            F.timestamp_seconds(F.lit(_FULLROW_REL_TS)).alias("ts"),
-            (F.lit(5000) + F.col("osm_id")).cast("bigint").alias("changeset"),
-            ruid.alias("user_id"),
-            F.concat(F.lit("u"), ruid.cast("string")).alias("user_name"),
-            F.lit(True).alias("visible"),
-            F.create_map(
-                F.lit("type"), F.lit("multipolygon"),
-                F.lit("landuse"), F.lit("forest"),
-            ).alias("tags"),
-            F.transform(
-                "member_ids",
-                lambda i: F.struct(
-                    F.lit("way").alias("type"), i.alias("id"),
-                    F.lit("outer").alias("role"),
-                ),
-            ).alias("members"),
-        )
-    )
-    return nodes, ways, rels
-
-
-def _pbf_fullrow_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Encode the full-variance corpus into real ``.osh.pbf`` wire bytes
-    (per-type blocks, per-row uid/user/visible through the info fields)."""
-    import hashlib
-    import os
-    import tempfile
-
-    key = "fullrow1_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"opc_fixture_{key}.osh.pbf")
-    if _PBF_FIXTURES.get(key) == path and os.path.exists(path):
-        return path
-    from ..sources.pbf_encoder import write_history_pbf
-
-    nodes, ways, rels = _derived_fullrow_corpus(spark, sf_dir)
-    node_rows = [
-        dict(
-            osm_id=r.osm_id, version=r.version,
-            ts_ms=int(r.ts.timestamp()) * 1000, changeset=r.changeset,
-            uid=int(r.user_id), user=r.user_name, visible=bool(r.visible),
-            tags=dict(r.tags), lon=r.lon, lat=r.lat,
-        )
-        for r in nodes.orderBy("osm_id", "version").collect()
-    ]
-    way_rows = [
-        dict(
-            osm_id=r.osm_id, version=r.version,
-            ts_ms=int(r.ts.timestamp()) * 1000, changeset=r.changeset,
-            uid=int(r.user_id), user=r.user_name, visible=bool(r.visible),
-            tags=dict(r.tags), refs=list(r.refs),
-        )
-        for r in ways.orderBy("osm_id", "version").collect()
-    ]
-    rel_rows = [
-        dict(
-            osm_id=r.osm_id, version=r.version,
-            ts_ms=int(r.ts.timestamp()) * 1000, changeset=r.changeset,
-            uid=int(r.user_id), user=r.user_name, visible=bool(r.visible),
-            tags=dict(r.tags),
-            members=[{"type": m.type, "id": m.id, "role": m.role} for m in r.members],
-        )
-        for r in rels.orderBy("osm_id", "version").collect()
-    ]
-    write_history_pbf(path, node_rows, ways=way_rows, relations=rel_rows)
-    _PBF_FIXTURES[key] = path
-    return path
-
-
-def _fullrow_changesets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Changeset dimension for J4: way v1/v3 + even node-move + even
-    relation changesets present; v2/v4/odd ids withheld so the reference's
-    default record (``util/Utils.java:50-66``) is exercised in-gate."""
-    nat = _t(spark, sf_dir, "nation")
-    w = F.col("n_nationkey").cast("bigint")
-    r = F.col("n_regionkey").cast("bigint")
-    ids = (
-        nat.select(
-            F.explode(
-                F.array(F.lit(1000) + w * 10 + 1, F.lit(1000) + w * 10 + 3)
-            ).alias("id")
-        )
-        .unionByName(nat.filter(w % 2 == 0).select((F.lit(7000) + w).alias("id")))
-        .unionByName(
-            nat.select(r.alias("rr")).distinct()
-            .filter(F.col("rr") % 2 == 0)
-            .select((F.lit(5000) + F.col("rr")).alias("id"))
-        )
-    )
-    i = F.col("id")
-    return ids.select(
-        i.cast("bigint").alias("id"),
-        F.timestamp_seconds(F.lit(_EPOCH_2024) + i).alias("created_at"),
-        F.timestamp_seconds(F.lit(_EPOCH_2024) + i + 3600).alias("closed_at"),
-        F.create_map(
-            F.lit("created_by"), F.concat(F.lit("ed"), (i % 3).cast("string"))
-        ).alias("tags"),
-        F.array(
-            F.concat(F.lit("h"), (i % 10).cast("string")), F.lit("map")
-        ).alias("hashtags"),
-    )
-
-
-def _dhex(v: str) -> str:
-    """DuckDB expression: IEEE-754 big-endian hex (uppercase, 16 chars) of a
-    DOUBLE expression whose value is a dyadic rational (multiple of 1/16,
-    |v| < 512) — exact integer arithmetic, verified against
-    ``struct.pack('>d')``. Mirrors the engine's JTS-style big-endian WKB
-    coordinate encoding (``functions/wkb.py:49``)."""
-    m = f"CAST(abs({v})*16 AS BIGINT)"
-    e = f"(length(bin({m})) - 5)"
-    return (
-        f"(CASE WHEN ({v}) = 0 THEN '0000000000000000' ELSE "
-        f"lpad(to_hex((CASE WHEN ({v}) < 0 THEN 2048 ELSE 0 END) + {e} + 1023), 3, '0')"
-        f" || lpad(to_hex({m} * (CAST(1 AS BIGINT) << (48 - {e}))"
-        f" - (CAST(1 AS BIGINT) << 52)), 13, '0') END)"
-    )
-
-
-def _fullrow_xz_stages(src: str, out: str) -> str:
-    """Chained CTEs computing the XZ level from bxmin/bymin/bxmax/bymax
-    columns of ``src`` — the same staged replay as the driver-green
-    ``xz_codes`` oracle (functions/xz.py:86-107)."""
-    return f"""
-{out}_n AS (
-  SELECT *, (180.0 + bxmin) / 360.0 AS nx, (90.0 + bymin) / 360.0 AS ny,
-         (180.0 + bxmax) / 360.0 AS nx2, (90.0 + bymax) / 360.0 AS ny2
-  FROM {src}
-), {out}_l AS (
-  SELECT *, CASE WHEN greatest(nx2 - nx, ny2 - ny) <= 0 THEN 16
-                 ELSE CAST(floor(ln(greatest(nx2 - nx, ny2 - ny)) / ln(0.5)) AS BIGINT)
-            END AS l1
-  FROM {out}_n
-), {out} AS (
-  SELECT *, CAST(CASE WHEN l1 >= 16 THEN 16
-    WHEN (nx2 <= floor(nx / power(0.5, l1 + 1)) * power(0.5, l1 + 1) + 2 * power(0.5, l1 + 1))
-     AND (ny2 <= floor(ny / power(0.5, l1 + 1)) * power(0.5, l1 + 1) + 2 * power(0.5, l1 + 1))
-      THEN l1 + 1 ELSE l1 END AS INT) AS xz_lvl
-  FROM {out}_l
-)"""
-
-
-def _fullrow_xz_code() -> str:
-    """The 16-term closed-form XZ code sum over nx/ny/xz_lvl columns."""
-    g = G_DEFAULT
-    n_elem = _n_elem(g)
-    terms = []
-    for i in range(g):
-        scale = float(2 ** (i + 1))
-        cap = 2 ** (i + 1) - 1
-        bx = f"(least(CAST(floor(nx * {scale}) AS BIGINT), {cap}) % 2)"
-        by = f"(least(CAST(floor(ny * {scale}) AS BIGINT), {cap}) % 2)"
-        terms.append(
-            f"CASE WHEN {i} < xz_lvl THEN ({bx} + 2 * {by}) * {int(n_elem[i])} + 1 ELSE 0 END"
-        )
-    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
-
-
-def _ring_hex_sql() -> str:
-    """Big-endian single-ring Polygon WKB as hex, reconstructed from xs/ys
-    list columns — byte-for-byte what ``wkb.encode`` emits for the ring."""
-    return (
-        "'0000000003' || '00000001' || '00000005' || "
-        "array_to_string(list_transform(range(1, 6), i -> "
-        + _dhex("xs[i]") + " || " + _dhex("ys[i]") + "), '')"
-    )
-
-
-def _fullrow_oracle() -> str:
-    from ..functions.geodesic import (
-        EARTH_INVERSE_FLATTENING as INVF,
-        EARTH_RADIUS_EQUATOR as RE,
-        F_UNDERSCORE as FU,
-    )
-
-    e20, e24 = _EPOCH_2020, _EPOCH_2024
-    mv, rl = _FULLROW_MOVE, _FULLROW_REL_TS
-    code = _fullrow_xz_code()
-    sinlat = (
-        f"({FU!r} * tan(radians(ys[((i + 1) % 5) + 1]))"
-        f" / sqrt(({FU!r} * tan(radians(ys[((i + 1) % 5) + 1])))"
-        f" * ({FU!r} * tan(radians(ys[((i + 1) % 5) + 1]))) + 1.0))"
-    )
-    # common enriched output tail: J4 changeset columns (default record for
-    # missing ids) — identical join per branch
-    cs_cols = """
-       b.cs AS cs_id,
-       coalesce(cs.created_at, TIMESTAMP '1970-01-01') AS cs_created_at,
-       cs.closed_at AS cs_closed_at,
-       coalesce(cs.tags_str, '') AS cs_tags,
-       coalesce(cs.hashtags_str, '') AS cs_hashtags,
-       cs.editor AS cs_editor"""
-
-    return f"""
-WITH par AS (
-  SELECT CAST(n_nationkey AS BIGINT) AS w, CAST(n_regionkey AS BIGINT) AS r,
-         CAST((n_nationkey * 7) % 340 - 170 AS DOUBLE) AS x0,
-         CAST((n_nationkey * 11) % 160 - 80 AS DOUBLE) AS y0
-  FROM nation
-), rings_b AS (
-  -- ring kinds: 1 = way v1, 2 = way v2 pre-move, 3 = post-move (v2 minor, v3)
-  SELECT w, kind,
-    CASE kind WHEN 3 THEN [x0, x0 + 0.5, x0 + 1.0, x0, x0]
-              ELSE [x0, x0 + 0.5, x0 + 0.5, x0, x0] END AS xs,
-    CASE kind WHEN 1 THEN [y0, y0, y0 + 0.25, y0 + 0.25, y0]
-              ELSE [y0, y0, y0 + 0.25, y0 + 0.5, y0] END AS ys
-  FROM par, (SELECT unnest([1, 2, 3]) AS kind)
-), rings_m AS (
-  -- _ring_moments replay (wkb.py:520): base-relative triangle fan
-  SELECT w, kind, xs, ys,
-    list_sum(list_transform(range(1, 5), i ->
-      (xs[i] - xs[1]) * (ys[i + 1] - ys[1]) - (xs[i + 1] - xs[1]) * (ys[i] - ys[1])
-    )) AS a2,
-    list_sum(list_transform(range(1, 5), i ->
-      ((xs[i] - xs[1]) * (ys[i + 1] - ys[1]) - (xs[i + 1] - xs[1]) * (ys[i] - ys[1]))
-      * ((xs[i] - xs[1]) + (xs[i + 1] - xs[1]))
-    )) AS mx,
-    list_sum(list_transform(range(1, 5), i ->
-      ((xs[i] - xs[1]) * (ys[i + 1] - ys[1]) - (xs[i + 1] - xs[1]) * (ys[i] - ys[1]))
-      * ((ys[i] - ys[1]) + (ys[i + 1] - ys[1]))
-    )) AS my
-  FROM rings_b
-), rings AS (
-  -- geodesic spherical-excess area (geodesic.py:42, term-for-term) +
-  -- ring centroid + big-endian polygon WKB hex (wkb.py:54)
-  SELECT w, kind, xs, ys, abs(a2) AS a2a,
-    xs[1] + mx / (3.0 * a2) AS cxr,
-    ys[1] + my / (3.0 * a2) AS cyr,
-    abs(
-      list_sum(list_transform(range(0, 5), i ->
-        radians(xs[((i + 2) % 5) + 1] - xs[(i % 5) + 1]) * {sinlat}))
-      * (0.5 * {RE!r} * {RE!r}
-         * (1.0 - 1.0 / {INVF!r}
-            * (cos(radians((list_max(ys) + list_min(ys)) / 2.0))
-               * cos(radians((list_max(ys) + list_min(ys)) / 2.0)))))
-    ) AS area_m2,
-    {_ring_hex_sql()} AS poly_hex
-  FROM rings_m
-), csd AS (
-  SELECT CAST(1000 + w * 10 + vv AS BIGINT) AS id FROM par, (VALUES (1), (3)) t(vv)
-  UNION ALL SELECT CAST(7000 + w AS BIGINT) FROM par WHERE w % 2 = 0
-  UNION ALL SELECT CAST(5000 + r AS BIGINT) FROM (SELECT DISTINCT r FROM par) WHERE r % 2 = 0
-), cs AS (
-  SELECT id,
-         make_timestamp(({e24} + id) * 1000000) AS created_at,
-         make_timestamp(({e24} + id + 3600) * 1000000) AS closed_at,
-         'created_by=ed' || CAST(id % 3 AS VARCHAR) AS tags_str,
-         'h' || CAST(id % 10 AS VARCHAR) || ',map' AS hashtags_str,
-         'ed' || CAST(id % 3 AS VARCHAR) AS editor
-  FROM csd
-), wev AS (
-  -- one row per way contribution instant (majors + the node-move minor)
-  SELECT w, r, x0, y0, 1 AS v, 0 AS minor,
-         make_timestamp(({e24} + w * 60 + 7 * 86400) * 1000000) AS ts,
-         CAST(1000 + w * 10 + 1 AS BIGINT) AS cs,
-         CAST(100 + (w + 1) % 7 AS BIGINT) AS uid,
-         1 AS kind, TRUE AS visible, 'building=yes' AS tags_str
-  FROM par
-  UNION ALL
-  SELECT w, r, x0, y0, 2, 0,
-         make_timestamp(({e24} + w * 60 + 14 * 86400) * 1000000),
-         CAST(1000 + w * 10 + 2 AS BIGINT), CAST(100 + (w + 2) % 7 AS BIGINT),
-         2, TRUE, 'building=yes'
-  FROM par
-  UNION ALL
-  SELECT w, r, x0, y0, 2, 1,
-         make_timestamp(({mv} + w * 60) * 1000000),
-         CAST(7000 + w AS BIGINT), CAST(200 + w % 5 AS BIGINT),
-         3, TRUE, 'building=yes'
-  FROM par
-  UNION ALL
-  SELECT w, r, x0, y0, 3, 0,
-         make_timestamp(({e24} + w * 60 + 21 * 86400) * 1000000),
-         CAST(1000 + w * 10 + 3 AS BIGINT), CAST(100 + (w + 3) % 7 AS BIGINT),
-         3, TRUE, 'building=yes&name=w' || CAST(w AS VARCHAR)
-  FROM par
-  UNION ALL
-  SELECT w, r, x0, y0, 4, 0,
-         make_timestamp(({e24} + w * 60 + 28 * 86400) * 1000000),
-         CAST(1000 + w * 10 + 4 AS BIGINT), CAST(100 + (w + 4) % 7 AS BIGINT),
-         NULL, FALSE, ''
-  FROM par WHERE w % 5 = 0
-), way_rows AS (
-  SELECT e.*, g.area_m2, g.poly_hex, g.cxr, g.cyr, g.a2a,
-         CASE coalesce(e.kind, 3) WHEN 3 THEN 1.0 ELSE 0.5 END AS xext,
-         CASE coalesce(e.kind, 3) WHEN 1 THEN 0.25 ELSE 0.5 END AS yext
-  FROM wev e JOIN rings g ON g.w = e.w AND g.kind = coalesce(e.kind, 3)
-), way_win AS (
-  SELECT *,
-    lead(ts) OVER ww AS next_ts,
-    lag(ts) OVER ww AS prev_ts,
-    lag(tags_str) OVER ww AS prev_tags,
-    lag(visible) OVER ww AS prev_vis,
-    lag(poly_hex) OVER ww AS prev_hex,
-    lag(area_m2, 1, 0.0) OVER ww AS prev_area,
-    CAST(row_number() OVER (PARTITION BY w, v ORDER BY ts) - 1 AS INT) AS minor_v,
-    CAST(row_number() OVER ww AS INT) AS edits
-  FROM way_rows WINDOW ww AS (PARTITION BY w ORDER BY ts)
-), way_pre AS (
-  SELECT *, x0 AS bxmin, y0 AS bymin, x0 + xext AS bxmax, y0 + yext AS bymax
-  FROM way_win
-), {_fullrow_xz_stages("way_pre", "way_xz")}, way_final AS (
-  SELECT
-    CASE WHEN NOT b.visible THEN 'deleted'
-         WHEN b.next_ts IS NOT NULL THEN 'history' ELSE 'latest' END AS status,
-    b.ts AS valid_from,
-    coalesce(b.next_ts, TIMESTAMP '2222-01-01') AS valid_to,
-    'way' AS osm_type, b.w AS osm_id,
-    CAST(b.v AS INT) AS osm_version, b.minor_v AS osm_minor_version,
-    b.edits AS osm_edits, b.prev_ts AS osm_last_edit,
-    CAST(b.uid AS INT) AS user_id, 'u' || CAST(b.uid AS VARCHAR) AS user_name,
-    b.tags_str AS tags, coalesce(b.prev_tags, '') AS tags_before,
-    {cs_cols},
-    b.bxmin AS bbox_xmin, b.bymin AS bbox_ymin,
-    b.bxmax AS bbox_xmax, b.bymax AS bbox_ymax,
-    round((b.a2a * b.cxr) / b.a2a, 9) AS centroid_x,
-    round((b.a2a * b.cyr) / b.a2a, 9) AS centroid_y,
-    b.xz_lvl AS xz_level, {code} AS xz_code,
-    'Polygon' AS geometry_type, b.poly_hex AS geometry_wkb,
-    round(b.area_m2 / 1000000.0, 6) AS area,
-    round((b.area_m2 - b.prev_area) / 1000000.0, 6) AS area_delta,
-    CAST(0.0 AS DOUBLE) AS length, CAST(0.0 AS DOUBLE) AS length_delta,
-    CASE WHEN NOT b.visible THEN 'DELETION'
-         WHEN b.prev_vis IS NULL THEN 'CREATION'
-         ELSE nullif(concat_ws('_',
-                CASE WHEN b.tags_str <> b.prev_tags THEN 'TAG' END,
-                CASE WHEN b.poly_hex <> b.prev_hex THEN 'GEOMETRY' END), '')
-    END AS contrib_type,
-    CAST(CASE WHEN b.v = 4 THEN 0 ELSE 5 END AS INT) AS refs_count,
-    CASE WHEN b.v = 4 THEN ''
-         WHEN b.v = 1 THEN array_to_string(
-           [10000000 + b.w * 8, 10000000 + b.w * 8 + 1, 10000000 + b.w * 8 + 2,
-            10000000 + b.w * 8 + 3, 10000000 + b.w * 8], ',')
-         ELSE array_to_string(
-           [10000000 + b.w * 8, 10000000 + b.w * 8 + 1, 10000000 + b.w * 8 + 2,
-            10000000 + b.w * 8 + 4, 10000000 + b.w * 8], ',') END AS refs,
-    CAST(NULL AS INT) AS members_count, CAST(NULL AS VARCHAR) AS members,
-    concat_ws(',',
-      CASE WHEN b.bxmin < -100.1 THEN 'AAA' END,
-      CASE WHEN b.bxmax > -100.1 AND b.bxmin < -50.1 THEN 'BBB' END,
-      CASE WHEN b.bxmax > -50.1 THEN 'CCC' END) AS countries,
-    CAST(0 AS BIGINT) AS build_time
-  FROM way_xz b LEFT JOIN cs ON cs.id = b.cs
-), nev AS (
-  SELECT 10000000 + w * 8 + k AS nid2, w, 1 AS ver,
-         make_timestamp({e20} * 1000000::BIGINT) AS ts,
-         CAST(900 AS BIGINT) AS cs, CAST(10 + k AS BIGINT) AS uid,
-         x0 + ddx AS lon, y0 + ddy AS lat
-  FROM par, (VALUES (0, 0.0, 0.0), (1, 0.5, 0.0), (2, 0.5, 0.25),
-                    (3, 0.0, 0.25), (4, 0.0, 0.5)) c(k, ddx, ddy)
-  UNION ALL
-  SELECT 10000000 + w * 8 + 2, w, 2,
-         make_timestamp(({mv} + w * 60) * 1000000),
-         CAST(7000 + w AS BIGINT), CAST(200 + w % 5 AS BIGINT),
-         x0 + 1.0, y0 + 0.25
-  FROM par
-), node_win AS (
-  SELECT *,
-    lead(ts) OVER nw AS next_ts,
-    lag(ts) OVER nw AS prev_ts,
-    lag(lon) OVER nw AS prev_lon,
-    CAST(row_number() OVER nw AS INT) AS edits
-  FROM nev WINDOW nw AS (PARTITION BY nid2 ORDER BY ts)
-), node_pre AS (
-  SELECT *, lon AS bxmin, lat AS bymin, lon AS bxmax, lat AS bymax
-  FROM node_win
-), {_fullrow_xz_stages("node_pre", "node_xz")}, node_final AS (
-  SELECT
-    CASE WHEN b.next_ts IS NOT NULL THEN 'history' ELSE 'latest' END AS status,
-    b.ts AS valid_from,
-    coalesce(b.next_ts, TIMESTAMP '2222-01-01') AS valid_to,
-    'node' AS osm_type, b.nid2 AS osm_id,
-    CAST(b.ver AS INT) AS osm_version, CAST(0 AS INT) AS osm_minor_version,
-    b.edits AS osm_edits, b.prev_ts AS osm_last_edit,
-    CAST(b.uid AS INT) AS user_id, 'u' || CAST(b.uid AS VARCHAR) AS user_name,
-    '' AS tags, '' AS tags_before,
-    {cs_cols},
-    b.bxmin AS bbox_xmin, b.bymin AS bbox_ymin,
-    b.bxmax AS bbox_xmax, b.bymax AS bbox_ymax,
-    round(b.lon, 9) AS centroid_x, round(b.lat, 9) AS centroid_y,
-    b.xz_lvl AS xz_level, {code} AS xz_code,
-    'Point' AS geometry_type,
-    '0000000001' || {_dhex("b.lon")} || {_dhex("b.lat")} AS geometry_wkb,
-    CAST(0.0 AS DOUBLE) AS area, CAST(0.0 AS DOUBLE) AS area_delta,
-    CAST(0.0 AS DOUBLE) AS length, CAST(0.0 AS DOUBLE) AS length_delta,
-    CASE WHEN b.prev_lon IS NULL THEN 'CREATION' ELSE 'GEOMETRY' END AS contrib_type,
-    CAST(NULL AS INT) AS refs_count, CAST(NULL AS VARCHAR) AS refs,
-    CAST(NULL AS INT) AS members_count, CAST(NULL AS VARCHAR) AS members,
-    concat_ws(',',
-      CASE WHEN b.lon < -100.1 THEN 'AAA' END,
-      CASE WHEN b.lon > -100.1 AND b.lon < -50.1 THEN 'BBB' END,
-      CASE WHEN b.lon > -50.1 THEN 'CCC' END) AS countries,
-    CAST(0 AS BIGINT) AS build_time
-  FROM node_xz b LEFT JOIN cs ON cs.id = b.cs
-), rinst AS (
-  SELECT r, make_timestamp({rl} * 1000000::BIGINT) AS inst_ts,
-         CAST(5000 + r AS BIGINT) AS inst_cs, CAST(50 + r AS BIGINT) AS inst_uid
-  FROM (SELECT DISTINCT r FROM par)
-  UNION ALL
-  SELECT r, ts, cs, uid FROM wev
-  WHERE ts > make_timestamp({rl} * 1000000::BIGINT)
-), im AS (
-  SELECT i.r, i.inst_ts, i.inst_cs, i.inst_uid, p.w, p.x0, p.y0
-  FROM rinst i JOIN par p USING (r)
-), mstate AS (
-  SELECT im.*, e.ts AS m_ts, e.kind, e.visible
-  FROM im ASOF JOIN wev e ON e.w = im.w AND e.ts <= im.inst_ts
-), msj AS (
-  SELECT m.*, g.area_m2, g.poly_hex, g.cxr, g.cyr, g.a2a,
-         CASE m.kind WHEN 3 THEN 1.0 ELSE 0.5 END AS xext,
-         CASE m.kind WHEN 1 THEN 0.25 ELSE 0.5 END AS yext
-  FROM mstate m LEFT JOIN rings g ON g.w = m.w AND g.kind = m.kind
-), minst AS (
-  -- per relation instant: members in slot (w) order; multipolygon assembly
-  -- replays build_multipolygon's stable planar-area-descending ring sort
-  -- (multipolygon.py:514; kinds 3>2>1 by planar area)
-  SELECT r, inst_ts, inst_cs, inst_uid,
-    string_agg('way:' || CAST(w AS VARCHAR) || ':'
-               || CAST(CAST(epoch(m_ts) AS BIGINT) AS VARCHAR) || ':outer:'
-               || CASE WHEN visible THEN 'Polygon' ELSE '' END || ':'
-               || CASE WHEN visible THEN poly_hex ELSE '' END,
-               '|' ORDER BY w) AS members_str,
-    CAST(count(*) AS INT) AS n_members,
-    count(*) FILTER (WHERE visible) AS n_vis,
-    string_agg(poly_hex, '' ORDER BY kind DESC, w) FILTER (WHERE visible) AS mp_body,
-    list_sum(list(area_m2 ORDER BY kind DESC, w) FILTER (WHERE visible)) AS area_m2,
-    list_sum(list(a2a ORDER BY kind DESC, w) FILTER (WHERE visible)) AS ca,
-    list_sum(list(a2a * cxr ORDER BY kind DESC, w) FILTER (WHERE visible)) AS cmx,
-    list_sum(list(a2a * cyr ORDER BY kind DESC, w) FILTER (WHERE visible)) AS cmy,
-    min(x0) FILTER (WHERE visible) AS bxmin,
-    min(y0) FILTER (WHERE visible) AS bymin,
-    max(x0 + xext) FILTER (WHERE visible) AS bxmax,
-    max(y0 + yext) FILTER (WHERE visible) AS bymax,
-    bool_or(visible AND x0 < -100.1) AS has_aaa,
-    bool_or(visible AND x0 + xext > -100.1 AND x0 < -50.1) AS has_bbb,
-    bool_or(visible AND x0 + xext > -50.1) AS has_ccc
-  FROM msj GROUP BY r, inst_ts, inst_cs, inst_uid
-), rel_win AS (
-  -- n_vis = 0 (every member deleted) is the reference's empty-multipolygon
-  -- fallback: status 'invalid', empty-MP WKB, area 0, null bbox/centroid,
-  -- xz (-1, 0) — geometry.py:290-307 / contributions.py:471-513
-  SELECT *,
-    '0000000006' || lpad(to_hex(n_vis), 8, '0') || coalesce(mp_body, '') AS mp_hex,
-    coalesce(area_m2, 0.0) AS area_v,
-    lead(inst_ts) OVER rw AS next_ts,
-    lag(inst_ts) OVER rw AS prev_ts,
-    lag('0000000006' || lpad(to_hex(n_vis), 8, '0') || coalesce(mp_body, '')) OVER rw AS prev_hex,
-    lag(coalesce(area_m2, 0.0), 1, 0.0) OVER rw AS prev_area,
-    CAST(row_number() OVER rw - 1 AS INT) AS minor_v,
-    CAST(row_number() OVER rw AS INT) AS edits
-  FROM minst WINDOW rw AS (PARTITION BY r ORDER BY inst_ts)
-), rel_pre AS (SELECT * FROM rel_win),
-{_fullrow_xz_stages("rel_pre", "rel_xz")}, rel_final AS (
-  SELECT
-    CASE WHEN b.n_vis = 0 THEN 'invalid'
-         WHEN b.next_ts IS NOT NULL THEN 'history' ELSE 'latest' END AS status,
-    b.inst_ts AS valid_from,
-    coalesce(b.next_ts, TIMESTAMP '2222-01-01') AS valid_to,
-    'relation' AS osm_type, b.r AS osm_id,
-    CAST(1 AS INT) AS osm_version, b.minor_v AS osm_minor_version,
-    b.edits AS osm_edits, b.prev_ts AS osm_last_edit,
-    CAST(b.inst_uid AS INT) AS user_id,
-    'u' || CAST(b.inst_uid AS VARCHAR) AS user_name,
-    'landuse=forest&type=multipolygon' AS tags,
-    CASE WHEN b.prev_ts IS NULL THEN ''
-         ELSE 'landuse=forest&type=multipolygon' END AS tags_before,
-    b.inst_cs AS cs_id,
-    coalesce(cs.created_at, TIMESTAMP '1970-01-01') AS cs_created_at,
-    cs.closed_at AS cs_closed_at,
-    coalesce(cs.tags_str, '') AS cs_tags,
-    coalesce(cs.hashtags_str, '') AS cs_hashtags,
-    cs.editor AS cs_editor,
-    b.bxmin AS bbox_xmin, b.bymin AS bbox_ymin,
-    b.bxmax AS bbox_xmax, b.bymax AS bbox_ymax,
-    round(b.cmx / b.ca, 9) AS centroid_x,
-    round(b.cmy / b.ca, 9) AS centroid_y,
-    CASE WHEN b.n_vis = 0 THEN -1 ELSE b.xz_lvl END AS xz_level,
-    CASE WHEN b.n_vis = 0 THEN CAST(0 AS BIGINT) ELSE {code} END AS xz_code,
-    'MultiPolygon' AS geometry_type, b.mp_hex AS geometry_wkb,
-    round(b.area_v / 1000000.0, 6) AS area,
-    round((b.area_v - b.prev_area) / 1000000.0, 6) AS area_delta,
-    CAST(0.0 AS DOUBLE) AS length, CAST(0.0 AS DOUBLE) AS length_delta,
-    CASE WHEN b.prev_ts IS NULL THEN 'CREATION'
-         ELSE nullif(concat_ws('_',
-                CASE WHEN b.mp_hex <> b.prev_hex THEN 'GEOMETRY' END), '')
-    END AS contrib_type,
-    CAST(NULL AS INT) AS refs_count, CAST(NULL AS VARCHAR) AS refs,
-    b.n_members AS members_count, b.members_str AS members,
-    concat_ws(',',
-      CASE WHEN b.has_aaa THEN 'AAA' END,
-      CASE WHEN b.has_bbb THEN 'BBB' END,
-      CASE WHEN b.has_ccc THEN 'CCC' END) AS countries,
-    CAST(0 AS BIGINT) AS build_time
-  FROM rel_xz b LEFT JOIN cs ON cs.id = b.inst_cs
-)
-SELECT * FROM way_final
-UNION ALL SELECT * FROM node_final
-UNION ALL SELECT * FROM rel_final
-ORDER BY osm_type, osm_id, osm_edits
-"""
-
-
-_FULLROW_NODE_COLS = [
-    "osm_id", "version", "ts", "changeset", "user_id", "user_name",
-    "visible", "tags", "lon", "lat",
-]
-_FULLROW_WAY_COLS = _FULLROW_NODE_COLS[:-2] + ["refs"]
-_FULLROW_REL_COLS = _FULLROW_NODE_COLS[:-2] + ["members"]
-
-
-def _fullrow_typed(ents: DataFrame):
-    """Split a decoded entity frame into per-type history frames (the
-    updater/history schema: ``osm_type`` + the type's columns)."""
-    def typed(t, cols):
-        return ents.filter(F.col("osm_type") == t).select("osm_type", *cols)
-
-    return (
-        typed("node", _FULLROW_NODE_COLS),
-        typed("way", _FULLROW_WAY_COLS),
-        typed("relation", _FULLROW_REL_COLS),
-    )
-
-
-def _fullrow_build(nodes: DataFrame, ways: DataFrame, rels: DataFrame) -> DataFrame:
-    """The bulk three-pipeline contribution build: the way merge + geometry
-    bundle is computed ONCE and staged; the way pipeline projects
-    contribution events from it and the relation pipeline consumes it as
-    its member way streams (the reference's memoized way contributions,
-    ``Contribution.java:26-28``)."""
-    from ..operators.contributions import bundled_way_instants
-    from ..session import truncate_lineage
-
-    bundled = truncate_lineage(bundled_way_instants(ways, nodes))
-    return (
-        synthesize_contributions(node_contribution_events(nodes))
-        .unionByName(
-            synthesize_contributions(
-                way_contribution_events(ways, nodes, bundled=bundled)
-            )
-        )
-        .unionByName(
-            synthesize_contributions(
-                relation_contribution_events(rels, ways, nodes, bundled_ways=bundled)
-            )
-        )
-    )
-
-
-def _fullrow_enrich(spark: SparkSession, sf_dir: str, contribs: DataFrame) -> DataFrame:
-    """J4 changeset enrichment + J5 country tagging over a (staged)
-    contribution table — the produce path's enrichment stages."""
-    from ..operators.contributions import with_changesets
-    from ..operators.spatial import geometry_countries_udf
-
-    # prune=False: the fixture dim is already dimension-sized (AQE
-    # broadcasts it); the semi-join prune pass would only add stages here
-    contribs = with_changesets(
-        contribs, _fullrow_changesets(spark, sf_dir), prune=False
-    )
-    feats = [
-        rect_feature("AAA", -180.0, -90.0, -100.1, 90.0),
-        rect_feature("BBB", -100.1, -90.0, -50.1, 90.0),
-        rect_feature("CCC", -50.1, -90.0, 10.0, 90.0),
-    ]
-    return contribs.withColumn(
-        "countries", geometry_countries_udf(feats)(F.col("geometry"))
-    )
-
-
-def _fullrow_project(contribs: DataFrame) -> DataFrame:
-    """Project EVERY ``contrib.avsc:1-387`` field into hashable columns
-    (maps/arrays serialized canonically, WKB as hex)."""
-
-    def tags_canon(c):
-        return F.concat_ws(
-            "&",
-            F.array_sort(
-                F.transform(
-                    F.map_entries(c),
-                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
-                )
-            ),
-        )
-
-    members_str = F.when(
-        F.col("members").isNotNull(),
-        F.concat_ws(
-            "|",
-            F.transform(
-                "members",
-                lambda m: F.concat_ws(
-                    ":",
-                    m["type"],
-                    m["id"].cast("string"),
-                    F.unix_timestamp(m["timestamp"]).cast("string"),
-                    m["role"],
-                    F.coalesce(m["geometry_type"], F.lit("")),
-                    F.coalesce(F.hex(m["geometry"]), F.lit("")),
-                ),
-            ),
-        ),
-    )
-    refs_str = F.when(
-        F.col("refs").isNotNull(),
-        F.concat_ws(",", F.transform("refs", lambda x: x.cast("string"))),
-    )
-    return contribs.select(
-        "status",
-        "valid_from",
-        "valid_to",
-        "osm_type",
-        "osm_id",
-        "osm_version",
-        "osm_minor_version",
-        "osm_edits",
-        "osm_last_edit",
-        F.col("user.id").alias("user_id"),
-        F.col("user.name").alias("user_name"),
-        tags_canon(F.col("tags")).alias("tags"),
-        tags_canon(F.col("tags_before")).alias("tags_before"),
-        F.col("changeset.id").alias("cs_id"),
-        F.col("changeset.created_at").alias("cs_created_at"),
-        F.col("changeset.closed_at").alias("cs_closed_at"),
-        tags_canon(F.col("changeset.tags")).alias("cs_tags"),
-        F.concat_ws(",", "changeset.hashtags").alias("cs_hashtags"),
-        F.col("changeset.editor").alias("cs_editor"),
-        F.col("bbox.xmin").alias("bbox_xmin"),
-        F.col("bbox.ymin").alias("bbox_ymin"),
-        F.col("bbox.xmax").alias("bbox_xmax"),
-        F.col("bbox.ymax").alias("bbox_ymax"),
-        F.round("centroid.x", 9).alias("centroid_x"),
-        F.round("centroid.y", 9).alias("centroid_y"),
-        F.col("xzcode.level").alias("xz_level"),
-        F.col("xzcode.code").alias("xz_code"),
-        "geometry_type",
-        F.hex("geometry").alias("geometry_wkb"),
-        F.round(F.col("area") / 1e6, 6).alias("area"),
-        F.round(F.col("area_delta") / 1e6, 6).alias("area_delta"),
-        "length",
-        "length_delta",
-        "contrib_type",
-        "refs_count",
-        refs_str.alias("refs"),
-        "members_count",
-        members_str.alias("members"),
-        F.concat_ws(",", "countries").alias("countries"),
-        "build_time",
-    ).orderBy("osm_type", "osm_id", "osm_edits")
-
-
-@_register("contrib_full_row_from_pbf", _fullrow_oracle())
-def contrib_full_row_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE full-record parity gate: real ``.osh.pbf`` wire bytes → blob
-    decode → node/way/relation contribution pipelines (J1+J2+J3 merges,
-    geometry assembly) → J4 changeset enrichment → J5 country tagging —
-    the reference's complete one-pass produce path
-    (``Contributions2Parquet.java:125-207``, countries at ``:157-159``) —
-    projecting EVERY ``contrib.avsc:1-387`` field into the hash: status,
-    validity window, type/id/version/minor/edits, osm_last_edit, user
-    struct, tags + tags_before, changeset struct (id/created_at/closed_at/
-    tags/hashtags/editor), bbox, centroid, xzcode, geometry type + WKB
-    bytes (as hex), area/length + deltas, contrib_type, refs(+count),
-    members(+count, per-member type/id/timestamp/role/geometry), countries,
-    build_time. Maps/arrays serialize canonically on both engines; the
-    DuckDB oracle reconstructs polygon/multipolygon WKB hex byte-for-byte
-    via exact IEEE-754 integer arithmetic."""
-    from ..session import truncate_lineage
-    from ..sources.pbf import read_pbf
-
-    path = _pbf_fullrow_fixture(spark, sf_dir)
-    # decode ONCE: the three entity-type pipelines (and the nested way
-    # merge inside the relation pipeline) would otherwise each re-run the
-    # blob-decode scan — at planet scale this is the staged decode table
-    ents = truncate_lineage(read_pbf(spark, path))
-    nodes, ways, rels = _fullrow_typed(ents)
-    # stage the synthesized union before enrichment: J4's semi-join build
-    # side and probe side, and the countries projection, each replan the
-    # 3-pipeline union otherwise (the in-session analog of the reference's
-    # produce-then-enrich staging)
-    contribs = truncate_lineage(_fullrow_build(nodes, ways, rels))
-    return _fullrow_project(_fullrow_enrich(spark, sf_dir, contribs))
-
-
-def _osc_roundtrip_batch(spark: SparkSession, wave: DataFrame) -> DataFrame:
-    """Collect one wave (fixture-sized), write it as osmChange XML, parse
-    it back, and return the entity batch frame — the .osc wire seam the
-    production replication loop consumes (``apply_sequences`` does the
-    identical parse from a server)."""
-    from ..sources.osmxml import encode_osc, parse_osc_bytes
-    from ..sources.pbf import ENTITY_ROW_SCHEMA
-
-    rows = [
-        r.asDict(recursive=True)
-        for r in wave.orderBy("osm_type", "osm_id", "version").collect()
-    ]
-    parsed = parse_osc_bytes(encode_osc(rows))
-    cols = [
-        "osm_type", "osm_id", "version", "ts", "changeset", "user_id",
-        "user_name", "visible", "tags", "lon", "lat", "refs", "members",
-    ]
-    return spark.createDataFrame(
-        pd.DataFrame(parsed, columns=cols), ENTITY_ROW_SCHEMA
-    )
-
-
-@_register("contrib_full_row_incremental", _fullrow_oracle())
-def contrib_full_row_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bulk ≡ incremental full-row equivalence gate — the reference's
-    central operational promise: minutely updates converge to what a fresh
-    bulk run would produce (``ContributionUpdater.java:297-319`` seeds
-    setMinorAndEdits from the before-state precisely so counters continue;
-    ``ContributionStateManager.java:176-245`` delete-inserts the rebuilt
-    rows). Here: the same ``.osh.pbf`` wire bytes as the bulk gate →
-    version-1 rows seed the histories and a bulk(0) build seeds the
-    contribution table → the version-2/3/4 rows apply as three
-    ``IncrementalUpdater`` batches (J6 replay filter, J7 dirty
-    propagation to parent ways AND relations, R3 affected-only rebuild)
-    with each batch's output delete-inserted into the contribution table
-    by (osm_type, osm_id) → J4/J5 enrichment → the full 29-column
-    contrib.avsc projection. The oracle is the BULK derivation (the exact
-    SQL of ``contrib_full_row_from_pbf``), so a hash match proves
-    bulk(0..N) == bulk(0) + incremental(1..N) field-for-field — a missed
-    dirty parent, broken counter continuation, or stale merge leaves the
-    un-rebuilt base rows in place and fails the hash.
-
-    Scale shape: each batch costs |diff| + |affected id histories| (the
-    rebuilds semi-join-prune every history table); the merge is an
-    anti-join on the affected-id dimension (broadcast) + union; lineage
-    is truncated per batch so plan depth stays O(1) across batches."""
-    from ..session import truncate_lineage
-    from ..sources.pbf import read_pbf
-    from ..streaming.replication import IncrementalUpdater
-
-    path = _pbf_fullrow_fixture(spark, sf_dir)
-    # the decoded entity table and the bulk(0) seed are one-time
-    # production artifacts — exactly the pre-existing bulk state
-    # ContributionUpdater starts from — so they stage per session like
-    # every other produce-then-query table; what this query MEASURES is
-    # the incremental path: the .osc wire round-trip (S10), J6 filtering,
-    # J7 propagation, R3 rebuilds and the R4 merge
-    ents = _produce_then_query(
-        spark, sf_dir, "fullrow_ents", lambda: read_pbf(spark, path)
-    )
-    all_nodes, all_ways, all_rels = _fullrow_typed(ents)
-
-    seed = F.col("version") == 1
-    updater = IncrementalUpdater(
-        spark,
-        all_nodes.filter(seed),
-        all_ways.filter(seed),
-        rel_history=all_rels.filter(seed),
-    )
-    contribs = _produce_then_query(
-        spark, sf_dir, "fullrow_base",
-        lambda: _fullrow_build(
-            updater.node_history, updater.way_history, updater.rel_history
-        ),
-    )
-    # two replication batches: the node-move wave (v2), then the tag-edit +
-    # delete wave (v3+v4 in ONE batch — multiple versions of the same
-    # entity inside a single .osc batch is a real minutely-diff shape and
-    # exercises J6's multi-version keep). Every batch dirties essentially
-    # the whole fixture (each way references a moved node), so per-batch
-    # cost here is ~one bulk rebuild — the worst case, priced deliberately.
-    # two replication waves, round-tripped through REAL osmChange wire
-    # bytes (encode_osc -> parse_osc_bytes, the S10 seam) exactly like
-    # minutely diffs arrive. The driver-side encode is fixture
-    # construction (same documented pattern as _pbf_fullrow_fixture) —
-    # the pipeline under test starts at the parsed batch.
-    waves = (
-        ents.filter(F.col("version") == 2),
-        ents.filter(F.col("version") >= 3),
-    )
-    # WAVE-PIPELINED planning: each wave's advance (J6 append + J7
-    # affected ids + history truncation) is cheap and order-dependent,
-    # while its R3 rebuild CONSTRUCTION is the dominant, scale-invariant
-    # driver cost and depends only on the advanced snapshot — so wave
-    # N+1 advances while wave N's rebuilds plan on a worker thread
-    # (round-10 verdict, Next #3). Histories stay O(1) deep because
-    # advance_batch truncates them in place per wave.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(len(waves)) as pool:
-        staged_waves = []
-        for wave in waves:
-            batch = _osc_roundtrip_batch(spark, wave)
-            snapshot, affected = updater.advance_batch(batch)
-            staged_waves.append(
-                (affected, pool.submit(updater.build_rebuilds, snapshot, affected))
-            )
-        for (aff_nodes, aff_ways, aff_rels), fut in staged_waves:
-            rebuilt = fut.result()
-            affected = (
-                aff_nodes.select(F.lit("node").alias("osm_type"), "osm_id")
-                .unionByName(
-                    aff_ways.select(F.lit("way").alias("osm_type"), "osm_id")
-                )
-                .unionByName(
-                    aff_rels.select(F.lit("relation").alias("osm_type"), "osm_id")
-                )
-            )
-            # R4 delete-insert merge: replace every affected id's rows with
-            # the rebuilt ones (the affected-id dim is batch-sized ->
-            # broadcast)
-            contribs = contribs.join(
-                F.broadcast(affected), ["osm_type", "osm_id"], "left_anti"
-            )
-            for frame in rebuilt:
-                contribs = contribs.unionByName(frame)
-    # stage the merged table once, after the LAST wave (intermediate
-    # waves' rebuild pipelines execute exactly once either way — at the
-    # final materialization); the staged result keeps the enrichment +
-    # driver's double consumption from re-running the whole loop
-    contribs = truncate_lineage(contribs)
-    return _fullrow_project(_fullrow_enrich(spark, sf_dir, contribs))
-
-
-# ===========================================================================
-# ohsome extraction endpoints (VERDICT r8 item 2): /elements and
-# /elementsFullHistory — per-feature GeoJSON-shaped rows (geometry + tags
-# under a filter-DSL predicate + time slice), the contract implied by
-# docs/useful_queries.md:7-33. Both read the STAGED contribution table
-# (produce-then-query) and hash the stored WKB geometry as hex.
-# ===========================================================================
-
-
-def _extract_tags_canon(c):
-    return F.concat_ws(
-        "&",
-        F.array_sort(
-            F.transform(
-                F.map_entries(c), lambda e: F.concat(e["key"], F.lit("="), e["value"])
-            )
-        ),
-    )
-
-
-def _polygon_ways_sql_cte() -> str:
-    """The derived closed-way corpus as windows + parity rings + WKB hex —
-    shared by the extraction oracles (same derivation as
-    ``_polygon_area_ctes`` with geometry materialized as hex)."""
-    return f"""
-WITH ways AS (
-  SELECT CAST(n_nationkey AS BIGINT) AS wid, CAST(v AS INT) AS v,
-         make_timestamp(({_EPOCH_2024} + n_nationkey * 60
-                         + v * 7 * 86400) * 1000000) AS wts
-  FROM nation, (SELECT unnest(range(1, 4)) AS v)
-), win AS (
-  SELECT wid, v, wts,
-         lead(wts) OVER (PARTITION BY wid ORDER BY wts, v) AS wts_end,
-         CAST((wid * 7) % 340 - 170 AS DOUBLE) AS x0,
-         CAST((wid * 11) % 160 - 80 AS DOUBLE) AS y0
-  FROM ways
-), geo AS (
-  SELECT *, {_ring_hex_sql()} AS poly_hex FROM (
-    SELECT *,
-           [x0, x0 + 0.5, x0 + 0.5, x0, x0] AS xs,
-           CASE WHEN v % 2 = 1
-                THEN [y0, y0, y0 + 0.25, y0 + 0.25, y0]
-                ELSE [y0, y0, y0 + 0.25, y0 + 0.5, y0] END AS ys
-    FROM win
-  )
-)"""
-
-
-_ELEMENTS_SNAP = "2024-01-20"
-
-
-@_register(
-    "ohsome_elements_extract",
-    _polygon_ways_sql_cte()
-    + f"""
-SELECT 'way/' || CAST(wid AS VARCHAR) AS elem_id,
-       wid AS osm_id, v AS osm_version,
-       wts AS snapshot_valid_from,
-       'building=yes' AS tags,
-       'Polygon' AS geometry_type,
-       poly_hex AS geometry_wkb
-FROM geo
-WHERE wts <= TIMESTAMP '{_ELEMENTS_SNAP}'
-  AND (wts_end IS NULL OR TIMESTAMP '{_ELEMENTS_SNAP}' < wts_end)
-ORDER BY osm_id
-""",
-)
-def ohsome_elements_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ohsome API /elements extraction: the live feature set at one
-    snapshot under a filter-DSL predicate — one GeoJSON-feature-shaped row
-    per element ('way/<id>' @osmId convention, tags, stored WKB geometry
-    as hex). Scale shape: pure scan + pushed-down validity filter on the
-    staged table; no shuffle at all (the output is a projection)."""
-    from ..functions.ohsome_filter import compile_filter
-
-    snap = F.lit(_ELEMENTS_SNAP).cast("timestamp")
-    contribs = _polygon_contribs_table(spark, sf_dir)
-    live = (
-        contribs.filter(F.col("status").isin("history", "latest"))
-        .filter(compile_filter("geometry:polygon and building=yes"))
-        .filter((F.col("valid_from") <= snap) & (snap < F.col("valid_to")))
-    )
-    return live.select(
-        F.concat(F.lit("way/"), F.col("osm_id").cast("string")).alias("elem_id"),
-        "osm_id",
-        "osm_version",
-        F.col("valid_from").alias("snapshot_valid_from"),
-        _extract_tags_canon(F.col("tags")).alias("tags"),
-        "geometry_type",
-        F.hex("geometry").alias("geometry_wkb"),
-    ).orderBy("osm_id")
-
-
-_FH_FROM, _FH_TO = "2024-01-10", "2024-01-25"
-
-
-@_register(
-    "ohsome_full_history_extract",
-    _polygon_ways_sql_cte()
-    + f"""
-SELECT 'way/' || CAST(wid AS VARCHAR) AS elem_id,
-       wid AS osm_id, v AS osm_version,
-       greatest(wts, TIMESTAMP '{_FH_FROM}') AS valid_from,
-       least(coalesce(wts_end, TIMESTAMP '2222-01-01'),
-             TIMESTAMP '{_FH_TO}') AS valid_to,
-       CASE WHEN v = 1 THEN 'CREATION' ELSE 'GEOMETRY' END AS contrib_type,
-       'building=yes' AS tags,
-       'Polygon' AS geometry_type,
-       poly_hex AS geometry_wkb
-FROM geo
-WHERE wts < TIMESTAMP '{_FH_TO}'
-  AND coalesce(wts_end, TIMESTAMP '2222-01-01') > TIMESTAMP '{_FH_FROM}'
-ORDER BY osm_id, osm_version
-""",
-)
-def ohsome_full_history_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ohsome API /elementsFullHistory extraction: every contribution whose
-    validity window intersects [fromTimestamp, toTimestamp), windows
-    CLIPPED to the query range exactly like the endpoint's validFrom/
-    validTo semantics, with contrib type, tags and stored WKB geometry.
-    Scale shape: scan + validity-range filter (pushable on valid_from via
-    min/max stats); projection only, no shuffle."""
-    from ..functions.ohsome_filter import compile_filter
-
-    lo = F.lit(_FH_FROM).cast("timestamp")
-    hi = F.lit(_FH_TO).cast("timestamp")
-    contribs = _polygon_contribs_table(spark, sf_dir)
-    hist = (
-        contribs.filter(F.col("status").isin("history", "latest"))
-        .filter(compile_filter("geometry:polygon and building=yes"))
-        .filter((F.col("valid_from") < hi) & (F.col("valid_to") > lo))
-    )
-    return hist.select(
-        F.concat(F.lit("way/"), F.col("osm_id").cast("string")).alias("elem_id"),
-        "osm_id",
-        "osm_version",
-        F.greatest("valid_from", lo).alias("valid_from"),
-        F.least("valid_to", hi).alias("valid_to"),
-        "contrib_type",
-        _extract_tags_canon(F.col("tags")).alias("tags"),
-        "geometry_type",
-        F.hex("geometry").alias("geometry_wkb"),
-    ).orderBy("osm_id", "osm_version")
-
-
-# --- GeoJSON document serialization (VERDICT r9 item 5): the extraction
-# endpoints' actual response bodies — RFC 7946 Feature / FeatureCollection
-# JSON strings, byte-deterministic (%.7f coordinates, sorted properties) so
-# DuckDB replays them verbatim. ---------------------------------------------
-
-_GEOJSON_COORDS_SQL = (
-    "array_to_string(list_transform(range(1, 6), i ->"
-    " '[' || printf('%.7f', xs[i]) || ',' || printf('%.7f', ys[i]) || ']'),"
-    " ',')"
-)
-
-
-def _elements_geojson_feature_sql() -> str:
-    """DuckDB expression for one Feature document over the ``geo`` CTE."""
-    return (
-        "'{\"type\":\"Feature\",\"geometry\":{\"type\":\"Polygon\","
-        "\"coordinates\":[[' || " + _GEOJSON_COORDS_SQL + " || ']]},"
-        "\"properties\":{\"@osmId\":\"way/' || CAST(wid AS VARCHAR) || '\","
-        "\"@snapshotTimestamp\":\"" + _ELEMENTS_SNAP + "T00:00:00Z\","
-        "\"building\":\"yes\"}}'"
-    )
-
-
-_ELEMENTS_GEOJSON_LIVE_SQL = f"""
-, live AS (
-  SELECT * FROM geo
-  WHERE wts <= TIMESTAMP '{_ELEMENTS_SNAP}'
-    AND (wts_end IS NULL OR TIMESTAMP '{_ELEMENTS_SNAP}' < wts_end)
-)"""
-
-
-def _elements_geojson_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared Spark derivation: live polygon features at the snapshot with
-    their GeoJSON Feature document strings."""
-    from ..functions.geometry import geojson_geometry_udf
-    from ..functions.ohsome_filter import compile_filter
-
-    snap = F.lit(_ELEMENTS_SNAP).cast("timestamp")
-    contribs = _polygon_contribs_table(spark, sf_dir)
-    live = (
-        contribs.filter(F.col("status").isin("history", "latest"))
-        .filter(compile_filter("geometry:polygon and building=yes"))
-        .filter((F.col("valid_from") <= snap) & (snap < F.col("valid_to")))
-    )
-
-    def esc(c):
-        # JSON string escaping for the two structural characters OSM tag
-        # text can carry; control characters don't survive the OSM API
-        return F.replace(
-            F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
-        )
-
-    tag_props = F.concat_ws(
-        "",
-        F.transform(
-            F.array_sort(F.map_entries(F.col("tags"))),
-            lambda e: F.concat(
-                F.lit(',"'), esc(e["key"]), F.lit('":"'), esc(e["value"]), F.lit('"')
-            ),
-        ),
-    )
-    feature = F.concat(
-        F.lit('{"type":"Feature","geometry":'),
-        geojson_geometry_udf()(F.col("geometry")),
-        F.lit(',"properties":{"@osmId":"way/'),
-        F.col("osm_id").cast("string"),
-        F.lit('","@snapshotTimestamp":"' + _ELEMENTS_SNAP + 'T00:00:00Z"'),
-        tag_props,
-        F.lit("}}"),
-    )
-    return live.select("osm_id", feature.alias("feature"))
-
-
-@_register(
-    "ohsome_elements_geojson",
-    _polygon_ways_sql_cte()
-    + _ELEMENTS_GEOJSON_LIVE_SQL
-    + f"""
-SELECT wid AS osm_id, {_elements_geojson_feature_sql()} AS feature
-FROM live
-ORDER BY osm_id
-""",
-)
-def ohsome_elements_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ohsome /elements extraction with the ACTUAL GeoJSON response body:
-    one RFC 7946 Feature document per live element (geometry serialized
-    from the stored WKB with fixed %.7f coordinates, properties carrying
-    @osmId/@snapshotTimestamp + the sorted, JSON-escaped tag map). The
-    oracle rebuilds the identical byte sequence in DuckDB. Scale shape:
-    scan + snapshot filter + one Arrow-batched serialization UDF; the
-    document assembly itself is native concat (codegen)."""
-    return _elements_geojson_features_df(spark, sf_dir).orderBy("osm_id")
-
-
-@_register(
-    "ohsome_elements_geojson_fc",
-    _polygon_ways_sql_cte()
-    + _ELEMENTS_GEOJSON_LIVE_SQL
-    + f"""
-SELECT CAST(count(*) AS INT) AS n_features,
-       '{{"type":"FeatureCollection","features":['
-       || string_agg({_elements_geojson_feature_sql()}, ',' ORDER BY wid)
-       || ']}}' AS feature_collection
-FROM live
-""",
-)
-def ohsome_elements_geojson_fc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FeatureCollection envelope variant — the exact /elements
-    response document: features ordered by @osmId inside one JSON object.
-    The ordered fold is an array_sort over (osm_id, feature) structs, so
-    the aggregation stays deterministic under any partitioning. (At
-    planet scale a single response document is inherently one reducer —
-    the endpoint semantics, not a plan defect; the per-feature variant is
-    the distributed form.)"""
-    feats = _elements_geojson_features_df(spark, sf_dir)
-    return feats.agg(
-        F.count(F.lit(1)).cast("int").alias("n_features"),
-        F.concat(
-            F.lit('{"type":"FeatureCollection","features":['),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("osm_id", "feature"))),
-                    lambda s: s["feature"],
-                ),
-                ",",
-            ),
-            F.lit("]}"),
-        ).alias("feature_collection"),
-    )
-
-
-@_register(
-    "ohsome_full_history_geojson",
-    _polygon_ways_sql_cte()
-    + f"""
-, hist AS (
-  SELECT *,
-         greatest(wts, TIMESTAMP '{_FH_FROM}') AS vfrom,
-         least(coalesce(wts_end, TIMESTAMP '2222-01-01'),
-               TIMESTAMP '{_FH_TO}') AS vto
-  FROM geo
-  WHERE wts < TIMESTAMP '{_FH_TO}'
-    AND coalesce(wts_end, TIMESTAMP '2222-01-01') > TIMESTAMP '{_FH_FROM}'
-)
-SELECT wid AS osm_id, v AS osm_version,
-       '{{"type":"Feature","geometry":{{"type":"Polygon","coordinates":[['
-       || {_GEOJSON_COORDS_SQL} || ']]}},"properties":{{"@osmId":"way/'
-       || CAST(wid AS VARCHAR)
-       || '","@validFrom":"' || strftime(vfrom, '%Y-%m-%dT%H:%M:%SZ')
-       || '","@validTo":"' || strftime(vto, '%Y-%m-%dT%H:%M:%SZ')
-       || '","building":"yes"}}}}' AS feature
-FROM hist
-ORDER BY osm_id, osm_version
-""",
-)
-def ohsome_full_history_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ohsome /elementsFullHistory with the actual GeoJSON response body:
-    one Feature per contribution whose validity intersects the query
-    range, @validFrom/@validTo clipped to the range exactly like the
-    endpoint (ISO-8601 strings), geometry serialized from the stored WKB.
-    Same byte-deterministic conventions as ``ohsome_elements_geojson``."""
-    from ..functions.geometry import geojson_geometry_udf
-    from ..functions.ohsome_filter import compile_filter
-
-    lo = F.lit(_FH_FROM).cast("timestamp")
-    hi = F.lit(_FH_TO).cast("timestamp")
-    contribs = _polygon_contribs_table(spark, sf_dir)
-    hist = (
-        contribs.filter(F.col("status").isin("history", "latest"))
-        .filter(compile_filter("geometry:polygon and building=yes"))
-        .filter((F.col("valid_from") < hi) & (F.col("valid_to") > lo))
-    )
-    iso = "yyyy-MM-dd'T'HH:mm:ss'Z'"
-
-    def esc(c):
-        return F.replace(
-            F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
-        )
-
-    tag_props = F.concat_ws(
-        "",
-        F.transform(
-            F.array_sort(F.map_entries(F.col("tags"))),
-            lambda e: F.concat(
-                F.lit(',"'), esc(e["key"]), F.lit('":"'), esc(e["value"]), F.lit('"')
-            ),
-        ),
-    )
-    feature = F.concat(
-        F.lit('{"type":"Feature","geometry":'),
-        geojson_geometry_udf()(F.col("geometry")),
-        F.lit(',"properties":{"@osmId":"way/'),
-        F.col("osm_id").cast("string"),
-        F.lit('","@validFrom":"'),
-        F.date_format(F.greatest("valid_from", lo), iso),
-        F.lit('","@validTo":"'),
-        F.date_format(F.least("valid_to", hi), iso),
-        F.lit('"'),
-        tag_props,
-        F.lit("}}"),
-    )
-    return hist.select(
-        "osm_id", "osm_version", feature.alias("feature")
-    ).orderBy("osm_id", "osm_version")
-
-
-def _length_clipped_oracle(
-    xmin: float = -90.0, ymin: float = -45.0, xmax: float = 90.0, ymax: float = 45.0
-) -> str:
-    """Liang–Barsky replay over the lineal way corpus: per original
-    segment, the same plane-parameter forms as ``clip_segment_rect``
-    (q/p divisions verbatim, t0/t1 via exact max/min, original endpoints
-    when t == 0/1), per-segment geodesic terms summed left-to-right —
-    bit-equal to the clip kernel's accumulation."""
-    cut = _CONTRIB_WAYS_ORACLE.index("SELECT wid AS osm_id")
-    cx1 = "(CASE WHEN g.t0 = 0.0 THEN g.x1 ELSE g.x1 + g.t0 * g.dx END)"
-    cy1 = "(CASE WHEN g.t0 = 0.0 THEN g.y1 ELSE g.y1 + g.t0 * g.dy END)"
-    cx2 = "(CASE WHEN g.t1 = 1.0 THEN g.x2 ELSE g.x1 + g.t1 * g.dx END)"
-    cy2 = "(CASE WHEN g.t1 = 1.0 THEN g.y2 ELSE g.y1 + g.t1 * g.dy END)"
-    sqrt_term = (
-        f"(6371000.0 * sqrt("
-        f"pow((radians({cx2}) - radians({cx1}))"
-        f" * cos((atan({SPHERE_FACT!r} * tan(radians({cy1})))"
-        f" + atan({SPHERE_FACT!r} * tan(radians({cy2})))) / 2), 2)"
-        f" + pow(atan({SPHERE_FACT!r} * tan(radians({cy2})))"
-        f" - atan({SPHERE_FACT!r} * tan(radians({cy1}))), 2)))"
-    )
-    return (
-        _CONTRIB_WAYS_ORACLE[:cut]
-        + f"""
-, lineal AS (
-  SELECT wid, xs, ys FROM contribs WHERE next_ts IS NULL AND nc >= 2
-), s0 AS (
-  SELECT wid, list_transform(range(1, len(xs)), i -> struct_pack(
-    x1 := xs[i], y1 := ys[i], x2 := xs[i + 1], y2 := ys[i + 1],
-    dx := xs[i + 1] - xs[i], dy := ys[i + 1] - ys[i])) AS g0
-  FROM lineal
-), s1 AS (
-  SELECT wid, list_transform(g0, g -> struct_pack(
-    x1 := g.x1, y1 := g.y1, x2 := g.x2, y2 := g.y2, dx := g.dx, dy := g.dy,
-    rej := (g.dx = 0 AND ((g.x1 - {xmin!r}) < 0 OR ({xmax!r} - g.x1) < 0))
-        OR (g.dy = 0 AND ((g.y1 - {ymin!r}) < 0 OR ({ymax!r} - g.y1) < 0)),
-    t0 := greatest(0.0,
-      CASE WHEN g.dx > 0 THEN (g.x1 - {xmin!r}) / (-g.dx)
-           WHEN g.dx < 0 THEN ({xmax!r} - g.x1) / g.dx ELSE 0.0 END,
-      CASE WHEN g.dy > 0 THEN (g.y1 - {ymin!r}) / (-g.dy)
-           WHEN g.dy < 0 THEN ({ymax!r} - g.y1) / g.dy ELSE 0.0 END),
-    t1 := least(1.0,
-      CASE WHEN g.dx > 0 THEN ({xmax!r} - g.x1) / g.dx
-           WHEN g.dx < 0 THEN (g.x1 - {xmin!r}) / (-g.dx) ELSE 1.0 END,
-      CASE WHEN g.dy > 0 THEN ({ymax!r} - g.y1) / g.dy
-           WHEN g.dy < 0 THEN (g.y1 - {ymin!r}) / (-g.dy) ELSE 1.0 END)
-  )) AS g1
-  FROM s0
-), s2 AS (
-  SELECT wid, list_transform(g1, g -> struct_pack(
-    kept := NOT g.rej AND g.t0 <= g.t1,
-    t0 := g.t0, t1 := g.t1,
-    term := CASE WHEN NOT g.rej AND g.t0 <= g.t1
-                 THEN {sqrt_term} ELSE 0.0 END
-  )) AS s
-  FROM s1
-)
-SELECT wid AS osm_id,
-  CAST(len(list_filter(range(1, len(s) + 1), i -> s[i].kept AND (
-    i = 1 OR NOT s[i - 1].kept OR s[i - 1].t1 < 1.0 OR s[i].t0 > 0.0
-  ))) AS INT) AS n_parts,
-  round(list_sum(list_transform(s, e -> e.term)), 2) AS clipped_length_m
-FROM s2
-WHERE len(list_filter(s, e -> e.kept)) > 0
-ORDER BY osm_id
-"""
-    )
-
-
-@_register("ohsome_length_clipped", _length_clipped_oracle())
-def ohsome_length_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ohsome /elements/length with clipGeometry: each latest lineal
-    feature's geometry clipped to the boundary bbox (per-segment
-    Liang–Barsky, surviving runs chained into MultiLineString parts) and
-    the geodesic length re-measured on the clipped parts. Features not
-    touching the boundary drop out. Scale shape: staged-table scan +
-    one Arrow-batched clip kernel; no shuffle."""
-    from ..functions.geometry import clip_to_bbox_udf
-
-    contribs = _way_contribs_table(spark, sf_dir)
-    latest = contribs.filter(
-        (F.col("status") == "latest") & (F.col("geometry_type") == "LineString")
-    )
-    clip = clip_to_bbox_udf(-90.0, -45.0, 90.0, 45.0)
-    return (
-        latest.withColumn("_clip", clip(F.col("geometry")))
-        .filter(F.col("_clip.wkb").isNotNull())
-        .select(
-            "osm_id",
-            F.col("_clip.n_parts").alias("n_parts"),
-            F.round(F.col("_clip.length"), 2).alias("clipped_length_m"),
-        )
-        .orderBy("osm_id")
-    )
-
-
-_CLIP_XLO = -120.75  # dyadic (multiple of 1/4) so cut coordinates stay exact
-
-
-def _elements_clipped_oracle() -> str:
-    from ..functions.geodesic import (
-        EARTH_INVERSE_FLATTENING as INVF,
-        EARTH_RADIUS_EQUATOR as RE,
-        F_UNDERSCORE as FU,
-    )
-
-    sinlat = (
-        f"({FU!r} * tan(radians(cys[((i + 1) % 5) + 1]))"
-        f" / sqrt(({FU!r} * tan(radians(cys[((i + 1) % 5) + 1])))"
-        f" * ({FU!r} * tan(radians(cys[((i + 1) % 5) + 1]))) + 1.0))"
-    )
-    chex = (
-        "'0000000003' || '00000001' || '00000005' || "
-        "array_to_string(list_transform(range(1, 6), i -> "
-        + _dhex("cxs[i]") + " || " + _dhex("cys[i]") + "), '')"
-    )
-    xlo = _CLIP_XLO
-    # Sutherland–Hodgman replay for the even-version corpus ring
-    # [a(x0,y0) b(x0+.5,y0) c(x0+.5,y0+.25) d(x0,y0+.5)] against the
-    # half-plane x >= xlo (other planes non-binding): a partially-cut ring
-    # comes out as [I_cd, I_ab, b, c] (verified vertex order — three
-    # all-inside plane passes rotate the 4-gon left by 3). Cut ordinates
-    # replay _x_cross term-for-term (all dyadic, so exact on both engines).
-    i_cd_y = f"((y0 + 0.25) + (({xlo!r}) - (x0 + 0.5)) / (x0 - (x0 + 0.5)) * ((y0 + 0.5) - (y0 + 0.25)))"
-    i_ab_y = f"(y0 + (({xlo!r}) - x0) / ((x0 + 0.5) - x0) * (y0 - y0))"
-    return (
-        _polygon_ways_sql_cte()
-        + f"""
-, live AS (
-  SELECT * FROM geo
-  WHERE wts <= TIMESTAMP '{_ELEMENTS_SNAP}'
-    AND (wts_end IS NULL OR TIMESTAMP '{_ELEMENTS_SNAP}' < wts_end)
-    AND x0 + 0.5 > {xlo!r}
-), clipped AS (
-  SELECT wid, v,
-    CASE WHEN x0 >= {xlo!r} THEN xs
-         ELSE [{xlo!r}, {xlo!r}, x0 + 0.5, x0 + 0.5, {xlo!r}] END AS cxs,
-    CASE WHEN x0 >= {xlo!r} THEN ys
-         ELSE [{i_cd_y}, {i_ab_y}, y0, y0 + 0.25, {i_cd_y}] END AS cys
-  FROM live
-)
-SELECT 'way/' || CAST(wid AS VARCHAR) AS elem_id,
-       wid AS osm_id, v AS osm_version,
-       'Polygon' AS geometry_type,
-       {chex} AS geometry_wkb,
-       round(abs(
-         list_sum(list_transform(range(0, 5), i ->
-           radians(cxs[((i + 2) % 5) + 1] - cxs[(i % 5) + 1]) * {sinlat}))
-         * (0.5 * {RE!r} * {RE!r}
-            * (1.0 - 1.0 / {INVF!r}
-               * (cos(radians((list_max(cys) + list_min(cys)) / 2.0))
-                  * cos(radians((list_max(cys) + list_min(cys)) / 2.0)))))
-       ) / 1000000.0, 6) AS clipped_area_km2
-FROM clipped
-ORDER BY osm_id
-"""
-    )
-
-
-@_register("ohsome_elements_clipped", _elements_clipped_oracle())
-def ohsome_elements_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ohsome API /elements extraction with clipGeometry=true: the live
-    feature set at a snapshot, geometries CLIPPED to the query boundary
-    (Sutherland–Hodgman against the bbox, ``functions/geometry.py::
-    clip_ring_rect``) with the geodesic area re-measured on the clipped
-    ring. Features wholly outside the boundary drop out; partially-
-    covered ones return the cut polygon. The oracle replays the clip's
-    vertex sequence and cut ordinates byte-for-byte in the WKB hex.
-    Scale shape: scan + snapshot filter, one Arrow-batched clip kernel
-    over the dimension-sized live set; no shuffle."""
-    from ..functions.geometry import clip_to_bbox_udf
-    from ..functions.ohsome_filter import compile_filter
-
-    snap = F.lit(_ELEMENTS_SNAP).cast("timestamp")
-    contribs = _polygon_contribs_table(spark, sf_dir)
-    live = (
-        contribs.filter(F.col("status").isin("history", "latest"))
-        .filter(compile_filter("geometry:polygon and building=yes"))
-        .filter((F.col("valid_from") <= snap) & (snap < F.col("valid_to")))
-    )
-    clip = clip_to_bbox_udf(_CLIP_XLO, -90.0, 10.0, 90.0)
-    return (
-        live.withColumn("_clip", clip(F.col("geometry")))
-        .filter(F.col("_clip.wkb").isNotNull())
-        .select(
-            F.concat(F.lit("way/"), F.col("osm_id").cast("string")).alias("elem_id"),
-            "osm_id",
-            "osm_version",
-            "geometry_type",
-            F.hex("_clip.wkb").alias("geometry_wkb"),
-            F.round(F.col("_clip.area") / 1e6, 6).alias("clipped_area_km2"),
-        )
-        .orderBy("osm_id")
-    )
-
-
-@_register(
-    "ohsome_contributions_count",
-    _polygon_ways_sql_cte()
-    + """
-SELECT CAST(floor((epoch(wts) - epoch(TIMESTAMP '2024-01-04')) / 604800.0)
-            AS INT) AS week_idx,
-       CASE WHEN v = 1 THEN 'CREATION' ELSE 'GEOMETRY' END AS contrib_type,
-       CAST(count(*) AS BIGINT) AS n_contributions,
-       CAST(count(DISTINCT wid) AS BIGINT) AS n_elements
-FROM geo
-WHERE wts >= TIMESTAMP '2024-01-04' AND wts < TIMESTAMP '2024-02-01'
-GROUP BY 1, 2 ORDER BY 1, 2
-""",
-)
-def ohsome_contributions_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ohsome API /contributions/count: contribution events (not element
-    states) bucketed into weekly intervals and split by contribution
-    type, under a time range. Scale shape: one scan + one
-    map-side-combinable groupBy — valid_from range prunes row groups."""
-    lo = F.lit("2024-01-04").cast("timestamp")
-    hi = F.lit("2024-02-01").cast("timestamp")
-    contribs = _polygon_contribs_table(spark, sf_dir)
-    in_range = contribs.filter((F.col("valid_from") >= lo) & (F.col("valid_from") < hi))
-    week = F.floor(
-        (F.col("valid_from").cast("long") - lo.cast("long")) / (7 * 86400.0)
-    ).cast("int")
-    return (
-        in_range.groupBy(week.alias("week_idx"), "contrib_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_contributions"),
-            F.countDistinct("osm_id").alias("n_elements"),
-        )
-        .orderBy("week_idx", "contrib_type")
-    )
-
-
-@_register(
-    "ohsome_contributions_latest_count",
-    _polygon_ways_sql_cte()
-    + """
-SELECT contrib_type, CAST(count(*) AS BIGINT) AS n_elements
-FROM (
-  SELECT wid,
-         max_by(CASE WHEN v = 1 THEN 'CREATION' ELSE 'GEOMETRY' END, wts)
-           AS contrib_type
-  FROM geo
-  WHERE wts >= TIMESTAMP '2024-01-04' AND wts < TIMESTAMP '2024-01-20'
-  GROUP BY wid
-)
-GROUP BY contrib_type ORDER BY contrib_type
-""",
-)
-def ohsome_contributions_latest_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ohsome API /contributions/latest/count: each element's most recent
-    contribution inside the time range, counted by contribution type.
-    Scale shape: range-pruned scan → per-element max_by (one partial-agg
-    shuffle on osm_id) → tiny type rollup."""
-    lo = F.lit("2024-01-04").cast("timestamp")
-    hi = F.lit("2024-01-20").cast("timestamp")
-    contribs = _polygon_contribs_table(spark, sf_dir)
-    latest = (
-        contribs.filter((F.col("valid_from") >= lo) & (F.col("valid_from") < hi))
-        .groupBy("osm_id")
-        .agg(F.max_by("contrib_type", "valid_from").alias("contrib_type"))
-    )
-    return (
-        latest.groupBy("contrib_type")
-        .agg(F.count(F.lit(1)).alias("n_elements"))
-        .orderBy("contrib_type")
-    )
-
-
-def _ohsome_length_density_oracle() -> str:
-    cut = _CONTRIB_WAYS_ORACLE.index("SELECT wid AS osm_id")
-    cases = " || ".join(
-        f"CASE WHEN cx >= {x0!r} AND cx <= {x1!r} AND cy >= {y0!r} AND cy <= {y1!r} "
-        f"THEN ['{fid}'] ELSE [] END"
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    )
-    area_case = "CASE country " + " ".join(
-        f"WHEN '{fid}' THEN {_rect_area_sql(x0, y0, x1, y1)}"
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    ) + " END"
-    return (
-        _CONTRIB_WAYS_ORACLE[:cut]
-        + f"""
-    SELECT country, snap_ts,
-           CAST(count(*) AS BIGINT) AS n_live,
-           round(sum(length_m), 2) AS total_length_m,
-           round(sum(length_m) / (({area_case}) / 1e6 / 1e6), 4)
-             AS density_m_per_mkm2
-    FROM (
-      SELECT unnest({cases}) AS country, s.snap_ts, c.length_m
-      FROM (SELECT cx, cy, length_m, inst_ts AS valid_from,
-                   coalesce(next_ts, TIMESTAMP '2222-01-01') AS valid_to
-            FROM contribs WHERE nc >= 2) c
-      JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
-                                          TIMESTAMP '2024-02-01',
-                                          INTERVAL 7 DAY)) AS snap_ts) s
-        ON c.valid_from <= s.snap_ts AND s.snap_ts < c.valid_to
-    )
-    GROUP BY country, snap_ts
-    ORDER BY country, snap_ts
-    """
-    )
-
-
-@_register("ohsome_length_density_series", _ohsome_length_density_oracle())
-def ohsome_length_density_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ohsome API /elements/length/density groupBy boundary: live way
-    length per boundary geodesic area (meters per million km², keeping
-    the quotient in a range where 4dp rounding is meaningful) at weekly
-    snapshots. Composition of the length-series measurement with the
-    count-density boundary machinery: centroid containment against the
-    broadcast grid, boundary areas from the engine's own ``ring_area``
-    over the dimension-sized feature list. Scale shape: facts never
-    shuffle except the final (country, snap) agg; boundary dim and
-    snapshot list are broadcast."""
-    import numpy as np
-
-    from ..functions.geodesic import ring_area
-    from ..operators.spatial import join_countries, rect_feature
-
-    contribs = _way_contribs_table(spark, sf_dir)
-    live = contribs.filter(F.col("geometry_type") == "LineString")
-    feats = [
-        rect_feature(fid, x0, y0, x1, y1)
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    ]
-    dim = spark.createDataFrame(
-        [
-            (
-                fid,
-                float(
-                    abs(
-                        ring_area(
-                            np.array([x0, x1, x1, x0, x0]),
-                            np.array([y0, y0, y1, y1, y0]),
-                        )
-                    )
-                )
-                / 1e6
-                / 1e6,
-            )
-            for fid, x0, y0, x1, y1 in _GRID_FEATURES
-        ],
-        "country string, area_mkm2 double",
-    )
-    pts = live.select(
-        "valid_from", "valid_to",
-        F.col("length").alias("length_m"),
-        F.col("centroid.x").alias("lon"),
-        F.col("centroid.y").alias("lat"),
-    )
-    tagged = join_countries(pts, feats).select(
-        F.explode("countries").alias("country"),
-        "valid_from", "valid_to", "length_m",
-    )
-    snaps = spark.range(1).select(
-        F.explode(
-            F.expr(
-                "sequence(to_timestamp('2024-01-04'), "
-                "to_timestamp('2024-02-01'), interval 7 days)"
-            )
-        ).alias("snap_ts")
-    )
-    return (
-        tagged.join(
-            F.broadcast(snaps),
-            (F.col("valid_from") <= F.col("snap_ts"))
-            & (F.col("snap_ts") < F.col("valid_to")),
-        )
-        .groupBy("country", "snap_ts")
-        .agg(
-            F.count(F.lit(1)).alias("n_live"),
-            F.sum("length_m").alias("_len"),
-        )
-        .join(F.broadcast(dim), "country")
-        .select(
-            "country", "snap_ts", "n_live",
-            F.round(F.col("_len"), 2).alias("total_length_m"),
-            F.round(F.col("_len") / F.col("area_mkm2"), 4).alias(
-                "density_m_per_mkm2"
-            ),
-        )
-        .orderBy("country", "snap_ts")
-    )
-
-
-def _ohsome_contrib_density_oracle() -> str:
-    cut = _CONTRIB_ORACLE.index("SELECT\n  CASE WHEN NOT visible")
-    cases = " || ".join(
-        f"CASE WHEN lon >= {x0!r} AND lon <= {x1!r} AND lat >= {y0!r} AND lat <= {y1!r} "
-        f"THEN ['{fid}'] ELSE [] END"
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    )
-    area_case = "CASE country " + " ".join(
-        f"WHEN '{fid}' THEN {_rect_area_sql(x0, y0, x1, y1)}"
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    ) + " END"
-    return (
-        _CONTRIB_ORACLE[:cut]
-        + f"""
-    SELECT country, month_ts,
-           CAST(count(*) AS BIGINT) AS n_contributions,
-           round(count(*) / (({area_case}) / 1e6 / 1e6), 6)
-             AS density_per_mkm2
-    FROM (
-      SELECT unnest({cases}) AS country,
-             date_trunc('month', valid_from) AS month_ts
-      FROM (SELECT (eff).lon AS lon, (eff).lat AS lat, ts AS valid_from
-            FROM final WHERE visible AND eff IS NOT NULL) c
-    )
-    GROUP BY country, month_ts
-    ORDER BY country, month_ts
-    """
-    )
-
-
-@_register(
-    "ohsome_contributions_density", _ohsome_contrib_density_oracle()
-)
-def ohsome_contributions_density(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ohsome API /contributions/count/density groupBy boundary:
-    contribution EVENTS (not live states) per boundary geodesic area,
-    bucketed by calendar month of valid_from. No snapshot interval join
-    at all — one scan, centroid containment against the broadcast grid,
-    month truncation, one (country, month) agg, broadcast area divide."""
-    import numpy as np
-
-    from ..functions.geodesic import ring_area
-    from ..operators.spatial import join_countries, rect_feature
-
-    contribs = _node_contribs_table(spark, sf_dir)
-    vis = contribs.filter(F.col("status").isin("history", "latest"))
-    feats = [
-        rect_feature(fid, x0, y0, x1, y1)
-        for fid, x0, y0, x1, y1 in _GRID_FEATURES
-    ]
-    dim = spark.createDataFrame(
-        [
-            (
-                fid,
-                float(
-                    abs(
-                        ring_area(
-                            np.array([x0, x1, x1, x0, x0]),
-                            np.array([y0, y0, y1, y1, y0]),
-                        )
-                    )
-                )
-                / 1e6
-                / 1e6,
-            )
-            for fid, x0, y0, x1, y1 in _GRID_FEATURES
-        ],
-        "country string, area_mkm2 double",
-    )
-    pts = vis.select(
-        "valid_from",
-        F.col("centroid.x").alias("lon"),
-        F.col("centroid.y").alias("lat"),
-    )
-    tagged = join_countries(pts, feats).select(
-        F.explode("countries").alias("country"),
-        F.date_trunc("month", F.col("valid_from")).alias("month_ts"),
-    )
-    return (
-        tagged.groupBy("country", "month_ts")
-        .agg(F.count(F.lit(1)).alias("n_contributions"))
-        .join(F.broadcast(dim), "country")
-        .select(
-            "country", "month_ts", "n_contributions",
-            F.round(F.col("n_contributions") / F.col("area_mkm2"), 6).alias(
-                "density_per_mkm2"
-            ),
-        )
-        .orderBy("country", "month_ts")
-    )
-
-
-# ===========================================================================
-# Web ingestion (Common Crawl front half): WARC record walk + HTML main-
-# text extraction — sources/warc.py, functions/html.py, operators/web.py.
-# Fixture WARCs are genuine wire bytes (per-record gzip on odd docs), the
-# same encode-then-decode gate pattern as the multimodal codecs.
-# ===========================================================================
-
-_WARC_INFO_PAYLOAD = "software: ohsome-planet-spark"
-
-
-def _tpl_html(d: int, text: str, lang: str, source: str) -> str:
-    ent = "&#68;&amp;" if d % 2 == 0 else "&amp;"
-    return (
-        f"<html><head><title>skip {d}</title><style>p{{c:red}}</style>"
-        f"</head><body><h1>Doc {ent}{d}</h1><p>{text} <b>{lang}</b></p>"
-        f'<script>var x="</div>";</script>'
-        f"<ul><li>{lang}</li><li>{source}</li></ul><!-- n{d} -->"
-        f"</body></html>"
-    )
-
-
-def _warc_fixture_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ..sources.warc import encode_warc, http_response_wrap
-
-    for pdf in batches:
-        payloads = []
-        for _, r in pdf.iterrows():
-            d = int(r["doc_id"])
-            html = _tpl_html(d, r["text"], r["lang"], r["source"])
-            recs = [
-                {"warc_type": "warcinfo",
-                 "payload": _WARC_INFO_PAYLOAD.encode()},
-                {"warc_type": "response",
-                 "target_uri": f"http://example.test/{d}",
-                 "content_type": "application/http;msgtype=response",
-                 "payload": http_response_wrap(html.encode())},
-            ] + [
-                {"warc_type": "request",
-                 "target_uri": f"http://example.test/{d}",
-                 "payload": f"GET /{d}".encode()}
-                for _ in range(d % 3)
-            ]
-            payloads.append(encode_warc(recs, gzip_records=d % 2 == 1))
-        out = pdf[["doc_id"]].copy()
-        out["warc"] = payloads
-        yield out
-
-
-_WARC_PROBE_ORACLE = f"""
-SELECT doc_id,
-       CAST(2 + doc_id % 3 AS BIGINT) AS n_records,
-       CAST(1 AS BIGINT) AS n_response,
-       -- warcinfo + HTTP envelope (62 fixed bytes + the Content-Length
-       -- digit count) + html body + doc%3 request payloads 'GET /<id>'
-       CAST({len(_WARC_INFO_PAYLOAD)}
-            + 62 + length(CAST(length(html) AS VARCHAR)) + length(html)
-            + (doc_id % 3) * (5 + length(CAST(doc_id AS VARCHAR)))
-         AS BIGINT) AS total_payload_bytes
-FROM (
-  SELECT doc_id,
-         '<html><head><title>skip ' || doc_id ||
-         '</title><style>p{{c:red}}</style></head><body><h1>Doc ' ||
-         CASE WHEN doc_id % 2 = 0 THEN '&#68;&amp;' ELSE '&amp;' END ||
-         doc_id || '</h1><p>' || text || ' <b>' || lang ||
-         '</b></p><script>var x="</div>";</script><ul><li>' || lang ||
-         '</li><li>' || source || '</li></ul><!-- n' || doc_id ||
-         ' --></body></html>' AS html
-  FROM documents
-)
-ORDER BY doc_id
-"""
-
-
-@_register("warc_records_probe", _WARC_PROBE_ORACLE)
-def warc_records_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC record walk (``sources/warc.py``) through the web-ingestion
-    seam: genuine WARC/1.0 archives — warcinfo + HTTP-wrapped response +
-    doc%3 request records, per-record gzip members on odd docs — are
-    parsed back by declared Content-Length (never separator scanning).
-    The oracle recomputes every record's payload size arithmetically from
-    the template, so one wrong framing byte, gzip member boundary, or
-    header parse breaks the hash."""
-    from ..operators.web import warc_records
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "text", "lang", "source"
-    )
-    archives = docs.mapInPandas(
-        _warc_fixture_encode, "doc_id bigint, warc binary"
-    )
-    recs = warc_records(archives, "warc")
-    return (
-        recs.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_records"),
-            F.sum(
-                (F.col("warc_type") == "response").cast("bigint")
-            ).alias("n_response"),
-            F.sum("content_length").alias("total_payload_bytes"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-_WARC_HTML_ORACLE = """
-WITH exp AS (
-  SELECT doc_id,
-         list_filter([
-           'Doc ' || CASE WHEN doc_id % 2 = 0 THEN 'D&' ELSE '&' END
-                  || CAST(doc_id AS VARCHAR),
-           trim(text || ' ' || lang),
-           lang,
-           source
-         ], x -> x <> '') AS lines
-  FROM documents
-)
-SELECT doc_id,
-       array_to_string(lines, chr(10)) AS extracted_text,
-       CAST(len(lines) AS BIGINT) AS n_lines,
-       CAST(length(array_to_string(lines, chr(10))) AS BIGINT) AS n_chars
-FROM exp ORDER BY doc_id
-"""
-
-
-@_register("warc_html_extract", _WARC_HTML_ORACLE)
-def warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Common Crawl front half end-to-end: WARC archive → record walk
-    → response filter → HTTP envelope strip → HTML main-text extraction
-    (``functions/html.py``: script/style/head dropped with raw-text
-    handling — the planted ``</div>`` inside a script must NOT terminate
-    early — named and numeric character references decoded, block
-    boundaries to newlines, whitespace collapsed). The oracle constructs
-    the expected text from the template fields, so a wrong drop scope,
-    entity decode, or block split breaks the hash."""
-    from ..operators.web import extract_main_text, warc_records
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "text", "lang", "source"
-    )
-    archives = docs.mapInPandas(
-        _warc_fixture_encode, "doc_id bigint, warc binary"
-    )
-    responses = warc_records(archives, "warc").filter(
-        F.col("warc_type") == "response"
-    )
-    extracted = extract_main_text(responses, "payload", http=True)
-    return extracted.select(
-        "doc_id",
-        "extracted_text",
-        F.size(F.split("extracted_text", "\n")).cast("bigint").alias(
-            "n_lines"
-        ),
-        F.length("extracted_text").cast("bigint").alias("n_chars"),
-    ).orderBy("doc_id")
-
-
-def _warc_fixture_encode_enveloped(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    """Same archive content as ``_warc_fixture_encode`` but the response
-    record's HTTP envelope varies per doc — plain Content-Length, chunked
-    (doc-dependent chunk sizes), gzip, chunked+deflate — the real-crawl
-    wire forms the Content-Length-only fixture never exercised. Gate rows
-    built on this encoder reuse the SAME oracle as their plain twins:
-    the envelope must be invisible to extraction."""
-    from ..sources.warc import encode_warc, http_response_wrap
-
-    for pdf in batches:
-        payloads = []
-        for _, r in pdf.iterrows():
-            d = int(r["doc_id"])
-            html = _tpl_html(d, r["text"], r["lang"], r["source"]).encode()
-            mode = d % 4
-            if mode == 0:
-                resp = http_response_wrap(html)
-            elif mode == 1:
-                resp = http_response_wrap(
-                    html, chunked=True, chunk_size=1 + d % 97
-                )
-            elif mode == 2:
-                resp = http_response_wrap(html, content_encoding="gzip")
-            else:
-                resp = http_response_wrap(
-                    html,
-                    chunked=True,
-                    chunk_size=1 + d % 53,
-                    content_encoding="deflate",
-                )
-            recs = [
-                {"warc_type": "warcinfo",
-                 "payload": _WARC_INFO_PAYLOAD.encode()},
-                {"warc_type": "response",
-                 "target_uri": f"http://example.test/{d}",
-                 "content_type": "application/http;msgtype=response",
-                 "payload": resp},
-            ]
-            payloads.append(encode_warc(recs, gzip_records=d % 2 == 1))
-        out = pdf[["doc_id"]].copy()
-        out["warc"] = payloads
-        yield out
-
-
-@_register("warc_html_extract_enveloped", _WARC_HTML_ORACLE)
-def warc_html_extract_enveloped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``warc_html_extract``'s differential twin over REAL-crawl HTTP
-    envelopes: the same documents wrapped as Transfer-Encoding: chunked
-    (doc-dependent chunk sizes), Content-Encoding: gzip, and
-    chunked+deflate (`sources/warc.py::http_response_body` de-chunks then
-    decompresses). The oracle is byte-identical to the plain-envelope
-    row's — one leaked chunk-size line or compressed byte breaks the
-    hash, which is exactly the bug class the verdict flagged
-    (Content-Length-only envelope handling)."""
-    from ..operators.web import extract_main_text, warc_records
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "text", "lang", "source"
-    )
-    archives = docs.mapInPandas(
-        _warc_fixture_encode_enveloped, "doc_id bigint, warc binary"
-    )
-    responses = warc_records(archives, "warc").filter(
-        F.col("warc_type") == "response"
-    )
-    extracted = extract_main_text(responses, "payload", http=True)
-    return extracted.select(
-        "doc_id",
-        "extracted_text",
-        F.size(F.split("extracted_text", "\n")).cast("bigint").alias(
-            "n_lines"
-        ),
-        F.length("extracted_text").cast("bigint").alias("n_chars"),
-    ).orderBy("doc_id")
-
-
-_URL_DEDUP_ORACLE = """
-WITH f AS (
-  SELECT doc_id, (doc_id // 8) % 40 AS p, doc_id % 8 AS v FROM documents
-),
-canon AS (
-  SELECT doc_id,
-         CASE WHEN v IN (0, 1, 2, 3, 5, 6)
-              THEN 'http://host' || p || '.com/page/' || p || '?a=1&b=2'
-              WHEN v = 4
-              THEN 'https://host' || p || '.com:8443/?a=1'
-              ELSE 'http://[2001:db8::' || p || ']:8080/x?a=1' END
-           AS canonical_url
-  FROM f
-)
-SELECT doc_id, canonical_url,
-       CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
-         AS n_fetches,
-       doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS keep
-FROM canon ORDER BY doc_id
-"""
-
-
-@_register("url_dedup", _URL_DEDUP_ORACLE)
-def url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl URL dedup through the canonicalization grammar
-    (``operators/web.py::canonical_url_expr``): the same page fetched as
-    case-noisy host + default port + fragment, shuffled query params, or
-    tracking-tagged (utm_*/gclid) must collapse to ONE canonical URL
-    with the minimum doc as the surviving fetch; a genuinely different
-    page (https + non-default port + different params, path-less form,
-    a distinct IPv6 origin) must not. ADVICE-r11 adversaries included:
-    a '?' INSIDE the fragment with a real query present (v=5 — the old
-    first-'?' grammar read fragment text as params), userinfo + uppercase
-    host + default port (v=6), and a bracketed IPv6 host with kept
-    non-default port (v=7). The oracle is INDEPENDENT of the grammar —
-    it asserts the expected canonical string in closed form from the
-    fixture parameters, so any canonicalization bug (kept fragment,
-    unsorted params, surviving tracking tag, mangled port, userinfo or
-    bracket leak) breaks the hash."""
-    from ..operators.web import url_dedup
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-    p = (F.floor(F.col("doc_id") / 8) % 40).cast("string")
-    v = F.col("doc_id") % 8
-    url = (
-        F.when(v == 0, F.concat(
-            F.lit("http://host"), p, F.lit(".com/page/"), p,
-            F.lit("?a=1&b=2")))
-        .when(v == 1, F.concat(
-            F.lit("HTTP://HOST"), p, F.lit(".COM:80/page/"), p,
-            F.lit("?a=1&b=2#frag")))
-        .when(v == 2, F.concat(
-            F.lit("http://host"), p, F.lit(".com/page/"), p,
-            F.lit("?b=2&a=1&utm_source=x")))
-        .when(v == 3, F.concat(
-            F.lit("http://host"), p, F.lit(".com/page/"), p,
-            F.lit("?utm_campaign=y&gclid=z&a=1&b=2")))
-        .when(v == 4, F.concat(
-            F.lit("https://host"), p, F.lit(".com:8443?a=1")))
-        .when(v == 5, F.concat(
-            F.lit("http://host"), p, F.lit(".com/page/"), p,
-            F.lit("?b=2&a=1#frag?c=3&utm_source=t")))
-        .when(v == 6, F.concat(
-            F.lit("http://u:pw@HOST"), p, F.lit(".com:80/page/"), p,
-            F.lit("?a=1&b=2")))
-        .otherwise(F.concat(
-            F.lit("http://[2001:DB8::"), p, F.lit("]:8080/x?a=1#sec")))
-    )
-    inp = docs.select("doc_id", url.alias("url"))
-    return url_dedup(inp, "doc_id", "url").orderBy("doc_id")
-
-
-_UNICODE_ORACLE = """
-WITH inp AS (
-  SELECT doc_id,
-         text || CASE doc_id % 4
-           WHEN 0 THEN ' cafe' || chr(769)
-           WHEN 1 THEN ' ' || chr(64257) || 'le ' || chr(9312)
-           WHEN 2 THEN ' ' || chr(8491) || 'ngstro' || chr(776) || 'm'
-           ELSE '' END AS raw,
-         text || CASE doc_id % 4
-           WHEN 0 THEN ' caf' || chr(233)
-           WHEN 1 THEN ' file 1'
-           WHEN 2 THEN ' ' || chr(197) || 'ngstr' || chr(246) || 'm'
-           ELSE '' END AS nfkc_expected
-  FROM documents
-)
-SELECT doc_id,
-       nfc_normalize(raw) AS nfc_text,
-       nfkc_expected AS nfkc_text,
-       CAST(length(nfc_normalize(raw)) AS INT) AS nfc_chars,
-       CAST(length(nfkc_expected) AS INT) AS nfkc_chars
-FROM inp ORDER BY doc_id
-"""
-
-
-@_register("unicode_normalize", _UNICODE_ORACLE)
-def unicode_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unicode NFC/NFKC normalization through the curation seam: each doc
-    gets a planted denormalized suffix (combining acute, the fi ligature +
-    circled one, the angstrom sign + combining diaeresis) and the operator
-    canonicalizes it. TWO independent referees: the NFC column is checked
-    against DuckDB's ICU ``nfc_normalize`` (a different UCD implementation
-    than CPython's ``unicodedata``), and the NFKC column against
-    hand-derived published compatibility mappings."""
-    from ..operators.curation import normalize_unicode
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id", "text")
-    # explicit escapes: the inputs are the DECOMPOSED wire forms
-    # (e + U+0301, U+FB01 ligature + U+2460, U+212B + o + U+0308)
-    suffix = (
-        F.when(F.col("doc_id") % 4 == 0, F.lit(" cafe\u0301"))
-        .when(F.col("doc_id") % 4 == 1, F.lit(" \ufb01le \u2460"))
-        .when(F.col("doc_id") % 4 == 2, F.lit(" \u212bngstro\u0308m"))
-        .otherwise(F.lit(""))
-    )
-    raw = docs.select("doc_id", F.concat("text", suffix).alias("raw"))
-    out = normalize_unicode(raw, "raw")
-    return out.select(
-        "doc_id",
-        "nfc_text",
-        "nfkc_text",
-        F.length("nfc_text").cast("int").alias("nfc_chars"),
-        F.length("nfkc_text").cast("int").alias("nfkc_chars"),
-    ).orderBy("doc_id")
-
-
-_CC_PIPELINE_ORACLE = f"""
-WITH exp AS (
-  SELECT doc_id,
-         list_filter([
-           'Doc ' || CASE WHEN doc_id % 2 = 0 THEN 'D&' ELSE '&' END
-                  || CAST(doc_id AS VARCHAR),
-           trim(text || ' ' || lang),
-           lang,
-           source
-         ], x -> x <> '') AS lines
-  FROM documents
-),
-kept AS (
-  SELECT doc_id,
-         lines,
-         list_filter(lines, l ->
-           len(list_filter(string_split_regex(trim(l), '\\s+'),
-                           w -> w <> '')) >= 2
-           AND NOT contains(lower(l), 'javascript')) AS keptl
-  FROM exp
-)
-SELECT doc_id,
-       CAST(len(lines) AS BIGINT) AS n_lines,
-       CAST(len(keptl) AS BIGINT) AS n_kept_lines,
-       len(keptl) >= 2 AS keep_doc,
-       CAST(len(list_filter(regexp_split_to_array(
-              lower(coalesce(array_to_string(keptl, chr(10)), '')), '\\W+'),
-            x -> x <> '')) AS BIGINT) AS n_tokens
-FROM kept ORDER BY doc_id
-"""
-
-
-@_register("cc_ingest_pipeline", _CC_PIPELINE_ORACLE)
-def cc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Common Crawl ingest chain composed end-to-end: WARC archive →
-    record walk → HTTP envelope strip → HTML main-text extraction →
-    C4 line filter (the extracted text is MULTI-line, so the line rules
-    bite for real here: 1-word lang/source lines drop, the heading and
-    body lines survive) → token accounting on the surviving text. One
-    narrow pipeline, no shuffles until the final orderBy."""
-    from ..operators.curation import c4_line_filter
-    from ..operators.web import extract_main_text, warc_records
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "text", "lang", "source"
-    )
-    archives = docs.mapInPandas(
-        _warc_fixture_encode, "doc_id bigint, warc binary"
-    )
-    responses = warc_records(archives, "warc").filter(
-        F.col("warc_type") == "response"
-    )
-    extracted = extract_main_text(responses, "payload", http=True)
-    filtered = c4_line_filter(
-        extracted,
-        "doc_id",
-        "extracted_text",
-        min_words_per_line=2,
-        require_terminal_punct=False,
-        min_kept_lines=2,
-    )
-    return filtered.select(
-        F.col("doc").alias("doc_id"),
-        "n_lines",
-        "n_kept_lines",
-        "keep_doc",
-        token_count_expr(F.col("kept_text")).cast("bigint").alias("n_tokens"),
-    ).orderBy("doc_id")
-
-
-@_register("cc_ingest_envelope_invariance", _CC_PIPELINE_ORACLE)
-def cc_ingest_envelope_invariance(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The composed CC ingest funnel over the ENVELOPED fixture (chunked /
-    gzip / chunked+deflate HTTP wire forms) with the byte-identical oracle
-    of ``cc_ingest_pipeline`` — the chunked-vs-content-length differential
-    referee as a hash-gate row: the HTTP framing must be invisible to the
-    whole funnel (extraction, C4 line rules, token accounting)."""
-    from ..operators.curation import c4_line_filter
-    from ..operators.web import extract_main_text, warc_records
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "text", "lang", "source"
-    )
-    archives = docs.mapInPandas(
-        _warc_fixture_encode_enveloped, "doc_id bigint, warc binary"
-    )
-    responses = warc_records(archives, "warc").filter(
-        F.col("warc_type") == "response"
-    )
-    extracted = extract_main_text(responses, "payload", http=True)
-    filtered = c4_line_filter(
-        extracted,
-        "doc_id",
-        "extracted_text",
-        min_words_per_line=2,
-        require_terminal_punct=False,
-        min_kept_lines=2,
-    )
-    return filtered.select(
-        F.col("doc").alias("doc_id"),
-        "n_lines",
-        "n_kept_lines",
-        "keep_doc",
-        token_count_expr(F.col("kept_text")).cast("bigint").alias("n_tokens"),
-    ).orderBy("doc_id")
-
-
-_URL_ORACLE = """
-WITH urls AS (
-  SELECT doc_id, lang,
-    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://h' ||
-    CAST(doc_id % 37 AS VARCHAR) ||
-    (CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END) ||
-    (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
-    '/p/' || CAST(doc_id AS VARCHAR) || '?q=' || lang || '&x=1' ||
-    (CASE WHEN doc_id % 3 = 0 THEN '#f' || CAST(doc_id AS VARCHAR)
-          ELSE '' END) AS url
-  FROM documents
-),
-parsed AS (
-  SELECT doc_id, lang,
-         regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
-         regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q,
-         regexp_replace(url, '#.*$', '') AS canonical
-  FROM urls
-)
-SELECT host,
-       regexp_extract(host, '(\\.[a-z]+)$', 1) AS tld,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(count(DISTINCT q) AS BIGINT) AS n_langs,
-       CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical
-FROM parsed
-GROUP BY host ORDER BY host
-"""
-
-
-@_register("url_host_rollup", _URL_ORACLE)
-def url_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL analysis for crawl pipelines, zero UDFs: synthetic but fully
-    varied URLs (scheme, host, explicit port, path, query, fragment) go
-    through Spark's JVM-side ``parse_url`` — HOST must strip the port,
-    QUERY key lookup must stop at the fragment — then a per-host rollup
-    (doc count, distinct query langs, fragment-stripped canonical URL
-    dedup). The oracle re-parses with plain regex, so the two engines'
-    URL grammars are checked against each other."""
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id", "lang")
-    url = F.concat(
-        F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(
-            F.lit("http")
-        ),
-        F.lit("://h"),
-        (F.col("doc_id") % 37).cast("string"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit(".com"))
-        .when(F.col("doc_id") % 3 == 1, F.lit(".org"))
-        .otherwise(F.lit(".net")),
-        F.when(F.col("doc_id") % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
-        F.lit("/p/"),
-        F.col("doc_id").cast("string"),
-        F.lit("?q="),
-        F.col("lang"),
-        F.lit("&x=1"),
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(F.lit("#f"), F.col("doc_id").cast("string")),
-        ).otherwise(F.lit("")),
-    )
-    parsed = docs.select(
-        F.parse_url(url, F.lit("HOST")).alias("host"),
-        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q"),
-        F.regexp_replace(url, "#.*$", "").alias("canonical"),
-    )
-    return (
-        parsed.groupBy("host")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.count_distinct("q").alias("n_langs"),
-            F.count_distinct("canonical").alias("n_canonical"),
-        )
-        .select(
-            "host",
-            F.regexp_extract("host", r"(\.[a-z]+)$", 1).alias("tld"),
-            "n_docs",
-            "n_langs",
-            "n_canonical",
-        )
-        .orderBy("host")
-    )
-
-
-def _zorder_oracle() -> str:
-    from ..functions.zorder import zorder_key_sql
-
-    key = zorder_key_sql(["qd", "qc"], bits=12)
-    return f"""
-    WITH q AS (
-      SELECT datediff('day', DATE '1992-01-01',
-                      CAST(o_orderdate AS DATE)) & 4095 AS qd,
-             o_custkey & 4095 AS qc
-      FROM orders
-    ),
-    k AS (SELECT qd, qc, {key} AS zkey FROM q)
-    SELECT CAST(zkey >> 18 AS BIGINT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(min(qd) AS BIGINT) AS min_qd,
-           CAST(max(qd) AS BIGINT) AS max_qd,
-           CAST(min(qc) AS BIGINT) AS min_qc,
-           CAST(max(qc) AS BIGINT) AS max_qc,
-           CAST(sum(zkey) AS BIGINT) AS key_checksum
-    FROM k GROUP BY bucket ORDER BY bucket
-    """
-
-
-@_register("zorder_layout", _zorder_oracle())
-def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) layout keys — the OPTIMIZE ZORDER BY primitive
-    for multi-dimensional row-group pruning at 100 TB
-    (``functions/zorder.py``, the general-purpose sibling of the domain
-    XZ curve). Orders interleave (order date days, customer id) into one
-    24-bit key, entirely closed-form shift/mask arithmetic inside
-    whole-stage codegen; the per-bucket min/max spans of BOTH dimensions
-    demonstrate the locality a clustered write would give, and the key
-    checksum pins every interleaved bit. The oracle replays the bit
-    layout exactly."""
-    from ..functions.zorder import zorder_key_expr
-
-    ords = fan_out(_t(spark, sf_dir, "orders"))
-    qd = F.datediff(
-        F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
-    ).cast("long").bitwiseAND(F.lit(4095))
-    qc = F.col("o_custkey").bitwiseAND(F.lit(4095))
-    keyed = ords.select(
-        qd.alias("qd"),
-        qc.alias("qc"),
-    ).withColumn("zkey", zorder_key_expr([F.col("qd"), F.col("qc")], bits=12))
-    return (
-        keyed.groupBy(F.shiftright("zkey", 18).cast("bigint").alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("qd").cast("bigint").alias("min_qd"),
-            F.max("qd").cast("bigint").alias("max_qd"),
-            F.min("qc").cast("bigint").alias("min_qc"),
-            F.max("qc").cast("bigint").alias("max_qc"),
-            F.sum("zkey").cast("bigint").alias("key_checksum"),
-        )
-        .orderBy("bucket")
-    )
-
-
-def _kmv_oracle(k: int = 256) -> str:
-    h = hash60_sql("CAST(user_id AS VARCHAR)")
-    space = float(1 << 60)
-    est = (
-        "CASE WHEN len({ks}) < {k} THEN CAST(len({ks}) AS DOUBLE) "
-        "ELSE CAST({km1} AS DOUBLE) * {space!r} / CAST({ks}[{k}] AS DOUBLE) END"
-    )
-    return f"""
-    WITH ha AS (SELECT DISTINCT {h} AS h FROM events
-                WHERE event_type = 'click'),
-    hb AS (SELECT DISTINCT {h} AS h FROM events
-           WHERE event_type = 'view'),
-    a AS (SELECT list_sort(list(h))[1:{k}] AS ks, count(*) AS n FROM ha),
-    b AS (SELECT list_sort(list(h))[1:{k}] AS ks, count(*) AS n FROM hb),
-    j AS (
-      SELECT a.ks AS ka, a.n AS n_a, b.ks AS kb, b.n AS n_b,
-             list_sort(list_distinct(a.ks || b.ks))[1:{k}] AS ku
-      FROM a, b
-    ),
-    e AS (
-      SELECT n_a, n_b, ka, kb, ku,
-             list_intersect(ka, kb) AS ci
-      FROM j
-    )
-    SELECT CAST(n_a AS BIGINT) AS n_a,
-           CAST(n_b AS BIGINT) AS n_b,
-           round({est.format(ks='ka', k=k, km1=k - 1, space=space)}, 4)
-             AS est_a,
-           round({est.format(ks='kb', k=k, km1=k - 1, space=space)}, 4)
-             AS est_b,
-           round({est.format(ks='ku', k=k, km1=k - 1, space=space)}, 4)
-             AS est_union,
-           round(CASE WHEN len(ku) < {k} THEN CAST(len(ci) AS DOUBLE)
-                 ELSE CAST(len(list_filter(ci, x -> x < ku[{k}]))
-                           AS DOUBLE) * {space!r}
-                      / CAST(ku[{k}] AS DOUBLE) END, 4) AS est_intersect
-    FROM e
-    """
-
-
-@_register("kmv_set_ops", _kmv_oracle())
-def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV (theta) sketch set operations — the mergeable-sketch piece HLL
-    lacks: besides distinct estimates and closed-form unions, theta
-    sketches estimate INTERSECTIONS (count common hashes below the union
-    sketch's theta, scale by 1/theta). Clicker vs viewer user sets are
-    sketched at k=256; every number is deterministic (md5 hash space) and
-    the oracle replays the order statistics bit-for-bit. Scale shape: the
-    corpus-sized work is two distinct-aggs; everything after operates on
-    k-sized arrays broadcast-joined on a literal key."""
-    from ..operators.sketches import (
-        kmv_estimate_expr,
-        kmv_intersect_estimate_expr,
-        kmv_merge_expr,
-        kmv_sketch,
-    )
-
-    k = 256
-    ev = fan_out(_t(spark, sf_dir, "events"))
-    a = kmv_sketch(
-        ev.filter(F.col("event_type") == "click"), F.col("user_id"), k=k
-    ).select(F.col("ks").alias("ka"), F.col("n_keys").alias("n_a"),
-             F.lit(1).alias("_j"))
-    b = kmv_sketch(
-        ev.filter(F.col("event_type") == "view"), F.col("user_id"), k=k
-    ).select(F.col("ks").alias("kb"), F.col("n_keys").alias("n_b"),
-             F.lit(1).alias("_j"))
-    joined = a.join(F.broadcast(b), "_j")
-    ku = kmv_merge_expr(F.col("ka"), F.col("kb"), k)
-    return joined.select(
-        F.col("n_a").cast("bigint").alias("n_a"),
-        F.col("n_b").cast("bigint").alias("n_b"),
-        F.round(kmv_estimate_expr(F.col("ka"), k), 4).alias("est_a"),
-        F.round(kmv_estimate_expr(F.col("kb"), k), 4).alias("est_b"),
-        F.round(kmv_estimate_expr(ku, k), 4).alias("est_union"),
-        F.round(
-            kmv_intersect_estimate_expr(F.col("ka"), F.col("kb"), k), 4
-        ).alias("est_intersect"),
-    )
-
-
-def _mp1_oracle() -> str:
-    # replay of ISO 11172-3 §2.4.3.3 Layer I requantization with the
-    # fixture's parameter functions; every step is IEEE-deterministic
-    # (dyadic scalefactors, one division + two multiplies per sample)
-    val = """
-      (2.0 / CAST(1 << ((doc_id + sb + c) % 21) AS DOUBLE))
-      * (CAST(1 << (((doc_id + sb + 2*c) % 3) + 1) AS DOUBLE)
-         / CAST((1 << (((doc_id + sb + 2*c) % 3) + 1)) - 1 AS DOUBLE))
-      * (CAST(xor((doc_id + f*7 + c*3 + sb*5 + s*11)
-                  % (1 << (((doc_id + sb + 2*c) % 3) + 1)),
-              1 << ((doc_id + sb + 2*c) % 3)) AS DOUBLE)
-           / CAST(1 << ((doc_id + sb + 2*c) % 3) AS DOUBLE)
-         - 1.0
-         + 1.0 / CAST(1 << (((doc_id + sb + 2*c) % 3) + 1) AS DOUBLE))
-    """
-    w = "(((f * (1 + doc_id % 2) + c) * 32 + sb) * 12 + s + 1)"
-    body = f"""
-      flatten(list_transform(range(0, doc_id % 4 + 1), f ->
-        flatten(list_transform(range(0, 1 + doc_id % 2), c ->
-          flatten(list_transform(range(0, 32), sb ->
-            CASE WHEN (doc_id + sb + 2*c) % 3 = 0
-                 THEN CAST([] AS DOUBLE[])
-                 ELSE list_transform(range(0, 12), s -> {{expr}})
-            END))))))
-    """
-    return f"""
-    SELECT doc_id,
-           CAST([44100, 48000, 32000][doc_id % 3 + 1] AS INT) AS sample_rate,
-           CAST(1 + doc_id % 2 AS INT) AS channels,
-           CAST(doc_id % 4 + 1 AS INT) AS n_frames,
-           round(coalesce(list_sum({body.format(expr=val)}), 0.0), 6)
-             AS sample_sum,
-           round(coalesce(list_sum({body.format(expr=f"({val}) * {w}")}),
-                          0.0), 6) AS weighted_sum
-    FROM documents ORDER BY doc_id
-    """
-
-
-@_register("multimodal_mp1_decode", _mp1_oracle())
-def multimodal_mp1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL MPEG-1 Layer I SAMPLE decode through the multimodal seam
-    (``functions/mp3.py::decode_mp1_subbands``): genuine Layer I frames —
-    4-bit allocations, 6-bit scalefactors, MSB-packed raw samples — are
-    requantized per ISO 11172-3 §2.4.3.3 in the subband domain. The
-    fixture keeps every arithmetic step IEEE-deterministic (scalefactor
-    indices are multiples of 3, so scf = 2·2^-k is an exact dyadic), and
-    the oracle replays the requantization formula term-for-term; the
-    position-WEIGHTED sum pins bit order, channel interleave, and frame
-    order. The synthesis filterbank (the perceptual half) is documented
-    out of scope — subband samples are the bitstream's exact content."""
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.mp3 import encode_mp1
-
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                ch = 1 + d % 2
-                alloc = [
-                    [(d + sb + 2 * c) % 3 for sb in range(32)]
-                    for c in range(ch)
-                ]
-                scf = [
-                    [3 * ((d + sb + c) % 21) for sb in range(32)]
-                    for c in range(ch)
-                ]
-
-                def sample_fn(f, c, sb, s, d=d, alloc=alloc):
-                    nb = alloc[c][sb] + 1
-                    return (d + f * 7 + c * 3 + sb * 5 + s * 11) % (1 << nb)
-
-                payloads.append(
-                    encode_mp1(
-                        alloc, scf, None,
-                        sr_idx=d % 3, br_idx=14, channels=ch,
-                        n_frames=d % 4 + 1, sample_fn=sample_fn,
-                    )
-                )
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.mp3 import decode_mp1_subbands
-
-        for pdf in batches:
-            cols = {k: [] for k in
-                    ("sample_rate", "channels", "n_frames", "sample_sum",
-                     "weighted_sum")}
-            for payload in pdf["media"]:
-                rate, ch, nf, frames = decode_mp1_subbands(bytes(payload))
-                ss = 0.0
-                ws = 0.0
-                for f, chans in enumerate(frames):
-                    for c, sbs in enumerate(chans):
-                        for sb, vals in enumerate(sbs):
-                            for s, v in enumerate(vals):
-                                ss += v
-                                ws += v * (
-                                    ((f * ch + c) * 32 + sb) * 12 + s + 1
-                                )
-                cols["sample_rate"].append(rate)
-                cols["channels"].append(ch)
-                cols["n_frames"].append(nf)
-                cols["sample_sum"].append(round(ss, 6))
-                cols["weighted_sum"].append(round(ws, 6))
-            out = pdf.copy()
-            for k in ("sample_rate", "channels", "n_frames"):
-                out[k] = pd.array(cols[k], dtype="Int32")
-            for k in ("sample_sum", "weighted_sum"):
-                out[k] = pd.array(cols[k], dtype="float64")
-            yield out
-
-    return (
-        media.mapInPandas(
-            decode,
-            "doc_id bigint, media binary, sample_rate int, channels int,"
-            " n_frames int, sample_sum double, weighted_sum double",
-        )
-        .select("doc_id", "sample_rate", "channels", "n_frames",
-                "sample_sum", "weighted_sum")
-        .orderBy("doc_id")
-    )
-
-
-def _mp2_oracle() -> str:
-    """DuckDB replay of the Layer II fixture: allocation-table selection,
-    per-(c,sb) allocation/scfsi/scalefactor derivation, group-code
-    degrouping, and the §2.4.3.4 requantization — term-for-term the same
-    IEEE arithmetic as ``decode_mp2_subbands`` (C = 2^nb/m and the
-    dyadic D/scf/s''' terms are exact; the two multiplies round
-    identically)."""
-    from ..functions.mp3 import (
-        _MP2_NB,
-        mp2_alloc_table,
-        mp2_table_for,
-    )
-
-    rates = [44100, 48000, 32000]
-    per_ch_kbps = [48, 64, 96, 160]
-    tbl_names = []
-    sblimits = []
-    for r24 in range(24):
-        rate = rates[r24 % 3]
-        ch = 1 + r24 % 2
-        name = mp2_table_for(rate, per_ch_kbps[r24 % 4])
-        tbl_names.append("abcd".index(name))
-        sblimits.append(len(mp2_alloc_table(name)))
-    steps_all = "[" + ",".join(
-        "[" + ",".join(
-            "[" + ",".join(str(m) for m in sb_steps) + "]"
-            for sb_steps in mp2_alloc_table(n)
-        ) + "]"
-        for n in "abcd"
-    ) + "]"
-    nb_case = ("CASE m " + " ".join(
-        f"WHEN {m} THEN {nb}" for m, nb in sorted(_MP2_NB.items())
-    ) + " END")
-
-    idx_expr = """
-      CASE WHEN (doc_id + sb + c) % 2 <> 0 THEN 0
-           WHEN sb = doc_id % 3 THEN 3
-           WHEN sb = 24 AND doc_id % 4 >= 2 AND (doc_id + c) % 5 = 2 THEN 3
-           ELSE 1 + (doc_id + sb + 2*c) % 2 END
-    """
-    # part -> transmitted scalefactor slot under scfsi=(d+sb+c)%4
-    trans_idx = """
-      CASE (doc_id + sb + c) % 4
-        WHEN 0 THEN (s // 12)
-        WHEN 1 THEN (CASE WHEN s // 12 <= 1 THEN 0 ELSE 1 END)
-        WHEN 2 THEN 0
-        ELSE (CASE WHEN s // 12 = 0 THEN 0 ELSE 1 END) END
-    """
-    scf = f"""
-      (2.0 / CAST(1 << ((doc_id + sb + c + ({trans_idx})) % 21) AS DOUBLE))
-    """
-    code = """
-      CASE WHEN m IN (3, 5, 9)
-           THEN ((doc_id + f*7 + (s//3)*5 + sb*11 + c*13) % (m*m*m))
-                // CASE s % 3 WHEN 0 THEN 1 WHEN 1 THEN m ELSE m*m END % m
-           ELSE (doc_id + f*7 + (s//3)*5 + (s%3)*3 + sb*11 + c*13) % m END
-    """
-    val = f"""
-      ({scf}) * (
-        (CAST(1 << nb AS DOUBLE) / CAST(m AS DOUBLE)) * (
-          CAST(({code}) AS DOUBLE) / CAST(1 << (nb - 1) AS DOUBLE) - 1.0
-          + CAST((1 << nb) - m + 1 AS DOUBLE) / CAST(1 << nb AS DOUBLE)
-        )
-      )
-    """
-    w = "(((f * (1 + doc_id % 2) + c) * 30 + sb) * 36 + s + 1)"
-    body = f"""
-      flatten(list_transform(range(0, doc_id % 3 + 1), f ->
-        flatten(list_transform(range(0, 1 + doc_id % 2), c ->
-          flatten(list_transform(
-            range(0, [{",".join(map(str, sblimits))}][doc_id % 24 + 1]),
-            sb ->
-            flatten(list_transform([{idx_expr}], idx ->
-              CASE WHEN idx = 0
-                   THEN list_transform(range(0, 36), s -> 0.0)
-                   ELSE flatten(list_transform(
-                     [({steps_all})
-                       [[{",".join(map(str, tbl_names))}][doc_id % 24 + 1]
-                        + 1][sb + 1][idx + 1]], m ->
-                     flatten(list_transform([{nb_case}], nb ->
-                       list_transform(range(0, 36), s -> {{expr}})
-                     ))))
-              END))))))))
-    """
-    return f"""
-    SELECT doc_id,
-           CAST([44100, 48000, 32000][doc_id % 3 + 1] AS INT) AS sample_rate,
-           CAST(1 + doc_id % 2 AS INT) AS channels,
-           CAST(doc_id % 3 + 1 AS INT) AS n_frames,
-           round(coalesce(list_sum({body.format(expr=val)}), 0.0), 6)
-             AS sample_sum,
-           round(coalesce(list_sum({body.format(expr=f"({val}) * {w}")}),
-                          0.0), 6) AS weighted_sum
-    FROM documents WHERE doc_id < 120 ORDER BY doc_id
-    """
-
-
-@_register("multimodal_mp2_decode", _mp2_oracle())
-def multimodal_mp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL MPEG-1 Layer II SAMPLE decode through the multimodal seam
-    (``functions/mp3.py::decode_mp2_subbands``): genuine Layer II frames
-    — Annex-B table-selected allocations (all four tables B.2a-d are hit
-    across the doc grid), scfsi-shared scalefactors, GROUPED 3/5/9-step
-    codes degrouped least-significant-first, and ungrouped codes up to
-    the 16-bit 65535-step class — requantized per ISO 11172-3 §2.4.3.4.
-    Scalefactor indices are multiples of 3 (exact dyadics) and C/D are
-    exact closed forms of the published Table 3-C.3 constants, so every
-    arithmetic step is IEEE-deterministic; the oracle replays the decode
-    term-for-term and the position-weighted sum pins bit order, channel
-    interleave, scfsi sharing, and frame order.
-
-    The grid is TRIMMED to doc_id < 120 (5 full cycles of the %24
-    rate/channel/table matrix × every %5 residue — lcm(24,5)): the
-    coverage property, not the doc count, is the referee
-    (tests/test_mp2.py::test_gate_grid_coverage_at_120 asserts all four
-    tables, both channel modes, all rates, all scfsi modes, grouped and
-    max-step classes, and the sb-24 4th-slot case are still hit)."""
-    from ..functions.mp3 import mp2_alloc_table, mp2_table_for
-
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id").filter(F.col("doc_id") < 120)
-    _BR_IDX = {(0, 1): 2, (0, 2): 6, (1, 1): 4, (1, 2): 8,
-               (2, 1): 6, (2, 2): 10, (3, 1): 9, (3, 2): 13}
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.mp3 import encode_mp2
-
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                ch = 1 + d % 2
-                rate = [44100, 48000, 32000][d % 3]
-                p = d % 4
-                table = mp2_alloc_table(
-                    mp2_table_for(rate, [48, 64, 96, 160][p])
-                )
-                sblimit = len(table)
-
-                def idx_fn(c, sb, d=d, p=p):
-                    if (d + sb + c) % 2 != 0:
-                        return 0
-                    if sb == d % 3:
-                        return 3
-                    if sb == 24 and p >= 2 and (d + c) % 5 == 2:
-                        return 3
-                    return 1 + (d + sb + 2 * c) % 2
-
-                alloc = [
-                    [idx_fn(c, sb) for sb in range(sblimit)]
-                    for c in range(ch)
-                ]
-                scfsi = [
-                    [(d + sb + c) % 4 for sb in range(sblimit)]
-                    for c in range(ch)
-                ]
-
-                def code_fn(f, c, sb, g, k, d=d, table=table, alloc=alloc):
-                    m = table[sb][alloc[c][sb]]
-                    if m in (3, 5, 9):
-                        v = (d + f * 7 + g * 5 + sb * 11 + c * 13) % (
-                            m * m * m
-                        )
-                        return (v // (m**k)) % m
-                    return (
-                        d + f * 7 + g * 5 + k * 3 + sb * 11 + c * 13
-                    ) % m
-
-                payloads.append(
-                    encode_mp2(
-                        alloc, scfsi,
-                        lambda c, sb, i, d=d: 3 * ((d + sb + c + i) % 21),
-                        code_fn,
-                        sr_idx=d % 3, br_idx=_BR_IDX[(p, ch)],
-                        channels=ch, n_frames=1 + d % 3,
-                    )
-                )
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.mp3 import decode_mp2_subbands
-
-        for pdf in batches:
-            cols = {k: [] for k in
-                    ("sample_rate", "channels", "n_frames", "sample_sum",
-                     "weighted_sum")}
-            for payload in pdf["media"]:
-                rate, ch, nf, frames = decode_mp2_subbands(bytes(payload))
-                ss = 0.0
-                ws = 0.0
-                for f, chans in enumerate(frames):
-                    for c, sbs in enumerate(chans):
-                        for sb, vals in enumerate(sbs):
-                            for s, v in enumerate(vals):
-                                ss += v
-                                ws += v * (
-                                    ((f * ch + c) * 30 + sb) * 36 + s + 1
-                                )
-                cols["sample_rate"].append(rate)
-                cols["channels"].append(ch)
-                cols["n_frames"].append(nf)
-                cols["sample_sum"].append(round(ss, 6))
-                cols["weighted_sum"].append(round(ws, 6))
-            out = pdf.copy()
-            for k in ("sample_rate", "channels", "n_frames"):
-                out[k] = pd.array(cols[k], dtype="Int32")
-            for k in ("sample_sum", "weighted_sum"):
-                out[k] = pd.array(cols[k], dtype="float64")
-            yield out
-
-    return (
-        media.mapInPandas(
-            decode,
-            "doc_id bigint, media binary, sample_rate int, channels int,"
-            " n_frames int, sample_sum double, weighted_sum double",
-        )
-        .select("doc_id", "sample_rate", "channels", "n_frames",
-                "sample_sum", "weighted_sum")
-        .orderBy("doc_id")
-    )
-
-
-def _mp2_joint_oracle() -> str:
-    """DuckDB replay of the JOINT-stereo Layer II fixture: fixed table
-    B.2a (48 kHz / 192 kbps-per-channel), per-doc intensity bound
-    4·(doc%4+1). Below the bound everything is per-channel; at/above it
-    allocation and sample codes drop their channel term (ONE shared code
-    set) while scalefactors stay per-channel — the §A.2.2.2 sharing
-    rule, hash-pinned."""
-    from ..functions.mp3 import _MP2_NB, mp2_alloc_table
-
-    steps_a = "[" + ",".join(
-        "[" + ",".join(str(m) for m in sb_steps) + "]"
-        for sb_steps in mp2_alloc_table("a")
-    ) + "]"
-    nb_case = ("CASE m " + " ".join(
-        f"WHEN {m} THEN {nb}" for m, nb in sorted(_MP2_NB.items())
-    ) + " END")
-    bound = "(4 * (doc_id % 4) + 4)"
-    idx_expr = f"""
-      CASE WHEN sb < {bound}
-           THEN CASE WHEN (doc_id + sb + c) % 2 <> 0 THEN 0
-                     ELSE 1 + (doc_id + sb + 2*c) % 2 END
-           ELSE CASE WHEN (doc_id + sb) % 2 <> 0 THEN 0
-                     ELSE 1 + (doc_id + sb) % 2 END END
-    """
-    trans_idx = """
-      CASE (doc_id + sb + c) % 4
-        WHEN 0 THEN (s // 12)
-        WHEN 1 THEN (CASE WHEN s // 12 <= 1 THEN 0 ELSE 1 END)
-        WHEN 2 THEN 0
-        ELSE (CASE WHEN s // 12 = 0 THEN 0 ELSE 1 END) END
-    """
-    scf = f"""
-      (2.0 / CAST(1 << ((doc_id + sb + c + ({trans_idx})) % 21) AS DOUBLE))
-    """
-    cc = f"(CASE WHEN sb < {bound} THEN c ELSE 0 END)"
-    code = f"""
-      CASE WHEN m IN (3, 5, 9)
-           THEN ((doc_id + f*7 + (s//3)*5 + sb*11 + {cc}*13) % (m*m*m))
-                // CASE s % 3 WHEN 0 THEN 1 WHEN 1 THEN m ELSE m*m END % m
-           ELSE (doc_id + f*7 + (s//3)*5 + (s%3)*3 + sb*11 + {cc}*13) % m
-      END
-    """
-    val = f"""
-      ({scf}) * (
-        (CAST(1 << nb AS DOUBLE) / CAST(m AS DOUBLE)) * (
-          CAST(({code}) AS DOUBLE) / CAST(1 << (nb - 1) AS DOUBLE) - 1.0
-          + CAST((1 << nb) - m + 1 AS DOUBLE) / CAST(1 << nb AS DOUBLE)
-        )
-      )
-    """
-    w = "(((f * 2 + c) * 30 + sb) * 36 + s + 1)"
-    body = f"""
-      flatten(list_transform(range(0, doc_id % 2 + 1), f ->
-        flatten(list_transform(range(0, 2), c ->
-          flatten(list_transform(range(0, 27), sb ->
-            flatten(list_transform([{idx_expr}], idx ->
-              CASE WHEN idx = 0
-                   THEN list_transform(range(0, 36), s -> 0.0)
-                   ELSE flatten(list_transform(
-                     [({steps_a})[sb + 1][idx + 1]], m ->
-                     flatten(list_transform([{nb_case}], nb ->
-                       list_transform(range(0, 36), s -> {{expr}})
-                     ))))
-              END))))))))
-    """
-    return f"""
-    SELECT doc_id,
-           CAST(48000 AS INT) AS sample_rate,
-           CAST(2 AS INT) AS channels,
-           CAST(doc_id % 2 + 1 AS INT) AS n_frames,
-           round(coalesce(list_sum({body.format(expr=val)}), 0.0), 6)
-             AS sample_sum,
-           round(coalesce(list_sum({body.format(expr=f"({val}) * {w}")}),
-                          0.0), 6) AS weighted_sum
-    FROM documents WHERE doc_id < 120 ORDER BY doc_id
-    """
-
-
-@_register("multimodal_mp2_joint_decode", _mp2_joint_oracle())
-def multimodal_mp2_joint_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JOINT (intensity) stereo Layer II decode through the multimodal
-    seam — mode 01, the dominant real-world stereo MP2 form: at and
-    above the bound 4·(mode_extension+1) each subband carries ONE
-    allocation and ONE code set shared by both channels while each
-    channel applies its own scalefactors (ISO 11172-3 §A.2.2.2). The
-    fixture varies the bound per doc (ext = doc%4) with per-channel
-    content below it and shared content above; the oracle replays both
-    regimes and the position-weighted sum pins exactly where the sharing
-    starts — an off-by-one bound reads the whole rest of the frame
-    desynced."""
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id").filter(F.col("doc_id") < 120)
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.mp3 import encode_mp2, mp2_alloc_table
-
-        table = mp2_alloc_table("a")
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                ext = d % 4
-                bound = 4 * (ext + 1)
-
-                def idx_fn(c, sb, d=d, bound=bound):
-                    if sb < bound:
-                        if (d + sb + c) % 2 != 0:
-                            return 0
-                        return 1 + (d + sb + 2 * c) % 2
-                    if (d + sb) % 2 != 0:
-                        return 0
-                    return 1 + (d + sb) % 2
-
-                alloc = [
-                    [idx_fn(c, sb) for sb in range(27)] for c in range(2)
-                ]
-                scfsi = [
-                    [(d + sb + c) % 4 for sb in range(27)] for c in range(2)
-                ]
-
-                def code_fn(f, c, sb, g, k, d=d, table=table, alloc=alloc,
-                            bound=bound):
-                    # the encoder calls with c=0 for shared subbands; the
-                    # cc term mirrors the oracle's CASE
-                    cc = c if sb < bound else 0
-                    m = table[sb][alloc[c][sb]]
-                    if m in (3, 5, 9):
-                        v = (d + f * 7 + g * 5 + sb * 11 + cc * 13) % (
-                            m * m * m
-                        )
-                        return (v // (m**k)) % m
-                    return (
-                        d + f * 7 + g * 5 + k * 3 + sb * 11 + cc * 13
-                    ) % m
-
-                payloads.append(
-                    encode_mp2(
-                        alloc, scfsi,
-                        lambda c, sb, i, d=d: 3 * ((d + sb + c + i) % 21),
-                        code_fn,
-                        sr_idx=1, br_idx=13, channels=2,
-                        n_frames=1 + d % 2, joint_ext=ext,
-                    )
-                )
-            out = pdf.copy()
-            out["media"] = payloads
-            yield out
-
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.mp3 import decode_mp2_subbands
-
-        for pdf in batches:
-            cols = {k: [] for k in
-                    ("sample_rate", "channels", "n_frames", "sample_sum",
-                     "weighted_sum")}
-            for payload in pdf["media"]:
-                rate, ch, nf, frames = decode_mp2_subbands(bytes(payload))
-                ss = 0.0
-                ws = 0.0
-                for f, chans in enumerate(frames):
-                    for c, sbs in enumerate(chans):
-                        for sb, vals in enumerate(sbs):
-                            for s, v in enumerate(vals):
-                                ss += v
-                                ws += v * (
-                                    ((f * ch + c) * 30 + sb) * 36 + s + 1
-                                )
-                cols["sample_rate"].append(rate)
-                cols["channels"].append(ch)
-                cols["n_frames"].append(nf)
-                cols["sample_sum"].append(round(ss, 6))
-                cols["weighted_sum"].append(round(ws, 6))
-            out = pdf.copy()
-            for k in ("sample_rate", "channels", "n_frames"):
-                out[k] = pd.array(cols[k], dtype="Int32")
-            for k in ("sample_sum", "weighted_sum"):
-                out[k] = pd.array(cols[k], dtype="float64")
-            yield out
-
-    return (
-        media.mapInPandas(
-            decode,
-            "doc_id bigint, media binary, sample_rate int, channels int,"
-            " n_frames int, sample_sum double, weighted_sum double",
-        )
-        .select("doc_id", "sample_rate", "channels", "n_frames",
-                "sample_sum", "weighted_sum")
-        .orderBy("doc_id")
-    )
-
-
-def _hilbert_oracle() -> str:
-    from ..functions.zorder import hilbert_key_sql
-
-    inner = """
-      SELECT (datediff('day', DATE '1992-01-01',
-                       CAST(o_orderdate AS DATE)) & 4095) AS hx,
-             (o_custkey & 4095) AS hy,
-             (datediff('day', DATE '1992-01-01',
-                       CAST(o_orderdate AS DATE)) & 4095) AS qd,
-             (o_custkey & 4095) AS qc
-      FROM orders
-    """
-    keyed = hilbert_key_sql(inner, bits=12)
-    return f"""
-    WITH k AS (SELECT qd, qc, hd FROM {keyed})
-    SELECT CAST(hd >> 18 AS BIGINT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(min(qd) AS BIGINT) AS min_qd,
-           CAST(max(qd) AS BIGINT) AS max_qd,
-           CAST(min(qc) AS BIGINT) AS min_qc,
-           CAST(max(qc) AS BIGINT) AS max_qc,
-           CAST(sum(hd) AS BIGINT) AS key_checksum
-    FROM k GROUP BY bucket ORDER BY bucket
-    """
-
-
-@_register("hilbert_layout", _hilbert_oracle())
-def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hilbert-curve layout keys — the 2-D clustering key Iceberg prefers
-    over Morton (no quadrant seam jumps): the classical per-level
-    rotate/reflect fold in NAMED per-level columns
-    (``functions/zorder.py::with_hilbert_key`` — the pure-expression form
-    grows a ~4^bits tree, the repo's documented exponential-unroll trap,
-    so the frame form keeps the tree linear). Orders map (order date
-    days, customer id) onto the 12-bit curve; per-bucket spans of both
-    dimensions plus a full-key checksum pin every level of the fold; the
-    oracle replays the identical unrolled transform in SQL."""
-    from ..functions.zorder import with_hilbert_key
-
-    ords = fan_out(_t(spark, sf_dir, "orders"))
-    qd = F.datediff(
-        F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
-    ).cast("long").bitwiseAND(F.lit(4095))
-    qc = F.col("o_custkey").bitwiseAND(F.lit(4095))
-    keyed = with_hilbert_key(
-        ords.select(qd.alias("qd"), qc.alias("qc")), "qd", "qc", bits=12
-    )
-    return (
-        keyed.groupBy(F.shiftright("hd", 18).cast("bigint").alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("qd").cast("bigint").alias("min_qd"),
-            F.max("qd").cast("bigint").alias("max_qd"),
-            F.min("qc").cast("bigint").alias("min_qc"),
-            F.max("qc").cast("bigint").alias("max_qc"),
-            F.sum("hd").cast("bigint").alias("key_checksum"),
-        )
-        .orderBy("bucket")
-    )
-
-
-_SCRIPT_ORACLE = """
-WITH inp AS (
-  SELECT doc_id,
-         text || CASE doc_id % 5
-           WHEN 1 THEN ' ' || chr(19990) || chr(30028) || chr(21644) || chr(24179)
-           WHEN 2 THEN ' ' || chr(1084) || chr(1080) || chr(1088)
-           WHEN 3 THEN ' ' || chr(1587) || chr(1604) || chr(1575) || chr(1605)
-           WHEN 4 THEN ' ' || chr(949) || chr(953) || chr(961) || chr(951)
-           ELSE '' END AS s
-  FROM documents
-),
-counts AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(s, '\\p{Latin}')) AS BIGINT) AS n_latin,
-         CAST(len(regexp_extract_all(s, '\\p{Han}')) AS BIGINT) AS n_han,
-         CAST(len(regexp_extract_all(s, '\\p{Cyrillic}')) AS BIGINT)
-           AS n_cyrillic,
-         CAST(len(regexp_extract_all(s, '\\p{Arabic}')) AS BIGINT) AS n_arabic,
-         CAST(len(regexp_extract_all(s, '\\p{Greek}')) AS BIGINT) AS n_greek
-  FROM inp
-)
-SELECT doc_id, n_latin, n_han, n_cyrillic, n_arabic, n_greek,
-       CASE
-         WHEN n_latin >= n_han AND n_latin >= n_cyrillic
-              AND n_latin >= n_arabic AND n_latin >= n_greek THEN 'latin'
-         WHEN n_han >= n_cyrillic AND n_han >= n_arabic
-              AND n_han >= n_greek THEN 'han'
-         WHEN n_cyrillic >= n_arabic AND n_cyrillic >= n_greek
-              THEN 'cyrillic'
-         WHEN n_arabic >= n_greek THEN 'arabic'
-         ELSE 'greek'
-       END AS dominant_script
-FROM counts ORDER BY doc_id
-"""
-
-
-@_register("script_profile", _SCRIPT_ORACLE)
-def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Writing-system detection — the pre-tokenizer routing signal a
-    multilingual pipeline needs before language-ID: per-script character
-    counts via Unicode script property classes, entirely native regex on
-    BOTH engines but through genuinely different regex implementations
-    (Java's ``\\p{script=...}`` vs RE2's ``\\p{...}``), so the two
-    engines' Unicode script tables referee each other. The corpus is
-    ASCII, so planted Han/Cyrillic/Arabic/Greek suffixes drive the
-    non-latin counts."""
-    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id", "text")
-    suffix = (
-        F.when(F.col("doc_id") % 5 == 1, F.lit(" 世界和平"))
-        .when(F.col("doc_id") % 5 == 2, F.lit(" мир"))
-        .when(F.col("doc_id") % 5 == 3, F.lit(" سلام"))
-        .when(F.col("doc_id") % 5 == 4, F.lit(" ειρη"))
-        .otherwise(F.lit(""))
-    )
-    s = F.concat("text", suffix)
-    counts = docs.select(
-        "doc_id",
-        F.regexp_count(s, F.lit(r"\p{script=Latin}")).cast("bigint").alias(
-            "n_latin"
-        ),
-        F.regexp_count(s, F.lit(r"\p{script=Han}")).cast("bigint").alias(
-            "n_han"
-        ),
-        F.regexp_count(s, F.lit(r"\p{script=Cyrillic}")).cast("bigint").alias(
-            "n_cyrillic"
-        ),
-        F.regexp_count(s, F.lit(r"\p{script=Arabic}")).cast("bigint").alias(
-            "n_arabic"
-        ),
-        F.regexp_count(s, F.lit(r"\p{script=Greek}")).cast("bigint").alias(
-            "n_greek"
-        ),
-    )
-    dom = (
-        F.when(
-            (F.col("n_latin") >= F.col("n_han"))
-            & (F.col("n_latin") >= F.col("n_cyrillic"))
-            & (F.col("n_latin") >= F.col("n_arabic"))
-            & (F.col("n_latin") >= F.col("n_greek")),
-            F.lit("latin"),
-        )
-        .when(
-            (F.col("n_han") >= F.col("n_cyrillic"))
-            & (F.col("n_han") >= F.col("n_arabic"))
-            & (F.col("n_han") >= F.col("n_greek")),
-            F.lit("han"),
-        )
-        .when(
-            (F.col("n_cyrillic") >= F.col("n_arabic"))
-            & (F.col("n_cyrillic") >= F.col("n_greek")),
-            F.lit("cyrillic"),
-        )
-        .when(F.col("n_arabic") >= F.col("n_greek"), F.lit("arabic"))
-        .otherwise(F.lit("greek"))
-    )
-    return counts.withColumn("dominant_script", dom).orderBy("doc_id")
-
-
-_JSONL_ORACLE = f"""
-SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(length(text)) AS BIGINT) AS total_chars,
-       CAST(sum({hash60_sql('text')} % 1000003) AS BIGINT) AS text_hash_sum,
-       CAST(sum({hash60_sql("lang || '|' || source")} % 1000003) AS BIGINT)
-         AS meta_hash_sum,
-       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
-FROM documents
-"""
-
-
-@_register("jsonl_roundtrip", _JSONL_ORACLE)
-def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONL source/sink round-trip (``sources/jsonl.py``) — the
-    interchange format training corpora ship in: documents → gzip JSONL
-    via native ``to_json``/text sink → back through ``spark.read.json``
-    with an explicit schema and FAILFAST — then content fingerprints over
-    the ROUND-TRIPPED frame. The oracle computes the same fingerprints
-    from the original parquet table, so any JSON escaping loss, encoding slip,
-    or dropped/duplicated line breaks the hash."""
-    import hashlib
-    import os
-    import tempfile
-
-    from ..sources.jsonl import read_jsonl, write_jsonl
-
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source"
-    )
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"jsonl_rt_{key}")
-    write_jsonl(docs, path, gzip=True, n_files=4)
-    back = read_jsonl(
-        spark, path, "doc_id bigint, text string, lang string, source string"
-    )
-    return back.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
-        F.sum(F.pmod(hash60_expr(F.col("text")), F.lit(1000003)))
-        .cast("bigint")
-        .alias("text_hash_sum"),
-        F.sum(
-            F.pmod(
-                hash60_expr(F.concat_ws("|", "lang", "source")),
-                F.lit(1000003),
-            )
-        )
-        .cast("bigint")
-        .alias("meta_hash_sum"),
-        F.count_distinct("doc_id").alias("n_ids"),
-    )
-
-
-def _kmv_merge_oracle(k: int = 128) -> str:
-    h = hash60_sql("CAST(user_id AS VARCHAR)")
-    return f"""
-    WITH seg AS (
-      SELECT date_trunc('month', ts) AS month_ts, {h} AS h
-      FROM events GROUP BY 1, 2
-    ),
-    per AS (
-      SELECT month_ts, list_sort(list(h))[1:{k}] AS ks,
-             count(*) AS n_keys
-      FROM seg GROUP BY month_ts
-    ),
-    allh AS (SELECT DISTINCT h FROM seg),
-    merged AS (
-      SELECT list_sort(list_distinct(flatten(list(ks))))[1:{k}] AS mks
-      FROM per
-    )
-    SELECT CAST((SELECT count(*) FROM per) AS BIGINT) AS n_segments,
-           CAST((SELECT sum(n_keys) FROM per) AS BIGINT) AS sum_segment_keys,
-           CAST((SELECT count(*) FROM allh) AS BIGINT) AS true_distinct,
-           round((SELECT CASE WHEN len(mks) < {k}
-                  THEN CAST(len(mks) AS DOUBLE)
-                  ELSE CAST({k - 1} AS DOUBLE) * {float(1 << 60)!r}
-                       / CAST(mks[{k}] AS DOUBLE) END FROM merged), 4)
-             AS merged_estimate
-    """
-
-
-@_register("kmv_merge_segments", _kmv_merge_oracle())
-def kmv_merge_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch MERGEABILITY end-to-end — the operational point of KMV:
-    per-month user sketches (built independently, as a daily/segment
-    pipeline would materialize them) merge through one array-fold into a
-    global distinct estimate WITHOUT touching the raw events again. The
-    merged estimate is compared in-row against the true distinct count;
-    the fold is ``F.aggregate`` over the collected segment sketches —
-    k-sized state, broadcastable, the same merge a 1000-segment 100 TB
-    corpus would run on sketch tables alone."""
-    from ..operators.sketches import KMV_SPACE
-
-    k = 128
-    ev = fan_out(_t(spark, sf_dir, "events"))
-    seg = (
-        ev.select(
-            F.date_trunc("month", "ts").alias("month_ts"),
-            hash60_expr(F.col("user_id").cast("string")).alias("_h"),
-        )
-        .distinct()
-    )
-    per = seg.groupBy("month_ts").agg(
-        F.slice(F.sort_array(F.collect_list("_h")), 1, k).alias("ks"),
-        F.count(F.lit(1)).alias("n_keys"),
-    )
-    true_d = seg.select("_h").distinct().agg(
-        F.count(F.lit(1)).alias("true_distinct")
-    ).withColumn("_j", F.lit(1))
-    merged = (
-        per.agg(
-            F.collect_list("ks").alias("all_ks"),
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum("n_keys").alias("sum_segment_keys"),
-        )
-        .select(
-            "n_segments",
-            "sum_segment_keys",
-            F.slice(
-                F.sort_array(
-                    F.array_distinct(F.flatten(F.col("all_ks")))
-                ),
-                1,
-                k,
-            ).alias("mks"),
-        )
-        .withColumn("_j", F.lit(1))
-    )
-    est = (
-        F.when(F.size("mks") < k, F.size("mks").cast("double"))
-        .otherwise(
-            F.lit(float(k - 1))
-            * F.lit(KMV_SPACE)
-            / F.element_at("mks", k).cast("double")
-        )
-    )
-    return merged.join(F.broadcast(true_d), "_j").select(
-        F.col("n_segments").cast("bigint").alias("n_segments"),
-        F.col("sum_segment_keys").cast("bigint").alias("sum_segment_keys"),
-        F.col("true_distinct").cast("bigint").alias("true_distinct"),
-        F.round(est, 4).alias("merged_estimate"),
-    )
-
-
-# --- MPEG-1 Layer III sample decode (functions/mp3_l3.py) --------------------
-
-
-def _l3_grid(d: int) -> dict:
-    """Doc-grid parameters for the Layer III gate row — closed forms
-    shared verbatim by the Spark fixture encoder and the DuckDB oracle
-    (same discipline as the MP2 rows)."""
-    return {
-        "channels": 1 + d % 2,
-        "sr_idx": d % 3,
-        "n_frames": 1 + (d // 2) % 2,
-        "ms": d % 4 == 3,
-    }
-
-
-# per-(d, gr) region table rotation; vmax is each table's largest legal
-# magnitude (xlen-1, or 15 + 2^linbits - 1 for the ESC tables)
-_L3_TSETS = [[1, 5, 2], [5, 13, 1], [13, 16, 5],
-             [16, 24, 2], [24, 7, 1], [7, 15, 5]]
-_L3_VMAX = {1: 1, 2: 2, 5: 3, 7: 5, 13: 15, 15: 15, 16: 16, 24: 30}
-
-
-def _l3_granule(d: int, f: int, gr: int, c: int, sr: int) -> dict:
-    from ..functions.mp3_l3 import SFB_LONG, SLEN
-
-    bt = [0, 2, 1, 3][(d + 2 * f + gr) % 4]
-    sc = (d + gr + c) % 16
-    slen1, slen2 = SLEN[sc]
-    npairs = 12 + ((d + gr) * 7) % 40
-    nquads = (d + 2 * gr + c) % 6
-    tsel = list(_L3_TSETS[(d + gr) % 6])
-    if bt != 0:
-        tsel = tsel[:2] + [0]
-        r0e, r1e = 36, 576
-    else:
-        bands = SFB_LONG[sr]
-        r0e, r1e = bands[8], bands[14]
-    lines = []
-    for i in range(2 * npairs):
-        region = 0 if i < r0e else (1 if i < r1e else 2)
-        vmax = _L3_VMAX[tsel[region]] if tsel[region] else 0
-        m = (d + 11 * i + 3 * gr + 5 * c + f) % (vmax + 1)
-        lines.append(-m if (d + i + gr) % 2 == 1 else m)
-    quads = [
-        tuple(((d + 5 * i + j + gr) % 3) - 1 for j in range(4))
-        for i in range(nquads)
-    ]
-    g = {
-        "block_type": bt,
-        "global_gain": 200 + (d + 3 * f + 5 * gr + 7 * c) % 16,
-        "scalefac_compress": sc,
-        "preflag": (d + gr) % 2 if bt != 2 else 0,
-        "scalefac_scale": (d + c) % 2,
-        "subblock_gain": [(d + gr + w) % 3 for w in range(3)]
-        if bt == 2 else [0, 0, 0],
-        "table_select": tsel,
-        "count1table_select": (d + gr) % 2,
-        "lines": lines,
-        "quads": quads,
-    }
-    if bt == 2:
-        g["sf"] = [
-            [(d + 3 * sfb + w + gr) % (1 << (slen1 if sfb < 6 else slen2))
-             for w in range(3)]
-            for sfb in range(12)
-        ]
-    else:
-        g["sf"] = [
-            (d + 3 * sfb + gr + 2 * c)
-            % (1 << (slen1 if sfb < 11 else slen2))
-            for sfb in range(21)
-        ]
-    return g
-
-
-def _mp3_l3_oracle() -> str:
-    """DuckDB replay of the Layer III fixture grid, RELATIONAL form (one
-    row per spectral line — the list-lambda form was quadratic in the
-    engine): the intended huffman symbols from the closed forms,
-    §2.4.3.4.7 requantization with preflag/pretab/subblock gains,
-    short-block reorder (inlined permutation constants), MS stereo,
-    the printed alias butterflies as self-joins on the partner line,
-    the windowed 36/12-point IMDCT as a relational matmul against the
-    unnested 36×18 matrices (imdct_matrix — pytest-refereed against an
-    independent numpy derivation), overlap-add via a granule self-join,
-    and frequency inversion — term-for-term what decode_mp3_subbands
-    does from the genuine bitstream."""
-    from ..functions.mp3_l3 import (
-        ALIAS_CA,
-        ALIAS_CS,
-        PRETAB,
-        SFB_LONG,
-        SFB_SHORT,
-        SLEN,
-        imdct_matrix,
-        reorder_permutation,
-    )
-
-    def lit(xs):
-        return "[" + ",".join(
-            repr(x) if isinstance(x, float) else str(x) for x in xs
-        ) + "]"
-
-    def lit2(xss):
-        return "[" + ",".join(lit(xs) for xs in xss) + "]"
-
-    def sfb_of(bands, n):
-        out = []
-        for sfb in range(len(bands) - 1):
-            out += [sfb] * (bands[sfb + 1] - bands[sfb])
-        assert len(out) == n
-        return out
-
-    sfl = lit2([sfb_of(SFB_LONG[sr], 576) for sr in range(3)])
-    sfs_t = lit2([sfb_of(SFB_SHORT[sr], 192) for sr in range(3)])
-    perm = lit2([reorder_permutation(sr) for sr in range(3)])
-    mm = "[" + ",".join(lit2(imdct_matrix(bt)) for bt in range(4)) + "]"
-    cs, ca = lit(ALIAS_CS), lit(ALIAS_CA)
-    pre = lit(PRETAB)
-    slen1 = lit([s[0] for s in SLEN])
-    slen2 = lit([s[1] for s in SLEN])
-    tset_v = lit2([[_L3_VMAX.get(t, 0) for t in ts] for ts in _L3_TSETS])
-    r1e_long = lit([SFB_LONG[sr][14] for sr in range(3)])
-
-    return f"""
-    WITH params AS (
-      SELECT doc_id AS d,
-             CAST(1 + doc_id % 2 AS INT) AS ch,
-             CAST(doc_id % 3 AS INT) AS sr,
-             CAST(1 + (doc_id // 2) % 2 AS INT) AS nf,
-             (doc_id % 4 = 3) AS ms
-      FROM documents WHERE doc_id < 120
-    ), base AS (
-      SELECT d, ch, sr, nf, ms, g, g // 2 AS f, g % 2 AS gr, c,
-             CAST([0,2,1,3][CAST((d + 2 * (g // 2) + g % 2) % 4 AS INT) + 1]
-                  AS INT) AS bt,
-             200 + (d + 3 * (g // 2) + 5 * (g % 2) + 7 * c) % 16 AS gg,
-             CAST((d + g % 2 + c) % 16 AS INT) AS sc,
-             (d + c) % 2 AS sfs_flag,
-             12 + ((d + g % 2) * 7) % 40 AS npairs,
-             (d + 2 * (g % 2) + c) % 6 AS nquads,
-             CAST((d + g % 2) % 6 AS INT) AS tset
-      FROM params,
-           UNNEST(range(0, 2 * nf)) AS tg(g),
-           UNNEST(range(0, ch)) AS tc(c)
-    ), lines AS (
-      SELECT b.*,
-             CASE WHEN bt <> 2 THEN (d + gr) % 2 ELSE 0 END AS preflag,
-             i,
-             CASE WHEN bt = 2 THEN ({perm})[sr + 1][CAST(i AS INT) + 1]
-                  ELSE i END AS hidx
-      FROM base b, UNNEST(range(0, 576)) AS ti(i)
-    ), symv AS (
-      SELECT *,
-        CASE
-          WHEN hidx < 2 * npairs THEN
-            (CASE WHEN (d + hidx + gr) % 2 = 1 THEN -1 ELSE 1 END)
-            * ((d + 11 * hidx + 3 * gr + 5 * c + f)
-               % (({tset_v})[tset + 1][
-                    CASE WHEN hidx < 36 THEN 1
-                         WHEN bt <> 0 THEN 2
-                         WHEN hidx < ({r1e_long})[sr + 1] THEN 2
-                         ELSE 3 END] + 1))
-          WHEN hidx < 2 * npairs + 4 * nquads THEN
-            ((d + 5 * ((hidx - 2 * npairs) // 4)
-              + ((hidx - 2 * npairs) % 4) + gr) % 3) - 1
-          ELSE 0 END AS isv
-      FROM lines
-    ), xr0 AS (
-      SELECT d, ch, sr, nf, ms, g, c, bt, i,
-        CASE WHEN isv = 0 THEN 0.0 ELSE
-          (CASE WHEN isv < 0 THEN -1.0 ELSE 1.0 END)
-          * pow(abs(CAST(isv AS DOUBLE)), 4.0 / 3.0)
-          * pow(2.0,
-              CASE WHEN bt = 2 THEN
-                0.25 * (gg - 210)
-                - 2.0 * ((d + gr + ((i % 18) // 6)) % 3)
-                - 0.5 * (1 + sfs_flag) * (
-                    CASE WHEN ({sfs_t})[sr + 1]
-                              [CAST((i // 18) * 6 + (i % 6) AS INT) + 1] < 12
-                    THEN (d + 3 * ({sfs_t})[sr + 1]
-                                   [CAST((i // 18) * 6 + (i % 6) AS INT) + 1]
-                          + ((i % 18) // 6) + gr)
-                         % (1 << (CASE WHEN ({sfs_t})[sr + 1]
-                                    [CAST((i // 18) * 6 + (i % 6) AS INT) + 1] < 6
-                                  THEN ({slen1})[sc + 1]
-                                  ELSE ({slen2})[sc + 1] END))
-                    ELSE 0 END)
-              ELSE
-                0.25 * (gg - 210)
-                - 0.5 * (1 + sfs_flag) * (
-                    CASE WHEN ({sfl})[sr + 1][CAST(i AS INT) + 1] < 21
-                    THEN (d + 3 * ({sfl})[sr + 1][CAST(i AS INT) + 1]
-                          + gr + 2 * c)
-                         % (1 << (CASE WHEN ({sfl})[sr + 1]
-                                            [CAST(i AS INT) + 1] < 11
-                                  THEN ({slen1})[sc + 1]
-                                  ELSE ({slen2})[sc + 1] END))
-                         + preflag * ({pre})[({sfl})[sr + 1]
-                                             [CAST(i AS INT) + 1] + 1]
-                    ELSE 0 END)
-              END)
-        END AS xr
-      FROM symv
-    ), xr1 AS (
-      SELECT a.d, a.ch, a.sr, a.nf, a.g, a.bt, a.i, 0 AS c,
-             (a.xr + b.xr) / sqrt(2.0) AS xr
-      FROM xr0 a JOIN xr0 b
-        ON a.d = b.d AND a.g = b.g AND a.i = b.i
-       AND a.c = 0 AND b.c = 1 AND a.ms
-      UNION ALL
-      SELECT a.d, a.ch, a.sr, a.nf, a.g, a.bt, a.i, 1 AS c,
-             (a.xr - b.xr) / sqrt(2.0) AS xr
-      FROM xr0 a JOIN xr0 b
-        ON a.d = b.d AND a.g = b.g AND a.i = b.i
-       AND a.c = 0 AND b.c = 1 AND a.ms
-      UNION ALL
-      SELECT d, ch, sr, nf, g, bt, i, c, xr FROM xr0 WHERE NOT ms
-    ), aax AS (
-      SELECT x.d, x.ch, x.sr, x.nf, x.g, x.c, x.bt, x.i,
-        CASE
-          WHEN x.bt = 2 THEN x.xr
-          WHEN (x.i % 18) >= 10 AND (x.i // 18) < 31 THEN
-            x.xr * ({cs})[18 - CAST(x.i % 18 AS INT)]
-            - hi.xr * ({ca})[18 - CAST(x.i % 18 AS INT)]
-          WHEN (x.i % 18) <= 7 AND (x.i // 18) > 0 THEN
-            x.xr * ({cs})[CAST(x.i % 18 AS INT) + 1]
-            + lo.xr * ({ca})[CAST(x.i % 18 AS INT) + 1]
-          ELSE x.xr END AS aa
-      FROM xr1 x
-      LEFT JOIN xr1 hi
-        ON hi.d = x.d AND hi.g = x.g AND hi.c = x.c
-       AND hi.i = x.i + 2 * (17 - (x.i % 18)) + 1
-      LEFT JOIN xr1 lo
-        ON lo.d = x.d AND lo.g = x.g AND lo.c = x.c
-       AND lo.i = x.i - (2 * (x.i % 18) + 1)
-    ), mmt AS (
-      SELECT bt, n, k,
-             ({mm})[CAST(bt AS INT) + 1][CAST(n AS INT) + 1]
-                   [CAST(k AS INT) + 1] AS m
-      FROM UNNEST(range(0, 4)) AS tb(bt),
-           UNNEST(range(0, 36)) AS tn(n),
-           UNNEST(range(0, 18)) AS tk(k)
-    ), hyb AS (
-      SELECT a.d, a.ch, a.sr, a.nf, a.g, a.c, a.i // 18 AS sb, t.n,
-             sum(t.m * a.aa) AS raw
-      FROM aax a JOIN mmt t ON t.bt = a.bt AND t.k = a.i % 18
-      GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
-    ), ov AS (
-      SELECT h.d, h.ch, h.sr, h.nf, h.g, h.c, h.sb, h.n,
-             h.raw + coalesce(p.raw, 0.0) AS s
-      FROM hyb h LEFT JOIN hyb p
-        ON p.d = h.d AND p.c = h.c AND p.sb = h.sb
-       AND p.n = h.n + 18 AND p.g = h.g - 1
-      WHERE h.n < 18
-    ), vals AS (
-      SELECT d, ch, sr, nf, g, c, sb, n,
-             CASE WHEN sb % 2 = 1 AND n % 2 = 1 THEN -s ELSE s END AS v
-      FROM ov
-    )
-    SELECT d AS doc_id,
-           CAST(CASE max(sr) WHEN 0 THEN 44100 WHEN 1 THEN 48000
-                ELSE 32000 END AS INT) AS sample_rate,
-           CAST(max(ch) AS INT) AS channels,
-           CAST(2 * max(nf) AS INT) AS n_granules,
-           round(sum(v), 6) AS sample_sum,
-           round(sum(v * (((g * ch + c) * 32 + sb) * 18 + n + 1)), 6)
-             AS weighted_sum
-    FROM vals GROUP BY d ORDER BY d
-    """
-
-
-@_register("multimodal_mp3_decode", _mp3_l3_oracle())
-def multimodal_mp3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL MPEG-1 Layer III SAMPLE decode through the multimodal seam
-    (``functions/mp3_l3.py::decode_mp3_subbands``): genuine Layer III
-    frames — side info, scalefactors, big-values/count1 huffman regions
-    with linbits escapes (fixture-canonical codebooks over the published
-    alphabet — see the module docstring), §2.4.3.4.7 requantization with
-    preflag/pretab/subblock gains, short-block reorder, MS stereo, the
-    printed alias butterflies, and the windowed 36/12-point IMDCT with
-    window switching (all four block types across the grid), overlap-add
-    and frequency inversion. 120-doc grid (the MP2 trim discipline)
-    covering mono/stereo/MS × 3 rates × 1-2 frames × all block types ×
-    six region-table rotations including both ESC classes. The oracle
-    replays the entire synthesis term-for-term; the position-weighted
-    sum pins granule order, channel interleave, reorder, overlap
-    chaining, and the inversion pattern."""
-    docs = (
-        fan_out(_t(spark, sf_dir, "documents"))
-        .select("doc_id")
-        .filter(F.col("doc_id") < 120)
-    )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.mp3_l3 import decode_mp3_subbands, encode_mp3_l3
-
-        for pdf in batches:
-            cols = {k: [] for k in
-                    ("sample_rate", "channels", "n_granules", "sample_sum",
-                     "weighted_sum")}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                p = _l3_grid(d)
-
-                def granule_fn(f, gr, c, d=d, sr=p["sr_idx"]):
-                    return _l3_granule(d, f, gr, c, sr)
-
-                payload = encode_mp3_l3(
-                    granule_fn,
-                    sr_idx=p["sr_idx"],
-                    br_idx=14,
-                    channels=p["channels"],
-                    n_frames=p["n_frames"],
-                    ms_stereo=p["ms"],
-                )
-                rate, ch, ng, grans = decode_mp3_subbands(payload)
-                ss = ws = 0.0
-                for g, chans_out in enumerate(grans):
-                    for c, sbs in enumerate(chans_out):
-                        for sb, vals in enumerate(sbs):
-                            for n, v in enumerate(vals):
-                                ss += v
-                                ws += v * (
-                                    ((g * ch + c) * 32 + sb) * 18 + n + 1
-                                )
-                cols["sample_rate"].append(rate)
-                cols["channels"].append(ch)
-                cols["n_granules"].append(ng)
-                cols["sample_sum"].append(round(ss, 6))
-                cols["weighted_sum"].append(round(ws, 6))
-            out = pdf[["doc_id"]].copy()
-            for k in ("sample_rate", "channels", "n_granules"):
-                out[k] = pd.array(cols[k], dtype="Int32")
-            for k in ("sample_sum", "weighted_sum"):
-                out[k] = pd.array(cols[k], dtype="float64")
-            yield out
-
-    return (
-        docs.mapInPandas(
-            run,
-            "doc_id bigint, sample_rate int, channels int,"
-            " n_granules int, sample_sum double, weighted_sum double",
-        )
-        .orderBy("doc_id")
-    )
-
-
-def _l3_intensity_granule(d: int, f: int, gr: int, c: int, sr: int) -> dict:
-    """Intensity-row grid: all long blocks, stereo. The LEFT channel is a
-    normal granule; the RIGHT channel's lines stop exactly at band
-    boundary ``bound_sfb = 8 + d%6`` (its zero region starts there) and
-    its scalefactor slots carry is_pos = (d + sfb + gr) % 8 — value 7
-    exercises the illegal-position MS/LR fallback."""
-    from ..functions.mp3_l3 import SFB_LONG, SLEN
-
-    bands = SFB_LONG[sr]
-    if c == 0:
-        sc = (d + gr) % 16
-        slen1, slen2 = SLEN[sc]
-        tsel = list(_L3_TSETS[(d + gr) % 6])
-        npairs = 12 + ((d + gr) * 7) % 40
-        nquads = (d + gr) % 6
-        r0e, r1e = bands[8], bands[14]
-        lines = []
-        for i in range(2 * npairs):
-            region = 0 if i < r0e else (1 if i < r1e else 2)
-            vmax = _L3_VMAX[tsel[region]] if tsel[region] else 0
-            m = (d + 11 * i + 3 * gr + f) % (vmax + 1)
-            lines.append(-m if (d + i + gr) % 2 == 1 else m)
-        return {
-            "block_type": 0,
-            "global_gain": 200 + (d + 3 * f + 5 * gr) % 16,
-            "scalefac_compress": sc,
-            "preflag": (d + gr) % 2,
-            "scalefac_scale": d % 2,
-            "subblock_gain": [0, 0, 0],
-            "table_select": tsel,
-            "count1table_select": (d + gr) % 2,
-            "lines": lines,
-            "quads": [
-                tuple(((d + 5 * i + j + gr) % 3) - 1 for j in range(4))
-                for i in range(nquads)
-            ],
-            "sf": [
-                (d + 3 * sfb + gr)
-                % (1 << (slen1 if sfb < 11 else slen2))
-                for sfb in range(21)
-            ],
-        }
-    bound_sfb = 8 + d % 6
-    npairs = bands[bound_sfb] // 2
-    tsel = list(_L3_TSETS[(d + gr + 3) % 6])
-    r0e, r1e = bands[8], bands[14]
-    lines = []
-    for i in range(2 * npairs):
-        region = 0 if i < r0e else (1 if i < r1e else 2)
-        vmax = _L3_VMAX[tsel[region]] if tsel[region] else 0
-        m = (d + 7 * i + 3 * gr + f + 1) % (vmax + 1)
-        lines.append(-m if (d + i + gr + 1) % 2 == 1 else m)
-    return {
-        "block_type": 0,
-        "global_gain": 200 + (d + 3 * f + 5 * gr + 7) % 16,
-        # (3, 3) slens: every is_pos 0..7 fits the scalefactor slots
-        "scalefac_compress": 13,
-        "preflag": 0,
-        "scalefac_scale": (d + 1) % 2,
-        "subblock_gain": [0, 0, 0],
-        "table_select": tsel,
-        "count1table_select": 0,
-        "lines": lines,
-        "quads": [],
-        "sf": [(d + sfb + gr) % 8 for sfb in range(21)],
-    }
-
-
-def _mp3_intensity_oracle() -> str:
-    """Relational DuckDB replay of the intensity-stereo Layer III grid:
-    both channels requantized (the right channel's scalefactors act as
-    REAL scalefactors below its zero bound and as is_pos ABOVE it),
-    then per line: MS below the bound when the MS flag is set, the
-    tan(is_pos·π/12) energy split at/above it, is_pos 7 falling back to
-    MS/LR — then the shared alias/IMDCT/overlap/inversion tail."""
-    import math as _math
-
-    from ..functions.mp3_l3 import (
-        ALIAS_CA,
-        ALIAS_CS,
-        PRETAB,
-        SFB_LONG,
-        SLEN,
-        imdct_matrix,
-    )
-
-    def lit(xs):
-        return "[" + ",".join(
-            repr(x) if isinstance(x, float) else str(x) for x in xs
-        ) + "]"
-
-    def lit2(xss):
-        return "[" + ",".join(lit(xs) for xs in xss) + "]"
-
-    def sfb_of(bands, n):
-        out = []
-        for sfb in range(len(bands) - 1):
-            out += [sfb] * (bands[sfb + 1] - bands[sfb])
-        assert len(out) == n
-        return out
-
-    sfl = lit2([sfb_of(SFB_LONG[sr], 576) for sr in range(3)])
-    m0 = lit2(imdct_matrix(0))
-    cs, ca = lit(ALIAS_CS), lit(ALIAS_CA)
-    pre = lit(PRETAB)
-    slen1 = lit([s[0] for s in SLEN])
-    slen2 = lit([s[1] for s in SLEN])
-    tset_v = lit2([[_L3_VMAX.get(t, 0) for t in ts] for ts in _L3_TSETS])
-    r1e_long = lit([SFB_LONG[sr][14] for sr in range(3)])
-    bounds = lit2([[SFB_LONG[sr][8 + rem] for rem in range(6)]
-                   for sr in range(3)])
-    tan = [_math.tan(p * _math.pi / 12) for p in range(6)]
-    kl = lit([t / (1 + t) for t in tan] + [1.0])
-    kr = lit([1 / (1 + t) for t in tan] + [0.0])
-
-    return f"""
-    WITH params AS (
-      SELECT doc_id AS d,
-             CAST(doc_id % 3 AS INT) AS sr,
-             CAST(1 + (doc_id // 2) % 2 AS INT) AS nf,
-             (doc_id % 2 = 0) AS ms
-      FROM documents WHERE doc_id < 120
-    ), base AS (
-      SELECT d, sr, nf, ms, g, g // 2 AS f, g % 2 AS gr, c,
-             ({bounds})[sr + 1][CAST(d % 6 AS INT) + 1] AS bound_line,
-             CASE WHEN c = 0
-                  THEN 200 + (d + 3 * (g // 2) + 5 * (g % 2)) % 16
-                  ELSE 200 + (d + 3 * (g // 2) + 5 * (g % 2) + 7) % 16
-             END AS gg,
-             CASE WHEN c = 0 THEN CAST((d + g % 2) % 16 AS INT)
-                  ELSE 13 END AS sc,
-             CASE WHEN c = 0 THEN d % 2 ELSE (d + 1) % 2 END AS sfs_flag,
-             CASE WHEN c = 0 THEN (d + g % 2) % 2 ELSE 0 END AS preflag,
-             CASE WHEN c = 0 THEN 12 + ((d + g % 2) * 7) % 40
-                  ELSE ({bounds})[sr + 1][CAST(d % 6 AS INT) + 1] // 2
-             END AS npairs,
-             CASE WHEN c = 0 THEN (d + g % 2) % 6 ELSE 0 END AS nquads,
-             CASE WHEN c = 0 THEN CAST((d + g % 2) % 6 AS INT)
-                  ELSE CAST((d + g % 2 + 3) % 6 AS INT) END AS tset
-      FROM params,
-           UNNEST(range(0, 2 * nf)) AS tg(g),
-           UNNEST(range(0, 2)) AS tc(c)
-    ), symv AS (
-      SELECT b.*, i,
-        CASE
-          WHEN i < 2 * npairs THEN
-            (CASE WHEN (d + i + gr + c) % 2 = 1 THEN -1 ELSE 1 END)
-            * ((d + (CASE WHEN c = 0 THEN 11 ELSE 7 END) * i
-                + 3 * gr + (CASE WHEN c = 0 THEN f ELSE f + 1 END))
-               % (({tset_v})[tset + 1][
-                    CASE WHEN i < 36 THEN 1
-                         WHEN i < ({r1e_long})[sr + 1] THEN 2
-                         ELSE 3 END] + 1))
-          WHEN c = 0 AND i < 2 * npairs + 4 * nquads THEN
-            ((d + 5 * ((i - 2 * npairs) // 4)
-              + ((i - 2 * npairs) % 4) + gr) % 3) - 1
-          ELSE 0 END AS isv
-      FROM base b, UNNEST(range(0, 576)) AS ti(i)
-    ), xr0 AS (
-      SELECT d, sr, nf, ms, g, gr, c, i, bound_line,
-        CASE WHEN isv = 0 THEN 0.0 ELSE
-          (CASE WHEN isv < 0 THEN -1.0 ELSE 1.0 END)
-          * pow(abs(CAST(isv AS DOUBLE)), 4.0 / 3.0)
-          * pow(2.0,
-              0.25 * (gg - 210)
-              - 0.5 * (1 + sfs_flag) * (
-                  CASE WHEN ({sfl})[sr + 1][CAST(i AS INT) + 1] < 21
-                  THEN (CASE WHEN c = 0
-                        THEN (d + 3 * ({sfl})[sr + 1][CAST(i AS INT) + 1]
-                              + gr)
-                             % (1 << (CASE WHEN ({sfl})[sr + 1]
-                                           [CAST(i AS INT) + 1] < 11
-                                      THEN ({slen1})[sc + 1]
-                                      ELSE ({slen2})[sc + 1] END))
-                        ELSE (d + ({sfl})[sr + 1][CAST(i AS INT) + 1]
-                              + gr) % 8 END)
-                       + preflag * ({pre})[({sfl})[sr + 1]
-                                           [CAST(i AS INT) + 1] + 1]
-                  ELSE 0 END))
-        END AS xr
-      FROM symv
-    ), st AS (
-      SELECT a.d, a.sr, a.nf, a.g, a.i, cc.c,
-        CASE
-          WHEN a.i >= a.bound_line THEN
-            CASE WHEN (CASE WHEN ({sfl})[a.sr + 1]
-                                 [CAST(a.i AS INT) + 1] < 21
-                       THEN (a.d + ({sfl})[a.sr + 1]
-                                   [CAST(a.i AS INT) + 1] + a.gr) % 8
-                       ELSE 7 END) = 7
-            THEN CASE WHEN a.ms
-                 THEN CASE WHEN cc.c = 0
-                      THEN (a.xr + b.xr) / sqrt(2.0)
-                      ELSE (a.xr - b.xr) / sqrt(2.0) END
-                 ELSE CASE WHEN cc.c = 0 THEN a.xr ELSE b.xr END END
-            ELSE a.xr * (CASE WHEN cc.c = 0
-                 THEN ({kl})[(CASE WHEN ({sfl})[a.sr + 1]
-                                        [CAST(a.i AS INT) + 1] < 21
-                              THEN (a.d + ({sfl})[a.sr + 1]
-                                    [CAST(a.i AS INT) + 1] + a.gr) % 8
-                              ELSE 7 END) + 1]
-                 ELSE ({kr})[(CASE WHEN ({sfl})[a.sr + 1]
-                                        [CAST(a.i AS INT) + 1] < 21
-                              THEN (a.d + ({sfl})[a.sr + 1]
-                                    [CAST(a.i AS INT) + 1] + a.gr) % 8
-                              ELSE 7 END) + 1] END)
-          END
-          WHEN a.ms THEN
-            CASE WHEN cc.c = 0 THEN (a.xr + b.xr) / sqrt(2.0)
-                 ELSE (a.xr - b.xr) / sqrt(2.0) END
-          ELSE CASE WHEN cc.c = 0 THEN a.xr ELSE b.xr END
-        END AS xr
-      FROM xr0 a
-      JOIN xr0 b ON a.d = b.d AND a.g = b.g AND a.i = b.i
-                AND a.c = 0 AND b.c = 1,
-           UNNEST(range(0, 2)) AS cc(c)
-    ), aax AS (
-      SELECT x.d, x.sr, x.nf, x.g, x.c, x.i,
-        CASE
-          WHEN (x.i % 18) >= 10 AND (x.i // 18) < 31 THEN
-            x.xr * ({cs})[18 - CAST(x.i % 18 AS INT)]
-            - hi.xr * ({ca})[18 - CAST(x.i % 18 AS INT)]
-          WHEN (x.i % 18) <= 7 AND (x.i // 18) > 0 THEN
-            x.xr * ({cs})[CAST(x.i % 18 AS INT) + 1]
-            + lo.xr * ({ca})[CAST(x.i % 18 AS INT) + 1]
-          ELSE x.xr END AS aa
-      FROM st x
-      LEFT JOIN st hi
-        ON hi.d = x.d AND hi.g = x.g AND hi.c = x.c
-       AND hi.i = x.i + 2 * (17 - (x.i % 18)) + 1
-      LEFT JOIN st lo
-        ON lo.d = x.d AND lo.g = x.g AND lo.c = x.c
-       AND lo.i = x.i - (2 * (x.i % 18) + 1)
-    ), mmt AS (
-      SELECT n, k,
-             ({m0})[CAST(n AS INT) + 1][CAST(k AS INT) + 1] AS m
-      FROM UNNEST(range(0, 36)) AS tn(n), UNNEST(range(0, 18)) AS tk(k)
-    ), hyb AS (
-      SELECT a.d, a.sr, a.nf, a.g, a.c, a.i // 18 AS sb, t.n,
-             sum(t.m * a.aa) AS raw
-      FROM aax a JOIN mmt t ON t.k = a.i % 18
-      GROUP BY 1, 2, 3, 4, 5, 6, 7
-    ), ov AS (
-      SELECT h.d, h.sr, h.nf, h.g, h.c, h.sb, h.n,
-             h.raw + coalesce(p.raw, 0.0) AS s
-      FROM hyb h LEFT JOIN hyb p
-        ON p.d = h.d AND p.c = h.c AND p.sb = h.sb
-       AND p.n = h.n + 18 AND p.g = h.g - 1
-      WHERE h.n < 18
-    ), vals AS (
-      SELECT d, sr, nf, g, c, sb, n,
-             CASE WHEN sb % 2 = 1 AND n % 2 = 1 THEN -s ELSE s END AS v
-      FROM ov
-    )
-    SELECT d AS doc_id,
-           CAST(CASE max(sr) WHEN 0 THEN 44100 WHEN 1 THEN 48000
-                ELSE 32000 END AS INT) AS sample_rate,
-           CAST(2 AS INT) AS channels,
-           CAST(2 * max(nf) AS INT) AS n_granules,
-           round(sum(v), 6) AS sample_sum,
-           round(sum(v * (((g * 2 + c) * 32 + sb) * 18 + n + 1)), 6)
-             AS weighted_sum
-    FROM vals GROUP BY d ORDER BY d
-    """
-
-
-@_register("multimodal_mp3_intensity_decode", _mp3_intensity_oracle())
-def multimodal_mp3_intensity_decode(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Layer III INTENSITY stereo decode (§2.4.3.4.9.3), the MP2 joint
-    row's Layer III counterpart: every doc is a stereo long-block stream
-    where the right channel's genuine lines stop exactly at a per-doc
-    band boundary (bound_sfb = 8 + d%6) and its scalefactor slots above
-    carry is_pos ∈ 0..7 — 7 exercising the illegal-position MS/LR
-    fallback; half the docs also set the MS flag (mode_ext = 3), so the
-    region below the bound processes as MS while the region above takes
-    the tan(is_pos·π/12) energy split. The oracle replays both
-    channels' requantization (the SAME right-channel scalefactor field
-    acting as a real scalefactor below the bound and as a position
-    above it), the per-line stereo decision, and the shared
-    alias/IMDCT/overlap/inversion tail."""
-    docs = (
-        fan_out(_t(spark, sf_dir, "documents"))
-        .select("doc_id")
-        .filter(F.col("doc_id") < 120)
-    )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.mp3_l3 import decode_mp3_subbands, encode_mp3_l3
-
-        for pdf in batches:
-            cols = {k: [] for k in
-                    ("sample_rate", "channels", "n_granules", "sample_sum",
-                     "weighted_sum")}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                sr = d % 3
-
-                def granule_fn(f, gr, c, d=d, sr=sr):
-                    return _l3_intensity_granule(d, f, gr, c, sr)
-
-                payload = encode_mp3_l3(
-                    granule_fn,
-                    sr_idx=sr,
-                    br_idx=14,
-                    channels=2,
-                    n_frames=1 + (d // 2) % 2,
-                    ms_stereo=d % 2 == 0,
-                    intensity=True,
-                )
-                rate, ch, ng, grans = decode_mp3_subbands(payload)
-                ss = ws = 0.0
-                for g, chans_out in enumerate(grans):
-                    for c, sbs in enumerate(chans_out):
-                        for sb, vals in enumerate(sbs):
-                            for n, v in enumerate(vals):
-                                ss += v
-                                ws += v * (
-                                    ((g * ch + c) * 32 + sb) * 18 + n + 1
-                                )
-                cols["sample_rate"].append(rate)
-                cols["channels"].append(ch)
-                cols["n_granules"].append(ng)
-                cols["sample_sum"].append(round(ss, 6))
-                cols["weighted_sum"].append(round(ws, 6))
-            out = pdf[["doc_id"]].copy()
-            for k in ("sample_rate", "channels", "n_granules"):
-                out[k] = pd.array(cols[k], dtype="Int32")
-            for k in ("sample_sum", "weighted_sum"):
-                out[k] = pd.array(cols[k], dtype="float64")
-            yield out
-
-    return (
-        docs.mapInPandas(
-            run,
-            "doc_id bigint, sample_rate int, channels int,"
-            " n_granules int, sample_sum double, weighted_sum double",
-        )
-        .orderBy("doc_id")
-    )
-
-
-def all_queries() -> dict[str, QueryFn]:
-    return dict(QUERIES)
-
-
-def all_oracles() -> dict[str, str]:
-    return dict(ORACLES)
+from ._q06 import *  # noqa: F401,F403 — cumulative: includes _q01.._q05 + _qshared

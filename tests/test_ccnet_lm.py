@@ -146,3 +146,15 @@ def test_language_isolation(spark):
     # than the xx natives, and worse than the identical text scored in en
     assert out[200].log_ppl > out[100].log_ppl
     assert out[200].log_ppl > out[0].log_ppl
+
+
+def test_cutoff_mode_plan_has_no_window(spark):
+    """The scale path's plan contract: percentile cutoffs broadcast back,
+    NO window operator anywhere (rank mode's ntile sort is the exact
+    gate path, not the 100-TB shape)."""
+    rows = [(i, "en", "the cat sat on the mat") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = ccnet_lm_filter(df, bucket_mode="cutoff")
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan
