@@ -537,6 +537,60 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_ccnet(args) -> int:
+    """The CCNet pipeline (Wenzek et al. 2020) as a user surface:
+    cross-corpus line (paragraph) dedup, then the per-language bigram-LM
+    perplexity filter over the DEDUPED text — head/middle/tail buckets
+    per language. Writes one parquet with the deduped text, both
+    stages' counters, and the bucket/keep decision; prints a one-line
+    JSON summary. ``--bucket-mode cutoff`` switches the bucketing to
+    the broadcast percentile path (no per-language global sort — the
+    planet-scale shape); ``rank`` (default) is exact equal thirds."""
+    from pyspark.sql import Observation
+
+    from .operators.curation import ccnet_lm_filter
+    from .operators.dedup import line_dedup
+    from .session import get_spark
+
+    spark = get_spark(app_name="ccnet")
+    docs = spark.read.parquet(args.input)
+    dd = line_dedup(docs, args.id_col, args.text_col)
+    langs = docs.select(
+        F.col(args.id_col).alias("doc"), F.col(args.lang_col).alias("lang")
+    )
+    scored = ccnet_lm_filter(
+        dd.join(langs, "doc"),
+        id_col="doc",
+        text_col="text",
+        lang_col="lang",
+        train_pct=args.train_pct,
+        bucket_mode=args.bucket_mode,
+    )
+    out = scored.join(
+        dd.select("doc", "n_lines", "n_kept", "text"), "doc"
+    )
+    obs = Observation("ccnet")
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("n_kept").alias("n_kept_lines"),
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    m = obs.get
+    print(json.dumps({
+        "n_docs": m["n_docs"],
+        "n_keep": m["n_keep"],
+        "n_dropped": m["n_docs"] - m["n_keep"],
+        "lines_total": m["n_lines"],
+        "lines_kept": m["n_kept_lines"],
+        "bucket_mode": args.bucket_mode,
+        "out": args.out,
+    }))
+    return 0
+
+
 def cmd_ingest_warc(args) -> int:
     """Common Crawl front half as a user entrypoint: a directory of WARC
     archives (plain or per-record gzip) → one parquet row per HTTP
@@ -1004,6 +1058,21 @@ def main(argv=None) -> int:
     de.add_argument("--id-col", default="vec_id")
     de.add_argument("--vec-col", default="embedding")
     de.set_defaults(fn=cmd_dedup_embeddings)
+
+    cc = sub.add_parser(
+        "ccnet",
+        help="documents parquet -> CCNet pipeline (cross-corpus line"
+        " dedup + per-language LM perplexity head/middle/tail)",
+    )
+    cc.add_argument("--input", required=True)
+    cc.add_argument("--out", required=True)
+    cc.add_argument("--id-col", default="doc_id")
+    cc.add_argument("--text-col", default="text")
+    cc.add_argument("--lang-col", default="lang")
+    cc.add_argument("--train-pct", type=int, default=80)
+    cc.add_argument("--bucket-mode", choices=("rank", "cutoff"),
+                    default="rank")
+    cc.set_defaults(fn=cmd_ccnet)
 
     sq = sub.add_parser(
         "sql",

@@ -1875,6 +1875,180 @@ def ccnet_lm_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc")
 
 
+def _ccnet_pipeline_oracle(k: float = 0.5, train_pct: int = 80) -> str:
+    """Composed replay of the FULL CCNet pipeline: the line-dedup CTE
+    chain (normalization → hash → corpus-first struct-min winner → line
+    reassembly) feeding the per-language bigram-LM perplexity chain —
+    the LM trains and scores on the DEDUPED text, so one wrong kept
+    line anywhere in the corpus shifts count tables, scores, and
+    bucket boundaries everywhere."""
+    h = hash60_sql("nrm")
+    split = hash60_sql("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
+    return rf"""
+    WITH rawdocs AS (
+      SELECT doc_id AS doc, lang,
+             concat_ws(chr(10),
+               'Doc ' || CAST(doc_id AS VARCHAR),
+               text,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'Subscribe to our Newsletter!' END,
+               CASE WHEN doc_id % 4 = 1
+                    THEN '(c) 2024 All Rights Reserved. Page 1 of 10' END,
+               CASE WHEN doc_id % 7 = 2
+                    THEN 'zq kjw xvv qqp zzkrp wq' END,
+               lang) AS t
+      FROM documents
+    ),
+    lns AS (
+      SELECT doc, i - 1 AS pos, ls[i] AS line
+      FROM (SELECT doc, string_split(t, chr(10)) AS ls FROM rawdocs),
+           UNNEST(range(1, len(ls) + 1)) AS u(i)
+    ),
+    nrm AS (
+      SELECT doc, pos, line,
+             regexp_replace(regexp_replace(lower(trim(line)),
+               '\d+', '0', 'g'), '\s+', ' ', 'g') AS nrm
+      FROM lns
+    ),
+    hashed AS (
+      SELECT doc, pos, line, nrm,
+             CASE WHEN nrm = '' THEN NULL ELSE {h} END AS hh
+      FROM nrm
+    ),
+    firsts AS (
+      SELECT hh, min(struct_pack(doc := doc, pos := pos)) AS fkey
+      FROM hashed WHERE hh IS NOT NULL GROUP BY hh
+    ),
+    flags AS (
+      SELECT n.doc, n.pos, n.line,
+             CASE WHEN n.hh IS NULL THEN TRUE
+                  ELSE n.doc = f.fkey.doc AND n.pos = f.fkey.pos END AS keep
+      FROM hashed n LEFT JOIN firsts f ON n.hh = f.hh
+    ),
+    dd AS (
+      SELECT doc,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             coalesce(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE keep), '') AS text
+      FROM flags GROUP BY doc
+    ),
+    docs AS (
+      SELECT dd.doc AS doc_id, r.lang, dd.text, dd.n_lines, dd.n_kept,
+             ({split}) < {train_pct} AS is_train
+      FROM dd JOIN rawdocs r ON r.doc = dd.doc
+    ), para AS (
+      SELECT doc_id, lang, is_train, ls[i] AS para
+      FROM (SELECT doc_id, lang, is_train,
+                   string_split(text, chr(10)) AS ls FROM docs),
+           UNNEST(range(1, len(ls) + 1)) AS u(i)
+    ), ptoks AS (
+      SELECT doc_id, lang, is_train, para,
+             list_filter(regexp_split_to_array(lower(para), '\W+'),
+                         x -> x <> '') AS toks
+      FROM para
+    ), bg0 AS (
+      SELECT doc_id, lang, is_train,
+             unnest(list_transform(range(1, len(toks)),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+      FROM ptoks
+    ), bg AS (
+      SELECT doc_id, lang, is_train, (p).w1 AS w1, (p).w2 AS w2 FROM bg0
+    ), c2 AS (
+      SELECT lang, w1, w2, count(*) AS c2 FROM bg
+      WHERE is_train GROUP BY 1, 2, 3
+    ), c1 AS (
+      SELECT lang, w1, sum(c2) AS c1 FROM c2 GROUP BY 1, 2
+    ), v AS (
+      SELECT lang, count(DISTINCT w2) AS vocab FROM c2 GROUP BY 1
+    ), scored AS (
+      SELECT t.doc_id,
+             -ln((coalesce(p.c2, 0) + {k}) /
+                 (coalesce(u.c1, 0) + {k} * v.vocab)) AS nll
+      FROM bg t
+        LEFT JOIN c2 p ON p.lang = t.lang AND p.w1 = t.w1 AND p.w2 = t.w2
+        LEFT JOIN c1 u ON u.lang = t.lang AND u.w1 = t.w1
+        JOIN v ON v.lang = t.lang
+    ), ds AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(nll) AS s
+      FROM scored GROUP BY doc_id
+    ), np AS (
+      SELECT doc_id,
+             CAST(count(*) FILTER (WHERE trim(para) <> '') AS BIGINT)
+               AS n_paragraphs
+      FROM para GROUP BY doc_id
+    ), outq AS (
+      SELECT d.doc_id, d.lang, d.n_lines, d.n_kept,
+             coalesce(np.n_paragraphs, 0) AS n_paragraphs,
+             coalesce(ds.n_bigrams, 0) AS n_bigrams,
+             round(ds.s / ds.n_bigrams, 6) AS log_ppl,
+             round(exp(round(ds.s / ds.n_bigrams, 6)), 4) AS ppl
+      FROM docs d LEFT JOIN np ON np.doc_id = d.doc_id
+                  LEFT JOIN ds ON ds.doc_id = d.doc_id
+    ), bucketed AS (
+      SELECT doc_id, lang, n_lines, n_kept, n_paragraphs, n_bigrams,
+             log_ppl, ppl,
+             CASE ntile(3) OVER (PARTITION BY lang ORDER BY log_ppl, doc_id)
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM outq WHERE log_ppl IS NOT NULL
+      UNION ALL
+      SELECT doc_id, lang, n_lines, n_kept, n_paragraphs, n_bigrams,
+             log_ppl, ppl, 'tail'
+      FROM outq WHERE log_ppl IS NULL
+    )
+    SELECT doc_id AS doc, lang, n_lines, n_kept, n_paragraphs, n_bigrams,
+           log_ppl, ppl, bucket, bucket <> 'tail' AS keep
+    FROM bucketed ORDER BY doc
+    """
+
+
+@_register("ccnet_pipeline", _ccnet_pipeline_oracle())
+def ccnet_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL CCNet pipeline under one hash (Wenzek et al. 2020):
+    cross-corpus line dedup FIRST (boilerplate collapses to its corpus-
+    first occurrence), then the per-language bigram-LM perplexity filter
+    trains AND scores on the DEDUPED text. Composition is the test: the
+    newsletter/copyright boilerplate survives only in one document, so
+    every other document's paragraph set — and through the shared count
+    tables, every document's score and the per-language ntile boundaries
+    — depends on the dedup stage being exactly right. Output carries
+    both stages' evidence (n_lines/n_kept + LM fields)."""
+    from ..operators.curation import ccnet_lm_filter
+    from ..operators.dedup import line_dedup
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    ftxt = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("Subscribe to our Newsletter!")
+        ),
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.lit("(c) 2024 All Rights Reserved. Page 1 of 10"),
+        ),
+        F.when(F.col("doc_id") % 7 == 2, F.lit("zq kjw xvv qqp zzkrp wq")),
+        F.col("lang"),
+    )
+    dd = line_dedup(
+        docs.select("doc_id", ftxt.alias("ftxt")), "doc_id", "ftxt"
+    )
+    inp = dd.join(
+        docs.select(F.col("doc_id").alias("doc"), "lang"), "doc"
+    )
+    out = ccnet_lm_filter(inp, id_col="doc", text_col="text",
+                          lang_col="lang")
+    return (
+        out.join(dd.select("doc", "n_lines", "n_kept"), "doc")
+        .select("doc", "lang", "n_lines", "n_kept", "n_paragraphs",
+                "n_bigrams", "log_ppl", "ppl", "bucket", "keep")
+        .orderBy("doc")
+    )
+
+
 _C4_ORACLE = """
 WITH base AS (
   SELECT doc_id AS doc, text, string_split(text, chr(10)) AS lines
