@@ -465,6 +465,14 @@ def test_ccnet_line_dedup_scales(spark, scaled_dirs):
     )
 
 
+def test_ccnet_pipeline_scales(spark, scaled_dirs):
+    # the full composition: line dedup -> per-language LM -> ntile; the
+    # corpus-sized stages are all map-side-combinable aggs + equi-joins
+    _smoke_query(
+        spark, "ccnet_pipeline", scaled_dirs, check_exchanges=True
+    )
+
+
 def test_ccnet_lm_filter_scales(spark, scaled_dirs):
     # per-language bigram LM + ntile bucketing; count tables are
     # map-side-combined aggs, the ntile window sorts one row per doc
