@@ -17,9 +17,9 @@ after each definition, so add-missing-only is exact there too (the
 duplicate-name audit lives in tests/test_plans_split.py).
 """
 
-from . import _q01, _q02, _q03, _q04, _q05, _q06, _qshared
+from . import _q01, _q02, _q03, _q04, _q05, _q06, _q07, _qshared
 
-_SLICES = (_qshared, _q01, _q02, _q03, _q04, _q05, _q06)
+_SLICES = (_qshared, _q01, _q02, _q03, _q04, _q05, _q06, _q07)
 _union: dict = {}
 for _m in _SLICES:
     for _k, _v in vars(_m).items():
