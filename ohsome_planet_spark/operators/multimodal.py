@@ -378,6 +378,46 @@ def probe_audio_stream(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(probe, schema)
 
 
+def probe_adts_stream(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL AAC ADTS transport probe via ``mapInPandas``: per-frame
+    56-bit header walk (``functions/aac.py``) — profile/object type,
+    sampling-frequency and channel-configuration tables, CRC skip,
+    multi-raw-data-block duration arithmetic. The AAC filterbank stays
+    behind the documented external-codec stub; undecodable payloads
+    null out like every other media seam."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.aac import AdtsFormatError, probe_adts
+
+        cols = ("profile", "profile_name", "sample_rate", "channels",
+                "n_frames", "n_samples", "duration_us", "bitrate_kbps",
+                "crc_frames")
+        for pdf in batches:
+            acc = {k: [] for k in cols}
+            for payload in pdf[media_col]:
+                try:
+                    r = probe_adts(bytes(payload))
+                except (AdtsFormatError, ValueError, TypeError, IndexError):
+                    r = None
+                for k in cols:
+                    acc[k].append(r[k] if r is not None else None)
+            out = pdf.copy()
+            for k in ("profile", "sample_rate", "channels", "n_frames",
+                      "n_samples", "bitrate_kbps", "crc_frames"):
+                out[k] = pd.array(acc[k], dtype="Int32")
+            out["duration_us"] = pd.array(acc["duration_us"], dtype="Int64")
+            out["profile_name"] = acc["profile_name"]
+            yield out
+
+    schema = (
+        df.schema.simpleString()[7:-1]
+        + ",profile int,profile_name string,sample_rate int,channels int,"
+        "n_frames int,n_samples int,duration_us bigint,bitrate_kbps int,"
+        "crc_frames int"
+    )
+    return df.mapInPandas(probe, schema)
+
+
 def probe_video(df: DataFrame, media_col: str = "media") -> DataFrame:
     """REAL video container probe via ``mapInPandas``: ISO-BMFF (MP4/MOV)
     box walk or RIFF/AVI chunk walk (magic-sniffed) →

@@ -112,4 +112,99 @@ def multimodal_h264_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ADTS_ORACLE = """
+WITH cfg AS (
+  SELECT doc_id, doc_id AS d,
+    CAST(doc_id % 4 AS INT) AS profile,
+    ['Main', 'LC', 'SSR', 'LTP'][doc_id % 4 + 1] AS profile_name,
+    [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+     16000, 12000, 11025, 8000, 7350][doc_id % 13 + 1] AS rate,
+    [1, 2, 3, 4, 5, 6, 8][doc_id % 7 + 1] AS channels,
+    CAST(doc_id % 6 + 1 AS INT) AS nf,
+    (doc_id // 2) % 4 + 1 AS blocks,
+    doc_id % 3 = 0 AS crc
+  FROM documents
+), sized AS (
+  SELECT *,
+    list_sum(list_transform(range(0, nf), i ->
+      (d * 13 + i * 29) % 300 + 20 + CASE WHEN crc THEN 9 ELSE 7 END))
+      AS total_bytes,
+    nf * blocks * 1024 AS n_samples
+  FROM cfg
+)
+SELECT doc_id, profile, profile_name,
+  CAST(rate AS INT) AS sample_rate,
+  CAST(channels AS INT) AS channels,
+  nf AS n_frames,
+  CAST(n_samples AS INT) AS n_samples,
+  CAST(nf * (blocks * 1024 * 1000000 // rate) AS BIGINT) AS duration_us,
+  CAST(total_bytes * 8 * rate // n_samples // 1000 AS INT) AS bitrate_kbps,
+  CAST(CASE WHEN crc THEN nf ELSE 0 END AS INT) AS crc_frames
+FROM sized ORDER BY doc_id
+"""
+
+
+@_register("multimodal_adts_probe", _ADTS_ORACLE)
+def multimodal_adts_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AAC ADTS transport probe through the multimodal seam:
+    conformant fixture streams sweeping all four profiles, all 13
+    sampling-frequency indices, channel configs 1-7 (incl. the 7→8
+    channel mapping), CRC and CRC-less headers, 1-4 raw data blocks per
+    frame and varying frame lengths are walked back by
+    :func:`operators.multimodal.probe_adts_stream`. The oracle replays
+    the header/duration/bitrate arithmetic; a wrong bit offset in the
+    13-bit frame_length straddle or a missed CRC skip breaks byte
+    positions for every following frame. Reference parity:
+    ohsome-planet ships no audio codec; this row serves the
+    training-data lane's metadata pass (the AAC filterbank stays behind
+    the documented external-codec stub)."""
+    from ..operators.multimodal import probe_adts_stream
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.aac import encode_adts
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = d % 6 + 1
+                payloads.append(
+                    encode_adts(
+                        profile=d % 4,
+                        sf_index=d % 13,
+                        channel_config=d % 7 + 1,
+                        payload_sizes=tuple(
+                            (d * 13 + i * 29) % 300 + 20 for i in range(nf)
+                        ),
+                        mpeg2=d % 2,
+                        with_crc=d % 3 == 0,
+                        raw_blocks=(d // 2) % 4 + 1,
+                        seed=d,
+                    )
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+    return (
+        probe_adts_stream(media)
+        .select(
+            "doc_id",
+            "profile",
+            "profile_name",
+            "sample_rate",
+            "channels",
+            "n_frames",
+            "n_samples",
+            "duration_us",
+            "bitrate_kbps",
+            "crc_frames",
+        )
+        .orderBy("doc_id")
+    )
+
+
 __all__ = [n for n in dict(globals()) if not n.startswith("__")]
