@@ -197,3 +197,48 @@ def url_dedup(
         "n_fetches",
         (F.col(id_col) == F.col("_win")).alias("keep"),
     )
+
+
+# --- PDF ingestion ----------------------------------------------------------
+
+
+def pdf_text_extract(
+    df: DataFrame, pdf_col: str = "pdf", out_col: str = "extracted_text"
+) -> DataFrame:
+    """REAL PDF text extraction via ``mapInPandas``
+    (``functions/pdf.py``): xref-table object walk (repair scan on
+    damage), FlateDecode, /Pages-tree document order, and the §9.4
+    text-showing machine (Tj / kerning-TJ / hex strings / ' and " /
+    Td-TD-Tm-T* line motion). Emits the page-joined text plus
+    ``n_pages``/``n_chars_out``; undecodable payloads null out — crawl
+    data is dirty by construction. The documented fence (composite
+    fonts needing glyph remapping) also nulls out rather than killing
+    the batch."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.pdf import PdfFormatError, extract_pdf_pages
+
+        for pdf in batches:
+            texts, n_pages, n_chars = [], [], []
+            for payload in pdf[pdf_col]:
+                try:
+                    pages = extract_pdf_pages(bytes(payload))
+                    text = "\n".join(pages)
+                    texts.append(text)
+                    n_pages.append(len(pages))
+                    n_chars.append(len(text))
+                except (PdfFormatError, ValueError, TypeError):
+                    texts.append(None)
+                    n_pages.append(None)
+                    n_chars.append(None)
+            out = pdf.copy()
+            out[out_col] = texts
+            out["n_pages"] = pd.array(n_pages, dtype="Int32")
+            out["n_chars_out"] = pd.array(n_chars, dtype="Int32")
+            yield out
+
+    schema = (
+        df.schema.simpleString()[7:-1]
+        + f",{out_col} string,n_pages int,n_chars_out int"
+    )
+    return df.mapInPandas(extract, schema)

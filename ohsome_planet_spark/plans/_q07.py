@@ -207,4 +207,82 @@ def multimodal_adts_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PDF_ORACLE = """
+WITH cfg AS (
+  SELECT doc_id, text,
+    string_split(text, ' ') AS words,
+    doc_id % 5 + 3 AS wpl,
+    doc_id % 3 + 2 AS lpp
+  FROM documents
+), sized AS (
+  SELECT *, len(words) AS nw,
+    CAST(ceil(len(words) / CAST(wpl AS DOUBLE)) AS BIGINT) AS n_lines
+  FROM cfg
+)
+SELECT doc_id,
+  array_to_string(
+    list_transform(range(1, nw + 1), i ->
+      words[i] || CASE WHEN i = nw THEN ''
+                       WHEN i % wpl = 0 THEN chr(10)
+                       ELSE ' ' END), '') AS extracted_text,
+  CAST(ceil(n_lines / CAST(lpp AS DOUBLE)) AS INT) AS n_pages,
+  CAST(length(text) AS INT) AS n_chars_out
+FROM sized ORDER BY doc_id
+"""
+
+
+@_register("pdf_text_extract", _PDF_ORACLE)
+def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text extraction through the crawl-ingestion seam: every
+    document's text is typeset into a spec-conformant PDF (deterministic
+    words-per-line/lines-per-page split; Flate compression, indirect
+    /Length, two-stream /Contents arrays and nested /Pages trees rotate
+    by doc so the xref walk, stream decode and tree order are all load-
+    bearing; line show forms rotate Tj / kerning-TJ / hex string / the
+    ' operator) and extracted back by
+    :func:`operators.web.pdf_text_extract`. The oracle rebuilds the
+    exact extracted text — newline positions included — from the split
+    arithmetic, so a wrong escape decode, a dropped kerning element, a
+    misordered page or an off-by-one in the line machine breaks the
+    hash. Every newline in the output replaces exactly one source
+    space, so n_chars_out must equal the original length(text)."""
+    from ..operators.web import pdf_text_extract as _extract
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.pdf import encode_pdf
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                words = str(text).split(" ")
+                wpl, lpp = d % 5 + 3, d % 3 + 2
+                lines = [
+                    " ".join(words[j : j + wpl])
+                    for j in range(0, len(words), wpl)
+                ]
+                pages = [lines[k : k + lpp] for k in range(0, len(lines), lpp)]
+                payloads.append(
+                    encode_pdf(
+                        pages,
+                        compress=d % 2 == 0,
+                        indirect_length=d % 3 == 0,
+                        split_contents=d % 4 == 0,
+                        nested_tree=d % 5 == 0,
+                    )
+                )
+            out = pdf[["doc_id"]].copy()
+            out["pdf"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, pdf binary")
+    return (
+        _extract(media)
+        .select("doc_id", "extracted_text", "n_pages", "n_chars_out")
+        .orderBy("doc_id")
+    )
+
+
 __all__ = [n for n in dict(globals()) if not n.startswith("__")]
