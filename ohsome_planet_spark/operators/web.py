@@ -203,7 +203,10 @@ def url_dedup(
 
 
 def pdf_text_extract(
-    df: DataFrame, pdf_col: str = "pdf", out_col: str = "extracted_text"
+    df: DataFrame,
+    pdf_col: str = "pdf",
+    out_col: str = "extracted_text",
+    http: bool = False,
 ) -> DataFrame:
     """REAL PDF text extraction via ``mapInPandas``
     (``functions/pdf.py``): xref-table object walk (repair scan on
@@ -213,21 +216,26 @@ def pdf_text_extract(
     ``n_pages``/``n_chars_out``; undecodable payloads null out — crawl
     data is dirty by construction. The documented fence (composite
     fonts needing glyph remapping) also nulls out rather than killing
-    the batch."""
+    the batch. ``http=True`` strips an HTTP response envelope first
+    (the WARC ``response`` payload shape, incl. chunked/gzip)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.pdf import PdfFormatError, extract_pdf_pages
+        from ..sources.warc import WarcFormatError, http_response_body
 
         for pdf in batches:
             texts, n_pages, n_chars = [], [], []
             for payload in pdf[pdf_col]:
                 try:
-                    pages = extract_pdf_pages(bytes(payload))
+                    body = bytes(payload)
+                    if http:
+                        body = http_response_body(body)
+                    pages = extract_pdf_pages(body)
                     text = "\n".join(pages)
                     texts.append(text)
                     n_pages.append(len(pages))
                     n_chars.append(len(text))
-                except (PdfFormatError, ValueError, TypeError):
+                except (PdfFormatError, WarcFormatError, ValueError, TypeError):
                     texts.append(None)
                     n_pages.append(None)
                     n_chars.append(None)

@@ -285,4 +285,132 @@ def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_PDF_ORACLE = """
+WITH cfg AS (
+  SELECT doc_id, text, lang,
+    string_split(text, ' ') AS words,
+    doc_id % 5 + 3 AS wpl
+  FROM documents
+), sized AS (
+  SELECT *, len(words) AS nw,
+    CAST(ceil(len(words) / CAST(wpl AS DOUBLE)) AS BIGINT) AS n_lines
+  FROM cfg
+)
+SELECT doc_id,
+  array_to_string(
+    list_transform(range(1, nw + 1), i ->
+      words[i] || CASE WHEN i = nw THEN ''
+                       WHEN i % wpl = 0 THEN chr(10)
+                       ELSE ' ' END), '') AS pdf_text,
+  CAST(ceil(n_lines / CAST(doc_id % 3 + 2 AS DOUBLE)) AS INT) AS pdf_pages,
+  CAST(len(list_filter(regexp_split_to_array(lower(text || ' ' || lang),
+       '\\W+'), x -> x <> '')) AS BIGINT) AS html_tokens
+FROM sized ORDER BY doc_id
+"""
+
+
+@_register("cc_pdf_ingest", _CC_PDF_ORACLE)
+def cc_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-ingestion chain with MIXED media routed by URI: each
+    fixture WARC carries a warcinfo record, an HTML response AND a PDF
+    response whose HTTP envelopes rotate Content-Length / chunked /
+    gzip framing (and the PDFs rotate Flate compression), exactly the
+    mess a real CC segment hands the reader. One record walk feeds two
+    extraction branches — HTML main text and PDF page text — re-joined
+    per document. The PDF branch's oracle rebuilds the typeset text
+    newline-for-newline; the HTML branch re-counts tokens from the
+    template arithmetic. A mis-routed record, a leaked chunk-size line
+    or an un-stripped envelope breaks one side's hash."""
+    from ..operators.web import extract_main_text, pdf_text_extract, warc_records
+    from ..functions.text import tokens_expr
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.pdf import encode_pdf
+        from ..sources.warc import encode_warc, http_response_wrap
+
+        for pdf in batches:
+            payloads = []
+            for _, r in pdf.iterrows():
+                d = int(r["doc_id"])
+                words = str(r["text"]).split(" ")
+                wpl, lpp = d % 5 + 3, d % 3 + 2
+                lines = [
+                    " ".join(words[j : j + wpl])
+                    for j in range(0, len(words), wpl)
+                ]
+                pages = [lines[k : k + lpp] for k in range(0, len(lines), lpp)]
+                pdf_bytes = encode_pdf(pages, compress=d % 2 == 0)
+                html = (
+                    f"<html><body><p>{r['text']}</p>"
+                    f"<ul><li>{r['lang']}</li></ul></body></html>"
+                )
+                env = d % 3
+                recs = [
+                    {"warc_type": "warcinfo", "payload": b"robots: classic"},
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"http://example.test/{d}.html",
+                        "content_type": "application/http;msgtype=response",
+                        "payload": http_response_wrap(
+                            html.encode(),
+                            chunked=env == 0,
+                            chunk_size=48,
+                            content_encoding="gzip" if env == 1 else None,
+                        ),
+                    },
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"http://example.test/{d}.pdf",
+                        "content_type": "application/http;msgtype=response",
+                        "payload": http_response_wrap(
+                            pdf_bytes,
+                            content_type="application/pdf",
+                            chunked=env == 2,
+                            chunk_size=96,
+                            content_encoding="deflate" if env == 0 else None,
+                        ),
+                    },
+                ]
+                payloads.append(encode_warc(recs, gzip_records=d % 2 == 1))
+            out = pdf[["doc_id"]].copy()
+            out["warc"] = payloads
+            yield out
+
+    archives = docs.mapInPandas(encode, "doc_id bigint, warc binary")
+    responses = warc_records(archives, "warc").filter(
+        F.col("warc_type") == "response"
+    )
+    pdf_side = (
+        pdf_text_extract(
+            responses.filter(F.col("target_uri").endswith(".pdf")),
+            "payload",
+            out_col="pdf_text",
+            http=True,
+        )
+        .select("doc_id", "pdf_text", F.col("n_pages").alias("pdf_pages"))
+    )
+    html_side = (
+        extract_main_text(
+            responses.filter(F.col("target_uri").endswith(".html")),
+            "payload",
+            http=True,
+        )
+        .select(
+            "doc_id",
+            F.size(tokens_expr(F.col("extracted_text")))
+            .cast("bigint")
+            .alias("html_tokens"),
+        )
+    )
+    return (
+        pdf_side.join(html_side, "doc_id")
+        .select("doc_id", "pdf_text", "pdf_pages", "html_tokens")
+        .orderBy("doc_id")
+    )
+
+
 __all__ = [n for n in dict(globals()) if not n.startswith("__")]

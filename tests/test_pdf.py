@@ -175,3 +175,22 @@ def test_operator_quarantines_bad_rows(spark):
     assert out[1]["n_pages"] == 2
     assert out[1]["n_chars_out"] == len("hello world\nsecond page")
     assert out[2]["extracted_text"] is None and out[2]["n_pages"] is None
+
+
+def test_operator_http_envelope_strip(spark):
+    from ohsome_planet_spark.operators.web import pdf_text_extract
+    from ohsome_planet_spark.sources.warc import http_response_wrap
+
+    body = encode_pdf([["hello enveloped world"]], compress=True)
+    rows = [
+        (1, bytearray(http_response_wrap(body, content_type="application/pdf",
+                                         chunked=True, chunk_size=32))),
+        (2, bytearray(http_response_wrap(body, content_type="application/pdf",
+                                         content_encoding="gzip"))),
+        (3, bytearray(body)),  # envelope expected but absent -> quarantined
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, pdf binary")
+    out = {r["doc_id"]: r for r in pdf_text_extract(df, http=True).collect()}
+    assert out[1]["extracted_text"] == "hello enveloped world"
+    assert out[2]["extracted_text"] == "hello enveloped world"
+    assert out[3]["extracted_text"] is None
