@@ -634,3 +634,29 @@ def test_contrib_multipolygons_pbf_seam_scales(spark, tmp_path):
              "wall_10x": round(t10, 2), "runs_1x": runs1, "runs_10x": runs10,
              "n_runs": N_RUNS, "ratio": round(ratio, 2), "k": K})
     assert ratio < 30.0, f"10x input cost {ratio:.1f}x wall — super-linear blowup"
+
+
+def test_multimodal_h264_probe_scales(spark, scaled_dirs):
+    # pure narrow encode->parse mapInPandas chain; no shuffle until the
+    # final orderBy
+    _smoke_query(
+        spark, "multimodal_h264_probe", scaled_dirs, check_exchanges=True
+    )
+
+
+def test_multimodal_adts_probe_scales(spark, scaled_dirs):
+    _smoke_query(
+        spark, "multimodal_adts_probe", scaled_dirs, check_exchanges=True
+    )
+
+
+def test_pdf_text_extract_scales(spark, scaled_dirs):
+    # typeset -> xref walk -> Flate -> text machine, all inside one
+    # Arrow-batched map pass; bytes never shuffle
+    _smoke_query(spark, "pdf_text_extract", scaled_dirs, check_exchanges=True)
+
+
+def test_cc_pdf_ingest_scales(spark, scaled_dirs):
+    # WARC walk + dual-branch extraction re-joined on doc_id: the join
+    # is the only exchange and its shape must not change with scale
+    _smoke_query(spark, "cc_pdf_ingest", scaled_dirs, check_exchanges=True)
