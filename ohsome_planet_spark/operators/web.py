@@ -250,3 +250,99 @@ def pdf_text_extract(
         + f",{out_col} string,n_pages int,n_chars_out int"
     )
     return df.mapInPandas(extract, schema)
+
+
+# --- robots.txt (RFC 9309) ---------------------------------------------------
+
+
+def robots_rules(
+    df: DataFrame,
+    robots_col: str = "robots",
+    agent: str = "*",
+    host_col: str = "host",
+) -> DataFrame:
+    """Parse per-host robots.txt bodies (``functions/robots.py``) into an
+    exploded rule table: one row per (host, rule) from the group RFC 9309
+    selects for ``agent`` (exact product token beats ``*``), plus the
+    compiled anchored regex the filter evaluates JVM-side. Hosts whose
+    selected group has no rules still emit one null-rule row so metadata
+    (crawl_delay, n_sitemaps) survives. The output is a tiny dim table —
+    the natural broadcast side of :func:`robots_filter`."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.robots import parse_robots_txt, pattern_to_regex
+
+        for pdf in batches:
+            hosts, allows, patterns, plens, regexes, delays, n_maps = (
+                [], [], [], [], [], [], [],
+            )
+            for host, body in zip(pdf[host_col], pdf[robots_col]):
+                if isinstance(body, (bytes, bytearray)):
+                    body = bytes(body).decode("utf-8", "replace")
+                parsed = parse_robots_txt(str(body), agent)
+                rules = parsed["rules"] or [(None, None)]
+                for allow, pattern in rules:
+                    hosts.append(host)
+                    allows.append(allow)
+                    patterns.append(pattern)
+                    plens.append(len(pattern) if pattern is not None else None)
+                    regexes.append(
+                        pattern_to_regex(pattern) if pattern is not None else None
+                    )
+                    delays.append(parsed["crawl_delay"])
+                    n_maps.append(len(parsed["sitemaps"]))
+            yield pd.DataFrame(
+                {
+                    host_col: hosts,
+                    "allow": pd.array(allows, dtype="boolean"),
+                    "pattern": patterns,
+                    "pattern_len": pd.array(plens, dtype="Int32"),
+                    "path_regex": regexes,
+                    "crawl_delay": pd.array(delays, dtype="float64"),
+                    "n_sitemaps": pd.array(n_maps, dtype="Int32"),
+                }
+            )
+
+    schema = (
+        f"{host_col} string, allow boolean, pattern string,"
+        " pattern_len int, path_regex string, crawl_delay double,"
+        " n_sitemaps int"
+    )
+    return df.select(host_col, robots_col).mapInPandas(walk, schema)
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """RFC 9309 URL admission at corpus scale: broadcast the rule dim,
+    left-join on host, evaluate every rule's anchored regex JVM-side and
+    pick the winner with a map-side-combinable ``max(struct(...))`` —
+    longest matched pattern wins, Allow wins length ties (boolean max),
+    no matching rule (or no robots.txt at all) → allowed. URL bytes
+    never shuffle wider than the single groupBy on the URL key."""
+    hit = F.when(
+        F.col("path_regex").isNotNull()
+        & F.expr(f"regexp_like({path_col}, path_regex)"),
+        F.struct(
+            F.col("pattern_len").alias("plen"),
+            F.col("allow").alias("allow"),
+            F.col("pattern").alias("pattern"),
+        ),
+    )
+    return (
+        urls.join(F.broadcast(rules), host_col, "left")
+        .withColumn("_hit", hit)
+        .groupBy(id_col, host_col, path_col)
+        .agg(F.max("_hit").alias("_w"))
+        .select(
+            id_col,
+            host_col,
+            path_col,
+            F.coalesce(F.col("_w.allow"), F.lit(True)).alias("allowed"),
+            F.col("_w.pattern").alias("matched_pattern"),
+        )
+    )

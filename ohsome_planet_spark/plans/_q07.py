@@ -413,4 +413,105 @@ def cc_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_ORACLE = """
+WITH cfg AS (
+  SELECT doc_id, doc_id % 40 AS h, doc_id % 6 AS p,
+    'h' || CAST(doc_id % 40 AS VARCHAR) || '.test' AS host,
+    CASE doc_id % 6
+      WHEN 0 THEN '/private/ok/page' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN '/private/sec' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN '/public/p' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN '/tmp/file' || CAST(doc_id AS VARCHAR) || '.bak'
+      WHEN 4 THEN '/bot/x' || CAST(doc_id AS VARCHAR)
+      ELSE '/tmp/keep/y' || CAST(doc_id AS VARCHAR)
+    END AS path
+  FROM documents
+)
+SELECT doc_id, host, path,
+  CASE
+    WHEN h % 3 = 0 THEN p <> 4
+    WHEN p = 1 THEN false
+    WHEN p = 3 AND h % 4 IN (0, 1) THEN false
+    ELSE true
+  END AS allowed,
+  CASE
+    WHEN h % 3 = 0 THEN CASE WHEN p = 4 THEN '/bot/' ELSE '/' END
+    WHEN p = 0 THEN '/private/ok/'
+    WHEN p = 1 THEN '/private/'
+    WHEN p = 3 AND h % 4 = 0 THEN '/*.bak$'
+    WHEN p = 3 AND h % 4 = 1 THEN '/tmp/*'
+    WHEN p = 5 AND h % 4 = 1 THEN '/tmp/keep/'
+    ELSE NULL
+  END AS matched_pattern
+FROM cfg ORDER BY doc_id
+"""
+
+
+@_register("robots_url_filter", _ROBOTS_ORACLE)
+def robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 crawl admission end-to-end: 40 hosts carry fixture
+    robots.txt bodies exercising group selection (every third host has
+    a dedicated ``trainingbot`` group that OVERRIDES the ``*`` group
+    entirely), longest-match precedence (``Allow: /private/ok/`` inside
+    ``Disallow: /private/``), wildcards + end anchors (``/*.bak$``,
+    ``/tmp/*`` vs ``Allow: /tmp/keep/``), comments, crawl-delay and
+    sitemap lines. The rule table parses once per host and BROADCASTS;
+    URL admission is one regexp pass + a map-side-combinable
+    max(struct) — the oracle replays every decision AND the winning
+    pattern, so a wrong group pick, tie-break or anchor translation
+    flips a concrete row."""
+    from ..operators.web import robots_filter, robots_rules
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 40).cast("string"), F.lit(".test"))
+    path = (
+        F.when(d % 6 == 0, F.concat(F.lit("/private/ok/page"), d.cast("string")))
+        .when(d % 6 == 1, F.concat(F.lit("/private/sec"), d.cast("string")))
+        .when(d % 6 == 2, F.concat(F.lit("/public/p"), d.cast("string")))
+        .when(d % 6 == 3, F.concat(F.lit("/tmp/file"), d.cast("string"), F.lit(".bak")))
+        .when(d % 6 == 4, F.concat(F.lit("/bot/x"), d.cast("string")))
+        .otherwise(F.concat(F.lit("/tmp/keep/y"), d.cast("string")))
+    )
+    urls = docs.select("doc_id", host.alias("host"), path.alias("path"))
+
+    hosts = docs.select((d % 40).cast("int").alias("hid")).distinct()
+
+    def robots_body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_host, out_robots = [], []
+            for hid in pdf["hid"]:
+                h = int(hid)
+                lines = [
+                    "# fixture robots for host %d" % h,
+                    "Sitemap: http://h%d.test/sitemap.xml" % h,
+                    "User-agent: *   # the catch-all group",
+                    "Disallow: /private/",
+                    "Allow: /private/ok/",
+                    "Crawl-delay: %d" % (h % 2 + 1),
+                ]
+                if h % 4 == 0:
+                    lines.append("Disallow: /*.bak$")
+                if h % 4 == 1:
+                    lines += ["Disallow: /tmp/*", "Allow: /tmp/keep/"]
+                if h % 3 == 0:
+                    lines += [
+                        "",
+                        "User-agent: TrainingBot",
+                        "Disallow: /bot/",
+                        "Allow: /",
+                    ]
+                out_host.append("h%d.test" % h)
+                out_robots.append("\n".join(lines) + "\n")
+            yield pd.DataFrame({"host": out_host, "robots": out_robots})
+
+    bodies = hosts.mapInPandas(robots_body, "host string, robots string")
+    rules = robots_rules(bodies, "robots", agent="trainingbot")
+    return (
+        robots_filter(urls, rules)
+        .select("doc_id", "host", "path", "allowed", "matched_pattern")
+        .orderBy("doc_id")
+    )
+
+
 __all__ = [n for n in dict(globals()) if not n.startswith("__")]
