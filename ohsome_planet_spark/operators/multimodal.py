@@ -418,6 +418,45 @@ def probe_adts_stream(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(probe, schema)
 
 
+def probe_ogg_stream(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL Ogg container probe via ``mapInPandas``
+    (``functions/ogg.py``): CRC-verified page walk, lacing-table packet
+    assembly incl. page-spanning packets, OpusHead / Vorbis ID header
+    decode, granule-position duration arithmetic. SILK/CELT/MDCT audio
+    decode stays behind the documented external-codec stub; undecodable
+    payloads null out."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.ogg import OggFormatError, probe_ogg
+
+        cols = ("codec", "channels", "sample_rate", "pre_skip", "n_pages",
+                "n_packets", "duration_us", "serial")
+        for pdf in batches:
+            acc = {k: [] for k in cols}
+            for payload in pdf[media_col]:
+                try:
+                    r = probe_ogg(bytes(payload))
+                except (OggFormatError, ValueError, TypeError, IndexError):
+                    r = None
+                for k in cols:
+                    acc[k].append(r[k] if r is not None else None)
+            out = pdf.copy()
+            for k in ("channels", "sample_rate", "pre_skip", "n_pages",
+                      "n_packets"):
+                out[k] = pd.array(acc[k], dtype="Int32")
+            for k in ("duration_us", "serial"):
+                out[k] = pd.array(acc[k], dtype="Int64")
+            out["codec"] = acc["codec"]
+            yield out
+
+    schema = (
+        df.schema.simpleString()[7:-1]
+        + ",codec string,channels int,sample_rate int,pre_skip int,"
+        "n_pages int,n_packets int,duration_us bigint,serial bigint"
+    )
+    return df.mapInPandas(probe, schema)
+
+
 def probe_video(df: DataFrame, media_col: str = "media") -> DataFrame:
     """REAL video container probe via ``mapInPandas``: ISO-BMFF (MP4/MOV)
     box walk or RIFF/AVI chunk walk (magic-sniffed) →

@@ -514,4 +514,112 @@ def robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OGG_ORACLE = """
+WITH cfg AS (
+  SELECT doc_id, doc_id AS d,
+    doc_id % 2 = 0 AS is_opus,
+    CAST(doc_id % 9 + 1 AS INT) AS na,
+    doc_id % 3 + 1 AS ppp,
+    doc_id % 4 = 0 AND doc_id % 9 + 1 > doc_id % 3 + 1 AS span
+  FROM documents
+), t AS (
+  SELECT *,
+    CASE WHEN is_opus THEN 'opus' ELSE 'vorbis' END AS codec,
+    CASE WHEN is_opus THEN (d // 2) % 2 + 1
+         ELSE (d // 2) % 4 + 1 END AS channels,
+    CASE WHEN is_opus
+      THEN [48000, 24000, 16000, 12000, 8000][d % 5 + 1]
+      ELSE [44100, 22050, 32000, 16000, 11025][d % 5 + 1] END AS rate,
+    CASE WHEN is_opus THEN d % 800 ELSE 0 END AS pre_skip
+  FROM cfg
+)
+SELECT doc_id, codec,
+  CAST(channels AS INT) AS channels,
+  CAST(rate AS INT) AS sample_rate,
+  CAST(pre_skip AS INT) AS pre_skip,
+  CAST(2 + CASE WHEN span
+        THEN 2 + ceil(greatest(0, na - ppp - 1) / CAST(ppp AS DOUBLE))
+        ELSE ceil(na / CAST(ppp AS DOUBLE)) END AS INT) AS n_pages,
+  CAST(CASE WHEN is_opus THEN 2 ELSE 3 END + na
+       + CASE WHEN span THEN 1 ELSE 0 END AS INT) AS n_packets,
+  CAST(CASE WHEN is_opus THEN na * 960 * CAST(1000000 AS BIGINT) // 48000
+            ELSE na * 128 * CAST(1000000 AS BIGINT) // rate END AS BIGINT)
+    AS duration_us,
+  CAST(d % 100000 + 1 AS BIGINT) AS serial
+FROM t ORDER BY doc_id
+"""
+
+
+@_register("multimodal_ogg_probe", _OGG_ORACLE)
+def multimodal_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Ogg/Opus/Vorbis probe through the multimodal seam:
+    conformant fixture streams (correct page CRCs under the unreflected
+    Ogg polynomial, rotating packets-per-page lacing, 255-run packets
+    SPANNING page boundaries with the continued flag on every fourth
+    doc, OpusHead pre-skip grid, Vorbis triple-header pages) are walked
+    back by :func:`operators.multimodal.probe_ogg_stream`. The oracle
+    replays page/packet counts and the granule-position duration
+    arithmetic (48 kHz-fixed minus pre-skip for Opus, rate-relative for
+    Vorbis); a lacing off-by-one, a CRC table slip or a wrong
+    continuation merge shifts a count on a concrete row."""
+    from ..operators.multimodal import probe_ogg_stream
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.ogg import encode_ogg_opus, encode_ogg_vorbis
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                na, ppp = d % 9 + 1, d % 3 + 1
+                span = d % 4 == 0 and na > ppp
+                if d % 2 == 0:
+                    payloads.append(
+                        encode_ogg_opus(
+                            channels=(d // 2) % 2 + 1,
+                            input_rate=(48000, 24000, 16000, 12000, 8000)[d % 5],
+                            pre_skip=d % 800,
+                            n_audio=na,
+                            serial=d % 100000 + 1,
+                            seed=d,
+                            packets_per_page=ppp,
+                            span_page=span,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        encode_ogg_vorbis(
+                            channels=(d // 2) % 4 + 1,
+                            rate=(44100, 22050, 32000, 16000, 11025)[d % 5],
+                            n_audio=na,
+                            serial=d % 100000 + 1,
+                            seed=d,
+                            packets_per_page=ppp,
+                            span_page=span,
+                        )
+                    )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+    return (
+        probe_ogg_stream(media)
+        .select(
+            "doc_id",
+            "codec",
+            "channels",
+            "sample_rate",
+            "pre_skip",
+            "n_pages",
+            "n_packets",
+            "duration_us",
+            "serial",
+        )
+        .orderBy("doc_id")
+    )
+
+
 __all__ = [n for n in dict(globals()) if not n.startswith("__")]
