@@ -556,18 +556,66 @@ def decode_mp3_subbands(payload: bytes):
                 sf_ch.append(sf)
                 rzero_ch.append(nlines)
                 xr_ch.append(_requantize(xs, g, sf, sr_idx))
-            if intensity and channels == 2:
+            if intensity and channels == 2 and (
+                grs[gr][1].window_switching and grs[gr][1].block_type == 2
+            ):
+                # SHORT-block intensity (§2.4.3.4.9.3): the zero-part
+                # detection runs PER WINDOW on the right channel's
+                # requantized values (dist10 III_stereo walks sfb 12→0
+                # per window); intensity positions live in the right
+                # channel's (sfb, window) scalefactor slots. Channels
+                # with mismatched window shapes stay fenced.
+                g0 = grs[gr][0]
+                if not (g0.window_switching and g0.block_type == 2):
+                    raise Mp3FormatError(
+                        "intensity stereo with mismatched block types"
+                        " not supported"
+                    )
+                bands = SFB_SHORT[sr_idx]
+                L, R = xr_ch
+                new_l, new_r = list(L), list(R)
+
+                def _lines(sfb: int, w: int):
+                    for s in range(bands[sfb], bands[sfb + 1]):
+                        yield (s // 6) * 18 + w * 6 + (s % 6)
+
+                for w in range(3):
+                    sfbcnt = -1
+                    for sfb in range(12, -1, -1):
+                        if any(R[i] != 0.0 for i in _lines(sfb, w)):
+                            sfbcnt = sfb
+                            break
+                    for sfb in range(sfbcnt + 1):
+                        if ms:
+                            for i in _lines(sfb, w):
+                                l_v, r_v = L[i], R[i]
+                                new_l[i] = (l_v + r_v) / sqrt2
+                                new_r[i] = (l_v - r_v) / sqrt2
+                    for sfb in range(sfbcnt + 1, 13):
+                        is_pos = sf_ch[1][sfb][w] if sfb < 12 else 7
+                        for i in _lines(sfb, w):
+                            if is_pos == 7:
+                                if ms:
+                                    l_v, r_v = L[i], R[i]
+                                    new_l[i] = (l_v + r_v) / sqrt2
+                                    new_r[i] = (l_v - r_v) / sqrt2
+                            else:
+                                new_l[i] = L[i] * _IS_KL[is_pos]
+                                new_r[i] = L[i] * _IS_KR[is_pos]
+                xr_ch = [new_l, new_r]
+            elif intensity and channels == 2:
                 # long-block intensity (§2.4.3.4.9.3): bands at/above the
                 # right channel's zero region carry a POSITION in the
                 # right channel's scalefactor slot; below it MS applies
-                # when the MS flag is also set. Short blocks stay fenced.
+                # when the MS flag is also set.
                 if any(
                     grs[gr][cc].window_switching
                     and grs[gr][cc].block_type == 2
                     for cc in range(2)
                 ):
                     raise Mp3FormatError(
-                        "intensity stereo with short blocks not supported"
+                        "intensity stereo with mismatched block types"
+                        " not supported"
                     )
                 bands = SFB_LONG[sr_idx]
                 rz = rzero_ch[1]

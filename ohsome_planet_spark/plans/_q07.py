@@ -622,4 +622,304 @@ def multimodal_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _l3_short_is_layout(sr: int) -> tuple[list[int], list[int]]:
+    """Huffman-order position → (sfb, window) for pure-short granules:
+    per band, the band's lines for window 0, then 1, then 2."""
+    from ..functions.mp3_l3 import SFB_SHORT
+
+    bands = SFB_SHORT[sr]
+    hsfb, hwin = [], []
+    for sfb in range(13):
+        width = bands[sfb + 1] - bands[sfb]
+        for w in range(3):
+            hsfb += [sfb] * width
+            hwin += [w] * width
+    return hsfb, hwin
+
+
+def _l3_short_is_granule(d: int, f: int, gr: int, c: int, sr: int) -> dict:
+    """Short-block intensity grid: BOTH channels pure short (bt=2),
+    sc=13 (3,3 slens — every is_pos 0..7 fits). The RIGHT channel's
+    huffman lines are zero at/above a PER-WINDOW band bound
+    ``b_w = 5 + (d + w) % 4`` so the decoder's per-window zero scan
+    lands on three different boundaries in one granule; its scalefactor
+    slots double as is_pos above each bound."""
+    from ..functions.mp3_l3 import SFB_SHORT
+
+    bands = SFB_SHORT[sr]
+    tsel = list(_L3_TSETS[(d + gr + 3 * c) % 6][:2]) + [0]
+    if c == 0:
+        npairs = 12 + ((d + gr) * 7) % 40
+        lines = []
+        for h in range(2 * npairs):
+            vmax = _L3_VMAX[tsel[0 if h < 36 else 1]]
+            m = (d + 11 * h + 3 * gr + f) % (vmax + 1)
+            lines.append(-m if (d + h + gr) % 2 == 1 else m)
+    else:
+        hsfb, hwin = _l3_short_is_layout(sr)
+        n_lines = 3 * bands[8]
+        lines = []
+        for h in range(n_lines):
+            b_w = 5 + (d + hwin[h]) % 4
+            if hsfb[h] >= b_w:
+                lines.append(0)
+                continue
+            vmax = _L3_VMAX[tsel[0 if h < 36 else 1]]
+            m = (d + 7 * h + 3 * gr + f) % vmax + 1
+            lines.append(-m if (d + h + gr + 1) % 2 == 1 else m)
+    return {
+        "block_type": 2,
+        "global_gain": 200 + (d + 3 * f + 5 * gr + 7 * c) % 16,
+        "scalefac_compress": 13,
+        "preflag": 0,
+        "scalefac_scale": (d + c) % 2,
+        "subblock_gain": [(d + gr + w + c) % 3 for w in range(3)],
+        "table_select": tsel,
+        "count1table_select": (d + gr) % 2,
+        "lines": lines,
+        "quads": [],
+        "sf": [
+            [(d + 3 * sfb + w + gr + 2 * c) % 8 for w in range(3)]
+            for sfb in range(12)
+        ],
+    }
+
+
+def _mp3_short_is_oracle() -> str:
+    """Relational DuckDB replay of the SHORT-block intensity grid: both
+    channels' short requantization (reorder permutation, subblock
+    gains, the right channel's sf slots acting as REAL scalefactors
+    below each window's bound), the per-window intensity decision
+    (closed-form bounds replay the decoder's value scan because every
+    line below a bound is nonzero by construction), tan(is_pos·π/12)
+    splits with the is_pos-7 MS/LR fallback, then the shared
+    IMDCT/overlap/inversion tail (short blocks skip alias reduction)."""
+    import math as _math
+
+    from ..functions.mp3_l3 import (
+        SFB_SHORT,
+        imdct_matrix,
+        reorder_permutation,
+    )
+
+    def lit(xs):
+        return "[" + ",".join(
+            repr(x) if isinstance(x, float) else str(x) for x in xs
+        ) + "]"
+
+    def lit2(xss):
+        return "[" + ",".join(lit(xs) for xs in xss) + "]"
+
+    def sfb_of(bands, n):
+        out = []
+        for sfb in range(len(bands) - 1):
+            out += [sfb] * (bands[sfb + 1] - bands[sfb])
+        assert len(out) == n
+        return out
+
+    sfs_t = lit2([sfb_of(SFB_SHORT[sr], 192) for sr in range(3)])
+    perm = lit2([reorder_permutation(sr) for sr in range(3)])
+    m2 = lit2(imdct_matrix(2))
+    tset_v = lit2([[_L3_VMAX.get(t, 0) for t in ts[:2]] + [0]
+                   for ts in _L3_TSETS])
+    hsfb = lit2([_l3_short_is_layout(sr)[0] for sr in range(3)])
+    hwin = lit2([_l3_short_is_layout(sr)[1] for sr in range(3)])
+    nlin = lit([3 * SFB_SHORT[sr][8] for sr in range(3)])
+    tan = [_math.tan(p * _math.pi / 12) for p in range(6)]
+    kl = lit([t / (1 + t) for t in tan] + [1.0])
+    kr = lit([1 / (1 + t) for t in tan] + [0.0])
+
+    return f"""
+    WITH params AS (
+      SELECT doc_id AS d,
+             CAST(doc_id % 3 AS INT) AS sr,
+             CAST(1 + (doc_id // 2) % 2 AS INT) AS nf,
+             (doc_id % 2 = 0) AS ms
+      FROM documents WHERE doc_id < 120
+    ), base AS (
+      SELECT d, sr, nf, ms, g, g // 2 AS f, g % 2 AS gr, c,
+             200 + (d + 3 * (g // 2) + 5 * (g % 2) + 7 * c) % 16 AS gg,
+             (d + c) % 2 AS sfs_flag,
+             12 + ((d + g % 2) * 7) % 40 AS npairs,
+             CAST((d + g % 2 + 3 * c) % 6 AS INT) AS tset
+      FROM params,
+           UNNEST(range(0, 2 * nf)) AS tg(g),
+           UNNEST(range(0, 2)) AS tc(c)
+    ), lines AS (
+      SELECT b.*, i,
+             ({perm})[sr + 1][CAST(i AS INT) + 1] AS hidx
+      FROM base b, UNNEST(range(0, 576)) AS ti(i)
+    ), symv AS (
+      SELECT *,
+        CASE
+          WHEN c = 0 AND hidx < 2 * npairs THEN
+            (CASE WHEN (d + hidx + gr) % 2 = 1 THEN -1 ELSE 1 END)
+            * ((d + 11 * hidx + 3 * gr + f)
+               % (({tset_v})[tset + 1]
+                            [CASE WHEN hidx < 36 THEN 1 ELSE 2 END] + 1))
+          WHEN c = 1 AND hidx < ({nlin})[sr + 1]
+               AND ({hsfb})[sr + 1][CAST(hidx AS INT) + 1]
+                   < 5 + (d + ({hwin})[sr + 1][CAST(hidx AS INT) + 1]) % 4
+          THEN
+            (CASE WHEN (d + hidx + gr + 1) % 2 = 1 THEN -1 ELSE 1 END)
+            * ((d + 7 * hidx + 3 * gr + f)
+               % ({tset_v})[tset + 1]
+                           [CASE WHEN hidx < 36 THEN 1 ELSE 2 END] + 1)
+          ELSE 0 END AS isv
+      FROM lines
+    ), xr0 AS (
+      SELECT d, sr, nf, ms, g, gr, c, i,
+        CASE WHEN isv = 0 THEN 0.0 ELSE
+          (CASE WHEN isv < 0 THEN -1.0 ELSE 1.0 END)
+          * pow(abs(CAST(isv AS DOUBLE)), 4.0 / 3.0)
+          * pow(2.0,
+              0.25 * (gg - 210)
+              - 2.0 * ((d + gr + ((i % 18) // 6) + c) % 3)
+              - 0.5 * (1 + sfs_flag) * (
+                  CASE WHEN ({sfs_t})[sr + 1]
+                            [CAST((i // 18) * 6 + (i % 6) AS INT) + 1] < 12
+                  THEN (d + 3 * ({sfs_t})[sr + 1]
+                                 [CAST((i // 18) * 6 + (i % 6) AS INT) + 1]
+                        + ((i % 18) // 6) + gr + 2 * c) % 8
+                  ELSE 0 END))
+        END AS xr
+      FROM symv
+    ), st AS (
+      SELECT a.d, a.sr, a.nf, a.g, a.i,
+             ((a.i % 18) // 6) AS win,
+             ({sfs_t})[a.sr + 1]
+                      [CAST((a.i // 18) * 6 + (a.i % 6) AS INT) + 1] AS sfb,
+             a.gr, a.ms, a.xr AS lx, b.xr AS rx
+      FROM xr0 a JOIN xr0 b
+        ON a.d = b.d AND a.g = b.g AND a.i = b.i
+       AND a.c = 0 AND b.c = 1
+    ), dec AS (
+      SELECT *,
+        sfb < 5 + (d + win) % 4
+          OR (CASE WHEN sfb < 12
+                   THEN (d + 3 * sfb + win + gr + 2) % 8
+                   ELSE 7 END) = 7 AS takes_ms,
+        CASE WHEN sfb < 12
+             THEN (d + 3 * sfb + win + gr + 2) % 8
+             ELSE 7 END AS is_pos
+      FROM st
+    ), xr1 AS (
+      SELECT d, sr, nf, g, i, 0 AS c,
+        CASE WHEN takes_ms AND ms THEN (lx + rx) / sqrt(2.0)
+             WHEN takes_ms THEN lx
+             ELSE lx * ({kl})[is_pos + 1] END AS xr
+      FROM dec
+      UNION ALL
+      SELECT d, sr, nf, g, i, 1 AS c,
+        CASE WHEN takes_ms AND ms THEN (lx - rx) / sqrt(2.0)
+             WHEN takes_ms THEN rx
+             ELSE lx * ({kr})[is_pos + 1] END AS xr
+      FROM dec
+    ), mmt AS (
+      SELECT n, k, ({m2})[CAST(n AS INT) + 1][CAST(k AS INT) + 1] AS m
+      FROM UNNEST(range(0, 36)) AS tn(n), UNNEST(range(0, 18)) AS tk(k)
+    ), hyb AS (
+      SELECT a.d, a.sr, a.nf, a.g, a.c, a.i // 18 AS sb, t.n,
+             sum(t.m * a.xr) AS raw
+      FROM xr1 a JOIN mmt t ON t.k = a.i % 18
+      GROUP BY 1, 2, 3, 4, 5, 6, 7
+    ), ov AS (
+      SELECT h.d, h.sr, h.nf, h.g, h.c, h.sb, h.n,
+             h.raw + coalesce(p.raw, 0.0) AS s
+      FROM hyb h LEFT JOIN hyb p
+        ON p.d = h.d AND p.c = h.c AND p.sb = h.sb
+       AND p.n = h.n + 18 AND p.g = h.g - 1
+      WHERE h.n < 18
+    ), vals AS (
+      SELECT d, sr, nf, g, c, sb, n,
+             CASE WHEN sb % 2 = 1 AND n % 2 = 1 THEN -s ELSE s END AS v
+      FROM ov
+    )
+    SELECT d AS doc_id,
+           CAST(CASE max(sr) WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS INT) AS sample_rate,
+           CAST(2 AS INT) AS channels,
+           CAST(2 * max(nf) AS INT) AS n_granules,
+           round(sum(v), 6) AS sample_sum,
+           round(sum(v * (((g * 2 + c) * 32 + sb) * 18 + n + 1)), 6)
+             AS weighted_sum
+    FROM vals GROUP BY d ORDER BY d
+    """
+
+
+@_register("multimodal_mp3_short_intensity_decode", _mp3_short_is_oracle())
+def multimodal_mp3_short_intensity_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Layer III SHORT-BLOCK intensity stereo decode — the last fenced
+    stereo mode (§2.4.3.4.9.3 for block_type 2): the right channel's
+    zero region is detected PER WINDOW (the fixture pins three
+    different band bounds inside one granule via b_w = 5 + (d+w)%4),
+    intensity positions live in the right channel's (sfb, window)
+    scalefactor slots, is_pos 7 falls back to MS/LR, and bands below
+    each window's bound process as MS when the MS flag is set (half the
+    docs). The oracle replays both short requantizations (reorder,
+    subblock gains), the per-window decision and the 12-point
+    IMDCT/overlap tail term-for-term."""
+    docs = (
+        fan_out(_t(spark, sf_dir, "documents"))
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mp3_l3 import decode_mp3_subbands, encode_mp3_l3
+
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("sample_rate", "channels", "n_granules", "sample_sum",
+                     "weighted_sum")}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                sr = d % 3
+
+                def granule_fn(f, gr, c, d=d, sr=sr):
+                    return _l3_short_is_granule(d, f, gr, c, sr)
+
+                payload = encode_mp3_l3(
+                    granule_fn,
+                    sr_idx=sr,
+                    br_idx=14,
+                    channels=2,
+                    n_frames=1 + (d // 2) % 2,
+                    ms_stereo=d % 2 == 0,
+                    intensity=True,
+                )
+                rate, ch, ng, grans = decode_mp3_subbands(payload)
+                ss = ws = 0.0
+                for g, chans_out in enumerate(grans):
+                    for c, sbs in enumerate(chans_out):
+                        for sb, vals in enumerate(sbs):
+                            for n, v in enumerate(vals):
+                                ss += v
+                                ws += v * (
+                                    ((g * ch + c) * 32 + sb) * 18 + n + 1
+                                )
+                cols["sample_rate"].append(rate)
+                cols["channels"].append(ch)
+                cols["n_granules"].append(ng)
+                cols["sample_sum"].append(round(ss, 6))
+                cols["weighted_sum"].append(round(ws, 6))
+            out = pdf[["doc_id"]].copy()
+            for k in ("sample_rate", "channels", "n_granules"):
+                out[k] = pd.array(cols[k], dtype="Int32")
+            for k in ("sample_sum", "weighted_sum"):
+                out[k] = pd.array(cols[k], dtype="float64")
+            yield out
+
+    return (
+        docs.mapInPandas(
+            run,
+            "doc_id bigint, sample_rate int, channels int,"
+            " n_granules int, sample_sum double, weighted_sum double",
+        )
+        .orderBy("doc_id")
+    )
+
+
 __all__ = [n for n in dict(globals()) if not n.startswith("__")]

@@ -605,8 +605,17 @@ def test_intensity_bound_splits_ms_and_intensity_regions():
         got[3][0][1][0], (l0 - r0) / math.sqrt(2), atol=1e-12)
 
 
-def test_intensity_short_blocks_fenced():
+def test_intensity_mismatched_block_types_fenced():
+    """Short-block intensity is now implemented; the remaining fence is
+    a short right channel against a long left one (and vice versa)."""
     def granule_fn(f, gr, c):
+        if c == 0:
+            return dict(
+                block_type=0, global_gain=210, scalefac_compress=0,
+                preflag=0, scalefac_scale=0, subblock_gain=[0, 0, 0],
+                table_select=[1, 1, 0], count1table_select=0,
+                lines=[], quads=[], sf=[0] * 21,
+            )
         return dict(
             block_type=2, global_gain=210, scalefac_compress=13,
             preflag=0, scalefac_scale=0, subblock_gain=[0, 0, 0],
@@ -617,5 +626,103 @@ def test_intensity_short_blocks_fenced():
 
     p = encode_mp3_l3(granule_fn, sr_idx=0, channels=2, n_frames=1,
                       intensity=True)
-    with pytest.raises(Mp3FormatError, match="short"):
+    with pytest.raises(Mp3FormatError, match="mismatched"):
         decode_mp3_subbands(p)
+
+
+def _short_granule(lines, sf=None, c_sf=0):
+    return dict(
+        block_type=2, global_gain=210, scalefac_compress=13,
+        preflag=0, scalefac_scale=0, subblock_gain=[0, 0, 0],
+        table_select=[1, 1, 0], count1table_select=0,
+        lines=list(lines), quads=[],
+        sf=sf if sf is not None else [[c_sf] * 3 for _ in range(12)],
+    )
+
+
+def test_short_intensity_per_window_referee():
+    """Independent referee for §2.4.3.4.9.3 short blocks, built from
+    LINEARITY (everything after the stereo stage is linear per
+    channel): decode each impulse alone with no stereo flags, then
+    check the joint decode equals the spec-rule combination.
+
+    Layout (sr 0, bands [0,4,8,12,16,22,...]): the RIGHT channel's only
+    line sits at (sfb 2, window 1) — so window 1's intensity bound is
+    sfb 3 while windows 0 and 2 have bound 0 (fully intensity). Left
+    impulses probe all three regimes inside ONE granule:
+      A (sfb2,w0)  -> intensity with is_pos = sf_r[2][0] = 2
+      B (sfb2,w1)  -> BELOW window-1 bound -> MS
+      D (sfb5,w2)  -> intensity with is_pos = sf_r[5][2] = 5
+    and the right impulse C (sfb2,w1) itself processes as MS."""
+    # huffman positions (band-major, window inside): h(sfb,w,j) =
+    # 3*bands[sfb] + w*width + j; band 2 is 4 wide, band 5 is 8 wide
+    hA = 3 * 8 + 0 * 4 + 0   # (2,0,0) -> 24
+    hB = 3 * 8 + 1 * 4 + 1   # (2,1,1) -> 29
+    hC = 3 * 8 + 1 * 4 + 0   # (2,1,0) -> 28
+    hD = 3 * 22 + 2 * 8 + 0  # (5,2,0) -> 82
+
+    def lines_with(*hs):
+        n = max(hs) + 1
+        n += n % 2
+        return [1 if h in hs else 0 for h in range(n)]
+
+    sf_r = [[7] * 3 for _ in range(12)]
+    sf_r[2][0] = 2
+    sf_r[5][2] = 5
+    sf_r[2][1] = 0  # REAL scalefactor for the below-bound right line
+
+    def joint_fn(f, gr, c):
+        if c == 0:
+            return _short_granule(lines_with(hA, hB, hD))
+        return _short_granule(lines_with(hC), sf=sf_r)
+
+    kw = dict(sr_idx=0, br_idx=14, channels=2, n_frames=1)
+    got = decode_mp3_subbands(
+        encode_mp3_l3(joint_fn, intensity=True, ms_stereo=True, **kw))[3]
+
+    def solo(h, sf=None):
+        def fn(f, gr, c):
+            return _short_granule(lines_with(h) if c == 0 else [],
+                                  sf=sf)
+        return np.array(
+            decode_mp3_subbands(encode_mp3_l3(fn, **kw))[3]
+        )[:, 0]  # [g][sb][18] of the left channel
+
+    outA = solo(hA)
+    outB = solo(hB)
+    outC = solo(hC, sf=sf_r)  # same requant grid as the right channel
+    outD = solo(hD)
+    r2 = math.sqrt(2.0)
+    t2, t5 = math.tan(2 * math.pi / 12), math.tan(5 * math.pi / 12)
+    kl2, kr2 = t2 / (1 + t2), 1 / (1 + t2)
+    kl5, kr5 = t5 / (1 + t5), 1 / (1 + t5)
+    exp_l = kl2 * outA + (outB + outC) / r2 + kl5 * outD
+    exp_r = kr2 * outA + (outB - outC) / r2 + kr5 * outD
+    np.testing.assert_allclose(np.array(got)[:, 0], exp_l, atol=1e-12)
+    np.testing.assert_allclose(np.array(got)[:, 1], exp_r, atol=1e-12)
+
+
+def test_short_intensity_without_ms_leaves_below_bound_lr():
+    """Same layout, MS flag OFF: below-bound lines pass through LR and
+    is_pos-7 bands leave the (zero) right channel untouched."""
+    hB = 3 * 8 + 1 * 4 + 1
+    hC = 3 * 8 + 1 * 4 + 0
+    sf_r = [[7] * 3 for _ in range(12)]
+    sf_r[2][1] = 0
+
+    def lines_with(h):
+        n = h + 1 + (h + 1) % 2
+        return [1 if i == h else 0 for i in range(n)]
+
+    def joint_fn(f, gr, c):
+        if c == 0:
+            return _short_granule(lines_with(hB))
+        return _short_granule(lines_with(hC), sf=sf_r)
+
+    kw = dict(sr_idx=0, br_idx=14, channels=2, n_frames=1)
+    got = decode_mp3_subbands(encode_mp3_l3(joint_fn, intensity=True, **kw))[3]
+    plain = decode_mp3_subbands(encode_mp3_l3(joint_fn, **kw))[3]
+    for g in range(2):
+        for sb in range(32):
+            np.testing.assert_allclose(got[g][0][sb], plain[g][0][sb], atol=0)
+            np.testing.assert_allclose(got[g][1][sb], plain[g][1][sb], atol=0)
