@@ -1,0 +1,115 @@
+"""WebDataset shard operators: tar member walk + per-shard sample
+grouping (``sources/tar.py``), the loader side of the multimodal
+training-data loop.
+
+Both kernels are single Arrow-batched ``mapInPandas`` passes (the seam
+contract of ``operators/web.py``/``multimodal.py``): shard bytes never
+shuffle, broadcast, or reach the driver. Sample grouping is per-shard
+and in-stream — the WebDataset contract makes sample boundaries a
+local property of one tar, so the 100 TB plan needs no shuffle at all
+between shard bytes and assembled samples."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+TAR_MEMBER_SCHEMA = (
+    "member_idx int, name string, size bigint, mtime bigint,"
+    " typeflag string, payload binary"
+)
+
+WDS_SAMPLE_SCHEMA = (
+    "sample_idx int, key string, n_parts int, exts array<string>,"
+    " parts map<string,binary>"
+)
+
+
+def tar_members(df: DataFrame, tar_col: str = "shard") -> DataFrame:
+    """Explode tar shard bytes into one row per member (checksums
+    verified; gzip envelopes unwrapped). Unparseable shards yield zero
+    rows rather than killing the job — the same dirty-input contract as
+    :func:`operators.web.warc_records`."""
+    base_cols = [c for c in df.columns if c != tar_col]
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.tar import TarFormatError, parse_tar
+
+        rec_cols = ("member_idx", "name", "size", "mtime", "typeflag",
+                    "payload")
+        for pdf in batches:
+            acc: dict[str, list] = {c: [] for c in base_cols}
+            acc.update({c: [] for c in rec_cols})
+            for _, r in pdf.iterrows():
+                try:
+                    ms = parse_tar(bytes(r[tar_col]))
+                except (TarFormatError, ValueError, TypeError):
+                    continue
+                for i, m in enumerate(ms):
+                    for c in base_cols:
+                        acc[c].append(r[c])
+                    acc["member_idx"].append(i)
+                    for k in ("name", "size", "mtime", "typeflag",
+                              "payload"):
+                        acc[k].append(m[k])
+            out = pd.DataFrame(
+                {c: acc[c] for c in base_cols + list(rec_cols)}
+            )
+            out["member_idx"] = pd.array(acc["member_idx"], dtype="Int32")
+            for k in ("size", "mtime"):
+                out[k] = pd.array(acc[k], dtype="Int64")
+            yield out
+
+    base_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema
+        if f.name != tar_col
+    )
+    return df.mapInPandas(walk, base_schema + ", " + TAR_MEMBER_SCHEMA)
+
+
+def wds_samples(df: DataFrame, tar_col: str = "shard") -> DataFrame:
+    """Assemble WebDataset samples: one row per sample with the
+    ``key``, the sorted extension list and an ``ext → bytes`` map.
+    Grouping is per shard over CONSECUTIVE members (the streaming
+    contract) — no shuffle between shard bytes and samples."""
+    base_cols = [c for c in df.columns if c != tar_col]
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.tar import TarFormatError, group_wds_samples, parse_tar
+
+        rec_cols = ("sample_idx", "key", "n_parts", "exts", "parts")
+        for pdf in batches:
+            acc: dict[str, list] = {c: [] for c in base_cols}
+            acc.update({c: [] for c in rec_cols})
+            for _, r in pdf.iterrows():
+                try:
+                    samples = group_wds_samples(parse_tar(bytes(r[tar_col])))
+                except (TarFormatError, ValueError, TypeError):
+                    continue
+                for i, s in enumerate(samples):
+                    for c in base_cols:
+                        acc[c].append(r[c])
+                    acc["sample_idx"].append(i)
+                    acc["key"].append(s["key"])
+                    acc["n_parts"].append(len(s["parts"]))
+                    acc["exts"].append(sorted(s["parts"]))
+                    acc["parts"].append(dict(s["parts"]))
+            out = pd.DataFrame(
+                {
+                    c: pd.Series(acc[c], dtype=object)
+                    for c in base_cols + list(rec_cols)
+                }
+            )
+            for k in ("sample_idx", "n_parts"):
+                out[k] = pd.array(acc[k], dtype="Int32")
+            yield out
+
+    base_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema
+        if f.name != tar_col
+    )
+    return df.mapInPandas(walk, base_schema + ", " + WDS_SAMPLE_SCHEMA)

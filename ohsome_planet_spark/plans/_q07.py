@@ -922,4 +922,79 @@ def multimodal_mp3_short_intensity_decode(
     )
 
 
+_WDS_ORACLE = """
+SELECT doc_id,
+  CAST(i AS INT) AS sample_idx,
+  's/' || CAST(doc_id AS VARCHAR) || CASE WHEN i = 1 THEN 'x' ELSE '' END
+    AS key,
+  CAST(CASE WHEN i = 0 THEN 3 ELSE 1 END AS INT) AS n_parts,
+  CASE WHEN i = 0 THEN 'cls,json,txt' ELSE 'seg.txt' END AS exts_csv,
+  CASE WHEN i = 0 THEN text ELSE lang END AS part_text,
+  CASE WHEN i = 0 THEN CAST(doc_id % 10 AS VARCHAR) ELSE NULL END AS label
+FROM documents, UNNEST(range(0, 2)) AS t(i)
+ORDER BY doc_id, i
+"""
+
+
+@_register("webdataset_ingest", _WDS_ORACLE)
+def webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard ingestion end-to-end: every document becomes a
+    ustar shard holding TWO samples — (key.txt, key.json, key.cls) and
+    a second key exercising the first-dot extension split
+    (``.seg.txt``) — with gzip envelopes, ustar prefix-field name
+    spelling and mtime grids rotating by doc. The shard walks back
+    through checksum-verified member parsing and the consecutive-key
+    sample grouping of :func:`operators.webdataset.wds_samples`; the
+    oracle replays keys, part counts, extension sets and the text/label
+    payload round trip. A checksum slip, a wrong 512-block pad or a
+    broken key split shifts a concrete row."""
+    from ..operators.webdataset import wds_samples
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.tar import encode_tar
+
+        for pdf in batches:
+            payloads = []
+            for _, r in pdf.iterrows():
+                d = int(r["doc_id"])
+                k = f"s/{d}"
+                members = [
+                    (f"{k}.txt", str(r["text"]).encode()),
+                    (f"{k}.json",
+                     b'{"doc": %d, "lang": "%s"}'
+                     % (d, str(r["lang"]).encode())),
+                    (f"{k}.cls", str(d % 10).encode()),
+                    (f"{k}x.seg.txt", str(r["lang"]).encode()),
+                ]
+                payloads.append(
+                    encode_tar(
+                        members,
+                        gzip_envelope=d % 2 == 0,
+                        mtime=d,
+                        prefix_split=d % 3 == 0,
+                    )
+                )
+            out = pdf[["doc_id"]].copy()
+            out["shard"] = payloads
+            yield out
+
+    shards = docs.mapInPandas(encode, "doc_id bigint, shard binary")
+    samples = wds_samples(shards, "shard")
+    return samples.select(
+        "doc_id",
+        "sample_idx",
+        "key",
+        "n_parts",
+        F.concat_ws(",", "exts").alias("exts_csv"),
+        F.coalesce(
+            F.col("parts").getItem("txt"), F.col("parts").getItem("seg.txt")
+        ).cast("string").alias("part_text"),
+        F.col("parts").getItem("cls").cast("string").alias("label"),
+    ).orderBy("doc_id", "sample_idx")
+
+
 __all__ = [n for n in dict(globals()) if not n.startswith("__")]

@@ -1,0 +1,129 @@
+"""ustar/WebDataset shard ingestion: hand-built header referee
+(independent of the fixture encoder), checksum variants, grouping
+contract, error fences, and the operator seams."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+import pytest
+
+from ohsome_planet_spark.sources.tar import (
+    TarFormatError,
+    encode_tar,
+    group_wds_samples,
+    parse_tar,
+    split_wds_key,
+)
+
+
+def test_stdlib_tarfile_is_the_referee():
+    """Archives produced by CPython's tarfile (an independent ustar
+    writer) must parse identically — names, sizes, payloads."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in [("a/0.txt", b"alpha"), ("a/0.json", b"{}"),
+                           ("a/1.txt", b"beta" * 200)]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 1700000000
+            tf.addfile(info, io.BytesIO(data))
+    members = parse_tar(buf.getvalue())
+    assert [(m["name"], m["size"]) for m in members] == [
+        ("a/0.txt", 5), ("a/0.json", 2), ("a/1.txt", 800)]
+    assert members[2]["payload"] == b"beta" * 200
+    assert all(m["mtime"] == 1700000000 for m in members)
+
+
+def test_our_archives_parse_with_stdlib():
+    """Symmetric referee: stdlib tarfile must read the fixture
+    encoder's output byte-for-byte."""
+    t = encode_tar([("s/7.txt", b"hello"), ("s/7.cls", b"3")],
+                   prefix_split=True, mtime=42)
+    with tarfile.open(fileobj=io.BytesIO(t)) as tf:
+        got = {m.name: tf.extractfile(m).read() for m in tf.getmembers()}
+    assert got == {"s/7.txt": b"hello", "s/7.cls": b"3"}
+
+
+def test_signed_checksum_variant_accepted():
+    """Historical tars sum header bytes as SIGNED chars; with a name
+    byte >= 0x80 the two sums differ and both must be accepted."""
+    t = bytearray(encode_tar([("caf\xe9.txt", b"x")]))
+    # recompute the checksum with signed arithmetic over the first block
+    hdr = bytearray(t[:512])
+    hdr[148:156] = b" " * 8
+    signed = sum(b - 256 if b >= 128 else b for b in hdr)
+    t[148:156] = b"%06o\0 " % (signed & 0o777777)
+    # the name byte 0xe9 (utf-8 encodes to two >=0x80 bytes) makes
+    # signed != unsigned
+    unsigned = sum(hdr)
+    assert signed != unsigned
+    (m,) = parse_tar(bytes(t))
+    assert m["payload"] == b"x"
+
+
+def test_split_wds_key_first_dot():
+    assert split_wds_key("a/b.seg.txt") == ("a/b", "seg.txt")
+    assert split_wds_key("x.txt") == ("x", "txt")
+    assert split_wds_key("dir.v2/x.txt") == ("dir.v2/x", "txt")  # dot in dir
+    assert split_wds_key("noext") == ("noext", "")
+
+
+def test_grouping_consecutive_contract():
+    members = [
+        {"name": "k1.txt", "typeflag": "0", "payload": b"a"},
+        {"name": "k1.json", "typeflag": "0", "payload": b"b"},
+        {"name": "k2.txt", "typeflag": "0", "payload": b"c"},
+        # k1 REAPPEARS after a break: a NEW sample, per streaming readers
+        {"name": "k1.cls", "typeflag": "0", "payload": b"d"},
+    ]
+    samples = group_wds_samples(members)
+    assert [s["key"] for s in samples] == ["k1", "k2", "k1"]
+    with pytest.raises(TarFormatError, match="duplicate"):
+        group_wds_samples([
+            {"name": "k.txt", "typeflag": "0", "payload": b"a"},
+            {"name": "k.txt", "typeflag": "0", "payload": b"b"},
+        ])
+
+
+def test_error_contract():
+    good = encode_tar([("a.txt", b"abc")])
+    bad = bytearray(good)
+    bad[130] ^= 1  # size field inside checksummed region
+    with pytest.raises(TarFormatError, match="checksum"):
+        parse_tar(bytes(bad))
+    with pytest.raises(TarFormatError, match="truncated"):
+        parse_tar(good[:512])  # header without payload/terminator
+    with pytest.raises(TarFormatError, match="gzip"):
+        parse_tar(b"\x1f\x8b" + b"junkjunkjunk")
+    # PAX fence via stdlib pax writer
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.PAX_FORMAT) as tf:
+        info = tarfile.TarInfo("x" * 150)  # forces a pax path header
+        info.size = 1
+        tf.addfile(info, io.BytesIO(b"z"))
+    with pytest.raises(TarFormatError, match="PAX"):
+        parse_tar(buf.getvalue())
+
+
+def test_operators_seam(spark):
+    from ohsome_planet_spark.operators.webdataset import tar_members, wds_samples
+
+    t1 = encode_tar(
+        [("s/1.txt", b"one"), ("s/1.cls", b"7"), ("s/2.txt", b"two")],
+        gzip_envelope=True,
+    )
+    rows = [(1, bytearray(t1)), (2, bytearray(b"not a tar"))]
+    df = spark.createDataFrame(rows, "shard_id bigint, shard binary")
+
+    got_m = tar_members(df, "shard").collect()
+    assert [(r["shard_id"], r["name"]) for r in got_m] == [
+        (1, "s/1.txt"), (1, "s/1.cls"), (1, "s/2.txt")]
+
+    got_s = wds_samples(df, "shard").collect()
+    assert [(r["key"], r["n_parts"]) for r in got_s] == [
+        ("s/1", 2), ("s/2", 1)]
+    assert bytes(got_s[0]["parts"]["cls"]) == b"7"
+    assert got_s[0]["exts"] == ["cls", "txt"]
