@@ -457,6 +457,48 @@ def probe_ogg_stream(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(probe, schema)
 
 
+def probe_webm_stream(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL EBML/Matroska/WebM probe via ``mapInPandas``
+    (``functions/ebml.py``): varint walk (non-minimal sizes, unknown-size
+    segments), Info/Tracks/Cluster decode, SimpleBlock counting.
+    VP8/VP9/AV1/Opus frame decode stays behind the documented
+    external-codec stub; undecodable payloads null out."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.ebml import EbmlFormatError, probe_webm
+
+        cols = ("doctype", "video_codec", "width", "height", "audio_codec",
+                "sample_rate", "channels", "timescale_ns", "duration_ms",
+                "n_tracks", "n_clusters", "n_blocks")
+        for pdf in batches:
+            acc = {k: [] for k in cols}
+            for payload in pdf[media_col]:
+                try:
+                    r = probe_webm(bytes(payload))
+                except (EbmlFormatError, ValueError, TypeError, IndexError):
+                    r = None
+                for k in cols:
+                    acc[k].append(r[k] if r is not None else None)
+            out = pdf.copy()
+            for k in ("width", "height", "sample_rate", "channels",
+                      "n_tracks", "n_clusters", "n_blocks"):
+                out[k] = pd.array(acc[k], dtype="Int32")
+            for k in ("timescale_ns", "duration_ms"):
+                out[k] = pd.array(acc[k], dtype="Int64")
+            for k in ("doctype", "video_codec", "audio_codec"):
+                out[k] = acc[k]
+            yield out
+
+    schema = (
+        df.schema.simpleString()[7:-1]
+        + ",doctype string,video_codec string,width int,height int,"
+        "audio_codec string,sample_rate int,channels int,"
+        "timescale_ns bigint,duration_ms bigint,n_tracks int,"
+        "n_clusters int,n_blocks int"
+    )
+    return df.mapInPandas(probe, schema)
+
+
 def probe_video(df: DataFrame, media_col: str = "media") -> DataFrame:
     """REAL video container probe via ``mapInPandas``: ISO-BMFF (MP4/MOV)
     box walk or RIFF/AVI chunk walk (magic-sniffed) →

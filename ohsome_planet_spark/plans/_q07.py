@@ -997,4 +997,101 @@ def webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "sample_idx")
 
 
+_WEBM_ORACLE = """
+WITH cfg AS (
+  SELECT doc_id, doc_id AS d,
+    CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END AS doctype,
+    ['V_VP8', 'V_VP9', 'V_AV1'][doc_id % 3 + 1] AS video_codec,
+    CASE WHEN doc_id % 2 = 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END
+      AS audio_codec,
+    [48000, 44100, 32000][doc_id % 3 + 1] AS rate,
+    [1000000, 500000, 250000][doc_id % 3 + 1] AS ts,
+    doc_id % 9000 + 1000 AS dur_units,
+    CAST(doc_id % 4 + 1 AS INT) AS n_clusters,
+    doc_id % 3 + 1 AS bpc
+  FROM documents
+)
+SELECT doc_id, doctype, video_codec,
+  CAST(d % 1904 + 16 AS INT) AS width,
+  CAST(d % 1064 + 16 AS INT) AS height,
+  audio_codec,
+  CAST(rate AS INT) AS sample_rate,
+  CAST(d % 8 + 1 AS INT) AS channels,
+  CAST(ts AS BIGINT) AS timescale_ns,
+  CAST(dur_units * ts // 1000000 AS BIGINT) AS duration_ms,
+  CAST(2 AS INT) AS n_tracks,
+  n_clusters,
+  CAST(n_clusters * bpc AS INT) AS n_blocks
+FROM cfg ORDER BY doc_id
+"""
+
+
+@_register("multimodal_webm_probe", _WEBM_ORACLE)
+def multimodal_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EBML/WebM/Matroska probe through the multimodal seam:
+    conformant trees sweeping both doctypes, three video codecs, the
+    float4/float8 Duration spellings, NON-minimal varint size widths
+    (legal per RFC 8794 §4.1, and the classic parser trap), Void
+    padding and rotating cluster/block grids are walked back by
+    :func:`operators.multimodal.probe_webm_stream`. The oracle replays
+    dimensions, codec ids, the TimestampScale duration arithmetic and
+    cluster/SimpleBlock counts; a varint width slip or a skipped-child
+    misparse shifts a concrete row. Completes the web-video container
+    family next to the ISO-BMFF and RIFF/AVI probes."""
+    from ..operators.multimodal import probe_webm_stream
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.ebml import encode_webm
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    encode_webm(
+                        doctype="webm" if d % 2 == 0 else "matroska",
+                        width=d % 1904 + 16,
+                        height=d % 1064 + 16,
+                        video_codec=("V_VP8", "V_VP9", "V_AV1")[d % 3],
+                        audio_codec="A_OPUS" if d % 2 == 0 else "A_VORBIS",
+                        sample_rate=(48000, 44100, 32000)[d % 3],
+                        channels=d % 8 + 1,
+                        timescale=(1_000_000, 500_000, 250_000)[d % 3],
+                        duration_units=float(d % 9000 + 1000),
+                        n_clusters=d % 4 + 1,
+                        blocks_per_cluster=d % 3 + 1,
+                        float8=d % 2 == 0,
+                        wide_sizes=d % 3 == 0,
+                        with_void=d % 5 == 0,
+                        seed=d,
+                    )
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+    return (
+        probe_webm_stream(media)
+        .select(
+            "doc_id",
+            "doctype",
+            "video_codec",
+            "width",
+            "height",
+            "audio_codec",
+            "sample_rate",
+            "channels",
+            "timescale_ns",
+            "duration_ms",
+            "n_tracks",
+            "n_clusters",
+            "n_blocks",
+        )
+        .orderBy("doc_id")
+    )
+
+
 __all__ = [n for n in dict(globals()) if not n.startswith("__")]
