@@ -499,6 +499,57 @@ def probe_webm_stream(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(probe, schema)
 
 
+def subtitle_cues(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Explode SRT/WebVTT caption payloads into one row per cue
+    (``functions/subtitles.py``): magic-sniffed format, millisecond
+    timings, markup-stripped text. Unparseable payloads yield zero rows
+    (crawl captions are dirty by construction)."""
+    base_cols = [c for c in df.columns if c != media_col]
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.subtitles import SubtitleFormatError, parse_subtitles
+
+        rec_cols = ("fmt", "cue_idx", "start_ms", "end_ms", "cue_text")
+        for pdf in batches:
+            acc: dict[str, list] = {c: [] for c in base_cols}
+            acc.update({c: [] for c in rec_cols})
+            for _, r in pdf.iterrows():
+                try:
+                    fmt, cues = parse_subtitles(r[media_col])
+                except (SubtitleFormatError, ValueError, TypeError):
+                    continue
+                for i, cue in enumerate(cues):
+                    for c in base_cols:
+                        acc[c].append(r[c])
+                    acc["fmt"].append(fmt)
+                    acc["cue_idx"].append(i)
+                    acc["start_ms"].append(cue["start_ms"])
+                    acc["end_ms"].append(cue["end_ms"])
+                    acc["cue_text"].append(cue["text"])
+            out = pd.DataFrame(
+                {
+                    c: pd.Series(acc[c], dtype=object)
+                    for c in base_cols + list(rec_cols)
+                }
+            )
+            out["cue_idx"] = pd.array(acc["cue_idx"], dtype="Int32")
+            for k in ("start_ms", "end_ms"):
+                out[k] = pd.array(acc[k], dtype="Int64")
+            yield out
+
+    base_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema
+        if f.name != media_col
+    )
+    return df.mapInPandas(
+        walk,
+        base_schema
+        + ", fmt string, cue_idx int, start_ms bigint, end_ms bigint,"
+        " cue_text string",
+    )
+
+
 def probe_video(df: DataFrame, media_col: str = "media") -> DataFrame:
     """REAL video container probe via ``mapInPandas``: ISO-BMFF (MP4/MOV)
     box walk or RIFF/AVI chunk walk (magic-sniffed) →

@@ -1094,4 +1094,96 @@ def multimodal_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBS_ORACLE = """
+WITH cfg AS (
+  SELECT doc_id, doc_id AS d,
+    string_split(text, ' ') AS words,
+    CAST(doc_id % 4 + 1 AS INT) AS nc
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN d % 2 = 0 THEN 'srt' ELSE 'vtt' END AS fmt,
+  CAST(i AS INT) AS cue_idx,
+  CAST(d % 100 * 100 + i * 2000 AS BIGINT) AS start_ms,
+  CAST(d % 100 * 100 + i * 2000 + 1500 + d % 500 AS BIGINT) AS end_ms,
+  array_to_string(words[
+    (CAST(i AS INT) * 3 % greatest(len(words), 1)) + 1 :
+    (CAST(i AS INT) * 3 % greatest(len(words), 1)) + 4], ' ')
+    AS cue_text
+FROM cfg, UNNEST(range(0, nc)) AS t(i)
+ORDER BY doc_id, i
+"""
+
+
+@_register("subtitle_extract", _SUBS_ORACLE)
+def subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-track extraction end-to-end: each doc's words become
+    SubRip cues (even docs — CRLF line endings, numeric indices, bold
+    markup around the first word) or WebVTT cues (odd docs — signature
+    block, NOTE comment, cue identifiers, settings after the arrow,
+    inline karaoke timestamps and ``&amp;`` entities), exploded back to
+    one row per cue by :func:`operators.multimodal.subtitle_cues`. The
+    oracle replays timings and the markup-STRIPPED text; an unstripped
+    tag, an entity slip, or a comma/dot millisecond mixup breaks a
+    concrete row."""
+    from ..operators.multimodal import subtitle_cues
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fmt_ts(ms: int, sep: str) -> str:
+            h, rem = divmod(ms, 3_600_000)
+            m, rem = divmod(rem, 60_000)
+            s, frac = divmod(rem, 1000)
+            return f"{h:02d}:{m:02d}:{s:02d}{sep}{frac:03d}"
+
+        for pdf in batches:
+            payloads = []
+            for _, r in pdf.iterrows():
+                d = int(r["doc_id"])
+                words = str(r["text"]).split(" ")
+                nc = d % 4 + 1
+                cues = []
+                for i in range(nc):
+                    j = (i * 3) % max(len(words), 1)
+                    cue_words = words[j : j + 4]
+                    start = d % 100 * 100 + i * 2000
+                    end = start + 1500 + d % 500
+                    cues.append((start, end, cue_words))
+                if d % 2 == 0:
+                    blocks = []
+                    for i, (start, end, cue_words) in enumerate(cues):
+                        marked = list(cue_words)
+                        marked[0] = f"<b>{marked[0]}</b>"
+                        blocks.append(
+                            f"{i + 1}\r\n"
+                            f"{fmt_ts(start, ',')} --> {fmt_ts(end, ',')}\r\n"
+                            + " ".join(marked)
+                        )
+                    payloads.append(("\r\n\r\n".join(blocks) + "\r\n").encode())
+                else:
+                    parts = ["WEBVTT - fixture", "NOTE generated cue grid"]
+                    for i, (start, end, cue_words) in enumerate(cues):
+                        marked = " ".join(cue_words).replace(
+                            " ", f"<{fmt_ts(start, '.')}> ", 1
+                        ) if len(cue_words) > 1 else " ".join(cue_words)
+                        parts.append(
+                            f"cue-{d}-{i}\n"
+                            f"{fmt_ts(start, '.')} --> {fmt_ts(end, '.')}"
+                            " align:start\n"
+                            f"<c.speaker>{marked}</c>"
+                        )
+                    payloads.append("\n\n".join(parts).encode())
+            out = pdf[["doc_id"]].copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+    return (
+        subtitle_cues(media)
+        .select("doc_id", "fmt", "cue_idx", "start_ms", "end_ms", "cue_text")
+        .orderBy("doc_id", "cue_idx")
+    )
+
+
 __all__ = [n for n in dict(globals()) if not n.startswith("__")]
