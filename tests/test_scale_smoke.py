@@ -660,3 +660,31 @@ def test_cc_pdf_ingest_scales(spark, scaled_dirs):
     # WARC walk + dual-branch extraction re-joined on doc_id: the join
     # is the only exchange and its shape must not change with scale
     _smoke_query(spark, "cc_pdf_ingest", scaled_dirs, check_exchanges=True)
+
+
+def test_robots_url_filter_scales(spark, scaled_dirs):
+    # broadcast rule dim + regexp pass + map-side-combinable max(struct);
+    # the only wide exchange is the groupBy on the URL key
+    _smoke_query(spark, "robots_url_filter", scaled_dirs, check_exchanges=True)
+
+
+def test_multimodal_ogg_probe_scales(spark, scaled_dirs):
+    _smoke_query(
+        spark, "multimodal_ogg_probe", scaled_dirs, check_exchanges=True
+    )
+
+
+def test_multimodal_webm_probe_scales(spark, scaled_dirs):
+    _smoke_query(
+        spark, "multimodal_webm_probe", scaled_dirs, check_exchanges=True
+    )
+
+
+def test_webdataset_ingest_scales(spark, scaled_dirs):
+    # shard walk + per-shard in-stream sample grouping: zero shuffles
+    # between shard bytes and samples
+    _smoke_query(spark, "webdataset_ingest", scaled_dirs, check_exchanges=True)
+
+
+def test_subtitle_extract_scales(spark, scaled_dirs):
+    _smoke_query(spark, "subtitle_extract", scaled_dirs, check_exchanges=True)
