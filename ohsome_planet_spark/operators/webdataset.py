@@ -67,7 +67,8 @@ def tar_members(df: DataFrame, tar_col: str = "shard") -> DataFrame:
         for f in df.schema
         if f.name != tar_col
     )
-    return df.mapInPandas(walk, base_schema + ", " + TAR_MEMBER_SCHEMA)
+    schema = (base_schema + ", " if base_schema else "") + TAR_MEMBER_SCHEMA
+    return df.mapInPandas(walk, schema)
 
 
 def wds_samples(df: DataFrame, tar_col: str = "shard") -> DataFrame:
@@ -112,4 +113,89 @@ def wds_samples(df: DataFrame, tar_col: str = "shard") -> DataFrame:
         for f in df.schema
         if f.name != tar_col
     )
-    return df.mapInPandas(walk, base_schema + ", " + WDS_SAMPLE_SCHEMA)
+    schema = (base_schema + ", " if base_schema else "") + WDS_SAMPLE_SCHEMA
+    return df.mapInPandas(walk, schema)
+
+
+def write_wds_shards(
+    df: DataFrame,
+    out_dir: str,
+    ext_cols: dict[str, str],
+    key_col: str = "key",
+    samples_per_shard: int = 1000,
+    gzip_envelope: bool = False,
+) -> DataFrame:
+    """Write WebDataset shards: each partition packs its rows into tars
+    of ``samples_per_shard`` samples (``ext_cols`` maps member extension
+    → source column; string columns are UTF-8 encoded, binary pass
+    through) and writes ``shard-{partition:05d}-{n:05d}.tar[.gz]``
+    executor-side. Returns the write REPORT frame (path, n_samples,
+    n_bytes) — an action on it performs the write, mirroring how
+    WebDataset shards are produced in practice: shard-local packing, no
+    shuffle, no driver involvement. ``out_dir`` must be a filesystem
+    every executor can reach (local dir here; a mounted/object-store
+    path on a real cluster)."""
+    import os
+
+    exts = dict(ext_cols)
+    cols = [key_col] + list(exts.values())
+
+    def pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from ..sources.tar import encode_tar
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(out_dir, exist_ok=True)
+        buf: list[tuple[str, bytes]] = []
+        counts = {"samples": 0}
+        shard_no = {"n": 0}
+        reports: list[tuple[str, int, int]] = []
+
+        def flush(n_samples: int) -> None:
+            if not buf:
+                return
+            suffix = ".tar.gz" if gzip_envelope else ".tar"
+            path = os.path.join(
+                out_dir, f"shard-{pid:05d}-{shard_no['n']:05d}{suffix}"
+            )
+            data = encode_tar(list(buf), gzip_envelope=gzip_envelope)
+            with open(path, "wb") as fh:
+                fh.write(data)
+            reports.append((path, n_samples, len(data)))
+            shard_no["n"] += 1
+            buf.clear()
+
+        for pdf in it:
+            for _, r in pdf[cols].iterrows():
+                key = str(r[key_col])
+                for ext, col in exts.items():
+                    v = r[col]
+                    if v is None:
+                        continue
+                    payload = (
+                        bytes(v)
+                        if isinstance(v, (bytes, bytearray, memoryview))
+                        else str(v).encode()
+                    )
+                    buf.append((f"{key}.{ext}", payload))
+                counts["samples"] += 1
+                if counts["samples"] % samples_per_shard == 0:
+                    flush(samples_per_shard)
+        if buf:
+            flush(counts["samples"] % samples_per_shard)
+        yield pd.DataFrame(
+            {
+                "path": [p for p, _n, _b in reports],
+                "n_samples": pd.array(
+                    [n for _p, n, _b in reports], dtype="Int64"
+                ),
+                "n_bytes": pd.array(
+                    [b for _p, _n, b in reports], dtype="Int64"
+                ),
+            }
+        )
+
+    return df.select(cols).mapInPandas(
+        pack, "path string, n_samples bigint, n_bytes bigint"
+    )

@@ -127,3 +127,69 @@ def test_operators_seam(spark):
         ("s/1", 2), ("s/2", 1)]
     assert bytes(got_s[0]["parts"]["cls"]) == b"7"
     assert got_s[0]["exts"] == ["cls", "txt"]
+
+
+def test_write_wds_shards_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.webdataset import (
+        wds_samples,
+        write_wds_shards,
+    )
+    from ohsome_planet_spark.sources.testdata import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select(
+            F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("key"),
+            "text",
+            F.col("lang").alias("meta"),
+        )
+        .limit(50)
+        .repartition(3)
+    )
+    out = str(tmp_path / "shards")
+    report = write_wds_shards(
+        docs, out, {"txt": "text", "json": "meta"},
+        samples_per_shard=7, gzip_envelope=True,
+    ).collect()
+    assert sum(r["n_samples"] for r in report) == 50
+    assert all(r["path"].endswith(".tar.gz") for r in report)
+
+    shards = (
+        spark.read.format("binaryFile")
+        .load(out + "/*.tar.gz")
+        .select(F.col("content").alias("shard"))
+    )
+    back = wds_samples(shards, "shard")
+    assert back.count() == 50
+    joined = (
+        back.select(
+            "key", F.col("parts").getItem("txt").cast("string").alias("t")
+        )
+        .join(docs.select("key", "text"), "key")
+    )
+    assert joined.filter(F.col("t") != F.col("text")).count() == 0
+
+
+def test_wds_cli_pack_and_list(tmp_path, capsys):
+    import json as _json
+
+    from ohsome_planet_spark.cli import main
+
+    out = str(tmp_path / "shards")
+    rc = main([
+        "wds", "pack",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out, "--samples-per-shard", "100",
+        "--partitions", "2",
+    ])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["samples"] == 500 and rep["shards"] >= 5
+
+    inv = str(tmp_path / "inventory")
+    rc = main(["wds", "list", "--input", out, "--out", inv])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["samples"] == 500 and rep["parts"] == 1000
