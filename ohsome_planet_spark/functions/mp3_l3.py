@@ -27,12 +27,18 @@ Scope and honesty
   swap in ``_CODEBOOKS``. Consequence: frames produced by
   :func:`encode_mp3_l3` exercise the full real decode path but are not
   bit-interoperable with external decoders until that swap.
-- Fenced (raise, never wrong): MPEG-2/2.5 LSF, mixed blocks,
-  intensity stereo on SHORT blocks, CRC-protected frames. Long-block
-  intensity stereo (§2.4.3.4.9.3) is implemented: the right channel's
-  zero region sets the bound, its scalefactor slots carry is_pos,
-  ratios tan(is_pos·π/12), is_pos 7 falls back to MS/LR, and the MS
-  flag still governs the region below the bound.
+- Fenced (raise, never wrong): MPEG-2/2.5 LSF, CRC-protected frames,
+  intensity stereo combined with MIXED blocks or with mismatched
+  left/right block types. Intensity stereo itself (§2.4.3.4.9.3) is
+  implemented for BOTH long and short blocks: the right channel's zero
+  region sets the bound (per window for short blocks), its scalefactor
+  slots carry is_pos, ratios tan(is_pos·π/12), is_pos 7 falls back to
+  MS/LR, and the MS flag still governs the region below the bound.
+  MIXED blocks (§2.4.2.7: two long subbands under a short granule) are
+  implemented end-to-end: the 8-long + short-sfb-3..11 scalefactor
+  layout, the identity-below-36 reorder, long/short split
+  requantization, single-boundary alias reduction, and the per-subband
+  long/short IMDCT window choice.
 
 Everything downstream of the Huffman symbols follows the printed spec
 arithmetic exactly and is referee'd in tests/test_mp3_l3.py against
@@ -290,8 +296,11 @@ def _read_side_info(data: bytes, channels: int):
                     raise Mp3FormatError(
                         "window_switching with block_type 0 is reserved"
                     )
-                if g.mixed_block_flag:
-                    raise Mp3FormatError("mixed blocks not supported")
+                if g.mixed_block_flag and g.block_type != 2:
+                    raise Mp3FormatError(
+                        "mixed_block_flag with long switching block types"
+                        " is reserved"
+                    )
                 g.table_select = [r.read(5), r.read(5), 0]
                 g.subblock_gain = [r.read(3) for _ in range(3)]
                 g.region0_count = 8 if g.block_type == 2 else 7
@@ -318,6 +327,15 @@ _SCFSI_BANDS = [(0, 6), (6, 11), (11, 16), (16, 21)]
 def _read_scalefacs(r: _BitReader, g: _GranuleInfo, gr: int,
                     scfsi_ch: list[int], prev: list[int] | None):
     slen1, slen2 = SLEN[g.scalefac_compress]
+    if g.window_switching and g.block_type == 2 and g.mixed_block_flag:
+        # §2.4.2.7 mixed layout: 8 long sfb (slen1), then short sfb
+        # 3..11 per window (slen1 through sfb 5, slen2 above)
+        long_sf = [r.read(slen1) for _ in range(8)]
+        short_sf = []
+        for sfb in range(3, 12):
+            slen = slen1 if sfb < 6 else slen2
+            short_sf.append([r.read(slen) for _ in range(3)])
+        return {"long": long_sf, "short": short_sf}
     if g.window_switching and g.block_type == 2:
         sf = []
         for sfb in range(12):
@@ -433,9 +451,53 @@ def reorder_permutation(sr_idx: int) -> list[int]:
 _REORDER = {sr: reorder_permutation(sr) for sr in range(3)}
 
 
+def mixed_reorder_permutation(sr_idx: int) -> list[int]:
+    """natural[i] = huffman[perm[i]] for MIXED granules: the first 36
+    lines (two long subbands) keep huffman order; the short region
+    starts at short sfb 3 (short line 12 == natural line 36) and
+    follows the pure-short band-major layout above it."""
+    bands = SFB_SHORT[sr_idx]
+    perm = list(range(36)) + [0] * 540
+    hpos = 36
+    for sfb in range(3, 13):
+        width = bands[sfb + 1] - bands[sfb]
+        for w in range(3):
+            for j in range(width):
+                s = bands[sfb] + j
+                nat = (s // 6) * 18 + w * 6 + (s % 6)
+                perm[nat] = hpos
+                hpos += 1
+    assert hpos == 576
+    return perm
+
+
+_MIXED_REORDER = {sr: mixed_reorder_permutation(sr) for sr in range(3)}
+
+
 def _requantize(xs: list[int], g: _GranuleInfo, sf, sr_idx: int) -> list[float]:
     out = [0.0] * 576
     mult = 0.5 * (1 + g.scalefac_scale)
+    if g.window_switching and g.block_type == 2 and g.mixed_block_flag:
+        sfb_long = _sfb_of_line_long(sr_idx)
+        sfb_short = _sfb_of_sline_short(sr_idx)
+        perm = _MIXED_REORDER[sr_idx]
+        for i in range(576):
+            v = xs[perm[i]]
+            if v == 0:
+                continue
+            if i < 36:
+                sfb = sfb_long[i]  # 0..7 at every MPEG-1 rate
+                scf = sf["long"][sfb] + g.preflag * PRETAB[sfb]
+                gain = 0.25 * (g.global_gain - 210.0) - mult * scf
+            else:
+                w = (i % 18) // 6
+                s = (i // 18) * 6 + (i % 6)
+                sfb = sfb_short[s]
+                scf = sf["short"][sfb - 3][w] if sfb < 12 else 0
+                gain = (0.25 * (g.global_gain - 210.0)
+                        - 2.0 * g.subblock_gain[w] - mult * scf)
+            out[i] = math.copysign(abs(v) ** (4.0 / 3.0), v) * 2.0 ** gain
+        return out
     if g.window_switching and g.block_type == 2:
         sfb_of = _sfb_of_sline_short(sr_idx)
         perm = _REORDER[sr_idx]
@@ -463,9 +525,12 @@ def _requantize(xs: list[int], g: _GranuleInfo, sf, sr_idx: int) -> list[float]:
     return out
 
 
-def _alias_reduce(xr: list[float]) -> list[float]:
+def _alias_reduce(xr: list[float], n_boundaries: int = 31) -> list[float]:
+    """§2.4.3.4.10.1 butterflies. Long granules reduce all 31 subband
+    boundaries; MIXED granules only the boundary inside their two long
+    subbands (dist10's ``sblim``) — the short region never aliases."""
     out = list(xr)
-    for sb in range(1, 32):
+    for sb in range(1, n_boundaries + 1):
         for t in range(8):
             lo = 18 * sb - 1 - t
             hi = 18 * sb + t
@@ -556,6 +621,12 @@ def decode_mp3_subbands(payload: bytes):
                 sf_ch.append(sf)
                 rzero_ch.append(nlines)
                 xr_ch.append(_requantize(xs, g, sf, sr_idx))
+            if intensity and channels == 2 and any(
+                grs[gr][cc].mixed_block_flag for cc in range(2)
+            ):
+                raise Mp3FormatError(
+                    "intensity stereo with mixed blocks not supported"
+                )
             if intensity and channels == 2 and (
                 grs[gr][1].window_switching and grs[gr][1].block_type == 2
             ):
@@ -650,11 +721,20 @@ def decode_mp3_subbands(payload: bytes):
             for c in range(channels):
                 g = grs[gr][c]
                 xr = xr_ch[c]
-                if not (g.window_switching and g.block_type == 2):
+                short = g.window_switching and g.block_type == 2
+                mixed = short and g.mixed_block_flag
+                if not short:
                     xr = _alias_reduce(xr)
-                M = _IMDCT_M[g.block_type]
+                elif mixed:
+                    # only the boundary inside the two long subbands
+                    xr = _alias_reduce(xr, n_boundaries=1)
                 sbs = []
                 for sb in range(32):
+                    M = (
+                        _IMDCT_M[0]
+                        if mixed and sb < 2
+                        else _IMDCT_M[g.block_type]
+                    )
                     X = xr[18 * sb:18 * (sb + 1)]
                     raw = [
                         sum(M[n][k] * X[k] for k in range(18))
@@ -711,8 +791,16 @@ def _encode_granule(w: _BitWriter, g: dict, sr_idx: int, gr: int,
     the region tables) in HUFFMAN order, count1 quads list."""
     start = w.bits()
     bt = g["block_type"]
+    mixed = bool(g.get("mixed_block_flag"))
     slen1, slen2 = SLEN[g["scalefac_compress"]]
-    if bt == 2:
+    if bt == 2 and mixed:
+        for sfb in range(8):
+            w.put(g["sf_long"][sfb], slen1)
+        for sfb in range(3, 12):
+            for win in range(3):
+                w.put(g["sf_short"][sfb - 3][win],
+                      slen1 if sfb < 6 else slen2)
+    elif bt == 2:
         for sfb in range(12):
             for win in range(3):
                 w.put(g["sf"][sfb][win], slen1 if sfb < 6 else slen2)
@@ -837,7 +925,7 @@ def encode_mp3_l3(
             sw.put(1 if bt else 0, 1)
             if bt:
                 sw.put(bt, 2)
-                sw.put(0, 1)  # mixed_block_flag
+                sw.put(1 if g.get("mixed_block_flag") else 0, 1)
                 for t in g["table_select"][:2]:
                     sw.put(t, 5)
                 for sbg in g["subblock_gain"]:

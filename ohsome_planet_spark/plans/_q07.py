@@ -1186,4 +1186,291 @@ def subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _l3_mixed_granule(d: int, f: int, gr: int, c: int, sr: int) -> dict:
+    """Mixed-block grid: BOTH channels mixed (two long subbands under a
+    short granule), sc=13 (3,3 slens), preflag exercising pretab on the
+    long region, per-window subblock gains on the short one."""
+    npairs = 12 + ((d + gr) * 7) % 40
+    nquads = (d + 2 * gr + c) % 6
+    tsel = list(_L3_TSETS[(d + gr + 3 * c) % 6][:2]) + [0]
+    lines = []
+    for h in range(2 * npairs):
+        vmax = _L3_VMAX[tsel[0 if h < 36 else 1]]
+        m = (d + 11 * h + 3 * gr + 5 * c + f) % (vmax + 1)
+        lines.append(-m if (d + h + gr) % 2 == 1 else m)
+    return {
+        "block_type": 2,
+        "mixed_block_flag": 1,
+        "global_gain": 200 + (d + 3 * f + 5 * gr + 7 * c) % 16,
+        "scalefac_compress": 13,
+        "preflag": (d + gr) % 2,
+        "scalefac_scale": (d + c) % 2,
+        "subblock_gain": [(d + gr + w + c) % 3 for w in range(3)],
+        "table_select": tsel,
+        "count1table_select": (d + gr) % 2,
+        "lines": lines,
+        "quads": [
+            tuple(((d + 5 * i + j + gr) % 3) - 1 for j in range(4))
+            for i in range(nquads)
+        ],
+        "sf_long": [(d + 3 * sfb + gr + 2 * c) % 8 for sfb in range(8)],
+        "sf_short": [
+            [(d + 3 * sfb + w + gr + 2 * c) % 8 for w in range(3)]
+            for sfb in range(3, 12)
+        ],
+    }
+
+
+def _mp3_mixed_oracle() -> str:
+    """Relational DuckDB replay of the MIXED-block grid: the
+    identity-below-36 reorder permutation, split requantization (long
+    sfb 0..7 with preflag/pretab below line 36, short sfb 3..11 with
+    subblock gains above), MS stereo, the SINGLE-boundary alias
+    reduction (only the butterfly inside the two long subbands), and
+    the per-subband window choice (long IMDCT matrix for subbands 0-1,
+    short for the rest) — term-for-term what decode_mp3_subbands does
+    from the genuine bitstream."""
+    from ..functions.mp3_l3 import (
+        ALIAS_CA,
+        ALIAS_CS,
+        PRETAB,
+        SFB_LONG,
+        SFB_SHORT,
+        imdct_matrix,
+        mixed_reorder_permutation,
+    )
+
+    def lit(xs):
+        return "[" + ",".join(
+            repr(x) if isinstance(x, float) else str(x) for x in xs
+        ) + "]"
+
+    def lit2(xss):
+        return "[" + ",".join(lit(xs) for xs in xss) + "]"
+
+    def sfb_of(bands, n):
+        out = []
+        for sfb in range(len(bands) - 1):
+            out += [sfb] * (bands[sfb + 1] - bands[sfb])
+        assert len(out) == n
+        return out
+
+    sfl = lit2([sfb_of(SFB_LONG[sr], 576) for sr in range(3)])
+    sfs_t = lit2([sfb_of(SFB_SHORT[sr], 192) for sr in range(3)])
+    perm = lit2([mixed_reorder_permutation(sr) for sr in range(3)])
+    m0 = lit2(imdct_matrix(0))
+    m2 = lit2(imdct_matrix(2))
+    cs, ca = lit(ALIAS_CS), lit(ALIAS_CA)
+    pre = lit(PRETAB)
+    tset_v = lit2([[_L3_VMAX.get(t, 0) for t in ts[:2]] + [0]
+                   for ts in _L3_TSETS])
+    tan = None  # unused; mixed row carries no intensity
+    del tan
+
+    return f"""
+    WITH params AS (
+      SELECT doc_id AS d,
+             CAST(doc_id % 3 AS INT) AS sr,
+             CAST(1 + (doc_id // 2) % 2 AS INT) AS nf,
+             (doc_id % 2 = 0) AS ms
+      FROM documents WHERE doc_id < 120
+    ), base AS (
+      SELECT d, sr, nf, ms, g, g // 2 AS f, g % 2 AS gr, c,
+             200 + (d + 3 * (g // 2) + 5 * (g % 2) + 7 * c) % 16 AS gg,
+             (d + g % 2) % 2 AS preflag,
+             (d + c) % 2 AS sfs_flag,
+             12 + ((d + g % 2) * 7) % 40 AS npairs,
+             (d + 2 * (g % 2) + c) % 6 AS nquads,
+             CAST((d + g % 2 + 3 * c) % 6 AS INT) AS tset
+      FROM params,
+           UNNEST(range(0, 2 * nf)) AS tg(g),
+           UNNEST(range(0, 2)) AS tc(c)
+    ), lines AS (
+      SELECT b.*, i,
+             ({perm})[sr + 1][CAST(i AS INT) + 1] AS hidx
+      FROM base b, UNNEST(range(0, 576)) AS ti(i)
+    ), symv AS (
+      SELECT *,
+        CASE
+          WHEN hidx < 2 * npairs THEN
+            (CASE WHEN (d + hidx + gr) % 2 = 1 THEN -1 ELSE 1 END)
+            * ((d + 11 * hidx + 3 * gr + 5 * c + f)
+               % (({tset_v})[tset + 1]
+                            [CASE WHEN hidx < 36 THEN 1 ELSE 2 END] + 1))
+          WHEN hidx < 2 * npairs + 4 * nquads THEN
+            ((d + 5 * ((hidx - 2 * npairs) // 4)
+              + ((hidx - 2 * npairs) % 4) + gr) % 3) - 1
+          ELSE 0 END AS isv
+      FROM lines
+    ), xr0 AS (
+      SELECT d, sr, nf, ms, g, gr, c, i,
+        CASE WHEN isv = 0 THEN 0.0 ELSE
+          (CASE WHEN isv < 0 THEN -1.0 ELSE 1.0 END)
+          * pow(abs(CAST(isv AS DOUBLE)), 4.0 / 3.0)
+          * pow(2.0,
+              CASE WHEN i < 36 THEN
+                0.25 * (gg - 210)
+                - 0.5 * (1 + sfs_flag) * (
+                    (d + 3 * ({sfl})[sr + 1][CAST(i AS INT) + 1]
+                     + gr + 2 * c) % 8
+                    + preflag * ({pre})[({sfl})[sr + 1]
+                                        [CAST(i AS INT) + 1] + 1])
+              ELSE
+                0.25 * (gg - 210)
+                - 2.0 * ((d + gr + ((i % 18) // 6) + c) % 3)
+                - 0.5 * (1 + sfs_flag) * (
+                    CASE WHEN ({sfs_t})[sr + 1]
+                              [CAST((i // 18) * 6 + (i % 6) AS INT) + 1] < 12
+                    THEN (d + 3 * ({sfs_t})[sr + 1]
+                                   [CAST((i // 18) * 6 + (i % 6) AS INT) + 1]
+                          + ((i % 18) // 6) + gr + 2 * c) % 8
+                    ELSE 0 END)
+              END)
+        END AS xr
+      FROM symv
+    ), xr1 AS (
+      SELECT a.d, a.sr, a.nf, a.g, a.i, 0 AS c,
+             (a.xr + b.xr) / sqrt(2.0) AS xr
+      FROM xr0 a JOIN xr0 b
+        ON a.d = b.d AND a.g = b.g AND a.i = b.i
+       AND a.c = 0 AND b.c = 1 AND a.ms
+      UNION ALL
+      SELECT a.d, a.sr, a.nf, a.g, a.i, 1 AS c,
+             (a.xr - b.xr) / sqrt(2.0) AS xr
+      FROM xr0 a JOIN xr0 b
+        ON a.d = b.d AND a.g = b.g AND a.i = b.i
+       AND a.c = 0 AND b.c = 1 AND a.ms
+      UNION ALL
+      SELECT d, sr, nf, g, i, c, xr FROM xr0 WHERE NOT ms
+    ), aax AS (
+      SELECT x.d, x.sr, x.nf, x.g, x.c, x.i,
+        CASE
+          WHEN (x.i % 18) >= 10 AND (x.i // 18) = 0 THEN
+            x.xr * ({cs})[18 - CAST(x.i % 18 AS INT)]
+            - hi.xr * ({ca})[18 - CAST(x.i % 18 AS INT)]
+          WHEN (x.i % 18) <= 7 AND (x.i // 18) = 1 THEN
+            x.xr * ({cs})[CAST(x.i % 18 AS INT) + 1]
+            + lo.xr * ({ca})[CAST(x.i % 18 AS INT) + 1]
+          ELSE x.xr END AS aa
+      FROM xr1 x
+      LEFT JOIN xr1 hi
+        ON hi.d = x.d AND hi.g = x.g AND hi.c = x.c
+       AND hi.i = x.i + 2 * (17 - (x.i % 18)) + 1
+      LEFT JOIN xr1 lo
+        ON lo.d = x.d AND lo.g = x.g AND lo.c = x.c
+       AND lo.i = x.i - (2 * (x.i % 18) + 1)
+    ), mmt AS (
+      SELECT part, n, k,
+             CASE WHEN part = 0
+                  THEN ({m0})[CAST(n AS INT) + 1][CAST(k AS INT) + 1]
+                  ELSE ({m2})[CAST(n AS INT) + 1][CAST(k AS INT) + 1]
+             END AS m
+      FROM UNNEST(range(0, 2)) AS tp(part),
+           UNNEST(range(0, 36)) AS tn(n),
+           UNNEST(range(0, 18)) AS tk(k)
+    ), hyb AS (
+      SELECT a.d, a.sr, a.nf, a.g, a.c, a.i // 18 AS sb, t.n,
+             sum(t.m * a.aa) AS raw
+      FROM aax a JOIN mmt t
+        ON t.k = a.i % 18
+       AND t.part = CASE WHEN a.i // 18 < 2 THEN 0 ELSE 1 END
+      GROUP BY 1, 2, 3, 4, 5, 6, 7
+    ), ov AS (
+      SELECT h.d, h.sr, h.nf, h.g, h.c, h.sb, h.n,
+             h.raw + coalesce(p.raw, 0.0) AS s
+      FROM hyb h LEFT JOIN hyb p
+        ON p.d = h.d AND p.c = h.c AND p.sb = h.sb
+       AND p.n = h.n + 18 AND p.g = h.g - 1
+      WHERE h.n < 18
+    ), vals AS (
+      SELECT d, sr, nf, g, c, sb, n,
+             CASE WHEN sb % 2 = 1 AND n % 2 = 1 THEN -s ELSE s END AS v
+      FROM ov
+    )
+    SELECT d AS doc_id,
+           CAST(CASE max(sr) WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS INT) AS sample_rate,
+           CAST(2 AS INT) AS channels,
+           CAST(2 * max(nf) AS INT) AS n_granules,
+           round(sum(v), 6) AS sample_sum,
+           round(sum(v * (((g * 2 + c) * 32 + sb) * 18 + n + 1)), 6)
+             AS weighted_sum
+    FROM vals GROUP BY d ORDER BY d
+    """
+
+
+@_register("multimodal_mp3_mixed_decode", _mp3_mixed_oracle())
+def multimodal_mp3_mixed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer III MIXED-block decode (§2.4.2.7) — two long subbands under
+    a short granule, the last fenced block structure: the 8-long +
+    short-sfb-3..11 scalefactor layout, preflag/pretab acting on the
+    long region while subblock gains act on the short one, the
+    identity-below-36 reorder, alias reduction restricted to the one
+    boundary inside the long region, and the per-subband window choice
+    (long IMDCT for subbands 0-1, 12-point short above). Both channels
+    mixed, MS on half the docs. The oracle replays the whole chain
+    term-for-term; pytest referees additionally pin mixed long-region
+    lines to a pure-long decode and mixed short-region lines to a
+    pure-short decode (linearity cross-checks independent of the
+    oracle)."""
+    docs = (
+        fan_out(_t(spark, sf_dir, "documents"))
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mp3_l3 import decode_mp3_subbands, encode_mp3_l3
+
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("sample_rate", "channels", "n_granules", "sample_sum",
+                     "weighted_sum")}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                sr = d % 3
+
+                def granule_fn(f, gr, c, d=d, sr=sr):
+                    return _l3_mixed_granule(d, f, gr, c, sr)
+
+                payload = encode_mp3_l3(
+                    granule_fn,
+                    sr_idx=sr,
+                    br_idx=14,
+                    channels=2,
+                    n_frames=1 + (d // 2) % 2,
+                    ms_stereo=d % 2 == 0,
+                )
+                rate, ch, ng, grans = decode_mp3_subbands(payload)
+                ss = ws = 0.0
+                for g, chans_out in enumerate(grans):
+                    for c, sbs in enumerate(chans_out):
+                        for sb, vals in enumerate(sbs):
+                            for n, v in enumerate(vals):
+                                ss += v
+                                ws += v * (
+                                    ((g * ch + c) * 32 + sb) * 18 + n + 1
+                                )
+                cols["sample_rate"].append(rate)
+                cols["channels"].append(ch)
+                cols["n_granules"].append(ng)
+                cols["sample_sum"].append(round(ss, 6))
+                cols["weighted_sum"].append(round(ws, 6))
+            out = pdf[["doc_id"]].copy()
+            for k in ("sample_rate", "channels", "n_granules"):
+                out[k] = pd.array(cols[k], dtype="Int32")
+            for k in ("sample_sum", "weighted_sum"):
+                out[k] = pd.array(cols[k], dtype="float64")
+            yield out
+
+    return (
+        docs.mapInPandas(
+            run,
+            "doc_id bigint, sample_rate int, channels int,"
+            " n_granules int, sample_sum double, weighted_sum double",
+        )
+        .orderBy("doc_id")
+    )
+
+
 __all__ = [n for n in dict(globals()) if not n.startswith("__")]

@@ -726,3 +726,125 @@ def test_short_intensity_without_ms_leaves_below_bound_lr():
         for sb in range(32):
             np.testing.assert_allclose(got[g][0][sb], plain[g][0][sb], atol=0)
             np.testing.assert_allclose(got[g][1][sb], plain[g][1][sb], atol=0)
+
+
+def _mixed_granule(lines, sf_long=None, sf_short=None, preflag=0,
+                   subblock_gain=None):
+    return dict(
+        block_type=2, mixed_block_flag=1, global_gain=210,
+        scalefac_compress=13, preflag=preflag, scalefac_scale=0,
+        subblock_gain=subblock_gain or [0, 0, 0],
+        table_select=[1, 1, 0], count1table_select=0,
+        lines=list(lines), quads=[],
+        sf_long=sf_long or [0] * 8,
+        sf_short=sf_short or [[0] * 3 for _ in range(9)],
+    )
+
+
+def test_mixed_long_region_matches_pure_long():
+    """Mixed subbands 0-1 use the LONG window and the one in-region
+    alias boundary, so an impulse confined there (line 4: below every
+    butterfly's reach from outside) must decode exactly like a pure
+    long granule with matching scalefactors — including preflag/pretab
+    on the long region."""
+    def fmixed(f, gr, c):
+        return _mixed_granule([0, 0, 0, 0, 1, 0], sf_long=[1] * 8,
+                              preflag=1)
+
+    def flong(f, gr, c):
+        return dict(
+            block_type=0, global_gain=210, scalefac_compress=13,
+            preflag=1, scalefac_scale=0, subblock_gain=[0, 0, 0],
+            table_select=[1, 1, 0], count1table_select=0,
+            lines=[0, 0, 0, 0, 1, 0], quads=[], sf=[1] * 21,
+        )
+
+    kw = dict(sr_idx=0, br_idx=14, channels=1, n_frames=1)
+    gm = decode_mp3_subbands(encode_mp3_l3(fmixed, **kw))[3]
+    gl = decode_mp3_subbands(encode_mp3_l3(flong, **kw))[3]
+    np.testing.assert_allclose(np.array(gm), np.array(gl), atol=1e-12)
+
+
+def test_mixed_short_region_matches_pure_short():
+    """A line in the short region (natural index >= 36) must decode
+    exactly like the pure-short granule carrying the same line with the
+    same (sfb, window) scalefactor and subblock gains."""
+    from ohsome_planet_spark.functions.mp3_l3 import (
+        mixed_reorder_permutation,
+        reorder_permutation,
+    )
+
+    nat = 40  # window 0, short line 16, sfb 4
+    hm = mixed_reorder_permutation(0)[nat]
+    hs = reorder_permutation(0)[nat]
+
+    def lines_for(h):
+        n = h + 1 + (h + 1) % 2
+        return [1 if i == h else 0 for i in range(n)]
+
+    def fmixed(f, gr, c):
+        return _mixed_granule(
+            lines_for(hm),
+            sf_short=[[2] * 3 if i == 1 else [0] * 3 for i in range(9)],
+            subblock_gain=[1, 2, 0],
+        )
+
+    def fshort(f, gr, c):
+        return dict(
+            block_type=2, global_gain=210, scalefac_compress=13,
+            preflag=0, scalefac_scale=0, subblock_gain=[1, 2, 0],
+            table_select=[1, 1, 0], count1table_select=0,
+            lines=lines_for(hs), quads=[],
+            sf=[[2] * 3 if i == 4 else [0] * 3 for i in range(12)],
+        )
+
+    kw = dict(sr_idx=0, br_idx=14, channels=1, n_frames=1)
+    gm = decode_mp3_subbands(encode_mp3_l3(fmixed, **kw))[3]
+    gs = decode_mp3_subbands(encode_mp3_l3(fshort, **kw))[3]
+    np.testing.assert_allclose(np.array(gm), np.array(gs), atol=1e-12)
+
+
+def test_mixed_alias_stops_at_long_boundary():
+    """An impulse in the short region adjacent to subband 1 (line 36+,
+    lo-side of boundary 2) must NOT alias in a mixed granule, while the
+    equivalent pure-long granule does alias it — the sblim contract."""
+    from ohsome_planet_spark.functions.mp3_l3 import mixed_reorder_permutation
+
+    nat = 20  # sb 1, offset 2: hi-side of boundary 1 -> DOES alias (in-region)
+    nat2 = 38  # sb 2, offset 2: lo-side of boundary 2 -> must NOT alias
+    hm1 = mixed_reorder_permutation(0)[nat]
+    hm2 = mixed_reorder_permutation(0)[nat2]
+
+    def lines_for(h):
+        n = h + 1 + (h + 1) % 2
+        return [1 if i == h else 0 for i in range(n)]
+
+    kw = dict(sr_idx=0, br_idx=14, channels=1, n_frames=1)
+
+    # impulse at nat2 (short region): output must live ONLY in subband 2
+    # (no alias leakage into subband 1)
+    def f2(f, gr, c):
+        return _mixed_granule(lines_for(hm2))
+
+    g2 = np.array(decode_mp3_subbands(encode_mp3_l3(f2, **kw))[3])
+    assert np.abs(g2[:, 0, 1]).max() == 0.0  # sb 1 silent
+    assert np.abs(g2[:, 0, 2]).max() > 0.0
+
+    # impulse at nat (long region, hi side of the in-region boundary):
+    # alias leaks into subband 0 — the butterfly is live inside the
+    # long region
+    def f1(f, gr, c):
+        return _mixed_granule(lines_for(hm1))
+
+    g1 = np.array(decode_mp3_subbands(encode_mp3_l3(f1, **kw))[3])
+    assert np.abs(g1[:, 0, 0]).max() > 0.0
+
+
+def test_mixed_intensity_fenced():
+    def granule_fn(f, gr, c):
+        return _mixed_granule([])
+
+    p = encode_mp3_l3(granule_fn, sr_idx=0, channels=2, n_frames=1,
+                      intensity=True)
+    with pytest.raises(Mp3FormatError, match="mixed"):
+        decode_mp3_subbands(p)
