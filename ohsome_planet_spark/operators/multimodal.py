@@ -550,6 +550,43 @@ def subtitle_cues(df: DataFrame, media_col: str = "media") -> DataFrame:
     )
 
 
+def audio_tags(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL ID3v2 tag extraction via ``mapInPandas``
+    (``functions/id3.py``): v2.2/2.3/2.4 frame walk, syncsafe sizes,
+    unsynchronization reversal, all four text encodings — the
+    attribution/caption metadata pass for audio corpora. Untagged or
+    corrupt payloads null out."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.id3 import Id3FormatError, parse_id3v2
+
+        cols = ("version", "n_frames", "title", "artist", "album", "year",
+                "track", "genre", "comment")
+        for pdf in batches:
+            acc = {k: [] for k in cols}
+            for payload in pdf[media_col]:
+                try:
+                    r = parse_id3v2(bytes(payload))
+                except (Id3FormatError, ValueError, TypeError, IndexError):
+                    r = None
+                for k in cols:
+                    acc[k].append(r[k] if r is not None else None)
+            out = pdf.copy()
+            for k in ("version", "n_frames"):
+                out[k] = pd.array(acc[k], dtype="Int32")
+            for k in ("title", "artist", "album", "year", "track", "genre",
+                      "comment"):
+                out[k] = acc[k]
+            yield out
+
+    schema = (
+        df.schema.simpleString()[7:-1]
+        + ",version int,n_frames int,title string,artist string,"
+        "album string,year string,track string,genre string,comment string"
+    )
+    return df.mapInPandas(probe, schema)
+
+
 def probe_video(df: DataFrame, media_col: str = "media") -> DataFrame:
     """REAL video container probe via ``mapInPandas``: ISO-BMFF (MP4/MOV)
     box walk or RIFF/AVI chunk walk (magic-sniffed) →

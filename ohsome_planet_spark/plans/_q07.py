@@ -1473,4 +1473,89 @@ def multimodal_mp3_mixed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ID3_ORACLE = """
+WITH cfg AS (
+  SELECT doc_id, doc_id AS d,
+    string_split(text, ' ') AS w
+  FROM documents
+)
+SELECT doc_id,
+  CAST([2, 3, 4][d % 3 + 1] AS INT) AS version,
+  CAST(7 AS INT) AS n_frames,
+  array_to_string(w[1:3], ' ') AS title,
+  'artist ' || CAST(d % 50 AS VARCHAR) AS artist,
+  array_to_string(w[4:5], ' ') AS album,
+  CAST(1970 + d % 55 AS VARCHAR) AS year,
+  CAST(d % 20 + 1 AS VARCHAR) || '/' || CAST(d % 20 + 5 AS VARCHAR)
+    AS track,
+  ['rock', 'jazz', 'speech', 'ambient'][d % 4 + 1] AS genre,
+  'comment ' || w[1] AS comment
+FROM cfg ORDER BY doc_id
+"""
+
+
+@_register("id3_tags", _ID3_ORACLE)
+def id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 tag extraction end-to-end: fixture tags sweep all three
+    majors (v2.2 3-byte frames, v2.3 plain sizes, v2.4 syncsafe sizes),
+    all four text encodings (Latin-1, UTF-16 BOM, UTF-16BE, UTF-8),
+    whole-tag unsynchronization on every sixth doc, padding and a COMM
+    comment with language + description — parsed back by
+    :func:`operators.multimodal.audio_tags` in front of real audio
+    bytes. The oracle replays every field; an encoding mixup, a
+    syncsafe/plain size confusion or an unapplied de-unsync shifts a
+    string on a concrete row."""
+    from ..operators.multimodal import audio_tags
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.id3 import encode_id3v2
+
+        for pdf in batches:
+            payloads = []
+            for _, r in pdf.iterrows():
+                d = int(r["doc_id"])
+                w = str(r["text"]).split(" ")
+                fields = {
+                    "title": " ".join(w[0:3]),
+                    "artist": f"artist {d % 50}",
+                    "album": " ".join(w[3:5]),
+                    "year": str(1970 + d % 55),
+                    "track": f"{d % 20 + 1}/{d % 20 + 5}",
+                    "genre": ("rock", "jazz", "speech", "ambient")[d % 4],
+                }
+                major = (2, 3, 4)[d % 3]
+                tag = encode_id3v2(
+                    fields,
+                    major=major,
+                    enc=d % 4,
+                    comment=f"comment {w[0]}",
+                    unsync=d % 6 == 0 and major < 4,
+                    padding=d % 40,
+                )
+                payloads.append(tag + b"\xff\xfb\x90\x00" + bytes(8))
+            out = pdf[["doc_id"]].copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+    return (
+        audio_tags(media)
+        .select(
+            "doc_id",
+            "version",
+            "n_frames",
+            "title",
+            "artist",
+            "album",
+            "year",
+            "track",
+            "genre",
+            "comment",
+        )
+        .orderBy("doc_id")
+    )
+
+
 __all__ = [n for n in dict(globals()) if not n.startswith("__")]
