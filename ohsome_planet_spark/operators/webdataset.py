@@ -199,3 +199,57 @@ def write_wds_shards(
     return df.select(cols).mapInPandas(
         pack, "path string, n_samples bigint, n_bytes bigint"
     )
+
+
+ZIP_MEMBER_SCHEMA = (
+    "member_idx int, name string, size bigint, compressed_size bigint,"
+    " method int, crc32 bigint, payload binary"
+)
+
+
+def zip_members(df: DataFrame, zip_col: str = "archive") -> DataFrame:
+    """Explode ZIP archive bytes into one row per member
+    (``sources/zip.py``: central-directory walk, STORED/DEFLATE decode,
+    CRC verified). Unparseable archives yield zero rows — the same
+    dirty-input contract as :func:`tar_members`."""
+    base_cols = [c for c in df.columns if c != zip_col]
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.zip import ZipFormatError, parse_zip
+
+        rec_cols = ("member_idx", "name", "size", "compressed_size",
+                    "method", "crc32", "payload")
+        for pdf in batches:
+            acc: dict[str, list] = {c: [] for c in base_cols}
+            acc.update({c: [] for c in rec_cols})
+            for _, r in pdf.iterrows():
+                try:
+                    ms = parse_zip(bytes(r[zip_col]))
+                except (ZipFormatError, ValueError, TypeError):
+                    continue
+                for i, m in enumerate(ms):
+                    for c in base_cols:
+                        acc[c].append(r[c])
+                    acc["member_idx"].append(i)
+                    for k in ("name", "size", "compressed_size", "method",
+                              "crc32", "payload"):
+                        acc[k].append(m[k])
+            out = pd.DataFrame(
+                {
+                    c: pd.Series(acc[c], dtype=object)
+                    for c in base_cols + list(rec_cols)
+                }
+            )
+            for k in ("member_idx", "method"):
+                out[k] = pd.array(acc[k], dtype="Int32")
+            for k in ("size", "compressed_size", "crc32"):
+                out[k] = pd.array(acc[k], dtype="Int64")
+            yield out
+
+    base_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema
+        if f.name != zip_col
+    )
+    schema = (base_schema + ", " if base_schema else "") + ZIP_MEMBER_SCHEMA
+    return df.mapInPandas(walk, schema)

@@ -1558,4 +1558,82 @@ def id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZIP_ORACLE = """
+WITH cfg AS (
+  SELECT doc_id, doc_id AS d, text, lang FROM documents
+)
+SELECT doc_id,
+  CAST(i AS INT) AS member_idx,
+  CASE i WHEN 0 THEN 'd/' || CAST(doc_id AS VARCHAR) || '.txt'
+         WHEN 1 THEN 'd/' || CAST(doc_id AS VARCHAR) || '.json'
+         ELSE 'd/' || CAST(doc_id AS VARCHAR) || '.cls' END AS name,
+  CAST(CASE i WHEN 0 THEN length(text)
+              WHEN 1 THEN length('{"lang": "' || lang || '"}')
+              ELSE length(CAST(d % 10 AS VARCHAR)) END AS BIGINT) AS size,
+  CAST(CASE WHEN d % 2 = 0 THEN 8 ELSE 0 END AS INT) AS method,
+  CASE i WHEN 0 THEN text
+         WHEN 1 THEN '{"lang": "' || lang || '"}'
+         ELSE CAST(d % 10 AS VARCHAR) END AS member_text
+FROM cfg, UNNEST(range(0, 3)) AS t(i)
+ORDER BY doc_id, i
+"""
+
+
+@_register("zip_ingest", _ZIP_ORACLE)
+def zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP archive ingestion end-to-end: each document becomes a
+    three-member archive rotating STORED vs DEFLATE, bit-3 data
+    descriptors and trailing archive comments (the EOCD backward-scan
+    trap), walked back through the central directory with CRC
+    verification by :func:`operators.webdataset.zip_members`. The
+    oracle replays names, sizes, methods and the payload round trip; a
+    wrong EOCD locate, a raw-window deflate slip or a skipped CRC
+    check shifts a concrete row."""
+    from ..operators.webdataset import zip_members
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.zip import encode_zip
+
+        for pdf in batches:
+            payloads = []
+            for _, r in pdf.iterrows():
+                d = int(r["doc_id"])
+                members = [
+                    (f"d/{d}.txt", str(r["text"]).encode()),
+                    (f"d/{d}.json",
+                     b'{"lang": "%s"}' % str(r["lang"]).encode()),
+                    (f"d/{d}.cls", str(d % 10).encode()),
+                ]
+                payloads.append(
+                    encode_zip(
+                        members,
+                        deflate=d % 2 == 0,
+                        comment=b"c" * (d % 30),
+                        data_descriptors=d % 3 == 0,
+                        dos_time=d,
+                    )
+                )
+            out = pdf[["doc_id"]].copy()
+            out["archive"] = payloads
+            yield out
+
+    archives = docs.mapInPandas(encode, "doc_id bigint, archive binary")
+    return (
+        zip_members(archives, "archive")
+        .select(
+            "doc_id",
+            "member_idx",
+            "name",
+            "size",
+            "method",
+            F.col("payload").cast("string").alias("member_text"),
+        )
+        .orderBy("doc_id", "member_idx")
+    )
+
+
 __all__ = [n for n in dict(globals()) if not n.startswith("__")]

@@ -193,3 +193,65 @@ def test_wds_cli_pack_and_list(tmp_path, capsys):
     assert rc == 0
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["samples"] == 500 and rep["parts"] == 1000
+
+
+# --- ZIP (sources/zip.py) ----------------------------------------------------
+
+
+def test_zip_stdlib_cross_referees():
+    import zipfile as _zf
+
+    from ohsome_planet_spark.sources.zip import encode_zip, parse_zip
+
+    m = [("a/0.txt", b"hello"), ("a/0.json", b"{}"), ("big.bin",
+                                                      bytes(range(256)) * 5)]
+    # our encoder -> stdlib reader
+    for deflate in (False, True):
+        for dd in (False, True):
+            z = encode_zip(m, deflate=deflate, comment=b"tail comment",
+                           data_descriptors=dd, dos_time=0x11223344)
+            with _zf.ZipFile(io.BytesIO(z)) as zf:
+                assert {i.filename: zf.read(i) for i in zf.infolist()} == dict(m)
+            got = parse_zip(z)
+            assert [(g["name"], g["payload"]) for g in got] == m
+            assert all(g["method"] == (8 if deflate else 0) for g in got)
+    # stdlib writer -> our parser
+    buf = io.BytesIO()
+    with _zf.ZipFile(buf, "w", _zf.ZIP_DEFLATED) as zf:
+        for n, p in m:
+            zf.writestr(n, p)
+    assert [(g["name"], g["payload"]) for g in parse_zip(buf.getvalue())] == m
+
+
+def test_zip_error_contract():
+    from ohsome_planet_spark.sources.zip import (
+        ZipFormatError,
+        encode_zip,
+        parse_zip,
+    )
+
+    good = encode_zip([("x.txt", b"abc")])
+    with pytest.raises(ZipFormatError, match="end-of-central"):
+        parse_zip(b"PK\x03\x04 not really")
+    bad = bytearray(good)
+    bad[good.find(b"abc")] ^= 1  # flip payload byte -> CRC mismatch
+    with pytest.raises(ZipFormatError, match="CRC"):
+        parse_zip(bytes(bad))
+    # encrypted flag
+    enc = bytearray(good)
+    i = enc.find(b"PK\x01\x02")
+    enc[i + 8] |= 1
+    with pytest.raises(ZipFormatError, match="encrypted"):
+        parse_zip(bytes(enc))
+
+
+def test_zip_members_operator(spark):
+    from ohsome_planet_spark.operators.webdataset import zip_members
+    from ohsome_planet_spark.sources.zip import encode_zip
+
+    z = encode_zip([("s/1.txt", b"one"), ("s/2.txt", b"two")], deflate=True)
+    rows = [(1, bytearray(z)), (2, bytearray(b"PK garbage"))]
+    df = spark.createDataFrame(rows, "aid bigint, archive binary")
+    got = zip_members(df, "archive").collect()
+    assert [(r["aid"], r["name"], bytes(r["payload"])) for r in got] == [
+        (1, "s/1.txt", b"one"), (1, "s/2.txt", b"two")]
