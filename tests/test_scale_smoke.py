@@ -688,3 +688,11 @@ def test_webdataset_ingest_scales(spark, scaled_dirs):
 
 def test_subtitle_extract_scales(spark, scaled_dirs):
     _smoke_query(spark, "subtitle_extract", scaled_dirs, check_exchanges=True)
+
+
+def test_id3_tags_scales(spark, scaled_dirs):
+    _smoke_query(spark, "id3_tags", scaled_dirs, check_exchanges=True)
+
+
+def test_zip_ingest_scales(spark, scaled_dirs):
+    _smoke_query(spark, "zip_ingest", scaled_dirs, check_exchanges=True)
