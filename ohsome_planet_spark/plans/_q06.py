@@ -1809,8 +1809,17 @@ def _mp3_l3_oracle() -> str:
                 ELSE 32000 END AS INT) AS sample_rate,
            CAST(max(ch) AS INT) AS channels,
            CAST(2 * max(nf) AS INT) AS n_granules,
-           round(sum(v), 6) AS sample_sum,
-           round(sum(v * (((g * ch + c) * 32 + sb) * 18 + n + 1)), 6)
+           -- per-value snap at 1e-4 then EXACT integer sums: the two
+           -- engines' IMDCT matmuls drift by <=1.2e-13 (measured, from
+           -- 18-term summation order), so a 6-dp rounded float sum was
+           -- a genuine flake (caught round 12); at the 1e-4 grid a
+           -- boundary flip needs a value within 1.2e-13 of a half-step
+           -- (~1e-3 expected flips per FULL gate run) while any real
+           -- decode bug moves values orders of magnitude more
+           sum(CAST(floor(v * 10000 + 0.5) AS BIGINT)) / 10000.0
+             AS sample_sum,
+           sum(CAST(floor(v * 10000 + 0.5) AS BIGINT)
+               * (((g * ch + c) * 32 + sb) * 18 + n + 1)) / 10000.0
              AS weighted_sum
     FROM vals GROUP BY d ORDER BY d
     """
@@ -1839,6 +1848,8 @@ def multimodal_mp3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         from ..functions.mp3_l3 import decode_mp3_subbands, encode_mp3_l3
 
         for pdf in batches:
@@ -1861,20 +1872,25 @@ def multimodal_mp3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ms_stereo=p["ms"],
                 )
                 rate, ch, ng, grans = decode_mp3_subbands(payload)
-                ss = ws = 0.0
+                # per-value 1e-4 snap + exact integer sums mirrors the
+                # oracle: accumulation order is irrelevant on BOTH
+                # engines, and the snap grid sits ~9 orders above the
+                # measured cross-engine IMDCT drift (<=1.2e-13)
+                ss = ws = 0
                 for g, chans_out in enumerate(grans):
                     for c, sbs in enumerate(chans_out):
                         for sb, vals in enumerate(sbs):
                             for n, v in enumerate(vals):
-                                ss += v
-                                ws += v * (
+                                nv = math.floor(v * 10_000 + 0.5)
+                                ss += nv
+                                ws += nv * (
                                     ((g * ch + c) * 32 + sb) * 18 + n + 1
                                 )
                 cols["sample_rate"].append(rate)
                 cols["channels"].append(ch)
                 cols["n_granules"].append(ng)
-                cols["sample_sum"].append(round(ss, 6))
-                cols["weighted_sum"].append(round(ws, 6))
+                cols["sample_sum"].append(ss / 10_000)
+                cols["weighted_sum"].append(ws / 10_000)
             out = pdf[["doc_id"]].copy()
             for k in ("sample_rate", "channels", "n_granules"):
                 out[k] = pd.array(cols[k], dtype="Int32")
@@ -2151,8 +2167,17 @@ def _mp3_intensity_oracle() -> str:
                 ELSE 32000 END AS INT) AS sample_rate,
            CAST(2 AS INT) AS channels,
            CAST(2 * max(nf) AS INT) AS n_granules,
-           round(sum(v), 6) AS sample_sum,
-           round(sum(v * (((g * 2 + c) * 32 + sb) * 18 + n + 1)), 6)
+           -- per-value snap at 1e-4 then EXACT integer sums: the two
+           -- engines' IMDCT matmuls drift by <=1.2e-13 (measured, from
+           -- 18-term summation order), so a 6-dp rounded float sum was
+           -- a genuine flake (caught round 12); at the 1e-4 grid a
+           -- boundary flip needs a value within 1.2e-13 of a half-step
+           -- (~1e-3 expected flips per FULL gate run) while any real
+           -- decode bug moves values orders of magnitude more
+           sum(CAST(floor(v * 10000 + 0.5) AS BIGINT)) / 10000.0
+             AS sample_sum,
+           sum(CAST(floor(v * 10000 + 0.5) AS BIGINT)
+               * (((g * 2 + c) * 32 + sb) * 18 + n + 1)) / 10000.0
              AS weighted_sum
     FROM vals GROUP BY d ORDER BY d
     """
@@ -2181,6 +2206,8 @@ def multimodal_mp3_intensity_decode(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         from ..functions.mp3_l3 import decode_mp3_subbands, encode_mp3_l3
 
         for pdf in batches:
@@ -2204,20 +2231,25 @@ def multimodal_mp3_intensity_decode(
                     intensity=True,
                 )
                 rate, ch, ng, grans = decode_mp3_subbands(payload)
-                ss = ws = 0.0
+                # per-value 1e-4 snap + exact integer sums mirrors the
+                # oracle: accumulation order is irrelevant on BOTH
+                # engines, and the snap grid sits ~9 orders above the
+                # measured cross-engine IMDCT drift (<=1.2e-13)
+                ss = ws = 0
                 for g, chans_out in enumerate(grans):
                     for c, sbs in enumerate(chans_out):
                         for sb, vals in enumerate(sbs):
                             for n, v in enumerate(vals):
-                                ss += v
-                                ws += v * (
+                                nv = math.floor(v * 10_000 + 0.5)
+                                ss += nv
+                                ws += nv * (
                                     ((g * ch + c) * 32 + sb) * 18 + n + 1
                                 )
                 cols["sample_rate"].append(rate)
                 cols["channels"].append(ch)
                 cols["n_granules"].append(ng)
-                cols["sample_sum"].append(round(ss, 6))
-                cols["weighted_sum"].append(round(ws, 6))
+                cols["sample_sum"].append(ss / 10_000)
+                cols["weighted_sum"].append(ws / 10_000)
             out = pdf[["doc_id"]].copy()
             for k in ("sample_rate", "channels", "n_granules"):
                 out[k] = pd.array(cols[k], dtype="Int32")
