@@ -346,3 +346,57 @@ def robots_filter(
             F.col("_w.pattern").alias("matched_pattern"),
         )
     )
+
+
+def sitemap_entries(df: DataFrame, sitemap_col: str = "sitemap") -> DataFrame:
+    """Explode sitemap documents (``functions/sitemap.py``: urlset /
+    sitemapindex / plain-text, gzip envelopes) into one row per entry
+    with lastmod epoch millis, changefreq and clamped priority.
+    Unparseable documents yield zero rows — crawl data is dirty by
+    construction."""
+    base_cols = [c for c in df.columns if c != sitemap_col]
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.sitemap import SitemapFormatError, parse_sitemap
+
+        rec_cols = ("kind", "entry_idx", "loc", "lastmod_ms", "changefreq",
+                    "priority")
+        for pdf in batches:
+            acc: dict[str, list] = {c: [] for c in base_cols}
+            acc.update({c: [] for c in rec_cols})
+            for _, r in pdf.iterrows():
+                try:
+                    parsed = parse_sitemap(r[sitemap_col])
+                except (SitemapFormatError, ValueError, TypeError):
+                    continue
+                for i, e in enumerate(parsed["entries"]):
+                    for c in base_cols:
+                        acc[c].append(r[c])
+                    acc["kind"].append(parsed["kind"])
+                    acc["entry_idx"].append(i)
+                    acc["loc"].append(e["loc"])
+                    acc["lastmod_ms"].append(e["lastmod_ms"])
+                    acc["changefreq"].append(e["changefreq"])
+                    acc["priority"].append(e["priority"])
+            out = pd.DataFrame(
+                {
+                    c: pd.Series(acc[c], dtype=object)
+                    for c in base_cols + list(rec_cols)
+                }
+            )
+            out["entry_idx"] = pd.array(acc["entry_idx"], dtype="Int32")
+            out["lastmod_ms"] = pd.array(acc["lastmod_ms"], dtype="Int64")
+            out["priority"] = pd.array(acc["priority"], dtype="float64")
+            yield out
+
+    base_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema
+        if f.name != sitemap_col
+    )
+    schema = (
+        (base_schema + ", " if base_schema else "")
+        + "kind string, entry_idx int, loc string, lastmod_ms bigint,"
+        " changefreq string, priority double"
+    )
+    return df.mapInPandas(walk, schema)

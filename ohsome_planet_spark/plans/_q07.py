@@ -413,6 +413,39 @@ def cc_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fixture_robots_bodies(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Shared robots.txt fixture grid for the admission rows (host id
+    column ``hid`` in, (host, robots) out)."""
+    for pdf in batches:
+        out_host, out_robots = [], []
+        for hid in pdf["hid"]:
+            h = int(hid)
+            lines = [
+                "# fixture robots for host %d" % h,
+                "Sitemap: http://h%d.test/sitemap.xml" % h,
+                "User-agent: *   # the catch-all group",
+                "Disallow: /private/",
+                "Allow: /private/ok/",
+                "Crawl-delay: %d" % (h % 2 + 1),
+            ]
+            if h % 4 == 0:
+                lines.append("Disallow: /*.bak$")
+            if h % 4 == 1:
+                lines += ["Disallow: /tmp/*", "Allow: /tmp/keep/"]
+            if h % 3 == 0:
+                lines += [
+                    "",
+                    "User-agent: TrainingBot",
+                    "Disallow: /bot/",
+                    "Allow: /",
+                ]
+            out_host.append("h%d.test" % h)
+            out_robots.append("\n".join(lines) + "\n")
+        yield pd.DataFrame({"host": out_host, "robots": out_robots})
+
+
 _ROBOTS_ORACLE = """
 WITH cfg AS (
   SELECT doc_id, doc_id % 40 AS h, doc_id % 6 AS p,
@@ -476,36 +509,9 @@ def robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = docs.select("doc_id", host.alias("host"), path.alias("path"))
 
     hosts = docs.select((d % 40).cast("int").alias("hid")).distinct()
-
-    def robots_body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_host, out_robots = [], []
-            for hid in pdf["hid"]:
-                h = int(hid)
-                lines = [
-                    "# fixture robots for host %d" % h,
-                    "Sitemap: http://h%d.test/sitemap.xml" % h,
-                    "User-agent: *   # the catch-all group",
-                    "Disallow: /private/",
-                    "Allow: /private/ok/",
-                    "Crawl-delay: %d" % (h % 2 + 1),
-                ]
-                if h % 4 == 0:
-                    lines.append("Disallow: /*.bak$")
-                if h % 4 == 1:
-                    lines += ["Disallow: /tmp/*", "Allow: /tmp/keep/"]
-                if h % 3 == 0:
-                    lines += [
-                        "",
-                        "User-agent: TrainingBot",
-                        "Disallow: /bot/",
-                        "Allow: /",
-                    ]
-                out_host.append("h%d.test" % h)
-                out_robots.append("\n".join(lines) + "\n")
-            yield pd.DataFrame({"host": out_host, "robots": out_robots})
-
-    bodies = hosts.mapInPandas(robots_body, "host string, robots string")
+    bodies = hosts.mapInPandas(
+        _fixture_robots_bodies, "host string, robots string"
+    )
     rules = robots_rules(bodies, "robots", agent="trainingbot")
     return (
         robots_filter(urls, rules)
@@ -1783,6 +1789,149 @@ def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(margin, 6).alias("margin"),
         )
         .orderBy("src_id")
+    )
+
+
+_FRONTIER_ORACLE = """
+WITH cfg AS (
+  SELECT doc_id, doc_id % 40 AS h, doc_id % 6 AS p, doc_id AS d,
+    'h' || CAST(doc_id % 40 AS VARCHAR) || '.test' AS host,
+    CASE doc_id % 6
+      WHEN 0 THEN '/private/ok/page' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN '/private/sec' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN '/public/p' || CAST(doc_id AS VARCHAR)
+              || '?a=1&b=2'
+      WHEN 3 THEN '/tmp/file' || CAST(doc_id AS VARCHAR) || '.bak'
+      WHEN 4 THEN '/bot/x' || CAST(doc_id AS VARCHAR)
+      ELSE '/tmp/keep/y' || CAST(doc_id AS VARCHAR)
+    END AS path
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN d % 7 = 3 THEN 'plain' ELSE 'urlset' END AS kind,
+  'http://' || host || path AS loc,
+  CASE
+    WHEN h % 3 = 0 THEN p <> 4
+    WHEN p = 1 THEN false
+    WHEN p = 3 AND h % 4 IN (0, 1) THEN false
+    ELSE true
+  END AS allowed,
+  CASE WHEN d % 7 = 3 THEN NULL
+    ELSE epoch_ms(TIMESTAMP '2020-01-01'
+                  + to_days(CAST(d % 1000 AS INT))
+                  + to_hours(CAST(d % 24 AS INT)))
+  END AS lastmod_ms,
+  CASE WHEN d % 7 = 3 OR d % 3 = 0 THEN NULL
+    ELSE round((d % 11) / 10.0, 1) END AS priority,
+  CASE WHEN d % 7 = 3 OR d % 5 = 4 THEN NULL
+    ELSE ['always', 'hourly', 'daily', 'weekly', 'monthly',
+          'yearly', 'never'][d % 7 + 1] END AS changefreq
+FROM cfg ORDER BY doc_id
+"""
+
+
+@_register("crawl_frontier", _FRONTIER_ORACLE)
+def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-frontier composition the web lane builds toward:
+    per-doc sitemap documents (urlset XML with ``&amp;``-escaped query
+    URLs, W3C lastmod datetimes, changefreq/priority grids, gzip
+    envelopes on every fifth doc, the plain-text one-URL-per-line form
+    on every seventh) parse into entries, split into host/path, and
+    pass through RFC 9309 admission against the SAME broadcast robots
+    rule dim as ``robots_url_filter`` — sitemap discovery and
+    politeness joined before a single fetch is spent. The oracle
+    replays the entity-decoded loc, the epoch-millis lastmod
+    arithmetic (refereed against CPython's datetime over a randomized
+    grid in pytest), the priority clamp and every admission decision."""
+    from ..operators.web import robots_filter, robots_rules, sitemap_entries
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+    d = F.col("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import datetime as _dt
+        import gzip as _gzip
+
+        freqs = ("always", "hourly", "daily", "weekly", "monthly",
+                 "yearly", "never")
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                dd = int(doc_id)
+                h = dd % 40
+                p = dd % 6
+                path = (
+                    f"/private/ok/page{dd}", f"/private/sec{dd}",
+                    f"/public/p{dd}?a=1&b=2", f"/tmp/file{dd}.bak",
+                    f"/bot/x{dd}", f"/tmp/keep/y{dd}",
+                )[p]
+                url = f"http://h{h}.test{path}"
+                if dd % 7 == 3:
+                    doc = url + "\n"
+                else:
+                    when = _dt.datetime(2020, 1, 1) + _dt.timedelta(
+                        days=dd % 1000, hours=dd % 24
+                    )
+                    lastmod = when.strftime("%Y-%m-%dT%H:%M:%SZ")
+                    fields = [
+                        "<loc>" + url.replace("&", "&amp;") + "</loc>",
+                        f"<lastmod>{lastmod}</lastmod>",
+                    ]
+                    if dd % 3 != 0:
+                        fields.append(
+                            f"<priority>{(dd % 11) / 10.0:.1f}</priority>"
+                        )
+                    if dd % 5 != 4:
+                        fields.append(
+                            f"<changefreq>{freqs[dd % 7]}</changefreq>"
+                        )
+                    doc = (
+                        '<?xml version="1.0" encoding="UTF-8"?>\n'
+                        '<urlset xmlns="http://www.sitemaps.org/schemas'
+                        '/sitemap/0.9">\n<url>'
+                        + "".join(fields)
+                        + "</url>\n</urlset>\n"
+                    )
+                raw = doc.encode()
+                payloads.append(
+                    _gzip.compress(raw, 6) if dd % 5 == 0 else raw
+                )
+            out = pdf[["doc_id"]].copy()
+            out["sitemap"] = payloads
+            yield out
+
+    maps = docs.mapInPandas(encode, "doc_id bigint, sitemap binary")
+    entries = sitemap_entries(maps, "sitemap")
+    urls = entries.select(
+        "doc_id",
+        "kind",
+        "loc",
+        "lastmod_ms",
+        "changefreq",
+        "priority",
+        F.regexp_extract("loc", r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("loc", r"^https?://[^/]+(/.*)$", 1).alias("path"),
+    )
+    hosts = docs.select((d % 40).cast("int").alias("hid")).distinct()
+    bodies = hosts.mapInPandas(
+        _fixture_robots_bodies, "host string, robots string"
+    )
+    rules = robots_rules(bodies, "robots", agent="trainingbot")
+    admitted = robots_filter(urls, rules).select(
+        "doc_id", "host", "path", "allowed"
+    )
+    return (
+        urls.join(admitted, ["doc_id", "host", "path"])
+        .select(
+            "doc_id",
+            "kind",
+            "loc",
+            "allowed",
+            "lastmod_ms",
+            "priority",
+            "changefreq",
+        )
+        .orderBy("doc_id")
     )
 
 
