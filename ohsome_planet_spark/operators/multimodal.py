@@ -587,6 +587,56 @@ def audio_tags(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(probe, schema)
 
 
+def probe_ts_stream(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL MPEG transport-stream probe via ``mapInPandas``
+    (``functions/mpegts.py``): 188-byte packet walk, continuity
+    checking, CRC-verified PAT/PMT, PCR duration, per-PID PES counts —
+    the HLS-segment metadata pass. Elementary codec payloads stay
+    behind the dedicated probes/stubs; undecodable payloads null out."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from ..functions.mpegts import TsFormatError, probe_ts
+
+        cols = ("n_packets", "n_null", "program_number", "pmt_pid",
+                "pcr_pid", "video_pid", "audio_pid", "video_codec",
+                "audio_codec", "n_video_pes", "n_audio_pes", "duration_ms",
+                "cc_errors")
+        for pdf in batches:
+            acc = {k: [] for k in cols}
+            for payload in pdf[media_col]:
+                try:
+                    r = probe_ts(bytes(payload))
+                    codec = {pid: name for pid, _t, name in r["streams"]}
+                    r = dict(r)
+                    r["video_codec"] = codec.get(r["video_pid"])
+                    r["audio_codec"] = codec.get(r["audio_pid"])
+                except (TsFormatError, ValueError, TypeError, IndexError,
+                        struct.error):
+                    r = None
+                for k in cols:
+                    acc[k].append(r[k] if r is not None else None)
+            out = pdf.copy()
+            for k in ("n_packets", "n_null", "program_number", "pmt_pid",
+                      "pcr_pid", "video_pid", "audio_pid", "n_video_pes",
+                      "n_audio_pes", "cc_errors"):
+                out[k] = pd.array(acc[k], dtype="Int32")
+            out["duration_ms"] = pd.array(acc["duration_ms"], dtype="Int64")
+            for k in ("video_codec", "audio_codec"):
+                out[k] = acc[k]
+            yield out
+
+    schema = (
+        df.schema.simpleString()[7:-1]
+        + ",n_packets int,n_null int,program_number int,pmt_pid int,"
+        "pcr_pid int,video_pid int,audio_pid int,video_codec string,"
+        "audio_codec string,n_video_pes int,n_audio_pes int,"
+        "duration_ms bigint,cc_errors int"
+    )
+    return df.mapInPandas(probe, schema)
+
+
 def probe_video(df: DataFrame, media_col: str = "media") -> DataFrame:
     """REAL video container probe via ``mapInPandas``: ISO-BMFF (MP4/MOV)
     box walk or RIFF/AVI chunk walk (magic-sniffed) →

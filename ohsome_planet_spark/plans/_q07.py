@@ -1935,4 +1935,93 @@ def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TS_ORACLE = """
+WITH cfg AS (
+  SELECT doc_id, doc_id AS d,
+    CAST(doc_id % 6 + 1 AS INT) AS nv,
+    CAST(doc_id % 4 + 1 AS INT) AS na,
+    CAST(doc_id % 4 AS INT) AS nn
+  FROM documents
+)
+SELECT doc_id,
+  CAST(4 + nv + na + nn AS INT) AS n_packets,
+  nn AS n_null,
+  CAST(d % 100 + 1 AS INT) AS program_number,
+  CAST(256 AS INT) AS pmt_pid,
+  CAST(257 AS INT) AS pcr_pid,
+  CAST(257 AS INT) AS video_pid,
+  CAST(258 AS INT) AS audio_pid,
+  ['h264', 'hevc', 'mpeg2-video', 'mpeg1-video'][d % 4 + 1] AS video_codec,
+  ['aac-adts', 'mp3', 'mp2', 'ac3', 'aac-latm'][d % 5 + 1] AS audio_codec,
+  nv AS n_video_pes,
+  na AS n_audio_pes,
+  CAST(d % 5000 + 100 AS BIGINT) AS duration_ms,
+  CAST(0 AS INT) AS cc_errors
+FROM cfg ORDER BY doc_id
+"""
+
+
+@_register("multimodal_ts_probe", _TS_ORACLE)
+def multimodal_ts_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG transport-stream probe through the multimodal seam
+    (the HLS-segment shape): conformant single-program streams —
+    CRC-correct PAT/PMT sections behind stuffing adaptation fields,
+    PCR pairs bracketing a per-doc duration (33-bit 90 kHz base +
+    27 MHz extension), rotating video/audio stream types across the
+    registry, real 00 00 01 PES starts, null stuffing and per-PID
+    continuity counters — walked back by
+    :func:`operators.multimodal.probe_ts_stream`. The oracle replays
+    packet/PES/null counts, PID wiring, codec names and the PCR
+    duration; a wrong PCR bit split, a missed pointer field or an
+    unverified section CRC shifts a concrete row."""
+    from ..operators.multimodal import probe_ts_stream
+
+    docs = fan_out(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mpegts import encode_ts
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    encode_ts(
+                        program_number=d % 100 + 1,
+                        video_type=(0x1B, 0x24, 0x02, 0x01)[d % 4],
+                        audio_type=(0x0F, 0x03, 0x04, 0x81, 0x11)[d % 5],
+                        n_video_pes=d % 6 + 1,
+                        n_audio_pes=d % 4 + 1,
+                        duration_ms=d % 5000 + 100,
+                        n_null=d % 4,
+                        seed=d,
+                    )
+                )
+            out = pdf.copy()
+            out["media"] = payloads
+            yield out
+
+    media = docs.mapInPandas(encode, "doc_id bigint, media binary")
+    return (
+        probe_ts_stream(media)
+        .select(
+            "doc_id",
+            "n_packets",
+            "n_null",
+            "program_number",
+            "pmt_pid",
+            "pcr_pid",
+            "video_pid",
+            "audio_pid",
+            "video_codec",
+            "audio_codec",
+            "n_video_pes",
+            "n_audio_pes",
+            "duration_ms",
+            "cc_errors",
+        )
+        .orderBy("doc_id")
+    )
+
+
 __all__ = [n for n in dict(globals()) if not n.startswith("__")]
