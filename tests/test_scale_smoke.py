@@ -696,3 +696,15 @@ def test_id3_tags_scales(spark, scaled_dirs):
 
 def test_zip_ingest_scales(spark, scaled_dirs):
     _smoke_query(spark, "zip_ingest", scaled_dirs, check_exchanges=True)
+
+
+def test_crawl_frontier_scales(spark, scaled_dirs):
+    # sitemap explode + broadcast robots admission: the URL-key groupBy
+    # and the entry join are the only exchanges
+    _smoke_query(spark, "crawl_frontier", scaled_dirs, check_exchanges=True)
+
+
+def test_multimodal_ts_probe_scales(spark, scaled_dirs):
+    _smoke_query(
+        spark, "multimodal_ts_probe", scaled_dirs, check_exchanges=True
+    )
