@@ -183,6 +183,18 @@ def main() -> None:
     spark = get_spark(app_name="ohsome_planet_spark_bench")
     queries = all_queries()
 
+    # measurement hook (optimization rounds): comma-separated allowlist to
+    # A/B a subset with the bench's exact interleaved-pass methodology.
+    # Unset (the driver's invocation) the bench is unchanged.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        queries = {n: f for n, f in queries.items() if n in keep}
+        # subset runs are scratch measurements: keep them out of the
+        # append-only BENCH_HISTORY so round-over-round comparisons only
+        # ever see full-suite entries
+        os.environ["SPARK_GRAFT_BENCH_NO_HISTORY"] = "1"
+
     # test hook: deliberately break one query so the isolation path itself
     # is testable end-to-end (tests/test_bench_harness.py)
     broken = os.environ.get("SPARK_GRAFT_BENCH_BREAK")
@@ -200,6 +212,17 @@ def main() -> None:
     out = run_bench(spark, queries, SF_DIR, N_RUNS)
     out["idle_check"] = idle
 
+    # Subset (A/B) runs are scratch measurements: print and exit WITHOUT
+    # touching BENCH_DETAIL.json or BENCH_HISTORY.jsonl, so the committed
+    # full-suite artifacts are never clobbered by a measurement loop.
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_HISTORY"):
+        print(json.dumps(out), file=sys.stderr)
+        print(json.dumps(compact_summary(out)))
+        try:
+            spark.stop()
+        except Exception:
+            pass
+        return
     # Full detail (with the per-query map) goes to a sidecar + stderr; the
     # FINAL stdout line is the compact driver-contract summary, kept well
     # under the driver's 2,000-char stdout tail capture.

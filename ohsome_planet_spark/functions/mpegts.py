@@ -4,7 +4,10 @@ lane's metadata pass (next to ISO-BMFF, RIFF/AVI, EBML and Annex-B).
 
 What is REAL here: the 188-byte packet walk (sync verification, PID /
 PUSI / adaptation-field-control decode, per-PID continuity-counter
-checking with the duplicate-packet allowance), adaptation fields with
+checking — STRICT: a repeated CC counts as a cc_error, i.e. the ISO
+13818-1 §2.4.3.3 single-duplicate allowance is deliberately not
+granted, which over-counts by design on streams that carry legal
+duplicate packets), adaptation fields with
 PCR decode (33-bit 90 kHz base + 9-bit 27 MHz extension → the
 first/last-PCR duration arithmetic players actually use), PAT and PMT
 section parsing behind the pointer field with MPEG-2 CRC-32

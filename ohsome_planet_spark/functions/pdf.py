@@ -36,6 +36,19 @@ class PdfFormatError(ValueError):
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
+# Pre-compiled, position-anchored token patterns. Matching with
+# ``pattern.match(data, pos)`` lexes in place; the previous
+# ``re.match(pat, data[pos:])`` form copied the remaining buffer on every
+# token, making tokenization O(n^2) in document size — measurable on
+# real-world crawled PDFs (ADVICE r12; optimization guide §4.2: make the
+# per-record Python work linear before distributing it).
+_NUM_RE = re.compile(rb"[+-]?(\d+\.\d*|\.\d+|\d+)")
+_REF_TAIL_RE = re.compile(rb"\s+(\d+)\s+R(?![\w])")
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_XREF_SECTION_RE = re.compile(rb"\s*(\d+)\s+(\d+)\s*\r?\n")
+_TRAILER_RE = re.compile(rb"\s*trailer")
+_CONTENT_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
 
 class _Ref:
     __slots__ = ("num", "gen")
@@ -141,18 +154,18 @@ class _Lexer:
         return _Name(buf.decode("latin-1"))
 
     def _parse_number_or_ref(self):
-        m = re.match(rb"[+-]?(\d+\.\d*|\.\d+|\d+)", self.data[self.pos :])
+        m = _NUM_RE.match(self.data, self.pos)
         if not m:
             raise PdfFormatError("malformed number")
         tok = m.group(0)
-        self.pos += len(tok)
+        self.pos = m.end()
         if b"." in tok:
             return float(tok)
         num = int(tok)
         # 'N G R' indirect reference lookahead
-        m2 = re.match(rb"\s+(\d+)\s+R(?![\w])", self.data[self.pos :])
+        m2 = _REF_TAIL_RE.match(self.data, self.pos)
         if num >= 0 and m2:
-            self.pos += m2.end()
+            self.pos = m2.end()
             return _Ref(num, int(m2.group(1)))
         return num
 
@@ -256,7 +269,7 @@ def _xref_objects(data: bytes) -> dict[int, tuple[object, tuple | None]] | None:
     tail = data.rfind(b"startxref")
     if tail < 0:
         return None
-    m = re.match(rb"startxref\s+(\d+)", data[tail:])
+    m = _STARTXREF_RE.match(data, tail)
     if not m:
         return None
     offsets: dict[int, int] = {}
@@ -268,11 +281,11 @@ def _xref_objects(data: bytes) -> dict[int, tuple[object, tuple | None]] | None:
             return None  # xref stream or garbage
         pos = lex.pos + 4
         while True:
-            mh = re.match(rb"\s*(\d+)\s+(\d+)\s*\r?\n", data[pos:])
+            mh = _XREF_SECTION_RE.match(data, pos)
             if not mh:
                 break
             start, count = int(mh.group(1)), int(mh.group(2))
-            pos += mh.end()
+            pos = mh.end()
             for i in range(count):
                 entry = data[pos : pos + 20]
                 if len(entry) < 18:
@@ -280,10 +293,10 @@ def _xref_objects(data: bytes) -> dict[int, tuple[object, tuple | None]] | None:
                 if entry[17:18] == b"n" and start + i not in offsets:
                     offsets[start + i] = int(entry[:10])
                 pos += 20
-        mt = re.match(rb"\s*trailer", data[pos:])
+        mt = _TRAILER_RE.match(data, pos)
         if not mt:
             return None
-        lex = _Lexer(data, pos + mt.end())
+        lex = _Lexer(data, mt.end())
         trailer = lex.parse_value()
         if not isinstance(trailer, dict):
             return None
@@ -396,10 +409,10 @@ def _tokenize_content(data: bytes):
             v = lex._parse_number_or_ref()
             yield ("num", float(v) if not isinstance(v, _Ref) else 0.0)
         else:
-            m = re.match(rb"[A-Za-z'\"*]+", data[lex.pos :])
+            m = _CONTENT_OP_RE.match(data, lex.pos)
             if not m:
                 raise PdfFormatError(f"bad content byte 0x{c:02x}")
-            lex.pos += len(m.group(0))
+            lex.pos = m.end()
             yield ("op", m.group(0).decode("latin-1"))
 
 

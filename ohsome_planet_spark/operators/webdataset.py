@@ -215,6 +215,8 @@ def zip_members(df: DataFrame, zip_col: str = "archive") -> DataFrame:
     base_cols = [c for c in df.columns if c != zip_col]
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         from ..sources.zip import ZipFormatError, parse_zip
 
         rec_cols = ("member_idx", "name", "size", "compressed_size",
@@ -225,7 +227,12 @@ def zip_members(df: DataFrame, zip_col: str = "archive") -> DataFrame:
             for _, r in pdf.iterrows():
                 try:
                     ms = parse_zip(bytes(r[zip_col]))
-                except (ZipFormatError, ValueError, TypeError):
+                except (ZipFormatError, ValueError, TypeError,
+                        struct.error, IndexError):
+                    # struct.error is NOT a ValueError subclass: a
+                    # truncated EOCD/central directory must hit the
+                    # zero-rows dirty-input contract, not kill the task
+                    # (ADVICE r12, medium)
                     continue
                 for i, m in enumerate(ms):
                     for c in base_cols:

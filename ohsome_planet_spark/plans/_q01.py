@@ -1682,9 +1682,9 @@ def exact_substr_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_substr_rewrite
 
     docs = fan_out(_t(spark, sf_dir, "documents"))
-    return exact_substr_rewrite(
+    return staged_sort(exact_substr_rewrite(
         docs, "doc_id", "text", n=8, min_docs=2
-    ).orderBy("doc")
+    ), "doc")
 
 
 def _line_dedup_oracle() -> str:
@@ -1870,9 +1870,9 @@ def ccnet_lm_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 7 == 2, F.lit("zq kjw xvv qqp zzkrp wq")),
     )
     inp = docs.select("doc_id", "lang", ftxt.alias("ftxt"))
-    return ccnet_lm_filter(
+    return staged_sort(ccnet_lm_filter(
         inp, id_col="doc_id", text_col="ftxt", lang_col="lang"
-    ).orderBy("doc")
+    ), "doc")
 
 
 def _ccnet_pipeline_oracle(k: float = 0.5, train_pct: int = 80) -> str:
@@ -2041,11 +2041,11 @@ def ccnet_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ccnet_lm_filter(inp, id_col="doc", text_col="text",
                           lang_col="lang")
-    return (
+    return staged_sort(
         out.join(dd.select("doc", "n_lines", "n_kept"), "doc")
         .select("doc", "lang", "n_lines", "n_kept", "n_paragraphs",
-                "n_bigrams", "log_ppl", "ppl", "bucket", "keep")
-        .orderBy("doc")
+                "n_bigrams", "log_ppl", "ppl", "bucket", "keep"),
+        "doc",
     )
 
 
@@ -2274,10 +2274,30 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidate_pairs(
         mh_sigs(sh, num_perm=16), num_perm=16, bands=4
     ).select("doc_a", "doc_b")
-    hit = truth.intersect(cand)
-    n_truth = truth.count()
-    n_cand = cand.count()
-    n_hit = hit.count()
+    # ONE action for all three counts: tag each side, union, and count
+    # per-pair membership. The previous truth.count() / cand.count() /
+    # truth.intersect(cand).count() ran THREE actions, recomputing the
+    # shingle + MinHash pipelines roughly twice each (guide §1.2: fix
+    # the algorithm's pass count first). n_hit counts DISTINCT pairs on
+    # both sides — exactly intersect()'s set semantics.
+    tagged = truth.withColumn("_t", F.lit(1)).withColumn(
+        "_c", F.lit(0)
+    ).unionByName(
+        cand.withColumn("_t", F.lit(0)).withColumn("_c", F.lit(1))
+    )
+    per_pair = tagged.groupBy("doc_a", "doc_b").agg(
+        F.sum("_t").alias("nt"), F.sum("_c").alias("nc")
+    )
+    tot = per_pair.agg(
+        F.sum("nt").alias("n_truth"),
+        F.sum("nc").alias("n_cand"),
+        F.sum(
+            ((F.col("nt") > 0) & (F.col("nc") > 0)).cast("long")
+        ).alias("n_hit"),
+    ).collect()[0]
+    n_truth = int(tot.n_truth or 0)
+    n_cand = int(tot.n_cand or 0)
+    n_hit = int(tot.n_hit or 0)
     row = [(
         n_truth, n_cand, n_hit,
         round(n_hit / n_truth, 6) if n_truth else None,
@@ -2400,7 +2420,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(_t(spark, sf_dir, "documents"))
     sigs = simhash(docs, "doc_id", "text", bits=32)
     pairs = simhash_near_dup_pairs(sigs, bits=32, bands=4, max_hamming=3)
-    return dedup_clusters(docs, pairs, id_col="doc_id").orderBy("doc_id")
+    return staged_sort(dedup_clusters(docs, pairs, id_col="doc_id"), "doc_id")
 
 
 def _dedup_canonical_oracle() -> str:
@@ -2436,8 +2456,9 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(_t(spark, sf_dir, "documents"))
     clusters = _dedup_cluster_table(spark, sf_dir)
-    return keep_best(clusters, docs, id_col="doc_id", score_col="n_chars").orderBy(
-        "doc_id"
+    return staged_sort(
+        keep_best(clusters, docs, id_col="doc_id", score_col="n_chars"),
+        "doc_id",
     )
 
 

@@ -108,7 +108,7 @@ def knn_self_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fan_out(_t(spark, sf_dir, "embeddings"))
     cents = centroids_df_sqrt(emb, min_every=25)
-    return knn_self_join(emb, cents, k=3).orderBy("vec_id", "rank")
+    return staged_sort(knn_self_join(emb, cents, k=3), "vec_id", "rank")
 
 
 def _lsh_table_sig_sql(nbits: int, salt: str, dim: int = 64) -> str:
@@ -229,9 +229,9 @@ def knn_self_join_lsh_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_self_join_lsh
 
     emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    return knn_self_join_lsh(
+    return staged_sort(knn_self_join_lsh(
         emb, k=3, nbits=8, ntables=2, bucket_cap=4
-    ).orderBy("vec_id", "rank")
+    ), "vec_id", "rank")
 
 
 _LSH_TWIN_BASE = 1_000_000
@@ -387,10 +387,10 @@ def semantic_dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup_clusters(
         aug.select(F.col("vec_id").alias("doc_id")), pairs, id_col="doc_id"
     )
-    return clusters.select(
+    return staged_sort(clusters.select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "n_docs",
         "is_canonical",
-    ).orderBy("vec_id")
+    ), "vec_id")
 
 
 def _mmr_oracle(qid: int = 0, pool: int = 20, k: int = 5, lam: float = 0.7) -> str:
@@ -686,7 +686,7 @@ def contrib_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters and contrib types."""
     ways, nodes = _derived_way_inputs(spark, sf_dir)
     contribs = synthesize_contributions(way_contribution_events(ways, nodes))
-    return contribs.select(
+    return staged_sort(contribs.select(
         "osm_id",
         "osm_version",
         "osm_minor_version",
@@ -700,7 +700,7 @@ def contrib_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("centroid.x", 6).alias("cx"),
         F.round("centroid.y", 6).alias("cy"),
         "refs_count",
-    ).orderBy("osm_id", "osm_edits")
+    ), "osm_id", "osm_edits")
 
 
 def _ohsome_length_series_oracle() -> str:
@@ -1052,7 +1052,7 @@ def contrib_polygons_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "visible", "tags", "refs",
     )
     contribs = synthesize_contributions(way_contribution_events(ways, nodes))
-    return contribs.select(
+    return staged_sort(contribs.select(
         "osm_id",
         "osm_version",
         "valid_from",
@@ -1061,7 +1061,7 @@ def contrib_polygons_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contrib_type",
         "geometry_type",
         F.round(F.col("area") / 1e6, 6).alias("area_km2"),
-    ).orderBy("osm_id", "osm_version")
+    ), "osm_id", "osm_version")
 
 
 def _derived_polygon_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,7 +1163,7 @@ def contrib_multipolygons_from_pbf(spark: SparkSession, sf_dir: str) -> DataFram
     contribs = synthesize_contributions(
         relation_contribution_events(rels, ways, nodes)
     )
-    return contribs.select(
+    return staged_sort(contribs.select(
         "osm_id",
         "valid_from",
         "valid_to",
@@ -1171,7 +1171,7 @@ def contrib_multipolygons_from_pbf(spark: SparkSession, sf_dir: str) -> DataFram
         "contrib_type",
         "geometry_type",
         F.round(F.col("area") / 1e6, 6).alias("area_km2"),
-    ).orderBy("osm_id", "valid_from")
+    ), "osm_id", "valid_from")
 
 
 def _polygon_perimeters_oracle() -> str:
@@ -1958,7 +1958,7 @@ def contrib_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     rels = _derived_relations(spark, sf_dir)
     contribs = synthesize_contributions(relation_contribution_events(rels, ways, nodes))
     n_geoms = F.size(F.filter(F.col("members"), lambda m: m["geometry"].isNotNull()))
-    return contribs.select(
+    return staged_sort(contribs.select(
         "osm_id",
         "osm_version",
         "osm_minor_version",
@@ -1972,7 +1972,7 @@ def contrib_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("bbox.ymin", 6).alias("bymin"),
         F.round("bbox.xmax", 6).alias("bxmax"),
         F.round("bbox.ymax", 6).alias("bymax"),
-    ).orderBy("osm_id", "osm_edits")
+    ), "osm_id", "osm_edits")
 
 
 # ===========================================================================

@@ -855,24 +855,33 @@ def multimodal_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": ids, "media": payloads, "stride": strides}
             )
 
-    media = docs.mapInPandas(encode, "doc_id bigint, media binary, stride int")
     # the sampler takes one stride per call; fan the three stride classes
-    # through the operator and union (each class filters ITS payloads —
-    # at scale this is one pass per distinct sampling policy, the shape a
-    # real pipeline with per-collection policies has)
+    # through the operator and union. The class filter runs on doc_id
+    # BEFORE the encode seam (stride ≡ doc_id % 3 + 1 is deterministic),
+    # so every payload is encoded exactly once — filtering the encoded
+    # frame instead re-ran the opaque mapInPandas encode per class, 3×
+    # the Python-side work for identical output (guide §2.3/§4.1: an
+    # opaque seam defeats filter pushdown; apply the filter to its
+    # inputs yourself). At scale this is one pass per distinct sampling
+    # policy over that policy's slice, the shape a real pipeline with
+    # per-collection policies has.
     parts = [
         sample_video_frames(
-            media.filter(F.col("stride") == k), every_n=k, max_frames=4
+            docs.filter((F.col("doc_id") % 3 + 1) == k).mapInPandas(
+                encode, "doc_id bigint, media binary, stride int"
+            ),
+            every_n=k,
+            max_frames=4,
         )
         for k in (1, 2, 3)
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return (
+    return staged_sort(
         out.select("doc_id", "frame_idx", "n_frames", "width", "height",
-                   "pixel_sum")
-        .orderBy("doc_id", "frame_idx")
+                   "pixel_sum"),
+        "doc_id", "frame_idx",
     )
 
 
@@ -2102,10 +2111,10 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fan_out(_t(spark, sf_dir, "embeddings"))
     cb = pq_codebooks(emb, m=4, dim=64, every=64, iters=1)
-    return (
+    return staged_sort(
         pq_encode(emb, cb, m=4, dim=64)
-        .select("vec_id", F.col("sub").cast("int").alias("sub"), "code", "sub_dist")
-        .orderBy("vec_id", "sub")
+        .select("vec_id", F.col("sub").cast("int").alias("sub"), "code", "sub_dist"),
+        "vec_id", "sub",
     )
 
 
@@ -2461,15 +2470,15 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = spark.createDataFrame(
         [("lsh",), ("ivf",), ("ivfpq",), ("ivfpq_res",)], "method string"
     )
-    return (
+    return staged_sort(
         exact.crossJoin(F.broadcast(methods))
         .join(approx, ["method", "query_id", "vec_id"], "left")
         .groupBy("query_id", "method")
         .agg(
             F.count("_hit").alias("n_hit"),
             F.round(F.count("_hit") / 5.0, 6).alias("recall_at_5"),
-        )
-        .orderBy("query_id", "method")
+        ),
+        "query_id", "method",
     )
 
 

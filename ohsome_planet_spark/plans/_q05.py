@@ -1498,7 +1498,7 @@ def _fullrow_project(contribs: DataFrame) -> DataFrame:
         F.col("refs").isNotNull(),
         F.concat_ws(",", F.transform("refs", lambda x: x.cast("string"))),
     )
-    return contribs.select(
+    return staged_sort(contribs.select(
         "status",
         "valid_from",
         "valid_to",
@@ -1539,7 +1539,7 @@ def _fullrow_project(contribs: DataFrame) -> DataFrame:
         members_str.alias("members"),
         F.concat_ws(",", "countries").alias("countries"),
         "build_time",
-    ).orderBy("osm_type", "osm_id", "osm_edits")
+    ), "osm_type", "osm_id", "osm_edits")
 
 
 @_register("contrib_full_row_from_pbf", _fullrow_oracle())

@@ -812,15 +812,15 @@ def multimodal_mp1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[k] = pd.array(cols[k], dtype="float64")
             yield out
 
-    return (
+    return staged_sort(
         media.mapInPandas(
             decode,
             "doc_id bigint, media binary, sample_rate int, channels int,"
             " n_frames int, sample_sum double, weighted_sum double",
         )
         .select("doc_id", "sample_rate", "channels", "n_frames",
-                "sample_sum", "weighted_sum")
-        .orderBy("doc_id")
+                "sample_sum", "weighted_sum"),
+        "doc_id",
     )
 
 
@@ -1037,15 +1037,15 @@ def multimodal_mp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[k] = pd.array(cols[k], dtype="float64")
             yield out
 
-    return (
+    return staged_sort(
         media.mapInPandas(
             decode,
             "doc_id bigint, media binary, sample_rate int, channels int,"
             " n_frames int, sample_sum double, weighted_sum double",
         )
         .select("doc_id", "sample_rate", "channels", "n_frames",
-                "sample_sum", "weighted_sum")
-        .orderBy("doc_id")
+                "sample_sum", "weighted_sum"),
+        "doc_id",
     )
 
 
@@ -1229,15 +1229,15 @@ def multimodal_mp2_joint_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[k] = pd.array(cols[k], dtype="float64")
             yield out
 
-    return (
+    return staged_sort(
         media.mapInPandas(
             decode,
             "doc_id bigint, media binary, sample_rate int, channels int,"
             " n_frames int, sample_sum double, weighted_sum double",
         )
         .select("doc_id", "sample_rate", "channels", "n_frames",
-                "sample_sum", "weighted_sum")
-        .orderBy("doc_id")
+                "sample_sum", "weighted_sum"),
+        "doc_id",
     )
 
 

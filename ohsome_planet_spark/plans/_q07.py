@@ -406,10 +406,10 @@ def cc_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("html_tokens"),
         )
     )
-    return (
+    return staged_sort(
         pdf_side.join(html_side, "doc_id")
-        .select("doc_id", "pdf_text", "pdf_pages", "html_tokens")
-        .orderBy("doc_id")
+        .select("doc_id", "pdf_text", "pdf_pages", "html_tokens"),
+        "doc_id",
     )
 
 
@@ -1777,7 +1777,7 @@ def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     denom = F.col("fwd_sum") * F.col("nb") + F.col("bwd_sum") * F.col("nf")
     margin = 2.0 * F.col("ci") * F.col("nf") * F.col("nb") / denom
-    return (
+    return staged_sort(
         micro.filter((F.col("fwd_rank") == 1) & (F.col("bwd_rank") == 1))
         .join(fwd_avg, "src_id")
         .join(bwd_avg, "tgt_id")
@@ -1787,8 +1787,8 @@ def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tgt_id",
             "cosine",
             F.round(margin, 6).alias("margin"),
-        )
-        .orderBy("src_id")
+        ),
+        "src_id",
     )
 
 

@@ -82,6 +82,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def staged_sort(df: DataFrame, *cols) -> DataFrame:
+    """Stage ``df`` once, THEN apply the deterministic output ``orderBy``.
+
+    A global sort plans a range exchange, and ``ShuffleExchangeExec`` with
+    ``RangePartitioning`` executes its child TWICE: once as the
+    bounds-sampling job and once as the real shuffle write (the sampled
+    RDD is not cached). Every gate query ends in an ``orderBy`` for
+    deterministic output, so an expensive pipeline above it — Python
+    decode seams, temporal merges, LSH joins — runs twice per action.
+    Staging through :func:`..session.truncate_lineage` (localCheckpoint
+    single-process, reliable ``checkpoint()`` on a cluster with a
+    checkpoint dir) materializes the pipeline once; the sampling pass and
+    the shuffle both read the staged blocks. Measured on
+    ``multimodal_avi_frame_sample`` @ sf0.1: 7.0 → 3.9 s median
+    (guide §2.4 — remove shuffle-adjacent recomputation; the sort itself
+    is part of the query's contract and stays).
+
+    The staged blocks are registered with the session's cache registry,
+    so the bench / correctness harness frees them after each consuming
+    action (the same lifecycle every other seam uses)."""
+    from ..session import truncate_lineage
+
+    return truncate_lineage(df).orderBy(*cols)
+
+
 
 
 def all_queries() -> dict[str, QueryFn]:

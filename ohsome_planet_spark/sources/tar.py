@@ -92,17 +92,27 @@ def parse_tar(data: bytes) -> list[dict]:
         mtime = _octal(header[136:148], "mtime")
         pos += BLOCK
         payload = b""
-        if typeflag in ("0", "\0", ""):
+        if typeflag in ("0", "\0", "", "7"):
+            # type '7' (contiguous) carries data and is defined to be
+            # treated as a regular file by implementations without
+            # contiguous-file support (POSIX ustar; ADVICE r12)
             if pos + size > n:
                 raise TarFormatError("truncated member payload")
             payload = data[pos : pos + size]
+            pos += (size + BLOCK - 1) // BLOCK * BLOCK
+        elif typeflag not in ("1", "2", "3", "4", "5", "6"):
+            # unrecognized typeflag: the ustar rule is to skip its
+            # size-rounded data blocks — assuming zero data desyncs the
+            # 512-block walk and drops the whole shard (ADVICE r12)
+            if pos + size > n:
+                raise TarFormatError("truncated member payload")
             pos += (size + BLOCK - 1) // BLOCK * BLOCK
         members.append(
             {
                 "name": name,
                 "size": size,
                 "mtime": mtime,
-                "typeflag": "0" if typeflag in ("\0", "") else typeflag,
+                "typeflag": "0" if typeflag in ("\0", "", "7") else typeflag,
                 "payload": payload,
             }
         )

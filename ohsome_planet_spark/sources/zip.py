@@ -72,6 +72,11 @@ def parse_zip(data: bytes) -> list[dict]:
         ) = struct.unpack_from("<HHHHHHIIIHHHHHII", data, pos + 4)
         if flags & 0x0001:
             raise ZipFormatError("encrypted members unsupported")
+        if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF or lho == 0xFFFFFFFF:
+            # per-entry Zip64 sentinels (sizes/offset live in a Zip64
+            # extra field this reader doesn't speak): fence them like the
+            # EOCD-level sentinels instead of misparsing (ADVICE r12)
+            raise ZipFormatError("Zip64 is the documented fence")
         name = data[pos + 46 : pos + 46 + name_len].decode(
             "utf-8" if flags & 0x0800 else "cp437", "replace"
         )

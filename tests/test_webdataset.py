@@ -255,3 +255,71 @@ def test_zip_members_operator(spark):
     got = zip_members(df, "archive").collect()
     assert [(r["aid"], r["name"], bytes(r["payload"])) for r in got] == [
         (1, "s/1.txt", b"one"), (1, "s/2.txt", b"two")]
+
+
+def test_tar_type7_and_unknown_typeflag_block_walk():
+    """ADVICE r12: type '7' (contiguous) carries data and is read as a
+    regular file; an unrecognized typeflag's data blocks are skipped per
+    the ustar rule — neither may desync the 512-block walk."""
+    t = bytearray(encode_tar(
+        [("a.bin", b"A" * 600), ("b.txt", b"bee"), ("c.txt", b"sea")]))
+    def _set_typeflag(buf, member_idx, flag):
+        # walk headers to the member_idx-th header block
+        pos = 0
+        for _ in range(member_idx):
+            size = int(bytes(buf[pos + 124:pos + 136]).split(b"\0")[0], 8)
+            pos += 512 + (size + 511) // 512 * 512
+        buf[pos + 156] = ord(flag)
+        # recompute unsigned checksum
+        hdr = bytearray(buf[pos:pos + 512])
+        hdr[148:156] = b" " * 8
+        buf[pos + 148:pos + 156] = b"%06o\0 " % (sum(hdr) & 0o777777)
+    _set_typeflag(t, 0, "7")      # contiguous: treated as regular
+    _set_typeflag(t, 1, "Z")      # unknown: payload blocks skipped
+    members = parse_tar(bytes(t))
+    assert [(m["name"], m["typeflag"], m["payload"]) for m in members] == [
+        ("a.bin", "0", b"A" * 600),
+        ("b.txt", "Z", b""),
+        ("c.txt", "0", b"sea"),   # the walk stayed in sync
+    ]
+
+
+def test_zip_struct_error_hits_zero_rows_contract(spark):
+    """ADVICE r12 (medium): a truncated EOCD raises struct.error (not a
+    ValueError subclass) from parse_zip; zip_members must drop the
+    archive, not kill the task."""
+    import struct as _struct
+
+    from ohsome_planet_spark.operators.webdataset import zip_members
+    from ohsome_planet_spark.sources.zip import encode_zip, parse_zip
+
+    # craft bytes whose EOCD signature sits too close to the end for the
+    # fixed 18-byte EOCD body -> struct.error inside parse_zip
+    bad = b"x" * 40 + b"PK\x05\x06\x00\x00"
+    with pytest.raises(_struct.error):
+        parse_zip(bad)
+    good = encode_zip([("k.txt", b"ok")])
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad))],
+        "aid bigint, archive binary",
+    )
+    got = zip_members(df, "archive").collect()
+    assert [(r["aid"], r["name"]) for r in got] == [(1, "k.txt")]
+
+
+def test_zip64_per_entry_sentinels_fenced():
+    """ADVICE r12: per-entry 0xFFFFFFFF csize/usize/offset sentinels mean
+    Zip64 extra fields — fence, never misparse."""
+    from ohsome_planet_spark.sources.zip import (
+        ZipFormatError,
+        encode_zip,
+        parse_zip,
+    )
+
+    good = encode_zip([("x.txt", b"abc")])
+    cdh = good.find(b"PK\x01\x02")
+    for off in (20, 24, 42):  # csize, usize, local-header offset
+        bad = bytearray(good)
+        bad[cdh + off:cdh + off + 4] = b"\xff\xff\xff\xff"
+        with pytest.raises(ZipFormatError, match="Zip64"):
+            parse_zip(bytes(bad))
