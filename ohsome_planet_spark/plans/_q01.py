@@ -1682,9 +1682,11 @@ def exact_substr_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_substr_rewrite
 
     docs = fan_out(_t(spark, sf_dir, "documents"))
-    return staged_sort(exact_substr_rewrite(
+    # staged_sort measured a wash here (interleaved A/B 0.96): the body's
+    # own 8-gram explode re-aggregates cheaply on the sampling pass
+    return exact_substr_rewrite(
         docs, "doc_id", "text", n=8, min_docs=2
-    ), "doc")
+    ).orderBy("doc")
 
 
 def _line_dedup_oracle() -> str:
@@ -2420,7 +2422,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(_t(spark, sf_dir, "documents"))
     sigs = simhash(docs, "doc_id", "text", bits=32)
     pairs = simhash_near_dup_pairs(sigs, bits=32, bands=4, max_hamming=3)
-    return staged_sort(dedup_clusters(docs, pairs, id_col="doc_id"), "doc_id")
+    return dedup_clusters(docs, pairs, id_col="doc_id").orderBy("doc_id")
 
 
 def _dedup_canonical_oracle() -> str:
@@ -2456,9 +2458,8 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(_t(spark, sf_dir, "documents"))
     clusters = _dedup_cluster_table(spark, sf_dir)
-    return staged_sort(
-        keep_best(clusters, docs, id_col="doc_id", score_col="n_chars"),
-        "doc_id",
+    return keep_best(clusters, docs, id_col="doc_id", score_col="n_chars").orderBy(
+        "doc_id"
     )
 
 

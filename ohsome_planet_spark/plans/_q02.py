@@ -229,9 +229,9 @@ def knn_self_join_lsh_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_self_join_lsh
 
     emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    return staged_sort(knn_self_join_lsh(
+    return knn_self_join_lsh(
         emb, k=3, nbits=8, ntables=2, bucket_cap=4
-    ), "vec_id", "rank")
+    ).orderBy("vec_id", "rank")
 
 
 _LSH_TWIN_BASE = 1_000_000
@@ -387,10 +387,10 @@ def semantic_dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup_clusters(
         aug.select(F.col("vec_id").alias("doc_id")), pairs, id_col="doc_id"
     )
-    return staged_sort(clusters.select(
+    return clusters.select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "n_docs",
         "is_canonical",
-    ), "vec_id")
+    ).orderBy("vec_id")
 
 
 def _mmr_oracle(qid: int = 0, pool: int = 20, k: int = 5, lam: float = 0.7) -> str:
@@ -686,7 +686,10 @@ def contrib_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters and contrib types."""
     ways, nodes = _derived_way_inputs(spark, sf_dir)
     contribs = synthesize_contributions(way_contribution_events(ways, nodes))
-    return staged_sort(contribs.select(
+    # staged_sort A/B'd at 1.23 here (regression): the merge pipeline is
+    # already internally seamed, so the sampling pass re-runs only cheap
+    # post-seam projection and the checkpoint write is pure overhead
+    return contribs.select(
         "osm_id",
         "osm_version",
         "osm_minor_version",
@@ -700,7 +703,7 @@ def contrib_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("centroid.x", 6).alias("cx"),
         F.round("centroid.y", 6).alias("cy"),
         "refs_count",
-    ), "osm_id", "osm_edits")
+    ).orderBy("osm_id", "osm_edits")
 
 
 def _ohsome_length_series_oracle() -> str:
@@ -1052,7 +1055,7 @@ def contrib_polygons_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "visible", "tags", "refs",
     )
     contribs = synthesize_contributions(way_contribution_events(ways, nodes))
-    return staged_sort(contribs.select(
+    return contribs.select(
         "osm_id",
         "osm_version",
         "valid_from",
@@ -1061,7 +1064,7 @@ def contrib_polygons_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contrib_type",
         "geometry_type",
         F.round(F.col("area") / 1e6, 6).alias("area_km2"),
-    ), "osm_id", "osm_version")
+    ).orderBy("osm_id", "osm_version")
 
 
 def _derived_polygon_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1958,7 +1961,7 @@ def contrib_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     rels = _derived_relations(spark, sf_dir)
     contribs = synthesize_contributions(relation_contribution_events(rels, ways, nodes))
     n_geoms = F.size(F.filter(F.col("members"), lambda m: m["geometry"].isNotNull()))
-    return staged_sort(contribs.select(
+    return contribs.select(
         "osm_id",
         "osm_version",
         "osm_minor_version",
@@ -1972,7 +1975,7 @@ def contrib_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("bbox.ymin", 6).alias("bymin"),
         F.round("bbox.xmax", 6).alias("bxmax"),
         F.round("bbox.ymax", 6).alias("bymax"),
-    ), "osm_id", "osm_edits")
+    ).orderBy("osm_id", "osm_edits")
 
 
 # ===========================================================================

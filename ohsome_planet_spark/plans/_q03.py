@@ -2470,15 +2470,15 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = spark.createDataFrame(
         [("lsh",), ("ivf",), ("ivfpq",), ("ivfpq_res",)], "method string"
     )
-    return staged_sort(
+    return (
         exact.crossJoin(F.broadcast(methods))
         .join(approx, ["method", "query_id", "vec_id"], "left")
         .groupBy("query_id", "method")
         .agg(
             F.count("_hit").alias("n_hit"),
             F.round(F.count("_hit") / 5.0, 6).alias("recall_at_5"),
-        ),
-        "query_id", "method",
+        )
+        .orderBy("query_id", "method")
     )
 
 
