@@ -833,14 +833,15 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _events_stream(spark, sf_dir)
     out = windowed_event_counts(raw)
     name = f"stream_win_{next(_STREAM_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark, sf_dir):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("window_start", "event_type")
 
 
@@ -865,6 +866,91 @@ def _events_stream(spark: SparkSession, sf_dir: str):
         "event_id bigint, ts timestamp, user_id bigint,"
         " event_type string, value double, props string"
     ).parquet(land)
+
+
+def _path_bytes(path: str) -> int:
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path, followlinks=True):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _stream_conf(
+    spark: SparkSession,
+    sf_dir: str,
+    no_data_batch: bool = True,
+    wide: bool = False,
+):
+    """Scope streaming-only session conf around one availableNow run.
+
+    **State partitions track state volume, not the batch-shuffle width.**
+    Every stateful-operator partition pays a fixed commit cost per
+    micro-batch — one delta file + checksum + rename per state-store
+    instance, and a stream-stream join holds FOUR stores per partition —
+    so at small state the per-store overhead dwarfs the work (measured on
+    the louter attribution join at sf0.1: 32 partitions → 19.8 s with
+    323 s of summed commitTimeMs over ~40k state rows; 8 partitions →
+    4.8 s, identical output). Derive the count from the input size (one
+    partition per 64 MB, clamped to [8, session shuffle partitions]):
+    locally that is 8; at 100 TB the clamp returns the cluster-sized
+    session setting, so nothing here is tuned to local[32].
+
+    ``no_data_batch=False`` skips the trailing no-data micro-batch for
+    queries whose OUTPUT provably cannot depend on it: operators that emit
+    on arrival (inner interval joins, dropDuplicates*, no-timeout
+    applyInPandasWithState) use the no-data batch only to advance the
+    watermark and evict state, which at query end is torn down anyway.
+    Queries whose emission rule depends on that final watermark advance —
+    the LEFT OUTER join's unmatched-row flush, timeout-based stateful
+    ops, complete-mode re-emission — must keep it on (and
+    ``streaming_louter_attribution`` pins it on explicitly, since its
+    oracle reproduces exactly that rule).
+
+    ``wide=True`` keeps the session shuffle width instead: for
+    Python-stateful operators (``applyInPandasWithState``) the cost is
+    per-row Python compute over the whole input, so partitions should
+    track compute width (cores), not state volume — measured on
+    streaming_dedup_keys at sf0.1: 8 partitions 5.4 s vs 32 partitions
+    3.5 s, identical output.
+
+    Both settings restore on exit so batch queries in the same session
+    see the session defaults.
+    """
+    import os
+
+    sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    if wide:
+        parts = int(sess_parts)
+    else:
+        nbytes = _path_bytes(os.path.join(sf_dir, "events.parquet"))
+        parts = max(8, min(int(sess_parts), (nbytes + (64 << 20) - 1) >> 26))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batch else "false",
+    )
+    try:
+        yield parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", old_nodata
+        )
 
 
 @_register(
@@ -893,14 +979,17 @@ def streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = latest_state_stream(raw, ["user_id"], "event_id")
     name = f"stream_latest_{next(_STREAM_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # NoTimeout stateful op emits on arrival only — the no-data batch is
+    # pure state-eviction overhead for a query that then terminates
+    with _stream_conf(spark, sf_dir, no_data_batch=False):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .select(
@@ -1168,14 +1257,15 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _events_stream(spark, sf_dir)
     out = session_windows(raw, gap="30 minutes", key="user_id")
     name = f"stream_sess_{next(_STREAM_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark, sf_dir):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .select("user_id", "session_start", "session_end", "n_events")
@@ -1583,14 +1673,18 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type"
     )
     name = f"stream_dedup_{next(_STREAM_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # NoTimeout first-seen dedup emits on arrival; no-data batch skipped.
+    # wide: the op is per-row Python compute (applyInPandasWithState) —
+    # keep the session shuffle width for core parallelism
+    with _stream_conf(spark, sf_dir, no_data_batch=False, wide=True):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("user_id", "event_type")
 
 
@@ -1629,14 +1723,18 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .select("user_id", "event_type", "ts_hour")
     )
     name = f"stream_dedup_wm_{next(_STREAM_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # dropDuplicatesWithinWatermark emits first-seen rows on arrival; the
+    # no-data batch only evicts state (and the docstring's emission
+    # argument already relies on nothing being evicted mid-batch)
+    with _stream_conf(spark, sf_dir, no_data_batch=False):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("user_id", "event_type", "ts_hour")
 
 
@@ -2068,14 +2166,17 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("click_id", "purchase_id", "user_id")
     name = f"stream_attr_{next(_STREAM_SEQ)}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # inner interval joins emit every pair during the data batch that
+    # completes it; the no-data batch only evicts state → skipped
+    with _stream_conf(spark, sf_dir, no_data_batch=False):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("click_id", "purchase_id")
 
 
@@ -2155,14 +2256,17 @@ def streaming_louter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("click_id", "purchase_id", "user_id")
     name = f"stream_louter_{next(_STREAM_SEQ)}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # no_data_batch stays ON: the unmatched-click flush IS the no-data
+    # batch's watermark advance (the emission rule the oracle reproduces)
+    with _stream_conf(spark, sf_dir, no_data_batch=True):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("click_id", "purchase_id")
 
 
