@@ -220,6 +220,20 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Catalyst constraint propagation is quadratic in the constraint
+        # set over deep union/self-join trees; on this engine's staged
+        # merge pipelines it is pure driver-side planning cost (measured
+        # interleaved at sf0.1: contrib_full_row_incremental 25.5→20.5 s,
+        # contrib_ways 8.1→6.4 s, broad-sample ratios 0.76-1.0, no
+        # regressions). The predicates it infers (isnotnull on join keys)
+        # are redundant here — every operator joins on keys that are
+        # non-null by construction and pre-filters explicitly. Deployments
+        # joining nullable keys over 100 TB, where a pruned shuffle
+        # outweighs planning time, re-enable via SPARK_GRAFT_CONSTRAINT_PROP=true.
+        .config(
+            "spark.sql.constraintPropagation.enabled",
+            os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", "false"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
