@@ -1674,13 +1674,26 @@ def contrib_full_row_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # advance_batch truncates them in place per wave.
     from concurrent.futures import ThreadPoolExecutor
 
+    from ..session import truncate_lineage_many
+
+    def _seamed_rebuilds(snapshot, affected):
+        # seam each rebuilt frame ON the worker thread, in parallel: the
+        # final merged-table seam below then plans over three LogicalRDD
+        # leaves per wave instead of re-walking every rebuild pipeline in
+        # one giant sequential Catalyst run (interleaved A/B at sf0.1:
+        # ~0.93; the rebuilt frames are batch-sized, so the extra
+        # materialization is bounded at any scale)
+        return truncate_lineage_many(
+            list(updater.build_rebuilds(snapshot, affected))
+        )
+
     with ThreadPoolExecutor(len(waves)) as pool:
         staged_waves = []
         for wave in waves:
             batch = _osc_roundtrip_batch(spark, wave)
             snapshot, affected = updater.advance_batch(batch)
             staged_waves.append(
-                (affected, pool.submit(updater.build_rebuilds, snapshot, affected))
+                (affected, pool.submit(_seamed_rebuilds, snapshot, affected))
             )
         for (aff_nodes, aff_ways, aff_rels), fut in staged_waves:
             rebuilt = fut.result()
