@@ -274,7 +274,7 @@ def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = F.broadcast(
         c.join(n, c.c_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
     )
-    return (
+    return staged_sort(
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(dim, o.o_custkey == dim.c_custkey)
         .groupBy("r_name", "n_name")
@@ -283,8 +283,9 @@ def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             ),
             F.countDistinct("o_orderkey").alias("n_orders"),
-        )
-        .orderBy("r_name", "n_name")
+        ),
+        "r_name",
+        "n_name",
     )
 
 
@@ -632,7 +633,8 @@ def contrib_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived histories, checked column-by-column against a window-SQL oracle."""
     nodes = _derived_nodes(spark, sf_dir)
     contribs = synthesize_contributions(node_contribution_events(nodes))
-    return contribs.select(
+    return staged_sort(
+        contribs.select(
         "status",
         "valid_from",
         "valid_to",
@@ -644,7 +646,10 @@ def contrib_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contrib_type",
         F.round("centroid.x", 6).alias("cx"),
         F.round("centroid.y", 6).alias("cy"),
-    ).orderBy("osm_id", "osm_edits")
+    ),
+        "osm_id",
+        "osm_edits",
+    )
 
 
 _PBF_FIXTURES: dict[str, str] = {}
@@ -855,7 +860,8 @@ def contrib_from_pbf_offset_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "visible", "tags", "lon", "lat",
     )
     contribs = synthesize_contributions(node_contribution_events(nodes))
-    return contribs.select(
+    return staged_sort(
+        contribs.select(
         "status",
         "valid_from",
         "valid_to",
@@ -867,7 +873,10 @@ def contrib_from_pbf_offset_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contrib_type",
         F.round("centroid.x", 6).alias("cx"),
         F.round("centroid.y", 6).alias("cy"),
-    ).orderBy("osm_id", "osm_edits")
+    ),
+        "osm_id",
+        "osm_edits",
+    )
 
 
 _CONTRIB_CHANGESETS_ORACLE = """
@@ -1120,11 +1129,14 @@ def xz_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ymin = (((F.col("c_custkey") * 3) % 160) - 80).cast("double")
     xmax = xmin + (F.abs(F.col("c_acctbal")) % 10.0)
     ymax = ymin + ((F.abs(F.col("c_acctbal")) * 2.0) % 8.0)
-    return c.select(
+    return staged_sort(
+        c.select(
         "c_custkey",
         xz_level_expr(xmin, ymin, xmax, ymax).alias("xz_level"),
         xz_code_expr(xmin, ymin, xmax, ymax).alias("xz_code"),
-    ).orderBy("c_custkey")
+    ),
+        "c_custkey",
+    )
 
 
 @_register(
@@ -1407,9 +1419,12 @@ def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, acc = train_logreg(feats, n_features=5, iters=3, lr=0.5)
     rows = [(f"x{j}", w[j]) for j in range(5)] + [("accuracy", acc)]
     out = spark.createDataFrame(rows, "feature string, weight double")
-    return out.select(
+    return staged_sort(
+        out.select(
         "feature", F.round("weight", 9).alias("weight")
-    ).orderBy("feature")
+    ),
+        "feature",
+    )
 
 
 def _chunk_oracle(max_tokens: int = 16, overlap: int = 4) -> str:
@@ -1572,8 +1587,9 @@ def exact_substr_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_substr_dedup
 
     docs = fan_out(_t(spark, sf_dir, "documents"))
-    return exact_substr_dedup(docs, "doc_id", "text", n=8, min_docs=2).orderBy(
-        "doc"
+    return staged_sort(
+        exact_substr_dedup(docs, "doc_id", "text", n=8, min_docs=2),
+        "doc",
     )
 
 
@@ -2195,9 +2211,12 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(_t(spark, sf_dir, "documents"))
     sh = shingles(docs, "doc_id", "text", n=3)
     sig = minhash_signatures(sh, num_perm=16)
-    return sig.select(
+    return staged_sort(
+        sig.select(
         "doc", F.concat_ws(",", *[F.col("signature")[i] for i in range(16)]).alias("signature")
-    ).orderBy("doc")
+    ),
+        "doc",
+    )
 
 
 def _lsh_oracle(num_perm: int = 16, bands: int = 4, n: int = 3) -> str:
@@ -2236,7 +2255,11 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(_t(spark, sf_dir, "documents"))
     sh = shingles(docs, "doc_id", "text", n=3)
     sig = minhash_signatures(sh, num_perm=16)
-    return lsh_candidate_pairs(sig, num_perm=16, bands=4).orderBy("doc_a", "doc_b")
+    return staged_sort(
+        lsh_candidate_pairs(sig, num_perm=16, bands=4),
+        "doc_a",
+        "doc_b",
+    )
 
 
 def _dedup_recall_oracle(threshold: float = 0.5) -> str:
@@ -2699,9 +2722,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = lsh_bucket_topk(emb, queries, dim=64, k=5, nbits=8)
-    return out.select(
+    return staged_sort(
+        out.select(
         "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
-    ).orderBy("query_id", "rank")
+    ),
+        "query_id",
+        "rank",
+    )
 
 
 

@@ -462,9 +462,12 @@ def mmr_diverse_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fan_out(_t(spark, sf_dir, "embeddings"))
     chosen = mmr_diverse_topk(emb, query_id=0, pool=20, k=5, lam=0.7)
-    return spark.createDataFrame(
+    return staged_sort(
+        spark.createDataFrame(
         chosen, "rank int, vec_id bigint, score double"
-    ).orderBy("rank")
+    ),
+        "rank",
+    )
 
 
 @_register("ann_ivf_topk", _ann_ivf_oracle())
@@ -2070,12 +2073,13 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     cos = F.round(dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-    return (
+    return staged_sort(
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= 0.3)
-        .select("vec_a", "vec_b", "label", "cosine")
-        .orderBy("vec_a", "vec_b")
+        .select("vec_a", "vec_b", "label", "cosine"),
+        "vec_a",
+        "vec_b",
     )
 
 
@@ -2159,7 +2163,8 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(_t(spark, sf_dir, "documents"))
     media = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("media"))
     frames = frame_sample_plan(resize_plan(decode_stub(media), max_side=512))
-    return frames.select(
+    return staged_sort(
+        frames.select(
         "doc_id",
         "fake_width",
         "fake_height",
@@ -2167,7 +2172,10 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_height",
         "n_frames",
         F.col("frame_idx").cast("int").alias("frame_idx"),
-    ).orderBy("doc_id", "frame_idx")
+    ),
+        "doc_id",
+        "frame_idx",
+    )
 
 
 @_register(
@@ -2217,10 +2225,10 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         decode_media(media)
-        .select("doc_id", "width", "height", "channels", "pixel_sum")
-        .orderBy("doc_id")
+        .select("doc_id", "width", "height", "channels", "pixel_sum"),
+        "doc_id",
     )
 
 
@@ -2285,11 +2293,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary, ms int")
-    return (
+    return staged_sort(
         resize_media(media, max_side_col="ms")
         .select("doc_id", "width", "height", "target_width", "target_height",
-                "resized_pixel_sum")
-        .orderBy("doc_id")
+                "resized_pixel_sum"),
+        "doc_id",
     )
 
 
@@ -2338,10 +2346,10 @@ def multimodal_jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         decode_media(media)
-        .select("doc_id", "width", "height", "channels", "pixel_sum")
-        .orderBy("doc_id")
+        .select("doc_id", "width", "height", "channels", "pixel_sum"),
+        "doc_id",
     )
 
 
@@ -2408,10 +2416,10 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         decode_media(media)
-        .select("doc_id", "width", "height", "channels", "pixel_sum")
-        .orderBy("doc_id")
+        .select("doc_id", "width", "height", "channels", "pixel_sum"),
+        "doc_id",
     )
 
 
@@ -2471,10 +2479,10 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         decode_media(media)
-        .select("doc_id", "width", "height", "channels", "pixel_sum")
-        .orderBy("doc_id")
+        .select("doc_id", "width", "height", "channels", "pixel_sum"),
+        "doc_id",
     )
 
 
@@ -2566,15 +2574,15 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[k] = pd.array(cols[k], dtype="Int64")
             yield out
 
-    return (
+    return staged_sort(
         media.mapInPandas(
             decode,
             "doc_id bigint, media binary, width int, height int,"
             " channels int, pixel_sum bigint, weighted_sum bigint",
         )
         .select("doc_id", "width", "height", "channels", "pixel_sum",
-                "weighted_sum")
-        .orderBy("doc_id")
+                "weighted_sum"),
+        "doc_id",
     )
 
 

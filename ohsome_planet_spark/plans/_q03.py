@@ -130,15 +130,15 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[k] = pd.array(cols[k], dtype="Int64")
             yield out
 
-    return (
+    return staged_sort(
         media.mapInPandas(
             decode,
             "doc_id bigint, media binary, width int, height int,"
             " channels int, pixel_sum bigint, weighted_sum bigint",
         )
         .select("doc_id", "width", "height", "channels", "pixel_sum",
-                "weighted_sum")
-        .orderBy("doc_id")
+                "weighted_sum"),
+        "doc_id",
     )
 
 
@@ -197,11 +197,11 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         decode_audio(media)
         .select("doc_id", "channels", "sample_rate", "bits", "n_frames",
-                "sample_sum")
-        .orderBy("doc_id")
+                "sample_sum"),
+        "doc_id",
     )
 
 
@@ -261,11 +261,11 @@ def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         decode_audio(media)
         .select("doc_id", "channels", "sample_rate", "bits", "n_frames",
-                "sample_sum")
-        .orderBy("doc_id")
+                "sample_sum"),
+        "doc_id",
     )
 
 
@@ -347,11 +347,11 @@ def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         decode_audio(media)
         .select("doc_id", "channels", "sample_rate", "bits", "n_frames",
-                "sample_sum")
-        .orderBy("doc_id")
+                "sample_sum"),
+        "doc_id",
     )
 
 
@@ -463,15 +463,15 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[k] = pd.array(cols[k], dtype="Int64")
             yield out
 
-    return (
+    return staged_sort(
         media.mapInPandas(
             decode,
             "doc_id bigint, media binary, channels int, sample_rate int,"
             " bits int, n_frames int, sample_sum bigint, weighted_sum bigint",
         )
         .select("doc_id", "channels", "sample_rate", "bits", "n_frames",
-                "sample_sum", "weighted_sum")
-        .orderBy("doc_id")
+                "sample_sum", "weighted_sum"),
+        "doc_id",
     )
 
 
@@ -549,11 +549,11 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         audio_features(media, frame_len=16)
         .select("doc_id", "n_analysis_frames", "energy_total",
-                "zero_crossings", "peak_abs")
-        .orderBy("doc_id")
+                "zero_crossings", "peak_abs"),
+        "doc_id",
     )
 
 
@@ -603,10 +603,10 @@ def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         probe_video(media)
-        .select("doc_id", "width", "height", "duration_ms")
-        .orderBy("doc_id")
+        .select("doc_id", "width", "height", "duration_ms"),
+        "doc_id",
     )
 
 
@@ -723,11 +723,11 @@ def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         probe_audio_stream(media)
         .select("doc_id", "sample_rate", "channels", "n_frames",
-                "duration_us", "bitrate_kbps", "is_vbr")
-        .orderBy("doc_id")
+                "duration_us", "bitrate_kbps", "is_vbr"),
+        "doc_id",
     )
 
 
@@ -792,10 +792,10 @@ def multimodal_avi_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         probe_video(media)
-        .select("doc_id", "width", "height", "duration_ms")
-        .orderBy("doc_id")
+        .select("doc_id", "width", "height", "duration_ms"),
+        "doc_id",
     )
 
 
@@ -987,7 +987,10 @@ def changeset_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") != "F").alias("open"),
         F.col("o_orderpriority").alias("user_name"),
     )
-    return upsert_changesets(state, batch).orderBy("id")
+    return staged_sort(
+        upsert_changesets(state, batch),
+        "id",
+    )
 
 
 _REPLICATION_BATCH_ORACLE = """
@@ -1123,7 +1126,11 @@ def replication_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("version"),
         F.lit(None).cast("boolean").alias("visible"),
     )
-    return nodes_out.unionByName(ways_out).orderBy("kind", "id")
+    return staged_sort(
+        nodes_out.unionByName(ways_out),
+        "kind",
+        "id",
+    )
 
 
 # ===========================================================================
@@ -2155,9 +2162,13 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = pq_adc_topk(codes, cb, queries, k=5, m=4, dim=64)
-    return out.select(
+    return staged_sort(
+        out.select(
         "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "adc_dist"
-    ).orderBy("query_id", "rank")
+    ),
+        "query_id",
+        "rank",
+    )
 
 
 def _ivfpq_oracle(
@@ -2228,9 +2239,13 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = ivfpq_topk(emb, queries, coarse, codes, cb, k=5, nprobe=2, m=4, dim=64)
-    return out.select(
+    return staged_sort(
+        out.select(
         "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "adc_dist"
-    ).orderBy("query_id", "rank")
+    ),
+        "query_id",
+        "rank",
+    )
 
 
 def _residual_v_cte(cevery: int = 64, citers: int = 2, dim: int = 64) -> str:

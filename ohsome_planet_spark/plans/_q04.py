@@ -613,7 +613,7 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
     frac = F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_shingles")
-    return (
+    return staged_sort(
         totals.join(hits, "doc_id", "left")
         .select(
             "doc_id",
@@ -621,8 +621,8 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
             F.round(frac, 6).alias("contamination"),
             (frac > 0.8).alias("drop_doc"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -1156,7 +1156,7 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (F.col("c_lang") + F.lit(1.0)) / (F.col("n_lang") + F.col("vocab"))
     q = (F.col("c_all") + F.lit(1.0)) / (F.col("n_all") + F.col("vocab"))
-    return (
+    return staged_sort(
         grid.join(F.broadcast(n_lang), "lang")
         .crossJoin(F.broadcast(v))
         .groupBy("lang", "n_lang")
@@ -1165,8 +1165,8 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.col("n_lang").alias("n_tokens"),
             "kl_vs_corpus",
-        )
-        .orderBy("lang")
+        ),
+        "lang",
     )
 
 
@@ -2695,13 +2695,16 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(_t(spark, sf_dir, "documents"))
     recs = bpe_train(word_freqs(docs), rounds=_BPE_ROUNDS)
-    return spark.createDataFrame(
+    return staged_sort(
+        spark.createDataFrame(
         [
             (r["round"], r["left"], r["right"], r["pair_count"], r["n_symbols_after"])
             for r in recs
         ],
         "round int, left string, right string, pair_count bigint, n_symbols_after bigint",
-    ).orderBy("round")
+    ),
+        "round",
+    )
 
 
 

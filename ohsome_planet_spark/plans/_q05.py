@@ -108,15 +108,15 @@ def xz_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = codes.groupBy("xz_level", "xz_code").agg(
         F.count(F.lit(1)).alias("n")
     )
-    return (
+    return staged_sort(
         cells.groupBy("xz_level")
         .agg(
             F.sum("n").alias("n_features"),
             F.count(F.lit(1)).alias("n_cells"),
             F.max("n").alias("max_cell"),
             F.round(F.avg("n"), 6).alias("avg_cell"),
-        )
-        .orderBy("xz_level")
+        ),
+        "xz_level",
     )
 
 
@@ -554,14 +554,14 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
-    return (
+    return staged_sort(
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.avg("nll"), 6).alias("avg_nll"),
             F.round(F.max("nll"), 6).alias("max_nll"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -691,15 +691,16 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx = t if approx is None else approx.unionByName(t)
     approx = approx.withColumn("_hit", F.lit(1))
     methods = spark.createDataFrame([("trunc16",), ("trunc32",)], "method string")
-    return (
+    return staged_sort(
         exact.crossJoin(F.broadcast(methods))
         .join(approx, ["method", "query_id", "vec_id"], "left")
         .groupBy("query_id", "method")
         .agg(
             F.count("_hit").alias("n_hit"),
             F.round(F.count("_hit") / 5.0, 6).alias("recall_at_5"),
-        )
-        .orderBy("query_id", "method")
+        ),
+        "query_id",
+        "method",
     )
 
 

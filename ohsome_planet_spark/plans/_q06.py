@@ -149,14 +149,17 @@ def warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("warc_type") == "response"
     )
     extracted = extract_main_text(responses, "payload", http=True)
-    return extracted.select(
+    return staged_sort(
+        extracted.select(
         "doc_id",
         "extracted_text",
         F.size(F.split("extracted_text", "\n")).cast("bigint").alias(
             "n_lines"
         ),
         F.length("extracted_text").cast("bigint").alias("n_chars"),
-    ).orderBy("doc_id")
+    ),
+        "doc_id",
+    )
 
 
 def _warc_fixture_encode_enveloped(
@@ -227,14 +230,17 @@ def warc_html_extract_enveloped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("warc_type") == "response"
     )
     extracted = extract_main_text(responses, "payload", http=True)
-    return extracted.select(
+    return staged_sort(
+        extracted.select(
         "doc_id",
         "extracted_text",
         F.size(F.split("extracted_text", "\n")).cast("bigint").alias(
             "n_lines"
         ),
         F.length("extracted_text").cast("bigint").alias("n_chars"),
-    ).orderBy("doc_id")
+    ),
+        "doc_id",
+    )
 
 
 _URL_DEDUP_ORACLE = """
@@ -355,13 +361,16 @@ def unicode_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = docs.select("doc_id", F.concat("text", suffix).alias("raw"))
     out = normalize_unicode(raw, "raw")
-    return out.select(
+    return staged_sort(
+        out.select(
         "doc_id",
         "nfc_text",
         "nfkc_text",
         F.length("nfc_text").cast("int").alias("nfc_chars"),
         F.length("nfkc_text").cast("int").alias("nfkc_chars"),
-    ).orderBy("doc_id")
+    ),
+        "doc_id",
+    )
 
 
 _CC_PIPELINE_ORACLE = f"""
@@ -425,13 +434,16 @@ def cc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         require_terminal_punct=False,
         min_kept_lines=2,
     )
-    return filtered.select(
+    return staged_sort(
+        filtered.select(
         F.col("doc").alias("doc_id"),
         "n_lines",
         "n_kept_lines",
         "keep_doc",
         token_count_expr(F.col("kept_text")).cast("bigint").alias("n_tokens"),
-    ).orderBy("doc_id")
+    ),
+        "doc_id",
+    )
 
 
 @_register("cc_ingest_envelope_invariance", _CC_PIPELINE_ORACLE)
@@ -464,13 +476,16 @@ def cc_ingest_envelope_invariance(
         require_terminal_punct=False,
         min_kept_lines=2,
     )
-    return filtered.select(
+    return staged_sort(
+        filtered.select(
         F.col("doc").alias("doc_id"),
         "n_lines",
         "n_kept_lines",
         "keep_doc",
         token_count_expr(F.col("kept_text")).cast("bigint").alias("n_tokens"),
-    ).orderBy("doc_id")
+    ),
+        "doc_id",
+    )
 
 
 _URL_ORACLE = """
@@ -1288,7 +1303,7 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = with_hilbert_key(
         ords.select(qd.alias("qd"), qc.alias("qc")), "qd", "qc", bits=12
     )
-    return (
+    return staged_sort(
         keyed.groupBy(F.shiftright("hd", 18).cast("bigint").alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1297,8 +1312,8 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("qc").cast("bigint").alias("min_qc"),
             F.max("qc").cast("bigint").alias("max_qc"),
             F.sum("hd").cast("bigint").alias("key_checksum"),
-        )
-        .orderBy("bucket")
+        ),
+        "bucket",
     )
 
 
@@ -1397,7 +1412,10 @@ def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_arabic") >= F.col("n_greek"), F.lit("arabic"))
         .otherwise(F.lit("greek"))
     )
-    return counts.withColumn("dominant_script", dom).orderBy("doc_id")
+    return staged_sort(
+        counts.withColumn("dominant_script", dom),
+        "doc_id",
+    )
 
 
 _JSONL_ORACLE = f"""
@@ -1898,13 +1916,13 @@ def multimodal_mp3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[k] = pd.array(cols[k], dtype="float64")
             yield out
 
-    return (
+    return staged_sort(
         docs.mapInPandas(
             run,
             "doc_id bigint, sample_rate int, channels int,"
             " n_granules int, sample_sum double, weighted_sum double",
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -2257,13 +2275,13 @@ def multimodal_mp3_intensity_decode(
                 out[k] = pd.array(cols[k], dtype="float64")
             yield out
 
-    return (
+    return staged_sort(
         docs.mapInPandas(
             run,
             "doc_id bigint, sample_rate int, channels int,"
             " n_granules int, sample_sum double, weighted_sum double",
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 

@@ -92,7 +92,7 @@ def multimodal_h264_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         probe_h264(media)
         .select(
             "doc_id",
@@ -107,8 +107,8 @@ def multimodal_h264_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_slices",
             "n_idr",
             "slice_types",
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -189,7 +189,7 @@ def multimodal_adts_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         probe_adts_stream(media)
         .select(
             "doc_id",
@@ -202,8 +202,8 @@ def multimodal_adts_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_us",
             "bitrate_kbps",
             "crc_frames",
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -278,10 +278,10 @@ def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, pdf binary")
-    return (
+    return staged_sort(
         _extract(media)
-        .select("doc_id", "extracted_text", "n_pages", "n_chars_out")
-        .orderBy("doc_id")
+        .select("doc_id", "extracted_text", "n_pages", "n_chars_out"),
+        "doc_id",
     )
 
 
@@ -611,7 +611,7 @@ def multimodal_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         probe_ogg_stream(media)
         .select(
             "doc_id",
@@ -623,8 +623,8 @@ def multimodal_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_packets",
             "duration_us",
             "serial",
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -934,13 +934,13 @@ def multimodal_mp3_short_intensity_decode(
                 out[k] = pd.array(cols[k], dtype="float64")
             yield out
 
-    return (
+    return staged_sort(
         docs.mapInPandas(
             run,
             "doc_id bigint, sample_rate int, channels int,"
             " n_granules int, sample_sum double, weighted_sum double",
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -1006,7 +1006,8 @@ def webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shards = docs.mapInPandas(encode, "doc_id bigint, shard binary")
     samples = wds_samples(shards, "shard")
-    return samples.select(
+    return staged_sort(
+        samples.select(
         "doc_id",
         "sample_idx",
         "key",
@@ -1016,7 +1017,10 @@ def webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("parts").getItem("txt"), F.col("parts").getItem("seg.txt")
         ).cast("string").alias("part_text"),
         F.col("parts").getItem("cls").cast("string").alias("label"),
-    ).orderBy("doc_id", "sample_idx")
+    ),
+        "doc_id",
+        "sample_idx",
+    )
 
 
 _WEBM_ORACLE = """
@@ -1095,7 +1099,7 @@ def multimodal_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         probe_webm_stream(media)
         .select(
             "doc_id",
@@ -1111,8 +1115,8 @@ def multimodal_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tracks",
             "n_clusters",
             "n_blocks",
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -1201,10 +1205,11 @@ def subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         subtitle_cues(media)
-        .select("doc_id", "fmt", "cue_idx", "start_ms", "end_ms", "cue_text")
-        .orderBy("doc_id", "cue_idx")
+        .select("doc_id", "fmt", "cue_idx", "start_ms", "end_ms", "cue_text"),
+        "doc_id",
+        "cue_idx",
     )
 
 
@@ -1501,13 +1506,13 @@ def multimodal_mp3_mixed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[k] = pd.array(cols[k], dtype="float64")
             yield out
 
-    return (
+    return staged_sort(
         docs.mapInPandas(
             run,
             "doc_id bigint, sample_rate int, channels int,"
             " n_granules int, sample_sum double, weighted_sum double",
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -1578,7 +1583,7 @@ def id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         audio_tags(media)
         .select(
             "doc_id",
@@ -1591,8 +1596,8 @@ def id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "track",
             "genre",
             "comment",
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -1660,7 +1665,7 @@ def zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     archives = docs.mapInPandas(encode, "doc_id bigint, archive binary")
-    return (
+    return staged_sort(
         zip_members(archives, "archive")
         .select(
             "doc_id",
@@ -1669,8 +1674,9 @@ def zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size",
             "method",
             F.col("payload").cast("string").alias("member_text"),
-        )
-        .orderBy("doc_id", "member_idx")
+        ),
+        "doc_id",
+        "member_idx",
     )
 
 
@@ -2002,7 +2008,7 @@ def multimodal_ts_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     media = docs.mapInPandas(encode, "doc_id bigint, media binary")
-    return (
+    return staged_sort(
         probe_ts_stream(media)
         .select(
             "doc_id",
@@ -2019,8 +2025,8 @@ def multimodal_ts_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_audio_pes",
             "duration_ms",
             "cc_errors",
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 

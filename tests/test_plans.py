@@ -43,7 +43,11 @@ def test_snapshot_reads_staged_table_with_pushdown(spark):
     assert "geometry" not in staged[0] and "tags" not in staged[0]
 
 
-def test_topk_uses_broadcast_for_dimension_join(spark):
+def test_topk_uses_broadcast_for_dimension_join(spark, monkeypatch):
+    # staged_sort cuts lineage before the final orderBy, so the executed
+    # plan of the staged form is just Sort over the staged blocks; inspect
+    # the plain-sort variant, whose plan contains the full pipeline.
+    monkeypatch.setenv("SPARK_GRAFT_PLAIN_SORT", "1")
     plan = _executed(all_queries()["region_nation_revenue"](spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
@@ -63,9 +67,21 @@ def test_registry_wide_plan_hygiene(spark):
     Planning-only: no jobs run except queries that stage intermediates."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
+    from ohsome_planet_spark.session import drain_seam_frames
+
     for name, fn in sorted(all_queries().items()):
+        drain_seam_frames()  # discard seams left over from fixtures
         df = fn(spark, SF)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        # lineage-truncation seams (incl. staged_sort) hide their upstream
+        # segment from the returned frame's plan — audit those too, the
+        # same way tools/plan_audit.py does
+        plans = [df._jdf.queryExecution().executedPlan().toString()]
+        for seam in drain_seam_frames():
+            try:
+                plans.append(seam._jdf.queryExecution().executedPlan().toString())
+            except Exception:
+                pass  # seam frame already released by the query body
+        plan = "\n".join(plans)
         assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         # the driver's canonicalizer sort_values-es every output column and
