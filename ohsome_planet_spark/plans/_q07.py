@@ -1735,58 +1735,66 @@ def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable averages; the documented 100 TB scale path
     swaps the exact score for the capped-LSH kNN (same margins on the
     survivors). The oracle replays score, ranks, averages and the
-    mutual filter."""
+    mutual filter.
+
+    Plan shape (r13): the N-squared sims subtree is evaluated ONCE. The
+    k-NN sums ride the SAME window partitions as the ranks (a
+    conditional sum over an unordered frame adds no exchange — guide
+    §2.4), replacing the old two groupBy aggregates + two joins back
+    onto the pair table, which re-evaluated the cross-cosine subtree
+    per consumer. Per-side norms are computed once per vector before
+    the cross join (same expression, same operation order — the cosine
+    doubles are bit-identical), cutting the per-pair flops to the dot
+    product alone."""
+    from ..operators.similarity import dot_expr, norm_expr
+
     src = (
         fan_out(_t(spark, sf_dir, "embeddings"))
         .filter(F.col("vec_id") % 2 == 0)
         .select(F.col("vec_id").alias("src_id"),
                 F.col("embedding").alias("src_vec"))
+        .withColumn("src_n", norm_expr(F.col("src_vec").cast("array<double>")))
     )
     tgt = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 2 == 1)
         .select(F.col("vec_id").alias("tgt_id"),
                 F.col("embedding").alias("tgt_vec"))
+        .withColumn("tgt_n", norm_expr(F.col("tgt_vec").cast("array<double>")))
     )
-    from ..operators.similarity import cosine_expr
-
     sims = src.join(F.broadcast(tgt)).select(
         "src_id",
         "tgt_id",
         F.round(
-            cosine_expr(
+            dot_expr(
                 F.col("src_vec").cast("array<double>"),
                 F.col("tgt_vec").cast("array<double>"),
-            ),
+            )
+            / (F.col("src_n") * F.col("tgt_n")),
             6,
         ).alias("cosine"),
     )
     wf = W.partitionBy("src_id").orderBy(F.desc("cosine"), F.col("tgt_id"))
     wb = W.partitionBy("tgt_id").orderBy(F.desc("cosine"), F.col("src_id"))
-    ranked = sims.withColumn("fwd_rank", F.row_number().over(wf)).withColumn(
-        "bwd_rank", F.row_number().over(wb)
-    )
+    wf_all = W.partitionBy("src_id")
+    wb_all = W.partitionBy("tgt_id")
     # integer micro-cosines: every k-NN average becomes an exact integer
     # sum, so float summation order can never flip the hash
-    micro = ranked.withColumn(
-        "ci", F.round(F.col("cosine") * 1_000_000).cast("bigint")
-    )
-    fwd_avg = (
-        micro.filter(F.col("fwd_rank") <= 4)
-        .groupBy("src_id")
-        .agg(F.sum("ci").alias("fwd_sum"), F.count("*").alias("nf"))
-    )
-    bwd_avg = (
-        micro.filter(F.col("bwd_rank") <= 4)
-        .groupBy("tgt_id")
-        .agg(F.sum("ci").alias("bwd_sum"), F.count("*").alias("nb"))
+    fwd_ci = F.when(F.col("fwd_rank") <= 4, F.col("ci"))
+    bwd_ci = F.when(F.col("bwd_rank") <= 4, F.col("ci"))
+    micro = (
+        sims.withColumn("ci", F.round(F.col("cosine") * 1_000_000).cast("bigint"))
+        .withColumn("fwd_rank", F.row_number().over(wf))
+        .withColumn("fwd_sum", F.sum(fwd_ci).over(wf_all))
+        .withColumn("nf", F.count(fwd_ci).over(wf_all))
+        .withColumn("bwd_rank", F.row_number().over(wb))
+        .withColumn("bwd_sum", F.sum(bwd_ci).over(wb_all))
+        .withColumn("nb", F.count(bwd_ci).over(wb_all))
     )
     denom = F.col("fwd_sum") * F.col("nb") + F.col("bwd_sum") * F.col("nf")
     margin = 2.0 * F.col("ci") * F.col("nf") * F.col("nb") / denom
     return staged_sort(
         micro.filter((F.col("fwd_rank") == 1) & (F.col("bwd_rank") == 1))
-        .join(fwd_avg, "src_id")
-        .join(bwd_avg, "tgt_id")
         .filter(2 * F.col("ci") * F.col("nf") * F.col("nb") > denom)
         .select(
             "src_id",
