@@ -2035,6 +2035,7 @@ def ccnet_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     both stages' evidence (n_lines/n_kept + LM fields)."""
     from ..operators.curation import ccnet_lm_filter
     from ..operators.dedup import line_dedup
+    from ..session import truncate_lineage
 
     docs = fan_out(_t(spark, sf_dir, "documents"))
     ftxt = F.concat_ws(
@@ -2051,9 +2052,16 @@ def ccnet_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 7 == 2, F.lit("zq kjw xvv qqp zzkrp wq")),
         F.col("lang"),
     )
-    dd = line_dedup(
+    # Stage the dedup output ONCE: the LM filter derives paragraph, bigram,
+    # count-table and doc-score branches from its input, and the final
+    # projection joins the dedup evidence back — without a seam the whole
+    # line_dedup DAG is re-embedded per branch (measured: 94 scans / 256
+    # exchanges in the body plan; 50 / 100 with the seam; solo noop
+    # median 7.0 -> 4.9 s at sf0.1 — guide §3.3, truncate giant plans;
+    # §5, localCheckpoint to cut lineage).
+    dd = truncate_lineage(line_dedup(
         docs.select("doc_id", ftxt.alias("ftxt")), "doc_id", "ftxt"
-    )
+    ))
     inp = dd.join(
         docs.select(F.col("doc_id").alias("doc"), "lang"), "doc"
     )

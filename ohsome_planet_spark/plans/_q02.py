@@ -1046,9 +1046,13 @@ def contrib_polygons_from_pbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     put decoder → J1/J3 merge → A2/A8 geometry inside the hash-match
     gate. The oracle replays ring areas term-for-term."""
     from ..sources.pbf import read_pbf
+    from ..session import truncate_lineage
 
     path = _pbf_polygon_fixture(spark, sf_dir)
-    ents = read_pbf(spark, path)
+    # decode ONCE (same seam as contrib_full_row_from_pbf): the node and
+    # way branches each feed the merge through several consumers, and
+    # without a seam every consumer re-runs the Python blob-decode scan
+    ents = truncate_lineage(read_pbf(spark, path))
     nodes = ents.filter(F.col("osm_type") == "node").select(
         "osm_id", "version", "ts", "changeset", "user_id", "user_name",
         "visible", "tags", "lon", "lat",
@@ -1151,9 +1155,13 @@ def contrib_multipolygons_from_pbf(spark: SparkSession, sf_dir: str) -> DataFram
     → synthesis. Every member-way version lands as a relation minor whose
     assembled area the oracle recomputes from as-of ring areas."""
     from ..sources.pbf import read_pbf
+    from ..session import truncate_lineage
 
     path = _pbf_polygon_fixture(spark, sf_dir)
-    ents = read_pbf(spark, path)
+    # decode ONCE (same seam as contrib_full_row_from_pbf): the nested
+    # relation merge embeds the node/way/relation branches many times;
+    # without a seam each embedding re-runs the Python blob-decode scan
+    ents = truncate_lineage(read_pbf(spark, path))
     nodes = ents.filter(F.col("osm_type") == "node").select(
         "osm_id", "version", "ts", "changeset", "user_id", "user_name",
         "visible", "tags", "lon", "lat",
