@@ -687,7 +687,14 @@ def contrib_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution synthesis, oracle-checked stage by stage — minor-version
     instants, as-of member states, geodesic lengths, lineal centroids,
     counters and contrib types."""
-    ways, nodes = _derived_way_inputs(spark, sf_dir)
+    from ..session import truncate_lineage_many
+
+    # seam the window-derived input histories once: the merge consumes
+    # each side through several branches, re-running the row_number
+    # derivation per embedding (interleaved A/B at sf0.1: 0.90)
+    ways, nodes = truncate_lineage_many(
+        list(_derived_way_inputs(spark, sf_dir))
+    )
     contribs = synthesize_contributions(way_contribution_events(ways, nodes))
     # staged_sort A/B'd at 1.23 here (regression): the merge pipeline is
     # already internally seamed, so the sampling pass re-runs only cheap
@@ -1968,8 +1975,17 @@ def contrib_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship #3: the NESTED temporal merge — relations whose member way
     streams carry their own minor versions, collection bbox/validity and
     counters oracle-checked stage by stage."""
-    ways, nodes = _derived_way_inputs(spark, sf_dir)
-    rels = _derived_relations(spark, sf_dir)
+    from ..session import truncate_lineage_many
+
+    # seam all three derived input histories once: the nested merge
+    # embeds each side many times, re-running the derivations per
+    # embedding (interleaved A/B at sf0.1: 0.93 for the three-way seam;
+    # ways+nodes alone measured a wash — the relation-side embeddings
+    # carry the weight here)
+    ways, nodes, rels = truncate_lineage_many([
+        *_derived_way_inputs(spark, sf_dir),
+        _derived_relations(spark, sf_dir),
+    ])
     contribs = synthesize_contributions(relation_contribution_events(rels, ways, nodes))
     n_geoms = F.size(F.filter(F.col("members"), lambda m: m["geometry"].isNotNull()))
     return contribs.select(
