@@ -806,31 +806,46 @@ def knn_self_join(
         F.col("cv").cast("array<double>").alias("cv"),
     )
 
+    # Per-row norms computed ONCE per vector / centroid instead of per
+    # scored pair (r13, guide §2.3 — shrink the per-pair work): the
+    # cosine stays dot / (norm_a * norm_b) with unchanged operation
+    # order, so every double is bit-identical to the inline form
+    # (asserted by tests/test_operators.py::test_knn_self_join_prenorm).
+    # Interleaved A/B at sf0.1: 2.51 -> 1.97 s (0.78).
     dvec = F.col(vec_col).cast("array<double>")
+    cents = cents.withColumn("_nc", norm_expr(F.col("cv")))
     cos_c = F.round(
-        dot_expr(dvec, F.col("cv")) / (norm_expr(dvec) * norm_expr(F.col("cv"))),
+        dot_expr(dvec, F.col("cv")) / (F.col("_nv") * F.col("_nc")),
         6,
     )
     scored = (
         vectors.select(id_col, vec_col)
+        .withColumn("_nv", norm_expr(dvec))
         .crossJoin(F.broadcast(cents))
-        .select(id_col, vec_col, "cid", cos_c.alias("_c"))
+        .select(id_col, vec_col, "_nv", "cid", cos_c.alias("_c"))
     )
     assigned = scored.groupBy(id_col).agg(
         F.first(vec_col).alias(vec_col),
+        F.first("_nv").alias("_nv"),
         F.max_by(
             "cid", F.struct(F.col("_c").alias("c"), (-F.col("cid")).alias("t"))
         ).alias("_list"),
     )
 
     a = assigned.select(
-        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "_list"
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
+        F.col("_nv").alias("_na"), "_list",
     )
     b = assigned.select(
-        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "_list"
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
+        F.col("_nv").alias("_nb"), "_list",
     )
     sim = F.round(
-        cosine_expr(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")),
+        dot_expr(
+            F.col("_va").cast("array<double>"),
+            F.col("_vb").cast("array<double>"),
+        )
+        / (F.col("_na") * F.col("_nb")),
         6,
     )
     w = W.partitionBy("_ida").orderBy(F.desc("cosine"), F.col("_idb"))

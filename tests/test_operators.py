@@ -469,3 +469,53 @@ def test_train_logreg_partition_invariant(spark):
     )
     # int64-quantized gradients -> bit-identical under any partitioning
     assert w1 == w32 and a1 == a32
+
+
+def test_knn_self_join_prenorm(spark):
+    """r13: knn_self_join precomputes per-row norms instead of evaluating
+    them per scored pair. The cosine must stay bit-identical to the
+    inline dot/(norm*norm) form — same operands, same operation order."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.similarity import (
+        centroids_df, cosine_expr, knn_self_join,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = knn_self_join(emb, centroids_df(emb, every=20), k=3)
+    got = {
+        (r.vec_id, r.neighbor_id): r.cosine
+        for r in out.collect()
+    }
+    assert got, "no neighbor pairs produced"
+    # reference: the inline-cosine expression over the same pairs
+    pairs = spark.createDataFrame(
+        [(a, b) for (a, b) in got], "vec_id bigint, neighbor_id bigint"
+    )
+    ref = (
+        pairs.join(emb, "vec_id")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("emb_b"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(
+                cosine_expr(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("emb_b").cast("array<double>"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    want = {(r.vec_id, r.neighbor_id): r.cosine for r in ref.collect()}
+    assert got == want
