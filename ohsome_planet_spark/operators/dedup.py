@@ -81,6 +81,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Document pairs with n-gram Jaccard similarity ≥ threshold.
 
@@ -92,9 +93,17 @@ def ngram_jaccard_pairs(
     CountVectorizer's maxDF). Jaccard is then computed over the KEPT
     shingle sets (semantics the oracle mirrors).
 
+    ``shingle_df`` (r13): a pre-built :func:`shingles` frame to use
+    instead of deriving one from ``df`` — callers that also feed the
+    SAME shingle table to a MinHash pipeline (``dedup_recall_eval``)
+    pass a seamed copy so the explode+distinct derivation runs once for
+    both consumers (guide §2.4). Must be the exact
+    ``shingles(df, id_col, text_col, n)`` frame; results are identical
+    by construction.
+
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingle_df if shingle_df is not None else shingles(df, id_col, text_col, n)
     if max_df is not None:
         w = W.partitionBy("shingle_hash")
         sh = (

@@ -519,3 +519,33 @@ def test_knn_self_join_prenorm(spark):
     )
     want = {(r.vec_id, r.neighbor_id): r.cosine for r in ref.collect()}
     assert got == want
+
+
+def test_ngram_jaccard_pairs_shingle_df_param(spark):
+    """r13: passing a pre-built shingles frame must give the identical
+    pair set as the internal derivation (dedup_recall_eval shares one
+    seamed shingle table between the jaccard and MinHash pipelines)."""
+    from ohsome_planet_spark.operators.dedup import (
+        ngram_jaccard_pairs, shingles,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different sentence about spark plans"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base = sorted(
+        map(tuple, ngram_jaccard_pairs(df, "doc_id", "text", n=3).collect())
+    )
+    via_param = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3,
+                shingle_df=shingles(df, "doc_id", "text", n=3),
+            ).collect(),
+        )
+    )
+    assert base and base == via_param
