@@ -103,7 +103,15 @@ def ngram_jaccard_pairs(
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sh = shingle_df if shingle_df is not None else shingles(df, id_col, text_col, n)
+    if shingle_df is not None:
+        assert set(shingle_df.columns) == {"doc", "shingle_hash"}, (
+            "shingle_df must be the exact shingles(df, id_col, text_col, n) "
+            "frame — columns (doc, shingle_hash) built with the SAME n/"
+            f"text_col/tokenization; got columns {shingle_df.columns}"
+        )
+        sh = shingle_df
+    else:
+        sh = shingles(df, id_col, text_col, n)
     if max_df is not None:
         w = W.partitionBy("shingle_hash")
         sh = (

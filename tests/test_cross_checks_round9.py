@@ -212,18 +212,37 @@ def test_knn_self_join_sqrt_centroids_recall(spark):
     def pairs(df):
         return {(r.vec_id, r.neighbor_id) for r in df.collect()}
 
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    # norms hoisted to one column per row instead of recomputed per pair
+    # (N² pairs previously paid 2 sqrt-aggregates each — most of this
+    # test's 93 s wall). sqrt(sum(x²)) per row is the same double as the
+    # inline form, and the divide keeps the dot/(na*nb) operation order,
+    # so every cosine is bit-identical to the old expression.
+    def _norm(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x * x),
+                F.lit(0.0),
+                lambda a_, x: a_ + x,
+            )
+        )
+
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
     cos = F.round(
         F.aggregate(
             F.zip_with("va", "vb", lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        / (
-            F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
-            * F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
-        ),
+        / (F.col("na") * F.col("nb")),
         6,
     )
     from pyspark.sql import Window as W

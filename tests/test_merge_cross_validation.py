@@ -219,9 +219,19 @@ def test_fold_convergence_guard_depth4(spark):
 
 
 def test_cross_validation_randomized(spark):
+    # Same 25 seeds as always, namespaced (the generator's documented
+    # contract) and unioned into ONE DataFrame pair so the cross-validation
+    # runs as one Spark job pair instead of 25 sequential ones (was ~91 s
+    # of the suite's wall; the driver's verify budget requires the suite
+    # to finish). Coverage is identical: the histories are id-disjoint and
+    # the merge operators are per-parent, so agreement on the union is
+    # agreement on every seed.
+    node_rows, way_rows = [], []
     for seed in range(25):
-        node_rows, way_rows = random_history(seed)
-        compare(spark, node_rows, way_rows)
+        nr, wr = random_history(seed, way_id=20_000 + seed, node_base=seed * 100)
+        node_rows.extend(nr)
+        way_rows.extend(wr)
+    compare(spark, node_rows, way_rows)
 
 
 def test_cross_validation_randomized_bulk(spark):

@@ -65,23 +65,53 @@ def test_registry_wide_plan_hygiene(spark):
     Python seam) and without CartesianProduct (broadcast nested-loop over
     a dimension side is fine; an unbroadcast cartesian is a scale-killer).
     Planning-only: no jobs run except queries that stage intermediates."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     from ohsome_planet_spark.session import drain_seam_frames
 
-    for name, fn in sorted(all_queries().items()):
-        drain_seam_frames()  # discard seams left over from fixtures
+    drain_seam_frames()  # discard seams left over from fixtures
+
+    # Catalyst planning is JVM-side and py4j releases the GIL, so building
+    # the 209 plans on a thread pool overlaps the planning + seam
+    # materialization that dominated this test's 143 s wall. The seam
+    # registry is global: each worker drains it under a lock right after
+    # building its frame, so every seam plan is audited exactly once —
+    # a drained seam can only mis-attribute the query NAME in a failure
+    # message (the assertion set over the union of plans is unchanged).
+    lock = threading.Lock()
+
+    def build(item):
+        name, fn = item
         df = fn(spark, SF)
         # lineage-truncation seams (incl. staged_sort) hide their upstream
         # segment from the returned frame's plan — audit those too, the
         # same way tools/plan_audit.py does
-        plans = [df._jdf.queryExecution().executedPlan().toString()]
-        for seam in drain_seam_frames():
-            try:
-                plans.append(seam._jdf.queryExecution().executedPlan().toString())
-            except Exception:
-                pass  # seam frame already released by the query body
-        plan = "\n".join(plans)
+        with lock:
+            plans = [df._jdf.queryExecution().executedPlan().toString()]
+            for seam in drain_seam_frames():
+                try:
+                    plans.append(
+                        seam._jdf.queryExecution().executedPlan().toString()
+                    )
+                except Exception:
+                    pass  # seam frame already released by the query body
+        return name, df.schema, "\n".join(plans)
+
+    items = sorted(all_queries().items())
+    # streaming_* builders scope session confs (shuffle width, checkpoint
+    # location) around their availableNow run via _stream_conf — mutating
+    # shared session state, so they must not overlap each other or the
+    # batch builders. Run them sequentially after the pool.
+    batch = [it for it in items if not it[0].startswith("streaming_")]
+    streaming = [it for it in items if it[0].startswith("streaming_")]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(build, batch))
+    results += [build(it) for it in streaming]
+
+    for name, schema, plan in results:
         assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         # the driver's canonicalizer sort_values-es every output column and
@@ -89,7 +119,7 @@ def test_registry_wide_plan_hygiene(spark):
         # hidden by a stringifying hash) — registry outputs must be scalar
         nested = [
             f.name
-            for f in df.schema.fields
+            for f in schema.fields
             if isinstance(f.dataType, (ArrayType, MapType, StructType))
         ]
         assert not nested, f"{name}: non-scalar output columns {nested}"

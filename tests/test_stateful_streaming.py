@@ -47,6 +47,8 @@ def _write_batches(spark, base, batches):
 
 
 def _run_stream(spark, plan_fn, indir, name):
+    import time
+
     stream = (
         spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -60,7 +62,20 @@ def _run_stream(spark, plan_fn, indir, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow normally self-terminates once the input is drained, but
+    # a ProcessingTimeTimeout operator (dedup_stream with state_ttl) keeps
+    # the query alive waiting on wall-clock timers that never fire in-test
+    # — previously this burned the full 120 s awaitTermination. Once two
+    # consecutive completed micro-batches read zero rows the input is
+    # drained and the memory sink is final, so stop the query instead.
+    deadline = time.time() + 120
+    while time.time() < deadline and q.isActive:
+        rp = q.recentProgress
+        if len(rp) >= 2 and all(p["numInputRows"] == 0 for p in rp[-2:]):
+            q.stop()
+            break
+        time.sleep(0.2)
+    q.awaitTermination(30)
     return spark.sql(f"SELECT * FROM {name}").collect()
 
 

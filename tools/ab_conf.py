@@ -44,6 +44,11 @@ def main() -> None:
 
     spark.range(1000).selectExpr("sum(id)").collect()  # warmup
 
+    try:
+        orig_val = spark.conf.get(args.conf)
+    except Exception:
+        orig_val = None
+
     results = {}
     for name in args.queries:
         fn = qs[name]
@@ -55,12 +60,18 @@ def main() -> None:
                 )
                 # time build+action, exactly like bench.py (lazy
                 # localCheckpoints materialize at build time under AQE)
-                t0 = time.time()
+                t0 = time.perf_counter()
                 df = fn(spark, args.sf)
                 df.write.format("noop").mode("overwrite").save()
-                times[variant].append(time.time() - t0)
+                times[variant].append(time.perf_counter() - t0)
                 release_cached()
-        spark.conf.set(args.conf, args.a)
+        if orig_val is not None:
+            spark.conf.set(args.conf, orig_val)
+        else:
+            try:
+                spark.conf.unset(args.conf)
+            except Exception:
+                spark.conf.set(args.conf, args.a)
         med_a = statistics.median(times["a"])
         med_b = statistics.median(times["b"])
         ratio = round(med_b / med_a, 3) if med_a else float("nan")
