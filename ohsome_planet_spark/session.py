@@ -234,6 +234,21 @@ def get_spark(
             "spark.sql.constraintPropagation.enabled",
             os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", "false"),
         )
+        # PySpark 4's DataFrame-context error enrichment wraps EVERY
+        # DataFrame API call with a conf-get py4j round trip, a Python
+        # stack inspection, and set/clear round trips on the JVM
+        # PySparkCurrentOrigin thread-local — 3 extra py4j hops per call,
+        # ~2.4k of the 13.5k round trips in one contrib_relations build
+        # (cProfile: _capture_call_site alone 0.7 s). This engine's query
+        # builders are the "user code" the call sites would point at, so
+        # the enrichment buys nothing here; disabling it is pure
+        # driver-time win on every query build (guide §7.3 — planning
+        # time is driver time). SPARK_GRAFT_DF_DEBUGGING=true restores
+        # the default for interactive debugging sessions.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
